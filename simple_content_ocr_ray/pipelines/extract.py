@@ -1,0 +1,76 @@
+"""End-to-end extraction pipeline builders.
+
+The Ray restatement of the reference lifecycle (SURVEY.md §3.4):
+
+    read_parquet(pages) → sniff content type → ExtractStage actor pool
+      → (optional dedup / resume filter) → write_parquet(out)
+
+Never calls ``ray.init`` — the caller (driver, bench, tests) owns the session.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import ray.data as rd
+
+from ..stages.extract import ExtractStage
+from ..stages.sniff import sniff_batch
+
+#: Payload rows are multi-KB; a few hundred rows per batch keeps
+#: batch × concurrency bounded in worker heaps (SURVEY.md §7.5 risk 3).
+DEFAULT_BATCH_SIZE = 256
+
+
+def default_concurrency() -> tuple[int, int]:
+    """Actor-pool size for the extract stage: leave headroom for the read,
+    sniff, and write stages so no stage starves (at 100 TB the same ratio
+    applies per node)."""
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", 0)) or (os.cpu_count() or 8)
+    hi = max(2, int(ncpu * 0.75))
+    return (1, hi)
+
+
+def read_pages(pages_dir: str, columns: Optional[list[str]] = None) -> rd.Dataset:
+    """Pruned read of a pages table directory."""
+    return rd.read_parquet(pages_dir, columns=columns)
+
+
+def extraction_pipeline(
+    pages: rd.Dataset,
+    *,
+    route: Optional[dict[str, str]] = None,
+    engine_config: Optional[dict[str, dict[str, Any]]] = None,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    concurrency: Optional[tuple[int, int] | int] = None,
+) -> rd.Dataset:
+    """pages(url, warc_ts, html, text, lang) → extracted(url, status, text,
+    spans, page_count, content_type, error, processing_time_ms, metadata).
+
+    The extract stage is an autoscaling actor pool: engines are constructed
+    once per actor (heavy init amortized across batches), batches are
+    zero-copy Arrow.
+    """
+    ds = pages.map_batches(sniff_batch, batch_format="pyarrow")
+    ds = ds.map_batches(
+        ExtractStage,
+        fn_constructor_kwargs={"route": route, "engine_config": engine_config},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or default_concurrency(),
+    )
+    return ds
+
+
+def run_extraction(
+    pages_dir: str,
+    out_dir: Optional[str] = None,
+    **kwargs: Any,
+) -> rd.Dataset | None:
+    """Convenience: read → extract → (optionally) write partitioned parquet."""
+    ds = extraction_pipeline(read_pages(pages_dir), **kwargs)
+    if out_dir is None:
+        return ds
+    ds.write_parquet(out_dir)
+    return None

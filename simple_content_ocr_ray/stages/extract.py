@@ -1,0 +1,134 @@
+"""The extraction map_batches stage: route by content_type, run the matching
+engine per row, emit the ``extracted`` output table with per-row error
+containment (failed ROWS, not failed tasks — ocr_service.py:173-207).
+
+Designed for ``ds.map_batches(ExtractStage, batch_format="pyarrow",
+concurrency=(min,max), batch_size=B)``: engines (which may hold heavy state —
+compiled rules, models) are built ONCE per actor in ``__init__`` and reused
+across batches, mirroring the reference's lazy one-time model load
+(deepseek_engine.py:49-74).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Optional
+
+import pyarrow as pa
+
+from ..reference_semantics import CONTENT_TYPE_TO_MIME, IMAGE_TYPES
+from .engines import UnsupportedTypeError, create_engine
+
+SPAN_TYPE = pa.list_(
+    pa.struct([("start", pa.int64()), ("end", pa.int64()), ("kind", pa.string())])
+)
+
+METADATA_TYPE = pa.struct(
+    [
+        ("engine", pa.string()),
+        ("mime_type", pa.string()),
+        ("size_bytes", pa.string()),
+        ("page_count", pa.string()),
+        ("processed_at", pa.string()),
+    ]
+)
+
+EXTRACTED_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("status", pa.string()),
+        ("text", pa.string()),
+        ("spans", SPAN_TYPE),
+        ("page_count", pa.int32()),
+        ("content_type", pa.string()),
+        ("error", pa.string()),
+        ("processing_time_ms", pa.int64()),
+        ("metadata", METADATA_TYPE),
+    ]
+)
+
+#: default content_type → engine-name routing (M1/M4 restated: the reference
+#: routes image MIME → process_image, document MIME → process_document).
+DEFAULT_ROUTE: dict[str, str] = {"html": "html-main-content", "pdf": "mock"}
+DEFAULT_ROUTE.update({t: "mock" for t in IMAGE_TYPES})
+
+_META_KEYS = ("engine", "mime_type", "size_bytes", "page_count", "processed_at")
+
+
+class ExtractStage:
+    """Callable class for ``map_batches`` actor pools."""
+
+    def __init__(
+        self,
+        route: Optional[dict[str, str]] = None,
+        engine_config: Optional[dict[str, dict[str, Any]]] = None,
+        payload_column: str = "html",
+        drop_payload: bool = True,
+    ) -> None:
+        route = dict(DEFAULT_ROUTE if route is None else route)
+        engine_config = engine_config or {}
+        # one engine instance per distinct engine name, built once per actor
+        instances: dict[str, Any] = {}
+        self._engines: dict[str, Any] = {}
+        for content_type, engine_name in route.items():
+            if engine_name not in instances:
+                instances[engine_name] = create_engine(
+                    engine_name, **engine_config.get(engine_name, {})
+                )
+            self._engines[content_type] = instances[engine_name]
+        self.payload_column = payload_column
+        self.drop_payload = drop_payload
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        payloads = batch[self.payload_column].to_pylist()
+        ctypes = batch["content_type"].to_pylist()
+
+        n = len(urls)
+        status = [""] * n
+        text = [""] * n
+        spans: list[list[dict]] = [[] for _ in range(n)]
+        page_count = [1] * n
+        error = [""] * n
+        elapsed = [0] * n
+        metadata: list[dict[str, str]] = [{} for _ in range(n)]
+
+        for i in range(n):
+            t0 = time.perf_counter()
+            payload = payloads[i] or b""
+            ctype = ctypes[i]
+            engine = self._engines.get(ctype)
+            try:
+                if engine is None:
+                    mime = CONTENT_TYPE_TO_MIME.get(ctype, "application/octet-stream")
+                    raise UnsupportedTypeError(f"Unsupported document type: {mime}")
+                res = engine.extract(urls[i], payload, ctype)
+                status[i] = "completed"
+                text[i] = res.text
+                spans[i] = res.spans
+                page_count[i] = res.page_count
+                md = dict(res.metadata)
+            except Exception as exc:  # noqa: BLE001 — poison rows must not kill the block
+                status[i] = "failed"
+                error[i] = str(exc)
+                md = {
+                    "mime_type": CONTENT_TYPE_TO_MIME.get(ctype, "application/octet-stream"),
+                    "size_bytes": str(len(payload)),
+                }
+            metadata[i] = {k: md.get(k, "") for k in _META_KEYS}
+            elapsed[i] = int((time.perf_counter() - t0) * 1000)
+
+        return pa.Table.from_arrays(
+            [
+                pa.array(urls, pa.string()),
+                pa.array(status, pa.string()),
+                pa.array(text, pa.string()),
+                pa.array(spans, SPAN_TYPE),
+                pa.array(page_count, pa.int32()),
+                pa.array(ctypes, pa.string()),
+                pa.array(error, pa.string()),
+                pa.array(elapsed, pa.int64()),
+                pa.array(metadata, METADATA_TYPE),
+            ],
+            schema=EXTRACTED_SCHEMA,
+        )

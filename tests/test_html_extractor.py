@@ -1,0 +1,83 @@
+"""Unit tests for the from-scratch readability-style HTML extractor."""
+
+from simple_content_ocr_ray.stages.html_extractor import HtmlMainContentExtractor
+
+
+def ext(html: str) -> tuple[str, list[dict]]:
+    return HtmlMainContentExtractor().extract(html)
+
+
+def test_boilerplate_stripped():
+    html = (
+        "<html><head><title>t</title><style>.x{}</style>"
+        "<script>var a=1;</script></head><body>"
+        "<nav><a href='/'>home</a><a href='/x'>other</a></nav>"
+        "<article><p>the main content body text</p></article>"
+        "<footer>copyright</footer></body></html>"
+    )
+    text, spans = ext(html)
+    assert text == "the main content body text"
+    assert len(spans) == 1
+    assert spans[0]["kind"] == "p"
+
+
+def test_spans_are_raw_offsets():
+    html = "<html><body><article><p>hello world</p></article></body></html>"
+    text, spans = ext(html)
+    assert text == "hello world"
+    s = spans[0]
+    assert html[s["start"] : s["end"]] == "hello world"
+
+
+def test_multi_paragraph_joined_with_blank_lines():
+    html = (
+        "<html><body><nav><a href='/'>aaaa bbbb cccc dddd</a></nav>"
+        "<div id='main'><p>first paragraph text here</p>"
+        "<p>second paragraph text here</p></div></body></html>"
+    )
+    text, spans = ext(html)
+    assert text == "first paragraph text here\n\nsecond paragraph text here"
+    assert [s["kind"] for s in spans] == ["p", "p"]
+
+
+def test_link_density_prefers_content_over_linkfarm():
+    html = (
+        "<html><body>"
+        "<div><a href='1'>one link text</a> <a href='2'>two link text</a> "
+        "<a href='3'>three link text</a> <a href='4'>four link text</a></div>"
+        "<div><p>real article prose long enough to win despite links nearby</p></div>"
+        "</body></html>"
+    )
+    text, _ = ext(html)
+    assert text == "real article prose long enough to win despite links nearby"
+
+
+def test_entities_unescaped_with_exact_spans():
+    html = "<html><body><article><p>a &amp; b &#61; c</p></article></body></html>"
+    text, spans = ext(html)
+    assert text == "a & b = c"
+    s = spans[0]
+    assert html[s["start"] : s["end"]] == "a &amp; b &#61; c"
+
+
+def test_inline_markup_inside_paragraph():
+    html = "<html><body><article><p>one <b>two</b> three <i>four</i></p></article></body></html>"
+    text, _ = ext(html)
+    assert text == "one two three four"
+
+
+def test_whitespace_normalized_within_paragraph():
+    html = "<html><body><article><p>  spaced\n   out\ttext </p></article></body></html>"
+    text, _ = ext(html)
+    assert text == "spaced out text"
+
+
+def test_empty_page():
+    assert ext("<html><body></body></html>") == ("", [])
+    assert ext("") == ("", [])
+
+
+def test_malformed_html_tolerated():
+    html = "<html><body><div><p>unclosed paragraph text<div>stray</body>"
+    text, _ = ext(html)
+    assert "unclosed paragraph text" in text

@@ -1,0 +1,86 @@
+"""End-to-end: the Ray Data pipeline must produce byte-identical rows to the
+plain-Python reference-semantics oracle at several parallelism/partitioning
+settings (SURVEY.md §5 rebuild test plan)."""
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from simple_content_ocr_ray.pipelines.extract import extraction_pipeline, read_pages
+from simple_content_ocr_ray.reference_semantics import extract_row
+
+
+@pytest.fixture(scope="module")
+def oracle_rows(pages_table):
+    rows = {}
+    for url, payload in zip(
+        pages_table["url"].to_pylist(), pages_table["html"].to_pylist()
+    ):
+        rows[url] = extract_row(url, payload)
+    return rows
+
+
+def _check_against_oracle(out: pa.Table, oracle_rows):
+    assert out.num_rows == len(oracle_rows)
+    got = {r["url"]: r for r in out.to_pylist()}
+    assert set(got) == set(oracle_rows)
+    for url, exp in oracle_rows.items():
+        g = got[url]
+        assert g["status"] == exp["status"], url
+        assert g["text"] == exp["text"], url  # byte-identical text per url
+        assert g["page_count"] == exp["page_count"], url
+        assert g["content_type"] == exp["content_type"], url
+        assert g["error"] == exp["error"], url
+        assert g["spans"] == exp["spans"], url
+        assert g["metadata"]["engine"] == exp["metadata"]["engine"], url
+        assert g["metadata"]["size_bytes"] == exp["metadata"]["size_bytes"], url
+
+
+@pytest.mark.parametrize("nblocks,batch_size", [(1, 1024), (7, 64), (16, 16)])
+def test_pipeline_matches_oracle(pages_table, oracle_rows, nblocks, batch_size):
+    ds = rd.from_arrow(pages_table).repartition(nblocks)
+    out = extraction_pipeline(
+        ds, batch_size=batch_size, concurrency=(1, 2)
+    ).to_arrow_refs()
+    import ray
+
+    tables = [ray.get(ref) for ref in out]
+    combined = pa.concat_tables([t for t in tables if t.num_rows])
+    _check_against_oracle(combined, oracle_rows)
+
+
+def test_pipeline_from_parquet_dir(pages_dir, oracle_rows):
+    ds = read_pages(pages_dir)
+    out = extraction_pipeline(ds, concurrency=2)
+    tbl = pa.concat_tables(
+        [b for b in out.iter_batches(batch_size=4096, batch_format="pyarrow")]
+    )
+    _check_against_oracle(tbl, oracle_rows)
+
+
+def test_failed_rows_do_not_kill_blocks(pages_table):
+    # Route everything to a mock engine that fails every 3rd call: the
+    # pipeline must still emit one row per input with mixed statuses.
+    ds = rd.from_arrow(pages_table.select(["url", "html"]))
+    out = extraction_pipeline(
+        ds,
+        route={"html": "mock", "pdf": "mock", "png": "mock"},
+        engine_config={"mock": {"fail_every": 3}},
+        concurrency=(1, 2),
+    )
+    counts = dict(
+        (r["status"], r["count()"]) for r in out.groupby("status").count().take_all()
+    )
+    assert counts.get("failed", 0) > 0
+    assert counts.get("completed", 0) > 0
+    assert sum(counts.values()) == pages_table.num_rows
+
+
+def test_write_parquet_roundtrip(pages_dir, tmp_path):
+    out_dir = str(tmp_path / "out")
+    ds = extraction_pipeline(read_pages(pages_dir), concurrency=2)
+    ds.write_parquet(out_dir)
+    back = rd.read_parquet(out_dir)
+    assert back.count() == read_pages(pages_dir).count()
+    schema = back.schema()
+    assert "text" in schema.names and "spans" in schema.names
