@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship extraction pipeline on pages synthesized
+deterministically from /root/testdata/sf0.001 (input_hint shape). The
+``queries()`` / ``oracle_sql()`` pairs cover the operator inventory in
+SURVEY.md §2 plus the training-data-pipeline extensions (dedup, similarity,
+text analysis). Ray is initialised by the driver before this module is
+imported — nothing here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -20,25 +15,40 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: pages(url, warc_ts, html, text, lang) → sniff →
+    extractor actor pool → extracted table (SURVEY.md §3.4)."""
+    from simple_content_ocr_ray.pipelines.extract import (
+        extraction_pipeline,
+        read_pages,
+    )
+    from simple_content_ocr_ray.sources.synth_pages import synth_pages_parquet
+
+    pages_dir = synth_pages_parquet("/root/testdata/sf0.001")
+    return extraction_pipeline(read_pages(pages_dir))
+
+
+def _registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
+    from simple_content_ocr_ray.pipelines import extract_queries, relational
+
+    queries: dict[str, Callable[[str], Any]] = {}
+    oracles: dict[str, str] = {}
+    for mod in (extract_queries, relational):
+        queries.update(mod.QUERIES)
+        oracles.update(mod.ORACLES)
+    try:
+        from simple_content_ocr_ray.functions import dedup, similarity, text_stats
+
+        for mod in (dedup, similarity, text_stats):
+            queries.update(getattr(mod, "QUERIES", {}))
+            oracles.update(getattr(mod, "ORACLES", {}))
+    except ImportError:
+        pass
+    return queries, oracles
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _registry()[0]
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _registry()[1]

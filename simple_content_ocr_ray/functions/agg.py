@@ -1,0 +1,165 @@
+"""Scale-aware aggregation / ordering / join primitives.
+
+These exist so the wide operations stay cheap at 100 TB:
+
+* ``grouped_aggregate`` — partial aggregation inside ``map_batches`` (one row
+  per key per batch) followed by a ``groupby`` over the *partials*, so the
+  all-to-all shuffle moves per-key partials instead of every input row.
+* ``topk`` — per-batch local top-k, then a single small final top-k, instead
+  of a full distributed sort + limit.
+* ``broadcast_merge`` — ``ray.put`` the small side once; every batch does an
+  in-memory pandas merge. No shuffle join for dimension tables.
+* ``broadcast_semi_filter`` — semi/anti join by broadcasting the key set.
+
+The reference has no relational algebra (SURVEY.md §2.4-§2.6 — dedup,
+anti-join backfill filter, and priority ordering are specified in its
+openspec/ but unimplemented); these primitives provide that capability
+surface the Ray-Data-first way.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable, Optional
+
+import pandas as pd
+import ray
+import ray.data as rd
+from ray.data.aggregate import Max, Min, Sum
+
+#: agg spec: output_name -> (input_col, kind); kinds: sum count min max
+_PARTIAL_KIND = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def _partial_agg_fn(
+    keys: list[str],
+    aggs: dict[str, tuple[Optional[str], str]],
+    prepare: Optional[Callable[[pd.DataFrame], pd.DataFrame]] = None,
+):
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        if prepare is not None:
+            batch = prepare(batch)
+        g = batch.groupby(keys, sort=False, observed=True)
+        out: dict[str, Any] = {}
+        for name, (col, kind) in aggs.items():
+            if kind == "count":
+                out[name] = g.size()
+            elif kind == "sum":
+                out[name] = g[col].sum()
+            elif kind == "min":
+                out[name] = g[col].min()
+            elif kind == "max":
+                out[name] = g[col].max()
+            else:
+                raise ValueError(f"unsupported agg kind {kind!r}")
+        return pd.DataFrame(out).reset_index()
+
+    return fn
+
+
+def grouped_aggregate(
+    ds: rd.Dataset,
+    keys: list[str],
+    aggs: dict[str, tuple[Optional[str], str]],
+    batch_size: int = 65536,
+    prepare: Optional[Callable[[pd.DataFrame], pd.DataFrame]] = None,
+) -> rd.Dataset:
+    """Pre-aggregated groupby: per-batch pandas combine, then a tiny shuffle
+    over one-row-per-key-per-batch partials. ``prepare`` computes derived
+    columns inside the same stage (no extra pass over the data)."""
+    partial = ds.map_batches(
+        _partial_agg_fn(keys, aggs, prepare),
+        batch_format="pandas",
+        batch_size=batch_size,
+    )
+    final_aggs = []
+    for name, (_, kind) in aggs.items():
+        k = _PARTIAL_KIND[kind]
+        agg_cls = {"sum": Sum, "min": Min, "max": Max}[k]
+        final_aggs.append(agg_cls(name, alias_name=name))
+    return partial.groupby(keys).aggregate(*final_aggs)
+
+
+def topk(
+    ds: rd.Dataset,
+    sort_cols: list[str],
+    k: int,
+    descending: bool | list[bool] = True,
+    batch_size: int = 65536,
+) -> rd.Dataset:
+    """Distributed top-k: local top-k per batch, then one final top-k over the
+    (num_batches × k)-row remainder — avoids a full sort of the dataset."""
+    if isinstance(descending, bool):
+        descending = [descending] * len(sort_cols)
+    ascending = [not d for d in descending]
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(sort_cols, ascending=ascending, kind="mergesort").head(k)
+
+    pruned = ds.map_batches(local_topk, batch_format="pandas", batch_size=batch_size)
+    # The survivors are tiny (≤ k per input batch): a single-block final sort.
+    return (
+        pruned.repartition(1)
+        .map_batches(local_topk, batch_format="pandas", batch_size=None)
+    )
+
+
+def broadcast_merge(
+    ds: rd.Dataset,
+    small_df: pd.DataFrame,
+    left_on: str,
+    right_on: str,
+    how: str = "inner",
+    batch_size: int = 65536,
+) -> rd.Dataset:
+    """Map-side join against a broadcast dimension table (ray.put once, read
+    per task from the object store — never re-shipped per batch)."""
+    ref = ray.put(small_df)
+
+    class Joiner:
+        def __init__(self) -> None:
+            self.small = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(
+                self.small, how=how, left_on=left_on, right_on=right_on
+            )
+
+    return ds.map_batches(
+        Joiner, batch_format="pandas", batch_size=batch_size, concurrency=(1, 8)
+    )
+
+
+def broadcast_semi_filter(
+    ds: rd.Dataset,
+    keys: Iterable[Any],
+    column: str,
+    anti: bool = False,
+    batch_size: int = 65536,
+) -> rd.Dataset:
+    """Semi (or anti) join: broadcast the key set, filter inside map_batches.
+    At 10^12-row scale the broadcast side would be a Bloom filter; the
+    structure (one ray.put, per-batch vectorized isin) is the same."""
+    ref = ray.put(frozenset(keys))
+
+    class SemiFilter:
+        def __init__(self) -> None:
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            mask = batch[column].isin(self.keys)
+            return batch[~mask] if anti else batch[mask]
+
+    return ds.map_batches(
+        SemiFilter, batch_format="pandas", batch_size=batch_size, concurrency=(1, 8)
+    )
+
+
+def distinct_values(ds: rd.Dataset, column: str, batch_size: int = 65536) -> list[Any]:
+    """Distinct values of one column, with per-batch local dedup before the
+    global unique — the shuffle sees at most |distinct| rows per batch."""
+    reduced = ds.map_batches(
+        lambda b: b[[column]].drop_duplicates(),
+        batch_format="pandas",
+        batch_size=batch_size,
+    )
+    return reduced.unique(column)

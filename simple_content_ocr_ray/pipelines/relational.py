@@ -1,0 +1,315 @@
+"""Relational operator pipelines over the TPC-H-ish driver tables.
+
+Covers the relational capability surface the reference specifies but never
+implements (SURVEY.md §2.4-§2.6: dedup D1, priority ordering D2/D3, backfill
+anti-join J1/J2, status splits D5, metric aggregations A1-A5) restated as
+Ray Data pipelines, each paired with an ANSI-SQL oracle in ``ORACLES``.
+
+Cross-engine float determinism: money aggregates are summed as exactly-scaled
+int64 (``rint(expr * 10^k)``) in BOTH the Ray pipeline and the SQL oracle, so
+sums are bit-identical regardless of accumulation order; quotients/averages
+are then derived from identical integers and rounded to 4 decimals.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow.dataset as pads
+import ray.data as rd
+
+from ..functions.agg import (
+    broadcast_merge,
+    broadcast_semi_filter,
+    distinct_values,
+    grouped_aggregate,
+    topk,
+)
+
+
+def _read(
+    sf_dir: str, table: str, columns: list[str] | None = None, **kwargs
+) -> rd.Dataset:
+    return rd.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns, **kwargs
+    )
+
+
+# --------------------------------------------------------------------------
+# Q1-style pricing summary (filter → derived columns → grouped aggregate)
+# --------------------------------------------------------------------------
+
+def q1_pricing(sf_dir: str) -> pd.DataFrame:
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        ],
+    )
+    cutoff = pd.Timestamp("1998-09-02")
+
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] <= cutoff]
+        out = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "qty_c": np.rint(df["l_quantity"] * 100).astype("int64"),
+                "price_c": np.rint(df["l_extendedprice"] * 100).astype("int64"),
+                "disc_c": np.rint(df["l_discount"] * 100).astype("int64"),
+                "disc_price_u": np.rint(
+                    df["l_extendedprice"] * (1 - df["l_discount"]) * 1_000_000
+                ).astype("int64"),
+                "charge_u": np.rint(
+                    df["l_extendedprice"]
+                    * (1 - df["l_discount"])
+                    * (1 + df["l_tax"])
+                    * 1_000_000
+                ).astype("int64"),
+            }
+        )
+        return out
+
+    agg = grouped_aggregate(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty_c": ("qty_c", "sum"),
+            "sum_price_c": ("price_c", "sum"),
+            "sum_disc_c": ("disc_c", "sum"),
+            "sum_disc_price_u": ("disc_price_u", "sum"),
+            "sum_charge_u": ("charge_u", "sum"),
+            "count_order": (None, "count"),
+        },
+        prepare=prepare,
+    )
+    df = agg.to_pandas()
+    n = df["count_order"].astype("int64")
+    out = pd.DataFrame(
+        {
+            "l_returnflag": df["l_returnflag"],
+            "l_linestatus": df["l_linestatus"],
+            "sum_qty": (df["sum_qty_c"] / 100.0).round(4),
+            "sum_base_price": (df["sum_price_c"] / 100.0).round(4),
+            "sum_disc_price": (df["sum_disc_price_u"] / 1_000_000.0).round(4),
+            "sum_charge": (df["sum_charge_u"] / 1_000_000.0).round(4),
+            "avg_qty": (df["sum_qty_c"] / 100.0 / n).round(4),
+            "avg_price": (df["sum_price_c"] / 100.0 / n).round(4),
+            "avg_disc": (df["sum_disc_c"] / 100.0 / n).round(4),
+            "count_order": n,
+        }
+    )
+    return out
+
+
+_Q1_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  ROUND(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) / 100.0, 4) AS sum_qty,
+  ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100.0, 4) AS sum_base_price,
+  ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000, 0) AS BIGINT)) / 1000000.0, 4) AS sum_disc_price,
+  ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000, 0) AS BIGINT)) / 1000000.0, 4) AS sum_charge,
+  ROUND(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) / 100.0 / COUNT(*), 4) AS avg_qty,
+  ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 / COUNT(*), 4) AS avg_price,
+  ROUND(SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)) / 100.0 / COUNT(*), 4) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Top-k ordering (D2/D3 analog: priority/size ordering without a full sort)
+# --------------------------------------------------------------------------
+
+def top_orders(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = topk(ds, ["o_totalprice", "o_orderkey"], 10, descending=[True, False])
+    df = out.to_pandas()
+    df["o_totalprice"] = df["o_totalprice"].round(4)
+    return df
+
+
+_TOP_ORDERS_SQL = """
+SELECT o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice
+FROM orders
+ORDER BY orders.o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Broadcast dimension join + grouped aggregate
+# --------------------------------------------------------------------------
+
+def customer_order_totals(sf_dir: str) -> pd.DataFrame:
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    customer = pads.dataset(os.path.join(sf_dir, "customer.parquet")).to_table(
+        columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = broadcast_merge(
+        orders, customer.to_pandas(), left_on="o_custkey", right_on="c_custkey"
+    )
+
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["price_c"] = np.rint(df["o_totalprice"] * 100).astype("int64")
+        return df
+
+    agg = grouped_aggregate(
+        joined,
+        ["c_mktsegment"],
+        {"total_price_c": ("price_c", "sum"), "n_orders": (None, "count")},
+        prepare=prepare,
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "c_mktsegment": agg["c_mktsegment"],
+            "total_price": (agg["total_price_c"] / 100.0).round(4),
+            "n_orders": agg["n_orders"].astype("int64"),
+        }
+    )
+
+
+_CUSTOMER_ORDER_TOTALS_SQL = """
+SELECT
+  c_mktsegment,
+  ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 4) AS total_price,
+  COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# Anti-join (J1/J2: the backfill "content without derived output" filter)
+# --------------------------------------------------------------------------
+
+def customers_no_big_orders(sf_dir: str) -> pd.DataFrame:
+    """Customers with no order above 300k — the backfill anti-join shape:
+    filter the big side, distinct its keys (per-batch local dedup first),
+    broadcast the key set, anti-filter the small side."""
+    import pyarrow.compute as pc
+
+    orders = _read(
+        sf_dir,
+        "orders",
+        columns=["o_custkey", "o_totalprice"],
+        filter=pads.field("o_totalprice") > 300000.0,  # row-group pushdown
+    )
+    big = orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 300000.0)),
+        batch_format="pyarrow",
+    )
+    with_big = distinct_values(big, "o_custkey")
+    customer = _read(sf_dir, "customer", columns=["c_custkey"])
+    return broadcast_semi_filter(customer, with_big, "c_custkey", anti=True).to_pandas()
+
+
+_CUSTOMERS_NO_BIG_ORDERS_SQL = """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# Tumbling-window aggregate over the events stream table
+# --------------------------------------------------------------------------
+
+def events_hourly(sf_dir: str) -> pd.DataFrame:
+    events = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "event_hour": df["ts"].dt.floor("h"),
+                "value_u": np.rint(df["value"] * 1_000_000).astype("int64"),
+            }
+        )
+
+    agg = grouped_aggregate(
+        events,
+        ["event_type", "event_hour"],
+        {"sum_value_u": ("value_u", "sum"), "n_events": (None, "count")},
+        prepare=prepare,
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "event_type": agg["event_type"],
+            "event_hour": agg["event_hour"],
+            "sum_value": (agg["sum_value_u"] / 1_000_000.0).round(4),
+            "n_events": agg["n_events"].astype("int64"),
+        }
+    )
+
+
+_EVENTS_HOURLY_SQL = """
+SELECT
+  event_type,
+  date_trunc('hour', ts) AS event_hour,
+  ROUND(SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) / 1000000.0, 4) AS sum_value,
+  COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Priority backlog (D2: FIFO-per-priority restated as grouped metrics)
+# --------------------------------------------------------------------------
+
+def priority_backlog(sf_dir: str) -> pd.DataFrame:
+    orders = _read(sf_dir, "orders", columns=["o_orderpriority", "o_orderdate"])
+    agg = grouped_aggregate(
+        orders,
+        ["o_orderpriority"],
+        {
+            "n_orders": (None, "count"),
+            "oldest": ("o_orderdate", "min"),
+            "newest": ("o_orderdate", "max"),
+        },
+    ).to_pandas()
+    agg["n_orders"] = agg["n_orders"].astype("int64")
+    return agg
+
+
+_PRIORITY_BACKLOG_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       MIN(o_orderdate) AS oldest, MAX(o_orderdate) AS newest
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
+    "q1_pricing": q1_pricing,
+    "top_orders": top_orders,
+    "customer_order_totals": customer_order_totals,
+    "customers_no_big_orders": customers_no_big_orders,
+    "events_hourly": events_hourly,
+    "priority_backlog": priority_backlog,
+}
+
+ORACLES: dict[str, str] = {
+    "q1_pricing": _Q1_SQL,
+    "top_orders": _TOP_ORDERS_SQL,
+    "customer_order_totals": _CUSTOMER_ORDER_TOTALS_SQL,
+    "customers_no_big_orders": _CUSTOMERS_NO_BIG_ORDERS_SQL,
+    "events_hourly": _EVENTS_HOURLY_SQL,
+    "priority_backlog": _PRIORITY_BACKLOG_SQL,
+}
