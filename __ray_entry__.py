@@ -35,14 +35,11 @@ def _registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
     for mod in (extract_queries, relational):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
-    try:
-        from simple_content_ocr_ray.functions import dedup, similarity, text_stats
+    from simple_content_ocr_ray.functions import dedup, similarity, text_stats, window
 
-        for mod in (dedup, similarity, text_stats):
-            queries.update(getattr(mod, "QUERIES", {}))
-            oracles.update(getattr(mod, "ORACLES", {}))
-    except ImportError:
-        pass
+    for mod in (dedup, similarity, text_stats, window):
+        queries.update(getattr(mod, "QUERIES", {}))
+        oracles.update(getattr(mod, "ORACLES", {}))
     return queries, oracles
 
 

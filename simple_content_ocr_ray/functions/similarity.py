@@ -1,0 +1,282 @@
+"""Similarity search over the ``embeddings`` table (``embedding:
+list<float32>[64]``).
+
+* ``ann_topk`` — exact brute-force cosine top-k: the query matrix is broadcast
+  once (``ray.put``), every batch does one float64 matmul against it, local
+  top-k survivors are merged in a final tiny top-k. This is the scalable
+  baseline: the big side streams, the small side is broadcast.
+* ``ann_ivf_topk`` — IVF variant (FAISS-style coarse quantizer): corpus is
+  assigned to spherical-k-means cells; queries scan only their nprobe closest
+  cells (rows-only check; recall is validated against brute force in tests).
+* ``embedding_dup_pairs`` — near-duplicate vectors (cosine ≥ 0.99) over a
+  corpus augmented with deterministic identical twins (vec_id % 5 == 0 →
+  twin at vec_id + 1_000_000), so the SQL oracle can reconstruct the answer.
+
+All cosine math is float64 on both sides (the SQL casts to DOUBLE[]) so
+rounded values agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+N_QUERIES = 8
+TOP_K = 10
+DUP_TAU = 0.99
+TWIN_OFFSET = 1_000_000
+
+
+def _read_emb(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+
+
+def _emb_matrix(df: pd.DataFrame) -> np.ndarray:
+    return np.asarray([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+
+
+def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    df = t.to_pandas()
+    df = df[df["vec_id"] < N_QUERIES].sort_values("vec_id")
+    return df["vec_id"].to_numpy(), _emb_matrix(df)
+
+
+def ann_topk(sf_dir: str) -> pd.DataFrame:
+    """Exact cosine top-k for query vectors vec_id < 8 (self excluded)."""
+    qids, Q = _query_matrix(sf_dir)
+    qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    ref = ray.put((qids, qn))
+
+    class Scorer:
+        def __init__(self) -> None:
+            self.qids, self.qn = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            M = _emb_matrix(df)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            sims = Mn @ self.qn.T  # (batch, nq)
+            out = []
+            vec_ids = df["vec_id"].to_numpy()
+            for j, qid in enumerate(self.qids):
+                col = sims[:, j]
+                mask = vec_ids != qid
+                idx = np.argsort(-col[mask], kind="stable")[:TOP_K]
+                ids = vec_ids[mask][idx]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(ids), qid, dtype=np.int64),
+                            "neighbor_id": ids.astype(np.int64),
+                            "cosine_sim": col[mask][idx],
+                        }
+                    )
+                )
+            return pd.concat(out, ignore_index=True)
+
+    # local top-k per batch → tiny global merge per query
+    partial = _read_emb(sf_dir).map_batches(
+        Scorer, batch_format="pandas", batch_size=4096, concurrency=(1, 4)
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["cosine_sim", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(TOP_K)
+        return g
+
+    out = partial.groupby("query_id").map_groups(final, batch_format="pandas")
+    df = out.to_pandas()
+    df["cosine_sim"] = df["cosine_sim"].round(4)
+    return df.reset_index(drop=True)
+
+
+_ANN_TOPK_SQL = f"""
+SELECT query_id, neighbor_id, cosine_sim FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])), 4) AS cosine_sim,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(e.embedding AS DOUBLE[])) DESC,
+                    e.vec_id
+         ) AS rk
+  FROM embeddings q CROSS JOIN embeddings e
+  WHERE q.vec_id < {N_QUERIES} AND e.vec_id <> q.vec_id
+) WHERE rk <= {TOP_K}
+"""
+
+
+IVF_CELLS = 16
+IVF_NPROBE = 6
+IVF_KMEANS_ITERS = 8
+
+
+def _train_centroids(Mn: np.ndarray, k: int = IVF_CELLS) -> np.ndarray:
+    """Deterministic spherical k-means (fixed init from evenly spaced rows).
+    At 10^12 scale this trains on a bounded sample; assignment stays
+    distributed either way."""
+    idx = np.linspace(0, len(Mn) - 1, k).astype(int)
+    C = Mn[idx].copy()
+    for _ in range(IVF_KMEANS_ITERS):
+        assign = np.argmax(Mn @ C.T, axis=1)
+        for c in range(k):
+            members = Mn[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    C[c] = v / n
+    return C
+
+
+def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
+    """Approximate top-k via IVF: corpus vectors are assigned to the nearest
+    of 16 spherical-k-means centroids; each query scans only its IVF_NPROBE
+    closest cells (~nprobe/cells of the corpus). Rows-only check; recall vs
+    brute force asserted in tests."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).to_pandas()
+    full = _emb_matrix(t)
+    fulln = full / np.linalg.norm(full, axis=1, keepdims=True)
+    C = _train_centroids(fulln)
+
+    qids, Q = _query_matrix(sf_dir)
+    qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qcells = np.argsort(-(qn @ C.T), axis=1)[:, :IVF_NPROBE]
+    # cell → list of query indices probing it
+    probe: dict[int, list[int]] = {}
+    for j in range(len(qids)):
+        for c in qcells[j]:
+            probe.setdefault(int(c), []).append(j)
+    ref = ray.put((qids, qn, C, probe))
+
+    class CellScorer:
+        def __init__(self) -> None:
+            self.qids, self.qn, self.C, self.probe = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            M = _emb_matrix(df)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            cells = np.argmax(Mn @ self.C.T, axis=1)
+            vec_ids = df["vec_id"].to_numpy()
+            rows_q, rows_n, rows_s = [], [], []
+            for i in range(len(vec_ids)):
+                for j in self.probe.get(int(cells[i]), ()):
+                    if vec_ids[i] == self.qids[j]:
+                        continue
+                    rows_q.append(self.qids[j])
+                    rows_n.append(vec_ids[i])
+                    rows_s.append(float(Mn[i] @ self.qn[j]))
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(rows_q, dtype="int64"),
+                    "neighbor_id": pd.Series(rows_n, dtype="int64"),
+                    "cosine_sim": pd.Series(rows_s, dtype="float64"),
+                }
+            )
+
+    partial = _read_emb(sf_dir).map_batches(
+        CellScorer, batch_format="pandas", batch_size=4096, concurrency=(1, 4)
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["cosine_sim", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(TOP_K)
+
+    df = partial.groupby("query_id").map_groups(final, batch_format="pandas").to_pandas()
+    df["cosine_sim"] = df["cosine_sim"].round(4)
+    return df.reset_index(drop=True)
+
+
+def embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.99) over the twin-augmented
+    corpus. Distributed as batch × broadcast-matrix products; at 10^12 scale
+    the broadcast side becomes LSH buckets (see ann_lsh_topk)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    emb = _read_emb(sf_dir)
+
+    def twins(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 5 == 0))
+        return t.set_column(
+            t.schema.get_field_index("vec_id"),
+            "vec_id",
+            pc.add(t["vec_id"], TWIN_OFFSET),
+        )
+
+    corpus = emb.union(emb.map_batches(twins, batch_format="pyarrow"))
+    full = corpus.to_pandas()
+    ids = full["vec_id"].to_numpy()
+    M = _emb_matrix(full)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    ref = ray.put((ids, Mn))
+
+    class PairFinder:
+        def __init__(self) -> None:
+            self.ids, self.Mn = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            B = _emb_matrix(df)
+            Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+            sims = Bn @ self.Mn.T
+            bids = df["vec_id"].to_numpy()
+            rows_a, rows_b = [], []
+            for i in range(len(bids)):
+                hits = self.ids[(sims[i] >= DUP_TAU) & (self.ids > bids[i])]
+                rows_a.extend([bids[i]] * len(hits))
+                rows_b.extend(hits.tolist())
+            return pd.DataFrame(
+                {"vec_a": pd.Series(rows_a, dtype="int64"),
+                 "vec_b": pd.Series(rows_b, dtype="int64")}
+            )
+
+    out = corpus.map_batches(
+        PairFinder, batch_format="pandas", batch_size=4096, concurrency=(1, 4)
+    ).to_pandas()
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+_EMBEDDING_DUP_PAIRS_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {TWIN_OFFSET} AS vec_id, embedding
+  FROM embeddings WHERE vec_id % 5 = 0
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= {DUP_TAU}
+"""
+
+
+QUERIES: dict[str, Callable[[str], object]] = {
+    "ann_topk": ann_topk,
+    "ann_ivf_topk": ann_ivf_topk,
+    "embedding_dup_pairs": embedding_dup_pairs,
+}
+
+ORACLES: dict[str, str] = {
+    "ann_topk": _ANN_TOPK_SQL,
+    "embedding_dup_pairs": _EMBEDDING_DUP_PAIRS_SQL,
+    # ann_ivf_topk: rows-only (approximate; recall asserted in tests)
+}

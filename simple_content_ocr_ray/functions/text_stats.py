@@ -1,0 +1,248 @@
+"""Text-analysis operators over the ``documents`` table: token counting,
+quality scoring, fingerprinting, language-ID. These are the text-side
+operators a large-scale training-data pipeline needs (SURVEY.md §7 /
+round brief), built as vectorized ``map_batches`` stages.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+from typing import Callable
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from .agg import grouped_aggregate
+
+
+def _read_documents(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+# --------------------------------------------------------------------------
+# Token stats — fully vectorized (pyarrow compute kernels only)
+# --------------------------------------------------------------------------
+
+def doc_token_stats(sf_dir: str) -> rd.Dataset:
+    ds = _read_documents(sf_dir, ["doc_id", "text", "n_chars"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        # single-space-separated corpora: tokens = spaces + 1
+        n_tokens = pc.add(pc.count_substring(t["text"], " "), 1)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pc.cast(n_tokens, pa.int64()),
+                "n_chars": pc.cast(t["n_chars"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_DOC_TOKEN_STATS_SQL = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       n_chars
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Quality scoring — length / diversity signals
+# --------------------------------------------------------------------------
+
+def doc_quality(sf_dir: str) -> rd.Dataset:
+    ds = _read_documents(sf_dir, ["doc_id", "text", "n_chars"])
+
+    def round4(x: pd.Series) -> pd.Series:
+        # half-away-from-zero, matching DuckDB ROUND (pandas .round is half-even)
+        import numpy as np
+
+        return np.floor(x * 10_000 + 0.5) / 10_000
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.split(" ")
+        n_tokens = toks.str.len().astype("int64")
+        n_distinct = toks.map(lambda ws: len(set(ws))).astype("int64")
+        n_chars = batch["n_chars"].astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": n_tokens,
+                "distinct_ratio": round4(n_distinct / n_tokens),
+                "mean_token_len": round4((n_chars - (n_tokens - 1)) / n_tokens),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+_DOC_QUALITY_SQL = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       ROUND(len(list_distinct(string_split(text, ' '))) * 1.0
+             / len(string_split(text, ' ')), 4) AS distinct_ratio,
+       ROUND((n_chars - (len(string_split(text, ' ')) - 1)) * 1.0
+             / len(string_split(text, ' ')), 4) AS mean_token_len
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting
+# --------------------------------------------------------------------------
+
+def doc_fingerprint(sf_dir: str) -> rd.Dataset:
+    """Content fingerprint per document (md5 hex — mirrors SQL md5())."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "fingerprint": [
+                    hashlib.md5(t.encode("utf-8")).hexdigest()
+                    for t in batch["text"]
+                ],
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+_DOC_FINGERPRINT_SQL = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+
+
+def rolling_hash64(text: str, mod: int = (1 << 61) - 1, base: int = 257) -> int:
+    """Polynomial rolling hash (Rabin-style) — deterministic, non-crypto."""
+    h = 0
+    for b in text.encode("utf-8"):
+        h = (h * base + b) % mod
+    return h
+
+
+def doc_rolling_fingerprint(sf_dir: str) -> rd.Dataset:
+    """Rolling-hash fingerprint (rows-only check: not SQL-expressible)."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "fingerprint": [rolling_hash64(t) for t in batch["text"]],
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Language ID — n-gram/stopword-profile heuristic (stateful actor stage)
+# --------------------------------------------------------------------------
+
+_LANG_PROFILES: dict[str, frozenset[str]] = {
+    "en": frozenset("the and of to a in is that it for with as on at by".split()),
+    "de": frozenset("der die das und ist nicht mit ein eine zu von für auf".split()),
+    "fr": frozenset("le la les et de des un une est pour avec sur dans que".split()),
+    "es": frozenset("el la los las y de un una es para con en por que".split()),
+}
+
+_CJK_RE = re.compile(r"[一-鿿]")
+
+
+class LangIdStage:
+    """Callable class for map_batches actor pools: profiles compiled once per
+    actor in __init__ (the T1-T3 stateful-stage pattern), scored per batch."""
+
+    def __init__(self) -> None:
+        self.profiles = _LANG_PROFILES
+        self.cjk = _CJK_RE
+
+    def _predict(self, text: str) -> str:
+        if self.cjk.search(text):
+            return "zh"
+        words = text.lower().split()
+        if not words:
+            return "und"
+        best_lang, best_hits = "und", 0
+        for lang, stop in self.profiles.items():
+            hits = sum(1 for w in words if w in stop)
+            if hits > best_hits:
+                best_lang, best_hits = lang, hits
+        return best_lang
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "predicted_lang": [self._predict(t) for t in batch["text"]],
+            }
+        )
+
+
+def langid_predict(sf_dir: str) -> rd.Dataset:
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        LangIdStage, batch_format="pandas", batch_size=4096, concurrency=(1, 4)
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus-level aggregate: per-(lang, source) token totals
+# --------------------------------------------------------------------------
+
+def lang_source_stats(sf_dir: str) -> pd.DataFrame:
+    ds = _read_documents(sf_dir, ["doc_id", "text", "lang", "source", "n_chars"])
+
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["lang", "source"]].copy()
+        out["n_tokens"] = df["text"].str.count(" ").astype("int64") + 1
+        out["n_chars"] = df["n_chars"].astype("int64")
+        return out
+
+    agg = grouped_aggregate(
+        ds,
+        ["lang", "source"],
+        {
+            "total_tokens": ("n_tokens", "sum"),
+            "total_chars": ("n_chars", "sum"),
+            "n_docs": (None, "count"),
+        },
+        prepare=prepare,
+    ).to_pandas()
+    for c in ("total_tokens", "total_chars", "n_docs"):
+        agg[c] = agg[c].astype("int64")
+    return agg
+
+
+_LANG_SOURCE_STATS_SQL = """
+SELECT lang, source,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY lang, source
+"""
+
+
+QUERIES: dict[str, Callable[[str], object]] = {
+    "doc_token_stats": doc_token_stats,
+    "doc_quality": doc_quality,
+    "doc_fingerprint": doc_fingerprint,
+    "doc_rolling_fingerprint": doc_rolling_fingerprint,
+    "langid_predict": langid_predict,
+    "lang_source_stats": lang_source_stats,
+}
+
+ORACLES: dict[str, str] = {
+    "doc_token_stats": _DOC_TOKEN_STATS_SQL,
+    "doc_quality": _DOC_QUALITY_SQL,
+    "doc_fingerprint": _DOC_FINGERPRINT_SQL,
+    "lang_source_stats": _LANG_SOURCE_STATS_SQL,
+    # doc_rolling_fingerprint / langid_predict: rows-only (not SQL-expressible)
+}

@@ -1,0 +1,64 @@
+"""Streaming-shaped semantics over the ``events`` log table (SURVEY.md §2.8):
+Ray Data has no event-time windows, so windows are expressed as
+``groupby(key).map_groups`` over ts-sorted groups — the partitioning
+assumption (all events of a user co-located, ordered within the group) is
+exactly what a keyed log partitioning gives at scale.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import pandas as pd
+import ray.data as rd
+
+SESSION_GAP_MIN = 30
+
+
+def user_sessions(sf_dir: str) -> pd.DataFrame:
+    """Session windows per user: a new session starts when the gap to the
+    previous event exceeds 30 minutes. Returns one row per session."""
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
+        sid = gap.cumsum()
+        out = g.groupby(sid).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("ts", "size"),
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return out.reset_index(drop=True)
+
+    out = events.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return out.to_pandas()
+
+
+_USER_SESSIONS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, sid
+"""
+
+
+QUERIES: dict[str, Callable[[str], object]] = {"user_sessions": user_sessions}
+ORACLES: dict[str, str] = {"user_sessions": _USER_SESSIONS_SQL}

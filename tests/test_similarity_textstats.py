@@ -1,0 +1,85 @@
+"""Similarity-search and text-analysis operator tests."""
+
+import numpy as np
+
+from simple_content_ocr_ray.functions.similarity import (
+    TOP_K,
+    ann_ivf_topk,
+    ann_topk,
+    embedding_dup_pairs,
+)
+from simple_content_ocr_ray.functions.text_stats import (
+    LangIdStage,
+    langid_predict,
+    rolling_hash64,
+)
+
+
+def test_ann_topk_matches_numpy_brute_force(sf_dir):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"].to_pylist())
+    M = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+
+    df = ann_topk(sf_dir)
+    for qid in range(8):
+        qv = Mn[ids == qid][0]
+        sims = Mn @ qv
+        mask = ids != qid
+        order = sorted(
+            zip(-sims[mask], ids[mask]), key=lambda p: (p[0], p[1])
+        )[:TOP_K]
+        expected = [int(i) for _, i in order]
+        got = df[df["query_id"] == qid]["neighbor_id"].tolist()
+        assert got == expected, f"query {qid}"
+
+
+def test_ann_ivf_recall(sf_dir):
+    exact = ann_topk(sf_dir)
+    approx = ann_ivf_topk(sf_dir)
+    total = hits = 0
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        total += len(e)
+        hits += len(e & a)
+    recall = hits / total
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_embedding_dup_pairs_finds_twins(sf_dir, documents_table):
+    import pyarrow.parquet as pq
+
+    n_twins = sum(
+        1
+        for v in pq.read_table(f"{sf_dir}/embeddings.parquet")["vec_id"].to_pylist()
+        if v % 5 == 0
+    )
+    df = embedding_dup_pairs(sf_dir)
+    twin_pairs = df[df["vec_b"] - df["vec_a"] == 1_000_000]
+    assert len(twin_pairs) == n_twins
+    # identical vectors ⇒ every twin pair present
+    assert (twin_pairs["vec_a"] % 5 == 0).all()
+
+
+def test_langid_heuristic():
+    stage = LangIdStage()
+    assert stage._predict("the cat sat on the mat and it was happy") == "en"
+    assert stage._predict("der hund ist nicht mit der katze") == "de"
+    assert stage._predict("le chat est sur la table avec le chien") == "fr"
+    assert stage._predict("el perro es un animal para la casa") == "es"
+    assert stage._predict("这是一个中文句子") == "zh"
+    assert stage._predict("") == "und"
+
+
+def test_langid_runs_distributed(sf_dir, documents_table):
+    df = langid_predict(sf_dir).to_pandas()
+    assert len(df) == documents_table.num_rows
+    assert set(df.columns) == {"doc_id", "predicted_lang"}
+
+
+def test_rolling_hash_deterministic():
+    assert rolling_hash64("hello world") == rolling_hash64("hello world")
+    assert rolling_hash64("hello world") != rolling_hash64("hello worle")
