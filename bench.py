@@ -1,0 +1,228 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+Headline = the flagship extraction pipeline (read parquet pages → sniff →
+extractor actor pool → write parquet) over a large pages corpus synthesized
+deterministically from ``$GRAFT_SF_DIR/documents.parquet`` (replicated to
+``$BENCH_N_PAGES`` rows; generation is Ray-parallel, cached under /tmp, and
+NOT timed). One untimed warm-up read precedes timing so the page cache is hot.
+
+``--scaling`` runs the headline twice in fresh processes at num_cpus=8 and 32
+(override via SCALE_LO/SCALE_HI) on the same input and reports both
+throughputs plus scaling efficiency = (dps_hi/dps_lo)/(hi/lo).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS") or 32)
+N_PAGES = int(os.environ.get("BENCH_N_PAGES") or 1_000_000)
+SKIP_QUERIES = os.environ.get("BENCH_SKIP_QUERIES") == "1"
+BENCH_SYNTH_VERSION = 1
+REP_ID_STEP = 10_000_000
+
+
+def ensure_bench_pages(sf_dir: str, n_pages: int) -> str:
+    """Replicate the deterministic pages table to ~n_pages rows (payload bytes
+    shared across replicas; url/doc_id/warc_ts shifted per replica). Cached."""
+    import pyarrow.parquet as pq
+
+    from simple_content_ocr_ray.sources.synth_pages import (
+        SYNTH_VERSION,
+        pages_table_from_documents,
+    )
+
+    key = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_v{SYNTH_VERSION}.{BENCH_SYNTH_VERSION}_n{n_pages}"
+    )
+    out_dir = os.path.join("/tmp/scor_bench_pages", key)
+    if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        return out_dir
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    base = pages_table_from_documents(docs)
+    n_base = base.num_rows
+    reps = max(1, (n_pages + n_base - 1) // n_base)
+    base_ref = ray.put(base)
+    doc_ids = docs["doc_id"].to_pylist()
+
+    def gen(batch: dict) -> pa.Table:
+        from simple_content_ocr_ray.sources.synth_pages import url_for
+
+        base_t = ray.get(base_ref)
+        out = []
+        for rep in batch["id"].tolist():
+            offset = int(rep) * REP_ID_STEP
+            urls = pa.array(
+                [url_for(d + offset) for d in doc_ids], pa.string()
+            )
+            ts = pa.compute.add(
+                base_t["warc_ts"],
+                pa.scalar(int(rep) * 1_000_000, pa.duration("us")),
+            )
+            t = base_t.set_column(0, "url", urls)
+            t = t.set_column(1, "warc_ts", ts.combine_chunks())
+            out.append(t)
+        return pa.concat_tables(out)
+
+    tmp = out_dir + ".tmp"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    rd.range(reps).map_batches(gen, batch_size=1, batch_format="numpy").write_parquet(
+        tmp
+    )
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+        fh.write("ok")
+    try:
+        os.makedirs(os.path.dirname(out_dir), exist_ok=True)
+        os.rename(tmp, out_dir)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out_dir
+
+
+def run_headline() -> dict:
+    import ray
+    import ray.data as rd
+
+    ray.init(
+        address="local",
+        num_cpus=NCPU,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from simple_content_ocr_ray.pipelines.extract import (
+        extraction_pipeline,
+        read_pages,
+    )
+
+    pages_dir = ensure_bench_pages(SF_DIR, N_PAGES)
+    # warm the OS page cache (untimed)
+    n_in = rd.read_parquet(pages_dir).count()
+
+    out_dir = f"/tmp/scor_bench_out/extracted_cpu{NCPU}"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    pool = max(2, NCPU - 2)  # leave cores for read/write tasks (a pool that
+    # reserves every CPU starves the read stage and the pipeline stalls)
+    t0 = time.time()
+    extraction_pipeline(
+        read_pages(pages_dir),
+        concurrency=(pool, pool),
+        batch_size=512,
+    ).write_parquet(out_dir)
+    headline = time.time() - t0
+
+    result = {
+        "metric": "extraction_e2e_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "sf": SF_DIR,
+        "num_cpus": NCPU,
+        "n_pages": n_in,
+        "docs_per_s": round(n_in / headline, 1),
+        "queries": {},
+    }
+
+    if not SKIP_QUERIES:
+        import __ray_entry__ as entrymod
+
+        qs = entrymod.queries()
+        for name in (
+            "q1_pricing",
+            "top_orders",
+            "customer_order_totals",
+            "events_hourly",
+            "user_sessions",
+            "dedup_exact_docs",
+            "minhash_lsh_pairs",
+            "ann_topk",
+            "doc_token_stats",
+        ):
+            t0 = time.time()
+            res = qs[name](SF_DIR)
+            # consume lazily-built datasets so timing covers execution
+            if hasattr(res, "count"):
+                res.count()
+            result["queries"][name] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    lo = int(os.environ.get("SCALE_LO") or 8)
+    hi = int(os.environ.get("SCALE_HI") or 32)
+    out = {}
+    for n in (lo, hi):
+        best = None
+        for _ in range(2):  # two runs per level; keep the faster (warm caches)
+            env = dict(
+                os.environ,
+                RAY_GRAFT_CPUS=str(n),
+                BENCH_SKIP_QUERIES="1",
+                PYTHONPATH=os.environ["PYTHONPATH"],
+            )
+            proc = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py")],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            r = json.loads(proc.stdout.strip().splitlines()[-1])
+            if best is None or r["docs_per_s"] > best["docs_per_s"]:
+                best = r
+        out[n] = best
+    dps_lo, dps_hi = out[lo]["docs_per_s"], out[hi]["docs_per_s"]
+    eff = (dps_hi / dps_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": out[lo]["value"],
+        "sec_hi": out[hi]["value"],
+        "docs_per_s_lo": dps_lo,
+        "docs_per_s_hi": dps_hi,
+        "n_pages": out[hi]["n_pages"],
+        "sf": SF_DIR,
+        "num_cpus": hi,
+        "queries": {},
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_headline()))

@@ -50,8 +50,14 @@ def extraction_pipeline(
 
     The extract stage is an autoscaling actor pool: engines are constructed
     once per actor (heavy init amortized across batches), batches are
-    zero-copy Arrow.
+    zero-copy Arrow. Only (url, payload) are shipped to the actors — hint
+    columns like ``text``/``lang``/``warc_ts`` are projected away first so
+    they never cross the object store.
     """
+    payload_col = "html"
+    keep = [c for c in pages.schema().names if c in ("url", payload_col)]
+    if len(keep) == 2 and len(pages.schema().names) > 2:
+        pages = pages.select_columns(keep)
     ds = pages.map_batches(sniff_batch, batch_format="pyarrow")
     ds = ds.map_batches(
         ExtractStage,

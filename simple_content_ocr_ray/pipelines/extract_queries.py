@@ -149,7 +149,104 @@ def dedup_exact_pages(sf_dir: str) -> rd.Dataset:
 _DEDUP_EXACT_PAGES_SQL = _EXTRACT_HTML_TEXT_SQL
 
 
+def exploded_pdf_text(sf_dir: str) -> rd.Dataset:
+    """Heavy-doc path: explode pdf docs to page rows, extract pages in
+    parallel, re-combine per url ordered by page_num (byte-exact separators,
+    deepseek_engine.py:336-358 semantics)."""
+    import pyarrow.compute as pc
+
+    from ..stages.combine import exploded_extraction
+
+    pages_dir = synth_pages_parquet(sf_dir)
+    pages = read_pages(pages_dir)
+
+    def pdf_only(t):
+        import pyarrow as pa
+
+        mask = [bool(p and p.startswith(b"%PDF")) for p in t["html"].to_pylist()]
+        return t.filter(pa.array(mask)).select(["url", "html"])
+
+    docs = pages.map_batches(pdf_only, batch_format="pyarrow")
+    out = exploded_extraction(docs)
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("page_count"),
+            "page_count",
+            pc.cast(t["page_count"], "int64"),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# page markdown / separators reconstructed in SQL (chr(10) = newline):
+#   md(i) = '# Page i\n\nExtracted from <url> (application/pdf, <size> bytes), page i.'
+#   combined = md(1) || ('\n\n---\n\n<!-- Page i -->\n\n' || md(i) for i in 2..p)
+_EXPLODED_PDF_TEXT_SQL = f"""
+WITH pdfs AS (
+  SELECT {_URL_SQL} AS url,
+         9 + n_chars * 50 AS size_bytes,
+         GREATEST(1, LEAST(100, (9 + n_chars * 50) // 51200)) AS page_count
+  FROM documents
+  WHERE doc_id % 20 IN (0, 1)
+)
+SELECT url,
+  array_to_string(
+    list_transform(range(1, CAST(page_count AS INTEGER) + 1), i ->
+      CASE WHEN i = 1 THEN '' ELSE
+        chr(10) || chr(10) || '---' || chr(10) || chr(10) ||
+        '<!-- Page ' || i || ' -->' || chr(10) || chr(10)
+      END ||
+      '# Page ' || i || chr(10) || chr(10) ||
+      'Extracted from ' || url || ' (application/pdf, ' || size_bytes ||
+      ' bytes), page ' || i || '.'
+    ), '') AS text,
+  page_count
+FROM pdfs
+"""
+
+
+def image_meta(sf_dir: str) -> rd.Dataset:
+    """Multimodal plumbing: route image payloads to the image-decode stub
+    actor stage (typed metadata out of a binary column). The decode itself is
+    a deterministic fake (no PIL in this environment — see ImageDecodeEngine);
+    schema, batching, actor wiring and output layout are real."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    pages_dir = synth_pages_parquet(sf_dir)
+    ds = extraction_pipeline(
+        read_pages(pages_dir),
+        route={"html": "html-main-content", "pdf": "mock", "png": "image-decode-stub"},
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["content_type"], "png"))
+        meta = t["metadata"].combine_chunks()
+        return pa.table(
+            {
+                "url": t["url"],
+                "size_bytes": pc.cast(meta.field("size_bytes"), pa.int64()),
+                "width": pc.cast(meta.field("width"), pa.int64()),
+                "height": pc.cast(meta.field("height"), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_IMAGE_META_SQL = f"""
+SELECT {_URL_SQL} AS url,
+       8 + n_chars AS size_bytes,
+       64 + ((8 + n_chars) % 1024) AS width,
+       64 + (((8 + n_chars) // 2) % 1024) AS height
+FROM documents
+WHERE doc_id % 20 = 2
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
+    "image_meta": image_meta,
+    "exploded_pdf_text": exploded_pdf_text,
     "extract_html_text": extract_html_text,
     "route_counts": route_counts,
     "pdf_page_counts": pdf_page_counts,
@@ -158,6 +255,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "exploded_pdf_text": _EXPLODED_PDF_TEXT_SQL,
     "extract_html_text": _EXTRACT_HTML_TEXT_SQL,
     "route_counts": _ROUTE_COUNTS_SQL,
     "pdf_page_counts": _PDF_PAGE_COUNTS_SQL,

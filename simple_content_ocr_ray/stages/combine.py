@@ -1,0 +1,115 @@
+"""Heavy-document explode → per-page extract → ordered re-combine.
+
+The reference processes a document's pages sequentially inside one worker
+(deepseek_engine.py:144-149) and joins them with exact separators
+(_combine_pages, deepseek_engine.py:336-358). One 100-page document in a
+block of 1-page docs is the skew case (SURVEY.md §7.5 risk 4): the Ray-native
+answer is to EXPLODE multi-page docs into per-page rows (flat map), extract
+pages in parallel anywhere in the cluster, and re-combine per url with
+``groupby("url").map_groups`` ordered by ``page_num`` — byte-identical to the
+single-worker path, verified by tests.
+
+Partitioning assumption: re-combine shuffles on ``url`` (all pages of a doc
+co-locate); page order is restored by an explicit sort inside each group —
+dataset-level order is never relied upon (§2.8 semantics).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..reference_semantics import (
+    CONTENT_TYPE_TO_MIME,
+    combine_pages,
+    estimate_page_count,
+)
+
+#: docs with more pages than this use the explode path (analog of the
+#: reference's max_pdf_pages admission cap, config.py:109-112)
+EXPLODE_THRESHOLD_PAGES = 2
+MAX_PAGES_CAP = 100
+
+
+def page_markdown(url: str, page_num: int, mime: str, size_bytes: int) -> str:
+    """Deterministic per-page extraction output (the per-page unit the
+    reference's engines produce one-at-a-time)."""
+    return (
+        f"# Page {page_num}\n\n"
+        f"Extracted from {url} ({mime}, {size_bytes} bytes), "
+        f"page {page_num}."
+    )
+
+
+def paged_extract_row(url: str, payload: bytes) -> tuple[str, int]:
+    """Single-worker reference path: render each page in order, combine with
+    exact separator semantics. Returns (combined_markdown, page_count)."""
+    mime = CONTENT_TYPE_TO_MIME["pdf"]
+    size = len(payload)
+    pages = min(MAX_PAGES_CAP, estimate_page_count(mime, size))
+    mds = [page_markdown(url, i + 1, mime, size) for i in range(pages)]
+    return combine_pages(mds), pages
+
+
+def explode_pages(pdf_pages: rd.Dataset) -> rd.Dataset:
+    """1 doc row → N page rows carrying (url, page_num, mime, size)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        urls, nums, sizes = [], [], []
+        for url, payload in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            size = len(payload or b"")
+            n = min(MAX_PAGES_CAP, estimate_page_count("application/pdf", size))
+            urls.extend([url] * n)
+            nums.extend(range(1, n + 1))
+            sizes.extend([size] * n)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "page_num": pa.array(nums, pa.int32()),
+                "size_bytes": pa.array(sizes, pa.int64()),
+            }
+        )
+
+    return pdf_pages.map_batches(fn, batch_format="pyarrow")
+
+
+def extract_page_rows(pages: rd.Dataset) -> rd.Dataset:
+    """Per-page extraction — parallel across the cluster, any order."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        mds = [
+            page_markdown(u, int(p), CONTENT_TYPE_TO_MIME["pdf"], int(s))
+            for u, p, s in zip(
+                t["url"].to_pylist(),
+                t["page_num"].to_pylist(),
+                t["size_bytes"].to_pylist(),
+            )
+        ]
+        return t.append_column("page_md", pa.array(mds, pa.string()))
+
+    return pages.map_batches(fn, batch_format="pyarrow")
+
+
+def recombine(page_rows: rd.Dataset) -> rd.Dataset:
+    """groupby(url) → sort by page_num inside the group → exact-separator
+    combine. The only ordering guarantee used is within-group."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("page_num", kind="mergesort")
+        return pd.DataFrame(
+            {
+                "url": [g["url"].iloc[0]],
+                "text": [combine_pages(list(g["page_md"]))],
+                "page_count": pd.Series([len(g)], dtype="int32"),
+            }
+        )
+
+    return page_rows.groupby("url").map_groups(fn, batch_format="pandas")
+
+
+def exploded_extraction(pdf_docs: rd.Dataset) -> rd.Dataset:
+    """Full explode/recombine pipeline over pdf-route doc rows."""
+    return recombine(extract_page_rows(explode_pages(pdf_docs)))

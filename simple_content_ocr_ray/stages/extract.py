@@ -30,6 +30,9 @@ METADATA_TYPE = pa.struct(
         ("size_bytes", pa.string()),
         ("page_count", pa.string()),
         ("processed_at", pa.string()),
+        # typed sidecar fields for multimodal engines (empty for text engines)
+        ("width", pa.string()),
+        ("height", pa.string()),
     ]
 )
 
@@ -52,7 +55,15 @@ EXTRACTED_SCHEMA = pa.schema(
 DEFAULT_ROUTE: dict[str, str] = {"html": "html-main-content", "pdf": "mock"}
 DEFAULT_ROUTE.update({t: "mock" for t in IMAGE_TYPES})
 
-_META_KEYS = ("engine", "mime_type", "size_bytes", "page_count", "processed_at")
+_META_KEYS = (
+    "engine",
+    "mime_type",
+    "size_bytes",
+    "page_count",
+    "processed_at",
+    "width",
+    "height",
+)
 
 
 class ExtractStage:
@@ -87,11 +98,17 @@ class ExtractStage:
         n = len(urls)
         status = [""] * n
         text = [""] * n
-        spans: list[list[dict]] = [[] for _ in range(n)]
         page_count = [1] * n
         error = [""] * n
         elapsed = [0] * n
-        metadata: list[dict[str, str]] = [{} for _ in range(n)]
+
+        # span columns are built flat (offsets + child arrays) — pa.array over
+        # lists of dicts is several times slower per row
+        span_offsets = [0]
+        span_starts: list[int] = []
+        span_ends: list[int] = []
+        span_kinds: list[str] = []
+        meta_cols: dict[str, list[str]] = {k: [""] * n for k in _META_KEYS}
 
         for i in range(n):
             t0 = time.perf_counter()
@@ -105,9 +122,12 @@ class ExtractStage:
                 res = engine.extract(urls[i], payload, ctype)
                 status[i] = "completed"
                 text[i] = res.text
-                spans[i] = res.spans
                 page_count[i] = res.page_count
-                md = dict(res.metadata)
+                for s in res.spans:
+                    span_starts.append(s["start"])
+                    span_ends.append(s["end"])
+                    span_kinds.append(s["kind"])
+                md = res.metadata
             except Exception as exc:  # noqa: BLE001 — poison rows must not kill the block
                 status[i] = "failed"
                 error[i] = str(exc)
@@ -115,20 +135,39 @@ class ExtractStage:
                     "mime_type": CONTENT_TYPE_TO_MIME.get(ctype, "application/octet-stream"),
                     "size_bytes": str(len(payload)),
                 }
-            metadata[i] = {k: md.get(k, "") for k in _META_KEYS}
+            span_offsets.append(len(span_starts))
+            for k in _META_KEYS:
+                v = md.get(k)
+                if v is not None:
+                    meta_cols[k][i] = v
             elapsed[i] = int((time.perf_counter() - t0) * 1000)
 
+        span_children = pa.StructArray.from_arrays(
+            [
+                pa.array(span_starts, pa.int64()),
+                pa.array(span_ends, pa.int64()),
+                pa.array(span_kinds, pa.string()),
+            ],
+            names=["start", "end", "kind"],
+        )
+        span_arr = pa.ListArray.from_arrays(
+            pa.array(span_offsets, pa.int32()), span_children
+        )
+        meta_arr = pa.StructArray.from_arrays(
+            [pa.array(meta_cols[k], pa.string()) for k in _META_KEYS],
+            names=list(_META_KEYS),
+        )
         return pa.Table.from_arrays(
             [
                 pa.array(urls, pa.string()),
                 pa.array(status, pa.string()),
                 pa.array(text, pa.string()),
-                pa.array(spans, SPAN_TYPE),
+                span_arr,
                 pa.array(page_count, pa.int32()),
                 pa.array(ctypes, pa.string()),
                 pa.array(error, pa.string()),
                 pa.array(elapsed, pa.int64()),
-                pa.array(metadata, METADATA_TYPE),
+                meta_arr,
             ],
             schema=EXTRACTED_SCHEMA,
         )
