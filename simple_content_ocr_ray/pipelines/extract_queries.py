@@ -255,6 +255,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "image_meta": _IMAGE_META_SQL,
     "exploded_pdf_text": _EXPLODED_PDF_TEXT_SQL,
     "extract_html_text": _EXTRACT_HTML_TEXT_SQL,
     "route_counts": _ROUTE_COUNTS_SQL,
