@@ -1,0 +1,85 @@
+"""CLI entry point — the batch analog of the reference's local runner
+(examples/test_local_file.py:230-286) and worker main
+(workers/nats_worker.py:305-338):
+
+  python -m simple_content_ocr_ray extract  <pages_dir> <out_dir> [--resume]
+  python -m simple_content_ocr_ray synth    <sf_dir> [--dup N]
+  python -m simple_content_ocr_ray engines
+
+Owns its Ray session (the library never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="simple_content_ocr_ray")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_ex = sub.add_parser("extract", help="run the extraction pipeline")
+    p_ex.add_argument("pages_dir")
+    p_ex.add_argument("out_dir")
+    p_ex.add_argument(
+        "--resume",
+        action="store_true",
+        help="partition-granular resumable mode (manifest checkpoint)",
+    )
+    p_ex.add_argument("--num-cpus", type=int, default=None)
+
+    p_sy = sub.add_parser("synth", help="synthesize the pages table from an sf dir")
+    p_sy.add_argument("sf_dir")
+    p_sy.add_argument("--dup", type=int, default=0)
+
+    sub.add_parser("engines", help="list registered extraction engines")
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "engines":
+        from .stages.engines import list_engines
+
+        print(json.dumps(list_engines()))
+        return 0
+
+    if args.cmd == "synth":
+        from .sources.synth_pages import synth_pages_parquet
+
+        print(synth_pages_parquet(args.sf_dir, duplicate_every=args.dup))
+        return 0
+
+    # extract — owns the Ray session
+    os.environ.setdefault("PYTHONPATH", os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus or int(os.environ.get("RAY_GRAFT_CPUS") or 0) or None,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        if args.resume:
+            from .state.manifest import run_partitioned_extraction
+
+            summary = run_partitioned_extraction(args.pages_dir, args.out_dir)
+            print(json.dumps(summary))
+        else:
+            from .pipelines.extract import run_extraction
+
+            run_extraction(args.pages_dir, args.out_dir)
+            print(json.dumps({"out_dir": args.out_dir}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

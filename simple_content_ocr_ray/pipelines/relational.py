@@ -296,7 +296,22 @@ GROUP BY o_orderpriority
 """
 
 
+def largest_docs(sf_dir: str) -> pd.DataFrame:
+    """Size-based ordering (D3: 'prioritize smaller documents' / heavy-doc
+    skew diagnostics): top 20 documents by size, via distributed local-top-k —
+    no full sort."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return topk(docs, ["n_chars", "doc_id"], 20, descending=[True, False]).to_pandas()
+
+
+_LARGEST_DOCS_SQL = """
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
+    "largest_docs": largest_docs,
     "q1_pricing": q1_pricing,
     "top_orders": top_orders,
     "customer_order_totals": customer_order_totals,
@@ -306,6 +321,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "largest_docs": _LARGEST_DOCS_SQL,
     "q1_pricing": _Q1_SQL,
     "top_orders": _TOP_ORDERS_SQL,
     "customer_order_totals": _CUSTOMER_ORDER_TOTALS_SQL,

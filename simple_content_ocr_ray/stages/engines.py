@@ -179,6 +179,30 @@ def list_engines() -> list[str]:
     return sorted(_REGISTRY)
 
 
+class RemoteHttpEngine:
+    """Parity stub for the reference's remote-inference engine
+    (VLLMRemoteEngine, /root/reference/src/simple_ocr/adapters/vllm_remote_engine.py:16-300):
+    an actor holding a persistent HTTP session, one request per document.
+
+    This sandbox has no network, so calls raise NotImplementedError; the
+    actor-pool shape (session built once per actor in __init__, concurrency
+    sized to server capacity) is what a real deployment would reuse.
+    """
+
+    name = "remote-http"
+
+    def __init__(self, endpoint: str = "http://localhost:8000/v1", timeout_s: float = 120.0) -> None:
+        self.endpoint = endpoint
+        self.timeout_s = timeout_s
+        self._session = None  # would be a pooled HTTP client, built once
+
+    def extract(self, url: str, payload: bytes, content_type: str) -> EngineResult:
+        raise NotImplementedError(
+            f"remote inference endpoint {self.endpoint} not reachable in this environment"
+        )
+
+
 register_engine("mock", MockEngine)
+register_engine("remote-http", RemoteHttpEngine)
 register_engine("html-main-content", HtmlEngine)
 register_engine("image-decode-stub", ImageDecodeEngine)

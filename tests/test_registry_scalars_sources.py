@@ -1,0 +1,94 @@
+"""Extension-surface, scalar-function, and alternative-source tests."""
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from simple_content_ocr_ray.functions.scalars import (
+    detect_mode,
+    detect_mode_batch,
+    extract_json,
+    extract_json_batch,
+)
+from simple_content_ocr_ray.stages.engines import (
+    EngineResult,
+    create_engine,
+    list_engines,
+    register_engine,
+)
+
+
+def test_registry_create_and_list():
+    assert "mock" in list_engines() and "html-main-content" in list_engines()
+    eng = create_engine("mock")
+    res = eng.extract("u", b"%PDF-1.4\n" + b"x" * 1000, "pdf")
+    assert res.page_count == 1
+
+
+def test_registry_unknown_engine():
+    with pytest.raises(ValueError, match="Unknown engine"):
+        create_engine("nope")
+
+
+def test_registry_custom_engine():
+    # mirrors the reference's user-extension test
+    # (tests/unit/test_ocr_adapters.py:177-203)
+    class UpperEngine:
+        def extract(self, url, payload, content_type):
+            return EngineResult(text=payload.decode(errors="replace").upper())
+
+    register_engine("upper", UpperEngine)
+    eng = create_engine("upper")
+    assert eng.extract("u", b"abc", "html").text == "ABC"
+
+
+def test_registry_rejects_non_callable():
+    with pytest.raises(TypeError):
+        register_engine("bad", "not-a-factory")
+
+
+def test_remote_http_engine_is_stubbed():
+    eng = create_engine("remote-http")
+    with pytest.raises(NotImplementedError):
+        eng.extract("u", b"x", "png")
+
+
+def test_extract_json():
+    assert extract_json('prefix {"a": 1} suffix') == '{"a": 1}'
+    assert extract_json("no json here") is None
+    t = pa.table({"text": ['x {"k": [1,2]} y', "nothing"]})
+    out = extract_json_batch(t)
+    assert out["json_payload"].to_pylist() == ['{"k": [1,2]}', None]
+
+
+def test_detect_mode():
+    assert detect_mode("extract this receipt please") == "receipt"
+    assert detect_mode("Give me an INVOICE breakdown") == "invoice"
+    assert detect_mode("return as json") == "json"
+    assert detect_mode("just read it") == "markdown"
+    t = pa.table({"text": ["parse the table", "receipt scan", "hello"]})
+    out = detect_mode_batch(t)
+    assert out["mode"].to_pylist() == ["table", "receipt", "markdown"]
+
+
+def test_binary_files_source(tmp_path, pages_table):
+    from simple_content_ocr_ray.pipelines.extract import extraction_pipeline
+    from simple_content_ocr_ray.sources.readers import read_pages_from_binary_files
+
+    # dump a few payloads as side files
+    for i, payload in enumerate(pages_table["html"].to_pylist()[:10]):
+        (tmp_path / f"doc{i:03d}.bin").write_bytes(payload)
+    ds = read_pages_from_binary_files(str(tmp_path))
+    assert ds.schema().names == ["url", "warc_ts", "html", "text", "lang"]
+    out = extraction_pipeline(ds, concurrency=2).take_all()
+    assert len(out) == 10
+    assert all(r["url"].startswith("file://") for r in out)
+    statuses = {r["status"] for r in out}
+    assert "completed" in statuses
+
+
+def test_cli_engines_and_synth(tmp_path):
+    from simple_content_ocr_ray.__main__ import main
+
+    assert main(["engines"]) == 0
+    assert main(["synth", "/root/testdata/sf0.001"]) == 0
