@@ -66,20 +66,27 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     return np.fromiter(out, dtype=np.int64, count=len(out))
 
 
+MERSENNE_P31 = (1 << 31) - 1
+
+
 def _minhash_params() -> tuple[np.ndarray, np.ndarray]:
+    # universe and coefficients both < 2^31 so a*x + b < 2^63: exact int64
+    # arithmetic (no object-dtype bignum fallback, ~50× slower), and a*x
+    # wraps mod p many times so h is a genuine pseudo-permutation
     rng = np.random.RandomState(0xC0FFEE)
-    a = rng.randint(1, MERSENNE_P, size=NUM_PERMS, dtype=np.int64)
-    b = rng.randint(0, MERSENNE_P, size=NUM_PERMS, dtype=np.int64)
+    a = rng.randint(1, MERSENNE_P31, size=NUM_PERMS).astype(np.int64)
+    b = rng.randint(0, MERSENNE_P31, size=NUM_PERMS).astype(np.int64)
     return a, b
 
 
 def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """128-perm MinHash signature via (a*x + b) mod (2^61-1), vectorized."""
+    """128-perm MinHash signature via (a*(x mod p) + b) mod p, p = 2^31-1,
+    vectorized in pure int64."""
     if len(shingles) == 0:
-        return np.full(NUM_PERMS, MERSENNE_P, dtype=np.int64)
-    x = shingles.astype(object)[:, None]  # object ints: exact mod-p arithmetic
-    hashes = (x * a[None, :] + b[None, :]) % MERSENNE_P
-    return hashes.min(axis=0).astype(np.int64)
+        return np.full(NUM_PERMS, MERSENNE_P31, dtype=np.int64)
+    x = (shingles % MERSENNE_P31)[:, None]
+    hashes = (x * a[None, :] + b[None, :]) % MERSENNE_P31
+    return hashes.min(axis=0)
 
 
 def simhash64(shingles: np.ndarray) -> int:
