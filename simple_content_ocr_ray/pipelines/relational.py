@@ -310,8 +310,80 @@ ORDER BY n_chars DESC, doc_id LIMIT 20
 """
 
 
+def supplier_nation_hash_join(sf_dir: str) -> pd.DataFrame:
+    """Native hash-partitioned join (Ray ≥2.46 ``Dataset.join``) — the
+    large×large path where neither side is broadcastable. Falls back to the
+    broadcast join when the API is absent."""
+    supplier = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey", "s_acctbal"])
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    if hasattr(supplier, "join"):
+        joined = supplier.join(
+            nation,
+            join_type="inner",
+            num_partitions=8,
+            on=("s_nationkey",),
+            right_on=("n_nationkey",),
+        )
+    else:  # pragma: no cover
+        joined = broadcast_merge(
+            supplier, nation.to_pandas(), left_on="s_nationkey", right_on="n_nationkey"
+        )
+
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["n_name"]].copy()
+        out["bal_c"] = np.rint(df["s_acctbal"] * 100).astype("int64")
+        return out
+
+    agg = grouped_aggregate(
+        joined,
+        ["n_name"],
+        {"total_acctbal_c": ("bal_c", "sum"), "n_suppliers": (None, "count")},
+        prepare=prepare,
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "n_name": agg["n_name"],
+            "total_acctbal": (agg["total_acctbal_c"] / 100.0).round(4),
+            "n_suppliers": agg["n_suppliers"].astype("int64"),
+        }
+    )
+
+
+_SUPPLIER_NATION_HASH_JOIN_SQL = """
+SELECT n_name,
+       ROUND(SUM(CAST(ROUND(s_acctbal * 100, 0) AS BIGINT)) / 100.0, 4) AS total_acctbal,
+       COUNT(*) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def priority_sorted_orders(sf_dir: str) -> pd.DataFrame:
+    """D2 priority FIFO ordering via a real distributed sort: urgent-first,
+    oldest-first, first 100. (``topk`` is the cheap path; this exercises the
+    all-to-all ``Dataset.sort``.)"""
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_orderdate"]
+    )
+    out = (
+        orders.sort(["o_orderpriority", "o_orderdate", "o_orderkey"])
+        .limit(100)
+        .to_pandas()
+    )
+    return out
+
+
+_PRIORITY_SORTED_ORDERS_SQL = """
+SELECT o_orderkey, o_orderpriority, o_orderdate FROM orders
+ORDER BY o_orderpriority, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
 QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "largest_docs": largest_docs,
+    "supplier_nation_hash_join": supplier_nation_hash_join,
+    "priority_sorted_orders": priority_sorted_orders,
     "q1_pricing": q1_pricing,
     "top_orders": top_orders,
     "customer_order_totals": customer_order_totals,
@@ -322,6 +394,8 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "largest_docs": _LARGEST_DOCS_SQL,
+    "supplier_nation_hash_join": _SUPPLIER_NATION_HASH_JOIN_SQL,
+    "priority_sorted_orders": _PRIORITY_SORTED_ORDERS_SQL,
     "q1_pricing": _Q1_SQL,
     "top_orders": _TOP_ORDERS_SQL,
     "customer_order_totals": _CUSTOMER_ORDER_TOTALS_SQL,
