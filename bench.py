@@ -29,9 +29,10 @@ os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS") or 32)
-N_PAGES = int(os.environ.get("BENCH_N_PAGES") or 1_000_000)
+N_PAGES = int(os.environ.get("BENCH_N_PAGES") or 800_000)
+RICHNESS = int(os.environ.get("BENCH_RICHNESS") or 10)
 SKIP_QUERIES = os.environ.get("BENCH_SKIP_QUERIES") == "1"
-BENCH_SYNTH_VERSION = 1
+BENCH_SYNTH_VERSION = 4
 REP_ID_STEP = 10_000_000
 
 
@@ -47,7 +48,7 @@ def ensure_bench_pages(sf_dir: str, n_pages: int) -> str:
 
     key = (
         f"{os.path.basename(os.path.normpath(sf_dir))}"
-        f"_v{SYNTH_VERSION}.{BENCH_SYNTH_VERSION}_n{n_pages}"
+        f"_v{SYNTH_VERSION}.{BENCH_SYNTH_VERSION}_n{n_pages}_r{RICHNESS}"
     )
     out_dir = os.path.join("/tmp/scor_bench_pages", key)
     if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
@@ -59,7 +60,7 @@ def ensure_bench_pages(sf_dir: str, n_pages: int) -> str:
     import ray.data as rd
 
     docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
-    base = pages_table_from_documents(docs)
+    base = pages_table_from_documents(docs, richness=RICHNESS)
     n_base = base.num_rows
     reps = max(1, (n_pages + n_base - 1) // n_base)
     base_ref = ray.put(base)
@@ -88,8 +89,11 @@ def ensure_bench_pages(sf_dir: str, n_pages: int) -> str:
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
+    # one file per replica (≈n_base rows): read parallelism at bench time is
+    # bounded by file count, and parquet decode of these string-heavy pages is
+    # comparable in CPU cost to extraction itself
     rd.range(reps).map_batches(gen, batch_size=1, batch_format="numpy").write_parquet(
-        tmp
+        tmp, min_rows_per_file=n_base, max_rows_per_file=n_base
     )
     with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
         fh.write("ok")
@@ -116,6 +120,13 @@ def run_headline() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # measured on this workload (BASELINE.md): 32 MiB blocks pipeline the
+    # read→extract→write chain far better than the 128 MiB default for
+    # page-sized string rows, and a deeper per-actor task queue keeps the
+    # pool busy while reads catch up
+    ctx.target_max_block_size = 32 * 1024 * 1024
+    if hasattr(ctx, "max_tasks_in_flight_per_actor"):
+        ctx.max_tasks_in_flight_per_actor = 8
 
     from simple_content_ocr_ray.pipelines.extract import (
         extraction_pipeline,
@@ -131,13 +142,17 @@ def run_headline() -> dict:
 
     shutil.rmtree(out_dir, ignore_errors=True)
 
-    pool = max(2, NCPU - 2)  # leave cores for read/write tasks (a pool that
-    # reserves every CPU starves the read stage and the pipeline stalls)
+    # Reserve ~2/3 of CPUs for the extract actor pool and leave the rest for
+    # read/write tasks: parquet decode of page-sized rows costs roughly half
+    # of extraction, and a pool that reserves every CPU starves the read
+    # stage and the pipeline stalls. (Tunable via BENCH_POOL_FRACTION.)
+    frac = float(os.environ.get("BENCH_POOL_FRACTION") or 0.75)
+    pool = max(2, min(NCPU - 2, round(NCPU * frac) - 1))
     t0 = time.time()
     extraction_pipeline(
         read_pages(pages_dir),
         concurrency=(pool, pool),
-        batch_size=512,
+        batch_size=2048,
     ).write_parquet(out_dir)
     headline = time.time() - t0
 

@@ -55,9 +55,11 @@ def extraction_pipeline(
     they never cross the object store.
     """
     payload_col = "html"
-    keep = [c for c in pages.schema().names if c in ("url", payload_col)]
-    if len(keep) == 2 and len(pages.schema().names) > 2:
-        pages = pages.select_columns(keep)
+    schema = pages.schema(fetch_if_missing=False)  # never force upstream exec
+    if schema is not None:
+        names = schema.names
+        if "url" in names and payload_col in names and len(names) > 2:
+            pages = pages.select_columns(["url", payload_col])
     ds = pages.map_batches(sniff_batch, batch_format="pyarrow")
     ds = ds.map_batches(
         ExtractStage,

@@ -67,7 +67,7 @@ _HTML_TEMPLATE = (
     '<li><a href="/rel/2">related article two</a></li>'
     '<li><a href="/rel/3">trending story three</a></li>'
     "</ul></div>\n"
-    "<article>\n<p>{body}</p>\n</article>\n"
+    "<article>\n{body}\n</article>\n"
     "<aside>subscribe to our newsletter for weekly updates and special offers</aside>\n"
     "<footer><p>copyright 2024 site{host} media "
     '<a href="/terms">terms</a> <a href="/privacy">privacy</a></p></footer>\n'
@@ -92,20 +92,30 @@ def payload_class(doc_id: int) -> str:
     return "html"
 
 
-def make_payload(doc_id: int, text: str, lang: str, n_chars: int) -> bytes:
+def make_payload(
+    doc_id: int, text: str, lang: str, n_chars: int, richness: int = 1
+) -> bytes:
+    """``richness`` multiplies the main-content size: the article holds that
+    many paragraphs (the base text each time). richness=1 (default, used by
+    all oracle queries) keeps extracted text == ``documents.text`` byte-exact;
+    the bench uses richer pages so parse work per page matches real
+    Common-Crawl article sizes."""
     cls = payload_class(doc_id)
     if cls == "pdf":
-        return b"%PDF-1.4\n" + b"x" * (n_chars * 50)
+        return b"%PDF-1.4\n" + b"x" * (n_chars * 50 * richness)
     if cls == "image":
-        return b"\x89PNG\r\n\x1a\n" + b"x" * n_chars
+        return b"\x89PNG\r\n\x1a\n" + b"x" * (n_chars * richness)
     if cls == "garbage":
         return b"GARBAGE\x00payload " + text.encode("utf-8")[:64]
+    body = "\n".join(f"<p>{text}</p>" for _ in range(richness))
     return _HTML_TEMPLATE.format(
-        doc_id=doc_id, host=doc_id % N_HOSTS, lang=lang, body=text
+        doc_id=doc_id, host=doc_id % N_HOSTS, lang=lang, body=body
     ).encode("utf-8")
 
 
-def pages_table_from_documents(documents: pa.Table, duplicate_every: int = 0) -> pa.Table:
+def pages_table_from_documents(
+    documents: pa.Table, duplicate_every: int = 0, richness: int = 1
+) -> pa.Table:
     """Build the pages table from a documents table (pure function).
 
     ``duplicate_every > 0`` additionally re-emits every row whose
@@ -127,7 +137,7 @@ def pages_table_from_documents(documents: pa.Table, duplicate_every: int = 0) ->
         d = doc_ids[i]
         urls.append(url_for(d))
         ts.append(_EPOCH_US + d * 1_000_000)
-        payloads.append(make_payload(d, texts[i], langs[i], n_chars[i]))
+        payloads.append(make_payload(d, texts[i], langs[i], n_chars[i], richness))
         out_text.append(texts[i] if payload_class(d) == "html" else "")
         out_lang.append(langs[i])
 
