@@ -30,13 +30,19 @@ def _read_documents(sf_dir: str, columns: list[str]) -> rd.Dataset:
 def doc_token_stats(sf_dir: str) -> rd.Dataset:
     ds = _read_documents(sf_dir, ["doc_id", "text", "n_chars"])
 
+    # whitespace tokens + a BPE-ish word/punct regex (RE2 semantics on both
+    # sides: pyarrow count_substring_regex and DuckDB regexp_extract_all)
+    word_pat = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
     def fn(t: pa.Table) -> pa.Table:
         # single-space-separated corpora: tokens = spaces + 1
         n_tokens = pc.add(pc.count_substring(t["text"], " "), 1)
+        n_word_tokens = pc.count_substring_regex(t["text"], word_pat)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
                 "n_tokens": pc.cast(n_tokens, pa.int64()),
+                "n_word_tokens": pc.cast(n_word_tokens, pa.int64()),
                 "n_chars": pc.cast(t["n_chars"], pa.int64()),
             }
         )
@@ -44,9 +50,11 @@ def doc_token_stats(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-_DOC_TOKEN_STATS_SQL = """
+_DOC_TOKEN_STATS_SQL = r"""
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT)
+         AS n_word_tokens,
        n_chars
 FROM documents
 """

@@ -92,3 +92,29 @@ def test_cli_engines_and_synth(tmp_path):
 
     assert main(["engines"]) == 0
     assert main(["synth", "/root/testdata/sf0.001"]) == 0
+
+
+def test_bloom_filter_no_false_negatives():
+    import numpy as np
+
+    from simple_content_ocr_ray.functions.agg import BloomFilter
+
+    rng = np.random.RandomState(3)
+    members = rng.randint(0, 2**62, size=10000)
+    others = rng.randint(0, 2**62, size=20000)
+    bf = BloomFilter(len(members), 0.01)
+    bf.add_many(members)
+    assert bf.contains_many(members).all()
+    assert bf.contains_many(others).mean() < 0.03
+
+
+def test_bloom_semi_prefilter(sf_dir):
+    import ray.data as rd
+
+    from simple_content_ocr_ray.functions.agg import bloom_semi_prefilter
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    wanted = list(range(0, 100, 2))
+    kept = bloom_semi_prefilter(docs, wanted, "doc_id").to_pandas()
+    assert set(wanted) <= set(kept["doc_id"])  # no false negatives
+    assert len(kept) < 200  # false positives bounded
