@@ -63,15 +63,31 @@ def grouped_aggregate(
     aggs: dict[str, tuple[Optional[str], str]],
     batch_size: int = 65536,
     prepare: Optional[Callable[[pd.DataFrame], pd.DataFrame]] = None,
+    small_partials_threshold: int = 2_000_000,
 ) -> rd.Dataset:
-    """Pre-aggregated groupby: per-batch pandas combine, then a tiny shuffle
+    """Pre-aggregated groupby: per-batch pandas combine, then a final merge
     over one-row-per-key-per-batch partials. ``prepare`` computes derived
-    columns inside the same stage (no extra pass over the data)."""
+    columns inside the same stage (no extra pass over the data).
+
+    The final merge is adaptive: when the partials are small (≤ threshold
+    rows — the common case, since they are bounded by keys × batches) they
+    are combined in a single in-memory step, avoiding Ray's sort-based
+    groupby whose fixed shuffle cost (~seconds) dwarfs small inputs. Larger
+    partial sets (high-cardinality keys at corpus scale) fall back to the
+    distributed ``groupby().aggregate()`` shuffle.
+    """
     partial = ds.map_batches(
         _partial_agg_fn(keys, aggs, prepare),
         batch_format="pandas",
         batch_size=batch_size,
-    )
+    ).materialize()
+    if partial.count() <= small_partials_threshold:
+        pdf = partial.to_pandas()
+        fns = {name: _PARTIAL_KIND[kind] for name, (_, kind) in aggs.items()}
+        merged = (
+            pdf.groupby(keys, sort=False, observed=True).agg(fns).reset_index()
+        )
+        return rd.from_pandas(merged)
     final_aggs = []
     for name, (_, kind) in aggs.items():
         k = _PARTIAL_KIND[kind]

@@ -270,16 +270,53 @@ def _verify_candidates(
     ).sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
-def _pairs_from_groups(exploded: rd.Dataset, key: str) -> pd.DataFrame:
-    """bucket/shingle groups → distinct candidate (doc_a < doc_b) pairs."""
+_EMPTY_PAIRS = lambda: pd.DataFrame(  # noqa: E731
+    {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
+)
+
+
+def _pairs_from_df(df: pd.DataFrame, key: str) -> pd.DataFrame:
+    a_out: list[int] = []
+    b_out: list[int] = []
+    for _, g in df.groupby(key, sort=False):
+        ids = sorted(set(g["doc_id"]))
+        for i, x in enumerate(ids):
+            for y in ids[i + 1 :]:
+                a_out.append(x)
+                b_out.append(y)
+    if not a_out:
+        return _EMPTY_PAIRS()
+    return (
+        pd.DataFrame(
+            {"doc_a": pd.Series(a_out, dtype="int64"),
+             "doc_b": pd.Series(b_out, dtype="int64")}
+        )
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
+
+
+def _pairs_from_groups(
+    exploded: rd.Dataset, key: str, small_threshold: int = 5_000_000
+) -> pd.DataFrame:
+    """bucket/shingle groups → distinct candidate (doc_a < doc_b) pairs.
+
+    Adaptive like grouped_aggregate: the exploded (key, doc_id) rows are
+    first shrunk per batch (drop_duplicates); small remainders are merged in
+    one step (Ray's per-group map_groups costs ~ms per group — ruinous for
+    millions of near-singleton buckets), large ones go through the
+    distributed groupby shuffle."""
+    shrunk = exploded.map_batches(
+        lambda d: d[[key, "doc_id"]].drop_duplicates(),
+        batch_format="pandas",
+    ).materialize()
+    if shrunk.count() <= small_threshold:
+        return _pairs_from_df(shrunk.to_pandas(), key)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(set(g["doc_id"]))
         if len(ids) < 2:
-            return pd.DataFrame(
-                {"doc_a": pd.Series([], dtype="int64"),
-                 "doc_b": pd.Series([], dtype="int64")}
-            )
+            return _EMPTY_PAIRS()
         a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]])
         return pd.DataFrame(
             {"doc_a": pd.Series(a, dtype="int64"),
@@ -289,8 +326,7 @@ def _pairs_from_groups(exploded: rd.Dataset, key: str) -> pd.DataFrame:
     cand = exploded.groupby(key).map_groups(pairs, batch_format="pandas")
     df = cand.to_pandas()
     if df.empty:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64")})
+        return _EMPTY_PAIRS()
     return df.drop_duplicates().reset_index(drop=True)
 
 
