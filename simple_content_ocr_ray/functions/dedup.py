@@ -276,6 +276,9 @@ _EMPTY_PAIRS = lambda: pd.DataFrame(  # noqa: E731
 
 
 def _pairs_from_df(df: pd.DataFrame, key: str) -> pd.DataFrame:
+    # singleton buckets (the vast majority) can't form pairs — drop them
+    # vectorized so the python pair loop only ever sees multi-doc buckets
+    df = df[df.duplicated(key, keep=False)]
     a_out: list[int] = []
     b_out: list[int] = []
     for _, g in df.groupby(key, sort=False):
@@ -335,7 +338,7 @@ def _pairs_from_groups(
 # --------------------------------------------------------------------------
 
 def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
-    corpus = near_dup_corpus(sf_dir)
+    corpus = near_dup_corpus(sf_dir).materialize()  # reused by the verify pass
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         rows_doc, rows_sh = [], []
@@ -346,16 +349,16 @@ def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"doc_id": rows_doc, "shingle": rows_sh})
 
     exploded = corpus.map_batches(explode, batch_format="pandas")
-    # stop-shingle cap: df > DF_CAP shingles never generate candidates
+    # stop-shingle cap: df > DF_CAP shingles never generate candidates.
+    # (vectorized pandas filter over the aggregated counts — a per-row
+    # Dataset.filter here costs seconds per 100k shingles)
     df_counts = grouped_aggregate(
         exploded, ["shingle"], {"df": (None, "count")}
-    )
-    hot = [
-        r["shingle"] for r in df_counts.filter(lambda r: r["df"] > DF_CAP).take_all()
-    ]
+    ).to_pandas()
+    hot = df_counts.loc[df_counts["df"] > DF_CAP, "shingle"].tolist()
     rare = broadcast_semi_filter(exploded, hot, "shingle", anti=True)
     cand = _pairs_from_groups(rare, "shingle")
-    return _verify_candidates(near_dup_corpus(sf_dir), cand, JACCARD_TAU)
+    return _verify_candidates(corpus, cand, JACCARD_TAU)
 
 
 # --------------------------------------------------------------------------
@@ -363,7 +366,7 @@ def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
 # --------------------------------------------------------------------------
 
 def minhash_lsh_pairs(sf_dir: str) -> pd.DataFrame:
-    corpus = near_dup_corpus(sf_dir)
+    corpus = near_dup_corpus(sf_dir).materialize()  # reused by the verify pass
     a, b = _minhash_params()
     rows_per_band = NUM_PERMS // NUM_BANDS
 
@@ -382,7 +385,7 @@ def minhash_lsh_pairs(sf_dir: str) -> pd.DataFrame:
 
     exploded = corpus.map_batches(band_rows, batch_format="pandas")
     cand = _pairs_from_groups(exploded, "bucket")
-    return _verify_candidates(near_dup_corpus(sf_dir), cand, JACCARD_TAU)
+    return _verify_candidates(corpus, cand, JACCARD_TAU)
 
 
 # --------------------------------------------------------------------------
