@@ -269,13 +269,73 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+def label_centroid_norms(sf_dir: str) -> pd.DataFrame:
+    """Per-label vector counts and mean-vector norms — the grouped numeric
+    aggregate over the embedding column (partial per-batch sums, tiny final
+    merge)."""
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["label", "embedding"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        M = _emb_matrix(df)
+        out = pd.DataFrame({"label": df["label"].to_numpy(), "s": list(M)})
+        g = out.groupby("label", sort=False)
+        return pd.DataFrame(
+            {
+                "label": list(g.groups),
+                "vec_sum": [g.get_group(k)["s"].sum() for k in g.groups],
+                "n_vecs": [len(g.get_group(k)) for k in g.groups],
+            }
+        )
+
+    parts = emb.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby("label", sort=False)
+    rows = []
+    for label, grp in g:
+        total = np.sum(np.stack(grp["vec_sum"].to_numpy()), axis=0)
+        n = int(grp["n_vecs"].sum())
+        rows.append(
+            {
+                "label": int(label),
+                "n_vecs": n,
+                "centroid_norm": round(float(np.linalg.norm(total / n)), 4),
+            }
+        )
+    out = pd.DataFrame(rows)
+    out["label"] = out["label"].astype("int64")
+    out["n_vecs"] = out["n_vecs"].astype("int64")
+    return out
+
+
+_LABEL_CENTROID_SQL = """
+WITH e AS (
+  SELECT label,
+         unnest(CAST(embedding AS DOUBLE[])) AS v,
+         unnest(range(1, len(embedding) + 1)) AS dim
+  FROM embeddings
+), d AS (
+  SELECT label, dim, SUM(v) AS sv, COUNT(*) AS c FROM e GROUP BY 1, 2
+), per AS (
+  SELECT label, SUM((sv / c) * (sv / c)) AS norm2, MAX(c) AS n_vecs
+  FROM d GROUP BY label
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(n_vecs AS BIGINT) AS n_vecs,
+       ROUND(sqrt(norm2), 4) AS centroid_norm
+FROM per
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
+    "label_centroid_norms": label_centroid_norms,
     "ann_topk": ann_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_dup_pairs": embedding_dup_pairs,
 }
 
 ORACLES: dict[str, str] = {
+    "label_centroid_norms": _LABEL_CENTROID_SQL,
     "ann_topk": _ANN_TOPK_SQL,
     "embedding_dup_pairs": _EMBEDDING_DUP_PAIRS_SQL,
     # ann_ivf_topk: rows-only (approximate; recall asserted in tests)
