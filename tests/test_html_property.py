@@ -58,13 +58,13 @@ doc = st.tuples(boiler, block, boiler, st.one_of(block, st.just("")), boiler).ma
 )
 
 
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=150, deadline=None, derandomize=True)
 @given(doc)
 def test_fast_equals_stdlib_on_generated_docs(html):
     assert FAST.extract(html) == STD.extract(html)
 
 
-@settings(max_examples=80, deadline=None)
+@settings(max_examples=80, deadline=None, derandomize=True)
 @given(st.text(alphabet="<>/ab &#;pdiv'\"=!-", max_size=120))
 def test_no_crash_on_garbage_markup(s):
     # both paths must terminate without raising; equality is not required on
