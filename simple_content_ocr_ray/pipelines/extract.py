@@ -44,6 +44,8 @@ def extraction_pipeline(
     engine_config: Optional[dict[str, dict[str, Any]]] = None,
     batch_size: int = DEFAULT_BATCH_SIZE,
     concurrency: Optional[tuple[int, int] | int] = None,
+    row_timeout_s: Optional[float] = None,
+    ray_remote_args: Optional[dict[str, Any]] = None,
 ) -> rd.Dataset:
     """pages(url, warc_ts, html, text, lang) → extracted(url, status, text,
     spans, page_count, content_type, error, processing_time_ms, metadata).
@@ -63,10 +65,17 @@ def extraction_pipeline(
     ds = pages.map_batches(sniff_batch, batch_format="pyarrow")
     ds = ds.map_batches(
         ExtractStage,
-        fn_constructor_kwargs={"route": route, "engine_config": engine_config},
+        fn_constructor_kwargs={
+            "route": route,
+            "engine_config": engine_config,
+            "row_timeout_s": row_timeout_s,
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency or default_concurrency(),
+        # per-stage resources (e.g. {"num_gpus": 0.25} for GPU engines —
+        # the reference's one-worker-per-GPU placement, SURVEY §4.1)
+        **(ray_remote_args or {}),
     )
     return ds
 

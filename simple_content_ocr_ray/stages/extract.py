@@ -55,6 +55,10 @@ EXTRACTED_SCHEMA = pa.schema(
 DEFAULT_ROUTE: dict[str, str] = {"html": "html-main-content", "pdf": "mock"}
 DEFAULT_ROUTE.update({t: "mock" for t in IMAGE_TYPES})
 
+class RowTimeoutError(Exception):
+    pass
+
+
 _META_KEYS = (
     "engine",
     "mime_type",
@@ -75,20 +79,55 @@ class ExtractStage:
         engine_config: Optional[dict[str, dict[str, Any]]] = None,
         payload_column: str = "html",
         drop_payload: bool = True,
+        row_timeout_s: Optional[float] = None,
     ) -> None:
         route = dict(DEFAULT_ROUTE if route is None else route)
         engine_config = engine_config or {}
-        # one engine instance per distinct engine name, built once per actor
-        instances: dict[str, Any] = {}
+        # one engine instance per distinct engine, built once per actor.
+        # Route values are registry names OR factories/classes passed
+        # directly — the latter travel by value with the stage (a registry
+        # entry registered only in the driver process would be unknown in
+        # worker processes).
+        instances: dict[Any, Any] = {}
         self._engines: dict[str, Any] = {}
-        for content_type, engine_name in route.items():
-            if engine_name not in instances:
-                instances[engine_name] = create_engine(
-                    engine_name, **engine_config.get(engine_name, {})
-                )
-            self._engines[content_type] = instances[engine_name]
+        for content_type, engine_ref in route.items():
+            if engine_ref not in instances:
+                if callable(engine_ref):
+                    cfg = engine_config.get(getattr(engine_ref, "name", ""), {})
+                    instances[engine_ref] = engine_ref(**cfg)
+                else:
+                    instances[engine_ref] = create_engine(
+                        engine_ref, **engine_config.get(engine_ref, {})
+                    )
+            self._engines[content_type] = instances[engine_ref]
         self.payload_column = payload_column
         self.drop_payload = drop_payload
+        # Straggler guard (the reference declares per-job/request timeouts —
+        # config.py:65-68,134-137 — but never enforces them): when set, each
+        # engine call runs on a sidecar thread with a deadline; a row that
+        # exceeds it becomes a failed ROW at the deadline and the stuck
+        # thread is abandoned (its executor is replaced). Ray actor UDFs run
+        # off the main thread, so signal-based watchdogs are not an option.
+        self.row_timeout_s = row_timeout_s
+        self._executor = None
+        if row_timeout_s:
+            import concurrent.futures
+
+            self._executor = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+
+    def _timed_extract(self, engine, url, payload, ctype):
+        import concurrent.futures
+
+        fut = self._executor.submit(engine.extract, url, payload, ctype)
+        try:
+            return fut.result(timeout=self.row_timeout_s)
+        except concurrent.futures.TimeoutError:
+            fut.cancel()
+            # abandon the stuck thread; a fresh executor serves later rows
+            self._executor = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+            raise RowTimeoutError(
+                f"Processing timeout after {self.row_timeout_s}s"
+            ) from None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
@@ -119,7 +158,10 @@ class ExtractStage:
                 if engine is None:
                     mime = CONTENT_TYPE_TO_MIME.get(ctype, "application/octet-stream")
                     raise UnsupportedTypeError(f"Unsupported document type: {mime}")
-                res = engine.extract(urls[i], payload, ctype)
+                if self._executor is not None:
+                    res = self._timed_extract(engine, urls[i], payload, ctype)
+                else:
+                    res = engine.extract(urls[i], payload, ctype)
                 status[i] = "completed"
                 text[i] = res.text
                 page_count[i] = res.page_count

@@ -43,3 +43,43 @@ def test_explode_path_caps_pages():
     # heavy docs recombine byte-stably: last page marker present
     assert f"<!-- Page {MAX_PAGES_CAP} -->" in by_url["https://heavy.example/2"]["text"]
     assert len(out) == t.num_rows
+
+
+def test_row_timeout_produces_failed_row():
+    """A hung engine call becomes a failed ROW (straggler guard), not a hung
+    task — SIGALRM-armed inside the actor."""
+    from simple_content_ocr_ray.stages.engines import EngineResult, register_engine
+
+    class SlowEngine:
+        def __init__(self, sleep_s: float = 2.0):
+            self.sleep_s = sleep_s
+            self.n = 0
+
+        def extract(self, url, payload, content_type):
+            self.n += 1
+            if self.n % 2 == 0:  # every other row hangs
+                import time
+
+                time.sleep(self.sleep_s)
+            return EngineResult(text="fast enough")
+
+    register_engine("slow", SlowEngine)  # driver-side registry (extension API)
+    t = pa.table(
+        {
+            "url": pa.array([f"u{i}" for i in range(6)]),
+            "html": pa.array([b"<!doctype html><html><body></body></html>"] * 6, pa.binary()),
+        }
+    )
+    out = extraction_pipeline(
+        rd.from_arrow(t),
+        route={"html": SlowEngine},  # factory travels by value to workers
+        row_timeout_s=0.3,
+        batch_size=8,
+        concurrency=1,
+    ).take_all()
+    statuses = [r["status"] for r in sorted(out, key=lambda r: r["url"])]
+    assert statuses.count("failed") == 3
+    failed = [r for r in out if r["status"] == "failed"]
+    assert all("timeout" in r["error"].lower() for r in failed)
+    ok = [r for r in out if r["status"] == "completed"]
+    assert all(r["text"] == "fast enough" for r in ok)
