@@ -78,7 +78,6 @@ class ExtractStage:
         route: Optional[dict[str, str]] = None,
         engine_config: Optional[dict[str, dict[str, Any]]] = None,
         payload_column: str = "html",
-        drop_payload: bool = True,
         row_timeout_s: Optional[float] = None,
     ) -> None:
         route = dict(DEFAULT_ROUTE if route is None else route)
@@ -101,7 +100,6 @@ class ExtractStage:
                     )
             self._engines[content_type] = instances[engine_ref]
         self.payload_column = payload_column
-        self.drop_payload = drop_payload
         # Straggler guard (the reference declares per-job/request timeouts —
         # config.py:65-68,134-137 — but never enforces them): when set, each
         # engine call runs on a sidecar thread with a deadline; a row that
