@@ -80,6 +80,110 @@ def extraction_pipeline(
     return ds
 
 
+def split_extraction_pipeline(
+    pages: rd.Dataset,
+    *,
+    explode_threshold_pages: int = None,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    concurrency: Optional[tuple[int, int] | int] = None,
+) -> rd.Dataset:
+    """Skew-aware variant: one pipeline, two physical paths.
+
+    PDFs estimated under the page threshold run per-document inside the actor
+    pool (PagedPdfEngine — the reference's sequential path); PDFs over it are
+    EXPLODED into page rows, extracted anywhere in the cluster, and
+    re-combined per url. The two paths are byte-identical per url (tests), so
+    the router is purely a physical-plan decision — exactly how one 100-page
+    document stops dominating a block of 1-page docs at 100 TB.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..reference_semantics import estimate_page_count
+    from ..stages.combine import (
+        EXPLODE_THRESHOLD_PAGES,
+        PagedPdfEngine,
+        exploded_extraction,
+    )
+    from ..stages.extract import EXTRACTED_SCHEMA, METADATA_TYPE, SPAN_TYPE
+
+    threshold = explode_threshold_pages or EXPLODE_THRESHOLD_PAGES
+    sniffed = pages.map_batches(sniff_batch, batch_format="pyarrow")
+
+    def is_heavy(t: pa.Table) -> pa.Array:
+        sizes = pc.binary_length(t["html"]).to_pylist()
+        kinds = t["content_type"].to_pylist()
+        return pa.array(
+            [
+                k == "pdf" and estimate_page_count("application/pdf", s) > threshold
+                for k, s in zip(kinds, sizes)
+            ]
+        )
+
+    light = sniffed.map_batches(
+        lambda t: t.filter(pc.invert(is_heavy(t))), batch_format="pyarrow"
+    )
+    heavy = sniffed.map_batches(
+        lambda t: t.filter(is_heavy(t)).select(["url", "html"]),
+        batch_format="pyarrow",
+    )
+
+    from ..stages.extract import DEFAULT_ROUTE
+
+    route = dict(DEFAULT_ROUTE)
+    route["pdf"] = PagedPdfEngine  # factory-valued route: per-page semantics
+    light_out = light.map_batches(
+        ExtractStage,
+        fn_constructor_kwargs={"route": route},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or default_concurrency(),
+    )
+
+    def to_extracted_schema(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        empty_spans = pa.ListArray.from_arrays(
+            pa.array([0] * (n + 1), pa.int32()),
+            pa.StructArray.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.string())],
+                names=["start", "end", "kind"],
+            ),
+        )
+        meta = pa.StructArray.from_arrays(
+            [
+                pa.array(["paged-pdf"] * n),
+                pa.array(["application/pdf"] * n),
+                pa.array([""] * n),
+                pa.array([str(v) for v in t["page_count"].to_pylist()]),
+                pa.array([""] * n),
+                pa.array([""] * n),
+                pa.array([""] * n),
+            ],
+            names=["engine", "mime_type", "size_bytes", "page_count",
+                   "processed_at", "width", "height"],
+        )
+        return pa.Table.from_arrays(
+            [
+                t["url"].combine_chunks() if isinstance(t["url"], pa.ChunkedArray) else t["url"],
+                pa.array(["completed"] * n),
+                t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"],
+                empty_spans,
+                pa.compute.cast(t["page_count"], pa.int32()).combine_chunks(),
+                pa.array(["pdf"] * n),
+                pa.array([""] * n),
+                pa.array([0] * n, pa.int64()),
+                meta,
+            ],
+            schema=EXTRACTED_SCHEMA,
+        )
+
+    heavy_out = exploded_extraction(heavy).map_batches(
+        to_extracted_schema, batch_format="pyarrow"
+    )
+    return light_out.union(heavy_out)
+
+
 def run_extraction(
     pages_dir: str,
     out_dir: Optional[str] = None,

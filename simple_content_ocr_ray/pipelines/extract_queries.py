@@ -244,9 +244,36 @@ WHERE doc_id % 20 = 2
 """
 
 
+def split_pdf_text(sf_dir: str) -> rd.Dataset:
+    """The integrated skew router (split_extraction_pipeline): light PDFs run
+    per-document in the actor pool, heavy ones explode/recombine; output is
+    byte-identical either way so the SQL truth is one expression."""
+    import pyarrow.compute as pc
+
+    from .extract import split_extraction_pipeline
+
+    pages_dir = synth_pages_parquet(sf_dir)
+    ds = split_extraction_pipeline(read_pages(pages_dir))
+
+    def fn(t):
+        import pyarrow as pa
+
+        t = t.filter(pc.equal(t["content_type"], "pdf"))
+        return pa.table(
+            {
+                "url": t["url"],
+                "text": t["text"],
+                "page_count": pc.cast(t["page_count"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
     "image_meta": image_meta,
     "exploded_pdf_text": exploded_pdf_text,
+    "split_pdf_text": split_pdf_text,
     "extract_html_text": extract_html_text,
     "route_counts": route_counts,
     "pdf_page_counts": pdf_page_counts,
@@ -257,6 +284,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 ORACLES: dict[str, str] = {
     "image_meta": _IMAGE_META_SQL,
     "exploded_pdf_text": _EXPLODED_PDF_TEXT_SQL,
+    "split_pdf_text": _EXPLODED_PDF_TEXT_SQL,  # both paths, one truth
     "extract_html_text": _EXTRACT_HTML_TEXT_SQL,
     "route_counts": _ROUTE_COUNTS_SQL,
     "pdf_page_counts": _PDF_PAGE_COUNTS_SQL,

@@ -112,3 +112,28 @@ def recombine(page_rows: rd.Dataset) -> rd.Dataset:
 def exploded_extraction(pdf_docs: rd.Dataset) -> rd.Dataset:
     """Full explode/recombine pipeline over pdf-route doc rows."""
     return recombine(extract_page_rows(explode_pages(pdf_docs)))
+
+
+class PagedPdfEngine:
+    """Per-page extraction + exact-separator combine inside one worker — the
+    reference's sequential document path (deepseek_engine.py:144-167). The
+    explode/recombine pipeline above is the distributed restatement; both are
+    byte-identical per url (asserted in tests), which is what makes the
+    size-threshold routing in ``split_extraction_pipeline`` safe."""
+
+    name = "paged-pdf"
+
+    def extract(self, url: str, payload: bytes, content_type: str):
+        from .engines import EngineResult
+
+        text, pages = paged_extract_row(url, payload)
+        return EngineResult(
+            text=text,
+            page_count=pages,
+            metadata={
+                "engine": self.name,
+                "mime_type": CONTENT_TYPE_TO_MIME["pdf"],
+                "size_bytes": str(len(payload)),
+                "page_count": str(pages),
+            },
+        )

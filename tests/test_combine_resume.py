@@ -88,3 +88,47 @@ def test_manifest_counts_failures(pages_dir, tmp_path):
     run_partitioned_extraction(pages_dir, out_dir, concurrency=2)
     manifest = read_manifest(out_dir)
     assert sum(m["failed_rows"] for m in manifest) > 0  # the garbage class
+
+
+def test_split_pipeline_routes_both_paths_byte_identically(pages_table):
+    """The size-threshold router: light PDFs extract in-worker, heavy PDFs via
+    explode/shuffle — all byte-identical to the sequential reference path."""
+    from simple_content_ocr_ray.pipelines.extract import split_extraction_pipeline
+
+    # mix the synth pages with two heavy pdfs (4 and 6 estimated pages)
+    heavy = pa.table(
+        {
+            "url": pa.array(["https://heavy.example/a", "https://heavy.example/b"]),
+            "warc_ts": pa.array([0, 0], pa.timestamp("us")),
+            "html": pa.array(
+                [b"%PDF-1.4\n" + b"x" * (210 * 1024), b"%PDF-1.4\n" + b"x" * (310 * 1024)],
+                pa.binary(),
+            ),
+            "text": pa.array(["", ""]),
+            "lang": pa.array(["en", "en"]),
+        }
+    )
+    mixed = pa.concat_tables([pages_table, heavy])
+    out = split_extraction_pipeline(
+        rd.from_arrow(mixed).repartition(4), concurrency=(1, 2)
+    ).take_all()
+    assert len(out) == mixed.num_rows
+    by_url = {r["url"]: r for r in out}
+    # heavy docs went through explode/recombine
+    assert by_url["https://heavy.example/b"]["page_count"] == 6
+    assert "<!-- Page 6 -->" in by_url["https://heavy.example/b"]["text"]
+    # every pdf (light or heavy) matches the sequential per-page anchor
+    for url, payload, ctype in zip(
+        mixed["url"].to_pylist(),
+        mixed["html"].to_pylist(),
+        [None] * mixed.num_rows,
+    ):
+        if payload.startswith(b"%PDF"):
+            exp_text, exp_pages = paged_extract_row(url, payload)
+            assert by_url[url]["text"] == exp_text, url
+            assert by_url[url]["page_count"] == exp_pages
+    # html rows still byte-exact vs the documents text
+    texts = dict(zip(pages_table["url"].to_pylist(), pages_table["text"].to_pylist()))
+    for url, expected in texts.items():
+        if expected:
+            assert by_url[url]["text"] == expected
