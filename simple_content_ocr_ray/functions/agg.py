@@ -171,6 +171,15 @@ def broadcast_semi_filter(
     )
 
 
+def round_half_away(x, decimals: int = 4):
+    """Round half away from zero — DuckDB ROUND semantics. pandas/numpy round
+    half-to-even, which diverges from the SQL oracle whenever a value lands
+    exactly on a rounding midpoint (scaled-integer money sums do, routinely)."""
+    scale = 10**decimals
+    arr = np.asarray(x, dtype=np.float64)
+    return np.sign(arr) * np.floor(np.abs(arr) * scale + 0.5) / scale
+
+
 class BloomFilter:
     """Plain numpy Bloom filter for the 10^12-row semi/anti-join prefilter
     path: instead of broadcasting the full key set, broadcast ~10 bits per key

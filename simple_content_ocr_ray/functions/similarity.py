@@ -98,7 +98,9 @@ def ann_topk(sf_dir: str) -> pd.DataFrame:
 
     out = partial.groupby("query_id").map_groups(final, batch_format="pandas")
     df = out.to_pandas()
-    df["cosine_sim"] = df["cosine_sim"].round(4)
+    from .agg import round_half_away
+
+    df["cosine_sim"] = round_half_away(df["cosine_sim"])
     return df.reset_index(drop=True)
 
 

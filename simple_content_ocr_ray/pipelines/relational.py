@@ -26,6 +26,7 @@ from ..functions.agg import (
     broadcast_semi_filter,
     distinct_values,
     grouped_aggregate,
+    round_half_away,
     topk,
 )
 
@@ -99,13 +100,13 @@ def q1_pricing(sf_dir: str) -> pd.DataFrame:
         {
             "l_returnflag": df["l_returnflag"],
             "l_linestatus": df["l_linestatus"],
-            "sum_qty": (df["sum_qty_c"] / 100.0).round(4),
-            "sum_base_price": (df["sum_price_c"] / 100.0).round(4),
-            "sum_disc_price": (df["sum_disc_price_u"] / 1_000_000.0).round(4),
-            "sum_charge": (df["sum_charge_u"] / 1_000_000.0).round(4),
-            "avg_qty": (df["sum_qty_c"] / 100.0 / n).round(4),
-            "avg_price": (df["sum_price_c"] / 100.0 / n).round(4),
-            "avg_disc": (df["sum_disc_c"] / 100.0 / n).round(4),
+            "sum_qty": round_half_away(df["sum_qty_c"] / 100.0),
+            "sum_base_price": round_half_away(df["sum_price_c"] / 100.0),
+            "sum_disc_price": round_half_away(df["sum_disc_price_u"] / 1_000_000.0),
+            "sum_charge": round_half_away(df["sum_charge_u"] / 1_000_000.0),
+            "avg_qty": round_half_away(df["sum_qty_c"] / 100.0 / n),
+            "avg_price": round_half_away(df["sum_price_c"] / 100.0 / n),
+            "avg_disc": round_half_away(df["sum_disc_c"] / 100.0 / n),
             "count_order": n,
         }
     )
@@ -138,7 +139,7 @@ def top_orders(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
     out = topk(ds, ["o_totalprice", "o_orderkey"], 10, descending=[True, False])
     df = out.to_pandas()
-    df["o_totalprice"] = df["o_totalprice"].round(4)
+    df["o_totalprice"] = round_half_away(df["o_totalprice"])
     return df
 
 
@@ -177,7 +178,7 @@ def customer_order_totals(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "c_mktsegment": agg["c_mktsegment"],
-            "total_price": (agg["total_price_c"] / 100.0).round(4),
+            "total_price": round_half_away(agg["total_price_c"] / 100.0),
             "n_orders": agg["n_orders"].astype("int64"),
         }
     )
@@ -252,7 +253,7 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
         {
             "event_type": agg["event_type"],
             "event_hour": agg["event_hour"],
-            "sum_value": (agg["sum_value_u"] / 1_000_000.0).round(4),
+            "sum_value": round_half_away(agg["sum_value_u"] / 1_000_000.0),
             "n_events": agg["n_events"].astype("int64"),
         }
     )
@@ -294,6 +295,17 @@ SELECT o_orderpriority, COUNT(*) AS n_orders,
 FROM orders
 GROUP BY o_orderpriority
 """
+
+
+def distinct_user_count(sf_dir: str) -> pd.DataFrame:
+    """COUNT(DISTINCT) via per-batch local dedup before the global unique —
+    the shuffle only ever sees already-deduplicated batch remainders."""
+    events = _read(sf_dir, "events", columns=["user_id"])
+    n = len(distinct_values(events, "user_id"))
+    return pd.DataFrame({"n_users": pd.Series([n], dtype="int64")})
+
+
+_DISTINCT_USER_COUNT_SQL = "SELECT COUNT(DISTINCT user_id) AS n_users FROM events"
 
 
 def largest_docs(sf_dir: str) -> pd.DataFrame:
@@ -343,7 +355,7 @@ def supplier_nation_hash_join(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "n_name": agg["n_name"],
-            "total_acctbal": (agg["total_acctbal_c"] / 100.0).round(4),
+            "total_acctbal": round_half_away(agg["total_acctbal_c"] / 100.0),
             "n_suppliers": agg["n_suppliers"].astype("int64"),
         }
     )
@@ -381,6 +393,7 @@ LIMIT 100
 
 
 QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
+    "distinct_user_count": distinct_user_count,
     "largest_docs": largest_docs,
     "supplier_nation_hash_join": supplier_nation_hash_join,
     "priority_sorted_orders": priority_sorted_orders,
@@ -393,6 +406,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "distinct_user_count": _DISTINCT_USER_COUNT_SQL,
     "largest_docs": _LARGEST_DOCS_SQL,
     "supplier_nation_hash_join": _SUPPLIER_NATION_HASH_JOIN_SQL,
     "priority_sorted_orders": _PRIORITY_SORTED_ORDERS_SQL,
