@@ -39,7 +39,8 @@ def _partial_agg_fn(
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         if prepare is not None:
             batch = prepare(batch)
-        g = batch.groupby(keys, sort=False, observed=True)
+        # dropna=False: SQL GROUP BY keeps NULL groups; pandas drops them by default
+        g = batch.groupby(keys, sort=False, observed=True, dropna=False)
         out: dict[str, Any] = {}
         for name, (col, kind) in aggs.items():
             if kind == "count":
@@ -85,7 +86,7 @@ def grouped_aggregate(
         pdf = partial.to_pandas()
         fns = {name: _PARTIAL_KIND[kind] for name, (_, kind) in aggs.items()}
         merged = (
-            pdf.groupby(keys, sort=False, observed=True).agg(fns).reset_index()
+            pdf.groupby(keys, sort=False, observed=True, dropna=False).agg(fns).reset_index()
         )
         return rd.from_pandas(merged)
     final_aggs = []

@@ -348,7 +348,7 @@ def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
             rows_sh.extend(hs.tolist())
         return pd.DataFrame({"doc_id": rows_doc, "shingle": rows_sh})
 
-    exploded = corpus.map_batches(explode, batch_format="pandas")
+    exploded = corpus.map_batches(explode, batch_format="pandas").materialize()
     # stop-shingle cap: df > DF_CAP shingles never generate candidates.
     # (vectorized pandas filter over the aggregated counts — a per-row
     # Dataset.filter here costs seconds per 100k shingles)

@@ -50,7 +50,7 @@ def detect_mode(text: str) -> str:
 def detect_mode_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     """Vectorized first pass with pyarrow match_substring; rows that hit no
     keyword get the default mode without ever leaving Arrow."""
-    col = pc.utf8_lower(batch[column])
+    col = pc.utf8_lower(pc.fill_null(batch[column], ""))
     modes = pa.nulls(len(batch), pa.string())
     assigned = pa.array([False] * len(batch), pa.bool_())
     for kw, mode in _MODE_KEYWORDS:

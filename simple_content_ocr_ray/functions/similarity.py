@@ -203,7 +203,9 @@ def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
         ).head(TOP_K)
 
     df = partial.groupby("query_id").map_groups(final, batch_format="pandas").to_pandas()
-    df["cosine_sim"] = df["cosine_sim"].round(4)
+    from .agg import round_half_away
+
+    df["cosine_sim"] = round_half_away(df["cosine_sim"])
     return df.reset_index(drop=True)
 
 
@@ -225,7 +227,7 @@ def embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
             pc.add(t["vec_id"], TWIN_OFFSET),
         )
 
-    corpus = emb.union(emb.map_batches(twins, batch_format="pyarrow"))
+    corpus = emb.union(emb.map_batches(twins, batch_format="pyarrow")).materialize()
     full = corpus.to_pandas()
     ids = full["vec_id"].to_numpy()
     M = _emb_matrix(full)

@@ -67,11 +67,7 @@ FROM documents
 def doc_quality(sf_dir: str) -> rd.Dataset:
     ds = _read_documents(sf_dir, ["doc_id", "text", "n_chars"])
 
-    def round4(x: pd.Series) -> pd.Series:
-        # half-away-from-zero, matching DuckDB ROUND (pandas .round is half-even)
-        import numpy as np
-
-        return np.floor(x * 10_000 + 0.5) / 10_000
+    from .agg import round_half_away as round4
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         toks = batch["text"].str.split(" ")

@@ -83,7 +83,7 @@ def extraction_pipeline(
 def split_extraction_pipeline(
     pages: rd.Dataset,
     *,
-    explode_threshold_pages: int = None,
+    explode_threshold_pages: int | None = None,
     batch_size: int = DEFAULT_BATCH_SIZE,
     concurrency: Optional[tuple[int, int] | int] = None,
 ) -> rd.Dataset:
@@ -107,8 +107,16 @@ def split_extraction_pipeline(
     )
     from ..stages.extract import EXTRACTED_SCHEMA, METADATA_TYPE, SPAN_TYPE
 
-    threshold = explode_threshold_pages or EXPLODE_THRESHOLD_PAGES
-    sniffed = pages.map_batches(sniff_batch, batch_format="pyarrow")
+    threshold = (
+        EXPLODE_THRESHOLD_PAGES if explode_threshold_pages is None
+        else explode_threshold_pages
+    )
+    # materialize before branching: both branches consume this lineage, and
+    # Ray re-executes the shared read+sniff prefix per consumer otherwise.
+    # (Pinned blocks spill to disk; the alternative is a second full source
+    # read — for a one-pass split you would write both branches from a single
+    # map_batches instead.)
+    sniffed = pages.map_batches(sniff_batch, batch_format="pyarrow").materialize()
 
     def is_heavy(t: pa.Table) -> pa.Array:
         sizes = pc.binary_length(t["html"]).to_pylist()

@@ -109,6 +109,7 @@ class _Parser(HTMLParser):
             starts.append(pos + 1)
             pos = raw.find("\n", pos + 1)
         self._line_starts = starts
+        self._raw = raw  # for semicolon checks on entity/char references
 
     def _abs_pos(self) -> int:
         line, col = self.getpos()
@@ -173,17 +174,32 @@ class _Parser(HTMLParser):
     def handle_data(self, data: str) -> None:
         self._emit(len(data), data)
 
+    def _has_semicolon_at(self, end_of_body: int) -> bool:
+        pos = self._abs_pos()
+        return self._raw[pos + end_of_body : pos + end_of_body + 1] == ";"
+
     def handle_entityref(self, name: str) -> None:
-        decoded = _html5_entities.get(name + ";", "&" + name + ";")
-        self._emit(len(name) + 2, decoded)
+        # html.parser fires this with or without a trailing ';' — the raw
+        # length and the decode decision both depend on which it was. Policy
+        # (shared with the fast scanner): only decode semicolon-terminated
+        # named entities; a bare '&amp' stays as-is.
+        if self._has_semicolon_at(1 + len(name)):
+            self._emit(len(name) + 2, _html5_entities.get(name + ";", "&" + name + ";"))
+        else:
+            self._emit(len(name) + 1, "&" + name)
 
     def handle_charref(self, name: str) -> None:
         try:
             cp = int(name[1:], 16) if name[0] in "xX" else int(name)
             decoded = chr(cp)
         except (ValueError, OverflowError):
-            decoded = "&#" + name + ";"
-        self._emit(len(name) + 3, decoded)
+            decoded = None
+        if self._has_semicolon_at(2 + len(name)):
+            self._emit(len(name) + 3, decoded if decoded is not None else "&#" + name + ";")
+        else:
+            # numeric references decode even without ';' (HTML5 parse-error
+            # recovery) — same choice in the fast scanner
+            self._emit(len(name) + 2, decoded if decoded is not None else "&#" + name)
 
 
 # ---------------------------------------------------------------------------

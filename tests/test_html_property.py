@@ -18,6 +18,9 @@ text_piece = st.one_of(
     words,
     words.map(lambda w: w + " &amp; more"),
     words.map(lambda w: w + " &#65; x"),
+    words.map(lambda w: w + " &amp chips"),      # bare named entity (no ';')
+    words.map(lambda w: w + " grade &#65 plus"),  # bare numeric charref
+    words.map(lambda w: w + " &unknown; z"),
 )
 
 inline = st.one_of(
