@@ -39,7 +39,13 @@ NUM_PERMS = 128
 NUM_BANDS = 64  # 64 bands × 2 rows: P(miss) = (1-j^2)^64 — negligible at j ≥ 0.5
 JACCARD_TAU = 0.5
 SIMHASH_HAMMING_TAU = 16
-DF_CAP = 20  # shingles in more docs than this are dropped from candidate gen
+#: optional stop-shingle cap for candidate generation at corpus scale (a
+#: shingle in more docs than this is skipped when building candidates).
+#: None (default) = exact: every shared shingle can form a candidate, so the
+#: result provably equals the exact-Jaccard oracle. At 10^12 docs you set a
+#: cap (accepting possible misses on pairs whose every shared shingle is hot)
+#: or use the MinHash path.
+DF_CAP = None
 
 NEAR_TWIN_OFFSET = 1_000_000
 EXACT_TWIN_OFFSET = 2_000_000
@@ -171,7 +177,7 @@ def near_dup_corpus(sf_dir: str) -> rd.Dataset:
 #: exist in the corpus, not just the injected twins.
 _NEAR_PAIRS_SQL = f"""
 WITH corpus AS (
-  SELECT doc_id, text FROM documents
+  SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
   UNION ALL
   SELECT doc_id + {NEAR_TWIN_OFFSET} AS doc_id,
          array_to_string(string_split(text,' ')[1:len(string_split(text,' '))-2], ' ') AS text
@@ -326,7 +332,7 @@ def _pairs_from_groups(
              "doc_b": pd.Series(b, dtype="int64")}
         )
 
-    cand = exploded.groupby(key).map_groups(pairs, batch_format="pandas")
+    cand = shrunk.groupby(key).map_groups(pairs, batch_format="pandas")
     df = cand.to_pandas()
     if df.empty:
         return _EMPTY_PAIRS()
@@ -349,15 +355,18 @@ def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"doc_id": rows_doc, "shingle": rows_sh})
 
     exploded = corpus.map_batches(explode, batch_format="pandas").materialize()
-    # stop-shingle cap: df > DF_CAP shingles never generate candidates.
-    # (vectorized pandas filter over the aggregated counts — a per-row
-    # Dataset.filter here costs seconds per 100k shingles)
-    df_counts = grouped_aggregate(
-        exploded, ["shingle"], {"df": (None, "count")}
-    ).to_pandas()
-    hot = df_counts.loc[df_counts["df"] > DF_CAP, "shingle"].tolist()
-    rare = broadcast_semi_filter(exploded, hot, "shingle", anti=True)
-    cand = _pairs_from_groups(rare, "shingle")
+    if DF_CAP is not None:
+        # stop-shingle cap: df > DF_CAP shingles never generate candidates.
+        # (vectorized pandas filter over the aggregated counts — a per-row
+        # Dataset.filter here costs seconds per 100k shingles)
+        df_counts = grouped_aggregate(
+            exploded, ["shingle"], {"df": (None, "count")}
+        ).to_pandas()
+        hot = df_counts.loc[df_counts["df"] > DF_CAP, "shingle"].tolist()
+        exploded = broadcast_semi_filter(
+            exploded, hot, "shingle", anti=True
+        ).materialize()
+    cand = _pairs_from_groups(exploded, "shingle")
     return _verify_candidates(corpus, cand, JACCARD_TAU)
 
 
@@ -393,7 +402,7 @@ def minhash_lsh_pairs(sf_dir: str) -> pd.DataFrame:
 # --------------------------------------------------------------------------
 
 def simhash_pairs(sf_dir: str) -> pd.DataFrame:
-    corpus = near_dup_corpus(sf_dir)
+    corpus = near_dup_corpus(sf_dir).materialize()
 
     def sim_rows(df: pd.DataFrame) -> pd.DataFrame:
         docs, bands, fps = [], [], []
@@ -406,7 +415,7 @@ def simhash_pairs(sf_dir: str) -> pd.DataFrame:
                 fps.append(fp)
         return pd.DataFrame({"doc_id": docs, "bucket": bands, "fp": fps})
 
-    exploded = corpus.map_batches(sim_rows, batch_format="pandas")
+    exploded = corpus.map_batches(sim_rows, batch_format="pandas").materialize()
     fps: dict[int, int] = {}
 
     def collect_fp(df: pd.DataFrame) -> pd.DataFrame:

@@ -26,6 +26,8 @@ import pandas as pd
 import ray
 import ray.data as rd
 
+from .agg import round_half_away
+
 N_QUERIES = 8
 TOP_K = 10
 DUP_TAU = 0.99
@@ -203,8 +205,6 @@ def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
         ).head(TOP_K)
 
     df = partial.groupby("query_id").map_groups(final, batch_format="pandas").to_pandas()
-    from .agg import round_half_away
-
     df["cosine_sim"] = round_half_away(df["cosine_sim"])
     return df.reset_index(drop=True)
 
@@ -303,7 +303,7 @@ def label_centroid_norms(sf_dir: str) -> pd.DataFrame:
             {
                 "label": int(label),
                 "n_vecs": n,
-                "centroid_norm": round(float(np.linalg.norm(total / n)), 4),
+                "centroid_norm": float(round_half_away(np.linalg.norm(total / n))),
             }
         )
     out = pd.DataFrame(rows)

@@ -111,6 +111,11 @@ def split_extraction_pipeline(
         EXPLODE_THRESHOLD_PAGES if explode_threshold_pages is None
         else explode_threshold_pages
     )
+    # project hint columns away before anything ships to workers (same as
+    # extraction_pipeline)
+    schema = pages.schema(fetch_if_missing=False)
+    if schema is not None and {"url", "html"} <= set(schema.names) and len(schema.names) > 2:
+        pages = pages.select_columns(["url", "html"])
     # materialize before branching: both branches consume this lineage, and
     # Ray re-executes the shared read+sniff prefix per consumer otherwise.
     # (Pinned blocks spill to disk; the alternative is a second full source

@@ -102,30 +102,36 @@ class ExtractStage:
         self.payload_column = payload_column
         # Straggler guard (the reference declares per-job/request timeouts —
         # config.py:65-68,134-137 — but never enforces them): when set, each
-        # engine call runs on a sidecar thread with a deadline; a row that
-        # exceeds it becomes a failed ROW at the deadline and the stuck
-        # thread is abandoned (its executor is replaced). Ray actor UDFs run
-        # off the main thread, so signal-based watchdogs are not an option.
+        # engine call runs on a sidecar DAEMON thread with a deadline; a row
+        # that exceeds it becomes a failed ROW at the deadline and the stuck
+        # thread is abandoned (daemon threads never block worker-process
+        # shutdown — ThreadPoolExecutor threads would be joined at exit and
+        # hang teardown on a truly stuck call). Ray actor UDFs run off the
+        # main thread, so signal-based watchdogs are not an option.
         self.row_timeout_s = row_timeout_s
-        self._executor = None
-        if row_timeout_s:
-            import concurrent.futures
-
-            self._executor = concurrent.futures.ThreadPoolExecutor(max_workers=1)
 
     def _timed_extract(self, engine, url, payload, ctype):
-        import concurrent.futures
+        import threading
 
-        fut = self._executor.submit(engine.extract, url, payload, ctype)
-        try:
-            return fut.result(timeout=self.row_timeout_s)
-        except concurrent.futures.TimeoutError:
-            fut.cancel()
-            # abandon the stuck thread; a fresh executor serves later rows
-            self._executor = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        result: list = []
+        err: list = []
+
+        def run() -> None:
+            try:
+                result.append(engine.extract(url, payload, ctype))
+            except BaseException as exc:  # noqa: BLE001 — relayed to caller
+                err.append(exc)
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        t.join(self.row_timeout_s)
+        if t.is_alive():
             raise RowTimeoutError(
                 f"Processing timeout after {self.row_timeout_s}s"
-            ) from None
+            )
+        if err:
+            raise err[0]
+        return result[0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
@@ -156,7 +162,7 @@ class ExtractStage:
                 if engine is None:
                     mime = CONTENT_TYPE_TO_MIME.get(ctype, "application/octet-stream")
                     raise UnsupportedTypeError(f"Unsupported document type: {mime}")
-                if self._executor is not None:
+                if self.row_timeout_s:
                     res = self._timed_extract(engine, urls[i], payload, ctype)
                 else:
                     res = engine.extract(urls[i], payload, ctype)

@@ -216,8 +216,11 @@ _TAG_RE = re.compile(
     r"(/?)>",
 )
 _ENTITY_RE = re.compile(r"&(#[0-9]+|#[xX][0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]*);?")
-#: elements whose raw text runs to their literal end tag
-_RAWTEXT_TAGS = ("script", "style", "textarea", "title")
+_MARKED_CLOSE_RE = re.compile(r"]\s*]?\s*>")
+#: elements whose raw text runs to their literal end tag (must be a subset
+#: of SKIP_TAGS — the jump below only fires inside the skip branch; stdlib
+#: html.parser likewise only treats script/style as CDATA)
+_RAWTEXT_TAGS = ("script", "style")
 
 
 def _unescape_piece(m: "re.Match[str]") -> str:
@@ -282,6 +285,11 @@ class _FastScan:
                 if raw.startswith("<!--", lt):
                     end = find("-->", lt + 4)
                     pos = n if end == -1 else end + 3
+                elif raw.startswith("<![", lt):
+                    # marked section (<![CDATA[..]]>, <![if..]>): stdlib
+                    # _markupbase consumes through "]...]>"/"]>"
+                    m2 = _MARKED_CLOSE_RE.search(raw, lt + 3)
+                    pos = n if m2 is None else m2.end()
                 else:
                     end = find(">", lt)
                     pos = n if end == -1 else end + 1

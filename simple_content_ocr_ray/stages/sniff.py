@@ -4,16 +4,16 @@ The reference routes documents on a caller-supplied MIME string
 (/root/reference/src/simple_ocr/services/ocr_service.py:224-244 and the
 extension→MIME map in examples/test_local_file.py:201-227). With payloads
 inline in an Arrow ``binary`` column there is no caller, so the router key is
-sniffed from magic bytes. Only a ≤64-byte prefix per row leaves Arrow (via
-``pyarrow.compute.binary_slice`` when available), so the stage touches a few
-dozen bytes per multi-KB payload.
+sniffed from magic bytes. Only the sniff window (256 bytes — the
+same prefix ``sniff_bytes`` inspects, so the stage and the single-row oracle
+always agree) leaves Arrow per row via ``pyarrow.compute.binary_slice``.
 """
 
 from __future__ import annotations
 
 import pyarrow as pa
 
-from ..reference_semantics import sniff_bytes
+from ..reference_semantics import SNIFF_WINDOW, sniff_bytes
 
 try:  # pyarrow >= 8
     import pyarrow.compute as pc
@@ -27,8 +27,8 @@ def _prefixes(col: pa.ChunkedArray | pa.Array) -> list[bytes | None]:
     if _HAS_BINARY_SLICE:
         import pyarrow.compute as pc
 
-        return pc.binary_slice(col, 0, 64).to_pylist()
-    return [None if v is None else v[:64] for v in col.to_pylist()]
+        return pc.binary_slice(col, 0, SNIFF_WINDOW).to_pylist()
+    return [None if v is None else v[:SNIFF_WINDOW] for v in col.to_pylist()]
 
 
 def sniff_batch(batch: pa.Table, column: str = "html") -> pa.Table:

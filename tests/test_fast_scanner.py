@@ -42,3 +42,13 @@ def test_corpus_equality(pages_table):
 
 def test_fast_is_default_engine():
     assert HtmlMainContentExtractor().engine == "fast"
+
+
+def test_marked_sections_equality():
+    cases = [
+        "<body><div><p>x</p><![CDATA[a>b]]><p>y</p></div></body>",
+        "<body><div><p>x</p><![if !IE]><p>cond</p><![endif]><p>y</p></div></body>",
+        "<body><div><p>before</p><!-- c1 --><!doctype html><p>after</p></div></body>",
+    ]
+    for html in cases:
+        assert FAST.extract(html) == STD.extract(html), html

@@ -84,3 +84,22 @@ def test_extract_row_pdf():
     assert row["content_type"] == "pdf"
     assert row["page_count"] == (len(payload) // 51200)
     assert "## Page 2" in row["text"]
+
+
+def test_sniff_stage_window_matches_oracle():
+    """The vectorized sniff stage must classify exactly like sniff_bytes even
+    for HTML behind long leading whitespace (review finding: 64B prefix)."""
+    import pyarrow as pa
+
+    from simple_content_ocr_ray.stages.sniff import sniff_batch
+
+    payloads = [
+        b"\n" * 100 + b"<!doctype html><html><body><p>x</p></body></html>",
+        b" " * 200 + b"<HTML><body>y</body></html>",
+        b"\n" * 300 + b"<!doctype html>",  # whitespace beyond the window
+        b"%PDF-1.4\nxx",
+    ]
+    t = pa.table({"html": pa.array(payloads, pa.binary())})
+    got = sniff_batch(t)["content_type"].to_pylist()
+    assert got == [sniff_bytes(p) for p in payloads]
+    assert got[:2] == ["html", "html"]
