@@ -85,7 +85,7 @@ def ensure_bench_pages(sf_dir: str, n_pages: int) -> str:
             out.append(t)
         return pa.concat_tables(out)
 
-    tmp = out_dir + ".tmp"
+    tmp = f"{out_dir}.tmp.{os.getpid()}"
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
@@ -134,15 +134,20 @@ def run_headline() -> dict:
     )
 
     pages_dir = ensure_bench_pages(SF_DIR, N_PAGES)
-    # warm the OS page cache (untimed)
-    n_in = rd.read_parquet(pages_dir).count()
+    # warm the OS page cache (untimed). A bare count() answers from parquet
+    # footers without touching data bytes, so force a real scan.
+    n_in = (
+        rd.read_parquet(pages_dir)
+        .map_batches(lambda t: t.select(["url"]), batch_format="pyarrow")
+        .count()
+    )
 
     out_dir = f"/tmp/scor_bench_out/extracted_cpu{NCPU}"
     import shutil
 
     shutil.rmtree(out_dir, ignore_errors=True)
 
-    # Reserve ~2/3 of CPUs for the extract actor pool and leave the rest for
+    # Reserve ~3/4 of CPUs for the extract actor pool and leave the rest for
     # read/write tasks: parquet decode of page-sized rows costs roughly half
     # of extraction, and a pool that reserves every CPU starves the read
     # stage and the pipeline stalls. (Tunable via BENCH_POOL_FRACTION.)

@@ -14,7 +14,7 @@ import os
 import pyarrow as pa
 import ray.data as rd
 
-_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01 UTC
+from .synth_pages import _EPOCH_US  # 2024-01-01 UTC — single source of truth
 
 
 def read_pages_from_binary_files(paths: str | list[str]) -> rd.Dataset:

@@ -36,7 +36,6 @@ import pyarrow.parquet as pq
 
 SYNTH_VERSION = 3
 N_HOSTS = 97
-_EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc).replace(tzinfo=None)
 _EPOCH_US = int(datetime(2024, 1, 1, tzinfo=timezone.utc).timestamp() * 1_000_000)
 
 PAGES_SCHEMA = pa.schema(

@@ -82,6 +82,16 @@ def run_partitioned_extraction(
     pipeline_fn = pipeline_fn or extraction_pipeline
     os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
 
+    # sweep temp files from killed runs. Temp names start with '_' so parquet
+    # readers ignore them even if a crash leaves one behind mid-write.
+    for d in (out_dir, os.path.join(out_dir, "_manifest")):
+        for f in os.listdir(d):
+            if ".tmp." in f:
+                try:
+                    os.remove(os.path.join(d, f))
+                except OSError:
+                    pass
+
     done = finished_partitions(out_dir)
     todo = [
         p for p in list_input_partitions(pages_dir) if _partition_name(p) not in done
@@ -102,16 +112,18 @@ def run_partitioned_extraction(
             pa.concat_tables(parts) if parts else None
         )
         out_path = os.path.join(out_dir, f"part-{name}.parquet")
-        tmp_path = out_path + f".tmp.{os.getpid()}"
+        tmp_path = os.path.join(out_dir, f"_part-{name}.tmp.{os.getpid()}")
         n_rows = n_failed = 0
         out_bytes = 0
         if table is not None:
             pq.write_table(table, tmp_path)
             os.replace(tmp_path, out_path)  # atomic publish
             n_rows = table.num_rows
-            n_failed = table.filter(
-                pa.compute.equal(table["status"], "failed")
-            ).num_rows
+            n_failed = (
+                table.filter(pa.compute.equal(table["status"], "failed")).num_rows
+                if "status" in table.column_names
+                else 0
+            )
             out_bytes = os.path.getsize(out_path)
         elapsed = time.time() - t0
         manifest_row = {

@@ -132,3 +132,23 @@ def test_split_pipeline_routes_both_paths_byte_identically(pages_table):
     for url, expected in texts.items():
         if expected:
             assert by_url[url]["text"] == expected
+
+
+def test_resume_cleans_stale_tmp_files(pages_dir, tmp_path):
+    """A run killed mid-write leaves a tmp part file; resume must sweep it and
+    never double-count (tmp names are '_'-prefixed so parquet readers ignore
+    them even before the sweep)."""
+    import glob
+    import shutil
+
+    out_dir = str(tmp_path / "out3")
+    run_partitioned_extraction(pages_dir, out_dir, concurrency=2)
+    part = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))[0]
+    name = os.path.basename(part)[len("part-") : -len(".parquet")]
+    # simulate the kill: stale duplicate tmp + missing manifest row
+    shutil.copy(part, os.path.join(out_dir, f"_part-{name}.tmp.99999"))
+    os.remove(os.path.join(out_dir, "_manifest", f"{name}.json"))
+    s = run_partitioned_extraction(pages_dir, out_dir, concurrency=2)
+    assert s["processed"] == 1
+    assert not glob.glob(os.path.join(out_dir, "*tmp*"))
+    assert rd.read_parquet(out_dir).count() == rd.read_parquet(pages_dir).count()
