@@ -16,25 +16,40 @@ import ray.data as rd
 SESSION_GAP_MIN = 30
 
 
-def user_sessions(sf_dir: str) -> pd.DataFrame:
+def _sessions_for_sorted(df: pd.DataFrame) -> pd.DataFrame:
+    """Sessionize a frame already sorted by (user_id, ts) — vectorized: a new
+    session starts at a user change or a gap > SESSION_GAP_MIN."""
+    new_session = (df["user_id"] != df["user_id"].shift()) | (
+        df["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
+    )
+    sid = new_session.cumsum()
+    out = df.groupby(sid).agg(
+        user_id=("user_id", "first"),
+        session_start=("ts", "min"),
+        session_end=("ts", "max"),
+        n_events=("ts", "size"),
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def user_sessions(sf_dir: str, small_threshold: int = 2_000_000) -> pd.DataFrame:
     """Session windows per user: a new session starts when the gap to the
-    previous event exceeds 30 minutes. Returns one row per session."""
+    previous event exceeds 30 minutes. Returns one row per session.
+
+    Adaptive like grouped_aggregate: small logs are sorted once and
+    sessionized vectorized; large logs shuffle by user (``groupby(user_id)
+    .map_groups`` — the keyed-log partitioning assumption at scale)."""
     events = rd.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
-    )
+    ).materialize()
+    if events.count() <= small_threshold:
+        df = events.to_pandas().sort_values(["user_id", "ts"], kind="mergesort")
+        return _sessions_for_sorted(df.reset_index(drop=True))
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="mergesort")
-        gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
-        sid = gap.cumsum()
-        out = g.groupby(sid).agg(
-            user_id=("user_id", "first"),
-            session_start=("ts", "min"),
-            session_end=("ts", "max"),
-            n_events=("ts", "size"),
-        )
-        out["n_events"] = out["n_events"].astype("int64")
-        return out.reset_index(drop=True)
+        g = g.sort_values("ts", kind="mergesort").reset_index(drop=True)
+        return _sessions_for_sorted(g)
 
     out = events.groupby("user_id").map_groups(sessions, batch_format="pandas")
     return out.to_pandas()
