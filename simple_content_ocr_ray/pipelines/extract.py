@@ -200,11 +200,20 @@ def split_extraction_pipeline(
 def run_extraction(
     pages_dir: str,
     out_dir: Optional[str] = None,
+    split_failed: bool = False,
     **kwargs: Any,
 ) -> rd.Dataset | None:
-    """Convenience: read → extract → (optionally) write partitioned parquet."""
+    """Convenience: read → extract → (optionally) write partitioned parquet.
+
+    ``split_failed=True`` writes hive-partitioned by status in ONE pass —
+    ``out/status=completed/`` and ``out/status=failed/`` — the reference's
+    DLQ routing (openspec job-processing spec: failed jobs to a dead-letter
+    subject) as a storage layout instead of a second queue."""
     ds = extraction_pipeline(read_pages(pages_dir), **kwargs)
     if out_dir is None:
         return ds
-    ds.write_parquet(out_dir)
+    if split_failed:
+        ds.write_parquet(out_dir, partition_cols=["status"])
+    else:
+        ds.write_parquet(out_dir)
     return None

@@ -84,3 +84,20 @@ def test_write_parquet_roundtrip(pages_dir, tmp_path):
     assert back.count() == read_pages(pages_dir).count()
     schema = back.schema()
     assert "text" in schema.names and "spans" in schema.names
+
+
+def test_dlq_split_write(pages_dir, tmp_path):
+    """D5: failed rows land under a separate status partition in one pass."""
+    import os
+
+    from simple_content_ocr_ray.pipelines.extract import run_extraction
+
+    out_dir = str(tmp_path / "dlq")
+    run_extraction(pages_dir, out_dir, split_failed=True, concurrency=2)
+    assert os.path.isdir(os.path.join(out_dir, "status=completed"))
+    assert os.path.isdir(os.path.join(out_dir, "status=failed"))
+    failed = rd.read_parquet(os.path.join(out_dir, "status=failed"))
+    completed = rd.read_parquet(os.path.join(out_dir, "status=completed"))
+    n_in = rd.read_parquet(pages_dir).count()
+    assert failed.count() + completed.count() == n_in
+    assert failed.count() == n_in // 20  # the 5% garbage class
