@@ -9,23 +9,36 @@ with DETERMINISTIC twins that the SQL oracle can reconstruct:
   * near-dup twins: doc_id % 5 == 0 and ≥ 12 words → copy at doc_id + 1_000_000
                     with the LAST TWO WORDS dropped
 
-Near-dup detection uses word 3-gram shingles. All three near-dup algorithms
-(inverted index, MinHash-LSH, SimHash) must discover exactly the twin pairs —
-the oracle is the twin-construction rule itself, so a false positive or a
-missed pair fails the gate.
+Near-dup detection uses word 3-gram shingles. The inverted-index and
+MinHash-LSH pipelines must discover exactly the exact-Jaccard ≥ τ pair set —
+the oracle is computed from first principles in SQL, so a false positive or a
+missed pair fails the gate. SimHash is a different (fingerprint-Hamming)
+criterion with no SQL oracle; its banding guarantees discovery only up to
+Hamming distance 7 (8 bands × 8 bits — a pair differing in 8..16 bits can
+touch every band), so it is validated in tests against a brute-force
+implementation OF THE SAME banding scheme, not claimed recall-complete.
 
-Scale notes (100 TB): candidate generation is a shuffle keyed by shingle /
-band-bucket with a stop-shingle df cap so hot keys can't explode a group;
-the exact-verify step here collects only candidate docs' shingle sets
-(bounded by the candidate count) — at 10^12 docs that step becomes a
-pair-keyed distributed join, same topology.
+Scale topology (100 TB):
+
+  * candidate generation is a shuffle keyed by shingle / band-bucket, with
+    per-batch dedup before the shuffle and singleton-bucket pruning after;
+  * SimHash carries the 8-byte fingerprint THROUGH the bucket shuffle and
+    Hamming-verifies inside the grouped pair generation — no driver state;
+  * MinHash / n-gram exact-Jaccard verification is a pair-keyed distributed
+    join: each candidate pair row picks up both sides' text via two hash
+    joins, and a map_batches computes exact shingle Jaccard per pair. The
+    driver only ever holds the FINAL verified pair set (the query output);
+  * the n-gram path auto-enables a stop-shingle df cap above
+    ``NGRAM_EXACT_MAX_DOCS`` so one hot shingle cannot explode a group
+    (exact below the threshold — provably equal to the oracle; capped above,
+    where MinHash is the recall-documented path).
 """
 
 from __future__ import annotations
 
 import hashlib
 import os
-from typing import Callable, Iterable
+from typing import Callable, Iterable, Optional
 
 import numpy as np
 import pandas as pd
@@ -39,13 +52,13 @@ NUM_PERMS = 128
 NUM_BANDS = 64  # 64 bands × 2 rows: P(miss) = (1-j^2)^64 — negligible at j ≥ 0.5
 JACCARD_TAU = 0.5
 SIMHASH_HAMMING_TAU = 16
-#: optional stop-shingle cap for candidate generation at corpus scale (a
-#: shingle in more docs than this is skipped when building candidates).
-#: None (default) = exact: every shared shingle can form a candidate, so the
-#: result provably equals the exact-Jaccard oracle. At 10^12 docs you set a
-#: cap (accepting possible misses on pairs whose every shared shingle is hot)
-#: or use the MinHash path.
-DF_CAP = None
+#: corpora at or below this size run the n-gram inverted index EXACT (every
+#: shared shingle can form a candidate → provably equals the exact-Jaccard
+#: oracle). Above it, a stop-shingle df cap (DEFAULT_DF_CAP) bounds the
+#: hottest candidate groups — skew-safe, at the cost of possibly missing a
+#: pair whose every shared shingle is hot (use MinHash when that matters).
+NGRAM_EXACT_MAX_DOCS = 200_000
+DEFAULT_DF_CAP = 512
 
 NEAR_TWIN_OFFSET = 1_000_000
 EXACT_TWIN_OFFSET = 2_000_000
@@ -111,6 +124,39 @@ def simhash64(shingles: np.ndarray) -> int:
     )
 
 
+def mix64(*arrays: np.ndarray) -> np.ndarray:
+    """Deterministic vectorized combine of equal-length integer arrays into a
+    non-negative int64 bucket key (splitmix64-style finalize). Replaces
+    per-row ``hashlib`` calls in hot candidate-generation loops; a (rare,
+    ~2^-63) collision only ever ADDS a candidate pair, which the exact verify
+    step removes — never a correctness risk."""
+    acc = np.zeros(np.shape(arrays[0]), dtype=np.uint64)
+    for a in arrays:
+        acc ^= (
+            np.asarray(a).astype(np.uint64)
+            + np.uint64(0x9E3779B97F4A7C15)
+            + (acc << np.uint64(6))
+            + (acc >> np.uint64(2))
+        )
+    acc ^= acc >> np.uint64(30)
+    acc *= np.uint64(0xBF58476D1CE4E5B9)
+    acc ^= acc >> np.uint64(27)
+    acc *= np.uint64(0x94D049BB133111EB)
+    acc ^= acc >> np.uint64(31)
+    return (acc >> np.uint64(1)).astype(np.int64)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized popcount(a ^ b) for int64 fingerprints (two's-complement
+    reinterpret — no numpy>=2 bitwise_count needed)."""
+    x = (a.astype(np.int64).view(np.uint64) ^ b.astype(np.int64).view(np.uint64))
+    if len(x) == 0:
+        return np.zeros(0, dtype=np.int64)
+    return (
+        np.unpackbits(x.view(np.uint8)).reshape(len(x), 8 * x.itemsize).sum(axis=1)
+    )
+
+
 # --------------------------------------------------------------------------
 # Augmented corpora (deterministic twins, SQL-mirrorable)
 # --------------------------------------------------------------------------
@@ -119,6 +165,14 @@ def _read_docs(sf_dir: str) -> rd.Dataset:
     return rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
+
+
+def _corpus_size_hint(sf_dir: str) -> int:
+    """Row count of the documents table from parquet footers only (no
+    dataset execution) — used to pick the exact-vs-capped n-gram path."""
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
 
 
 def exact_dup_corpus(sf_dir: str) -> rd.Dataset:
@@ -236,69 +290,52 @@ FROM corpus GROUP BY 1
 
 
 # --------------------------------------------------------------------------
-# Shared candidate-verification (exact Jaccard on full shingle sets)
+# Candidate pair generation from bucket groups (with optional in-group verify)
 # --------------------------------------------------------------------------
-
-def _verify_candidates(
-    corpus: rd.Dataset, cand: pd.DataFrame, tau: float
-) -> pd.DataFrame:
-    """Exact-Jaccard verify of candidate pairs. Only candidate docs' shingle
-    sets are pulled (semi-filtered scan — bounded by the candidate count)."""
-    if cand.empty:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64")})
-    needed = set(cand["doc_a"]) | set(cand["doc_b"])
-    subset = broadcast_semi_filter(corpus, needed, "doc_id")
-
-    def to_sets(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"],
-                "shingles": [set(shingle_hashes(t).tolist()) for t in df["text"]],
-            }
-        )
-
-    sets = {
-        r["doc_id"]: r["shingles"]
-        for r in subset.map_batches(to_sets, batch_format="pandas").take_all()
-    }
-    keep_a, keep_b = [], []
-    for a, b in zip(cand["doc_a"], cand["doc_b"]):
-        sa, sb = sets.get(a, set()), sets.get(b, set())
-        inter = len(sa & sb)
-        union = len(sa) + len(sb) - inter
-        if union and inter / union >= tau:
-            keep_a.append(a)
-            keep_b.append(b)
-    return pd.DataFrame(
-        {"doc_a": pd.Series(keep_a, dtype="int64"),
-         "doc_b": pd.Series(keep_b, dtype="int64")}
-    ).sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
-
 
 _EMPTY_PAIRS = lambda: pd.DataFrame(  # noqa: E731
     {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
 )
 
+#: pair_filter(group_rows, ia, ib) -> bool mask; group_rows is the bucket's
+#: rows deduped by doc_id and sorted, ia/ib are positional pair indices.
+PairFilter = Callable[[pd.DataFrame, np.ndarray, np.ndarray], np.ndarray]
 
-def _pairs_from_df(df: pd.DataFrame, key: str) -> pd.DataFrame:
+
+def _group_pairs(
+    g: pd.DataFrame, pair_filter: Optional[PairFilter]
+) -> tuple[np.ndarray, np.ndarray]:
+    g = g.drop_duplicates("doc_id").sort_values("doc_id")
+    n = len(g)
+    if n < 2:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    ia, ib = np.triu_indices(n, k=1)
+    if pair_filter is not None:
+        keep = pair_filter(g, ia, ib)
+        ia, ib = ia[keep], ib[keep]
+    ids = g["doc_id"].to_numpy()
+    return ids[ia], ids[ib]
+
+
+def _pairs_from_df(
+    df: pd.DataFrame, key: str, pair_filter: Optional[PairFilter]
+) -> pd.DataFrame:
     # singleton buckets (the vast majority) can't form pairs — drop them
     # vectorized so the python pair loop only ever sees multi-doc buckets
     df = df[df.duplicated(key, keep=False)]
-    a_out: list[int] = []
-    b_out: list[int] = []
+    a_out: list[np.ndarray] = []
+    b_out: list[np.ndarray] = []
     for _, g in df.groupby(key, sort=False):
-        ids = sorted(set(g["doc_id"]))
-        for i, x in enumerate(ids):
-            for y in ids[i + 1 :]:
-                a_out.append(x)
-                b_out.append(y)
+        a, b = _group_pairs(g, pair_filter)
+        if len(a):
+            a_out.append(a)
+            b_out.append(b)
     if not a_out:
         return _EMPTY_PAIRS()
     return (
         pd.DataFrame(
-            {"doc_a": pd.Series(a_out, dtype="int64"),
-             "doc_b": pd.Series(b_out, dtype="int64")}
+            {"doc_a": np.concatenate(a_out), "doc_b": np.concatenate(b_out)}
         )
         .drop_duplicates()
         .reset_index(drop=True)
@@ -306,45 +343,147 @@ def _pairs_from_df(df: pd.DataFrame, key: str) -> pd.DataFrame:
 
 
 def _pairs_from_groups(
-    exploded: rd.Dataset, key: str, small_threshold: int = 5_000_000
-) -> pd.DataFrame:
+    exploded: rd.Dataset,
+    key: str,
+    pair_filter: Optional[PairFilter] = None,
+    payload_cols: tuple[str, ...] = (),
+    small_threshold: int = 5_000_000,
+) -> pd.DataFrame | rd.Dataset:
     """bucket/shingle groups → distinct candidate (doc_a < doc_b) pairs.
 
-    Adaptive like grouped_aggregate: the exploded (key, doc_id) rows are
-    first shrunk per batch (drop_duplicates); small remainders are merged in
-    one step (Ray's per-group map_groups costs ~ms per group — ruinous for
-    millions of near-singleton buckets), large ones go through the
-    distributed groupby shuffle."""
+    ``pair_filter`` verifies pairs INSIDE the grouped generation (e.g. the
+    SimHash Hamming check over a carried fingerprint column) so no per-doc
+    state ever reaches the driver. ``payload_cols`` are the carried columns
+    the filter needs.
+
+    Adaptive like grouped_aggregate: the exploded (key, doc_id, *payload)
+    rows are first shrunk per batch (drop_duplicates); small remainders are
+    merged in one in-memory step (Ray's per-group map_groups costs ~ms per
+    group — ruinous for millions of near-singleton buckets), large ones go
+    through the distributed groupby shuffle and come back as a DATASET whose
+    pairs were deduplicated distributedly (partial per-batch dedup + grouped
+    count) — the driver never holds the un-deduplicated candidate stream.
+    """
+    cols = [key, "doc_id", *payload_cols]
+
     shrunk = exploded.map_batches(
-        lambda d: d[[key, "doc_id"]].drop_duplicates(),
+        lambda d: d[cols].drop_duplicates([key, "doc_id"]),
         batch_format="pandas",
     ).materialize()
     if shrunk.count() <= small_threshold:
-        return _pairs_from_df(shrunk.to_pandas(), key)
+        return _pairs_from_df(shrunk.to_pandas(), key, pair_filter)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"]))
-        if len(ids) < 2:
+        a, b = _group_pairs(g, pair_filter)
+        if not len(a):
             return _EMPTY_PAIRS()
-        a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]])
-        return pd.DataFrame(
-            {"doc_a": pd.Series(a, dtype="int64"),
-             "doc_b": pd.Series(b, dtype="int64")}
-        )
+        return pd.DataFrame({"doc_a": a, "doc_b": b})
 
     cand = shrunk.groupby(key).map_groups(pairs, batch_format="pandas")
-    df = cand.to_pandas()
-    if df.empty:
+    # distributed dedup of cross-bucket repeats: per-batch drop_duplicates,
+    # then a grouped count whose keys ARE the distinct pairs
+    return grouped_aggregate(
+        cand, ["doc_a", "doc_b"], {"n": (None, "count")}
+    ).select_columns(["doc_a", "doc_b"])
+
+
+# --------------------------------------------------------------------------
+# Pair-keyed distributed exact-Jaccard verification
+# --------------------------------------------------------------------------
+
+#: above this many candidate pairs the text side is NOT semi-filtered by a
+#: broadcast id set (the set itself would be the driver bottleneck); the hash
+#: join shuffles the full corpus text instead — still no driver state.
+VERIFY_BROADCAST_MAX_PAIRS = 2_000_000
+
+
+def _verify_pairs(
+    corpus: rd.Dataset,
+    cand: pd.DataFrame | rd.Dataset,
+    tau: float,
+    num_partitions: int = 8,
+) -> pd.DataFrame:
+    """Exact-Jaccard verify of candidate pairs, pair-keyed and distributed:
+    two hash joins attach each side's text to the pair row, then a
+    map_batches computes exact shingle Jaccard per pair (per-batch memo so a
+    doc's shingle set is built once per batch). The driver only receives the
+    FINAL verified pairs — the query output itself."""
+    if isinstance(cand, pd.DataFrame):
+        if cand.empty:
+            return _EMPTY_PAIRS()
+        needed = set(cand["doc_a"]) | set(cand["doc_b"])
+        if len(cand) <= VERIFY_BROADCAST_MAX_PAIRS:
+            # shrink the join's build side: only candidate docs' texts
+            corpus = broadcast_semi_filter(corpus, needed, "doc_id")
+        cand_ds: rd.Dataset = rd.from_pandas(cand)
+    else:
+        cand_ds = cand
+
+    a_side = corpus.map_batches(
+        lambda d: d.rename(columns={"doc_id": "doc_a", "text": "text_a"}),
+        batch_format="pandas",
+    )
+    b_side = corpus.map_batches(
+        lambda d: d.rename(columns={"doc_id": "doc_b", "text": "text_b"}),
+        batch_format="pandas",
+    )
+    # two concurrent hash-join operators can deadlock on a small cluster (both
+    # aggregator pools + map tasks contend for the same CPUs) — bound the
+    # partition count by the cluster and run the joins back-to-back. The
+    # pinned intermediate is pairs+one text column, bounded by the candidate
+    # count, not the corpus.
+    num_partitions = max(2, min(num_partitions, int(ray.cluster_resources().get("CPU", num_partitions))))
+    j1 = cand_ds.join(
+        a_side, join_type="inner", num_partitions=num_partitions, on=("doc_a",)
+    ).materialize()
+    j = j1.join(b_side, join_type="inner", num_partitions=num_partitions, on=("doc_b",))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        memo: dict[int, set] = {}
+
+        def sets_of(doc: int, text: str) -> set:
+            s = memo.get(doc)
+            if s is None:
+                s = set(shingle_hashes(text).tolist())
+                memo[doc] = s
+            return s
+
+        keep = np.zeros(len(df), dtype=bool)
+        for i, (a, b, ta, tb) in enumerate(
+            zip(df["doc_a"], df["doc_b"], df["text_a"], df["text_b"])
+        ):
+            sa, sb = sets_of(a, ta), sets_of(b, tb)
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            keep[i] = bool(union) and inter / union >= tau
+        out = df.loc[keep, ["doc_a", "doc_b"]]
+        return out.astype({"doc_a": "int64", "doc_b": "int64"})
+
+    out = j.map_batches(verify, batch_format="pandas").to_pandas()
+    if out.empty:
         return _EMPTY_PAIRS()
-    return df.drop_duplicates().reset_index(drop=True)
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 # --------------------------------------------------------------------------
-# n-gram Jaccard via inverted shingle index (df-capped)
+# n-gram Jaccard via inverted shingle index (auto df-capped above threshold)
 # --------------------------------------------------------------------------
 
-def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
-    corpus = near_dup_corpus(sf_dir).materialize()  # reused by the verify pass
+def ngram_jaccard_pairs(
+    sf_dir: str,
+    df_cap: int | str | None = "auto",
+    exact_max_docs: int = NGRAM_EXACT_MAX_DOCS,
+) -> pd.DataFrame:
+    """Candidate pairs from an inverted shingle index, then exact-Jaccard
+    verified. ``df_cap="auto"``: exact while the corpus (from parquet
+    footers) is ≤ ``exact_max_docs``; above it, shingles in more than
+    ``DEFAULT_DF_CAP`` docs are dropped from candidate generation so the
+    hottest bucket is bounded (skew-safe; recall caveat in module docstring)."""
+    if df_cap == "auto":
+        df_cap = (
+            DEFAULT_DF_CAP if _corpus_size_hint(sf_dir) > exact_max_docs else None
+        )
+    corpus = near_dup_corpus(sf_dir)
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         rows_doc, rows_sh = [], []
@@ -354,20 +493,21 @@ def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
             rows_sh.extend(hs.tolist())
         return pd.DataFrame({"doc_id": rows_doc, "shingle": rows_sh})
 
-    exploded = corpus.map_batches(explode, batch_format="pandas").materialize()
-    if DF_CAP is not None:
-        # stop-shingle cap: df > DF_CAP shingles never generate candidates.
+    exploded = corpus.map_batches(explode, batch_format="pandas")
+    if df_cap is not None:
+        # stop-shingle cap: df > df_cap shingles never generate candidates.
         # (vectorized pandas filter over the aggregated counts — a per-row
-        # Dataset.filter here costs seconds per 100k shingles)
+        # Dataset.filter here costs seconds per 100k shingles). The hot list
+        # is bounded by |shingles with df > cap| — tiny by construction.
+        exploded = exploded.materialize()
         df_counts = grouped_aggregate(
             exploded, ["shingle"], {"df": (None, "count")}
         ).to_pandas()
-        hot = df_counts.loc[df_counts["df"] > DF_CAP, "shingle"].tolist()
-        exploded = broadcast_semi_filter(
-            exploded, hot, "shingle", anti=True
-        ).materialize()
+        hot = df_counts.loc[df_counts["df"] > df_cap, "shingle"].tolist()
+        if hot:
+            exploded = broadcast_semi_filter(exploded, hot, "shingle", anti=True)
     cand = _pairs_from_groups(exploded, "shingle")
-    return _verify_candidates(corpus, cand, JACCARD_TAU)
+    return _verify_pairs(corpus, cand, JACCARD_TAU)
 
 
 # --------------------------------------------------------------------------
@@ -375,64 +515,103 @@ def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
 # --------------------------------------------------------------------------
 
 def minhash_lsh_pairs(sf_dir: str) -> pd.DataFrame:
-    corpus = near_dup_corpus(sf_dir).materialize()  # reused by the verify pass
+    corpus = near_dup_corpus(sf_dir)
     a, b = _minhash_params()
     rows_per_band = NUM_PERMS // NUM_BANDS
 
     def band_rows(df: pd.DataFrame) -> pd.DataFrame:
-        docs, buckets = [], []
-        for d, t in zip(df["doc_id"], df["text"]):
-            sig = minhash_signature(shingle_hashes(t), a, b)
-            for band in range(NUM_BANDS):
-                chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
-                h = hashlib.blake2b(
-                    band.to_bytes(2, "big") + chunk.tobytes(), digest_size=8
-                ).digest()
-                docs.append(d)
-                buckets.append(int.from_bytes(h, "big") >> 1)
-        return pd.DataFrame({"doc_id": docs, "bucket": buckets})
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "bucket": pd.Series([], dtype="int64")})
+        sigs = np.stack(
+            [minhash_signature(shingle_hashes(t), a, b) for t in df["text"]]
+        )  # (n, NUM_PERMS)
+        chunks = sigs.reshape(n, NUM_BANDS, rows_per_band)
+        band_ids = np.broadcast_to(
+            np.arange(NUM_BANDS, dtype=np.int64), (n, NUM_BANDS)
+        )
+        # bucket key = mix(band, band's signature rows) — vectorized over the
+        # whole batch (the per-doc per-band blake2b loop was the r1 cost
+        # center); collisions only add candidates, removed by exact verify
+        bucket = mix64(
+            band_ids.ravel(),
+            *[chunks[:, :, r].ravel() for r in range(rows_per_band)],
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(df["doc_id"].to_numpy(), NUM_BANDS),
+                "bucket": bucket,
+            }
+        )
 
     exploded = corpus.map_batches(band_rows, batch_format="pandas")
     cand = _pairs_from_groups(exploded, "bucket")
-    return _verify_candidates(corpus, cand, JACCARD_TAU)
+    return _verify_pairs(corpus, cand, JACCARD_TAU)
 
 
 # --------------------------------------------------------------------------
-# SimHash with banded bucketing + Hamming verify
+# SimHash with banded bucketing + in-shuffle Hamming verify
 # --------------------------------------------------------------------------
+
+SIMHASH_BANDS = 8  # 8 bands × 8 bits
+
 
 def simhash_pairs(sf_dir: str) -> pd.DataFrame:
-    corpus = near_dup_corpus(sf_dir).materialize()
+    """Near-dup pairs by 64-bit SimHash Hamming distance ≤ τ.
+
+    The fingerprint (8 bytes, stored as two's-complement int64 so every block
+    has one fixed dtype) is carried THROUGH the band-bucket shuffle and the
+    Hamming check runs inside the grouped pair generation — no driver-side
+    fingerprint dictionary at any scale. Banding guarantee: a pair is found
+    iff it shares at least one exact 8-bit band, which is certain only for
+    Hamming distance ≤ 7; validated against a brute-force implementation of
+    the same scheme in tests (no SQL oracle — blake2b shingle hashes are not
+    SQL-expressible)."""
+    corpus = near_dup_corpus(sf_dir)
 
     def sim_rows(df: pd.DataFrame) -> pd.DataFrame:
-        docs, bands, fps = [], [], []
-        for d, t in zip(df["doc_id"], df["text"]):
-            fp = simhash64(shingle_hashes(t))
-            for band in range(8):  # 8 bands × 8 bits
-                key = (band << 60) | ((fp >> (band * 8)) & 0xFF)
-                docs.append(d)
-                bands.append(key)
-                fps.append(fp)
-        return pd.DataFrame({"doc_id": docs, "bucket": bands, "fp": fps})
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "bucket": pd.Series([], dtype="int64"),
+                 "fp": pd.Series([], dtype="int64")}
+            )
+        fps_u = np.fromiter(
+            (simhash64(shingle_hashes(t)) for t in df["text"]),
+            dtype=np.uint64,
+            count=n,
+        )
+        bytes_ = (
+            (fps_u[:, None] >> (np.uint64(8) * np.arange(SIMHASH_BANDS, dtype=np.uint64)))
+            & np.uint64(0xFF)
+        )
+        band_ids = np.broadcast_to(
+            np.arange(SIMHASH_BANDS, dtype=np.int64), (n, SIMHASH_BANDS)
+        )
+        bucket = mix64(band_ids.ravel(), bytes_.ravel())
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(df["doc_id"].to_numpy(), SIMHASH_BANDS),
+                "bucket": bucket,
+                "fp": np.repeat(fps_u.view(np.int64), SIMHASH_BANDS),
+            }
+        )
 
-    exploded = corpus.map_batches(sim_rows, batch_format="pandas").materialize()
-    fps: dict[int, int] = {}
+    def hamming_ok(g: pd.DataFrame, ia: np.ndarray, ib: np.ndarray) -> np.ndarray:
+        f = g["fp"].to_numpy().astype(np.int64)
+        return hamming64(f[ia], f[ib]) <= SIMHASH_HAMMING_TAU
 
-    def collect_fp(df: pd.DataFrame) -> pd.DataFrame:
-        return df[["doc_id", "fp"]].drop_duplicates()
-
-    for r in exploded.map_batches(collect_fp, batch_format="pandas").take_all():
-        fps[r["doc_id"]] = r["fp"]
-    cand = _pairs_from_groups(exploded.select_columns(["doc_id", "bucket"]), "bucket")
-    keep_a, keep_b = [], []
-    for x, y in zip(cand["doc_a"], cand["doc_b"]):
-        if bin(fps[x] ^ fps[y]).count("1") <= SIMHASH_HAMMING_TAU:
-            keep_a.append(x)
-            keep_b.append(y)
-    return pd.DataFrame(
-        {"doc_a": pd.Series(keep_a, dtype="int64"),
-         "doc_b": pd.Series(keep_b, dtype="int64")}
-    ).sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    exploded = corpus.map_batches(sim_rows, batch_format="pandas")
+    out = _pairs_from_groups(
+        exploded, "bucket", pair_filter=hamming_ok, payload_cols=("fp",)
+    )
+    if isinstance(out, rd.Dataset):
+        out = out.to_pandas()
+    if out.empty:
+        return _EMPTY_PAIRS()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 QUERIES: dict[str, Callable[[str], object]] = {
@@ -448,5 +627,5 @@ ORACLES: dict[str, str] = {
     "minhash_lsh_pairs": _NEAR_PAIRS_SQL,
     # simhash_pairs: rows-only — its criterion is Hamming distance on the
     # 64-bit fingerprint, which SQL cannot reproduce; validated in tests
-    # against a brute-force simhash implementation.
+    # against a brute-force simhash implementation (same banding scheme).
 }

@@ -124,3 +124,124 @@ def test_dedup_exact_counts(sf_dir, documents_table):
     assert len(df) == n_docs  # twins collapse into their original's group
     assert df["n_dups"].sum() == n_docs + n_twins
     assert (df[df["n_dups"] == 2]["keeper_doc_id"] % 7 == 0).all()
+
+
+def _brute_force_capped_pairs(
+    corpus: pd.DataFrame, tau: float, df_cap: int
+) -> set[tuple[int, int]]:
+    """Candidate pairs only from shingles with df <= cap, then exact verify —
+    mirrors ngram_jaccard_pairs' capped path semantics."""
+    from collections import Counter
+
+    sets = {
+        d: set(shingle_hashes(t).tolist())
+        for d, t in zip(corpus["doc_id"], corpus["text"])
+    }
+    df_count = Counter(s for sh in sets.values() for s in sh)
+    inv: dict[int, list[int]] = {}
+    for d, sh in sets.items():
+        for s in sh:
+            if df_count[s] <= df_cap:
+                inv.setdefault(s, []).append(d)
+    cand = set()
+    for docs in inv.values():
+        docs = sorted(docs)
+        for i, x in enumerate(docs):
+            for y in docs[i + 1 :]:
+                cand.add((x, y))
+    out = set()
+    for x, y in cand:
+        inter = len(sets[x] & sets[y])
+        union = len(sets[x]) + len(sets[y]) - inter
+        if union and inter / union >= tau:
+            out.add((x, y))
+    return out
+
+
+def test_ngram_capped_path(sf_dir, neardup_truth):
+    """Force the df-capped (skew-safe) candidate path and check it against a
+    brute force of the same cap semantics; capped results must also be a
+    subset of the exact pair set (verify never passes a false positive)."""
+    corpus, exact_truth = neardup_truth
+    cap = 40  # drops the corpus's hottest shingles at sf0.001
+    df = ngram_jaccard_pairs(sf_dir, df_cap=cap)
+    got = set(zip(df["doc_a"], df["doc_b"]))
+    assert got == _brute_force_capped_pairs(corpus, JACCARD_TAU, cap)
+    assert got <= exact_truth
+
+
+def test_ngram_auto_cap_engages_above_threshold(sf_dir, neardup_truth):
+    """auto mode with a tiny exact_max_docs must take the capped branch (and
+    still verify exactly)."""
+    corpus, exact_truth = neardup_truth
+    df = ngram_jaccard_pairs(sf_dir, df_cap="auto", exact_max_docs=10)
+    got = set(zip(df["doc_a"], df["doc_b"]))
+    from simple_content_ocr_ray.functions.dedup import DEFAULT_DF_CAP
+
+    assert got == _brute_force_capped_pairs(corpus, JACCARD_TAU, DEFAULT_DF_CAP)
+    assert got <= exact_truth
+
+
+def test_pairs_from_groups_distributed_path(sf_dir, neardup_truth):
+    """small_threshold=0 forces the groupby shuffle + distributed pair dedup;
+    the verified output must equal the in-memory small path byte for byte."""
+    import ray.data as rd
+
+    from simple_content_ocr_ray.functions.dedup import (
+        _pairs_from_groups,
+        _verify_pairs,
+        hamming64,
+        mix64,
+        near_dup_corpus,
+        simhash64,
+    )
+
+    corpus = near_dup_corpus(sf_dir)
+
+    def sim_rows(df):
+        fps = np.fromiter(
+            (simhash64(shingle_hashes(t)) for t in df["text"]),
+            dtype=np.uint64,
+            count=len(df),
+        )
+        rows = []
+        for band in range(8):
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": df["doc_id"].to_numpy(),
+                        "bucket": mix64(
+                            np.full(len(df), band, dtype=np.int64),
+                            ((fps >> np.uint64(8 * band)) & np.uint64(0xFF)).view(
+                                np.int64
+                            ),
+                        ),
+                        "fp": fps.view(np.int64),
+                    }
+                )
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    def hamming_ok(g, ia, ib):
+        f = g["fp"].to_numpy().astype(np.int64)
+        return hamming64(f[ia], f[ib]) <= SIMHASH_HAMMING_TAU
+
+    exploded = corpus.map_batches(sim_rows, batch_format="pandas")
+    small = _pairs_from_groups(
+        exploded, "bucket", pair_filter=hamming_ok, payload_cols=("fp",)
+    )
+    large = _pairs_from_groups(
+        exploded,
+        "bucket",
+        pair_filter=hamming_ok,
+        payload_cols=("fp",),
+        small_threshold=0,
+    )
+    assert isinstance(large, rd.Dataset)
+    got = set(map(tuple, large.to_pandas()[["doc_a", "doc_b"]].to_numpy()))
+    want = set(map(tuple, small[["doc_a", "doc_b"]].to_numpy()))
+    assert got == want
+
+    # Dataset-typed candidates flow through the distributed verify unchanged
+    verified = _verify_pairs(corpus, large, 0.0)
+    assert set(map(tuple, verified[["doc_a", "doc_b"]].to_numpy())) == want
