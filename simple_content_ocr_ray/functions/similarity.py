@@ -126,12 +126,14 @@ SELECT query_id, neighbor_id, cosine_sim FROM (
 IVF_CELLS = 16
 IVF_NPROBE = 6
 IVF_KMEANS_ITERS = 8
+#: k-means training-sample bound: a deterministic vec_id-stride sample of
+#: about this many vectors is all that ever reaches the driver for training.
+IVF_TRAIN_SAMPLE = 4096
 
 
 def _train_centroids(Mn: np.ndarray, k: int = IVF_CELLS) -> np.ndarray:
-    """Deterministic spherical k-means (fixed init from evenly spaced rows).
-    At 10^12 scale this trains on a bounded sample; assignment stays
-    distributed either way."""
+    """Deterministic spherical k-means (fixed init from evenly spaced rows)
+    over an ALREADY-BOUNDED training sample."""
     idx = np.linspace(0, len(Mn) - 1, k).astype(int)
     C = Mn[idx].copy()
     for _ in range(IVF_KMEANS_ITERS):
@@ -146,16 +148,29 @@ def _train_centroids(Mn: np.ndarray, k: int = IVF_CELLS) -> np.ndarray:
     return C
 
 
+def _training_sample(sf_dir: str, cap: int = IVF_TRAIN_SAMPLE) -> pd.DataFrame:
+    """Bounded deterministic training sample: row count from parquet footers
+    (no scan), then one streaming pass keeping vec_id % stride == 0 — at any
+    corpus size the driver holds ≤ ~cap vectors, never the table."""
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(os.path.join(sf_dir, "embeddings.parquet")).num_rows
+    stride = max(1, n // cap)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["vec_id"].to_numpy() % stride == 0]
+
+    return _read_emb(sf_dir).map_batches(keep, batch_format="pandas").to_pandas()
+
+
 def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
     """Approximate top-k via IVF: corpus vectors are assigned to the nearest
     of 16 spherical-k-means centroids; each query scans only its IVF_NPROBE
-    closest cells (~nprobe/cells of the corpus). Rows-only check; recall vs
-    brute force asserted in tests."""
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    ).to_pandas()
+    closest cells (~nprobe/cells of the corpus). Centroids are trained on a
+    bounded distributed sample (``_training_sample``); assignment and cell
+    scans are fully distributed. Rows-only check; recall vs brute force
+    asserted in tests."""
+    t = _training_sample(sf_dir)
     full = _emb_matrix(t)
     fulln = full / np.linalg.norm(full, axis=1, keepdims=True)
     C = _train_centroids(fulln)
@@ -209,12 +224,33 @@ def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+#: random-hyperplane LSH banding for cosine near-dup: P(one bit differs) =
+#: acos(cos)/π ≈ 0.029 at τ=0.99, so P(an 8-bit band matches) ≈ 0.79 and
+#: P(all 16 bands miss) ≈ 7e-9 — exhaustive in practice at the τ this
+#: operator targets, and identical vectors (the oracle's twins) collide with
+#: certainty. Candidates are verified EXACTLY inside the bucket group.
+EMB_LSH_BANDS = 16
+EMB_LSH_BITS = 8
+_EMB_LSH_SEED = 0x5EED
+
+
+def _hyperplanes(dim: int) -> np.ndarray:
+    return np.random.RandomState(_EMB_LSH_SEED).standard_normal(
+        (EMB_LSH_BANDS * EMB_LSH_BITS, dim)
+    )
+
+
 def embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ 0.99) over the twin-augmented
-    corpus. Distributed as batch × broadcast-matrix products; at 10^12 scale
-    the broadcast side becomes LSH buckets (see ann_lsh_topk)."""
+    corpus, via random-hyperplane LSH: vectors are bucketed by banded sign
+    signatures (one shuffle keyed by (band, 8 packed sign bits)); the exact
+    cosine check runs INSIDE the grouped pair generation on each bucket's
+    member vectors. No whole-corpus broadcast or driver materialization at
+    any scale — the big side only ever moves through the bucket shuffle."""
     import pyarrow as pa
     import pyarrow.compute as pc
+
+    from .dedup import _pairs_from_groups, mix64
 
     emb = _read_emb(sf_dir)
 
@@ -227,35 +263,50 @@ def embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
             pc.add(t["vec_id"], TWIN_OFFSET),
         )
 
-    corpus = emb.union(emb.map_batches(twins, batch_format="pyarrow")).materialize()
-    full = corpus.to_pandas()
-    ids = full["vec_id"].to_numpy()
-    M = _emb_matrix(full)
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-    ref = ray.put((ids, Mn))
+    corpus = emb.union(emb.map_batches(twins, batch_format="pyarrow"))
 
-    class PairFinder:
-        def __init__(self) -> None:
-            self.ids, self.Mn = ray.get(ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            B = _emb_matrix(df)
-            Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
-            sims = Bn @ self.Mn.T
-            bids = df["vec_id"].to_numpy()
-            rows_a, rows_b = [], []
-            for i in range(len(bids)):
-                hits = self.ids[(sims[i] >= DUP_TAU) & (self.ids > bids[i])]
-                rows_a.extend([bids[i]] * len(hits))
-                rows_b.extend(hits.tolist())
+    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
             return pd.DataFrame(
-                {"vec_a": pd.Series(rows_a, dtype="int64"),
-                 "vec_b": pd.Series(rows_b, dtype="int64")}
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "bucket": pd.Series([], dtype="int64"),
+                 "embedding": pd.Series([], dtype="object")}
             )
+        M = _emb_matrix(df)
+        H = _hyperplanes(M.shape[1])  # deterministic, rebuilt per batch (64 KB)
+        bits = (M @ H.T) > 0  # (n, bands*bits)
+        packed = np.packbits(bits, axis=1)[:, : EMB_LSH_BANDS].astype(np.int64)
+        band_ids = np.broadcast_to(
+            np.arange(EMB_LSH_BANDS, dtype=np.int64), (n, EMB_LSH_BANDS)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(df["vec_id"].to_numpy(), EMB_LSH_BANDS),
+                "bucket": mix64(band_ids.ravel(), packed.ravel()),
+                "embedding": [
+                    v for v in df["embedding"] for _ in range(EMB_LSH_BANDS)
+                ],
+            }
+        )
 
-    out = corpus.map_batches(
-        PairFinder, batch_format="pandas", batch_size=4096, concurrency=(1, 4)
-    ).to_pandas()
+    def cosine_ok(g: pd.DataFrame, ia: np.ndarray, ib: np.ndarray) -> np.ndarray:
+        M = _emb_matrix(g)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        return (Mn[ia] * Mn[ib]).sum(axis=1) >= DUP_TAU
+
+    exploded = corpus.map_batches(band_rows, batch_format="pandas")
+    out = _pairs_from_groups(
+        exploded, "bucket", pair_filter=cosine_ok, payload_cols=("embedding",)
+    )
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    out = out.rename(columns={"doc_a": "vec_a", "doc_b": "vec_b"})
+    if out.empty:
+        return pd.DataFrame(
+            {"vec_a": pd.Series([], dtype="int64"),
+             "vec_b": pd.Series([], dtype="int64")}
+        )
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
