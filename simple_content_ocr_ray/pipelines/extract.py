@@ -105,8 +105,6 @@ def split_extraction_pipeline(
         PagedPdfEngine,
         exploded_extraction,
     )
-    from ..stages.extract import EXTRACTED_SCHEMA, METADATA_TYPE, SPAN_TYPE
-
     threshold = (
         EXPLODE_THRESHOLD_PAGES if explode_threshold_pages is None
         else explode_threshold_pages
@@ -116,12 +114,12 @@ def split_extraction_pipeline(
     schema = pages.schema(fetch_if_missing=False)
     if schema is not None and {"url", "html"} <= set(schema.names) and len(schema.names) > 2:
         pages = pages.select_columns(["url", "html"])
-    # materialize before branching: both branches consume this lineage, and
-    # Ray re-executes the shared read+sniff prefix per consumer otherwise.
-    # (Pinned blocks spill to disk; the alternative is a second full source
-    # read — for a one-pass split you would write both branches from a single
-    # map_batches instead.)
-    sniffed = pages.map_batches(sniff_batch, batch_format="pyarrow").materialize()
+    # LAZY shared prefix: the two branches each re-execute the pruned read +
+    # sniff (cheap, streaming) rather than pinning the sniffed corpus in the
+    # object store — at 100 TB two column-pruned source reads are strictly
+    # cheaper than a full-corpus materialize/spill. For a single source pass
+    # end-to-end use run_split_extraction (write-side split, below).
+    sniffed = pages.map_batches(sniff_batch, batch_format="pyarrow")
 
     def is_heavy(t: pa.Table) -> pa.Array:
         sizes = pc.binary_length(t["html"]).to_pylist()
@@ -153,48 +151,219 @@ def split_extraction_pipeline(
         concurrency=concurrency or default_concurrency(),
     )
 
-    def to_extracted_schema(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        empty_spans = pa.ListArray.from_arrays(
-            pa.array([0] * (n + 1), pa.int32()),
-            pa.StructArray.from_arrays(
-                [pa.array([], pa.int64()), pa.array([], pa.int64()),
-                 pa.array([], pa.string())],
-                names=["start", "end", "kind"],
-            ),
+    heavy_out = exploded_extraction(heavy).map_batches(
+        combined_rows_to_extracted, batch_format="pyarrow"
+    )
+    return light_out.union(heavy_out)
+
+
+def _empty_spans(n: int):
+    import pyarrow as pa
+
+    return pa.ListArray.from_arrays(
+        pa.array([0] * (n + 1), pa.int32()),
+        pa.StructArray.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64()),
+             pa.array([], pa.string())],
+            names=["start", "end", "kind"],
+        ),
+    )
+
+
+def combined_rows_to_extracted(t):
+    """(url, text, page_count) combined-PDF rows → full EXTRACTED_SCHEMA."""
+    import pyarrow as pa
+
+    from ..stages.extract import EXTRACTED_SCHEMA
+
+    n = t.num_rows
+    meta = pa.StructArray.from_arrays(
+        [
+            pa.array(["paged-pdf"] * n, pa.string()),
+            pa.array(["application/pdf"] * n, pa.string()),
+            pa.array([""] * n, pa.string()),
+            pa.array([str(v) for v in t["page_count"].to_pylist()], pa.string()),
+            pa.array([""] * n, pa.string()),
+            pa.array([""] * n, pa.string()),
+            pa.array([""] * n, pa.string()),
+        ],
+        names=["engine", "mime_type", "size_bytes", "page_count",
+               "processed_at", "width", "height"],
+    )
+    return pa.Table.from_arrays(
+        [
+            t["url"].combine_chunks() if isinstance(t["url"], pa.ChunkedArray) else t["url"],
+            pa.array(["completed"] * n, pa.string()),
+            t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"],
+            _empty_spans(n),
+            pa.compute.cast(t["page_count"], pa.int32()).combine_chunks(),
+            pa.array(["pdf"] * n, pa.string()),
+            pa.array([""] * n, pa.string()),
+            pa.array([0] * n, pa.int64()),
+            meta,
+        ],
+        schema=EXTRACTED_SCHEMA,
+    )
+
+
+class SplitRouterStage:
+    """ONE-pass skew router for the write-side split: light rows are fully
+    extracted in this actor (PagedPdfEngine semantics for light PDFs); heavy
+    PDFs are exploded into UNEXTRACTED page rows. Both come out in one
+    unified schema (EXTRACTED_SCHEMA + page_num + size_bytes + part) so a
+    single hive-partitioned ``write_parquet(partition_cols=['part'])``
+    routes them to ``part=light`` / ``part=pages`` without a second source
+    pass — the Ray-native restatement of the reference's DLQ-style routing
+    at the storage layer."""
+
+    def __init__(self, explode_threshold_pages: int | None = None) -> None:
+        from ..stages.combine import EXPLODE_THRESHOLD_PAGES, PagedPdfEngine
+        from ..stages.extract import DEFAULT_ROUTE, ExtractStage
+
+        route = dict(DEFAULT_ROUTE)
+        route["pdf"] = PagedPdfEngine
+        self._extract = ExtractStage(route=route)
+        self.threshold = (
+            EXPLODE_THRESHOLD_PAGES if explode_threshold_pages is None
+            else explode_threshold_pages
         )
-        meta = pa.StructArray.from_arrays(
+
+    def __call__(self, t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ..reference_semantics import estimate_page_count
+        from ..stages.combine import MAX_PAGES_CAP
+        from ..stages.extract import EXTRACTED_SCHEMA
+
+        sizes = pc.binary_length(t["html"]).to_pylist()
+        kinds = t["content_type"].to_pylist()
+        heavy_mask = pa.array(
             [
-                pa.array(["paged-pdf"] * n),
-                pa.array(["application/pdf"] * n),
-                pa.array([""] * n),
-                pa.array([str(v) for v in t["page_count"].to_pylist()]),
-                pa.array([""] * n),
-                pa.array([""] * n),
-                pa.array([""] * n),
-            ],
+                k == "pdf"
+                and estimate_page_count("application/pdf", s) > self.threshold
+                for k, s in zip(kinds, sizes)
+            ]
+        )
+        light = t.filter(pc.invert(heavy_mask))
+        heavy = t.filter(heavy_mask)
+
+        out_light = self._extract(light)
+        n = out_light.num_rows
+        out_light = (
+            out_light.append_column("page_num", pa.array([0] * n, pa.int32()))
+            .append_column("size_bytes", pa.array([0] * n, pa.int64()))
+            .append_column("part", pa.array(["light"] * n, pa.string()))
+        )
+
+        urls, nums, szs = [], [], []
+        for url, payload in zip(heavy["url"].to_pylist(), heavy["html"].to_pylist()):
+            size = len(payload or b"")
+            np_ = min(MAX_PAGES_CAP, estimate_page_count("application/pdf", size))
+            urls.extend([url] * np_)
+            nums.extend(range(1, np_ + 1))
+            szs.extend([size] * np_)
+        m = len(urls)
+        meta = pa.StructArray.from_arrays(
+            [pa.array([""] * m, pa.string())] * 7,
             names=["engine", "mime_type", "size_bytes", "page_count",
                    "processed_at", "width", "height"],
         )
-        return pa.Table.from_arrays(
+        out_pages = pa.Table.from_arrays(
             [
-                t["url"].combine_chunks() if isinstance(t["url"], pa.ChunkedArray) else t["url"],
-                pa.array(["completed"] * n),
-                t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"],
-                empty_spans,
-                pa.compute.cast(t["page_count"], pa.int32()).combine_chunks(),
-                pa.array(["pdf"] * n),
-                pa.array([""] * n),
-                pa.array([0] * n, pa.int64()),
+                pa.array(urls, pa.string()),
+                pa.array(["pending"] * m, pa.string()),
+                pa.array([""] * m, pa.string()),
+                _empty_spans(m),
+                pa.array([0] * m, pa.int32()),
+                pa.array(["pdf"] * m, pa.string()),
+                pa.array([""] * m, pa.string()),
+                pa.array([0] * m, pa.int64()),
                 meta,
             ],
             schema=EXTRACTED_SCHEMA,
         )
+        out_pages = (
+            out_pages.append_column("page_num", pa.array(nums, pa.int32()))
+            .append_column("size_bytes", pa.array(szs, pa.int64()))
+            .append_column("part", pa.array(["pages"] * m, pa.string()))
+        )
+        return pa.concat_tables([out_light, out_pages])
 
-    heavy_out = exploded_extraction(heavy).map_batches(
-        to_extracted_schema, batch_format="pyarrow"
+
+def run_split_extraction(
+    pages_dir: str,
+    out_dir: str,
+    explode_threshold_pages: int | None = None,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    concurrency: Optional[tuple[int, int] | int] = None,
+) -> None:
+    """Skew-aware extraction with ONE streaming pass over the source.
+
+    Pass A reads+sniffs the corpus once; ``SplitRouterStage`` extracts light
+    rows inline and explodes heavy PDFs into unextracted page rows; a single
+    hive-partitioned write routes them to ``{out}/part=light`` and
+    ``{out}/part=pages``. Pass B re-reads ONLY the (tiny, skew-tail)
+    ``part=pages`` partition, extracts pages cluster-parallel, recombines
+    per url and writes ``{out}/part=heavy``. Consumers read with
+    ``read_split_output``; the intermediate ``part=pages`` doubles as a
+    page-granular checkpoint (a killed pass B can rerun from it without
+    touching the source)."""
+    import pyarrow.compute as pc
+
+    from ..stages.combine import extract_page_rows, recombine
+
+    pages = read_pages(pages_dir)
+    schema = pages.schema(fetch_if_missing=False)
+    if schema is not None and {"url", "html"} <= set(schema.names) and len(schema.names) > 2:
+        pages = pages.select_columns(["url", "html"])
+    unified = pages.map_batches(sniff_batch, batch_format="pyarrow").map_batches(
+        SplitRouterStage,
+        fn_constructor_kwargs={"explode_threshold_pages": explode_threshold_pages},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or default_concurrency(),
     )
-    return light_out.union(heavy_out)
+    unified.write_parquet(out_dir, partition_cols=["part"])
+
+    pages_part = os.path.join(out_dir, "part=pages")
+    if not os.path.isdir(pages_part):
+        return  # no heavy documents in this corpus — nothing to combine
+    page_rows = rd.read_parquet(
+        pages_part, columns=["url", "page_num", "size_bytes"]
+    )
+    combined = recombine(extract_page_rows(page_rows)).map_batches(
+        combined_rows_to_extracted, batch_format="pyarrow"
+    )
+
+    def tag_heavy(t):
+        import pyarrow as pa
+
+        n = t.num_rows
+        return (
+            t.append_column("page_num", pa.array([0] * n, pa.int32()))
+            .append_column("size_bytes", pa.array([0] * n, pa.int64()))
+            .append_column("part", pa.array(["heavy"] * n, pa.string()))
+        )
+
+    combined.map_batches(tag_heavy, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["part"]
+    )
+
+
+def read_split_output(out_dir: str) -> rd.Dataset:
+    """Final rows of a run_split_extraction output: light + combined heavy
+    (the ``part=pages`` intermediate is excluded)."""
+    drop = lambda t: t.drop_columns(["page_num", "size_bytes"])  # noqa: E731
+    out = rd.read_parquet(os.path.join(out_dir, "part=light")).map_batches(
+        drop, batch_format="pyarrow"
+    )
+    heavy_part = os.path.join(out_dir, "part=heavy")
+    if os.path.isdir(heavy_part):
+        out = out.union(
+            rd.read_parquet(heavy_part).map_batches(drop, batch_format="pyarrow")
+        )
+    return out
 
 
 def run_extraction(

@@ -9,10 +9,13 @@ backfill checkpoint/resume + idempotent skip of done content
 
   * the input is processed as named partitions (one partition = one input
     file / shard);
-  * each finished partition writes ``part-<name>.parquet`` atomically
-    (temp file + rename) plus a manifest row ``_manifest/<name>.json`` with
+  * each finished partition is written DISTRIBUTED (``ds.write_parquet`` to
+    a temp directory — blocks stream straight from the workers, the driver
+    never holds partition data) and published atomically (directory rename
+    ``part-<name>/``) plus a manifest row ``_manifest/<name>.json`` with
     counts, bytes, failures, and wall time (the per-partition lineage +
-    metrics record);
+    metrics record); row/failure counts come from the written files' footers
+    and a status-column-only scan, not from re-executing the pipeline;
   * a resumed run lists the manifest, anti-joins the partition list (J2),
     and processes only missing partitions — already-written partitions are
     byte-stable because the pipeline is deterministic.
@@ -82,13 +85,16 @@ def run_partitioned_extraction(
     pipeline_fn = pipeline_fn or extraction_pipeline
     os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
 
-    # sweep temp files from killed runs. Temp names start with '_' so parquet
-    # readers ignore them even if a crash leaves one behind mid-write.
+    # sweep temp files/dirs from killed runs. Temp names start with '_' so
+    # parquet readers ignore them even if a crash leaves one behind mid-write.
+    import shutil
+
     for d in (out_dir, os.path.join(out_dir, "_manifest")):
         for f in os.listdir(d):
             if ".tmp." in f:
+                p = os.path.join(d, f)
                 try:
-                    os.remove(os.path.join(d, f))
+                    shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
                 except OSError:
                     pass
 
@@ -102,29 +108,36 @@ def run_partitioned_extraction(
         name = _partition_name(path)
         t0 = time.time()
         ds = pipeline_fn(rd.read_parquet(path), **pipeline_kwargs)
-        tables = ds.to_arrow_refs()
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        import ray
+        import glob
 
-        parts = [t for t in ray.get(tables) if t.num_rows]
-        table = (
-            pa.concat_tables(parts) if parts else None
-        )
-        out_path = os.path.join(out_dir, f"part-{name}.parquet")
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        out_path = os.path.join(out_dir, f"part-{name}")
         tmp_path = os.path.join(out_dir, f"_part-{name}.tmp.{os.getpid()}")
+        # distributed write: blocks go worker → file, never through the driver
+        ds.write_parquet(tmp_path)
+        files = sorted(glob.glob(os.path.join(tmp_path, "*.parquet")))
         n_rows = n_failed = 0
         out_bytes = 0
-        if table is not None:
-            pq.write_table(table, tmp_path)
-            os.replace(tmp_path, out_path)  # atomic publish
-            n_rows = table.num_rows
-            n_failed = (
-                table.filter(pa.compute.equal(table["status"], "failed")).num_rows
-                if "status" in table.column_names
-                else 0
-            )
-            out_bytes = os.path.getsize(out_path)
+        for f in files:
+            meta = pq.read_metadata(f)  # footer only
+            n_rows += meta.num_rows
+            out_bytes += os.path.getsize(f)
+            if any(
+                meta.schema.column(i).name == "status"
+                for i in range(meta.num_columns)
+            ):
+                status = pq.read_table(f, columns=["status"])["status"]
+                n_failed += pc.sum(
+                    pc.cast(pc.equal(status, "failed"), "int64")
+                ).as_py() or 0
+        if n_rows:
+            if os.path.isdir(out_path):  # crash between rename and manifest row
+                shutil.rmtree(out_path)
+            os.replace(tmp_path, out_path)  # atomic publish (directory rename)
+        else:
+            shutil.rmtree(tmp_path, ignore_errors=True)
         elapsed = time.time() - t0
         manifest_row = {
             "partition": name,

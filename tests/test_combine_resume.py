@@ -69,10 +69,12 @@ def test_partitioned_resume(pages_dir, tmp_path):
     s2 = run_partitioned_extraction(pages_dir, out_dir, concurrency=2)
     assert s2["processed"] == 0 and s2["skipped"] == n_parts
 
-    # simulate a killed run: delete one manifest row + its output
+    # simulate a killed run: delete one manifest row + its output directory
+    import shutil
+
     victim = manifest[0]["partition"]
     os.remove(os.path.join(out_dir, "_manifest", f"{victim}.json"))
-    os.remove(os.path.join(out_dir, f"part-{victim}.parquet"))
+    shutil.rmtree(os.path.join(out_dir, f"part-{victim}"))
     s3 = run_partitioned_extraction(pages_dir, out_dir, concurrency=2)
     assert s3["processed"] == 1 and s3["skipped"] == n_parts - 1
     assert victim in finished_partitions(out_dir)
@@ -135,20 +137,37 @@ def test_split_pipeline_routes_both_paths_byte_identically(pages_table):
 
 
 def test_resume_cleans_stale_tmp_files(pages_dir, tmp_path):
-    """A run killed mid-write leaves a tmp part file; resume must sweep it and
-    never double-count (tmp names are '_'-prefixed so parquet readers ignore
-    them even before the sweep)."""
+    """A run killed mid-write leaves a tmp partition directory; resume must
+    sweep it and never double-count (tmp names are '_'-prefixed so parquet
+    readers ignore them even before the sweep)."""
     import glob
     import shutil
 
     out_dir = str(tmp_path / "out3")
     run_partitioned_extraction(pages_dir, out_dir, concurrency=2)
-    part = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))[0]
-    name = os.path.basename(part)[len("part-") : -len(".parquet")]
-    # simulate the kill: stale duplicate tmp + missing manifest row
-    shutil.copy(part, os.path.join(out_dir, f"_part-{name}.tmp.99999"))
+    part = sorted(glob.glob(os.path.join(out_dir, "part-*")))[0]
+    name = os.path.basename(part)[len("part-") :]
+    # simulate the kill: stale duplicate tmp dir + missing manifest row
+    shutil.copytree(part, os.path.join(out_dir, f"_part-{name}.tmp.99999"))
     os.remove(os.path.join(out_dir, "_manifest", f"{name}.json"))
     s = run_partitioned_extraction(pages_dir, out_dir, concurrency=2)
     assert s["processed"] == 1
     assert not glob.glob(os.path.join(out_dir, "*tmp*"))
+    assert rd.read_parquet(out_dir).count() == rd.read_parquet(pages_dir).count()
+
+
+def test_resume_recovers_unpublished_partition(pages_dir, tmp_path):
+    """Crash BETWEEN directory publish and manifest write: the partition dir
+    exists but no manifest row — resume must reprocess and republish it
+    without double-counting rows."""
+    import glob
+    import shutil
+
+    out_dir = str(tmp_path / "out4")
+    run_partitioned_extraction(pages_dir, out_dir, concurrency=2)
+    part = sorted(glob.glob(os.path.join(out_dir, "part-*")))[0]
+    name = os.path.basename(part)[len("part-") :]
+    os.remove(os.path.join(out_dir, "_manifest", f"{name}.json"))  # dir stays
+    s = run_partitioned_extraction(pages_dir, out_dir, concurrency=2)
+    assert s["processed"] == 1
     assert rd.read_parquet(out_dir).count() == rd.read_parquet(pages_dir).count()

@@ -83,3 +83,36 @@ def test_row_timeout_produces_failed_row():
     assert all("timeout" in r["error"].lower() for r in failed)
     ok = [r for r in out if r["status"] == "completed"]
     assert all(r["text"] == "fast enough" for r in ok)
+
+
+def test_one_pass_split_write_matches_pipeline(tmp_path):
+    """run_split_extraction (single source pass, hive-partitioned routing,
+    then a pages-only combine pass) must produce byte-identical rows to the
+    lazy two-branch split_extraction_pipeline — at both a threshold with no
+    heavy docs and one where every PDF takes the explode path."""
+    import pandas as pd
+
+    from simple_content_ocr_ray.pipelines.extract import (
+        read_pages,
+        read_split_output,
+        run_split_extraction,
+        split_extraction_pipeline,
+    )
+    from simple_content_ocr_ray.sources.synth_pages import synth_pages_parquet
+
+    pages_dir = synth_pages_parquet("/root/testdata/sf0.001")
+    cols = ["url", "status", "text", "page_count", "content_type", "error"]
+    for thr in (None, 0):
+        out = str(tmp_path / f"split_{thr}")
+        run_split_extraction(pages_dir, out, explode_threshold_pages=thr)
+        a = (
+            read_split_output(out).to_pandas()[cols]
+            .sort_values("url").reset_index(drop=True)
+        )
+        b = (
+            split_extraction_pipeline(
+                read_pages(pages_dir), explode_threshold_pages=thr
+            ).to_pandas()[cols]
+            .sort_values("url").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
