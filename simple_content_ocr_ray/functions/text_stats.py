@@ -131,7 +131,10 @@ def rolling_hash64(text: str, mod: int = (1 << 61) - 1, base: int = 257) -> int:
 
 
 def doc_rolling_fingerprint(sf_dir: str) -> rd.Dataset:
-    """Rolling-hash fingerprint (rows-only check: not SQL-expressible)."""
+    """Rolling-hash fingerprint. SQL-mirrorable on this corpus: the texts are
+    pure printable ASCII, so the byte sequence equals per-character code
+    points and DuckDB can fold the same recurrence with list_reduce over
+    HUGEINT (the oracle below)."""
     ds = _read_documents(sf_dir, ["doc_id", "text"])
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
@@ -196,6 +199,45 @@ def langid_predict(sf_dir: str) -> rd.Dataset:
     )
 
 
+#: the heuristic is SQL-expressible: per-language stopword hit counts via
+#: list_filter, argmax with first-strictly-greater-wins tie-break mirrored as
+#: an ordered CASE (en beats de beats fr beats es on ties — exactly the
+#: python dict-iteration semantics), CJK short-circuit via the same range.
+def _langid_sql() -> str:
+    def in_list(lang: str) -> str:
+        return ", ".join(f"'{w}'" for w in sorted(_LANG_PROFILES[lang]))
+
+    return f"""
+WITH h AS (
+  SELECT doc_id, text,
+    len(list_filter(string_split(lower(text), ' '), x -> x IN ({in_list('en')}))) AS en_h,
+    len(list_filter(string_split(lower(text), ' '), x -> x IN ({in_list('de')}))) AS de_h,
+    len(list_filter(string_split(lower(text), ' '), x -> x IN ({in_list('fr')}))) AS fr_h,
+    len(list_filter(string_split(lower(text), ' '), x -> x IN ({in_list('es')}))) AS es_h
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+       WHEN en_h = 0 AND de_h = 0 AND fr_h = 0 AND es_h = 0 THEN 'und'
+       WHEN en_h >= de_h AND en_h >= fr_h AND en_h >= es_h THEN 'en'
+       WHEN de_h >= fr_h AND de_h >= es_h THEN 'de'
+       WHEN fr_h >= es_h THEN 'fr'
+       ELSE 'es' END AS predicted_lang
+FROM h
+"""
+
+
+_DOC_ROLLING_FINGERPRINT_SQL = """
+SELECT doc_id,
+  CASE WHEN length(text) = 0 THEN 0
+       ELSE CAST(list_reduce(
+              list_transform(string_split(text, ''), c -> CAST(ascii(c) AS HUGEINT)),
+              (acc, x) -> (acc * 257 + x) % 2305843009213693951) AS BIGINT)
+  END AS fingerprint
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # Corpus-level aggregate: per-(lang, source) token totals
 # --------------------------------------------------------------------------
@@ -247,6 +289,7 @@ ORACLES: dict[str, str] = {
     "doc_token_stats": _DOC_TOKEN_STATS_SQL,
     "doc_quality": _DOC_QUALITY_SQL,
     "doc_fingerprint": _DOC_FINGERPRINT_SQL,
+    "doc_rolling_fingerprint": _DOC_ROLLING_FINGERPRINT_SQL,
+    "langid_predict": _langid_sql(),
     "lang_source_stats": _LANG_SOURCE_STATS_SQL,
-    # doc_rolling_fingerprint / langid_predict: rows-only (not SQL-expressible)
 }

@@ -28,6 +28,7 @@ SQL mirrors (used by __ray_entry__.oracle_sql):
 
 from __future__ import annotations
 
+import hashlib as _hashlib
 import os
 from datetime import datetime, timezone
 
@@ -169,7 +170,15 @@ def synth_pages_parquet(
     The cache is keyed by sf dir, synthesis version, and dup setting, and is
     written atomically (temp dir + rename) so concurrent/killed runs are safe.
     """
-    key = f"{os.path.basename(os.path.normpath(sf_dir))}_v{SYNTH_VERSION}_dup{duplicate_every}"
+    # the basename alone would alias two corpora at different paths that
+    # share a leaf name (e.g. /a/sf0.001 vs /b/sf0.001) — include a short
+    # digest of the normalized absolute path
+    abs_dir = os.path.abspath(os.path.normpath(sf_dir))
+    path_tag = _hashlib.blake2b(abs_dir.encode(), digest_size=4).hexdigest()
+    key = (
+        f"{os.path.basename(abs_dir)}_{path_tag}"
+        f"_v{SYNTH_VERSION}_dup{duplicate_every}"
+    )
     out_dir = os.path.join(out_root, key)
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):

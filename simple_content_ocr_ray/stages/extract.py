@@ -16,6 +16,7 @@ from typing import Any, Optional
 
 import pyarrow as pa
 
+from .. import PIN_PROCESSED_AT
 from ..reference_semantics import CONTENT_TYPE_TO_MIME, IMAGE_TYPES
 from .engines import UnsupportedTypeError, create_engine
 
@@ -80,25 +81,9 @@ class ExtractStage:
         payload_column: str = "html",
         row_timeout_s: Optional[float] = None,
     ) -> None:
-        route = dict(DEFAULT_ROUTE if route is None else route)
-        engine_config = engine_config or {}
-        # one engine instance per distinct engine, built once per actor.
-        # Route values are registry names OR factories/classes passed
-        # directly — the latter travel by value with the stage (a registry
-        # entry registered only in the driver process would be unknown in
-        # worker processes).
-        instances: dict[Any, Any] = {}
-        self._engines: dict[str, Any] = {}
-        for content_type, engine_ref in route.items():
-            if engine_ref not in instances:
-                if callable(engine_ref):
-                    cfg = engine_config.get(getattr(engine_ref, "name", ""), {})
-                    instances[engine_ref] = engine_ref(**cfg)
-                else:
-                    instances[engine_ref] = create_engine(
-                        engine_ref, **engine_config.get(engine_ref, {})
-                    )
-            self._engines[content_type] = instances[engine_ref]
+        self._route = dict(DEFAULT_ROUTE if route is None else route)
+        self._engine_config = engine_config or {}
+        self._build_engines()
         self.payload_column = payload_column
         # Straggler guard (the reference declares per-job/request timeouts —
         # config.py:65-68,134-137 — but never enforces them): when set, each
@@ -109,6 +94,37 @@ class ExtractStage:
         # hang teardown on a truly stuck call). Ray actor UDFs run off the
         # main thread, so signal-based watchdogs are not an option.
         self.row_timeout_s = row_timeout_s
+
+    def _make_engine(self, engine_ref):
+        if callable(engine_ref):
+            cfg = self._engine_config.get(getattr(engine_ref, "name", ""), {})
+            return engine_ref(**cfg)
+        return create_engine(engine_ref, **self._engine_config.get(engine_ref, {}))
+
+    def _build_engines(self) -> None:
+        # one engine instance per distinct engine, built once per actor.
+        # Route values are registry names OR factories/classes passed
+        # directly — the latter travel by value with the stage (a registry
+        # entry registered only in the driver process would be unknown in
+        # worker processes).
+        instances: dict[Any, Any] = {}
+        self._engines: dict[str, Any] = {}
+        for content_type, engine_ref in self._route.items():
+            if engine_ref not in instances:
+                instances[engine_ref] = self._make_engine(engine_ref)
+            self._engines[content_type] = instances[engine_ref]
+
+    def _rebuild_engine(self, ctype: str) -> None:
+        """Replace the engine serving ``ctype`` (and every content type
+        sharing the same instance) with a fresh one — used after a row
+        timeout abandons a thread that may still mutate the old instance."""
+        engine_ref = self._route.get(ctype)
+        if engine_ref is None:
+            return
+        fresh = self._make_engine(engine_ref)
+        for ct, ref in self._route.items():
+            if ref == engine_ref:
+                self._engines[ct] = fresh
 
     def _timed_extract(self, engine, url, payload, ctype):
         import threading
@@ -177,10 +193,20 @@ class ExtractStage:
             except Exception as exc:  # noqa: BLE001 — poison rows must not kill the block
                 status[i] = "failed"
                 error[i] = str(exc)
+                # full parity with reference_semantics.extract_row's failure
+                # record (engine stays ""): page_count "1" + pinned timestamp
                 md = {
                     "mime_type": CONTENT_TYPE_TO_MIME.get(ctype, "application/octet-stream"),
                     "size_bytes": str(len(payload)),
+                    "page_count": "1",
+                    "processed_at": PIN_PROCESSED_AT,
                 }
+                if isinstance(exc, RowTimeoutError):
+                    # the abandoned watchdog thread may still be running
+                    # engine.extract() and mutating the (stateful) engine —
+                    # rebuild every engine sharing that instance so later
+                    # rows never see corrupted state
+                    self._rebuild_engine(ctype)
             span_offsets.append(len(span_starts))
             for k in _META_KEYS:
                 v = md.get(k)

@@ -47,7 +47,9 @@ def test_explode_path_caps_pages():
 
 def test_row_timeout_produces_failed_row():
     """A hung engine call becomes a failed ROW (straggler guard), not a hung
-    task — SIGALRM-armed inside the actor."""
+    task — a daemon watchdog thread enforces the deadline (Ray actor UDFs run
+    off the main thread, so SIGALRM is not available), and the stage rebuilds
+    the engine afterwards because the abandoned thread may still mutate it."""
     from simple_content_ocr_ray.stages.engines import EngineResult, register_engine
 
     class SlowEngine:
@@ -116,3 +118,40 @@ def test_one_pass_split_write_matches_pipeline(tmp_path):
             .sort_values("url").reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_engine_instance_rebuilt_after_timeout():
+    """After a row timeout the stage must swap in a fresh engine instance —
+    the abandoned watchdog thread may still be mutating the old one."""
+    import time as _time
+
+    from simple_content_ocr_ray.stages.engines import EngineResult
+    from simple_content_ocr_ray.stages.extract import ExtractStage
+
+    class HangOnce:
+        calls = 0
+
+        def extract(self, url, payload, content_type):
+            HangOnce.calls += 1
+            if HangOnce.calls == 1:
+                _time.sleep(1.0)
+            return EngineResult(text="ok")
+
+    stage = ExtractStage(route={"html": HangOnce}, row_timeout_s=0.2)
+    before = id(stage._engines["html"])
+    batch = pa.table(
+        {
+            "url": pa.array(["u1", "u2"]),
+            "html": pa.array([b"x", b"y"], pa.binary()),
+            "content_type": pa.array(["html", "html"]),
+        }
+    )
+    out = stage(batch).to_pylist()
+    assert out[0]["status"] == "failed" and "timeout" in out[0]["error"].lower()
+    assert out[1]["status"] == "completed"
+    assert id(stage._engines["html"]) != before
+    # failure metadata parity: pinned timestamp + page_count present
+    from simple_content_ocr_ray import PIN_PROCESSED_AT
+
+    assert out[0]["metadata"]["processed_at"] == PIN_PROCESSED_AT
+    assert out[0]["metadata"]["page_count"] == "1"
