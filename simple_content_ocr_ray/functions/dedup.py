@@ -297,46 +297,55 @@ _EMPTY_PAIRS = lambda: pd.DataFrame(  # noqa: E731
     {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
 )
 
-#: pair_filter(group_rows, ia, ib) -> bool mask; group_rows is the bucket's
-#: rows deduped by doc_id and sorted, ia/ib are positional pair indices.
+#: pair_filter(rows, ia, ib) -> bool mask over pairs; ``rows`` is the
+#: (deduped, bucket-sorted) frame of exploded rows, ia/ib are positional
+#: row indices of each pair's two sides — verification is VECTORIZED over
+#: every candidate pair at once, never a per-group python call.
 PairFilter = Callable[[pd.DataFrame, np.ndarray, np.ndarray], np.ndarray]
-
-
-def _group_pairs(
-    g: pd.DataFrame, pair_filter: Optional[PairFilter]
-) -> tuple[np.ndarray, np.ndarray]:
-    g = g.drop_duplicates("doc_id").sort_values("doc_id")
-    n = len(g)
-    if n < 2:
-        z = np.zeros(0, dtype=np.int64)
-        return z, z
-    ia, ib = np.triu_indices(n, k=1)
-    if pair_filter is not None:
-        keep = pair_filter(g, ia, ib)
-        ia, ib = ia[keep], ib[keep]
-    ids = g["doc_id"].to_numpy()
-    return ids[ia], ids[ib]
 
 
 def _pairs_from_df(
     df: pd.DataFrame, key: str, pair_filter: Optional[PairFilter]
 ) -> pd.DataFrame:
-    # singleton buckets (the vast majority) can't form pairs — drop them
-    # vectorized so the python pair loop only ever sees multi-doc buckets
+    """All (doc_a < doc_b) pairs co-bucketed by ``key``, ragged-triu
+    vectorized: one lexsort, group sizes via bincount, then a closed-form
+    rank→(i, j) unranking — no per-group pandas objects (a python loop over
+    ~10^5 near-singleton buckets costs tens of seconds; this is ~100 ms)."""
+    # singleton buckets (the vast majority) can't form pairs — drop them first
+    df = df.drop_duplicates([key, "doc_id"])
     df = df[df.duplicated(key, keep=False)]
-    a_out: list[np.ndarray] = []
-    b_out: list[np.ndarray] = []
-    for _, g in df.groupby(key, sort=False):
-        a, b = _group_pairs(g, pair_filter)
-        if len(a):
-            a_out.append(a)
-            b_out.append(b)
-    if not a_out:
+    if df.empty:
+        return _EMPTY_PAIRS()
+    order = np.lexsort((df["doc_id"].to_numpy(), df[key].to_numpy()))
+    df = df.iloc[order].reset_index(drop=True)
+    b = df[key].to_numpy()
+    d = df["doc_id"].to_numpy()
+    newgrp = np.r_[True, b[1:] != b[:-1]]
+    gid = np.cumsum(newgrp) - 1
+    counts = np.bincount(gid)
+    starts = np.cumsum(counts) - counts
+    P = counts * (counts - 1) // 2
+    total = int(P.sum())
+    if total == 0:
+        return _EMPTY_PAIRS()
+    nz = P > 0
+    Pg, Sg = P[nz], starts[nz]
+    gix = np.repeat(np.arange(len(Pg)), Pg)
+    r = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(Pg) - Pg, Pg)
+    # unrank r -> (i, j), i < j: j = max m with m*(m-1)/2 <= r, i = r - tri(j)
+    j = np.floor((1.0 + np.sqrt(1.0 + 8.0 * r)) / 2.0).astype(np.int64)
+    j[j * (j - 1) // 2 > r] -= 1  # float-precision guards
+    j[(j + 1) * j // 2 <= r] += 1
+    i = r - j * (j - 1) // 2
+    ia = Sg[gix] + i
+    ib = Sg[gix] + j
+    if pair_filter is not None:
+        keep = pair_filter(df, ia, ib)
+        ia, ib = ia[keep], ib[keep]
+    if not len(ia):
         return _EMPTY_PAIRS()
     return (
-        pd.DataFrame(
-            {"doc_a": np.concatenate(a_out), "doc_b": np.concatenate(b_out)}
-        )
+        pd.DataFrame({"doc_a": d[ia], "doc_b": d[ib]})
         .drop_duplicates()
         .reset_index(drop=True)
     )
@@ -374,10 +383,7 @@ def _pairs_from_groups(
         return _pairs_from_df(shrunk.to_pandas(), key, pair_filter)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        a, b = _group_pairs(g, pair_filter)
-        if not len(a):
-            return _EMPTY_PAIRS()
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
+        return _pairs_from_df(g, key, pair_filter)
 
     cand = shrunk.groupby(key).map_groups(pairs, batch_format="pandas")
     # distributed dedup of cross-bucket repeats: per-batch drop_duplicates,
@@ -391,10 +397,12 @@ def _pairs_from_groups(
 # Pair-keyed distributed exact-Jaccard verification
 # --------------------------------------------------------------------------
 
-#: above this many candidate pairs the text side is NOT semi-filtered by a
-#: broadcast id set (the set itself would be the driver bottleneck); the hash
-#: join shuffles the full corpus text instead — still no driver state.
-VERIFY_BROADCAST_MAX_PAIRS = 2_000_000
+#: candidate sets at or below this size verify via two map-side BROADCAST
+#: joins (the pair list, then the pair list + one text column, are the
+#: broadcast sides — driver footprint is bounded by this threshold, ~100 MB
+#: worst case). Above it, verification switches to the pair-keyed hash-join
+#: topology with zero driver state.
+VERIFY_BROADCAST_MAX_PAIRS = 200_000
 
 
 def _verify_pairs(
@@ -403,18 +411,48 @@ def _verify_pairs(
     tau: float,
     num_partitions: int = 8,
 ) -> pd.DataFrame:
-    """Exact-Jaccard verify of candidate pairs, pair-keyed and distributed:
-    two hash joins attach each side's text to the pair row, then a
-    map_batches computes exact shingle Jaccard per pair (per-batch memo so a
-    doc's shingle set is built once per batch). The driver only receives the
-    FINAL verified pairs — the query output itself."""
+    """Exact-Jaccard verify of candidate pairs, pair-keyed and distributed.
+
+    Two topologies, picked by candidate volume:
+
+    * ``<= VERIFY_BROADCAST_MAX_PAIRS`` — two map-side broadcast joins: the
+      pair list is broadcast against the streaming corpus to pick up
+      ``text_a`` (output bounded by the pair count), then that intermediate
+      is broadcast for ``text_b``. No shuffle at all; driver footprint is
+      bounded by the threshold, never the corpus.
+    * larger (or a Dataset of candidates) — two hash joins attach each
+      side's text to the pair row; zero driver state.
+
+    Either way a map_batches computes exact shingle Jaccard per pair (with a
+    per-batch memo so a doc's shingle set is built once per batch) and the
+    driver only receives the FINAL verified pairs — the query output itself.
+    """
+    from .agg import broadcast_merge
+
     if isinstance(cand, pd.DataFrame):
         if cand.empty:
             return _EMPTY_PAIRS()
-        needed = set(cand["doc_a"]) | set(cand["doc_b"])
         if len(cand) <= VERIFY_BROADCAST_MAX_PAIRS:
-            # shrink the join's build side: only candidate docs' texts
-            corpus = broadcast_semi_filter(corpus, needed, "doc_id")
+            j1 = broadcast_merge(
+                corpus,
+                cand.rename(columns={"doc_a": "doc_id"}),
+                left_on="doc_id",
+                right_on="doc_id",
+            ).map_batches(
+                lambda d: d.rename(columns={"doc_id": "doc_a", "text": "text_a"}),
+                batch_format="pandas",
+            )
+            j1df = j1.to_pandas()  # bounded: pairs + one text column
+            j = broadcast_merge(
+                corpus,
+                j1df.rename(columns={"doc_b": "doc_id"}),
+                left_on="doc_id",
+                right_on="doc_id",
+            ).map_batches(
+                lambda d: d.rename(columns={"doc_id": "doc_b", "text": "text_b"}),
+                batch_format="pandas",
+            )
+            return _finish_verify(j, tau)
         cand_ds: rd.Dataset = rd.from_pandas(cand)
     else:
         cand_ds = cand
@@ -427,17 +465,24 @@ def _verify_pairs(
         lambda d: d.rename(columns={"doc_id": "doc_b", "text": "text_b"}),
         batch_format="pandas",
     )
-    # two concurrent hash-join operators can deadlock on a small cluster (both
-    # aggregator pools + map tasks contend for the same CPUs) — bound the
-    # partition count by the cluster and run the joins back-to-back. The
-    # pinned intermediate is pairs+one text column, bounded by the candidate
-    # count, not the corpus.
-    num_partitions = max(2, min(num_partitions, int(ray.cluster_resources().get("CPU", num_partitions))))
+    # two CONCURRENT hash-join operators can deadlock on a small cluster
+    # (both aggregator pools + shuffle map tasks contend for the same few
+    # CPUs) — there, bound the partition count and run the joins
+    # back-to-back (the pinned intermediate is pairs+one text column,
+    # bounded by the candidate count, not the corpus). With CPU headroom the
+    # chained pipeline streams both joins concurrently.
+    cpus = int(ray.cluster_resources().get("CPU", num_partitions))
+    num_partitions = max(2, min(num_partitions, cpus))
     j1 = cand_ds.join(
         a_side, join_type="inner", num_partitions=num_partitions, on=("doc_a",)
-    ).materialize()
+    )
+    if cpus < 16:
+        j1 = j1.materialize()
     j = j1.join(b_side, join_type="inner", num_partitions=num_partitions, on=("doc_b",))
+    return _finish_verify(j, tau)
 
+
+def _finish_verify(j: rd.Dataset, tau: float) -> pd.DataFrame:
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         memo: dict[int, set] = {}
 
