@@ -61,7 +61,11 @@ def extraction_pipeline(
     if schema is not None:
         names = schema.names
         if "url" in names and payload_col in names and len(names) > 2:
-            pages = pages.select_columns(["url", payload_col])
+            keep = ["url", payload_col]
+            if "hints" in names:  # per-row job hints ride along to the stage
+                keep.append("hints")
+            if set(keep) != set(names):
+                pages = pages.select_columns(keep)
     ds = pages.map_batches(sniff_batch, batch_format="pyarrow")
     ds = ds.map_batches(
         ExtractStage,

@@ -117,12 +117,24 @@ class ImageDecodeEngine:
     """
 
     name = "image-decode-stub"
+    #: opts into per-row job hints (spec.md:181-186): a ``resolution`` hint
+    #: caps the decode target the way the real engine would resize to
+    #: resolution×resolution (reference default 640 applies to the raster
+    #: path only — without a hint the stub keeps its size-derived dims so
+    #: the no-hints output is unchanged).
+    accepts_hints = True
 
     def __init__(self, processed_at: str = PIN_PROCESSED_AT, strict: bool = False) -> None:
         self.processed_at = processed_at
         self.strict = strict
 
-    def extract(self, url: str, payload: bytes, content_type: str) -> EngineResult:
+    def extract(
+        self,
+        url: str,
+        payload: bytes,
+        content_type: str,
+        hints: dict[str, str] | None = None,
+    ) -> EngineResult:
         if self.strict:
             raise NotImplementedError(
                 "image decode requires PIL; not available in this environment"
@@ -131,6 +143,12 @@ class ImageDecodeEngine:
         # Deterministic fake dimensions derived from payload size.
         width = 64 + (size % 1024)
         height = 64 + ((size // 2) % 1024)
+        if hints and "resolution" in hints:
+            try:
+                res = int(hints["resolution"])
+                width, height = min(width, res), min(height, res)
+            except ValueError:
+                pass  # unknown hint values are ignored, never a failure
         return EngineResult(
             text="",
             page_count=1,

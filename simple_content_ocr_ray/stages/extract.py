@@ -60,6 +60,36 @@ class RowTimeoutError(Exception):
     pass
 
 
+def parse_hints(raw: Optional[str]) -> dict[str, str]:
+    """Per-row job hints (reference job-processing spec,
+    openspec/changes/add-ocr-processing-capability/specs/job-processing/
+    spec.md:181-202): ``resolution`` / ``force`` / ``output_format`` /
+    ``timeout_seconds``. Accepts ``k=v,k=v`` or a JSON object string; unknown
+    hints are RETAINED but never cause a failure (forward compatibility), and
+    malformed hint strings parse to the empty dict for the same reason."""
+    if not raw:
+        return {}
+    raw = raw.strip()
+    try:
+        if raw.startswith("{"):
+            import json
+
+            d = json.loads(raw)
+            return {str(k): str(v) for k, v in d.items()}
+        out: dict[str, str] = {}
+        for part in raw.split(","):
+            if "=" in part:
+                k, v = part.split("=", 1)
+                out[k.strip()] = v.strip()
+        return out
+    except Exception:  # noqa: BLE001 — malformed hints must not fail the row
+        return {}
+
+
+def hint_truthy(v: Optional[str]) -> bool:
+    return (v or "").strip().lower() in ("1", "true", "yes", "on")
+
+
 _META_KEYS = (
     "engine",
     "mime_type",
@@ -126,7 +156,15 @@ class ExtractStage:
             if ref == engine_ref:
                 self._engines[ct] = fresh
 
-    def _timed_extract(self, engine, url, payload, ctype):
+    @staticmethod
+    def _call_engine(engine, url, payload, ctype, hints):
+        # hints reach only engines that declare support — every other engine
+        # keeps the reference BaseOCREngine signature
+        if hints and getattr(engine, "accepts_hints", False):
+            return engine.extract(url, payload, ctype, hints=hints)
+        return engine.extract(url, payload, ctype)
+
+    def _timed_extract(self, engine, url, payload, ctype, timeout_s, hints):
         import threading
 
         result: list = []
@@ -134,16 +172,16 @@ class ExtractStage:
 
         def run() -> None:
             try:
-                result.append(engine.extract(url, payload, ctype))
+                result.append(self._call_engine(engine, url, payload, ctype, hints))
             except BaseException as exc:  # noqa: BLE001 — relayed to caller
                 err.append(exc)
 
         t = threading.Thread(target=run, daemon=True)
         t.start()
-        t.join(self.row_timeout_s)
+        t.join(timeout_s)
         if t.is_alive():
             raise RowTimeoutError(
-                f"Processing timeout after {self.row_timeout_s}s"
+                f"Processing timeout after {timeout_s}s"
             )
         if err:
             raise err[0]
@@ -153,6 +191,9 @@ class ExtractStage:
         urls = batch["url"].to_pylist()
         payloads = batch[self.payload_column].to_pylist()
         ctypes = batch["content_type"].to_pylist()
+        hints_raw = (
+            batch["hints"].to_pylist() if "hints" in batch.column_names else None
+        )
 
         n = len(urls)
         status = [""] * n
@@ -178,10 +219,19 @@ class ExtractStage:
                 if engine is None:
                     mime = CONTENT_TYPE_TO_MIME.get(ctype, "application/octet-stream")
                     raise UnsupportedTypeError(f"Unsupported document type: {mime}")
-                if self.row_timeout_s:
-                    res = self._timed_extract(engine, urls[i], payload, ctype)
+                hints = parse_hints(hints_raw[i]) if hints_raw else {}
+                timeout_s = self.row_timeout_s
+                if "timeout_seconds" in hints:
+                    try:
+                        timeout_s = float(hints["timeout_seconds"])
+                    except ValueError:
+                        pass  # unknown/malformed hint values never fail a row
+                if timeout_s:
+                    res = self._timed_extract(
+                        engine, urls[i], payload, ctype, timeout_s, hints
+                    )
                 else:
-                    res = engine.extract(urls[i], payload, ctype)
+                    res = self._call_engine(engine, urls[i], payload, ctype, hints)
                 status[i] = "completed"
                 text[i] = res.text
                 page_count[i] = res.page_count

@@ -72,6 +72,7 @@ def run_partitioned_extraction(
     pages_dir: str,
     out_dir: str,
     pipeline_fn=None,
+    force: bool = False,
     **pipeline_kwargs: Any,
 ) -> dict[str, Any]:
     """Process every unfinished input partition; returns a summary.
@@ -79,6 +80,11 @@ def run_partitioned_extraction(
     ``pipeline_fn(dataset, **kwargs) -> dataset`` defaults to the standard
     extraction pipeline. Idempotent: re-running after a kill skips finished
     partitions (identified via the manifest) and rewrites partials atomically.
+
+    ``force=True`` is the job-level ``force`` hint (reference job-processing
+    spec.md:187-190): existing derived output is ignored and every partition
+    is reprocessed/republished. (Resume granularity here is the partition,
+    so force is a run-level switch, not per-row.)
     """
     from ..pipelines.extract import extraction_pipeline
 
@@ -98,7 +104,7 @@ def run_partitioned_extraction(
                 except OSError:
                     pass
 
-    done = finished_partitions(out_dir)
+    done = set() if force else finished_partitions(out_dir)
     todo = [
         p for p in list_input_partitions(pages_dir) if _partition_name(p) not in done
     ]
