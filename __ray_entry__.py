@@ -35,9 +35,15 @@ def _registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
     for mod in (extract_queries, relational):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
-    from simple_content_ocr_ray.functions import dedup, similarity, text_stats, window
+    from simple_content_ocr_ray.functions import (
+        corpus_ops,
+        dedup,
+        similarity,
+        text_stats,
+        window,
+    )
 
-    for mod in (dedup, similarity, text_stats, window):
+    for mod in (corpus_ops, dedup, similarity, text_stats, window):
         queries.update(getattr(mod, "QUERIES", {}))
         oracles.update(getattr(mod, "ORACLES", {}))
     return queries, oracles

@@ -1,0 +1,276 @@
+"""Corpus-level training-data operators beyond per-row transforms:
+
+* ``near_dup_components`` — connected components over the near-duplicate
+  pair graph (the step a real dedup pipeline needs AFTER pair mining: a
+  cluster → keeper assignment, not just pairs). Adaptive: union-find over
+  the bounded pair list when it fits, distributed min-label propagation
+  (join + grouped-min per round, converging in graph-diameter rounds) above
+  the threshold.
+* ``lang_top_tokens`` — per-language heavy hitters (vocabulary head) via
+  per-batch token explosion + partial counts; the all-to-all only ever sees
+  distinct (lang, token) partials.
+* ``doc_split_assign`` — deterministic content-hash train/val split (the
+  reproducible, join-free way to split a 10^12-doc corpus: no global
+  sampling state, any worker can recompute a row's split).
+
+All three have exact DuckDB oracles (connected components via a recursive
+CTE over the same exact-Jaccard edge set).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+from .agg import grouped_aggregate
+from .dedup import _NEAR_PAIRS_SQL, minhash_lsh_pairs, near_dup_corpus
+
+# --------------------------------------------------------------------------
+# Connected components over the near-dup graph
+# --------------------------------------------------------------------------
+
+#: pair lists at or below this size resolve components with driver
+#: union-find (bounded by the MINED PAIR count — the operator's own output
+#: scale, not the corpus); larger graphs use distributed label propagation.
+COMPONENTS_SMALL_MAX_EDGES = 5_000_000
+LABEL_PROP_MAX_ITERS = 64
+
+
+def _union_find_labels(pairs: pd.DataFrame) -> dict[int, int]:
+    """node → min-member-id of its component, for nodes appearing in edges."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # union-by-min keeps labels minimal
+    return {n: find(n) for n in parent}
+
+
+def _components_label_propagation(
+    nodes: rd.Dataset, pairs: rd.Dataset | pd.DataFrame, num_partitions: int = 8
+) -> rd.Dataset:
+    """Distributed min-label propagation: each round joins directed edges to
+    current labels and takes the per-node minimum; labels only decrease, so
+    the sum of labels is a convergence witness. Rounds = graph diameter."""
+    if isinstance(pairs, pd.DataFrame):
+        pairs = rd.from_pandas(pairs)
+    edges = pairs.map_batches(
+        lambda d: pd.concat(
+            [
+                d.rename(columns={"doc_a": "src", "doc_b": "dst"}),
+                d.rename(columns={"doc_a": "dst", "doc_b": "src"}),
+            ]
+        )[["src", "dst"]],
+        batch_format="pandas",
+    ).materialize()
+    num_partitions = max(
+        2, min(num_partitions, int(ray.cluster_resources().get("CPU", num_partitions)))
+    )
+
+    labels = nodes.map_batches(
+        lambda d: pd.DataFrame(
+            {"node": d["doc_id"], "label": d["doc_id"]}
+        ),
+        batch_format="pandas",
+    ).materialize()
+    prev_sum = None
+    for _ in range(LABEL_PROP_MAX_ITERS):
+        msgs = edges.join(
+            labels,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src",),
+            right_on=("node",),
+        ).map_batches(
+            lambda d: d.rename(columns={"dst": "node"})[["node", "label"]],
+            batch_format="pandas",
+        )
+        labels = grouped_aggregate(
+            labels.union(msgs), ["node"], {"label": ("label", "min")}
+        ).materialize()
+        s = labels.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels.map_batches(
+        lambda d: pd.DataFrame(
+            {
+                "doc_id": d["node"].astype("int64"),
+                "component": d["label"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def near_dup_components(
+    sf_dir: str, small_max_edges: int = COMPONENTS_SMALL_MAX_EDGES
+) -> pd.DataFrame:
+    """(doc_id, component) over the twin-augmented corpus, where component =
+    the minimum doc_id reachable through exact-Jaccard ≥ τ near-duplicate
+    pairs (mined by the MinHash pipeline — oracle-identical to the SQL edge
+    set). Docs in no pair are their own component."""
+    pairs = minhash_lsh_pairs(sf_dir)
+    corpus = near_dup_corpus(sf_dir)
+    if len(pairs) <= small_max_edges:
+        labels = _union_find_labels(pairs)
+        ref = ray.put(labels)
+
+        class Assign:
+            def __init__(self) -> None:
+                self.labels = ray.get(ref)
+
+            def __call__(self, d: pd.DataFrame) -> pd.DataFrame:
+                ids = d["doc_id"].astype("int64")
+                return pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "component": [
+                            self.labels.get(int(i), int(i)) for i in ids
+                        ],
+                    }
+                ).astype({"component": "int64"})
+
+        out = corpus.map_batches(
+            Assign, batch_format="pandas", concurrency=(1, 4)
+        ).to_pandas()
+    else:
+        out = _components_label_propagation(
+            corpus.select_columns(["doc_id"]), pairs
+        ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_NEAR_DUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT * FROM ({_NEAR_PAIRS_SQL}) q
+), corpus AS (
+  SELECT doc_id FROM documents WHERE length(trim(text)) > 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id
+  FROM documents
+  WHERE doc_id % 5 = 0 AND len(string_split(text,' ')) >= 12
+), edges AS (
+  SELECT doc_a AS s, doc_b AS t FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS t FROM pairs
+), reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT e.t, r.lbl FROM reach r JOIN edges e ON e.s = r.node
+)
+SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-language heavy hitters (vocabulary head)
+# --------------------------------------------------------------------------
+
+TOP_TOKENS_K = 10
+
+
+def lang_top_tokens(sf_dir: str, k: int = TOP_TOKENS_K) -> pd.DataFrame:
+    """Top-k tokens per language by occurrence count (ties broken by token).
+    Token explosion happens inside the partial-aggregate stage, so the
+    shuffle sees one (lang, token) partial per batch, not every occurrence."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
+    )
+
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        return pd.DataFrame(
+            {
+                "lang": df["lang"].repeat(toks.str.len()).to_numpy(),
+                "token": np.concatenate(toks.to_numpy()),
+            }
+        )
+
+    counts = grouped_aggregate(
+        ds, ["lang", "token"], {"n": (None, "count")}, prepare=prepare
+    ).to_pandas()  # bounded: |langs| × |vocabulary|
+    counts["n"] = counts["n"].astype("int64")
+    counts = counts.sort_values(
+        ["lang", "n", "token"], ascending=[True, False, True], kind="mergesort"
+    )
+    counts["rk"] = counts.groupby("lang", sort=False).cumcount() + 1
+    out = counts[counts["rk"] <= k].reset_index(drop=True)
+    out["rk"] = out["rk"].astype("int64")
+    return out[["lang", "token", "n", "rk"]]
+
+
+_LANG_TOP_TOKENS_SQL = f"""
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+), c AS (
+  SELECT lang, token, COUNT(*) AS n FROM tok GROUP BY 1, 2
+), r AS (
+  SELECT lang, token, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rk
+  FROM c
+)
+SELECT lang, token, n, rk FROM r WHERE rk <= {TOP_TOKENS_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# Deterministic content-hash train/val split
+# --------------------------------------------------------------------------
+
+#: first md5 byte < 0x1a → val (26/256 ≈ 10.2%). Pure function of doc_id:
+#: reproducible on any worker with no global sampling state.
+VAL_HEX_CUTOFF = "1a"
+
+
+def doc_split_assign(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        splits = [
+            "val"
+            if hashlib.md5(str(int(d)).encode()).hexdigest()[:2] < VAL_HEX_CUTOFF
+            else "train"
+            for d in df["doc_id"]
+        ]
+        return pd.DataFrame({"doc_id": df["doc_id"], "split": splits})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+_DOC_SPLIT_ASSIGN_SQL = f"""
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{VAL_HEX_CUTOFF}'
+            THEN 'val' ELSE 'train' END AS split
+FROM documents
+"""
+
+
+QUERIES: dict[str, Callable[[str], object]] = {
+    "near_dup_components": near_dup_components,
+    "lang_top_tokens": lang_top_tokens,
+    "doc_split_assign": doc_split_assign,
+}
+
+ORACLES: dict[str, str] = {
+    "near_dup_components": _NEAR_DUP_COMPONENTS_SQL,
+    "lang_top_tokens": _LANG_TOP_TOKENS_SQL,
+    "doc_split_assign": _DOC_SPLIT_ASSIGN_SQL,
+}
