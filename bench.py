@@ -184,6 +184,10 @@ def run_headline() -> dict:
             "user_sessions",
             "dedup_exact_docs",
             "minhash_lsh_pairs",
+            "ngram_jaccard_pairs",
+            "simhash_pairs",
+            "near_dup_components",
+            "embedding_dup_pairs",
             "ann_topk",
             "doc_token_stats",
         ):

@@ -2,7 +2,8 @@
 (examples/test_local_file.py:230-286) and worker main
 (workers/nats_worker.py:305-338):
 
-  python -m simple_content_ocr_ray extract  <pages_dir> <out_dir> [--resume]
+  python -m simple_content_ocr_ray extract  <pages_dir> <out_dir>
+      [--resume [--force]] [--split-failed] [--split-skew]
   python -m simple_content_ocr_ray synth    <sf_dir> [--dup N]
   python -m simple_content_ocr_ray engines
 
@@ -28,6 +29,23 @@ def main(argv: list[str] | None = None) -> int:
         "--resume",
         action="store_true",
         help="partition-granular resumable mode (manifest checkpoint)",
+    )
+    p_ex.add_argument(
+        "--force",
+        action="store_true",
+        help="with --resume: ignore existing output, reprocess every partition "
+        "(the job-level force hint)",
+    )
+    p_ex.add_argument(
+        "--split-failed",
+        action="store_true",
+        help="hive-partition output by status (DLQ layout: status=failed/)",
+    )
+    p_ex.add_argument(
+        "--split-skew",
+        action="store_true",
+        help="one-source-pass skew split: light rows extracted inline, heavy "
+        "PDFs exploded via part=pages and recombined to part=heavy",
     )
     p_ex.add_argument("--num-cpus", type=int, default=None)
 
@@ -69,12 +87,19 @@ def main(argv: list[str] | None = None) -> int:
         if args.resume:
             from .state.manifest import run_partitioned_extraction
 
-            summary = run_partitioned_extraction(args.pages_dir, args.out_dir)
+            summary = run_partitioned_extraction(
+                args.pages_dir, args.out_dir, force=args.force
+            )
             print(json.dumps(summary))
+        elif args.split_skew:
+            from .pipelines.extract import run_split_extraction
+
+            run_split_extraction(args.pages_dir, args.out_dir)
+            print(json.dumps({"out_dir": args.out_dir, "layout": "part=light|pages|heavy"}))
         else:
             from .pipelines.extract import run_extraction
 
-            run_extraction(args.pages_dir, args.out_dir)
+            run_extraction(args.pages_dir, args.out_dir, split_failed=args.split_failed)
             print(json.dumps({"out_dir": args.out_dir}))
     finally:
         ray.shutdown()

@@ -339,6 +339,15 @@ def _pairs_from_df(
     i = r - j * (j - 1) // 2
     ia = Sg[gix] + i
     ib = Sg[gix] + j
+    # a pair co-bucketed in many bands appears once per band — dedup BEFORE
+    # the (possibly expensive) pair filter so each distinct pair is verified
+    # once; payload columns are functional on doc_id, so any representative
+    # row serves
+    pairs_struct = np.empty(len(ia), dtype=[("a", np.int64), ("b", np.int64)])
+    pairs_struct["a"] = d[ia]
+    pairs_struct["b"] = d[ib]
+    _, keep_idx = np.unique(pairs_struct, return_index=True)
+    ia, ib = ia[keep_idx], ib[keep_idx]
     if pair_filter is not None:
         keep = pair_filter(df, ia, ib)
         ia, ib = ia[keep], ib[keep]
@@ -346,7 +355,7 @@ def _pairs_from_df(
         return _EMPTY_PAIRS()
     return (
         pd.DataFrame({"doc_a": d[ia], "doc_b": d[ib]})
-        .drop_duplicates()
+        .sort_values(["doc_a", "doc_b"])
         .reset_index(drop=True)
     )
 

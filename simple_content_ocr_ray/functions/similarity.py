@@ -293,7 +293,18 @@ def embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
     def cosine_ok(g: pd.DataFrame, ia: np.ndarray, ib: np.ndarray) -> np.ndarray:
         M = _emb_matrix(g)
         Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-        return (Mn[ia] * Mn[ib]).sum(axis=1) >= DUP_TAU
+        # chunked einsum: one big fancy-index gather materializes
+        # |pairs|×dim twice, which is memory-bandwidth-bound (~20× slower
+        # than this on a throttled container); per-chunk gathers stay cache
+        # resident
+        out = np.empty(len(ia), dtype=bool)
+        step = 65536
+        for s in range(0, len(ia), step):
+            e = min(s + step, len(ia))
+            out[s:e] = (
+                np.einsum("ij,ij->i", Mn[ia[s:e]], Mn[ib[s:e]]) >= DUP_TAU
+            )
+        return out
 
     exploded = corpus.map_batches(band_rows, batch_format="pandas")
     out = _pairs_from_groups(
