@@ -202,9 +202,20 @@ def lang_top_tokens(sf_dir: str, k: int = TOP_TOKENS_K) -> pd.DataFrame:
             }
         )
 
-    counts = grouped_aggregate(
+    counts_ds = grouped_aggregate(
         ds, ["lang", "token"], {"n": (None, "count")}, prepare=prepare
-    ).to_pandas()  # bounded: |langs| × |vocabulary|
+    )
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["lang", "n", "token"], ascending=[True, False, True], kind="mergesort"
+        )
+        return df.groupby("lang", sort=False).head(k)
+
+    # per-batch prune before the driver merge: global counts are already one
+    # row per (lang, token), so local-topk-then-final-topk is exact and the
+    # driver sees ≤ batches × |langs| × k rows — never the full vocabulary
+    counts = counts_ds.map_batches(local_topk, batch_format="pandas").to_pandas()
     counts["n"] = counts["n"].astype("int64")
     counts = counts.sort_values(
         ["lang", "n", "token"], ascending=[True, False, True], kind="mergesort"

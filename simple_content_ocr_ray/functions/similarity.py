@@ -26,7 +26,7 @@ import pandas as pd
 import ray
 import ray.data as rd
 
-from .agg import round_half_away
+from .agg import grouped_aggregate, round_half_away
 
 N_QUERIES = 8
 TOP_K = 10
@@ -335,43 +335,46 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+def _embedding_dim(sf_dir: str) -> int:
+    """Vector width from the first row of the first row group (no full scan)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    return len(first["embedding"][0])
+
+
 def label_centroid_norms(sf_dir: str) -> pd.DataFrame:
     """Per-label vector counts and mean-vector norms — the grouped numeric
-    aggregate over the embedding column (partial per-batch sums, tiny final
-    merge)."""
+    aggregate over the embedding column. The vector sum is decomposed into
+    per-dimension scalar columns fed through ``grouped_aggregate``, so the
+    combine is a standard partial-sum shuffle and the driver only ever sees
+    one row per label (not one partial per batch)."""
+    dim = _embedding_dim(sf_dir)
     emb = rd.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["label", "embedding"]
     )
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
         M = _emb_matrix(df)
-        out = pd.DataFrame({"label": df["label"].to_numpy(), "s": list(M)})
-        g = out.groupby("label", sort=False)
-        return pd.DataFrame(
-            {
-                "label": list(g.groups),
-                "vec_sum": [g.get_group(k)["s"].sum() for k in g.groups],
-                "n_vecs": [len(g.get_group(k)) for k in g.groups],
-            }
-        )
+        out = pd.DataFrame({f"s{i}": M[:, i] for i in range(dim)})
+        out["label"] = df["label"].to_numpy()
+        return out
 
-    parts = emb.map_batches(partial, batch_format="pandas").to_pandas()
-    g = parts.groupby("label", sort=False)
-    rows = []
-    for label, grp in g:
-        total = np.sum(np.stack(grp["vec_sum"].to_numpy()), axis=0)
-        n = int(grp["n_vecs"].sum())
-        rows.append(
-            {
-                "label": int(label),
-                "n_vecs": n,
-                "centroid_norm": float(round_half_away(np.linalg.norm(total / n))),
-            }
-        )
-    out = pd.DataFrame(rows)
-    out["label"] = out["label"].astype("int64")
-    out["n_vecs"] = out["n_vecs"].astype("int64")
-    return out
+    aggs: dict = {f"s{i}": (f"s{i}", "sum") for i in range(dim)}
+    aggs["n_vecs"] = (None, "count")
+    agg = grouped_aggregate(emb, ["label"], aggs, prepare=prepare).to_pandas()
+    S = agg[[f"s{i}" for i in range(dim)]].to_numpy(dtype=np.float64)
+    n = agg["n_vecs"].to_numpy(dtype=np.int64)
+    norms = np.linalg.norm(S / n[:, None], axis=1)
+    out = pd.DataFrame(
+        {
+            "label": agg["label"].astype("int64"),
+            "n_vecs": pd.Series(n, dtype="int64"),
+            "centroid_norm": round_half_away(norms),
+        }
+    )
+    return out.reset_index(drop=True)
 
 
 _LABEL_CENTROID_SQL = """
