@@ -523,16 +523,112 @@ def _finish_verify(j: rd.Dataset, tau: float) -> pd.DataFrame:
 # n-gram Jaccard via inverted shingle index (auto df-capped above threshold)
 # --------------------------------------------------------------------------
 
+def _cooccurrence_pairs_df(df: pd.DataFrame, tau: float) -> pd.DataFrame:
+    """Exact-Jaccard pairs straight from the (shingle, doc_id, n_sh) inverted
+    index: a pair's multiplicity across shingle groups IS its intersection
+    size (shingles are distinct per doc), so jaccard = m / (n_a + n_b - m)
+    with no text re-join and no shingle-set rebuilding."""
+    df = df.drop_duplicates(["shingle", "doc_id"])
+    df = df[df.duplicated("shingle", keep=False)]
+    if df.empty:
+        return _EMPTY_PAIRS()
+    order = np.lexsort((df["doc_id"].to_numpy(), df["shingle"].to_numpy()))
+    df = df.iloc[order]
+    b = df["shingle"].to_numpy()
+    d = df["doc_id"].to_numpy()
+    ns = df["n_sh"].to_numpy()
+    newgrp = np.r_[True, b[1:] != b[:-1]]
+    gid = np.cumsum(newgrp) - 1
+    counts = np.bincount(gid)
+    starts = np.cumsum(counts) - counts
+    P = counts * (counts - 1) // 2
+    total = int(P.sum())
+    if total == 0:
+        return _EMPTY_PAIRS()
+    nz = P > 0
+    Pg, Sg = P[nz], starts[nz]
+    gix = np.repeat(np.arange(len(Pg)), Pg)
+    r = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(Pg) - Pg, Pg)
+    j = np.floor((1.0 + np.sqrt(1.0 + 8.0 * r)) / 2.0).astype(np.int64)
+    j[j * (j - 1) // 2 > r] -= 1
+    j[(j + 1) * j // 2 <= r] += 1
+    i = r - j * (j - 1) // 2
+    ia = Sg[gix] + i
+    ib = Sg[gix] + j
+    pairs_struct = np.empty(len(ia), dtype=[("a", np.int64), ("b", np.int64)])
+    pairs_struct["a"] = d[ia]
+    pairs_struct["b"] = d[ib]
+    uniq, keep_idx, mult = np.unique(
+        pairs_struct, return_index=True, return_counts=True
+    )
+    na = ns[ia[keep_idx]].astype(np.int64)
+    nb = ns[ib[keep_idx]].astype(np.int64)
+    jac_ok = mult >= tau * (na + nb - mult)  # m/(na+nb-m) >= tau, no division
+    if not jac_ok.any():
+        return _EMPTY_PAIRS()
+    return (
+        pd.DataFrame({"doc_a": uniq["a"][jac_ok], "doc_b": uniq["b"][jac_ok]})
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+
+
+def _cooccurrence_pairs_distributed(
+    shrunk: rd.Dataset, tau: float
+) -> pd.DataFrame:
+    """Distributed co-occurrence topology: per-shingle-group pair emission
+    carrying both sides' set sizes, a grouped count whose multiplicity is the
+    exact intersection, then a vectorized Jaccard filter. Only the final
+    qualifying pairs reach the driver."""
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        m = len(g)
+        if m < 2:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64")
+                 for c in ("doc_a", "doc_b", "n_a", "n_b")}
+            )
+        ids = g["doc_id"].to_numpy()
+        ns = g["n_sh"].to_numpy()
+        ia, ib = np.triu_indices(m, k=1)
+        return pd.DataFrame(
+            {"doc_a": ids[ia], "doc_b": ids[ib], "n_a": ns[ia], "n_b": ns[ib]}
+        )
+
+    cand = shrunk.groupby("shingle").map_groups(pairs, batch_format="pandas")
+    mult = grouped_aggregate(
+        cand, ["doc_a", "doc_b", "n_a", "n_b"], {"m": (None, "count")}
+    )
+
+    def jac_filter(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["m"].to_numpy(dtype=np.int64)
+        na = df["n_a"].to_numpy(dtype=np.int64)
+        nb = df["n_b"].to_numpy(dtype=np.int64)
+        keep = m >= tau * (na + nb - m)
+        return df.loc[keep, ["doc_a", "doc_b"]].astype("int64")
+
+    out = mult.map_batches(jac_filter, batch_format="pandas").to_pandas()
+    if out.empty:
+        return _EMPTY_PAIRS()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def ngram_jaccard_pairs(
     sf_dir: str,
     df_cap: int | str | None = "auto",
     exact_max_docs: int = NGRAM_EXACT_MAX_DOCS,
+    small_threshold: int = 5_000_000,
 ) -> pd.DataFrame:
-    """Candidate pairs from an inverted shingle index, then exact-Jaccard
-    verified. ``df_cap="auto"``: exact while the corpus (from parquet
-    footers) is ≤ ``exact_max_docs``; above it, shingles in more than
-    ``DEFAULT_DF_CAP`` docs are dropped from candidate generation so the
-    hottest bucket is bounded (skew-safe; recall caveat in module docstring)."""
+    """Exact-Jaccard pairs from an inverted shingle index.
+
+    Exact path (``df_cap=None`` / auto below ``exact_max_docs``): pair
+    co-occurrence counting — multiplicity across shingle groups equals the
+    intersection size, so Jaccard falls out of one shuffle + grouped count
+    with no verification join at all. Capped path (auto above the
+    threshold): hot shingles are dropped from candidate generation (skew-
+    safe) and surviving candidates are verified on their FULL shingle sets
+    via the pair-keyed join, preserving recall for every discovered pair."""
     if df_cap == "auto":
         df_cap = (
             DEFAULT_DF_CAP if _corpus_size_hint(sf_dir) > exact_max_docs else None
@@ -540,12 +636,15 @@ def ngram_jaccard_pairs(
     corpus = near_dup_corpus(sf_dir)
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
-        rows_doc, rows_sh = [], []
+        rows_doc, rows_sh, rows_n = [], [], []
         for d, t in zip(df["doc_id"], df["text"]):
             hs = shingle_hashes(t)
             rows_doc.extend([d] * len(hs))
             rows_sh.extend(hs.tolist())
-        return pd.DataFrame({"doc_id": rows_doc, "shingle": rows_sh})
+            rows_n.extend([len(hs)] * len(hs))
+        return pd.DataFrame(
+            {"doc_id": rows_doc, "shingle": rows_sh, "n_sh": rows_n}
+        )
 
     exploded = corpus.map_batches(explode, batch_format="pandas")
     if df_cap is not None:
@@ -560,8 +659,20 @@ def ngram_jaccard_pairs(
         hot = df_counts.loc[df_counts["df"] > df_cap, "shingle"].tolist()
         if hot:
             exploded = broadcast_semi_filter(exploded, hot, "shingle", anti=True)
-    cand = _pairs_from_groups(exploded, "shingle")
-    return _verify_pairs(corpus, cand, JACCARD_TAU)
+        cand = _pairs_from_groups(
+            exploded.select_columns(["shingle", "doc_id"]), "shingle"
+        )
+        return _verify_pairs(corpus, cand, JACCARD_TAU)
+
+    shrunk = exploded.map_batches(
+        lambda d: d[["shingle", "doc_id", "n_sh"]].drop_duplicates(
+            ["shingle", "doc_id"]
+        ),
+        batch_format="pandas",
+    ).materialize()
+    if shrunk.count() <= small_threshold:
+        return _cooccurrence_pairs_df(shrunk.to_pandas(), JACCARD_TAU)
+    return _cooccurrence_pairs_distributed(shrunk, JACCARD_TAU)
 
 
 # --------------------------------------------------------------------------

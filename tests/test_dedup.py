@@ -245,3 +245,12 @@ def test_pairs_from_groups_distributed_path(sf_dir, neardup_truth):
     # Dataset-typed candidates flow through the distributed verify unchanged
     verified = _verify_pairs(corpus, large, 0.0)
     assert set(map(tuple, verified[["doc_a", "doc_b"]].to_numpy())) == want
+
+
+def test_ngram_cooccurrence_distributed_path(sf_dir, neardup_truth):
+    """small_threshold=0 forces the distributed co-occurrence topology
+    (per-group pair emission + grouped multiplicity count); results must
+    equal the in-memory path and the brute force."""
+    _, truth = neardup_truth
+    df = ngram_jaccard_pairs(sf_dir, small_threshold=0)
+    assert set(zip(df["doc_a"], df["doc_b"])) == truth
