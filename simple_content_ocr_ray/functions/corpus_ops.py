@@ -120,40 +120,35 @@ def _components_label_propagation(
 
 def near_dup_components(
     sf_dir: str, small_max_edges: int = COMPONENTS_SMALL_MAX_EDGES
-) -> pd.DataFrame:
+) -> rd.Dataset:
     """(doc_id, component) over the twin-augmented corpus, where component =
     the minimum doc_id reachable through exact-Jaccard ≥ τ near-duplicate
     pairs (mined by the MinHash pipeline — oracle-identical to the SQL edge
-    set). Docs in no pair are their own component."""
+    set). Docs in no pair are their own component. Returns a streaming
+    Dataset — the assignment is O(corpus) and never collects on the driver;
+    only the mined pair list (the dedup output itself) is driver-bounded on
+    the small path."""
     pairs = minhash_lsh_pairs(sf_dir)
     corpus = near_dup_corpus(sf_dir)
     if len(pairs) <= small_max_edges:
-        labels = _union_find_labels(pairs)
-        ref = ray.put(labels)
+        ref = ray.put(_union_find_labels(pairs))
 
-        class Assign:
-            def __init__(self) -> None:
-                self.labels = ray.get(ref)
+        def assign(d: pd.DataFrame) -> pd.DataFrame:
+            labels = ray.get(ref)  # zero-copy from the local object store
+            ids = d["doc_id"].astype("int64")
+            return pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "component": pd.Series(
+                        [labels.get(int(i), int(i)) for i in ids],
+                        dtype="int64",
+                        index=ids.index,
+                    ),
+                }
+            )
 
-            def __call__(self, d: pd.DataFrame) -> pd.DataFrame:
-                ids = d["doc_id"].astype("int64")
-                return pd.DataFrame(
-                    {
-                        "doc_id": ids,
-                        "component": [
-                            self.labels.get(int(i), int(i)) for i in ids
-                        ],
-                    }
-                ).astype({"component": "int64"})
-
-        out = corpus.map_batches(
-            Assign, batch_format="pandas", concurrency=(1, 4)
-        ).to_pandas()
-    else:
-        out = _components_label_propagation(
-            corpus.select_columns(["doc_id"]), pairs
-        ).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+        return corpus.map_batches(assign, batch_format="pandas")
+    return _components_label_propagation(corpus.select_columns(["doc_id"]), pairs)
 
 
 _NEAR_DUP_COMPONENTS_SQL = f"""

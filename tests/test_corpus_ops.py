@@ -13,9 +13,13 @@ from simple_content_ocr_ray.functions.corpus_ops import (
 )
 
 
+def _components_df(ds):
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def test_components_distributed_path_matches_union_find(sf_dir):
-    small = near_dup_components(sf_dir)
-    large = near_dup_components(sf_dir, small_max_edges=0)  # force label prop
+    small = _components_df(near_dup_components(sf_dir))
+    large = _components_df(near_dup_components(sf_dir, small_max_edges=0))
     pd.testing.assert_frame_equal(small, large)
     # every component label is the min doc_id of its members
     mins = small.groupby("component")["doc_id"].min()
@@ -23,7 +27,7 @@ def test_components_distributed_path_matches_union_find(sf_dir):
 
 
 def test_components_cover_corpus_and_twins(sf_dir, documents_table):
-    out = near_dup_components(sf_dir)
+    out = _components_df(near_dup_components(sf_dir))
     ids = set(out["doc_id"])
     # each injected twin shares its original's component
     twins = out[out["doc_id"] >= 1_000_000]
