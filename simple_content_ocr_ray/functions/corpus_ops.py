@@ -269,14 +269,117 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# Stratified (per-language) deterministic sampling
+# --------------------------------------------------------------------------
+
+#: per-language target row count for the equalizing sample
+STRATA_TARGET = 50
+
+
+def stratified_sample(sf_dir: str, target: int = STRATA_TARGET) -> pd.DataFrame:
+    """Language-equalizing sample: each stratum keeps ~``target`` docs via a
+    per-stratum content-hash cutoff. Two passes: a tiny grouped count fixes
+    the cutoffs, then a streaming filter applies them (broadcast — any
+    worker decides a row's fate locally; no global sampling state, fully
+    reproducible)."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    counts = grouped_aggregate(ds, ["lang"], {"n": (None, "count")}).to_pandas()
+    cutoffs = {
+        lang: "zz"  # lexicographically above every hex byte: keep everything
+        if (256 * target) // n >= 256
+        else format((256 * target) // n, "02x")
+        for lang, n in zip(counts["lang"], counts["n"])
+    }
+    ref = ray.put(cutoffs)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        cut = ray.get(ref)
+        mask = [
+            hashlib.md5(str(int(d)).encode()).hexdigest()[:2] < cut[lang]
+            for d, lang in zip(df["doc_id"], df["lang"])
+        ]
+        return df[pd.Series(mask, index=df.index)]
+
+    out = ds.map_batches(keep, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_STRATIFIED_SAMPLE_SQL = f"""
+WITH c AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1
+), cut AS (
+  SELECT lang,
+         CASE WHEN (256 * {STRATA_TARGET}) // n >= 256 THEN 'zz'
+              ELSE lower(lpad(to_hex((256 * {STRATA_TARGET}) // n), 2, '0'))
+         END AS cutoff
+  FROM c
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN cut USING (lang)
+WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < cutoff
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact grouped quantiles via value histograms
+# --------------------------------------------------------------------------
+
+QUANTILES = (0.5, 0.9, 0.99)
+
+
+def lang_length_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact p50/p90/p99 of document length per language, computed from a
+    (lang, n_chars) count histogram — the shuffle moves one row per distinct
+    (lang, length) value, never the documents, so this stays exact at any
+    corpus size with a bounded value domain. Matches DuckDB quantile_disc
+    (value at 1-based rank ceil(q·n))."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "n_chars"]
+    )
+    hist = grouped_aggregate(
+        ds, ["lang", "n_chars"], {"cnt": (None, "count")}
+    ).to_pandas()  # bounded: |langs| × |distinct lengths|
+    rows = []
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("n_chars")
+        cum = g["cnt"].cumsum().to_numpy()
+        vals = g["n_chars"].to_numpy()
+        n = int(cum[-1])
+        row = {"lang": lang}
+        for q in QUANTILES:
+            rank = int(np.ceil(q * n))
+            row[f"p{int(q * 100)}"] = int(vals[np.searchsorted(cum, rank)])
+        rows.append(row)
+    out = pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
+    for q in QUANTILES:
+        out[f"p{int(q * 100)}"] = out[f"p{int(q * 100)}"].astype("int64")
+    return out
+
+
+_LANG_LENGTH_QUANTILES_SQL = """
+SELECT lang,
+       CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50,
+       CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90,
+       CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99
+FROM documents GROUP BY lang
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
     "near_dup_components": near_dup_components,
     "lang_top_tokens": lang_top_tokens,
     "doc_split_assign": doc_split_assign,
+    "stratified_sample": stratified_sample,
+    "lang_length_quantiles": lang_length_quantiles,
 }
 
 ORACLES: dict[str, str] = {
     "near_dup_components": _NEAR_DUP_COMPONENTS_SQL,
     "lang_top_tokens": _LANG_TOP_TOKENS_SQL,
     "doc_split_assign": _DOC_SPLIT_ASSIGN_SQL,
+    "stratified_sample": _STRATIFIED_SAMPLE_SQL,
+    "lang_length_quantiles": _LANG_LENGTH_QUANTILES_SQL,
 }

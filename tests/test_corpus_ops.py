@@ -60,3 +60,29 @@ def test_doc_split_assign_deterministic(sf_dir):
         )
         assert s == expect
     assert set(a["split"]) == {"train", "val"}
+
+
+def test_stratified_sample_equalizes(sf_dir):
+    from simple_content_ocr_ray.functions.corpus_ops import stratified_sample
+
+    out = stratified_sample(sf_dir, target=40)
+    per = out.groupby("lang").size()
+    # hash sampling is binomial around the target: loose but meaningful bounds
+    assert (per > 10).all() and (per < 90).all()
+    # deterministic
+    out2 = stratified_sample(sf_dir, target=40)
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_lang_length_quantiles_match_numpy(sf_dir, documents_table):
+    import numpy as np
+
+    from simple_content_ocr_ray.functions.corpus_ops import lang_length_quantiles
+
+    out = lang_length_quantiles(sf_dir)
+    df = documents_table.select(["lang", "n_chars"]).to_pandas()
+    for _, row in out.iterrows():
+        vals = np.sort(df[df["lang"] == row["lang"]]["n_chars"].to_numpy())
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            rank = int(np.ceil(q * len(vals)))
+            assert row[col] == vals[rank - 1], (row["lang"], col)
