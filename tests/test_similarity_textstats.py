@@ -83,3 +83,18 @@ def test_langid_runs_distributed(sf_dir, documents_table):
 def test_rolling_hash_deterministic():
     assert rolling_hash64("hello world") == rolling_hash64("hello world")
     assert rolling_hash64("hello world") != rolling_hash64("hello worle")
+
+
+def test_ann_lsh_recall(sf_dir):
+    from simple_content_ocr_ray.functions.similarity import ann_lsh_topk
+
+    exact = ann_topk(sf_dir)
+    approx = ann_lsh_topk(sf_dir)
+    total = hits = 0
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        total += len(e)
+        hits += len(e & a)
+    recall = hits / total
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
