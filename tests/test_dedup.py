@@ -254,3 +254,25 @@ def test_ngram_cooccurrence_distributed_path(sf_dir, neardup_truth):
     _, truth = neardup_truth
     df = ngram_jaccard_pairs(sf_dir, small_threshold=0)
     assert set(zip(df["doc_a"], df["doc_b"])) == truth
+
+
+def test_verify_pairs_hash_join_path(sf_dir, neardup_truth, monkeypatch):
+    """Candidate DataFrames above the broadcast threshold must take the
+    pair-keyed hash-join topology and produce identical verified pairs."""
+    import simple_content_ocr_ray.functions.dedup as D
+
+    corpus, truth = neardup_truth
+    cand = pd.DataFrame(
+        {"doc_a": [a for a, _ in sorted(truth)], "doc_b": [b for _, b in sorted(truth)]}
+    )
+    # add some false candidates that exact verification must reject
+    ids = sorted(corpus["doc_id"])[:40]
+    fake = pd.DataFrame({"doc_a": ids[:20], "doc_b": ids[20:40]})
+    cand = pd.concat([cand, fake], ignore_index=True).drop_duplicates()
+
+    corpus_ds = D.near_dup_corpus(sf_dir)
+    via_broadcast = D._verify_pairs(corpus_ds, cand, D.JACCARD_TAU)
+    monkeypatch.setattr(D, "VERIFY_BROADCAST_MAX_PAIRS", 0)
+    via_joins = D._verify_pairs(corpus_ds, cand, D.JACCARD_TAU)
+    pd.testing.assert_frame_equal(via_broadcast, via_joins)
+    assert set(zip(via_joins["doc_a"], via_joins["doc_b"])) == truth
