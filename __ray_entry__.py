@@ -38,12 +38,13 @@ def _registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
     from simple_content_ocr_ray.functions import (
         corpus_ops,
         dedup,
+        joins,
         similarity,
         text_stats,
         window,
     )
 
-    for mod in (corpus_ops, dedup, similarity, text_stats, window):
+    for mod in (corpus_ops, dedup, joins, similarity, text_stats, window):
         queries.update(getattr(mod, "QUERIES", {}))
         oracles.update(getattr(mod, "ORACLES", {}))
     return queries, oracles

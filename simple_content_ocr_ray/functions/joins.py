@@ -1,0 +1,221 @@
+"""Temporal join operators Ray Data has no native primitive for: as-of join
+and interval (range) join, built the Ray-Data-first way.
+
+The reference processes one document at a time and has no join surface at
+all (its openspec/ only *specifies* backfill lookups — SURVEY.md §2.4); these
+operators cover what a training-data pipeline over event logs needs:
+
+* ``events_asof_join`` — for every purchase event, the most recent prior (or
+  simultaneous) view event of the SAME user.  Topology: a single keyed
+  shuffle (``groupby(user_id).map_groups``) — the only partitioning an as-of
+  join fundamentally needs — with a vectorized ``searchsorted`` merge inside
+  each group.  At 100 TB the groups are per-user event histories (small);
+  skew on a hot user is bounded by that user's history, not the corpus.
+
+* ``events_range_join`` — count/sum of events falling in each of a set of
+  OVERLAPPING time windows.  The window table is small (windows-per-corpus,
+  not rows-per-corpus), so this is a broadcast range join: the sorted
+  interval table is ``ray.put`` once, and every batch matches its rows
+  against all intervals with two binary searches per interval
+  (O(W log B) per batch, no shuffle at all).  This is the scale path for
+  any fact×small-intervals join; a fact×fact interval join would instead
+  bucket both sides by coarse time range and pair within buckets.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+
+def _read_events(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=columns)
+
+
+# --------------------------------------------------------------------------
+# As-of join (purchase ← latest prior view, per user)
+# --------------------------------------------------------------------------
+
+def _asof_group(g: pd.DataFrame) -> pd.DataFrame:
+    """One user's events: match each purchase to the latest view with
+    view.ts <= purchase.ts. Vectorized: sort views once, searchsorted."""
+    p = g[g["event_type"] == "purchase"]
+    if len(p) == 0:
+        return pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "ts": pd.Series([], dtype="datetime64[us]"),
+                "view_ts": pd.Series([], dtype="datetime64[us]"),
+                "lag_us": pd.Series([], dtype="float64"),
+            }
+        )
+    v_ts = np.sort(
+        g.loc[g["event_type"] == "view", "ts"].to_numpy(dtype="datetime64[us]")
+    )
+    p_ts = p["ts"].to_numpy(dtype="datetime64[us]")
+    # index of the last view <= purchase ts (side="right" then -1)
+    idx = np.searchsorted(v_ts, p_ts, side="right") - 1
+    has = idx >= 0
+    view_ts = np.full(len(p), np.datetime64("NaT", "us"))
+    view_ts[has] = v_ts[idx[has]]
+    lag = np.full(len(p), np.nan)
+    lag[has] = (p_ts[has].astype("int64") - view_ts[has].astype("int64")).astype(
+        "float64"
+    )
+    return pd.DataFrame(
+        {
+            "event_id": p["event_id"].to_numpy(),
+            "user_id": p["user_id"].to_numpy(),
+            "ts": p_ts,
+            "view_ts": view_ts,
+            "lag_us": lag,
+        }
+    )
+
+
+def events_asof_join(sf_dir: str) -> pd.DataFrame:
+    """AS-OF JOIN: each purchase event joined to the same user's most recent
+    view event at or before it (NULL when the user never viewed before).
+
+    ``lag_us`` is the exact microsecond gap as a float (NULL-able); both
+    sides compute it from the same integer microsecond timestamps, so it is
+    bit-identical to the SQL oracle."""
+    events = _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    # pre-filter: only the two joined event types ever enter the shuffle
+    events = events.filter(
+        expr="event_type == 'purchase' or event_type == 'view'"
+    )
+    out = events.groupby("user_id").map_groups(_asof_group, batch_format="pandas")
+    df = out.to_pandas()
+    return df.astype({"event_id": "int64", "user_id": "int64"})
+
+
+_EVENTS_ASOF_JOIN_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, ts AS vts FROM events WHERE event_type = 'view'
+), best AS (
+  SELECT p.event_id, MAX(v.vts) AS view_ts
+  FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.vts <= p.ts
+  GROUP BY p.event_id
+)
+SELECT p.event_id, p.user_id, p.ts, best.view_ts,
+       CAST(epoch_us(p.ts) - epoch_us(best.view_ts) AS DOUBLE) AS lag_us
+FROM p JOIN best USING (event_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# Broadcast interval (range) join
+# --------------------------------------------------------------------------
+
+#: overlapping promo windows: hop 12 h, width 18 h (each event hits 1-2)
+RANGE_N_WINDOWS = 60
+RANGE_HOP_H = 12
+RANGE_WIDTH_H = 18
+
+
+def _window_table(t0: np.datetime64) -> pd.DataFrame:
+    start = t0 + np.arange(RANGE_N_WINDOWS) * np.timedelta64(RANGE_HOP_H, "h")
+    return pd.DataFrame(
+        {
+            "window_id": np.arange(RANGE_N_WINDOWS, dtype="int64"),
+            "w_start": start.astype("datetime64[us]"),
+            "w_end": (start + np.timedelta64(RANGE_WIDTH_H, "h")).astype(
+                "datetime64[us]"
+            ),
+        }
+    )
+
+
+def events_range_join(sf_dir: str) -> pd.DataFrame:
+    """RANGE JOIN: per overlapping promo window (hop 12 h, width 18 h,
+    anchored at the corpus's first day), the count of events and exact sum of
+    ``value`` inside [w_start, w_end).
+
+    The window table is derived from a one-number driver aggregate
+    (``min(ts)``) and broadcast via ``ray.put``; each batch computes, per
+    window, two binary searches over its ts-sorted rows plus a prefix-sum
+    lookup for the value total — O(W log B) with no shuffle. Partials
+    (one row per window per batch) are merged on the driver: bounded by
+    windows × batches, independent of corpus size."""
+    events = _read_events(sf_dir, ["ts", "value"])
+    t0 = np.datetime64(
+        pd.Timestamp(events.min("ts")).floor("D").to_datetime64(), "us"
+    )
+    win = _window_table(t0)
+    starts = win["w_start"].to_numpy(dtype="datetime64[us]")
+    ends = win["w_end"].to_numpy(dtype="datetime64[us]")
+    win_ref = ray.put((starts, ends))
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        starts, ends = ray.get(win_ref)
+        order = np.argsort(df["ts"].to_numpy(dtype="datetime64[us]"), kind="stable")
+        ts = df["ts"].to_numpy(dtype="datetime64[us]")[order]
+        # exact money-scaled prefix sums → order-independent int64 totals
+        val_u = np.rint(df["value"].to_numpy()[order] * 1_000_000).astype("int64")
+        prefix = np.concatenate(([0], np.cumsum(val_u)))
+        lo = np.searchsorted(ts, starts, side="left")
+        hi = np.searchsorted(ts, ends, side="left")
+        return pd.DataFrame(
+            {
+                "window_id": np.arange(len(starts), dtype="int64"),
+                "n_events": (hi - lo).astype("int64"),
+                "sum_value_u": prefix[hi] - prefix[lo],
+            }
+        )
+
+    partials = events.map_batches(
+        per_batch, batch_format="pandas", batch_size=65536
+    ).to_pandas()
+    agg = (
+        partials.groupby("window_id", sort=True)[["n_events", "sum_value_u"]]
+        .sum()
+        .reset_index()
+    )
+    out = win.merge(agg, on="window_id", how="left")
+    return pd.DataFrame(
+        {
+            "window_id": out["window_id"].astype("int64"),
+            "w_start": out["w_start"],
+            "w_end": out["w_end"],
+            "n_events": out["n_events"].fillna(0).astype("int64"),
+            "sum_value": (out["sum_value_u"].fillna(0) / 1_000_000.0).round(4),
+        }
+    )
+
+
+_EVENTS_RANGE_JOIN_SQL = f"""
+WITH b AS (
+  SELECT date_trunc('day', MIN(ts)) AS t0 FROM events
+), win AS (
+  SELECT r.range AS window_id,
+         b.t0 + r.range * INTERVAL {RANGE_HOP_H} HOUR AS w_start,
+         b.t0 + r.range * INTERVAL {RANGE_HOP_H} HOUR
+              + INTERVAL {RANGE_WIDTH_H} HOUR AS w_end
+  FROM b, range({RANGE_N_WINDOWS}) r
+)
+SELECT win.window_id, win.w_start, win.w_end,
+       COUNT(e.ts) AS n_events,
+       ROUND(COALESCE(SUM(CAST(ROUND(e.value * 1000000, 0) AS BIGINT)), 0)
+             / 1000000.0, 4) AS sum_value
+FROM win LEFT JOIN events e ON e.ts >= win.w_start AND e.ts < win.w_end
+GROUP BY 1, 2, 3
+"""
+
+
+QUERIES: dict[str, Callable[[str], object]] = {
+    "events_asof_join": events_asof_join,
+    "events_range_join": events_range_join,
+}
+ORACLES: dict[str, str] = {
+    "events_asof_join": _EVENTS_ASOF_JOIN_SQL,
+    "events_range_join": _EVENTS_RANGE_JOIN_SQL,
+}
