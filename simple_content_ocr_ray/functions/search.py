@@ -1,0 +1,222 @@
+"""Lexical search / term-weighting operators over the ``documents`` corpus:
+BM25 ranked retrieval and per-document TF-IDF keyword extraction.
+
+The reference extracts text but never indexes it; a training-data pipeline
+needs exactly these two to build quality filters ("does this doc actually
+talk about X") and keyword metadata. Both are SQL-oracled.
+
+Scale topology (100 TB):
+
+* corpus statistics (N, avgdl, per-term df) are one-pass partial+final
+  aggregates — the shuffle moves one (term, partial-df) row per batch;
+* the query-term df map and the scalar stats are broadcast (``ray.put``),
+  never joined: scoring is a stateless vectorized ``map_batches``;
+* ranked retrieval uses local-top-k-then-final-top-k (no global sort);
+* TF-IDF keyword extraction broadcasts the document-frequency vocabulary.
+  That is the standard IR trade-off: vocabulary grows ~O(corpus^0.5)
+  (Heaps' law) and is df-prunable, so it stays broadcastable long after the
+  corpus itself does not; past that, the fallback is a (token)-keyed hash
+  join of the exploded corpus against the df table — same partials, one
+  more shuffle.
+
+Tokenization is a split on single spaces, matching ``lang_top_tokens``'s
+convention (corpus texts are single-space separated by construction).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+from .agg import grouped_aggregate, topk
+
+#: fixed retrieval query: two common terms + one rare term ("dup" appears
+#: only in near-dup twin docs' vocabulary tail), so idf spread is exercised
+BM25_QUERY = ("hash", "join", "dup")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+TFIDF_ROUND = 4
+
+
+def _read_docs(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+def _explode(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(row_index, token) pairs for a batch plus per-row token counts."""
+    toks = df["text"].str.split(" ")
+    lens = toks.str.len().to_numpy()
+    flat = np.concatenate(toks.to_numpy()) if len(df) else np.array([], dtype=object)
+    rows = np.repeat(np.arange(len(df)), lens)
+    return rows, flat, lens
+
+
+def _corpus_stats(docs: rd.Dataset, terms: tuple[str, ...]) -> tuple[int, int, dict]:
+    """One pass over the corpus → (N, total token count, df per query term).
+    Partials are one row per batch — the driver merge is O(batches)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows, flat, lens = _explode(df)
+        out = {"n_docs": [len(df)], "n_tokens": [int(lens.sum())]}
+        for t in terms:
+            hit = rows[flat == t]
+            out[f"df_{t}"] = [int(np.unique(hit).size)]
+        return pd.DataFrame(out)
+
+    parts = docs.map_batches(partial, batch_format="pandas").to_pandas()
+    n_docs = int(parts["n_docs"].sum())
+    n_tokens = int(parts["n_tokens"].sum())
+    df_map = {t: int(parts[f"df_{t}"].sum()) for t in terms}
+    return n_docs, n_tokens, df_map
+
+
+def bm25_topk(sf_dir: str) -> pd.DataFrame:
+    """Top-10 documents by BM25(k1=1.2, b=0.75) for the fixed query
+    ``hash join dup``; ties broken by doc_id. ``score`` is rounded to 4
+    decimals; ranking/cut uses the raw double (identical arithmetic on both
+    sides: integer tf/df/dl, one double division for avgdl)."""
+    docs = _read_docs(sf_dir)
+    n_docs, n_tokens, df_map = _corpus_stats(docs, BM25_QUERY)
+    avgdl = n_tokens / n_docs
+    idf = {
+        t: math.log((n_docs - df_map[t] + 0.5) / (df_map[t] + 0.5) + 1.0)
+        for t in BM25_QUERY
+    }
+    consts = ray.put((idf, avgdl))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        idf, avgdl = ray.get(consts)
+        rows, flat, lens = _explode(df)
+        total = np.zeros(len(df))
+        norm = BM25_K1 * (1.0 - BM25_B + BM25_B * lens / avgdl)
+        for t, w in idf.items():
+            tf = np.bincount(rows[flat == t], minlength=len(df)).astype("float64")
+            total += w * (tf * (BM25_K1 + 1.0)) / (tf + norm)
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "score": total})
+
+    scored = docs.map_batches(score, batch_format="pandas")
+    out = topk(scored, ["score", "doc_id"], BM25_TOPK, descending=[True, False])
+    df = out.to_pandas()
+    df["score"] = df["score"].round(TFIDF_ROUND)
+    return df.astype({"doc_id": "int64"})
+
+
+_BM25_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), dl AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n, SUM(len(string_split(text, ' '))) / CAST(COUNT(*) AS
+         DOUBLE) AS avgdl
+  FROM documents
+), q(term) AS (VALUES {", ".join(f"('{t}')" for t in BM25_QUERY)}),
+df AS (
+  SELECT q.term, COUNT(DISTINCT tok.doc_id) AS df
+  FROM q LEFT JOIN tok ON tok.term = q.term GROUP BY q.term
+), tf AS (
+  SELECT tok.doc_id, tok.term, COUNT(*) AS tf
+  FROM tok JOIN q ON q.term = tok.term GROUP BY 1, 2
+), scored AS (
+  SELECT dl.doc_id,
+         SUM(COALESCE(
+           ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * ({BM25_K1} + 1.0))
+             / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl /
+                stats.avgdl)),
+           0.0)) AS score
+  FROM dl CROSS JOIN stats
+  CROSS JOIN df
+  LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.term = df.term
+  GROUP BY dl.doc_id
+)
+SELECT doc_id, ROUND(score, {TFIDF_ROUND}) AS score
+FROM scored ORDER BY scored.score DESC, doc_id LIMIT {BM25_TOPK}
+"""
+
+
+def tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Per-document top TF-IDF term (tf × ln(N/df); ties broken by the
+    lexically smallest term). The (term → df) vocabulary is built with a
+    partial+final aggregate and broadcast to the scoring stage."""
+    docs = _read_docs(sf_dir)
+
+    def doc_terms(df: pd.DataFrame) -> pd.DataFrame:
+        rows, flat, _ = _explode(df)
+        pairs = pd.DataFrame({"row": rows, "term": flat})
+        # per-doc distinct inside the batch, so partial df sums are exact
+        # (each doc is one row, never split across batches)
+        uniq = pairs.drop_duplicates()
+        return pd.DataFrame({"term": uniq["term"].to_numpy()})
+
+    df_tbl = grouped_aggregate(
+        docs, ["term"], {"df": (None, "count")}, prepare=doc_terms
+    ).to_pandas()
+    n_docs = docs.count()
+    df_ref = ray.put(dict(zip(df_tbl["term"], df_tbl["df"].astype("int64"))))
+
+    def best_term(df: pd.DataFrame) -> pd.DataFrame:
+        df_map = ray.get(df_ref)
+        rows, flat, _ = _explode(df)
+        tf = (
+            pd.DataFrame({"row": rows, "term": flat})
+            .groupby(["row", "term"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        dfv = tf["term"].map(df_map).to_numpy(dtype="float64")
+        tf["tfidf"] = tf["tf"].to_numpy() * np.log(float(n_docs) / dfv)
+        tf = tf.sort_values(
+            ["row", "tfidf", "term"], ascending=[True, False, True], kind="mergesort"
+        )
+        best = tf.groupby("row", sort=False).head(1)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy()[best["row"].to_numpy()],
+                "term": best["term"].to_numpy(),
+                "tfidf": best["tfidf"].round(TFIDF_ROUND).to_numpy(),
+            }
+        )
+
+    out = docs.map_batches(best_term, batch_format="pandas").to_pandas()
+    return out.astype({"doc_id": "int64"})
+
+
+_TFIDF_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+), n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS tfidf,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * ln(CAST(n.n AS DOUBLE) / df.df)
+                                     DESC, tf.term) AS rk
+  FROM tf JOIN df ON df.term = tf.term CROSS JOIN n
+)
+SELECT doc_id, term, ROUND(tfidf, {TFIDF_ROUND}) AS tfidf
+FROM scored WHERE rk = 1
+"""
+
+
+QUERIES: dict[str, Callable[[str], object]] = {
+    "bm25_topk": bm25_topk,
+    "tfidf_top_terms": tfidf_top_terms,
+}
+ORACLES: dict[str, str] = {
+    "bm25_topk": _BM25_SQL,
+    "tfidf_top_terms": _TFIDF_SQL,
+}

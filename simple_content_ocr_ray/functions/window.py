@@ -10,8 +10,11 @@ from __future__ import annotations
 import os
 from typing import Callable
 
+import numpy as np
 import pandas as pd
 import ray.data as rd
+
+from .agg import grouped_aggregate, round_half_away
 
 SESSION_GAP_MIN = 30
 
@@ -75,5 +78,82 @@ FROM numbered GROUP BY user_id, sid
 """
 
 
-QUERIES: dict[str, Callable[[str], object]] = {"user_sessions": user_sessions}
-ORACLES: dict[str, str] = {"user_sessions": _USER_SESSIONS_SQL}
+# --------------------------------------------------------------------------
+# Hopping (sliding) window aggregate
+# --------------------------------------------------------------------------
+
+HOP_MIN = 30
+WINDOW_MIN = 60
+
+
+def events_sliding_windows(sf_dir: str) -> pd.DataFrame:
+    """Hopping-window aggregate: per (event_type, 60-minute window hopping
+    every 30 minutes), event count and exact sum of ``value``.
+
+    With hop = width/2 every event belongs to exactly two windows
+    (floor30(ts) and floor30(ts) - 30 min), so window assignment is a
+    per-batch vectorized row duplication — no window state, no sort. The
+    duplicated rows feed the partial+final grouped aggregate, so the shuffle
+    moves one (type, window) partial per batch, not 2× the event log."""
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type", "value"],
+    )
+    hop = pd.Timedelta(minutes=HOP_MIN)
+
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        w1 = df["ts"].dt.floor(f"{HOP_MIN}min")
+        value_u = np.rint(df["value"].to_numpy() * 1_000_000).astype("int64")
+        return pd.DataFrame(
+            {
+                "event_type": np.tile(df["event_type"].to_numpy(), 2),
+                "w_start": np.concatenate([w1.to_numpy(), (w1 - hop).to_numpy()]),
+                "value_u": np.tile(value_u, 2),
+            }
+        )
+
+    agg = grouped_aggregate(
+        events,
+        ["event_type", "w_start"],
+        {"sum_value_u": ("value_u", "sum"), "n_events": (None, "count")},
+        prepare=prepare,
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "event_type": agg["event_type"],
+            "w_start": agg["w_start"],
+            "sum_value": round_half_away(agg["sum_value_u"] / 1_000_000.0),
+            "n_events": agg["n_events"].astype("int64"),
+        }
+    )
+
+
+_EVENTS_SLIDING_SQL = f"""
+WITH assigned AS (
+  SELECT event_type, time_bucket(INTERVAL {HOP_MIN} MINUTE, ts) AS w_start,
+         value
+  FROM events
+  UNION ALL
+  SELECT event_type,
+         time_bucket(INTERVAL {HOP_MIN} MINUTE, ts)
+           - INTERVAL {HOP_MIN} MINUTE AS w_start,
+         value
+  FROM events
+)
+SELECT event_type, w_start,
+       ROUND(SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) / 1000000.0, 4)
+         AS sum_value,
+       COUNT(*) AS n_events
+FROM assigned
+GROUP BY 1, 2
+"""
+
+
+QUERIES: dict[str, Callable[[str], object]] = {
+    "user_sessions": user_sessions,
+    "events_sliding_windows": events_sliding_windows,
+}
+ORACLES: dict[str, str] = {
+    "user_sessions": _USER_SESSIONS_SQL,
+    "events_sliding_windows": _EVENTS_SLIDING_SQL,
+}

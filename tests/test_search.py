@@ -1,0 +1,65 @@
+"""BM25 / TF-IDF (functions/search.py) vs brute-force references."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pandas as pd
+
+from simple_content_ocr_ray.functions import search
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+
+def _brute_bm25() -> list[tuple[int, float]]:
+    docs = _docs()
+    toks = {r.doc_id: r.text.split(" ") for r in docs.itertuples()}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    scores = []
+    for doc_id, t in toks.items():
+        c = Counter(t)
+        s = 0.0
+        for q in search.BM25_QUERY:
+            df = sum(1 for tt in toks.values() if q in tt)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            tf = c[q]
+            s += idf * tf * (search.BM25_K1 + 1) / (
+                tf
+                + search.BM25_K1
+                * (1 - search.BM25_B + search.BM25_B * len(t) / avgdl)
+            )
+        scores.append((doc_id, s))
+    scores.sort(key=lambda x: (-x[1], x[0]))
+    return scores[: search.BM25_TOPK]
+
+
+def test_bm25_matches_bruteforce(ray_session):
+    got = search.bm25_topk(SF)
+    exp = _brute_bm25()
+    assert list(got["doc_id"]) == [d for d, _ in exp]
+    for g, (_, s) in zip(got["score"], exp):
+        assert abs(g - round(s, search.TFIDF_ROUND)) < 1e-9
+
+
+def test_tfidf_top_terms_matches_bruteforce(ray_session):
+    got = search.tfidf_top_terms(SF).set_index("doc_id")
+    docs = _docs()
+    toks = {r.doc_id: r.text.split(" ") for r in docs.itertuples()}
+    n = len(toks)
+    df = Counter()
+    for t in toks.values():
+        df.update(set(t))
+    for doc_id, t in list(toks.items())[:50]:
+        c = Counter(t)
+        best = min(
+            ((-tf * math.log(n / df[term]), term) for term, tf in c.items()),
+        )
+        assert got.loc[doc_id, "term"] == best[1]
+        assert abs(got.loc[doc_id, "tfidf"] - round(-best[0], search.TFIDF_ROUND)) < 1e-9
+    assert len(got) == len(docs)
