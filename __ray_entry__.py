@@ -41,11 +41,21 @@ def _registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         joins,
         search,
         similarity,
+        sketch,
         text_stats,
         window,
     )
 
-    for mod in (corpus_ops, dedup, joins, search, similarity, text_stats, window):
+    for mod in (
+        corpus_ops,
+        dedup,
+        joins,
+        search,
+        similarity,
+        sketch,
+        text_stats,
+        window,
+    ):
         queries.update(getattr(mod, "QUERIES", {}))
         oracles.update(getattr(mod, "ORACLES", {}))
     return queries, oracles

@@ -1,0 +1,164 @@
+"""Mergeable sketches — the approximate path for corpus-scale statistics:
+
+* ``hll_distinct_users`` — HyperLogLog(p=12) distinct count. The exact
+  ``distinct_user_count`` shuffles per-batch-deduped keys; at 10^12 distinct
+  keys that is still an all-to-all of the key universe. HLL replaces it with
+  one 4 KiB register array per batch that the driver merges with an
+  elementwise max — constant memory regardless of cardinality, no shuffle,
+  deterministic (keys hashed with splitmix64).
+
+* ``approx_top_tokens`` — Misra-Gries heavy hitters over the token stream.
+  The exact ``lang_top_tokens`` shuffles one (token, partial) per batch per
+  token; MG bounds every partial at ``capacity`` counters no matter how
+  large a batch's vocabulary is, and the merged summary has a hard error
+  bound: every reported count is within n_tokens/(capacity+1) of truth, and
+  no token with true count above that bound is missed. With
+  ``capacity`` ≥ the corpus's distinct-token count the summary degrades to
+  exact counts — this corpus's vocabulary is 31 tokens, so the default
+  capacity (64) makes the query SQL-oracle-checkable while the small-capacity
+  path is covered by an error-bound test.
+
+Both summaries are associative and commutative, so the same merge works in a
+tree (per-node pre-merge) on a real cluster; the driver only ever holds
+O(batches × capacity) — never the corpus.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+HLL_P = 12
+HLL_M = 1 << HLL_P
+MG_CAPACITY = 64
+MG_TOPK = 10
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix (public-domain splitmix64 finalizer)."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _hll_registers(keys: np.ndarray) -> np.ndarray:
+    """uint8[HLL_M] register array for a batch of int64 keys."""
+    h = _splitmix64(keys.astype(np.uint64))
+    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = (h << np.uint64(HLL_P)) | np.uint64((1 << HLL_P) - 1)
+    # rank = leading zeros of the remaining 64-P bits, +1 (capped by the OR)
+    rank = np.zeros(len(h), dtype=np.uint8)
+    bit = np.uint64(1) << np.uint64(63)
+    cur = np.ones(len(h), dtype=bool)
+    r = 1
+    while cur.any():
+        top_zero = (rest & bit) == 0
+        nxt = cur & top_zero
+        rank[cur & ~top_zero] = r
+        cur = nxt
+        rest = rest << np.uint64(1)
+        r += 1
+    regs = np.zeros(HLL_M, dtype=np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> int:
+    m = float(HLL_M)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return int(round(est))
+
+
+def hll_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct user_id count (HLL p=12, ±~1.6% at scale).
+    One 4 KiB register row per batch; driver merge is elementwise max."""
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        regs = _hll_registers(df["user_id"].to_numpy(dtype="int64"))
+        return pd.DataFrame({"regs": [regs.tobytes()]})
+
+    parts = events.map_batches(partial, batch_format="pandas").to_pandas()
+    merged = np.zeros(HLL_M, dtype=np.uint8)
+    for blob in parts["regs"]:
+        np.maximum(merged, np.frombuffer(blob, dtype=np.uint8), out=merged)
+    return pd.DataFrame({"approx_distinct": pd.Series([_hll_estimate(merged)], dtype="int64")})
+
+
+def _mg_merge(counts: pd.Series, capacity: int) -> pd.Series:
+    """Misra-Gries truncation: keep ≤ capacity counters by subtracting the
+    (capacity+1)-th largest count from all and dropping ≤ 0."""
+    if len(counts) <= capacity:
+        return counts
+    vals = counts.sort_values(ascending=False, kind="mergesort")
+    thresh = vals.iloc[capacity]
+    kept = counts - thresh
+    return kept[kept > 0]
+
+
+def approx_top_tokens(sf_dir: str, capacity: int = MG_CAPACITY) -> pd.DataFrame:
+    """Top-10 tokens by (lower-bound) Misra-Gries count; each partial and the
+    merged summary are bounded at ``capacity`` counters. Exact whenever the
+    distinct-token count never exceeds ``capacity`` (true for this corpus at
+    the default 64), which is what the SQL oracle checks."""
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        flat = (
+            np.concatenate(toks.to_numpy())
+            if len(df)
+            else np.array([], dtype=object)
+        )
+        counts = pd.Series(flat).value_counts()
+        counts = _mg_merge(counts, capacity)
+        return pd.DataFrame(
+            {"token": counts.index.to_numpy(), "n": counts.to_numpy()}
+        )
+
+    parts = docs.map_batches(partial, batch_format="pandas").to_pandas()
+    merged = parts.groupby("token", sort=False)["n"].sum()
+    merged = _mg_merge(merged, capacity)
+    out = (
+        merged.rename("n")
+        .reset_index()
+        .sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+        .head(MG_TOPK)
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    return out[["token", "n"]]
+
+
+_APPROX_TOP_TOKENS_SQL = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), c AS (
+  SELECT token, COUNT(*) AS n FROM tok GROUP BY 1
+)
+SELECT token, n FROM c ORDER BY n DESC, token LIMIT {MG_TOPK}
+"""
+
+
+QUERIES: dict[str, Callable[[str], object]] = {
+    "hll_distinct_users": hll_distinct_users,
+    "approx_top_tokens": approx_top_tokens,
+}
+#: hll_distinct_users is approximate by construction — rows-only check by
+#: design; its accuracy bound is asserted in tests/test_sketch.py.
+ORACLES: dict[str, str] = {
+    "approx_top_tokens": _APPROX_TOP_TOKENS_SQL,
+}

@@ -1,0 +1,71 @@
+"""Sketches (functions/sketch.py): HLL accuracy + determinism, Misra-Gries
+exactness at high capacity and error bound at low capacity."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+
+from simple_content_ocr_ray.functions import sketch
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hll_within_error_bound(ray_session):
+    got = sketch.hll_distinct_users(SF)
+    assert list(got.columns) == ["approx_distinct"]
+    exact = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])[
+        "user_id"
+    ].nunique()
+    est = int(got["approx_distinct"].iloc[0])
+    # p=12 → standard error 1.04/sqrt(4096) ≈ 1.6%; allow 5 sigma + small-n slack
+    assert abs(est - exact) <= max(0.10 * exact, 5)
+
+
+def test_hll_deterministic_across_batch_splits(ray_session):
+    a = sketch.hll_distinct_users(SF)["approx_distinct"].iloc[0]
+    b = sketch.hll_distinct_users(SF)["approx_distinct"].iloc[0]
+    assert a == b
+
+
+def test_hll_registers_merge_associative():
+    rng = np.random.RandomState(7)
+    keys = rng.randint(0, 10_000, size=5000).astype("int64")
+    whole = sketch._hll_registers(keys)
+    split = np.maximum(
+        sketch._hll_registers(keys[:1700]), sketch._hll_registers(keys[1700:])
+    )
+    assert np.array_equal(whole, split)
+
+
+def _true_counts() -> Counter:
+    texts = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])["text"]
+    c = Counter()
+    for t in texts:
+        c.update(t.split(" "))
+    return c
+
+
+def test_mg_exact_at_high_capacity(ray_session):
+    got = sketch.approx_top_tokens(SF)
+    true = _true_counts()
+    exp = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[: sketch.MG_TOPK]
+    assert list(zip(got["token"], got["n"])) == exp
+
+
+def test_mg_error_bound_at_low_capacity(ray_session):
+    cap = 8
+    got = sketch.approx_top_tokens(SF, capacity=cap).set_index("token")["n"]
+    true = _true_counts()
+    n_tokens = sum(true.values())
+    # every reported count is a lower bound within n/(cap+1) of truth
+    for token, n in got.items():
+        assert n <= true[token]
+        assert true[token] - n <= n_tokens / (cap + 1) * 2  # 2 merge levels
+    # no token with true count > bound is missed entirely
+    bound = n_tokens / (cap + 1) * 2
+    for token, tn in true.items():
+        if tn > bound:
+            assert token in got.index
