@@ -481,12 +481,96 @@ FROM per
 """
 
 
+# --------------------------------------------------------------------------
+# Distributed spherical k-means (full-corpus Lloyd iterations)
+# --------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 6
+
+
+def kmeans_clusters(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> pd.DataFrame:
+    """Spherical k-means over the FULL embeddings table with every Lloyd
+    iteration distributed: centroids (k×d — tiny) are broadcast per
+    iteration, each batch emits per-cluster partial vector sums + counts,
+    and the driver reduces k rows. Unlike ``ann_ivf_topk``'s
+    train-on-a-sample coarse quantizer, this is the real clustering
+    operator: the corpus is streamed ``iters + 1`` times and the driver
+    never holds more than k×d floats.
+
+    Init is the deterministic stride sample's k evenly spaced vectors, so
+    results are reproducible across runs and batch splits up to float-sum
+    ordering inside a batch. Returns (vec_id, cluster, sim)."""
+    t = _training_sample(sf_dir, cap=4 * k).sort_values("vec_id")
+    M = _emb_matrix(t)
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    idx = np.linspace(0, len(Mn) - 1, k).astype(int)
+    C = Mn[idx].copy()
+
+    emb = _read_emb(sf_dir)
+    for _ in range(iters):
+        c_ref = ray.put(C)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            C = ray.get(c_ref)
+            X = _emb_matrix(df)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            assign = np.argmax(Xn @ C.T, axis=1)
+            sums = np.zeros_like(C)
+            np.add.at(sums, assign, Xn)
+            counts = np.bincount(assign, minlength=len(C))
+            nz = counts > 0
+            return pd.DataFrame(
+                {
+                    "cluster": np.arange(len(C))[nz],
+                    "vsum": [v.tobytes() for v in sums[nz]],
+                    "n": counts[nz].astype("int64"),
+                }
+            )
+
+        parts = emb.map_batches(partial, batch_format="pandas").to_pandas()
+        # batch arrival order is not deterministic: fix the float-sum order
+        parts = parts.sort_values(["cluster", "n", "vsum"], kind="mergesort")
+        newC = C.copy()
+        for c in range(k):
+            rows = parts[parts["cluster"] == c]
+            if len(rows):
+                v = np.sum(
+                    [np.frombuffer(b, dtype=np.float64) for b in rows["vsum"]],
+                    axis=0,
+                )
+                n = np.linalg.norm(v)
+                if n > 0:
+                    newC[c] = v / n
+        C = newC
+
+    c_ref = ray.put(C)
+
+    def assign_final(df: pd.DataFrame) -> pd.DataFrame:
+        C = ray.get(c_ref)
+        X = _emb_matrix(df)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = Xn @ C.T
+        a = np.argmax(sims, axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].to_numpy(),
+                "cluster": a.astype("int64"),
+                "sim": np.round(sims[np.arange(len(a)), a], 4),
+            }
+        )
+
+    out = emb.map_batches(assign_final, batch_format="pandas").to_pandas()
+    return out.astype({"vec_id": "int64"}).sort_values("vec_id").reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
     "label_centroid_norms": label_centroid_norms,
     "ann_topk": ann_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "embedding_dup_pairs": embedding_dup_pairs,
+    "kmeans_clusters": kmeans_clusters,
 }
 
 ORACLES: dict[str, str] = {
@@ -494,4 +578,6 @@ ORACLES: dict[str, str] = {
     "ann_topk": _ANN_TOPK_SQL,
     "embedding_dup_pairs": _EMBEDDING_DUP_PAIRS_SQL,
     # ann_ivf_topk: rows-only (approximate; recall asserted in tests)
+    # kmeans_clusters: rows-only (iterative, not SQL-expressible; invariants
+    # asserted in tests/test_similarity_textstats.py)
 }

@@ -98,3 +98,25 @@ def test_ann_lsh_recall(sf_dir):
         hits += len(e & a)
     recall = hits / total
     assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_kmeans_clusters_invariants(ray_session):
+    import numpy as np
+    import pandas as pd
+    from simple_content_ocr_ray.functions import similarity
+
+    sf = "/root/testdata/sf0.001"
+    got = similarity.kmeans_clusters(sf)
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    assert len(got) == len(emb)
+    assert set(got.columns) == {"vec_id", "cluster", "sim"}
+    assert got["cluster"].between(0, similarity.KMEANS_K - 1).all()
+    # every cluster id that survives has members; most clusters are used
+    assert got["cluster"].nunique() >= similarity.KMEANS_K // 2
+    # deterministic across runs
+    again = similarity.kmeans_clusters(sf)
+    pd.testing.assert_frame_equal(got, again)
+    # more iterations never lower the mean assigned similarity (Lloyd monotone
+    # up to the final re-assignment; allow tiny float slack)
+    few = similarity.kmeans_clusters(sf, iters=1)
+    assert got["sim"].mean() >= few["sim"].mean() - 1e-6
