@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
@@ -270,6 +271,60 @@ def split_pdf_text(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def domain_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-domain rollup over extracted pages — the Common-Crawl-shaped
+    aggregation (domains are the natural partition/skew unit at 100 TB):
+    page count, failed count, and total extracted HTML characters. Domain
+    extraction is a vectorized Arrow regex over the url column; the rollup
+    is the partial+final grouped aggregate (one partial per domain per
+    batch crosses the shuffle)."""
+    ds = _extracted(sf_dir)
+
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        urls = pa.array(df["url"], pa.string())
+        domain = pc.replace_substring_regex(
+            urls, pattern=r"^https://([^/]+)/.*$", replacement=r"\1"
+        )
+        text = pa.array(df["text"], pa.string())
+        is_html = (df["content_type"] == "html").to_numpy()
+        chars = pc.utf8_length(text).fill_null(0).to_numpy(zero_copy_only=False)
+        return pd.DataFrame(
+            {
+                "domain": domain.to_pandas(),
+                "failed": (df["status"] == "failed").astype("int64"),
+                "html_chars": np.where(is_html, chars, 0).astype("int64"),
+            }
+        )
+
+    agg = grouped_aggregate(
+        ds,
+        ["domain"],
+        {
+            "n_pages": (None, "count"),
+            "n_failed": ("failed", "sum"),
+            "html_chars": ("html_chars", "sum"),
+        },
+        prepare=prepare,
+    ).to_pandas()
+    return agg.astype(
+        {"n_pages": "int64", "n_failed": "int64", "html_chars": "int64"}
+    )
+
+
+_DOMAIN_STATS_SQL = """
+SELECT 'site' || CAST(doc_id % 97 AS VARCHAR) || '.example' AS domain,
+       COUNT(*) AS n_pages,
+       COUNT(*) FILTER (WHERE doc_id % 20 = 3) AS n_failed,
+       CAST(COALESCE(SUM(length(text))
+                     FILTER (WHERE doc_id % 20 NOT IN (0,1,2,3)), 0)
+            AS BIGINT) AS html_chars
+FROM documents
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
     "image_meta": image_meta,
     "exploded_pdf_text": exploded_pdf_text,
@@ -279,6 +334,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "pdf_page_counts": pdf_page_counts,
     "failed_rows": failed_rows,
     "dedup_exact_pages": dedup_exact_pages,
+    "domain_stats": domain_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -290,4 +346,5 @@ ORACLES: dict[str, str] = {
     "pdf_page_counts": _PDF_PAGE_COUNTS_SQL,
     "failed_rows": _FAILED_ROWS_SQL,
     "dedup_exact_pages": _DEDUP_EXACT_PAGES_SQL,
+    "domain_stats": _DOMAIN_STATS_SQL,
 }
