@@ -190,6 +190,12 @@ def run_headline() -> dict:
             "embedding_dup_pairs",
             "ann_topk",
             "doc_token_stats",
+            "events_asof_join",
+            "events_sliding_windows",
+            "bm25_topk",
+            "tfidf_top_terms",
+            "hll_distinct_users",
+            "kmeans_clusters",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)
