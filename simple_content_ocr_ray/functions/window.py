@@ -149,11 +149,65 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Ordered per-key window functions (running sum, lag delta)
+# --------------------------------------------------------------------------
+
+def user_running_totals(sf_dir: str) -> pd.DataFrame:
+    """SQL-window-function analog: per user ordered by ts, the running total
+    of ``value`` and the gap (microseconds) since the user's previous event.
+
+    One keyed shuffle (``groupby(user_id).map_groups``); inside each group a
+    stable ts sort + vectorized cumsum/diff. The same partitioning
+    assumption as sessionization — a user's history is co-located — so at
+    corpus scale this shares the events table's one canonical partitioning.
+    Money values are cumsum-ed as exactly-scaled int64, so running totals
+    are bit-identical to the SQL oracle at every row."""
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        value_u = np.rint(g["value"].to_numpy() * 1_000_000).astype("int64")
+        ts_us = g["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        gap = np.diff(ts_us, prepend=ts_us[:1]).astype("float64")
+        gap[0] = np.nan
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "ts": g["ts"].to_numpy(),
+                "running_value": round_half_away(np.cumsum(value_u) / 1_000_000.0),
+                "gap_us": gap,
+            }
+        )
+
+    out = events.groupby("user_id").map_groups(running, batch_format="pandas")
+    return out.to_pandas().astype({"event_id": "int64", "user_id": "int64"})
+
+
+_USER_RUNNING_TOTALS_SQL = """
+SELECT event_id, user_id, ts,
+       ROUND(SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) / 1000000.0, 4)
+         AS running_value,
+       CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id))
+            AS DOUBLE) AS gap_us
+FROM events
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
     "user_sessions": user_sessions,
     "events_sliding_windows": events_sliding_windows,
+    "user_running_totals": user_running_totals,
 }
 ORACLES: dict[str, str] = {
     "user_sessions": _USER_SESSIONS_SQL,
     "events_sliding_windows": _EVENTS_SLIDING_SQL,
+    "user_running_totals": _USER_RUNNING_TOTALS_SQL,
 }

@@ -392,7 +392,72 @@ LIMIT 100
 """
 
 
+# --------------------------------------------------------------------------
+# ROLLUP (multi-level aggregate from ONE distributed pass)
+# --------------------------------------------------------------------------
+
+def orders_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(o_orderstatus, o_orderpriority): counts and exact
+    money sums at all three levels — (status, priority), (status), ().
+
+    The corpus is scanned ONCE at the finest grain; the coarser levels are
+    re-aggregated from the finest partials on the driver (bounded by the
+    key-combination count, not the row count) — the standard rollup trick
+    that avoids one shuffle per grouping set."""
+    orders = _read(sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderstatus": df["o_orderstatus"],
+                "o_orderpriority": df["o_orderpriority"],
+                "price_c": np.rint(df["o_totalprice"] * 100).astype("int64"),
+            }
+        )
+
+    finest = grouped_aggregate(
+        orders,
+        ["o_orderstatus", "o_orderpriority"],
+        {"n_orders": (None, "count"), "sum_price_c": ("price_c", "sum")},
+        prepare=prepare,
+    ).to_pandas()
+
+    by_status = (
+        finest.groupby("o_orderstatus", as_index=False)[["n_orders", "sum_price_c"]]
+        .sum()
+        .assign(o_orderpriority=None)
+    )
+    total = pd.DataFrame(
+        {
+            "o_orderstatus": [None],
+            "o_orderpriority": [None],
+            "n_orders": [finest["n_orders"].sum()],
+            "sum_price_c": [finest["sum_price_c"].sum()],
+        }
+    )
+    out = pd.concat([finest, by_status, total], ignore_index=True)
+    return pd.DataFrame(
+        {
+            "o_orderstatus": out["o_orderstatus"],
+            "o_orderpriority": out["o_orderpriority"],
+            "n_orders": out["n_orders"].astype("int64"),
+            "sum_price": round_half_away(out["sum_price_c"] / 100.0, 2),
+        }
+    )
+
+
+_ORDERS_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2)
+         AS sum_price
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
 QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
+    "orders_rollup": orders_rollup,
     "distinct_user_count": distinct_user_count,
     "largest_docs": largest_docs,
     "supplier_nation_hash_join": supplier_nation_hash_join,
@@ -406,6 +471,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "orders_rollup": _ORDERS_ROLLUP_SQL,
     "distinct_user_count": _DISTINCT_USER_COUNT_SQL,
     "largest_docs": _LARGEST_DOCS_SQL,
     "supplier_nation_hash_join": _SUPPLIER_NATION_HASH_JOIN_SQL,

@@ -66,3 +66,24 @@ def test_range_join_windows_overlap(ray_session):
     assert (
         w["w_start"].diff().dropna() == pd.Timedelta(hours=joins.RANGE_HOP_H)
     ).all()
+
+
+def test_user_running_totals_bruteforce(ray_session):
+    from simple_content_ocr_ray.functions.window import user_running_totals
+
+    got = user_running_totals(SF).sort_values("event_id").reset_index(drop=True)
+    ev = _events().sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    value_u = np.rint(ev["value"].to_numpy() * 1e6).astype("int64")
+    ev = ev.assign(vu=value_u)
+    run = ev.groupby("user_id")["vu"].cumsum() / 1e6
+    exp = ev.assign(running_value=run.round(4)).sort_values("event_id")
+    assert np.allclose(
+        got["running_value"].to_numpy(), exp["running_value"].to_numpy(), atol=1e-9
+    )
+    # gaps: NaN on each user's first event, >= 0 after
+    merged = got.set_index("event_id")
+    for uid, g in ev.groupby("user_id"):
+        ids = g["event_id"].to_numpy()
+        gaps = merged.loc[ids, "gap_us"].to_numpy()
+        assert np.isnan(gaps[0])
+        assert (gaps[1:] >= 0).all()
