@@ -28,11 +28,11 @@ def entry() -> Any:
 
 
 def _registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
-    from simple_content_ocr_ray.pipelines import extract_queries, relational
+    from simple_content_ocr_ray.pipelines import extract_queries, media, relational
 
     queries: dict[str, Callable[[str], Any]] = {}
     oracles: dict[str, str] = {}
-    for mod in (extract_queries, relational):
+    for mod in (extract_queries, media, relational):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     from simple_content_ocr_ray.functions import (

@@ -1,0 +1,121 @@
+"""Multimodal pipeline queries: synthesize deterministic audio/video binary
+columns from the documents table, run the actor-pool feature stages
+(stages/media.py), and emit the SQL-predictable metadata columns.
+
+The payload→feature plumbing (binary column through an actor pool with
+small batches) is the real deliverable; the SQL oracles pin the metadata
+that is derivable from the synthesis rules (sample/frame counts and the
+integer duration), while the signal features (rms, zero crossings, frame
+brightness) are covered by numpy-reference tests in tests/test_media.py.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import pandas as pd
+import ray.data as rd
+
+from ..stages.media import (
+    AUDIO_RATE,
+    AudioFeatureStage,
+    VideoFrameSampleStage,
+    VIDEO_SAMPLE_EVERY,
+    synth_audio_payload,
+    synth_video_payload,
+)
+
+#: multi-MB binary rows: keep decoded batches ~tens of MB in the worker heap
+MEDIA_BATCH_SIZE = 64
+MEDIA_CONCURRENCY = 4
+
+
+def _docs(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+
+
+def _with_audio(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df["audio"] = [
+        synth_audio_payload(int(d), int(c))
+        for d, c in zip(df["doc_id"], df["n_chars"])
+    ]
+    return df
+
+
+def _with_video(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df["video"] = [
+        synth_video_payload(int(d), int(c))
+        for d, c in zip(df["doc_id"], df["n_chars"])
+    ]
+    return df
+
+
+def audio_features(sf_dir: str) -> rd.Dataset:
+    """Full feature table (incl. rms / zero crossings) — library surface."""
+    return (
+        _docs(sf_dir)
+        .map_batches(_with_audio, batch_format="pandas", batch_size=MEDIA_BATCH_SIZE)
+        .map_batches(
+            AudioFeatureStage,
+            batch_format="pandas",
+            batch_size=MEDIA_BATCH_SIZE,
+            concurrency=MEDIA_CONCURRENCY,
+        )
+    )
+
+
+def audio_meta(sf_dir: str) -> rd.Dataset:
+    """SQL-oracled audio metadata (doc_id, n_samples, duration_ms)."""
+    return audio_features(sf_dir).select_columns(
+        ["doc_id", "n_samples", "duration_ms"]
+    )
+
+
+_AUDIO_META_SQL = f"""
+SELECT doc_id,
+       n_chars * 4 AS n_samples,
+       (n_chars * 4) * 1000 // {AUDIO_RATE} AS duration_ms
+FROM documents
+"""
+
+
+def video_features(sf_dir: str) -> rd.Dataset:
+    return (
+        _docs(sf_dir)
+        .map_batches(_with_video, batch_format="pandas", batch_size=MEDIA_BATCH_SIZE)
+        .map_batches(
+            VideoFrameSampleStage,
+            batch_format="pandas",
+            batch_size=MEDIA_BATCH_SIZE,
+            concurrency=MEDIA_CONCURRENCY,
+        )
+    )
+
+
+def video_meta(sf_dir: str) -> rd.Dataset:
+    """SQL-oracled video metadata (doc_id, n_frames, n_sampled)."""
+    return video_features(sf_dir).select_columns(["doc_id", "n_frames", "n_sampled"])
+
+
+_VIDEO_META_SQL = f"""
+SELECT doc_id,
+       GREATEST(1, n_chars // 8) AS n_frames,
+       (GREATEST(1, n_chars // 8) + {VIDEO_SAMPLE_EVERY - 1})
+         // {VIDEO_SAMPLE_EVERY} AS n_sampled
+FROM documents
+"""
+
+
+QUERIES: dict[str, Callable[[str], object]] = {
+    "audio_meta": audio_meta,
+    "video_meta": video_meta,
+}
+ORACLES: dict[str, str] = {
+    "audio_meta": _AUDIO_META_SQL,
+    "video_meta": _VIDEO_META_SQL,
+}

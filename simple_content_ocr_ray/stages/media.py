@@ -1,0 +1,134 @@
+"""Multimodal (audio / video) column plumbing: opaque binary payloads in,
+typed features out, through actor-pool ``map_batches`` stages.
+
+The container ships no audio/video codecs, so payloads are deterministic
+synthetic containers (16-bit PCM audio; raw grayscale frame stacks) whose
+DECODE is real byte math (``np.frombuffer`` / reshape) — the Ray-side
+plumbing (binary column → actor pool → typed feature columns, small batches
+for multi-MB rows) is the part that matters at 100 TB and is fully real.
+Compressed formats (MP3/H.264/...) would plug into the same seam via an
+external decoder; those branches raise NotImplementedError explicitly.
+
+Payload layouts (synthesized by ``synth_audio_payload`` /
+``synth_video_payload``, sized from the documents table so SQL oracles can
+predict the metadata):
+
+  audio: b"PCM1" | u32 sample_rate | u32 n_samples | int16[n_samples]
+  video: b"VID1" | u16 h | u16 w | u32 n_frames | u8[n_frames*h*w]
+
+Scale notes: feature extraction is per-row-independent (no shuffle);
+``batch_size`` must stay small because a batch is held decoded in the
+worker heap (e.g. 64 rows × 2 MB ≈ 128 MB); the stage classes are actor
+pools so any model/codec init cost is paid once per actor, not per batch.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+
+AUDIO_MAGIC = b"PCM1"
+VIDEO_MAGIC = b"VID1"
+AUDIO_RATE = 16_000
+VIDEO_H = 24
+VIDEO_W = 32
+VIDEO_SAMPLE_EVERY = 5
+
+#: synthesis rules (SQL-mirrorable):
+#:   n_samples = n_chars * 4          (audio)
+#:   n_frames  = max(1, n_chars // 8) (video)
+
+
+def _prng_i16(seed: int, n: int) -> np.ndarray:
+    """Deterministic int16 samples via a splitmix64 stream (vectorized)."""
+    idx = np.arange(n, dtype=np.uint64) + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
+    z = idx + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    return (z & np.uint64(0xFFFF)).astype(np.uint16).view(np.int16)
+
+
+def synth_audio_payload(doc_id: int, n_chars: int) -> bytes:
+    n = n_chars * 4
+    samples = _prng_i16(doc_id, n)
+    return AUDIO_MAGIC + struct.pack("<II", AUDIO_RATE, n) + samples.tobytes()
+
+
+def synth_video_payload(doc_id: int, n_chars: int) -> bytes:
+    n_frames = max(1, n_chars // 8)
+    pix = (
+        _prng_i16(doc_id + 1_000_000, n_frames * VIDEO_H * VIDEO_W).view(np.uint16)
+        & 0xFF
+    ).astype(np.uint8)
+    return (
+        VIDEO_MAGIC
+        + struct.pack("<HHI", VIDEO_H, VIDEO_W, n_frames)
+        + pix.tobytes()
+    )
+
+
+class AudioFeatureStage:
+    """Actor-pool stage: PCM binary column → (n_samples, duration_ms, rms,
+    zero-crossing count). Real vectorized decode; one instance per actor."""
+
+    def __init__(self, payload_col: str = "audio") -> None:
+        self.payload_col = payload_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ns, dur, rms, zc = [], [], [], []
+        for payload in df[self.payload_col]:
+            b = bytes(payload)
+            if b[:4] != AUDIO_MAGIC:
+                raise NotImplementedError(
+                    "compressed audio requires an external decoder behind "
+                    "this seam (no codec libs in this environment)"
+                )
+            rate, n = struct.unpack_from("<II", b, 4)
+            samples = np.frombuffer(b, dtype=np.int16, count=n, offset=12)
+            f = samples.astype(np.float64)
+            ns.append(n)
+            dur.append(n * 1000 // rate)
+            rms.append(float(np.sqrt(np.mean(f * f))) if n else 0.0)
+            zc.append(int(np.count_nonzero(np.signbit(f[1:]) != np.signbit(f[:-1]))))
+        out = df.drop(columns=[self.payload_col]).reset_index(drop=True)
+        out["n_samples"] = pd.Series(ns, dtype="int64")
+        out["duration_ms"] = pd.Series(dur, dtype="int64")
+        out["rms"] = pd.Series(rms).round(4)
+        out["zero_crossings"] = pd.Series(zc, dtype="int64")
+        return out
+
+
+class VideoFrameSampleStage:
+    """Actor-pool stage: raw frame-stack binary column → frame count +
+    per-sampled-frame mean brightness (every ``sample_every``-th frame).
+    The list-typed output column is the decode→feature schema shape a real
+    frame sampler (ffmpeg/pyav behind this seam) would produce."""
+
+    def __init__(self, payload_col: str = "video", sample_every: int = VIDEO_SAMPLE_EVERY) -> None:
+        self.payload_col = payload_col
+        self.sample_every = sample_every
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        nf, nsamp, bright = [], [], []
+        for payload in df[self.payload_col]:
+            b = bytes(payload)
+            if b[:4] != VIDEO_MAGIC:
+                raise NotImplementedError(
+                    "compressed video requires an external decoder behind "
+                    "this seam (no codec libs in this environment)"
+                )
+            h, w, n_frames = struct.unpack_from("<HHI", b, 4)
+            pix = np.frombuffer(b, dtype=np.uint8, count=n_frames * h * w, offset=12)
+            frames = pix.reshape(n_frames, h * w)
+            sampled = frames[:: self.sample_every]
+            nf.append(n_frames)
+            nsamp.append(len(sampled))
+            bright.append(np.round(sampled.mean(axis=1), 4))
+        out = df.drop(columns=[self.payload_col]).reset_index(drop=True)
+        out["n_frames"] = pd.Series(nf, dtype="int64")
+        out["n_sampled"] = pd.Series(nsamp, dtype="int64")
+        out["frame_brightness"] = bright
+        return out

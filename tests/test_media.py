@@ -1,0 +1,80 @@
+"""Multimodal stages (stages/media.py, pipelines/media.py): real decode
+math vs numpy references, actor-pool plumbing, explicit compressed-format
+seam."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from simple_content_ocr_ray.pipelines import media as media_pipelines
+from simple_content_ocr_ray.stages import media
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_audio_payload_roundtrip():
+    b = media.synth_audio_payload(42, 100)
+    assert b[:4] == media.AUDIO_MAGIC
+    rate, n = struct.unpack_from("<II", b, 4)
+    assert rate == media.AUDIO_RATE and n == 400
+    samples = np.frombuffer(b, dtype=np.int16, count=n, offset=12)
+    # deterministic
+    again = np.frombuffer(media.synth_audio_payload(42, 100), np.int16, n, offset=12)
+    assert np.array_equal(samples, again)
+
+
+def test_audio_stage_features_match_numpy():
+    df = pd.DataFrame(
+        {"doc_id": [1, 2], "audio": [media.synth_audio_payload(i, 64) for i in (1, 2)]}
+    )
+    out = media.AudioFeatureStage()(df)
+    for i, doc in enumerate((1, 2)):
+        s = np.frombuffer(
+            media.synth_audio_payload(doc, 64), np.int16, 256, offset=12
+        ).astype(np.float64)
+        assert out.loc[i, "n_samples"] == 256
+        assert out.loc[i, "duration_ms"] == 256 * 1000 // media.AUDIO_RATE
+        assert abs(out.loc[i, "rms"] - round(float(np.sqrt(np.mean(s * s))), 4)) < 1e-9
+        zc = int(np.count_nonzero(np.signbit(s[1:]) != np.signbit(s[:-1])))
+        assert out.loc[i, "zero_crossings"] == zc
+    assert "audio" not in out.columns
+
+
+def test_video_stage_brightness_matches_numpy():
+    b = media.synth_video_payload(7, 80)  # 10 frames
+    df = pd.DataFrame({"doc_id": [7], "video": [b]})
+    out = media.VideoFrameSampleStage()(df)
+    h, w, n_frames = struct.unpack_from("<HHI", b, 4)
+    assert (h, w, n_frames) == (media.VIDEO_H, media.VIDEO_W, 10)
+    frames = np.frombuffer(b, np.uint8, n_frames * h * w, offset=12).reshape(
+        n_frames, h * w
+    )
+    exp = np.round(frames[:: media.VIDEO_SAMPLE_EVERY].mean(axis=1), 4)
+    assert out.loc[0, "n_frames"] == 10
+    assert out.loc[0, "n_sampled"] == 2
+    assert np.array_equal(out.loc[0, "frame_brightness"], exp)
+
+
+def test_compressed_formats_raise_not_implemented():
+    df = pd.DataFrame({"doc_id": [0], "audio": [b"ID3\x04 not pcm"]})
+    with pytest.raises(NotImplementedError):
+        media.AudioFeatureStage()(df)
+    dfv = pd.DataFrame({"doc_id": [0], "video": [b"\x00\x00\x01\xba mpeg"]})
+    with pytest.raises(NotImplementedError):
+        media.VideoFrameSampleStage()(dfv)
+
+
+def test_media_pipelines_end_to_end(ray_session):
+    audio = media_pipelines.audio_features(SF).to_pandas()
+    assert len(audio) == 500
+    assert {"n_samples", "duration_ms", "rms", "zero_crossings"} <= set(audio.columns)
+    video = media_pipelines.video_meta(SF).to_pandas()
+    n_chars = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "n_chars"])
+    merged = video.merge(n_chars, on="doc_id")
+    assert (
+        merged["n_frames"] == np.maximum(1, merged["n_chars"] // 8)
+    ).all()
