@@ -79,18 +79,62 @@ def _asof_group(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def events_asof_join(sf_dir: str) -> pd.DataFrame:
+def events_asof_join(sf_dir: str, small_threshold: int = 2_000_000) -> pd.DataFrame:
     """AS-OF JOIN: each purchase event joined to the same user's most recent
     view event at or before it (NULL when the user never viewed before).
 
     ``lag_us`` is the exact microsecond gap as a float (NULL-able); both
     sides compute it from the same integer microsecond timestamps, so it is
-    bit-identical to the SQL oracle."""
+    bit-identical to the SQL oracle.
+
+    Adaptive like ``user_sessions``: below the threshold the filtered log is
+    sorted once and merged per-user vectorized (Ray's sort-based groupby has
+    a fixed multi-second shuffle cost that dwarfs small inputs); above it,
+    the keyed shuffle (``groupby(user_id).map_groups``) — the partitioning
+    an as-of join fundamentally needs at scale. Both paths share
+    ``_asof_group``; tests assert byte-equal outputs."""
     events = _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
     # pre-filter: only the two joined event types ever enter the shuffle
     events = events.filter(
         expr="event_type == 'purchase' or event_type == 'view'"
-    )
+    ).materialize()
+    if events.count() <= small_threshold:
+        df = events.to_pandas()
+        p = (
+            df[df["event_type"] == "purchase"]
+            .sort_values("ts", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        v = (
+            df.loc[df["event_type"] == "view", ["user_id", "ts"]]
+            .sort_values("ts", kind="mergesort")
+            .rename(columns={"ts": "view_ts"})
+        )
+        m = pd.merge_asof(
+            p,
+            v,
+            left_on="ts",
+            right_on="view_ts",
+            by="user_id",
+            direction="backward",
+        )
+        ts_us = m["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        view_us = m["view_ts"].to_numpy(dtype="datetime64[us]")
+        lag = np.where(
+            np.isnat(view_us),
+            np.nan,
+            (ts_us - view_us.astype("int64")).astype("float64"),
+        )
+        out_df = pd.DataFrame(
+            {
+                "event_id": m["event_id"],
+                "user_id": m["user_id"],
+                "ts": m["ts"].astype("datetime64[us]"),
+                "view_ts": pd.Series(view_us),
+                "lag_us": lag,
+            }
+        )
+        return out_df.astype({"event_id": "int64", "user_id": "int64"})
     out = events.groupby("user_id").map_groups(_asof_group, batch_format="pandas")
     df = out.to_pandas()
     return df.astype({"event_id": "int64", "user_id": "int64"})

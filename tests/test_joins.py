@@ -87,3 +87,25 @@ def test_user_running_totals_bruteforce(ray_session):
         gaps = merged.loc[ids, "gap_us"].to_numpy()
         assert np.isnan(gaps[0])
         assert (gaps[1:] >= 0).all()
+
+
+def test_asof_join_paths_equal(ray_session):
+    small = joins.events_asof_join(SF).sort_values("event_id").reset_index(drop=True)
+    shuffled = (
+        joins.events_asof_join(SF, small_threshold=0)
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(small, shuffled, check_like=True)
+
+
+def test_running_totals_paths_equal(ray_session):
+    from simple_content_ocr_ray.functions.window import user_running_totals
+
+    small = user_running_totals(SF).sort_values("event_id").reset_index(drop=True)
+    shuffled = (
+        user_running_totals(SF, small_threshold=0)
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(small, shuffled, check_like=True)
