@@ -456,8 +456,122 @@ GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """
 
 
+# --------------------------------------------------------------------------
+# Interpolated percentiles (percentile_cont) from a value histogram
+# --------------------------------------------------------------------------
+
+PCTS = (0.25, 0.5, 0.75, 0.95)
+
+
+def event_value_percentiles(sf_dir: str) -> pd.DataFrame:
+    """Exact interpolated percentiles (SQL ``quantile_cont`` semantics) of
+    ``value`` per event_type. Values are money-scaled to int64 so the
+    histogram domain is discrete; the shuffle moves one (type, value) count
+    per batch, never the events. Interpolation (lower + frac·(upper−lower))
+    runs on the same integers the oracle aggregates, so results match to
+    the rounded decimal."""
+    events = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "value_u": np.rint(df["value"] * 1_000_000).astype("int64"),
+            }
+        )
+
+    hist = grouped_aggregate(
+        events, ["event_type", "value_u"], {"cnt": (None, "count")}, prepare=prepare
+    ).to_pandas()
+    rows = []
+    for etype, g in hist.groupby("event_type"):
+        g = g.sort_values("value_u")
+        cum = g["cnt"].cumsum().to_numpy()
+        vals = g["value_u"].to_numpy().astype("float64")
+        n = int(cum[-1])
+        row = {"event_type": etype}
+        for q in PCTS:
+            h = (n - 1) * q
+            lo_i = int(np.floor(h))
+            hi_i = int(np.ceil(h))
+            lo = vals[np.searchsorted(cum, lo_i + 1)]
+            hi = vals[np.searchsorted(cum, hi_i + 1)]
+            x = lo + (h - lo_i) * (hi - lo)
+            row[f"p{int(q * 100)}"] = round_half_away(x / 1_000_000.0)
+        rows.append(row)
+    return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+
+
+_EVENT_VALUE_PERCENTILES_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(CAST(ROUND(value * 1000000, 0) AS BIGINT), 0.25)
+             / 1000000.0, 4) AS p25,
+       ROUND(quantile_cont(CAST(ROUND(value * 1000000, 0) AS BIGINT), 0.5)
+             / 1000000.0, 4) AS p50,
+       ROUND(quantile_cont(CAST(ROUND(value * 1000000, 0) AS BIGINT), 0.75)
+             / 1000000.0, 4) AS p75,
+       ROUND(quantile_cont(CAST(ROUND(value * 1000000, 0) AS BIGINT), 0.95)
+             / 1000000.0, 4) AS p95
+FROM events
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Semi-structured (JSON) field extraction + rollup
+# --------------------------------------------------------------------------
+
+def props_value_stats(sf_dir: str) -> pd.DataFrame:
+    """Extract the integer ``k`` field from the JSON ``props`` column
+    (vectorized regex — no per-row json.loads) and aggregate per
+    event_type: count, sum, max, and 4-decimal average."""
+    events = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        k = (
+            df["props"]
+            .str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+            .astype("int64")
+        )
+        return pd.DataFrame({"event_type": df["event_type"], "k": k})
+
+    agg = grouped_aggregate(
+        events,
+        ["event_type"],
+        {"n": (None, "count"), "sum_k": ("k", "sum"), "max_k": ("k", "max")},
+        prepare=prepare,
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "event_type": agg["event_type"],
+            "n": agg["n"].astype("int64"),
+            "sum_k": agg["sum_k"].astype("int64"),
+            "max_k": agg["max_k"].astype("int64"),
+            "avg_k": round_half_away(agg["sum_k"] / agg["n"]),
+        }
+    ).sort_values("event_type").reset_index(drop=True)
+
+
+_PROPS_VALUE_STATS_SQL = """
+WITH x AS (
+  SELECT event_type,
+         CAST(regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1) AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MAX(k) AS max_k,
+       ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(*), 4) AS avg_k
+FROM x
+GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "orders_rollup": orders_rollup,
+    "event_value_percentiles": event_value_percentiles,
+    "props_value_stats": props_value_stats,
     "distinct_user_count": distinct_user_count,
     "largest_docs": largest_docs,
     "supplier_nation_hash_join": supplier_nation_hash_join,
@@ -472,6 +586,8 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "orders_rollup": _ORDERS_ROLLUP_SQL,
+    "event_value_percentiles": _EVENT_VALUE_PERCENTILES_SQL,
+    "props_value_stats": _PROPS_VALUE_STATS_SQL,
     "distinct_user_count": _DISTINCT_USER_COUNT_SQL,
     "largest_docs": _LARGEST_DOCS_SQL,
     "supplier_nation_hash_join": _SUPPLIER_NATION_HASH_JOIN_SQL,
