@@ -255,11 +255,95 @@ GROUP BY 1, 2, 3
 """
 
 
+# --------------------------------------------------------------------------
+# Sequence funnel (view → click → purchase, strictly increasing ts)
+# --------------------------------------------------------------------------
+
+def _funnel_times(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-user funnel timestamps — fully vectorized grouped merges, so the
+    same code serves the single-node path (whole frame) and each shuffle
+    group (one user's frame)."""
+    v = (
+        df[df["event_type"] == "view"]
+        .groupby("user_id", sort=False)["ts"]
+        .min()
+        .rename("t1")
+        .reset_index()
+    )
+    c = df[df["event_type"] == "click"].merge(v, on="user_id")
+    c = (
+        c[c["ts"] > c["t1"]]
+        .groupby("user_id", sort=False)["ts"]
+        .min()
+        .rename("t2")
+        .reset_index()
+    )
+    p = df[df["event_type"] == "purchase"].merge(c, on="user_id")
+    p = (
+        p[p["ts"] > p["t2"]]
+        .groupby("user_id", sort=False)["ts"]
+        .min()
+        .rename("t3")
+        .reset_index()
+    )
+    out = v.merge(c, on="user_id", how="left").merge(p, on="user_id", how="left")
+    return out
+
+
+def user_funnel_counts(sf_dir: str, small_threshold: int = 2_000_000) -> pd.DataFrame:
+    """Funnel conversion: distinct users with a view, a click strictly after
+    their first view, and a purchase strictly after that first qualifying
+    click. One row: (n_view, n_view_click, n_funnel).
+
+    Adaptive: small logs run the vectorized grouped merges on one node;
+    large logs shuffle by user (``groupby(user_id).map_groups``) and the
+    per-user flags are count-reduced — the driver sees three integers."""
+    events = _read_events(sf_dir, ["user_id", "ts", "event_type"]).filter(
+        expr="event_type == 'view' or event_type == 'click' or event_type == 'purchase'"
+    ).materialize()
+
+    if events.count() <= small_threshold:
+        t = _funnel_times(events.to_pandas())
+    else:
+        flags = events.groupby("user_id").map_groups(
+            _funnel_times, batch_format="pandas"
+        )
+        t = flags.to_pandas()
+    return pd.DataFrame(
+        {
+            "n_view": pd.Series([len(t)], dtype="int64"),
+            "n_view_click": pd.Series([int(t["t2"].notna().sum())], dtype="int64"),
+            "n_funnel": pd.Series([int(t["t3"].notna().sum())], dtype="int64"),
+        }
+    )
+
+
+_USER_FUNNEL_COUNTS_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_view_click,
+       (SELECT COUNT(*) FROM p) AS n_funnel
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
     "events_asof_join": events_asof_join,
     "events_range_join": events_range_join,
+    "user_funnel_counts": user_funnel_counts,
 }
 ORACLES: dict[str, str] = {
     "events_asof_join": _EVENTS_ASOF_JOIN_SQL,
     "events_range_join": _EVENTS_RANGE_JOIN_SQL,
+    "user_funnel_counts": _USER_FUNNEL_COUNTS_SQL,
 }

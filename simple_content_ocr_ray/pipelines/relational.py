@@ -568,10 +568,79 @@ GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Time-series: daily revenue + 7-day moving window
+# --------------------------------------------------------------------------
+
+def daily_revenue_ma7(sf_dir: str) -> pd.DataFrame:
+    """Per ship-day revenue with a 7-calendar-day trailing window (sum and
+    average over the days present in the window) — the moving-aggregate
+    analog of a RANGE interval frame.
+
+    The corpus pass is one partial+final aggregate keyed by day (bounded
+    domain: one row per calendar day crosses the shuffle); the rolling
+    window runs over that bounded daily series on the driver with a
+    vectorized two-pointer prefix-sum — never over line items."""
+    li = _read(sf_dir, "lineitem", columns=["l_shipdate", "l_extendedprice", "l_discount"])
+
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "ship_day": df["l_shipdate"].dt.floor("D"),
+                "rev_u": np.rint(
+                    df["l_extendedprice"] * (1 - df["l_discount"]) * 1_000_000
+                ).astype("int64"),
+            }
+        )
+
+    daily = (
+        grouped_aggregate(
+            li, ["ship_day"], {"rev_u": ("rev_u", "sum")}, prepare=prepare
+        )
+        .to_pandas()
+        .sort_values("ship_day")
+        .reset_index(drop=True)
+    )
+    days = daily["ship_day"].to_numpy(dtype="datetime64[D]").astype("int64")
+    rev = daily["rev_u"].to_numpy()
+    prefix = np.concatenate(([0], np.cumsum(rev)))
+    # first index inside the trailing 7-day window [d-6, d]
+    lo = np.searchsorted(days, days - 6, side="left")
+    hi = np.arange(len(days)) + 1
+    sum7_u = prefix[hi] - prefix[lo]
+    n_in_win = hi - lo
+    return pd.DataFrame(
+        {
+            "ship_day": daily["ship_day"],
+            "revenue": round_half_away(rev / 1_000_000.0),
+            "sum7": round_half_away(sum7_u / 1_000_000.0),
+            "avg7": round_half_away(sum7_u / n_in_win / 1_000_000.0),
+        }
+    )
+
+
+_DAILY_REVENUE_MA7_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', l_shipdate) AS ship_day,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000, 0)
+                  AS BIGINT)) AS rev_u
+  FROM lineitem GROUP BY 1
+)
+SELECT ship_day,
+       ROUND(rev_u / 1000000.0, 4) AS revenue,
+       ROUND(SUM(rev_u) OVER w / 1000000.0, 4) AS sum7,
+       ROUND(SUM(rev_u) OVER w / COUNT(*) OVER w / 1000000.0, 4) AS avg7
+FROM daily
+WINDOW w AS (ORDER BY ship_day
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "orders_rollup": orders_rollup,
     "event_value_percentiles": event_value_percentiles,
     "props_value_stats": props_value_stats,
+    "daily_revenue_ma7": daily_revenue_ma7,
     "distinct_user_count": distinct_user_count,
     "largest_docs": largest_docs,
     "supplier_nation_hash_join": supplier_nation_hash_join,
@@ -588,6 +657,7 @@ ORACLES: dict[str, str] = {
     "orders_rollup": _ORDERS_ROLLUP_SQL,
     "event_value_percentiles": _EVENT_VALUE_PERCENTILES_SQL,
     "props_value_stats": _PROPS_VALUE_STATS_SQL,
+    "daily_revenue_ma7": _DAILY_REVENUE_MA7_SQL,
     "distinct_user_count": _DISTINCT_USER_COUNT_SQL,
     "largest_docs": _LARGEST_DOCS_SQL,
     "supplier_nation_hash_join": _SUPPLIER_NATION_HASH_JOIN_SQL,

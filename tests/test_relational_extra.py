@@ -46,3 +46,50 @@ def test_orders_rollup_levels_consistent(ray_session):
     assert by_status["n_orders"].sum() == total["n_orders"].iloc[0]
     # money sums roll up exactly at every level
     assert abs(finest["sum_price"].sum() - total["sum_price"].iloc[0]) < 1e-6
+
+
+def test_daily_revenue_ma7_window_math(ray_session):
+    got = relational.daily_revenue_ma7(SF).sort_values("ship_day").reset_index(drop=True)
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    li["day"] = li["l_shipdate"].dt.floor("D")
+    li["rev_u"] = np.rint(
+        li["l_extendedprice"] * (1 - li["l_discount"]) * 1e6
+    ).astype("int64")
+    daily = li.groupby("day")["rev_u"].sum().sort_index()
+    # spot-check a handful of trailing 7-day windows
+    days = daily.index
+    for i in [0, 1, len(days) // 2, len(days) - 1]:
+        d = days[i]
+        win = daily[(daily.index > d - pd.Timedelta(days=7)) & (daily.index <= d)]
+        row = got[got["ship_day"] == d].iloc[0]
+        from simple_content_ocr_ray.functions.agg import round_half_away
+
+        assert abs(row["sum7"] - round_half_away(win.sum() / 1e6)) < 1e-9
+        assert abs(row["avg7"] - round_half_away(win.sum() / len(win) / 1e6)) < 1e-9
+
+
+def test_user_funnel_counts_bruteforce(ray_session):
+    from simple_content_ocr_ray.functions.joins import user_funnel_counts
+
+    got = user_funnel_counts(SF)
+    forced = user_funnel_counts(SF, small_threshold=0)
+    pd.testing.assert_frame_equal(got, forced)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts", "event_type"])
+    n_view = n_vc = n_funnel = 0
+    for _, g in ev.groupby("user_id"):
+        views = g.loc[g["event_type"] == "view", "ts"]
+        if views.empty:
+            continue
+        n_view += 1
+        t1 = views.min()
+        clicks = g.loc[(g["event_type"] == "click") & (g["ts"] > t1), "ts"]
+        if clicks.empty:
+            continue
+        n_vc += 1
+        t2 = clicks.min()
+        if ((g["event_type"] == "purchase") & (g["ts"] > t2)).any():
+            n_funnel += 1
+    assert got.iloc[0].tolist() == [n_view, n_vc, n_funnel]
