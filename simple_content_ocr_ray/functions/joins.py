@@ -166,6 +166,27 @@ RANGE_HOP_H = 12
 RANGE_WIDTH_H = 18
 
 
+def _min_ts_from_footers(sf_dir: str):
+    """min(ts) from parquet row-group statistics — zero data bytes read.
+    The window anchor needs one scalar; scanning the corpus for it would be
+    a full extra pass at 100 TB."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata
+    idx = md.schema.to_arrow_schema().get_field_index("ts")
+    lo = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:  # fall back to a scan
+            import ray.data as _rd
+
+            return _rd.read_parquet(
+                os.path.join(sf_dir, "events.parquet"), columns=["ts"]
+            ).min("ts")
+        lo = st.min if lo is None else min(lo, st.min)
+    return lo
+
+
 def _window_table(t0: np.datetime64) -> pd.DataFrame:
     start = t0 + np.arange(RANGE_N_WINDOWS) * np.timedelta64(RANGE_HOP_H, "h")
     return pd.DataFrame(
@@ -192,7 +213,7 @@ def events_range_join(sf_dir: str) -> pd.DataFrame:
     windows × batches, independent of corpus size."""
     events = _read_events(sf_dir, ["ts", "value"])
     t0 = np.datetime64(
-        pd.Timestamp(events.min("ts")).floor("D").to_datetime64(), "us"
+        pd.Timestamp(_min_ts_from_footers(sf_dir)).floor("D").to_datetime64(), "us"
     )
     win = _window_table(t0)
     starts = win["w_start"].to_numpy(dtype="datetime64[us]")

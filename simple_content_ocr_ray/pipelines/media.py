@@ -28,7 +28,17 @@ from ..stages.media import (
 
 #: multi-MB binary rows: keep decoded batches ~tens of MB in the worker heap
 MEDIA_BATCH_SIZE = 64
-MEDIA_CONCURRENCY = 4
+MEDIA_CONCURRENCY_CAP = 4
+
+
+def _media_concurrency() -> int:
+    """Actor-pool size that always leaves CPUs for the upstream read/synth
+    tasks: a pool that reserves every CPU deadlocks the pipeline (the pool
+    idles waiting for input the starved read stage can never produce)."""
+    import ray
+
+    total = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(1, min(MEDIA_CONCURRENCY_CAP, total - 2))
 
 
 def _docs(sf_dir: str) -> rd.Dataset:
@@ -64,7 +74,7 @@ def audio_features(sf_dir: str) -> rd.Dataset:
             AudioFeatureStage,
             batch_format="pandas",
             batch_size=MEDIA_BATCH_SIZE,
-            concurrency=MEDIA_CONCURRENCY,
+            concurrency=_media_concurrency(),
         )
     )
 
@@ -92,7 +102,7 @@ def video_features(sf_dir: str) -> rd.Dataset:
             VideoFrameSampleStage,
             batch_format="pandas",
             batch_size=MEDIA_BATCH_SIZE,
-            concurrency=MEDIA_CONCURRENCY,
+            concurrency=_media_concurrency(),
         )
     )
 

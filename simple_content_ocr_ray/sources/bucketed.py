@@ -9,8 +9,9 @@ co-partitioned: a join can then proceed bucket-by-bucket
 independent task reading two small prefixes, which is how a repeated join
 key amortizes its one-time shuffle across every later pipeline. The bucket
 column is derived with the same splitmix64 hash on every worker, so the
-layout is deterministic and resumable (a failed run rewrites only missing
-bucket directories).
+layout is deterministic: re-running the write reproduces identical bucket
+contents (partition-granular resume of bucketed OUTPUT is provided by
+``state/manifest.py``, which wraps writes in atomic directory publishes).
 """
 
 from __future__ import annotations
