@@ -1,0 +1,122 @@
+"""Property-based tests (hypothesis, derandomized) for the pure cores of
+the round-2 operators: funnel chaining, Misra-Gries bounds, HLL merge,
+bucket assignment, and the as-of group merge. These run the operator's
+actual helper functions on adversarial small inputs — no Ray needed."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from simple_content_ocr_ray.functions import sketch
+from simple_content_ocr_ray.functions.joins import _asof_group, _funnel_times
+from simple_content_ocr_ray.sources.bucketed import bucket_of
+
+EVENT_TYPES = ["view", "click", "purchase"]
+
+
+def _events_frame(raw: list[tuple[int, int, int]]) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(len(raw), dtype="int64"),
+            "user_id": np.array([r[0] for r in raw], dtype="int64"),
+            "ts": pd.to_datetime([r[1] * 1000 for r in raw], unit="us").astype(
+                "datetime64[us]"
+            ),
+            "event_type": [EVENT_TYPES[r[2]] for r in raw],
+        }
+    )
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 4),  # user
+        st.integers(0, 50),  # coarse ts (collisions likely)
+        st.integers(0, 2),  # type
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(events_strategy)
+@settings(max_examples=200, deadline=None, derandomize=True)
+def test_funnel_times_match_bruteforce(raw):
+    df = _events_frame(raw)
+    t = _funnel_times(df)
+    # brute force per user
+    for uid, g in df.groupby("user_id"):
+        views = g.loc[g["event_type"] == "view", "ts"]
+        row = t[t["user_id"] == uid]
+        if views.empty:
+            assert row.empty
+            continue
+        t1 = views.min()
+        assert row["t1"].iloc[0] == t1
+        clicks = g.loc[(g["event_type"] == "click") & (g["ts"] > t1), "ts"]
+        if clicks.empty:
+            assert pd.isna(row["t2"].iloc[0])
+            continue
+        t2 = clicks.min()
+        assert row["t2"].iloc[0] == t2
+        purchases = g.loc[(g["event_type"] == "purchase") & (g["ts"] > t2), "ts"]
+        if purchases.empty:
+            assert pd.isna(row["t3"].iloc[0])
+        else:
+            assert row["t3"].iloc[0] == purchases.min()
+
+
+@given(events_strategy)
+@settings(max_examples=200, deadline=None, derandomize=True)
+def test_asof_group_matches_bruteforce(raw):
+    df = _events_frame(raw)
+    df["event_type"] = df["event_type"].replace({"click": "view"})
+    for uid, g in df.groupby("user_id"):
+        out = _asof_group(g)
+        p = g[g["event_type"] == "purchase"]
+        assert list(out["event_id"]) == list(p["event_id"])
+        for _, prow in p.iterrows():
+            prior = g[(g["event_type"] == "view") & (g["ts"] <= prow["ts"])]
+            exp = prior["ts"].max() if len(prior) else pd.NaT
+            gotv = out.loc[out["event_id"] == prow["event_id"], "view_ts"].iloc[0]
+            assert (pd.isna(gotv) and pd.isna(exp)) or gotv == exp
+
+
+@given(
+    st.lists(st.sampled_from("abcdefghijklmnop"), min_size=1, max_size=400),
+    st.integers(2, 10),
+)
+@settings(max_examples=150, deadline=None, derandomize=True)
+def test_misra_gries_bound(tokens, cap):
+    true = Counter(tokens)
+    counts = pd.Series(tokens).value_counts()
+    kept = sketch._mg_merge(counts, cap)
+    assert len(kept) <= cap
+    for tok, n in kept.items():
+        assert n <= true[tok]
+        assert true[tok] - n <= len(tokens) / (cap + 1)
+
+
+@given(st.lists(st.integers(0, 2**62), min_size=0, max_size=500))
+@settings(max_examples=100, deadline=None, derandomize=True)
+def test_hll_merge_equals_union(keys):
+    a = np.array(keys[: len(keys) // 2], dtype="int64")
+    b = np.array(keys[len(keys) // 2 :], dtype="int64")
+    whole = sketch._hll_registers(np.array(keys, dtype="int64"))
+    merged = np.maximum(sketch._hll_registers(a), sketch._hll_registers(b))
+    assert np.array_equal(whole, merged)
+
+
+@given(st.lists(st.integers(-(2**62), 2**62), min_size=1, max_size=300), st.integers(1, 64))
+@settings(max_examples=100, deadline=None, derandomize=True)
+def test_bucket_of_stable_and_in_range(keys, n_buckets):
+    arr = np.array(keys, dtype="int64")
+    got = bucket_of(arr, n_buckets)
+    assert ((got >= 0) & (got < n_buckets)).all()
+    assert np.array_equal(got, bucket_of(arr, n_buckets))
+    # equal keys always land in the same bucket
+    s = pd.DataFrame({"k": arr, "b": got}).groupby("k")["b"].nunique()
+    assert (s == 1).all()
