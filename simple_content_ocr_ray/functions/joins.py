@@ -97,8 +97,10 @@ def events_asof_join(sf_dir: str, small_threshold: int = 2_000_000) -> pd.DataFr
     # pre-filter: only the two joined event types ever enter the shuffle
     events = events.filter(
         expr="event_type == 'purchase' or event_type == 'view'"
-    ).materialize()
-    if events.count() <= small_threshold:
+    )
+    # decide the path from footer metadata (an upper bound on the filtered
+    # size) — no execution, no object-store pinning
+    if events_row_count(sf_dir) <= small_threshold:
         df = events.to_pandas()
         p = (
             df[df["event_type"] == "purchase"]
@@ -164,6 +166,16 @@ FROM p JOIN best USING (event_id)
 RANGE_N_WINDOWS = 60
 RANGE_HOP_H = 12
 RANGE_WIDTH_H = 18
+
+
+def events_row_count(sf_dir: str) -> int:
+    """Row count from the parquet footer — the adaptive small-vs-shuffle
+    decision must not execute (let alone pin) the dataset; at corpus scale a
+    ``materialize()`` just to count would hold the whole filtered log in the
+    object store."""
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(os.path.join(sf_dir, "events.parquet")).num_rows
 
 
 def _min_ts_from_footers(sf_dir: str):
@@ -321,9 +333,9 @@ def user_funnel_counts(sf_dir: str, small_threshold: int = 2_000_000) -> pd.Data
     per-user flags are count-reduced — the driver sees three integers."""
     events = _read_events(sf_dir, ["user_id", "ts", "event_type"]).filter(
         expr="event_type == 'view' or event_type == 'click' or event_type == 'purchase'"
-    ).materialize()
+    )
 
-    if events.count() <= small_threshold:
+    if events_row_count(sf_dir) <= small_threshold:
         t = _funnel_times(events.to_pandas())
     else:
         flags = events.groupby("user_id").map_groups(

@@ -42,11 +42,15 @@ def user_sessions(sf_dir: str, small_threshold: int = 2_000_000) -> pd.DataFrame
 
     Adaptive like grouped_aggregate: small logs are sorted once and
     sessionized vectorized; large logs shuffle by user (``groupby(user_id)
-    .map_groups`` — the keyed-log partitioning assumption at scale)."""
+    .map_groups`` — the keyed-log partitioning assumption at scale). The
+    path decision reads the parquet footer row count — no execution, no
+    object-store pinning."""
+    from .joins import events_row_count
+
     events = rd.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
-    ).materialize()
-    if events.count() <= small_threshold:
+    )
+    if events_row_count(sf_dir) <= small_threshold:
         df = events.to_pandas().sort_values(["user_id", "ts"], kind="mergesort")
         return _sessions_for_sorted(df.reset_index(drop=True))
 
@@ -167,10 +171,12 @@ def user_running_totals(sf_dir: str, small_threshold: int = 2_000_000) -> pd.Dat
     Adaptive like ``user_sessions``: small logs take one vectorized sort
     (grouped cumsum/diff with no Python per-group loop); large logs take the
     keyed shuffle. Tests assert both paths byte-equal."""
+    from .joins import events_row_count
+
     events = rd.read_parquet(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "user_id", "ts", "value"],
-    ).materialize()
+    )
 
     def running(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
@@ -188,7 +194,7 @@ def user_running_totals(sf_dir: str, small_threshold: int = 2_000_000) -> pd.Dat
             }
         )
 
-    if events.count() <= small_threshold:
+    if events_row_count(sf_dir) <= small_threshold:
         df = events.to_pandas().sort_values(
             ["user_id", "ts", "event_id"], kind="mergesort"
         )
