@@ -28,11 +28,16 @@ def entry() -> Any:
 
 
 def _registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
-    from simple_content_ocr_ray.pipelines import extract_queries, media, relational
+    from simple_content_ocr_ray.pipelines import (
+        clean,
+        extract_queries,
+        media,
+        relational,
+    )
 
     queries: dict[str, Callable[[str], Any]] = {}
     oracles: dict[str, str] = {}
-    for mod in (extract_queries, media, relational):
+    for mod in (clean, extract_queries, media, relational):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     from simple_content_ocr_ray.functions import (

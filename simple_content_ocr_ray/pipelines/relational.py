@@ -636,11 +636,115 @@ WINDOW w AS (ORDER BY ship_day
 """
 
 
+# --------------------------------------------------------------------------
+# Q3-style three-table analytical join (shipping priority)
+# --------------------------------------------------------------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = pd.Timestamp("1998-06-01")
+Q3_TOPK = 10
+
+
+def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3 shape: customers in one segment × their orders placed before
+    the cutoff × line items shipped after it; revenue per order; top-10 by
+    (revenue desc, o_orderdate asc, orderkey).
+
+    Join topology for 100 TB: the segment's customer-key set is a broadcast
+    semi-filter on orders (Bloom variant at 10^12 keys — same call shape);
+    the filtered orders are the SMALL side of a broadcast merge into the
+    lineitem scan (at larger selectivity this becomes the hash-join path of
+    ``supplier_nation_hash_join``); revenue partials pre-aggregate per batch
+    before the per-order groupby; the final ordering is
+    local-topk-then-final-topk — no global sort anywhere."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust_keys = (
+        cust.map_batches(
+            lambda df: df.loc[df["c_mktsegment"] == Q3_SEGMENT, ["c_custkey"]],
+            batch_format="pandas",
+        )
+        .to_pandas()["c_custkey"]
+        .to_numpy()
+    )
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    )
+    orders = broadcast_semi_filter(orders, cust_keys, "o_custkey")
+    orders_small = (
+        orders.map_batches(
+            lambda df: df.loc[
+                df["o_orderdate"] < Q3_CUTOFF,
+                ["o_orderkey", "o_orderdate", "o_orderpriority"],
+            ],
+            batch_format="pandas",
+        )
+    )
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    )
+    joined = broadcast_merge(
+        li,
+        orders_small.to_pandas(),
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+    )
+
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] > Q3_CUTOFF]
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"],
+                "o_orderdate": df["o_orderdate"],
+                "o_orderpriority": df["o_orderpriority"],
+                "rev_u": np.rint(
+                    df["l_extendedprice"] * (1 - df["l_discount"]) * 1_000_000
+                ).astype("int64"),
+            }
+        )
+
+    agg = grouped_aggregate(
+        joined,
+        ["o_orderkey", "o_orderdate", "o_orderpriority"],
+        {"rev_u": ("rev_u", "sum")},
+        prepare=prepare,
+    ).to_pandas()
+    agg["revenue"] = round_half_away(agg["rev_u"] / 1_000_000.0)
+    agg = agg.sort_values(
+        ["rev_u", "o_orderdate", "o_orderkey"],
+        ascending=[False, True, True],
+        kind="mergesort",
+    ).head(Q3_TOPK)
+    out = agg[["o_orderkey", "o_orderdate", "o_orderpriority", "revenue"]]
+    return out.reset_index(drop=True).astype({"o_orderkey": "int64"})
+
+
+_Q3_SHIPPING_PRIORITY_SQL = f"""
+WITH j AS (
+  SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+         SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 1000000, 0)
+                  AS BIGINT)) AS rev_u
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+    AND o.o_orderdate < TIMESTAMP '1998-06-01'
+    AND l.l_shipdate > TIMESTAMP '1998-06-01'
+  GROUP BY 1, 2, 3
+)
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       ROUND(rev_u / 1000000.0, 4) AS revenue
+FROM j
+ORDER BY rev_u DESC, o_orderdate, o_orderkey
+LIMIT {Q3_TOPK}
+"""
+
+
 QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "orders_rollup": orders_rollup,
     "event_value_percentiles": event_value_percentiles,
     "props_value_stats": props_value_stats,
     "daily_revenue_ma7": daily_revenue_ma7,
+    "q3_shipping_priority": q3_shipping_priority,
     "distinct_user_count": distinct_user_count,
     "largest_docs": largest_docs,
     "supplier_nation_hash_join": supplier_nation_hash_join,
@@ -658,6 +762,7 @@ ORACLES: dict[str, str] = {
     "event_value_percentiles": _EVENT_VALUE_PERCENTILES_SQL,
     "props_value_stats": _PROPS_VALUE_STATS_SQL,
     "daily_revenue_ma7": _DAILY_REVENUE_MA7_SQL,
+    "q3_shipping_priority": _Q3_SHIPPING_PRIORITY_SQL,
     "distinct_user_count": _DISTINCT_USER_COUNT_SQL,
     "largest_docs": _LARGEST_DOCS_SQL,
     "supplier_nation_hash_join": _SUPPLIER_NATION_HASH_JOIN_SQL,

@@ -93,3 +93,54 @@ def test_user_funnel_counts_bruteforce(ray_session):
         if ((g["event_type"] == "purchase") & (g["ts"] > t2)).any():
             n_funnel += 1
     assert got.iloc[0].tolist() == [n_view, n_vc, n_funnel]
+
+
+def test_q3_shipping_priority_bruteforce(ray_session):
+    got = relational.q3_shipping_priority(SF)
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    keys = set(cust.loc[cust["c_mktsegment"] == relational.Q3_SEGMENT, "c_custkey"])
+    o = orders[(orders["o_custkey"].isin(keys)) & (orders["o_orderdate"] < relational.Q3_CUTOFF)]
+    j = li[li["l_shipdate"] > relational.Q3_CUTOFF].merge(
+        o, left_on="l_orderkey", right_on="o_orderkey"
+    )
+    j["rev_u"] = np.rint(j["l_extendedprice"] * (1 - j["l_discount"]) * 1e6).astype("int64")
+    agg = (
+        j.groupby(["o_orderkey", "o_orderdate", "o_orderpriority"], as_index=False)["rev_u"]
+        .sum()
+        .sort_values(["rev_u", "o_orderdate", "o_orderkey"], ascending=[False, True, True])
+        .head(relational.Q3_TOPK)
+    )
+    assert list(got["o_orderkey"]) == list(agg["o_orderkey"])
+    assert np.allclose(got["revenue"], (agg["rev_u"] / 1e6).round(4), atol=1e-9)
+
+
+def test_clean_corpus_rules(ray_session):
+    from simple_content_ocr_ray.pipelines.clean import (
+        MAX_MEAN_TOKEN_LEN,
+        MIN_DISTINCT_RATIO,
+        MIN_TOKENS,
+        clean_corpus,
+    )
+
+    got = clean_corpus(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    kept = set(got["doc_id"])
+    seen_hash = {}
+    for r in docs.sort_values("doc_id").itertuples():
+        toks = r.text.split(" ")
+        nt = len(toks)
+        ok = (
+            nt >= MIN_TOKENS
+            and len(set(toks)) / nt >= MIN_DISTINCT_RATIO
+            and (r.n_chars - (nt - 1)) / nt <= MAX_MEAN_TOKEN_LEN
+        )
+        if not ok:
+            assert r.doc_id not in kept
+            continue
+        if r.text in seen_hash:
+            assert r.doc_id not in kept  # only the first keeper survives
+        else:
+            seen_hash[r.text] = r.doc_id
+            assert r.doc_id in kept
