@@ -64,11 +64,13 @@ def ensure_bench_pages(sf_dir: str, n_pages: int) -> str:
 
         tmp = out_dir + f".tmp{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
-        shutil.copytree(disk_dir, tmp)
         try:
+            shutil.copytree(disk_dir, tmp)
             os.makedirs(os.path.dirname(out_dir), exist_ok=True)
             os.rename(tmp, out_dir)
         except OSError:
+            # tmpfs full mid-copy (ENOSPC) or a concurrent migration: drop
+            # the partial copy and fall through to regeneration/other cache
             shutil.rmtree(tmp, ignore_errors=True)
         if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
             return out_dir

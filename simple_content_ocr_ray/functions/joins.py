@@ -32,6 +32,8 @@ import pandas as pd
 import ray
 import ray.data as rd
 
+from .agg import round_half_away
+
 
 def _read_events(sf_dir: str, columns: list[str]) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=columns)
@@ -264,7 +266,7 @@ def events_range_join(sf_dir: str) -> pd.DataFrame:
             "w_start": out["w_start"],
             "w_end": out["w_end"],
             "n_events": out["n_events"].fillna(0).astype("int64"),
-            "sum_value": (out["sum_value_u"].fillna(0) / 1_000_000.0).round(4),
+            "sum_value": round_half_away(out["sum_value_u"].fillna(0) / 1_000_000.0),
         }
     )
 

@@ -11,8 +11,9 @@
   The exact ``lang_top_tokens`` shuffles one (token, partial) per batch per
   token; MG bounds every partial at ``capacity`` counters no matter how
   large a batch's vocabulary is, and the merged summary has a hard error
-  bound: every reported count is within n_tokens/(capacity+1) of truth, and
-  no token with true count above that bound is missed. With
+  bound: with two truncation levels (per-batch, then final merge) every
+  reported count is within 2·n_tokens/(capacity+1) of truth, and no token
+  with true count above that bound is missed entirely. With
   ``capacity`` ≥ the corpus's distinct-token count the summary degrades to
   exact counts — this corpus's vocabulary is 31 tokens, so the default
   capacity (64) makes the query SQL-oracle-checkable while the small-capacity

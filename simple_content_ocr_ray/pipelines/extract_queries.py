@@ -284,9 +284,13 @@ def domain_stats(sf_dir: str) -> pd.DataFrame:
         import pyarrow.compute as pc
 
         urls = pa.array(df["url"], pa.string())
-        domain = pc.replace_substring_regex(
-            urls, pattern=r"^https://([^/]+)/.*$", replacement=r"\1"
+        # extract_regex yields null on no-match (replace_substring_regex
+        # would silently pass the whole URL through as the "domain");
+        # non-URL rows are grouped under an explicit sentinel instead
+        hosts = pc.struct_field(
+            pc.extract_regex(urls, pattern=r"^[a-z][a-z0-9+.-]*://(?P<h>[^/]+)"), "h"
         )
+        domain = pc.fill_null(hosts, "(invalid-url)")
         text = pa.array(df["text"], pa.string())
         is_html = (df["content_type"] == "html").to_numpy()
         chars = pc.utf8_length(text).fill_null(0).to_numpy(zero_copy_only=False)

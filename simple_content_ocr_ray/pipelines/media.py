@@ -37,7 +37,13 @@ def _media_concurrency() -> int:
     idles waiting for input the starved read stage can never produce)."""
     import ray
 
-    total = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    if ray.is_initialized():
+        total = int(ray.cluster_resources().get("CPU", os.cpu_count() or 8))
+    else:
+        # graph-build before ray.init(): Ray will auto-init with the host's
+        # CPU count, so size against that — assuming a fixed 8 here could
+        # reserve every CPU of a smaller machine and deadlock the pipeline
+        total = os.cpu_count() or 8
     return max(1, min(MEDIA_CONCURRENCY_CAP, total - 2))
 
 

@@ -702,18 +702,19 @@ def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    agg = grouped_aggregate(
+    agg_ds = grouped_aggregate(
         joined,
         ["o_orderkey", "o_orderdate", "o_orderpriority"],
         {"rev_u": ("rev_u", "sum")},
         prepare=prepare,
+    )
+    agg = topk(
+        agg_ds,
+        ["rev_u", "o_orderdate", "o_orderkey"],
+        Q3_TOPK,
+        descending=[True, False, False],
     ).to_pandas()
     agg["revenue"] = round_half_away(agg["rev_u"] / 1_000_000.0)
-    agg = agg.sort_values(
-        ["rev_u", "o_orderdate", "o_orderkey"],
-        ascending=[False, True, True],
-        kind="mergesort",
-    ).head(Q3_TOPK)
     out = agg[["o_orderkey", "o_orderdate", "o_orderpriority", "revenue"]]
     return out.reset_index(drop=True).astype({"o_orderkey": "int64"})
 
