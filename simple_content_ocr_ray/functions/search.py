@@ -212,11 +212,73 @@ FROM scored WHERE rk = 1
 """
 
 
+# --------------------------------------------------------------------------
+# Unigram language-model scoring (corpus-frequency perplexity proxy)
+# --------------------------------------------------------------------------
+
+def doc_unigram_logprob(sf_dir: str) -> pd.DataFrame:
+    """Mean unigram log-probability per document under the corpus's own
+    add-one-smoothed unigram model — the classic cheap fluency/outlier
+    score (a perplexity proxy without a neural LM): documents made of rare
+    tokens score low.
+
+    Same topology as TF-IDF: one partial+final pass builds (term, count)
+    totals, the model (vocab-sized, df-prunable at corpus scale) is
+    broadcast, and scoring is a stateless vectorized pass."""
+    docs = _read_docs(sf_dir)
+
+    def term_counts(df: pd.DataFrame) -> pd.DataFrame:
+        _, flat, _ = _explode(df)
+        return pd.DataFrame({"term": flat})
+
+    counts = grouped_aggregate(
+        docs, ["term"], {"n": (None, "count")}, prepare=term_counts
+    ).to_pandas()
+    total = int(counts["n"].sum())
+    vocab = len(counts)
+    model_ref = ray.put(dict(zip(counts["term"], counts["n"].astype("int64"))))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        model = ray.get(model_ref)
+        rows, flat, lens = _explode(df)
+        tok_n = pd.Series(flat).map(model).fillna(0).to_numpy(dtype="float64")
+        logp = np.log((tok_n + 1.0) / (total + vocab))
+        sums = np.bincount(rows, weights=logp, minlength=len(df))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "mean_logprob": np.round(sums / lens, TFIDF_ROUND),
+            }
+        )
+
+    out = docs.map_batches(score, batch_format="pandas").to_pandas()
+    return out.astype({"doc_id": "int64"}).sort_values("doc_id").reset_index(drop=True)
+
+
+_UNIGRAM_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), c AS (
+  SELECT term, COUNT(*) AS n FROM tok GROUP BY 1
+), consts AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS total, CAST(COUNT(*) AS DOUBLE) AS vocab
+  FROM c
+)
+SELECT tok.doc_id,
+       ROUND(AVG(ln((c.n + 1.0) / (consts.total + consts.vocab))),
+             {TFIDF_ROUND}) AS mean_logprob
+FROM tok JOIN c USING (term) CROSS JOIN consts
+GROUP BY tok.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
     "bm25_topk": bm25_topk,
     "tfidf_top_terms": tfidf_top_terms,
+    "doc_unigram_logprob": doc_unigram_logprob,
 }
 ORACLES: dict[str, str] = {
     "bm25_topk": _BM25_SQL,
     "tfidf_top_terms": _TFIDF_SQL,
+    "doc_unigram_logprob": _UNIGRAM_SQL,
 }

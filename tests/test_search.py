@@ -63,3 +63,20 @@ def test_tfidf_top_terms_matches_bruteforce(ray_session):
         assert got.loc[doc_id, "term"] == best[1]
         assert abs(got.loc[doc_id, "tfidf"] - round(-best[0], search.TFIDF_ROUND)) < 1e-9
     assert len(got) == len(docs)
+
+
+def test_unigram_logprob_matches_bruteforce(ray_session):
+    got = search.doc_unigram_logprob(SF).set_index("doc_id")
+    docs = _docs()
+    counts = Counter()
+    for t in docs["text"]:
+        counts.update(t.split(" "))
+    total = sum(counts.values())
+    vocab = len(counts)
+    for r in docs.head(50).itertuples():
+        toks = r.text.split(" ")
+        exp = sum(math.log((counts[t] + 1.0) / (total + vocab)) for t in toks) / len(toks)
+        assert abs(got.loc[r.doc_id, "mean_logprob"] - round(exp, search.TFIDF_ROUND)) < 1e-9
+    # a doc of rare tokens must score below a doc of common tokens
+    ranked = got["mean_logprob"]
+    assert ranked.min() < ranked.max()
