@@ -272,13 +272,113 @@ GROUP BY tok.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# PMI collocations (document-level co-occurrence mining)
+# --------------------------------------------------------------------------
+
+PMI_MIN_CO = 50
+PMI_TOPK = 20
+
+
+def top_collocations(sf_dir: str) -> pd.DataFrame:
+    """Top-20 token pairs by document-level PMI (ln(n·c(a,b)/(df(a)·df(b))),
+    co-occurrence ≥ 50 docs) — collocation mining over the corpus.
+
+    Pair explosion happens INSIDE the partial-aggregate stage (each batch
+    emits one (a, b, partial-count) row per distinct in-batch pair), so the
+    shuffle moves pair partials, never per-doc pair lists. The df table is
+    broadcast for the final PMI computation over the (already small)
+    frequent-pair set. At corpus scale the quadratic per-doc pair blow-up
+    is bounded by per-doc distinct-token counts (docs are length-capped
+    upstream by the cleaning pipeline)."""
+    docs = _read_docs(sf_dir)
+
+    def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        rows, flat, _ = _explode(df)
+        uniq = pd.DataFrame({"row": rows, "term": flat}).drop_duplicates()
+        outs = []
+        for _, g in uniq.groupby("row", sort=False):
+            terms = np.sort(g["term"].to_numpy())
+            if len(terms) < 2:
+                continue
+            ia, ib = np.triu_indices(len(terms), k=1)
+            outs.append(pd.DataFrame({"a": terms[ia], "b": terms[ib]}))
+        if not outs:
+            return pd.DataFrame({"a": [], "b": [], "c": []})
+        pairs = pd.concat(outs, ignore_index=True)
+        c = pairs.groupby(["a", "b"], sort=False).size().reset_index(name="c")
+        return c
+
+    co = grouped_aggregate(
+        docs, ["a", "b"], {"c": ("c", "sum")}, prepare=pair_partials
+    ).to_pandas()
+    co = co[co["c"] >= PMI_MIN_CO]
+
+    def doc_terms(df: pd.DataFrame) -> pd.DataFrame:
+        rows, flat, _ = _explode(df)
+        uniq = pd.DataFrame({"row": rows, "term": flat}).drop_duplicates()
+        return pd.DataFrame({"term": uniq["term"].to_numpy()})
+
+    df_tbl = grouped_aggregate(
+        docs, ["term"], {"df": (None, "count")}, prepare=doc_terms
+    ).to_pandas()
+    n_docs = docs.count()
+    dfm = dict(zip(df_tbl["term"], df_tbl["df"].astype("float64")))
+    pmi = np.log(
+        float(n_docs)
+        * co["c"].astype("float64").to_numpy()
+        / (co["a"].map(dfm).to_numpy() * co["b"].map(dfm).to_numpy())
+    )
+    out = pd.DataFrame(
+        {
+            "a": co["a"],
+            "b": co["b"],
+            "n_co": co["c"].astype("int64"),
+            "raw": pmi,  # rank/cut on the raw double (same as the oracle)
+            "pmi": np.round(pmi, TFIDF_ROUND),
+        }
+    )
+    out = out.sort_values(
+        ["raw", "a", "b"], ascending=[False, True, True], kind="mergesort"
+    ).head(PMI_TOPK)
+    return out.drop(columns=["raw"]).reset_index(drop=True)
+
+
+_TOP_COLLOCATIONS_SQL = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+), n AS (
+  SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM tok
+), df AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tok GROUP BY 1
+), co AS (
+  SELECT x.term AS a, y.term AS b, COUNT(*) AS c
+  FROM tok x JOIN tok y ON x.doc_id = y.doc_id AND x.term < y.term
+  GROUP BY 1, 2
+), scored AS (
+  SELECT co.a, co.b, co.c AS n_co,
+         ROUND(ln(n.n * co.c / (da.df * db.df)), {TFIDF_ROUND}) AS pmi,
+         ln(n.n * co.c / (da.df * db.df)) AS raw
+  FROM co JOIN df da ON da.term = co.a
+          JOIN df db ON db.term = co.b
+          CROSS JOIN n
+  WHERE co.c >= {PMI_MIN_CO}
+)
+SELECT a, b, n_co, pmi FROM scored
+ORDER BY raw DESC, a, b LIMIT {PMI_TOPK}
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
     "bm25_topk": bm25_topk,
     "tfidf_top_terms": tfidf_top_terms,
     "doc_unigram_logprob": doc_unigram_logprob,
+    "top_collocations": top_collocations,
 }
 ORACLES: dict[str, str] = {
     "bm25_topk": _BM25_SQL,
     "tfidf_top_terms": _TFIDF_SQL,
     "doc_unigram_logprob": _UNIGRAM_SQL,
+    "top_collocations": _TOP_COLLOCATIONS_SQL,
 }

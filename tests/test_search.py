@@ -80,3 +80,31 @@ def test_unigram_logprob_matches_bruteforce(ray_session):
     # a doc of rare tokens must score below a doc of common tokens
     ranked = got["mean_logprob"]
     assert ranked.min() < ranked.max()
+
+
+def test_top_collocations_pmi_math(ray_session):
+    got = search.top_collocations(SF)
+    docs = _docs()
+    from collections import defaultdict
+
+    doc_terms = [set(t.split(" ")) for t in docs["text"]]
+    n = len(doc_terms)
+    df = Counter()
+    co = defaultdict(int)
+    for terms in doc_terms:
+        df.update(terms)
+        ts = sorted(terms)
+        for i in range(len(ts)):
+            for j in range(i + 1, len(ts)):
+                co[(ts[i], ts[j])] += 1
+    frequent = {p: c for p, c in co.items() if c >= search.PMI_MIN_CO}
+    ranked = sorted(
+        frequent.items(),
+        key=lambda kv: (-math.log(n * kv[1] / (df[kv[0][0]] * df[kv[0][1]])), kv[0]),
+    )[: search.PMI_TOPK]
+    assert list(zip(got["a"], got["b"])) == [p for p, _ in ranked]
+    for (a, b), c in ranked:
+        row = got[(got["a"] == a) & (got["b"] == b)].iloc[0]
+        assert row["n_co"] == c
+        exp = math.log(n * c / (df[a] * df[b]))
+        assert abs(row["pmi"] - round(exp, search.TFIDF_ROUND)) < 1e-9
