@@ -37,3 +37,46 @@ def read_pages_from_binary_files(paths: str | list[str]) -> rd.Dataset:
         )
 
     return ds.map_batches(to_pages, batch_format="numpy")
+
+
+def read_pages_from_jsonl(paths: str | list[str]) -> rd.Dataset:
+    """JSON-lines corpus (Common-Crawl WET/CC-style dumps: one JSON object
+    per line with url / timestamp / html-base64 / text / lang fields) →
+    the canonical pages schema. ``read_json`` splits files into blocks and
+    parses distributed; the base64 payload decode is a vectorized Arrow
+    map — downstream stages stay source-agnostic.
+
+    Missing fields take the same defaults as the binary-file source."""
+    import base64
+
+    ds = rd.read_json(paths)
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        cols = set(batch.column_names)
+        n = len(batch)
+
+        def col(name, default):
+            if name in cols:
+                return batch[name]
+            return pa.array([default] * n)
+
+        raw_html = col("html_b64", "")
+        html = pa.array(
+            [base64.b64decode(v) if v else b"" for v in raw_html.to_pylist()],
+            pa.binary(),
+        )
+        if "warc_ts" in cols:
+            ts = pa.compute.cast(batch["warc_ts"], pa.timestamp("us"))
+        else:
+            ts = pa.array([_EPOCH_US] * n, pa.timestamp("us"))
+        return pa.table(
+            {
+                "url": pa.compute.cast(col("url", ""), pa.string()),
+                "warc_ts": ts,
+                "html": html,
+                "text": pa.compute.cast(col("text", ""), pa.string()),
+                "lang": pa.compute.cast(col("lang", ""), pa.string()),
+            }
+        )
+
+    return ds.map_batches(to_pages, batch_format="pyarrow")

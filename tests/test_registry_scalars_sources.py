@@ -118,3 +118,38 @@ def test_bloom_semi_prefilter(sf_dir):
     kept = bloom_semi_prefilter(docs, wanted, "doc_id").to_pandas()
     assert set(wanted) <= set(kept["doc_id"])  # no false negatives
     assert len(kept) < 200  # false positives bounded
+
+
+def test_jsonl_pages_source_roundtrip(ray_session, tmp_path):
+    import base64
+    import json
+
+    import pandas as pd
+
+    from simple_content_ocr_ray.pipelines.extract import extraction_pipeline
+    from simple_content_ocr_ray.sources.readers import read_pages_from_jsonl
+
+    html = b"<html><body><article><p>Hello JSONL world of pages</p></article></body></html>"
+    rows = [
+        {
+            "url": "https://a.example/1",
+            "warc_ts": "2024-01-02T03:04:05",
+            "html_b64": base64.b64encode(html).decode(),
+            "text": "",
+            "lang": "en",
+        },
+        {"url": "https://a.example/2"},  # defaults for everything else
+    ]
+    p = tmp_path / "pages.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    ds = read_pages_from_jsonl(str(p))
+    df = ds.to_pandas().sort_values("url").reset_index(drop=True)
+    assert list(df.columns) == ["url", "warc_ts", "html", "text", "lang"]
+    assert bytes(df.loc[0, "html"]) == html
+    assert df.loc[1, "html"] == b""
+    assert df.loc[0, "warc_ts"] == pd.Timestamp("2024-01-02T03:04:05")
+
+    out = extraction_pipeline(ds).to_pandas().sort_values("url").reset_index(drop=True)
+    assert out.loc[0, "status"] == "completed"
+    assert "Hello JSONL world of pages" in out.loc[0, "text"]
