@@ -740,12 +740,84 @@ LIMIT {Q3_TOPK}
 """
 
 
+# --------------------------------------------------------------------------
+# Distributed correlation matrix (single-pass moment sums)
+# --------------------------------------------------------------------------
+
+CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def lineitem_correlations(sf_dir: str) -> pd.DataFrame:
+    """Pairwise Pearson correlations between lineitem numeric columns from
+    ONE streaming pass: each batch emits the moment sums (n, Σx, Σy, Σxy,
+    Σx², Σy²) per pair — a constant-size partial regardless of batch size —
+    and the driver combines a handful of rows. The textbook distributed-
+    statistics shape (same partial-sums topology as ``label_centroid_norms``
+    in embedding space)."""
+    li = _read(sf_dir, "lineitem", columns=list(CORR_COLS))
+    # pair names sorted lexically so rows line up with the SQL oracle
+    pairs = sorted(
+        tuple(sorted((CORR_COLS[i], CORR_COLS[j])))
+        for i in range(len(CORR_COLS))
+        for j in range(i + 1, len(CORR_COLS))
+    )
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for a, b in pairs:
+            x = df[a].to_numpy(dtype="float64")
+            y = df[b].to_numpy(dtype="float64")
+            rows.append(
+                {
+                    "col_a": a,
+                    "col_b": b,
+                    "n": len(x),
+                    "sx": x.sum(),
+                    "sy": y.sum(),
+                    "sxy": (x * y).sum(),
+                    "sxx": (x * x).sum(),
+                    "syy": (y * y).sum(),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    parts = li.map_batches(moments, batch_format="pandas").to_pandas()
+    agg = parts.groupby(["col_a", "col_b"], sort=True).sum().reset_index()
+    n = agg["n"]
+    num = n * agg["sxy"] - agg["sx"] * agg["sy"]
+    den = np.sqrt(
+        (n * agg["sxx"] - agg["sx"] ** 2) * (n * agg["syy"] - agg["sy"] ** 2)
+    )
+    return pd.DataFrame(
+        {
+            "col_a": agg["col_a"],
+            "col_b": agg["col_b"],
+            "corr": (num / den).round(4),
+        }
+    )
+
+
+_LINEITEM_CORRELATIONS_SQL = """
+SELECT * FROM (
+  SELECT 'l_extendedprice' AS col_a, 'l_quantity' AS col_b,
+         ROUND(corr(l_extendedprice, l_quantity), 4) AS corr FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', 'l_extendedprice',
+         ROUND(corr(l_discount, l_extendedprice), 4) FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', 'l_quantity',
+         ROUND(corr(l_discount, l_quantity), 4) FROM lineitem
+)
+"""
+
+
 QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "orders_rollup": orders_rollup,
     "event_value_percentiles": event_value_percentiles,
     "props_value_stats": props_value_stats,
     "daily_revenue_ma7": daily_revenue_ma7,
     "q3_shipping_priority": q3_shipping_priority,
+    "lineitem_correlations": lineitem_correlations,
     "distinct_user_count": distinct_user_count,
     "largest_docs": largest_docs,
     "supplier_nation_hash_join": supplier_nation_hash_join,
@@ -764,6 +836,7 @@ ORACLES: dict[str, str] = {
     "props_value_stats": _PROPS_VALUE_STATS_SQL,
     "daily_revenue_ma7": _DAILY_REVENUE_MA7_SQL,
     "q3_shipping_priority": _Q3_SHIPPING_PRIORITY_SQL,
+    "lineitem_correlations": _LINEITEM_CORRELATIONS_SQL,
     "distinct_user_count": _DISTINCT_USER_COUNT_SQL,
     "largest_docs": _LARGEST_DOCS_SQL,
     "supplier_nation_hash_join": _SUPPLIER_NATION_HASH_JOIN_SQL,

@@ -144,3 +144,12 @@ def test_clean_corpus_rules(ray_session):
         else:
             seen_hash[r.text] = r.doc_id
             assert r.doc_id in kept
+
+
+def test_lineitem_correlations_match_numpy(ray_session):
+    got = relational.lineitem_correlations(SF).set_index(["col_a", "col_b"])
+    li = pd.read_parquet(f"{SF}/lineitem.parquet", columns=list(relational.CORR_COLS))
+    for (a, b), row in got.iterrows():
+        exp = np.corrcoef(li[a], li[b])[0, 1]
+        assert abs(row["corr"] - round(exp, 4)) < 2e-4  # rounding-method slack
+    assert len(got) == 3
