@@ -294,20 +294,30 @@ def top_collocations(sf_dir: str) -> pd.DataFrame:
     docs = _read_docs(sf_dir)
 
     def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        # ragged-triu vectorized pair explosion (same unranking as
+        # dedup._pairs_from_df): one lexsort over (row, term), group sizes
+        # via bincount, closed-form rank→(i, j) — no per-doc python loop
         rows, flat, _ = _explode(df)
         uniq = pd.DataFrame({"row": rows, "term": flat}).drop_duplicates()
-        outs = []
-        for _, g in uniq.groupby("row", sort=False):
-            terms = np.sort(g["term"].to_numpy())
-            if len(terms) < 2:
-                continue
-            ia, ib = np.triu_indices(len(terms), k=1)
-            outs.append(pd.DataFrame({"a": terms[ia], "b": terms[ib]}))
-        if not outs:
+        order = np.lexsort((uniq["term"].to_numpy(), uniq["row"].to_numpy()))
+        t = uniq["term"].to_numpy()[order]
+        g = uniq["row"].to_numpy()[order]
+        counts = np.bincount(g, minlength=len(df))
+        starts = np.cumsum(counts) - counts
+        P = counts * (counts - 1) // 2
+        total = int(P.sum())
+        if total == 0:
             return pd.DataFrame({"a": [], "b": [], "c": []})
-        pairs = pd.concat(outs, ignore_index=True)
-        c = pairs.groupby(["a", "b"], sort=False).size().reset_index(name="c")
-        return c
+        nz = P > 0
+        Pg, Sg = P[nz], starts[nz]
+        gix = np.repeat(np.arange(len(Pg)), Pg)
+        r = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(Pg) - Pg, Pg)
+        j = np.floor((1.0 + np.sqrt(1.0 + 8.0 * r)) / 2.0).astype(np.int64)
+        j[j * (j - 1) // 2 > r] -= 1
+        j[(j + 1) * j // 2 <= r] += 1
+        i = r - j * (j - 1) // 2
+        pairs = pd.DataFrame({"a": t[Sg[gix] + i], "b": t[Sg[gix] + j]})
+        return pairs.groupby(["a", "b"], sort=False).size().reset_index(name="c")
 
     co = grouped_aggregate(
         docs, ["a", "b"], {"c": ("c", "sum")}, prepare=pair_partials

@@ -564,7 +564,71 @@ def kmeans_clusters(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -
     return out.astype({"vec_id": "int64"}).sort_values("vec_id").reset_index(drop=True)
 
 
+# --------------------------------------------------------------------------
+# Distributed PCA (covariance from partial moment sums)
+# --------------------------------------------------------------------------
+
+PCA_COMPONENTS = 2
+
+
+def embedding_pca_project(sf_dir: str, k: int = PCA_COMPONENTS) -> pd.DataFrame:
+    """Project every embedding onto the corpus's top-k principal components.
+
+    One streaming pass emits per-batch moment partials (n, Σx: d floats,
+    Σxxᵀ: d×d floats — constant-size regardless of batch rows); the driver
+    assembles the d×d covariance and eigendecomposes it (d is the embedding
+    width, tiny). A second stateless pass projects. The standard distributed
+    PCA topology: nothing corpus-sized ever leaves the workers.
+
+    Eigenvector sign is fixed deterministically (largest-|coord| positive),
+    so outputs are reproducible; not SQL-expressible (rows-only query),
+    invariants tested against numpy's full-matrix PCA."""
+    emb = _read_emb(sf_dir)
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        X = _emb_matrix(df)
+        return pd.DataFrame(
+            {
+                "n": [len(X)],
+                "s": [X.sum(axis=0).tobytes()],
+                "ss": [(X.T @ X).tobytes()],
+            }
+        )
+
+    parts = emb.map_batches(moments, batch_format="pandas").to_pandas()
+    n = int(parts["n"].sum())
+    d = len(np.frombuffer(parts["s"].iloc[0], dtype=np.float64))
+    s = np.sum([np.frombuffer(b, dtype=np.float64) for b in parts["s"]], axis=0)
+    ss = np.sum(
+        [np.frombuffer(b, dtype=np.float64).reshape(d, d) for b in parts["ss"]],
+        axis=0,
+    )
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)  # ascending eigenvalues
+    comps = v[:, ::-1][:, :k]  # top-k columns
+    # deterministic sign: make the largest-magnitude coordinate positive
+    for c in range(k):
+        m = np.argmax(np.abs(comps[:, c]))
+        if comps[m, c] < 0:
+            comps[:, c] = -comps[:, c]
+    c_ref = ray.put((mean, comps))
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        mean, comps = ray.get(c_ref)
+        X = _emb_matrix(df) - mean
+        P = X @ comps
+        out = {"vec_id": df["vec_id"].to_numpy()}
+        for c in range(P.shape[1]):
+            out[f"pc{c + 1}"] = np.round(P[:, c], 6)
+        return pd.DataFrame(out)
+
+    out = emb.map_batches(project, batch_format="pandas").to_pandas()
+    return out.astype({"vec_id": "int64"}).sort_values("vec_id").reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
+    "embedding_pca_project": embedding_pca_project,
     "label_centroid_norms": label_centroid_norms,
     "ann_topk": ann_topk,
     "ann_ivf_topk": ann_ivf_topk,

@@ -120,3 +120,32 @@ def test_kmeans_clusters_invariants(ray_session):
     # up to the final re-assignment; allow tiny float slack)
     few = similarity.kmeans_clusters(sf, iters=1)
     assert got["sim"].mean() >= few["sim"].mean() - 1e-6
+
+
+def test_embedding_pca_matches_numpy(ray_session):
+    import numpy as np
+    import pandas as pd
+    from simple_content_ocr_ray.functions import similarity
+
+    sf = "/root/testdata/sf0.001"
+    got = similarity.embedding_pca_project(sf)
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    X = np.asarray([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    Xc = X - X.mean(axis=0)
+    cov = Xc.T @ Xc / len(X)
+    w, v = np.linalg.eigh(cov)
+    comps = v[:, ::-1][:, : similarity.PCA_COMPONENTS]
+    for c in range(similarity.PCA_COMPONENTS):
+        m = np.argmax(np.abs(comps[:, c]))
+        if comps[m, c] < 0:
+            comps[:, c] = -comps[:, c]
+    exp = Xc @ comps
+    assert len(got) == len(emb)
+    assert np.allclose(got["pc1"].to_numpy(), exp[:, 0], atol=1e-4)
+    assert np.allclose(got["pc2"].to_numpy(), exp[:, 1], atol=1e-4)
+    # pc1 captures at least as much variance as pc2
+    assert got["pc1"].var() >= got["pc2"].var() - 1e-9
+    # deterministic
+    again = similarity.embedding_pca_project(sf)
+    pd.testing.assert_frame_equal(got, again)
