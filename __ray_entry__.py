@@ -4,8 +4,9 @@
 deterministically from /root/testdata/sf0.001 (input_hint shape). The
 ``queries()`` / ``oracle_sql()`` pairs cover the operator inventory in
 SURVEY.md §2 plus the training-data-pipeline extensions (dedup, similarity,
-text analysis). Ray is initialised by the driver before this module is
-imported — nothing here calls ray.init()/ray.shutdown().
+temporal joins, search, sketches, clustering, multimodal, cleaning). Ray is
+initialised by the driver before this module is imported — nothing here
+calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -28,42 +29,9 @@ def entry() -> Any:
 
 
 def _registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
-    from simple_content_ocr_ray.pipelines import (
-        clean,
-        extract_queries,
-        media,
-        relational,
-    )
+    from simple_content_ocr_ray.registry import registry
 
-    queries: dict[str, Callable[[str], Any]] = {}
-    oracles: dict[str, str] = {}
-    for mod in (clean, extract_queries, media, relational):
-        queries.update(mod.QUERIES)
-        oracles.update(mod.ORACLES)
-    from simple_content_ocr_ray.functions import (
-        corpus_ops,
-        dedup,
-        joins,
-        search,
-        similarity,
-        sketch,
-        text_stats,
-        window,
-    )
-
-    for mod in (
-        corpus_ops,
-        dedup,
-        joins,
-        search,
-        similarity,
-        sketch,
-        text_stats,
-        window,
-    ):
-        queries.update(getattr(mod, "QUERIES", {}))
-        oracles.update(getattr(mod, "ORACLES", {}))
-    return queries, oracles
+    return registry()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -6,6 +6,8 @@
       [--resume [--force]] [--split-failed] [--split-skew]
   python -m simple_content_ocr_ray synth    <sf_dir> [--dup N]
   python -m simple_content_ocr_ray engines
+  python -m simple_content_ocr_ray query    <name> [sf_dir] [--out out.parquet]
+  python -m simple_content_ocr_ray queries
 
 Owns its Ray session (the library never calls ray.init).
 """
@@ -55,7 +57,57 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("engines", help="list registered extraction engines")
 
+    p_q = sub.add_parser("query", help="run a registered pipeline/operator by name")
+    p_q.add_argument("name")
+    p_q.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.001")
+    p_q.add_argument("--out", default=None, help="write result parquet here")
+    p_q.add_argument("--num-cpus", type=int, default=None)
+
+    sub.add_parser("queries", help="list registered query names")
+
     args = parser.parse_args(argv)
+
+    if args.cmd == "queries":
+        from .registry import all_queries
+
+        print(json.dumps(sorted(all_queries())))
+        return 0
+
+    if args.cmd == "query":
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(
+                address="local",
+                num_cpus=args.num_cpus
+                or int(os.environ.get("RAY_GRAFT_CPUS") or 0)
+                or None,
+                include_dashboard=False,
+                logging_level="ERROR",
+            )
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        try:
+            from .registry import all_queries
+
+            qs = all_queries()
+            if args.name not in qs:
+                print(f"unknown query {args.name!r}; see `queries`", file=sys.stderr)
+                return 2
+            res = qs[args.name](args.sf_dir)
+            import pandas as pd
+
+            df = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+            if args.out:
+                df.to_parquet(args.out)
+                print(json.dumps({"rows": len(df), "out": args.out}))
+            else:
+                print(df.head(20).to_string())
+                print(json.dumps({"rows": len(df)}))
+        finally:
+            ray.shutdown()
+        return 0
 
     if args.cmd == "engines":
         from .stages.engines import list_engines

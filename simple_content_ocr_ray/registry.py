@@ -1,0 +1,49 @@
+"""Central query/oracle registry: every operator module exposes ``QUERIES``
+(name → callable taking an sf dir) and optionally ``ORACLES`` (name → ANSI
+SQL DuckDB mirror). ``__ray_entry__`` and the CLI both read from here."""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+
+def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
+    from .functions import (
+        corpus_ops,
+        dedup,
+        joins,
+        search,
+        similarity,
+        sketch,
+        text_stats,
+        window,
+    )
+    from .pipelines import clean, extract_queries, media, relational
+
+    queries: dict[str, Callable[[str], Any]] = {}
+    oracles: dict[str, str] = {}
+    for mod in (
+        clean,
+        extract_queries,
+        media,
+        relational,
+        corpus_ops,
+        dedup,
+        joins,
+        search,
+        similarity,
+        sketch,
+        text_stats,
+        window,
+    ):
+        queries.update(getattr(mod, "QUERIES", {}))
+        oracles.update(getattr(mod, "ORACLES", {}))
+    return queries, oracles
+
+
+def all_queries() -> dict[str, Callable[[str], Any]]:
+    return registry()[0]
+
+
+def all_oracles() -> dict[str, str]:
+    return registry()[1]
