@@ -295,12 +295,18 @@ def top_collocations(sf_dir: str) -> pd.DataFrame:
 
     def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
         # ragged-triu vectorized pair explosion (same unranking as
-        # dedup._pairs_from_df): one lexsort over (row, term), group sizes
-        # via bincount, closed-form rank→(i, j) — no per-doc python loop
+        # dedup._pairs_from_df): one lexsort over (row, term-code), group
+        # sizes via bincount, closed-form rank→(i, j) — no per-doc python
+        # loop. Terms are factorized to SORTED int codes first so the pair
+        # counting runs on a single packed int64 key, never on strings
+        # (65k-doc batches × ~800 pairs each = tens of millions of rows per
+        # batch; string groupbys there cost minutes, int bincounts cost ms).
         rows, flat, _ = _explode(df)
         uniq = pd.DataFrame({"row": rows, "term": flat}).drop_duplicates()
-        order = np.lexsort((uniq["term"].to_numpy(), uniq["row"].to_numpy()))
-        t = uniq["term"].to_numpy()[order]
+        codes_raw, vocab = pd.factorize(uniq["term"], sort=True)
+        codes = codes_raw.astype(np.int64)
+        order = np.lexsort((codes, uniq["row"].to_numpy()))
+        t = codes[order]
         g = uniq["row"].to_numpy()[order]
         counts = np.bincount(g, minlength=len(df))
         starts = np.cumsum(counts) - counts
@@ -316,11 +322,19 @@ def top_collocations(sf_dir: str) -> pd.DataFrame:
         j[j * (j - 1) // 2 > r] -= 1
         j[(j + 1) * j // 2 <= r] += 1
         i = r - j * (j - 1) // 2
-        pairs = pd.DataFrame({"a": t[Sg[gix] + i], "b": t[Sg[gix] + j]})
-        return pairs.groupby(["a", "b"], sort=False).size().reset_index(name="c")
+        # codes are sorted within each row group, so a-code < b-code always
+        key = (t[Sg[gix] + i] << np.int64(32)) | t[Sg[gix] + j]
+        kc = np.unique(key, return_counts=True)
+        return pd.DataFrame(
+            {
+                "a": vocab.take(kc[0] >> np.int64(32)),
+                "b": vocab.take(kc[0] & np.int64(0xFFFFFFFF)),
+                "c": kc[1].astype("int64"),
+            }
+        )
 
     co = grouped_aggregate(
-        docs, ["a", "b"], {"c": ("c", "sum")}, prepare=pair_partials
+        docs, ["a", "b"], {"c": ("c", "sum")}, prepare=pair_partials, batch_size=4096
     ).to_pandas()
     co = co[co["c"] >= PMI_MIN_CO]
 

@@ -29,9 +29,17 @@ MIN_DISTINCT_RATIO = 0.3
 MAX_MEAN_TOKEN_LEN = 8.0
 
 
-def clean_corpus(sf_dir: str) -> pd.DataFrame:
+def clean_corpus(sf_dir: str, small_threshold: int = 2_000_000) -> pd.DataFrame:
     """Kept documents after quality filters + exact dedup: one row per
-    keeper (doc_id, lang, n_tokens), sorted by doc_id."""
+    keeper (doc_id, lang, n_tokens), sorted by doc_id.
+
+    Keeper selection is a partial+final arg-min dedup: each batch keeps its
+    min-doc_id row per content hash (bounded by distinct hashes per batch),
+    and the final merge is adaptive — a single driver pass when the partials
+    are small, a hash-keyed ``Dataset.join`` of the min-doc_id table against
+    the partials when they are not. No ``map_groups`` (one Python call per
+    group costs seconds at 10^4 groups, minutes at 10^7) and no keeper-set
+    broadcast (O(corpus))."""
     docs = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text", "lang", "n_chars"],
@@ -60,14 +68,34 @@ def clean_corpus(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    survivors = docs.map_batches(quality, batch_format="pandas")
+    def local_keepers(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("doc_id", kind="mergesort").drop_duplicates(
+            "text_hash", keep="first"
+        )
 
-    def keeper(g: pd.DataFrame) -> pd.DataFrame:
-        first = g.sort_values("doc_id", kind="mergesort").head(1)
-        return first[["doc_id", "lang", "n_tokens"]]
+    # quality filter + per-batch arg-min dedup fused in one stage
+    partial = docs.map_batches(
+        lambda df: local_keepers(quality(df)), batch_format="pandas"
+    ).materialize()  # consumed twice below on the large path; bounded by
+    # distinct hashes × batches, not corpus rows
 
-    kept = survivors.groupby("text_hash").map_groups(keeper, batch_format="pandas")
-    out = kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    if partial.count() <= small_threshold:
+        out = local_keepers(partial.to_pandas())
+    else:
+        mins = partial.groupby("text_hash").min("doc_id")
+        # keeper rows = partials whose (text_hash, doc_id) matches the min —
+        # a distributed hash join, no broadcast, no per-group python calls
+        joined = partial.join(
+            mins.map_batches(
+                lambda df: df.rename(columns={"min(doc_id)": "keep_doc_id"}),
+                batch_format="pandas",
+            ),
+            join_type="inner",
+            num_partitions=16,
+            on=("text_hash",),
+        )
+        out = joined.filter(expr="doc_id == keep_doc_id").to_pandas()
+    out = out[["doc_id", "lang", "n_tokens"]].sort_values("doc_id").reset_index(drop=True)
     return out.astype({"doc_id": "int64", "n_tokens": "int64"})
 
 

@@ -153,3 +153,11 @@ def test_lineitem_correlations_match_numpy(ray_session):
         exp = np.corrcoef(li[a], li[b])[0, 1]
         assert abs(row["corr"] - round(exp, 4)) < 2e-4  # rounding-method slack
     assert len(got) == 3
+
+
+def test_clean_corpus_paths_equal(ray_session):
+    from simple_content_ocr_ray.pipelines.clean import clean_corpus
+
+    small = clean_corpus(SF)
+    large = clean_corpus(SF, small_threshold=0)
+    pd.testing.assert_frame_equal(small, large)
