@@ -217,6 +217,9 @@ def run_headline() -> dict:
             "tfidf_top_terms",
             "hll_distinct_users",
             "kmeans_clusters",
+            "q3_shipping_priority",
+            "clean_corpus",
+            "top_collocations",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)
