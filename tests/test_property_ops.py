@@ -120,3 +120,54 @@ def test_bucket_of_stable_and_in_range(keys, n_buckets):
     # equal keys always land in the same bucket
     s = pd.DataFrame({"k": arr, "b": got}).groupby("k")["b"].nunique()
     assert (s == 1).all()
+
+
+def test_asof_group_hot_user_scales_vectorized():
+    """One user with 200k events: the per-group merge must stay vectorized
+    (searchsorted) — a quadratic or per-row path would blow past the time
+    budget this asserts indirectly by just finishing fast."""
+    import time
+
+    n = 200_000
+    rng = np.random.RandomState(3)
+    ts = np.sort(rng.randint(0, 10**9, size=n)).astype("datetime64[us]")
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "user_id": np.zeros(n, dtype="int64"),
+            "ts": ts,
+            "event_type": np.where(rng.rand(n) < 0.5, "view", "purchase"),
+        }
+    )
+    t0 = time.time()
+    out = _asof_group(df)
+    assert time.time() - t0 < 5.0
+    assert len(out) == int((df["event_type"] == "purchase").sum())
+    # spot-check correctness at the hot key
+    views = df.loc[df["event_type"] == "view", "ts"].to_numpy()
+    p0 = out.iloc[len(out) // 2]
+    prior = views[views <= np.datetime64(p0["ts"], "us")]
+    exp = prior.max() if len(prior) else np.datetime64("NaT")
+    assert (pd.isna(p0["view_ts"]) and pd.isna(exp)) or np.datetime64(
+        p0["view_ts"], "us"
+    ) == exp
+
+
+def test_funnel_times_hot_user_scales_vectorized():
+    import time
+
+    n = 200_000
+    rng = np.random.RandomState(4)
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "user_id": np.zeros(n, dtype="int64"),
+            "ts": np.sort(rng.randint(0, 10**9, size=n)).astype("datetime64[us]"),
+            "event_type": rng.choice(["view", "click", "purchase"], size=n),
+        }
+    )
+    t0 = time.time()
+    out = _funnel_times(df)
+    assert time.time() - t0 < 5.0
+    assert len(out) == 1  # one user with a view
+    assert out["t3"].notna().all()  # 200k mixed events certainly convert
