@@ -368,8 +368,53 @@ FROM documents GROUP BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# Grouped exact distinct count (per-language vocabulary size)
+# --------------------------------------------------------------------------
+
+def lang_distinct_tokens(sf_dir: str) -> pd.DataFrame:
+    """Exact distinct-token count per language. Per-batch local dedup of
+    (lang, token) pairs (the grouped analog of ``distinct_values``) bounds
+    what crosses the wire at |langs| × batch vocabulary; the final distinct
+    + count happens on the deduped pair set. The approximate constant-
+    memory path for this shape is a per-group HLL (see
+    ``sketch.hll_distinct_users``) — this is the exact one."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
+    )
+
+    def local_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        pairs = pd.DataFrame(
+            {
+                "lang": df["lang"].repeat(toks.str.len()).to_numpy(),
+                "token": np.concatenate(toks.to_numpy()),
+            }
+        )
+        return pairs.drop_duplicates()
+
+    pairs = ds.map_batches(local_pairs, batch_format="pandas").to_pandas()
+    out = (
+        pairs.drop_duplicates()
+        .groupby("lang", sort=True)
+        .size()
+        .rename("n_distinct_tokens")
+        .reset_index()
+    )
+    out["n_distinct_tokens"] = out["n_distinct_tokens"].astype("int64")
+    return out
+
+
+_LANG_DISTINCT_TOKENS_SQL = """
+SELECT lang, COUNT(DISTINCT token) AS n_distinct_tokens
+FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY lang
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
     "near_dup_components": near_dup_components,
+    "lang_distinct_tokens": lang_distinct_tokens,
     "lang_top_tokens": lang_top_tokens,
     "doc_split_assign": doc_split_assign,
     "stratified_sample": stratified_sample,
@@ -378,6 +423,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 
 ORACLES: dict[str, str] = {
     "near_dup_components": _NEAR_DUP_COMPONENTS_SQL,
+    "lang_distinct_tokens": _LANG_DISTINCT_TOKENS_SQL,
     "lang_top_tokens": _LANG_TOP_TOKENS_SQL,
     "doc_split_assign": _DOC_SPLIT_ASSIGN_SQL,
     "stratified_sample": _STRATIFIED_SAMPLE_SQL,
