@@ -86,3 +86,18 @@ def test_lang_length_quantiles_match_numpy(sf_dir, documents_table):
         for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
             rank = int(np.ceil(q * len(vals)))
             assert row[col] == vals[rank - 1], (row["lang"], col)
+
+
+def test_lang_distinct_tokens_bruteforce(ray_session):
+    import pandas as pd
+
+    from simple_content_ocr_ray.functions.corpus_ops import lang_distinct_tokens
+
+    sf = "/root/testdata/sf0.001"
+    got = lang_distinct_tokens(sf).set_index("lang")["n_distinct_tokens"]
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["lang", "text"])
+    for lang, g in docs.groupby("lang"):
+        vocab = set()
+        for t in g["text"]:
+            vocab.update(t.split(" "))
+        assert got[lang] == len(vocab)
