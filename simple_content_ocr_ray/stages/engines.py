@@ -220,7 +220,15 @@ class RemoteHttpEngine:
         )
 
 
+def _pdf_text_factory(**kwargs: Any) -> Any:
+    # late import: pdf_text imports EngineResult from this module
+    from .pdf_text import PdfTextEngine
+
+    return PdfTextEngine(**kwargs)
+
+
 register_engine("mock", MockEngine)
 register_engine("remote-http", RemoteHttpEngine)
 register_engine("html-main-content", HtmlEngine)
 register_engine("image-decode-stub", ImageDecodeEngine)
+register_engine("pdf-text", _pdf_text_factory)

@@ -1,0 +1,106 @@
+"""From-scratch minimal-PDF text extraction (stages/pdf_text.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from simple_content_ocr_ray.stages import pdf_text
+
+
+def test_single_page_roundtrip():
+    pdf = pdf_text.make_minimal_pdf([["Hello PDF world"]])
+    assert pdf.startswith(b"%PDF")
+    assert pdf_text.extract_pdf_text(pdf) == ["Hello PDF world"]
+
+
+def test_multipage_lines_and_escapes():
+    pdf = pdf_text.make_minimal_pdf(
+        [
+            ["Line one", "Line (two) with \\ backslash"],
+            ["Second page"],
+        ]
+    )
+    pages = pdf_text.extract_pdf_text(pdf)
+    assert pages == ["Line one\nLine (two) with \\ backslash", "Second page"]
+
+
+def test_tj_array_and_octal_escape():
+    # hand-built content stream exercising the [ ... ] TJ form and \ooo
+    pdf = pdf_text.make_minimal_pdf([["placeholder"]])
+    pdf = pdf.replace(
+        b"(placeholder) Tj",
+        b"[(He) -120 (llo)] TJ (\\040world) Tj",
+    )
+    assert pdf_text.extract_pdf_text(pdf) == ["Hello world"]
+
+
+def test_filtered_stream_raises_seam_error():
+    pdf = pdf_text.make_minimal_pdf([["x"]])
+    pdf = pdf.replace(b"<< /Length", b"<< /Filter /FlateDecode /Length")
+    with pytest.raises(pdf_text.UnsupportedPdfError):
+        pdf_text.extract_pdf_text(pdf)
+
+
+def test_non_pdf_payload_raises():
+    with pytest.raises(pdf_text.UnsupportedPdfError):
+        pdf_text.extract_pdf_text(b"GIF89a not a pdf")
+
+
+def test_engine_through_extraction_pipeline(ray_session):
+    from simple_content_ocr_ray.pipelines.extract import extraction_pipeline
+
+    rows = []
+    for i in range(8):
+        pdf = pdf_text.make_minimal_pdf(
+            [[f"doc {i} page {p} body text"] for p in range(1 + i % 3)]
+        )
+        rows.append(
+            {
+                "url": f"https://pdfs.example/{i}",
+                "warc_ts": pd.Timestamp("2024-01-01"),
+                "html": pdf,
+                "text": "",
+                "lang": "en",
+            }
+        )
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = (
+        extraction_pipeline(ds, route={"pdf": "pdf-text"})
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert (out["status"] == "completed").all()
+    assert out.loc[0, "text"] == "doc 0 page 0 body text"
+    # multi-page docs carry the byte-exact separator and true page_count
+    three_pager = out[out["url"] == "https://pdfs.example/2"].iloc[0]
+    assert three_pager["page_count"] == 3
+    assert three_pager["text"] == pdf_text.PAGE_SEP.join(
+        f"doc 2 page {p} body text" for p in range(3)
+    )
+
+
+def test_real_decode_failure_becomes_failed_row(ray_session):
+    from simple_content_ocr_ray.pipelines.extract import extraction_pipeline
+
+    bad = pdf_text.make_minimal_pdf([["x"]]).replace(
+        b"<< /Length", b"<< /Filter /FlateDecode /Length"
+    )
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            [
+                {
+                    "url": "https://pdfs.example/bad",
+                    "warc_ts": pd.Timestamp("2024-01-01"),
+                    "html": bad,
+                    "text": "",
+                    "lang": "en",
+                }
+            ]
+        )
+    )
+    out = extraction_pipeline(ds, route={"pdf": "pdf-text"}).to_pandas()
+    assert list(out["status"]) == ["failed"]
+    assert "filtered content stream" in out["error"].iloc[0]
