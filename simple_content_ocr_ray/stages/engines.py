@@ -227,8 +227,15 @@ def _pdf_text_factory(**kwargs: Any) -> Any:
     return PdfTextEngine(**kwargs)
 
 
+def _png_decode_factory(**kwargs: Any) -> Any:
+    from .png_decode import PngImageEngine
+
+    return PngImageEngine(**kwargs)
+
+
 register_engine("mock", MockEngine)
 register_engine("remote-http", RemoteHttpEngine)
 register_engine("html-main-content", HtmlEngine)
 register_engine("image-decode-stub", ImageDecodeEngine)
 register_engine("pdf-text", _pdf_text_factory)
+register_engine("png-decode", _png_decode_factory)
