@@ -127,11 +127,87 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# REAL PNG decode metadata (stages/png_decode.py — not the stub)
+# --------------------------------------------------------------------------
+
+class _PngMetaStage:
+    """Actor-pool stage running the real decoder (chunk walk, CRC, inflate,
+    unfilter) on synthesized-yet-valid PNG payloads."""
+
+    def __init__(self) -> None:
+        from ..stages.png_decode import PngImageEngine
+
+        self.engine = PngImageEngine()
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        widths, heights, bright = [], [], []
+        for payload in df["png"]:
+            res = self.engine.extract("", bytes(payload), "png")
+            widths.append(int(res.metadata["width"]))
+            heights.append(int(res.metadata["height"]))
+            bright.append(int(float(res.metadata["brightness"])))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "width": pd.Series(widths, dtype="int64"),
+                "height": pd.Series(heights, dtype="int64"),
+                "brightness": pd.Series(bright, dtype="int64"),
+            }
+        )
+
+
+def png_real_meta(sf_dir: str) -> rd.Dataset:
+    """Real end-to-end PNG decode: synthesize a VALID constant-pixel PNG
+    per document (dimensions and pixel value are pure functions of doc_id,
+    so every decoded property is SQL-predictable), decode it with the
+    from-scratch decoder in an actor pool, emit typed metadata."""
+    import numpy as np
+
+    from ..stages.png_decode import make_png
+
+    def with_png(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["png"] = [
+            make_png(
+                np.full(
+                    (4 + int(d) % 7, 16 + int(d) % 9),
+                    int(d) % 256,
+                    dtype=np.uint8,
+                )
+            )
+            for d in df["doc_id"]
+        ]
+        return df
+
+    return (
+        _docs(sf_dir)
+        .map_batches(with_png, batch_format="pandas", batch_size=MEDIA_BATCH_SIZE)
+        .map_batches(
+            _PngMetaStage,
+            batch_format="pandas",
+            batch_size=MEDIA_BATCH_SIZE,
+            concurrency=_media_concurrency(),
+        )
+    )
+
+
+_PNG_REAL_META_SQL = """
+SELECT doc_id,
+       16 + doc_id % 9 AS width,
+       4 + doc_id % 7 AS height,
+       doc_id % 256 AS brightness
+FROM documents
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
     "audio_meta": audio_meta,
     "video_meta": video_meta,
+    "png_real_meta": png_real_meta,
 }
 ORACLES: dict[str, str] = {
     "audio_meta": _AUDIO_META_SQL,
     "video_meta": _VIDEO_META_SQL,
+    "png_real_meta": _PNG_REAL_META_SQL,
 }
