@@ -201,13 +201,71 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# REAL PDF text extraction (stages/pdf_text.py — full encode→parse loop)
+# --------------------------------------------------------------------------
+
+class _PdfTextStage:
+    def __init__(self) -> None:
+        from ..stages.pdf_text import PdfTextEngine
+
+        self.engine = PdfTextEngine()
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        texts, n_pages = [], []
+        for payload in df["pdf"]:
+            res = self.engine.extract("", bytes(payload), "pdf")
+            texts.append(res.text)
+            n_pages.append(res.page_count)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "text": texts,
+                "page_count": pd.Series(n_pages, dtype="int64"),
+            }
+        )
+
+
+def pdf_real_text(sf_dir: str) -> rd.Dataset:
+    """Real end-to-end PDF text: build a VALID single-page PDF holding each
+    document's text, parse it back with the from-scratch extractor
+    (object scan → /Contents → stream → Tj decode) in an actor pool, and
+    require BYTE-EXACT recovery — the oracle is simply the documents table."""
+    from ..stages.pdf_text import make_minimal_pdf
+
+    def with_pdf(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["pdf"] = [make_minimal_pdf([[t]]) for t in df["text"]]
+        return out[["doc_id", "pdf"]]
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return (
+        ds.map_batches(with_pdf, batch_format="pandas", batch_size=MEDIA_BATCH_SIZE)
+        .map_batches(
+            _PdfTextStage,
+            batch_format="pandas",
+            batch_size=MEDIA_BATCH_SIZE,
+            concurrency=_media_concurrency(),
+        )
+    )
+
+
+_PDF_REAL_TEXT_SQL = """
+SELECT doc_id, text, CAST(1 AS BIGINT) AS page_count FROM documents
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
     "audio_meta": audio_meta,
     "video_meta": video_meta,
     "png_real_meta": png_real_meta,
+    "pdf_real_text": pdf_real_text,
 }
 ORACLES: dict[str, str] = {
     "audio_meta": _AUDIO_META_SQL,
     "video_meta": _VIDEO_META_SQL,
     "png_real_meta": _PNG_REAL_META_SQL,
+    "pdf_real_text": _PDF_REAL_TEXT_SQL,
 }
