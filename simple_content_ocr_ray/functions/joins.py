@@ -180,25 +180,29 @@ def events_row_count(sf_dir: str) -> int:
     return pq.read_metadata(os.path.join(sf_dir, "events.parquet")).num_rows
 
 
-def _min_ts_from_footers(sf_dir: str):
-    """min(ts) from parquet row-group statistics — zero data bytes read.
-    The window anchor needs one scalar; scanning the corpus for it would be
-    a full extra pass at 100 TB."""
+def ts_range_from_footers(sf_dir: str) -> tuple:
+    """(min, max) of events.ts from parquet row-group statistics — zero
+    data bytes read. Scalars like window anchors / gap-fill ranges must not
+    cost a corpus pass at 100 TB."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata
     idx = md.schema.to_arrow_schema().get_field_index("ts")
-    lo = None
+    lo = hi = None
     for rg in range(md.num_row_groups):
         st = md.row_group(rg).column(idx).statistics
         if st is None or not st.has_min_max:  # fall back to a scan
             import ray.data as _rd
 
-            return _rd.read_parquet(
-                os.path.join(sf_dir, "events.parquet"), columns=["ts"]
-            ).min("ts")
+            ds = _rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+            return ds.min("ts"), ds.max("ts")
         lo = st.min if lo is None else min(lo, st.min)
-    return lo
+        hi = st.max if hi is None else max(hi, st.max)
+    return lo, hi
+
+
+def _min_ts_from_footers(sf_dir: str):
+    return ts_range_from_footers(sf_dir)[0]
 
 
 def _window_table(t0: np.datetime64) -> pd.DataFrame:

@@ -811,6 +811,75 @@ SELECT * FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# Gap-filled hourly series (dense time axis from footer stats)
+# --------------------------------------------------------------------------
+
+def events_hourly_gapfill(sf_dir: str) -> pd.DataFrame:
+    """Hourly event counts + exact sums over a DENSE hour axis: every hour
+    between min(ts) and max(ts) appears, zero-filled when empty — the
+    gap-fill every monitoring/training-curve consumer needs.
+
+    The hour range comes from parquet footer statistics (no scan); the data
+    pass is the usual one partial per (hour, batch); the reindex runs over
+    the bounded hour axis on the driver (hours-per-corpus, not rows)."""
+    from ..functions.joins import ts_range_from_footers
+
+    lo, hi = ts_range_from_footers(sf_dir)
+    events = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_hour": df["ts"].dt.floor("h"),
+                "value_u": np.rint(df["value"] * 1_000_000).astype("int64"),
+            }
+        )
+
+    agg = grouped_aggregate(
+        events,
+        ["event_hour"],
+        {"sum_value_u": ("value_u", "sum"), "n_events": (None, "count")},
+        prepare=prepare,
+    ).to_pandas()
+    axis = pd.date_range(
+        pd.Timestamp(lo).floor("h"), pd.Timestamp(hi).floor("h"), freq="h"
+    )
+    dense = (
+        agg.set_index("event_hour")
+        .reindex(axis)
+        .fillna(0)
+        .rename_axis("event_hour")
+        .reset_index()
+    )
+    return pd.DataFrame(
+        {
+            "event_hour": dense["event_hour"].astype("datetime64[us]"),
+            "n_events": dense["n_events"].astype("int64"),
+            "sum_value": round_half_away(dense["sum_value_u"] / 1_000_000.0),
+        }
+    )
+
+
+_EVENTS_HOURLY_GAPFILL_SQL = """
+WITH b AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+), hours AS (
+  SELECT unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS event_hour
+  FROM b
+), agg AS (
+  SELECT date_trunc('hour', ts) AS eh, COUNT(*) AS n,
+         SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) AS su
+  FROM events GROUP BY 1
+)
+SELECT hours.event_hour,
+       CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_events,
+       ROUND(COALESCE(agg.su, 0) / 1000000.0, 4) AS sum_value
+FROM hours LEFT JOIN agg ON agg.eh = hours.event_hour
+"""
+
+
 QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "orders_rollup": orders_rollup,
     "event_value_percentiles": event_value_percentiles,
@@ -818,6 +887,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "daily_revenue_ma7": daily_revenue_ma7,
     "q3_shipping_priority": q3_shipping_priority,
     "lineitem_correlations": lineitem_correlations,
+    "events_hourly_gapfill": events_hourly_gapfill,
     "distinct_user_count": distinct_user_count,
     "largest_docs": largest_docs,
     "supplier_nation_hash_join": supplier_nation_hash_join,
@@ -837,6 +907,7 @@ ORACLES: dict[str, str] = {
     "daily_revenue_ma7": _DAILY_REVENUE_MA7_SQL,
     "q3_shipping_priority": _Q3_SHIPPING_PRIORITY_SQL,
     "lineitem_correlations": _LINEITEM_CORRELATIONS_SQL,
+    "events_hourly_gapfill": _EVENTS_HOURLY_GAPFILL_SQL,
     "distinct_user_count": _DISTINCT_USER_COUNT_SQL,
     "largest_docs": _LARGEST_DOCS_SQL,
     "supplier_nation_hash_join": _SUPPLIER_NATION_HASH_JOIN_SQL,

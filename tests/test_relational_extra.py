@@ -161,3 +161,19 @@ def test_clean_corpus_paths_equal(ray_session):
     small = clean_corpus(SF)
     large = clean_corpus(SF, small_threshold=0)
     pd.testing.assert_frame_equal(small, large)
+
+
+def test_events_hourly_gapfill_dense_axis(ray_session):
+    got = relational.events_hourly_gapfill(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["ts", "value"])
+    lo, hi = ev["ts"].min().floor("h"), ev["ts"].max().floor("h")
+    # dense: one row per hour, no gaps
+    assert len(got) == int((hi - lo) / pd.Timedelta(hours=1)) + 1
+    assert got["event_hour"].is_monotonic_increasing
+    assert (got["event_hour"].diff().dropna() == pd.Timedelta(hours=1)).all()
+    # zero-filled hours really had no events; totals add up
+    assert got["n_events"].sum() == len(ev)
+    empty = got[got["n_events"] == 0]
+    if len(empty):
+        h = empty["event_hour"].iloc[0]
+        assert not ((ev["ts"] >= h) & (ev["ts"] < h + pd.Timedelta(hours=1))).any()
