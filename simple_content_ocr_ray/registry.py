@@ -10,6 +10,7 @@ from typing import Any, Callable
 def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
     from .functions import (
         corpus_ops,
+        decontam,
         dedup,
         joins,
         search,
@@ -28,6 +29,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         media,
         relational,
         corpus_ops,
+        decontam,
         dedup,
         joins,
         search,

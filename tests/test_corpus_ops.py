@@ -101,3 +101,33 @@ def test_lang_distinct_tokens_bruteforce(ray_session):
         for t in g["text"]:
             vocab.update(t.split(" "))
         assert got[lang] == len(vocab)
+
+
+def test_contaminated_docs_bruteforce(ray_session):
+    import pandas as pd
+
+    from simple_content_ocr_ray.functions.decontam import (
+        DECONTAM_N,
+        EVAL_MOD,
+        contaminated_docs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = contaminated_docs(sf).set_index("doc_id")["n_hits"]
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+
+    def shingles(t):
+        w = t.split(" ")
+        if len(w) < DECONTAM_N:
+            return {t}
+        return {" ".join(w[i : i + DECONTAM_N]) for i in range(len(w) - DECONTAM_N + 1)}
+
+    eval_sh = set()
+    for r in docs[docs["doc_id"] % EVAL_MOD == 0].itertuples():
+        eval_sh |= shingles(r.text)
+    exp = {}
+    for r in docs[docs["doc_id"] % EVAL_MOD != 0].itertuples():
+        n = len(shingles(r.text) & eval_sh)
+        if n:
+            exp[r.doc_id] = n
+    assert dict(got) == exp
