@@ -190,6 +190,7 @@ def run_headline() -> dict:
         "num_cpus": NCPU,
         "n_pages": n_in,
         "docs_per_s": round(n_in / headline, 1),
+        "cal_1core_sec": _calibrate(),
         "queries": {},
     }
 
@@ -230,6 +231,19 @@ def run_headline() -> dict:
 
     ray.shutdown()
     return result
+
+
+def _calibrate() -> float:
+    """Single-core machine-speed calibration (seconds for a fixed pure-python
+    loop; ~0.5 s on an unloaded modern core). This sandbox's host exhibits
+    multi-X slowdown windows (observed 1.4-1.7 s during one; identical code
+    and input measured 15.5 s and then 82 s e2e an hour apart), so every
+    bench line carries the machine speed it was measured at."""
+    t0 = time.time()
+    x = 0
+    for i in range(10**7):
+        x += i
+    return round(time.time() - t0, 3)
 
 
 def _cache_base() -> str:
