@@ -301,6 +301,9 @@ def run_scaling() -> dict:
         "docs_per_s_lo": dps_lo,
         "docs_per_s_hi": dps_hi,
         "n_pages": out[hi]["n_pages"],
+        "cal_1core_sec": _calibrate(),
+        "cal_lo": out[lo].get("cal_1core_sec"),
+        "cal_hi": out[hi].get("cal_1core_sec"),
         "sf": SF_DIR,
         "num_cpus": hi,
         "queries": {},
