@@ -412,9 +412,74 @@ GROUP BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# Deterministic weighted sample (A-ES / Efraimidis-Spirakis reservoir)
+# --------------------------------------------------------------------------
+
+WEIGHTED_SAMPLE_K = 50
+
+
+def weighted_sample_docs(sf_dir: str, k: int = WEIGHTED_SAMPLE_K) -> pd.DataFrame:
+    """Weighted sample without replacement of k documents, probability
+    proportional to length (n_chars), via the Efraimidis-Spirakis A-ES
+    scheme: each row gets key = ln(u)/w for a uniform u, and the k LARGEST
+    keys win. u derives from md5(doc_id) — a pure row-local function — so
+    the sample is deterministic, reproducible on any worker with no global
+    RNG state, and expressible in SQL for the oracle.
+
+    Topology: key assignment is embarrassingly parallel; selection is the
+    local-top-k-then-final-top-k pattern (no sort, no shuffle of the
+    corpus). This is the weighted complement of the un-weighted
+    ``stratified_sample``."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        h = [
+            hashlib.md5(str(int(d)).encode()).hexdigest()[:8]
+            for d in df["doc_id"]
+        ]
+        u = (np.array([int(x, 16) for x in h], dtype="float64") + 1.0) / (
+            2.0**32 + 2.0
+        )
+        w = df["n_chars"].to_numpy(dtype="float64")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_chars": df["n_chars"].astype("int64"),
+                "skey": np.log(u) / w,
+            }
+        )
+
+    from .agg import topk
+
+    out = topk(
+        ds.map_batches(keyed, batch_format="pandas"),
+        ["skey", "doc_id"],
+        k,
+        descending=[True, False],
+    ).to_pandas()
+    out = out[["doc_id", "n_chars"]].sort_values("doc_id").reset_index(drop=True)
+    return out.astype({"doc_id": "int64", "n_chars": "int64"})
+
+
+_WEIGHTED_SAMPLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             AS UBIGINT) + 1.0) / (4294967296.0 + 2.0)) / n_chars AS skey
+  FROM documents
+)
+SELECT doc_id, n_chars FROM keyed
+ORDER BY skey DESC, doc_id LIMIT {WEIGHTED_SAMPLE_K}
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
     "near_dup_components": near_dup_components,
     "lang_distinct_tokens": lang_distinct_tokens,
+    "weighted_sample_docs": weighted_sample_docs,
     "lang_top_tokens": lang_top_tokens,
     "doc_split_assign": doc_split_assign,
     "stratified_sample": stratified_sample,
@@ -424,6 +489,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 ORACLES: dict[str, str] = {
     "near_dup_components": _NEAR_DUP_COMPONENTS_SQL,
     "lang_distinct_tokens": _LANG_DISTINCT_TOKENS_SQL,
+    "weighted_sample_docs": _WEIGHTED_SAMPLE_SQL,
     "lang_top_tokens": _LANG_TOP_TOKENS_SQL,
     "doc_split_assign": _DOC_SPLIT_ASSIGN_SQL,
     "stratified_sample": _STRATIFIED_SAMPLE_SQL,

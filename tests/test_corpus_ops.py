@@ -131,3 +131,35 @@ def test_contaminated_docs_bruteforce(ray_session):
         if n:
             exp[r.doc_id] = n
     assert dict(got) == exp
+
+
+def test_weighted_sample_docs_aes_math(ray_session):
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from simple_content_ocr_ray.functions.corpus_ops import (
+        WEIGHTED_SAMPLE_K,
+        weighted_sample_docs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = weighted_sample_docs(sf)
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "n_chars"])
+    u = np.array(
+        [
+            int(hashlib.md5(str(int(d)).encode()).hexdigest()[:8], 16)
+            for d in docs["doc_id"]
+        ],
+        dtype="float64",
+    )
+    key = np.log((u + 1.0) / (2.0**32 + 2.0)) / docs["n_chars"].to_numpy(dtype="float64")
+    order = np.lexsort((docs["doc_id"].to_numpy(), -key))
+    exp = set(docs["doc_id"].to_numpy()[order][:WEIGHTED_SAMPLE_K])
+    assert set(got["doc_id"]) == exp
+    # deterministic across runs
+    again = weighted_sample_docs(sf)
+    pd.testing.assert_frame_equal(got, again)
+    # weighting is real: sampled docs skew long
+    assert got["n_chars"].mean() > docs["n_chars"].mean()
