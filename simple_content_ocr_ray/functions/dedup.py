@@ -176,23 +176,24 @@ def _corpus_size_hint(sf_dir: str) -> int:
 
 
 def exact_dup_corpus(sf_dir: str) -> rd.Dataset:
-    # NB: both union branches must stay Arrow-blocked — Ray's batcher asserts
-    # on mixed pandas/arrow block types when coalescing.
+    # base + twins emitted from ONE read pass (a union of two branches would
+    # scan the parquet twice — 2× read volume for synthetic augmentation)
     import pyarrow as pa
     import pyarrow.compute as pc
 
     docs = _read_docs(sf_dir)
 
-    def twins(t: pa.Table) -> pa.Table:
+    def with_twins(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        t = t.filter(pa.array(ids % 7 == 0))
-        return t.set_column(
-            t.schema.get_field_index("doc_id"),
+        tw = t.filter(pa.array(ids % 7 == 0))
+        tw = tw.set_column(
+            tw.schema.get_field_index("doc_id"),
             "doc_id",
-            pc.add(t["doc_id"], EXACT_TWIN_OFFSET),
+            pc.add(tw["doc_id"], EXACT_TWIN_OFFSET),
         )
+        return pa.concat_tables([t, tw])
 
-    return docs.union(docs.map_batches(twins, batch_format="pyarrow"))
+    return docs.map_batches(with_twins, batch_format="pyarrow")
 
 
 _EXACT_CORPUS_SQL = """
@@ -203,11 +204,12 @@ _EXACT_CORPUS_SQL = """
 
 
 def near_dup_corpus(sf_dir: str) -> rd.Dataset:
+    # base + near-twins from ONE read pass (no second parquet scan)
     import pyarrow as pa
 
     docs = _read_docs(sf_dir)
 
-    def twins(t: pa.Table) -> pa.Table:
+    def with_twins(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
         texts = t["text"].to_pylist()
         out_ids, out_texts = [], []
@@ -216,12 +218,13 @@ def near_dup_corpus(sf_dir: str) -> rd.Dataset:
             if d % 5 == 0 and len(words) >= MIN_TWIN_WORDS:
                 out_ids.append(d + NEAR_TWIN_OFFSET)
                 out_texts.append(" ".join(words[:-2]))
-        return pa.table(
+        tw = pa.table(
             {"doc_id": pa.array(out_ids, pa.int64()),
              "text": pa.array(out_texts, pa.string())}
         )
+        return pa.concat_tables([t.select(["doc_id", "text"]), tw])
 
-    return docs.union(docs.map_batches(twins, batch_format="pyarrow"))
+    return docs.map_batches(with_twins, batch_format="pyarrow")
 
 
 #: ground truth from first principles: exact word-3-gram Jaccard ≥ τ over the
@@ -342,11 +345,13 @@ def _pairs_from_df(
     # a pair co-bucketed in many bands appears once per band — dedup BEFORE
     # the (possibly expensive) pair filter so each distinct pair is verified
     # once; payload columns are functional on doc_id, so any representative
-    # row serves
-    pairs_struct = np.empty(len(ia), dtype=[("a", np.int64), ("b", np.int64)])
-    pairs_struct["a"] = d[ia]
-    pairs_struct["b"] = d[ib]
-    _, keep_idx = np.unique(pairs_struct, return_index=True)
+    # row serves. Dedup key is a single int64 (factorized doc codes) — a
+    # structured-dtype np.unique falls back to compare-based argsort, ~50×
+    # slower than the int64 sort at millions of candidate pairs.
+    codes, uniq_docs = pd.factorize(d)
+    n_docs = len(uniq_docs)
+    key = codes[ia].astype(np.int64) * n_docs + codes[ib]
+    _, keep_idx = np.unique(key, return_index=True)
     ia, ib = ia[keep_idx], ib[keep_idx]
     if pair_filter is not None:
         keep = pair_filter(df, ia, ib)
@@ -555,19 +560,22 @@ def _cooccurrence_pairs_df(df: pd.DataFrame, tau: float) -> pd.DataFrame:
     i = r - j * (j - 1) // 2
     ia = Sg[gix] + i
     ib = Sg[gix] + j
-    pairs_struct = np.empty(len(ia), dtype=[("a", np.int64), ("b", np.int64)])
-    pairs_struct["a"] = d[ia]
-    pairs_struct["b"] = d[ib]
-    uniq, keep_idx, mult = np.unique(
-        pairs_struct, return_index=True, return_counts=True
-    )
+    # single-int64 pair key (factorized doc codes): a structured-dtype
+    # np.unique argsorts with compares — seconds at millions of pairs
+    codes, uniq_docs = pd.factorize(d)
+    n_docs = len(uniq_docs)
+    key = codes[ia].astype(np.int64) * n_docs + codes[ib]
+    uk, keep_idx, mult = np.unique(key, return_index=True, return_counts=True)
     na = ns[ia[keep_idx]].astype(np.int64)
     nb = ns[ib[keep_idx]].astype(np.int64)
     jac_ok = mult >= tau * (na + nb - mult)  # m/(na+nb-m) >= tau, no division
     if not jac_ok.any():
         return _EMPTY_PAIRS()
+    uk = uk[jac_ok]
     return (
-        pd.DataFrame({"doc_a": uniq["a"][jac_ok], "doc_b": uniq["b"][jac_ok]})
+        pd.DataFrame(
+            {"doc_a": uniq_docs[(uk // n_docs)], "doc_b": uniq_docs[uk % n_docs]}
+        )
         .sort_values(["doc_a", "doc_b"])
         .reset_index(drop=True)
     )

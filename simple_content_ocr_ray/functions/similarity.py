@@ -339,16 +339,19 @@ def embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
 
     emb = _read_emb(sf_dir)
 
-    def twins(t: pa.Table) -> pa.Table:
+    def with_twins(t: pa.Table) -> pa.Table:
+        # base + twins from ONE read pass (a union of two branches scans the
+        # embeddings parquet twice)
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
-        t = t.filter(pa.array(ids % 5 == 0))
-        return t.set_column(
-            t.schema.get_field_index("vec_id"),
+        tw = t.filter(pa.array(ids % 5 == 0))
+        tw = tw.set_column(
+            tw.schema.get_field_index("vec_id"),
             "vec_id",
-            pc.add(t["vec_id"], TWIN_OFFSET),
+            pc.add(tw["vec_id"], TWIN_OFFSET),
         )
+        return pa.concat_tables([t, tw])
 
-    corpus = emb.union(emb.map_batches(twins, batch_format="pyarrow"))
+    corpus = emb.map_batches(with_twins, batch_format="pyarrow")
 
     def band_rows(df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)

@@ -90,7 +90,9 @@ def decode_png(payload: bytes) -> np.ndarray:
             recon = row.copy()
             if ftype == 1:
                 for x in range(ch, stride):
-                    recon[x] += recon[x - ch]
+                    # explicit & 0xFF: uint8 scalar += warns on overflow in
+                    # numpy>=2 even though modular wrap is exactly PNG's spec
+                    recon[x] = (int(recon[x]) + int(recon[x - ch])) & 0xFF
             elif ftype == 3:
                 for x in range(stride):
                     left = recon[x - ch] if x >= ch else 0
