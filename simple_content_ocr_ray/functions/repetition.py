@@ -1,0 +1,313 @@
+"""Repetition / frequency-structure operators — the Gopher-style "repetitive
+document" signals (Rae et al. 2021, §A1.1 public filtering rules) and the
+corpus frequency diagnostics (Zipf frequency-of-frequencies) a training-data
+pipeline runs before fixing quality thresholds, plus chunk-granular exact
+dedup (the paragraph-dedup analog of C4/RefinedWeb over a table whose texts
+have no newlines: fixed 10-word chunks stand in for paragraphs).
+
+All four are SQL-oracle-checked. Word semantics mirror DuckDB's
+``string_split(text, ' ')`` exactly (NOT python ``str.split()`` — the no-arg
+form collapses runs of whitespace, the SQL form does not).
+
+Scale topology:
+
+* ``doc_repetition_stats`` / ``doc_word_entropy`` — embarrassingly parallel
+  map_batches; nothing shuffles.
+* ``chunk_dedup`` — one shuffle keyed by chunk hash, pre-shrunk per batch
+  (the same partial-aggregate shape as exact doc dedup: the shuffle moves
+  one row per distinct chunk per batch, not one per chunk occurrence).
+* ``token_freq_of_freqs`` — two grouped aggregates; the first is
+  pre-aggregated per batch so the shuffle moves per-batch (token, count)
+  partials bounded by vocabulary × batches, the second runs over the
+  count-of-counts (tiny by construction).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from .agg import grouped_aggregate, round_half_away
+from .dedup import _EXACT_CORPUS_SQL, exact_dup_corpus
+
+CHUNK_WORDS = 10
+#: composite keeper key stride: doc_id * STRIDE + chunk_idx must be unique,
+#: so documents are bounded at STRIDE chunks (= 40960 words — far above the
+#: corpus; a longer doc would need a wider stride, not a different design)
+CHUNK_STRIDE = 4096
+
+
+def _read_docs(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition signals
+# --------------------------------------------------------------------------
+
+def doc_repetition_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-document repetition metrics over space-split words:
+    ``dup_word_frac`` (1 - distinct/total), ``top_word_frac`` (most frequent
+    word's share), ``top_bigram_frac`` (most frequent adjacent bigram's share
+    of the n-1 bigrams; 0 for one-word docs). Empty/whitespace-only docs are
+    excluded (no denominator)."""
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        ids, nw, dupf, topw, topb = [], [], [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            if not text.strip():
+                continue
+            words = np.array(text.split(" "), dtype=object)
+            n = len(words)
+            _, wc = np.unique(words, return_counts=True)
+            if n >= 2:
+                grams = np.char.add(
+                    np.char.add(words[:-1].astype(str), " "),
+                    words[1:].astype(str),
+                )
+                _, bc = np.unique(grams, return_counts=True)
+                tb = bc.max() / (n - 1)
+            else:
+                tb = 0.0
+            ids.append(doc_id)
+            nw.append(n)
+            dupf.append(1.0 - len(wc) / n)
+            topw.append(wc.max() / n)
+            topb.append(tb)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_words": pd.Series(nw, dtype="int64"),
+                "dup_word_frac": round_half_away(np.array(dupf)),
+                "top_word_frac": round_half_away(np.array(topw)),
+                "top_bigram_frac": round_half_away(np.array(topb)),
+            }
+        )
+
+    out = (
+        _read_docs(sf_dir)
+        .map_batches(stats, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_DOC_REPETITION_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE length(trim(text)) > 0
+), wc AS (
+  SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct FROM t
+), uw AS (
+  SELECT doc_id, unnest(w) AS word FROM t
+), topw AS (
+  SELECT doc_id, MAX(c) AS topw
+  FROM (SELECT doc_id, word, COUNT(*) AS c FROM uw GROUP BY 1, 2) GROUP BY 1
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+  FROM t WHERE len(w) >= 2
+), topb AS (
+  SELECT doc_id, MAX(c) AS topb
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1
+)
+SELECT wc.doc_id, wc.n_words,
+       ROUND(1.0 - wc.n_distinct * 1.0 / wc.n_words, 4) AS dup_word_frac,
+       ROUND(topw.topw * 1.0 / wc.n_words, 4) AS top_word_frac,
+       ROUND(COALESCE(topb.topb * 1.0 / (wc.n_words - 1), 0.0), 4) AS top_bigram_frac
+FROM wc
+JOIN topw USING (doc_id)
+LEFT JOIN topb USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# Word-distribution entropy (quality signal)
+# --------------------------------------------------------------------------
+
+def doc_word_entropy(sf_dir: str) -> pd.DataFrame:
+    """Shannon entropy (bits) of each document's word distribution — the
+    low-entropy tail is boilerplate/repetition, the high tail is noise."""
+
+    def entropy(df: pd.DataFrame) -> pd.DataFrame:
+        ids, ent = [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            if not text.strip():
+                continue
+            words = text.split(" ")
+            _, counts = np.unique(np.array(words, dtype=object), return_counts=True)
+            p = counts / counts.sum()
+            ids.append(doc_id)
+            ent.append(float(-(p * np.log2(p)).sum()))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "word_entropy": round_half_away(np.array(ent)),
+            }
+        )
+
+    out = (
+        _read_docs(sf_dir)
+        .map_batches(entropy, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_DOC_WORD_ENTROPY_SQL = """
+WITH uw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+  WHERE length(trim(text)) > 0
+), c AS (
+  SELECT doc_id, word, COUNT(*) AS cnt FROM uw GROUP BY 1, 2
+), n AS (
+  SELECT doc_id, SUM(cnt) AS n FROM c GROUP BY 1
+)
+SELECT c.doc_id,
+       ROUND(-SUM((c.cnt * 1.0 / n.n) * log2(c.cnt * 1.0 / n.n)), 4) AS word_entropy
+FROM c JOIN n USING (doc_id)
+GROUP BY c.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Chunk-granular exact dedup (paragraph-dedup analog)
+# --------------------------------------------------------------------------
+
+def chunk_dedup(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup at fixed 10-word-chunk granularity over the exact-twin
+    corpus: every distinct chunk gets its md5, its first (doc, chunk) owner
+    and its occurrence count — the table a paragraph-dedup pass would consume
+    to blank repeated spans. One hash-keyed shuffle, pre-shrunk per batch."""
+    corpus = exact_dup_corpus(sf_dir)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        hashes, keys = [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            if not text.strip():
+                continue
+            words = text.split(" ")
+            for ci in range(0, (len(words) + CHUNK_WORDS - 1) // CHUNK_WORDS):
+                chunk = " ".join(words[ci * CHUNK_WORDS : (ci + 1) * CHUNK_WORDS])
+                hashes.append(hashlib.md5(chunk.encode("utf-8")).hexdigest())
+                keys.append(doc_id * CHUNK_STRIDE + ci)
+        return pd.DataFrame(
+            {
+                "text_hash": pd.Series(hashes, dtype="object"),
+                "k": pd.Series(keys, dtype="int64"),
+            }
+        )
+
+    agg = grouped_aggregate(
+        corpus.map_batches(explode, batch_format="pandas"),
+        ["text_hash"],
+        {"mk": ("k", "min"), "n_dups": (None, "count")},
+    ).to_pandas()
+    mk = agg["mk"].to_numpy(dtype=np.int64)
+    return (
+        pd.DataFrame(
+            {
+                "text_hash": agg["text_hash"],
+                "keeper_doc_id": mk // CHUNK_STRIDE,
+                "keeper_chunk": mk % CHUNK_STRIDE,
+                "n_dups": agg["n_dups"].astype("int64"),
+            }
+        )
+        .sort_values("text_hash")
+        .reset_index(drop=True)
+    )
+
+
+_CHUNK_DEDUP_SQL = f"""
+WITH corpus AS ({_EXACT_CORPUS_SQL}),
+t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+  WHERE length(trim(text)) > 0
+), c AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(ceil(len(w) / {CHUNK_WORDS}.0) AS BIGINT))) AS chunk_idx,
+         w
+  FROM t
+), ch AS (
+  SELECT doc_id * {CHUNK_STRIDE} + chunk_idx AS k,
+         md5(array_to_string(
+           w[(chunk_idx * {CHUNK_WORDS} + 1):(chunk_idx * {CHUNK_WORDS} + {CHUNK_WORDS})],
+           ' ')) AS text_hash
+  FROM c
+)
+SELECT text_hash,
+       MIN(k) // {CHUNK_STRIDE} AS keeper_doc_id,
+       MIN(k) % {CHUNK_STRIDE} AS keeper_chunk,
+       COUNT(*) AS n_dups
+FROM ch GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Zipf frequency-of-frequencies
+# --------------------------------------------------------------------------
+
+def token_freq_of_freqs(sf_dir: str) -> pd.DataFrame:
+    """Corpus token-frequency histogram of histograms: for each corpus-wide
+    token count, how many distinct tokens have it (the Zipf tail diagnostic
+    and the Good-Turing input). First aggregate is per-batch pre-counted so
+    the shuffle moves (token, partial count) rows, not token occurrences."""
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        for text in df["text"]:
+            if text.strip():
+                toks.extend(text.split(" "))
+        if not toks:
+            return pd.DataFrame(
+                {"token": pd.Series([], dtype="object"),
+                 "freq": pd.Series([], dtype="int64")}
+            )
+        u, c = np.unique(np.array(toks, dtype=object), return_counts=True)
+        return pd.DataFrame({"token": u, "freq": c.astype(np.int64)})
+
+    per_token = grouped_aggregate(
+        _read_docs(sf_dir).map_batches(counts, batch_format="pandas"),
+        ["token"],
+        {"freq": ("freq", "sum")},
+        prepare=None,
+    )
+    out = (
+        grouped_aggregate(per_token, ["freq"], {"n_tokens": (None, "count")})
+        .to_pandas()
+        .astype({"freq": "int64", "n_tokens": "int64"})
+    )
+    return out.sort_values("freq").reset_index(drop=True)
+
+
+_TOKEN_FOF_SQL = """
+WITH uw AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+  WHERE length(trim(text)) > 0
+), c AS (
+  SELECT token, COUNT(*) AS freq FROM uw GROUP BY 1
+)
+SELECT freq, COUNT(*) AS n_tokens FROM c GROUP BY 1
+"""
+
+
+QUERIES: dict[str, Callable[[str], object]] = {
+    "doc_repetition_stats": doc_repetition_stats,
+    "doc_word_entropy": doc_word_entropy,
+    "chunk_dedup": chunk_dedup,
+    "token_freq_of_freqs": token_freq_of_freqs,
+}
+
+ORACLES: dict[str, str] = {
+    "doc_repetition_stats": _DOC_REPETITION_SQL,
+    "doc_word_entropy": _DOC_WORD_ENTROPY_SQL,
+    "chunk_dedup": _CHUNK_DEDUP_SQL,
+    "token_freq_of_freqs": _TOKEN_FOF_SQL,
+}

@@ -13,6 +13,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         decontam,
         dedup,
         joins,
+        repetition,
         search,
         similarity,
         sketch,
@@ -32,6 +33,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         decontam,
         dedup,
         joins,
+        repetition,
         search,
         similarity,
         sketch,

@@ -1,0 +1,109 @@
+"""Repetition / frequency-structure operator tests: brute-force parity on the
+real corpus plus edge-case invariants."""
+
+import hashlib
+from collections import Counter
+
+import numpy as np
+
+from simple_content_ocr_ray.functions.repetition import (
+    CHUNK_WORDS,
+    chunk_dedup,
+    doc_repetition_stats,
+    doc_word_entropy,
+    token_freq_of_freqs,
+)
+
+
+def _brute_rep(text):
+    words = text.split(" ")
+    n = len(words)
+    wc = Counter(words)
+    if n >= 2:
+        bc = Counter(" ".join(p) for p in zip(words[:-1], words[1:]))
+        tb = max(bc.values()) / (n - 1)
+    else:
+        tb = 0.0
+    return n, 1 - len(wc) / n, max(wc.values()) / n, tb
+
+
+def test_repetition_stats_match_brute_force(sf_dir, documents_table):
+    out = doc_repetition_stats(sf_dir).set_index("doc_id")
+    texts = dict(
+        zip(documents_table["doc_id"].to_pylist(), documents_table["text"].to_pylist())
+    )
+    checked = 0
+    for doc_id, text in texts.items():
+        if not text.strip():
+            assert doc_id not in out.index
+            continue
+        n, dup, topw, topb = _brute_rep(text)
+        row = out.loc[doc_id]
+        assert row["n_words"] == n
+        assert abs(row["dup_word_frac"] - dup) <= 5e-5 + 1e-9
+        assert abs(row["top_word_frac"] - topw) <= 5e-5 + 1e-9
+        assert abs(row["top_bigram_frac"] - topb) <= 5e-5 + 1e-9
+        checked += 1
+    assert checked > 100
+
+
+def test_word_entropy_matches_brute_force(sf_dir, documents_table):
+    out = doc_word_entropy(sf_dir).set_index("doc_id")
+    ids = documents_table["doc_id"].to_pylist()
+    texts = documents_table["text"].to_pylist()
+    for doc_id, text in list(zip(ids, texts))[:50]:
+        if not text.strip():
+            continue
+        c = np.array(list(Counter(text.split(" ")).values()), dtype=float)
+        p = c / c.sum()
+        expect = float(-(p * np.log2(p)).sum())
+        assert abs(out.loc[doc_id, "word_entropy"] - expect) <= 5e-5 + 1e-9
+    # entropy bounded by log2(n_words)
+    rep = doc_repetition_stats(sf_dir).set_index("doc_id")
+    joined = out.join(rep)
+    assert (joined["word_entropy"] <= np.log2(joined["n_words"]) + 1e-9).all()
+    assert (joined["word_entropy"] >= 0).all()
+
+
+def test_chunk_dedup_counts_and_keepers(sf_dir, documents_table):
+    out = chunk_dedup(sf_dir)
+    # total occurrences = total chunks in the twin-augmented corpus
+    total = 0
+    chunk_owner = {}
+    for doc_id, text in zip(
+        documents_table["doc_id"].to_pylist(), documents_table["text"].to_pylist()
+    ):
+        if not text.strip():
+            continue
+        words = text.split(" ")
+        reps = [doc_id] + ([doc_id + 2_000_000] if doc_id % 7 == 0 else [])
+        for d in reps:
+            for ci in range((len(words) + CHUNK_WORDS - 1) // CHUNK_WORDS):
+                chunk = " ".join(words[ci * CHUNK_WORDS : (ci + 1) * CHUNK_WORDS])
+                h = hashlib.md5(chunk.encode()).hexdigest()
+                total += 1
+                cur = chunk_owner.get(h)
+                if cur is None or (d, ci) < cur:
+                    chunk_owner[h] = (d, ci)
+    assert out["n_dups"].sum() == total
+    assert len(out) == len(chunk_owner)
+    got = dict(zip(out["text_hash"], zip(out["keeper_doc_id"], out["keeper_chunk"])))
+    assert got == chunk_owner
+    # every exact twin's chunks are duplicates: n_dups >= 2
+    twin_hashes = {
+        h for h, (d, _) in chunk_owner.items() if d % 7 == 0
+    }
+    dups = out[out["text_hash"].isin(twin_hashes)]
+    assert (dups["n_dups"] >= 2).all()
+
+
+def test_token_fof_conserves_mass(sf_dir, documents_table):
+    out = token_freq_of_freqs(sf_dir)
+    c = Counter()
+    for text in documents_table["text"].to_pylist():
+        if text.strip():
+            c.update(text.split(" "))
+    fof = Counter(c.values())
+    assert dict(zip(out["freq"], out["n_tokens"])) == dict(fof)
+    # mass conservation: sum(freq * n_tokens) = total token occurrences
+    assert (out["freq"] * out["n_tokens"]).sum() == sum(c.values())
