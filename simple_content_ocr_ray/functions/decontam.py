@@ -103,9 +103,107 @@ GROUP BY doc_id
 """
 
 
+def _shingle_hashes64(text: str) -> np.ndarray:
+    """Distinct word-4-gram shingles as int64 blake2b hashes (the Bloom path
+    works on fixed-width keys, not strings; a ~2^-63 collision can only add
+    one spurious n_hit — negligible against the oracle at any tested scale)."""
+    import hashlib
+
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
+            >> 1
+            for g in _doc_shingles(text)
+        ),
+        dtype=np.int64,
+    )
+
+
+def contaminated_docs_bloom(sf_dir: str, fp_rate: float = 0.01) -> pd.DataFrame:
+    """Same contract as :func:`contaminated_docs`, via the oversized-benchmark
+    topology: nothing broadcasts the full eval shingle set. Per-batch PARTIAL
+    Bloom filters over the eval slice are OR-merged (driver holds ~10 bits
+    per key, never the keys); the train side explodes to (doc_id, shingle)
+    pairs pre-filtered through the broadcast Bloom (~fp_rate of non-matching
+    pairs survive); the survivors get their EXACT hit count from a
+    distributed hash join against the distinct eval-shingle dataset — Bloom
+    false positives drop out there, so the output is exactly the
+    `contaminated_docs` set."""
+    from .agg import BloomFilter, grouped_aggregate
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    import pyarrow.parquet as pq
+
+    n_rows = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    # capacity from footer stats only: eval docs × a generous shingles/doc
+    # bound (overestimating capacity just wastes bits, never correctness)
+    capacity = max(1024, (n_rows // EVAL_MOD + 1) * 64)
+
+    def eval_hash_rows(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["doc_id"] % EVAL_MOD == 0]
+        if not len(sub):
+            return pd.DataFrame({"g": pd.Series([], dtype="int64")})
+        hs = [_shingle_hashes64(t) for t in sub["text"]]
+        return pd.DataFrame({"g": np.unique(np.concatenate(hs))})
+
+    eval_ds = grouped_aggregate(
+        docs.map_batches(eval_hash_rows, batch_format="pandas"),
+        ["g"],
+        {"n": (None, "count")},
+    ).select_columns(["g"]).materialize()
+
+    def partial_bloom(df: pd.DataFrame) -> pd.DataFrame:
+        bf = BloomFilter(capacity, fp_rate)
+        bf.add_many(df["g"].to_numpy())
+        return pd.DataFrame({"bits": [bf.bits.tobytes()]})
+
+    merged = BloomFilter(capacity, fp_rate)
+    for b in eval_ds.map_batches(
+        partial_bloom, batch_format="pandas"
+    ).iter_batches(batch_format="pandas"):
+        for raw in b["bits"]:
+            merged.bits |= np.frombuffer(raw, dtype=np.uint8)
+    bloom_ref = ray.put(merged)
+
+    class TrainCandidates:
+        def __init__(self) -> None:
+            self.bf = ray.get(bloom_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            sub = df[df["doc_id"] % EVAL_MOD != 0]
+            ids, gs = [], []
+            for doc_id, text in zip(sub["doc_id"], sub["text"]):
+                hs = _shingle_hashes64(text)
+                hit = hs[self.bf.contains_many(hs)]
+                ids.extend([int(doc_id)] * len(hit))
+                gs.extend(hit.tolist())
+            return pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "g": pd.Series(gs, dtype="int64")}
+            )
+
+    cand = docs.map_batches(
+        TrainCandidates, batch_format="pandas", concurrency=(1, 8)
+    )
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    joined = cand.join(
+        eval_ds, join_type="inner", num_partitions=max(2, min(8, cpus)), on=("g",)
+    )
+    out = (
+        grouped_aggregate(joined, ["doc_id"], {"n_hits": (None, "count")})
+        .to_pandas()
+        .astype({"doc_id": "int64", "n_hits": "int64"})
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
     "contaminated_docs": contaminated_docs,
+    "contaminated_docs_bloom": contaminated_docs_bloom,
 }
 ORACLES: dict[str, str] = {
     "contaminated_docs": _CONTAMINATED_DOCS_SQL,
+    "contaminated_docs_bloom": _CONTAMINATED_DOCS_SQL,
 }

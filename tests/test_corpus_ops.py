@@ -163,3 +163,19 @@ def test_weighted_sample_docs_aes_math(ray_session):
     pd.testing.assert_frame_equal(got, again)
     # weighting is real: sampled docs skew long
     assert got["n_chars"].mean() > docs["n_chars"].mean()
+
+
+def test_contaminated_docs_bloom_matches_exact(ray_session):
+    import pandas as pd
+
+    from simple_content_ocr_ray.functions.decontam import (
+        contaminated_docs,
+        contaminated_docs_bloom,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = contaminated_docs(sf)
+    # a deliberately high fp_rate stresses the exact-verify join: many Bloom
+    # false positives must all drop out in the distributed hash join
+    bloom = contaminated_docs_bloom(sf, fp_rate=0.2)
+    pd.testing.assert_frame_equal(exact, bloom)
