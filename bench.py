@@ -221,6 +221,10 @@ def run_headline() -> dict:
             "q3_shipping_priority",
             "clean_corpus",
             "top_collocations",
+            "doc_repetition_stats",
+            "chunk_dedup",
+            "token_freq_of_freqs",
+            "contaminated_docs_bloom",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)

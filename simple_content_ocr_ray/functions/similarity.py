@@ -511,6 +511,17 @@ def kmeans_clusters(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -
     C = Mn[idx].copy()
 
     emb = _read_emb(sf_dir)
+    # iterative algorithm, iters+1 passes over the table: small tables
+    # (footer row count) are pinned in the object store so each Lloyd
+    # iteration reads zero-copy blocks instead of re-scanning the parquet;
+    # at corpus scale the pin would be a full-table spill, so large tables
+    # keep the streaming re-read (the scan is the per-iteration price of
+    # never materializing).
+    import pyarrow.parquet as pq
+
+    n_rows = pq.read_metadata(os.path.join(sf_dir, "embeddings.parquet")).num_rows
+    if n_rows <= 2_000_000:
+        emb = emb.materialize()
     for _ in range(iters):
         c_ref = ray.put(C)
 
