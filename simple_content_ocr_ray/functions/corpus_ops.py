@@ -476,7 +476,76 @@ ORDER BY skey DESC, doc_id LIMIT {WEIGHTED_SAMPLE_K}
 """
 
 
+def near_dup_degree(sf_dir: str) -> pd.DataFrame:
+    """Near-dup graph degree per document (number of exact-Jaccard ≥ τ
+    partners) — the skew diagnostic run before clustering: a heavy-degree
+    node is a template/boilerplate family. Bounded by the verified pair set
+    (the dedup query's own output), so the final count runs driver-side on
+    pairs, like every pair-list consumer."""
+    from .dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(sf_dir)
+    if pairs.empty:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "degree": pd.Series([], dtype="int64")}
+        )
+    m = pd.concat([pairs["doc_a"], pairs["doc_b"]]).value_counts().sort_index()
+    return pd.DataFrame(
+        {"doc_id": m.index.astype("int64"), "degree": m.to_numpy().astype("int64")}
+    ).reset_index(drop=True)
+
+
+_NEAR_DUP_DEGREE_SQL = f"""
+WITH pairs AS ({_NEAR_PAIRS_SQL}),
+m AS (
+  SELECT doc_a AS doc_id FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_id FROM pairs
+)
+SELECT doc_id, COUNT(*) AS degree FROM m GROUP BY 1
+"""
+
+
+LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def lang_source_pivot(sf_dir: str) -> pd.DataFrame:
+    """Per-source doc counts pivoted to one fixed column per language (the
+    SQL `COUNT(*) FILTER` pivot — fixed output schema by construction). The
+    wide step is one pre-aggregated (source, lang) groupby; the pivot itself
+    reshapes the tiny aggregate."""
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "lang"]
+    )
+    agg = grouped_aggregate(
+        docs, ["source", "lang"], {"n": (None, "count")}
+    ).to_pandas()
+    wide = agg.pivot_table(
+        index="source", columns="lang", values="n", aggfunc="sum", fill_value=0
+    )
+    out = pd.DataFrame({"source": wide.index})
+    for lang in LANGS:
+        out[f"n_{lang}"] = (
+            wide[lang].to_numpy().astype("int64") if lang in wide else 0
+        )
+    return out.sort_values("source").reset_index(drop=True)
+
+
+_LANG_SOURCE_PIVOT_SQL = """
+SELECT source,
+       COUNT(*) FILTER (WHERE lang = 'de') AS n_de,
+       COUNT(*) FILTER (WHERE lang = 'en') AS n_en,
+       COUNT(*) FILTER (WHERE lang = 'es') AS n_es,
+       COUNT(*) FILTER (WHERE lang = 'fr') AS n_fr,
+       COUNT(*) FILTER (WHERE lang = 'zh') AS n_zh
+FROM documents GROUP BY source
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
+    "near_dup_degree": near_dup_degree,
+    "lang_source_pivot": lang_source_pivot,
     "near_dup_components": near_dup_components,
     "lang_distinct_tokens": lang_distinct_tokens,
     "weighted_sample_docs": weighted_sample_docs,
@@ -487,6 +556,8 @@ QUERIES: dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "near_dup_degree": _NEAR_DUP_DEGREE_SQL,
+    "lang_source_pivot": _LANG_SOURCE_PIVOT_SQL,
     "near_dup_components": _NEAR_DUP_COMPONENTS_SQL,
     "lang_distinct_tokens": _LANG_DISTINCT_TOKENS_SQL,
     "weighted_sample_docs": _WEIGHTED_SAMPLE_SQL,

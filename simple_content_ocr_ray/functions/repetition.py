@@ -298,7 +298,76 @@ SELECT freq, COUNT(*) AS n_tokens FROM c GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Cross-document repeated n-gram spans (boilerplate mining)
+# --------------------------------------------------------------------------
+
+REPEAT_N = 8
+
+
+def repeated_ngrams(sf_dir: str) -> pd.DataFrame:
+    """Word 8-grams (overlapping) occurring in ≥ 2 DISTINCT documents of the
+    exact-twin corpus, with distinct-doc and total occurrence counts — the
+    repeated-span mining step behind substring-level dedup (Lee et al. 2022,
+    'Deduplicating Training Data Makes Language Models Better': repeated
+    spans across documents are boilerplate to strip). One hash-keyed shuffle:
+    each batch emits one (gram, doc, occ) row per distinct gram per doc
+    (docs are unique across batches, so doc-distinctness needs no global
+    dedup), the grouped merge counts docs and sums occurrences."""
+    corpus = exact_dup_corpus(sf_dir)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        hashes, occs = [], []
+        for text in df["text"]:
+            if not text.strip():
+                continue
+            words = text.split(" ")
+            if len(words) < REPEAT_N:
+                continue
+            grams = [
+                " ".join(words[i : i + REPEAT_N])
+                for i in range(len(words) - REPEAT_N + 1)
+            ]
+            u, c = np.unique(np.array(grams, dtype=object), return_counts=True)
+            hashes.extend(hashlib.md5(g.encode("utf-8")).hexdigest() for g in u)
+            occs.extend(c.tolist())
+        return pd.DataFrame(
+            {
+                "gram_hash": pd.Series(hashes, dtype="object"),
+                "occ": pd.Series(occs, dtype="int64"),
+            }
+        )
+
+    agg = grouped_aggregate(
+        corpus.map_batches(explode, batch_format="pandas"),
+        ["gram_hash"],
+        {"n_docs": (None, "count"), "n_occ": ("occ", "sum")},
+    ).to_pandas()
+    out = agg[agg["n_docs"] >= 2].astype({"n_docs": "int64", "n_occ": "int64"})
+    return out.sort_values("gram_hash").reset_index(drop=True)
+
+
+_REPEATED_NGRAMS_SQL = f"""
+WITH corpus AS ({_EXACT_CORPUS_SQL}),
+t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+  WHERE length(trim(text)) > 0
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) - {REPEAT_N - 2}),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' '
+                || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS gram
+  FROM t WHERE len(w) >= {REPEAT_N}
+)
+SELECT md5(gram) AS gram_hash,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occ
+FROM g GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
+    "repeated_ngrams": repeated_ngrams,
     "doc_repetition_stats": doc_repetition_stats,
     "doc_word_entropy": doc_word_entropy,
     "chunk_dedup": chunk_dedup,
@@ -306,6 +375,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "repeated_ngrams": _REPEATED_NGRAMS_SQL,
     "doc_repetition_stats": _DOC_REPETITION_SQL,
     "doc_word_entropy": _DOC_WORD_ENTROPY_SQL,
     "chunk_dedup": _CHUNK_DEDUP_SQL,

@@ -880,7 +880,72 @@ FROM hours LEFT JOIN agg ON agg.eh = hours.event_hour
 """
 
 
+def orders_fulfillment(sf_dir: str) -> pd.DataFrame:
+    """Per-order line count and revenue INCLUDING orders with no line items
+    (the left-outer-join path: `Dataset.join(join_type='left_outer')`).
+    Topology: lineitem is pre-aggregated per orderkey FIRST (partial sums in
+    map_batches, one grouped merge), so the outer join's right side is one
+    row per order, not one per line item — the shuffle moves aggregates."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"],
+                "rev_u": np.rint(
+                    df["l_extendedprice"] * (1 - df["l_discount"]) * 1_000_000
+                ).astype("int64"),
+            }
+        )
+
+    per_order = grouped_aggregate(
+        li,
+        ["l_orderkey"],
+        {"rev_u": ("rev_u", "sum"), "n_items": (None, "count")},
+        prepare=prepare,
+    )
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    joined = orders.join(
+        per_order,
+        join_type="left_outer",
+        num_partitions=max(2, min(8, cpus)),
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].astype("int64"),
+                "o_orderstatus": df["o_orderstatus"],
+                "n_items": df["n_items"].fillna(0).astype("int64"),
+                "revenue": round_half_away(df["rev_u"].fillna(0) / 1_000_000.0),
+            }
+        )
+
+    out = joined.map_batches(finish, batch_format="pandas").to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+_ORDERS_FULFILLMENT_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000, 0) AS BIGINT)) AS rev_u,
+         COUNT(*) AS n_items
+  FROM lineitem GROUP BY 1
+)
+SELECT o.o_orderkey, o.o_orderstatus,
+       CAST(COALESCE(p.n_items, 0) AS BIGINT) AS n_items,
+       ROUND(COALESCE(p.rev_u, 0) / 1000000.0, 4) AS revenue
+FROM orders o LEFT JOIN per_order p ON o.o_orderkey = p.l_orderkey
+"""
+
+
 QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
+    "orders_fulfillment": orders_fulfillment,
     "orders_rollup": orders_rollup,
     "event_value_percentiles": event_value_percentiles,
     "props_value_stats": props_value_stats,
@@ -901,6 +966,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "orders_fulfillment": _ORDERS_FULFILLMENT_SQL,
     "orders_rollup": _ORDERS_ROLLUP_SQL,
     "event_value_percentiles": _EVENT_VALUE_PERCENTILES_SQL,
     "props_value_stats": _PROPS_VALUE_STATS_SQL,

@@ -179,3 +179,42 @@ def test_contaminated_docs_bloom_matches_exact(ray_session):
     # false positives must all drop out in the distributed hash join
     bloom = contaminated_docs_bloom(sf, fp_rate=0.2)
     pd.testing.assert_frame_equal(exact, bloom)
+
+
+def test_near_dup_degree_consistent_with_pairs(ray_session):
+    import pandas as pd
+
+    from simple_content_ocr_ray.functions.corpus_ops import near_dup_degree
+    from simple_content_ocr_ray.functions.dedup import ngram_jaccard_pairs
+
+    sf = "/root/testdata/sf0.001"
+    deg = near_dup_degree(sf)
+    pairs = ngram_jaccard_pairs(sf)
+    exp = (
+        pd.concat([pairs["doc_a"], pairs["doc_b"]])
+        .value_counts()
+        .sort_index()
+    )
+    assert dict(zip(deg["doc_id"], deg["degree"])) == dict(exp)
+    # handshake lemma: degree sum = 2 × |pairs|
+    assert deg["degree"].sum() == 2 * len(pairs)
+
+
+def test_lang_source_pivot_mass(ray_session, documents_table):
+    from simple_content_ocr_ray.functions.corpus_ops import LANGS, lang_source_pivot
+
+    sf = "/root/testdata/sf0.001"
+    out = lang_source_pivot(sf)
+    count_cols = [f"n_{lang}" for lang in LANGS]
+    assert out[count_cols].to_numpy().sum() == documents_table.num_rows
+    import collections
+
+    exp = collections.Counter(
+        zip(
+            documents_table["source"].to_pylist(),
+            documents_table["lang"].to_pylist(),
+        )
+    )
+    for row in out.itertuples():
+        for lang in LANGS:
+            assert getattr(row, f"n_{lang}") == exp.get((row.source, lang), 0)

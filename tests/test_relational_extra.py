@@ -177,3 +177,22 @@ def test_events_hourly_gapfill_dense_axis(ray_session):
     if len(empty):
         h = empty["event_hour"].iloc[0]
         assert not ((ev["ts"] >= h) & (ev["ts"] < h + pd.Timedelta(hours=1))).any()
+
+
+def test_orders_fulfillment_left_outer_nulls(ray_session):
+    import pandas as pd
+
+    from simple_content_ocr_ray.pipelines.relational import orders_fulfillment
+
+    sf = "/root/testdata/sf0.001"
+    out = orders_fulfillment(sf)
+    orders = pd.read_parquet(f"{sf}/orders.parquet", columns=["o_orderkey"])
+    li = pd.read_parquet(f"{sf}/lineitem.parquet", columns=["l_orderkey"])
+    # every order present exactly once (left-outer preserves the left side)
+    assert sorted(out["o_orderkey"]) == sorted(orders["o_orderkey"])
+    empty = set(orders["o_orderkey"]) - set(li["l_orderkey"])
+    sub = out[out["o_orderkey"].isin(empty)]
+    assert len(sub) == len(empty)
+    assert (sub["n_items"] == 0).all() and (sub["revenue"] == 0).all()
+    matched = out[~out["o_orderkey"].isin(empty)]
+    assert (matched["n_items"] > 0).all()

@@ -107,3 +107,33 @@ def test_token_fof_conserves_mass(sf_dir, documents_table):
     assert dict(zip(out["freq"], out["n_tokens"])) == dict(fof)
     # mass conservation: sum(freq * n_tokens) = total token occurrences
     assert (out["freq"] * out["n_tokens"]).sum() == sum(c.values())
+
+
+def test_repeated_ngrams_brute_force(sf_dir, documents_table):
+    from simple_content_ocr_ray.functions.repetition import REPEAT_N, repeated_ngrams
+
+    out = repeated_ngrams(sf_dir)
+    docs_occ = {}
+    for doc_id, text in zip(
+        documents_table["doc_id"].to_pylist(), documents_table["text"].to_pylist()
+    ):
+        if not text.strip():
+            continue
+        words = text.split(" ")
+        if len(words) < REPEAT_N:
+            continue
+        reps = [doc_id] + ([doc_id + 2_000_000] if doc_id % 7 == 0 else [])
+        grams = Counter(
+            " ".join(words[i : i + REPEAT_N])
+            for i in range(len(words) - REPEAT_N + 1)
+        )
+        for d in reps:
+            for g, c in grams.items():
+                h = hashlib.md5(g.encode()).hexdigest()
+                nd, no = docs_occ.get(h, (0, 0))
+                docs_occ[h] = (nd + 1, no + c)
+    exp = {h: v for h, v in docs_occ.items() if v[0] >= 2}
+    got = dict(zip(out["gram_hash"], zip(out["n_docs"], out["n_occ"])))
+    assert got == exp
+    # every twin-doc gram repeats by construction
+    assert len(out) > 0 and (out["n_docs"] >= 2).all()
