@@ -64,6 +64,19 @@ NEAR_TWIN_OFFSET = 1_000_000
 EXACT_TWIN_OFFSET = 2_000_000
 MIN_TWIN_WORDS = 12
 
+#: corpora at or below this footer row count are pinned (materialized) when a
+#: pipeline consumes them more than once (explode + the two verify joins) —
+#: repeat passes read zero-copy object-store blocks instead of re-scanning
+#: parquet. Above it, every pass streams from storage: a 100 TB pin would be
+#: a full-corpus object-store spill.
+PIN_CORPUS_MAX_ROWS = 2_000_000
+
+
+def _pin_if_small(ds: rd.Dataset, sf_dir: str) -> rd.Dataset:
+    if _corpus_size_hint(sf_dir) <= PIN_CORPUS_MAX_ROWS:
+        return ds.materialize()
+    return ds
+
 
 # --------------------------------------------------------------------------
 # Shingling (shared by all near-dup ops; deterministic, salt-free hashes)
@@ -642,6 +655,9 @@ def ngram_jaccard_pairs(
             DEFAULT_DF_CAP if _corpus_size_hint(sf_dir) > exact_max_docs else None
         )
     corpus = near_dup_corpus(sf_dir)
+    if df_cap is not None:
+        # the capped path re-reads the corpus in the verify joins
+        corpus = _pin_if_small(corpus, sf_dir)
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         rows_doc, rows_sh, rows_n = [], [], []
@@ -688,7 +704,8 @@ def ngram_jaccard_pairs(
 # --------------------------------------------------------------------------
 
 def minhash_lsh_pairs(sf_dir: str) -> pd.DataFrame:
-    corpus = near_dup_corpus(sf_dir)
+    # consumed three times (band explode + both verify joins) — pin if small
+    corpus = _pin_if_small(near_dup_corpus(sf_dir), sf_dir)
     a, b = _minhash_params()
     rows_per_band = NUM_PERMS // NUM_BANDS
 
