@@ -944,7 +944,142 @@ FROM orders o LEFT JOIN per_order p ON o.o_orderkey = p.l_orderkey
 """
 
 
+NTILE_BUCKETS = 4
+
+
+def _ntile_ranks(n: int, buckets: int) -> np.ndarray:
+    """SQL NTILE bucket ids (1-based) for n ordered rows: the first n%buckets
+    buckets get one extra row."""
+    base, rem = divmod(n, buckets)
+    sizes = np.full(buckets, base, dtype=np.int64)
+    sizes[:rem] += 1
+    return np.repeat(np.arange(1, buckets + 1, dtype=np.int64), sizes)
+
+
+def orders_priority_ntile(sf_dir: str, small_threshold: int = 2_000_000) -> pd.DataFrame:
+    """SQL ``NTILE(4) OVER (PARTITION BY o_orderpriority ORDER BY
+    o_totalprice, o_orderkey)`` — quartile assignment within each priority
+    class, deterministic via the orderkey tiebreak.
+
+    Same topology family as ``user_running_totals``: one keyed shuffle
+    (``groupby(o_orderpriority).map_groups``) with an in-group stable sort;
+    adaptively a single driver-side sort for small tables. The partition
+    key has only 5 values, so at corpus scale the in-group sort IS the cost
+    — exactly the cost the SQL window function pays, since NTILE's global
+    rank within a partition cannot be computed without ordering it."""
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+
+    def ntile(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "o_orderpriority": g["o_orderpriority"].to_numpy(),
+                "quartile": _ntile_ranks(len(g), NTILE_BUCKETS),
+            }
+        )
+
+    import pyarrow.parquet as pq
+
+    n_rows = pq.read_metadata(os.path.join(sf_dir, "orders.parquet")).num_rows
+    if n_rows <= small_threshold:
+        df = orders.to_pandas()
+        out = pd.concat(
+            [ntile(g) for _, g in df.groupby("o_orderpriority", sort=True)],
+            ignore_index=True,
+        )
+    else:
+        out = (
+            orders.groupby("o_orderpriority")
+            .map_groups(ntile, batch_format="pandas")
+            .to_pandas()
+        )
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+_ORDERS_PRIORITY_NTILE_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+FROM orders
+"""
+
+
+def view_only_user_days(sf_dir: str) -> pd.DataFrame:
+    """Set difference (SQL EXCEPT) at (user, day) grain: user-days with at
+    least one view and no purchase. Both sides are per-batch-deduped before
+    anything wide; the purchase side is broadcast as a composite-key
+    anti-join filter (the Bloom prefilter of ``bloom_semi_prefilter`` is
+    the 10^12-key variant of the same shape)."""
+    events = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def side(etype: str):
+        def prep(d: pd.DataFrame) -> pd.DataFrame:
+            d = d[d["event_type"] == etype]
+            return pd.DataFrame(
+                {
+                    "user_id": d["user_id"],
+                    "day": d["ts"].dt.floor("D"),
+                }
+            ).drop_duplicates()
+
+        return grouped_aggregate(
+            events.map_batches(prep, batch_format="pandas"),
+            ["user_id", "day"],
+            {"n": (None, "count")},
+        ).select_columns(["user_id", "day"])
+
+    pur = side("purchase").to_pandas()
+    # composite (user, day) key packed to one int64 for the broadcast set
+    pur_keys = (
+        pur["user_id"].to_numpy(dtype=np.int64) * 1_000_000
+        + pur["day"].to_numpy(dtype="datetime64[D]").astype(np.int64)
+    )
+
+    def pack(d: pd.DataFrame) -> pd.DataFrame:
+        d = d.copy()
+        d["k"] = (
+            d["user_id"].to_numpy(dtype=np.int64) * 1_000_000
+            + d["day"].to_numpy(dtype="datetime64[us]").astype("datetime64[D]").astype(np.int64)
+        )
+        return d
+
+    out = (
+        broadcast_semi_filter(
+            side("view").map_batches(pack, batch_format="pandas"),
+            pur_keys.tolist(),
+            "k",
+            anti=True,
+        )
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {"user_id": pd.Series([], dtype="int64"),
+             "day": pd.Series([], dtype="datetime64[us]")}
+        )
+    out = out[["user_id", "day"]].astype(
+        {"user_id": "int64", "day": "datetime64[us]"}
+    )
+    return out.sort_values(["user_id", "day"]).reset_index(drop=True)
+
+
+_VIEW_ONLY_USER_DAYS_SQL = """
+SELECT user_id, day FROM (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+  WHERE event_type = 'view'
+  EXCEPT
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+  WHERE event_type = 'purchase'
+)
+"""
+
+
 QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
+    "orders_priority_ntile": orders_priority_ntile,
+    "view_only_user_days": view_only_user_days,
     "orders_fulfillment": orders_fulfillment,
     "orders_rollup": orders_rollup,
     "event_value_percentiles": event_value_percentiles,
@@ -966,6 +1101,8 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "orders_priority_ntile": _ORDERS_PRIORITY_NTILE_SQL,
+    "view_only_user_days": _VIEW_ONLY_USER_DAYS_SQL,
     "orders_fulfillment": _ORDERS_FULFILLMENT_SQL,
     "orders_rollup": _ORDERS_ROLLUP_SQL,
     "event_value_percentiles": _EVENT_VALUE_PERCENTILES_SQL,

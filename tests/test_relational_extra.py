@@ -196,3 +196,51 @@ def test_orders_fulfillment_left_outer_nulls(ray_session):
     assert (sub["n_items"] == 0).all() and (sub["revenue"] == 0).all()
     matched = out[~out["o_orderkey"].isin(empty)]
     assert (matched["n_items"] > 0).all()
+
+
+def test_ntile_bucket_sizes_and_order(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from simple_content_ocr_ray.pipelines.relational import (
+        NTILE_BUCKETS,
+        _ntile_ranks,
+        orders_priority_ntile,
+    )
+
+    # the NTILE size rule: first n%b buckets get the extra row
+    assert _ntile_ranks(10, 4).tolist() == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+    assert _ntile_ranks(3, 4).tolist() == [1, 2, 3]
+
+    sf = "/root/testdata/sf0.001"
+    out = orders_priority_ntile(sf)
+    orders = pd.read_parquet(
+        f"{sf}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+    assert len(out) == len(orders)
+    merged = out.merge(orders, on=["o_orderkey", "o_orderpriority"])
+    for _, g in merged.groupby("o_orderpriority"):
+        sizes = g["quartile"].value_counts().sort_index()
+        assert sizes.max() - sizes.min() <= 1  # balanced buckets
+        # quartiles respect the price ordering: max price in q <= min in q+1
+        for q in range(1, NTILE_BUCKETS):
+            lo = g.loc[g["quartile"] == q, "o_totalprice"].max()
+            hi = g.loc[g["quartile"] == q + 1, "o_totalprice"].min()
+            assert lo <= hi + 1e-9
+
+
+def test_view_only_user_days_brute_force(ray_session):
+    import pandas as pd
+
+    from simple_content_ocr_ray.pipelines.relational import view_only_user_days
+
+    sf = "/root/testdata/sf0.001"
+    out = view_only_user_days(sf)
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["user_id", "ts", "event_type"])
+    ev["day"] = ev["ts"].dt.floor("D")
+    views = set(map(tuple, ev.loc[ev.event_type == "view", ["user_id", "day"]].values.tolist()))
+    buys = set(map(tuple, ev.loc[ev.event_type == "purchase", ["user_id", "day"]].values.tolist()))
+    exp = views - buys
+    got = set(zip(out["user_id"].tolist(), out["day"].tolist()))
+    assert got == exp
