@@ -11,6 +11,7 @@ import os
 import re
 from typing import Callable
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -276,7 +277,83 @@ GROUP BY lang, source
 """
 
 
+# --------------------------------------------------------------------------
+# Feature normalization: per-language length z-scores
+# --------------------------------------------------------------------------
+
+def doc_length_zscore(sf_dir: str) -> pd.DataFrame:
+    """Per-document z-score of ``n_chars`` within its language — the
+    two-pass feature-normalization shape (grouped moments, broadcast, scale
+    in place). Moments are EXACT int64 sums (n_chars is integral), so mean
+    and variance derive from identical integers in Ray and SQL; the oracle
+    computes variance from the same explicit sums, not STDDEV(), making the
+    cross-engine float path identical up to the final rounded division."""
+    ds = _read_documents(sf_dir, ["doc_id", "lang", "n_chars"])
+
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["lang"]].copy()
+        x = df["n_chars"].astype("int64")
+        out["s"] = x
+        out["ss"] = x * x
+        return out
+
+    import ray
+
+    from .agg import round_half_away
+
+    moments = grouped_aggregate(
+        ds,
+        ["lang"],
+        {"s": ("s", "sum"), "ss": ("ss", "sum"), "n": (None, "count")},
+        prepare=prepare,
+    ).to_pandas()
+    moments["mean"] = moments["s"] / moments["n"]
+    moments["var"] = moments["ss"] / moments["n"] - moments["mean"] ** 2
+    stats_ref = ray.put(
+        (
+            dict(zip(moments["lang"], moments["mean"])),
+            dict(zip(moments["lang"], moments["var"])),
+        )
+    )
+
+    class Scale:
+        def __init__(self) -> None:
+            self.mean_by_lang, self.var_by_lang = ray.get(stats_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            mean = df["lang"].map(self.mean_by_lang).to_numpy()
+            var = df["lang"].map(self.var_by_lang).to_numpy()
+            z = (df["n_chars"].to_numpy(dtype="float64") - mean) / np.sqrt(var)
+            return pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].astype("int64"),
+                    "lang": df["lang"],
+                    "z_chars": round_half_away(z),
+                }
+            )
+
+    out = ds.map_batches(Scale, batch_format="pandas", concurrency=(1, 8)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_DOC_LENGTH_ZSCORE_SQL = """
+WITH m AS (
+  SELECT lang,
+         SUM(CAST(n_chars AS BIGINT)) AS s,
+         SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS ss,
+         COUNT(*) AS n
+  FROM documents GROUP BY 1
+)
+SELECT d.doc_id, d.lang,
+       ROUND((d.n_chars - m.s * 1.0 / m.n)
+             / sqrt(m.ss * 1.0 / m.n - (m.s * 1.0 / m.n) * (m.s * 1.0 / m.n)), 4)
+         AS z_chars
+FROM documents d JOIN m USING (lang)
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
+    "doc_length_zscore": doc_length_zscore,
     "doc_token_stats": doc_token_stats,
     "doc_quality": doc_quality,
     "doc_fingerprint": doc_fingerprint,
@@ -286,6 +363,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "doc_length_zscore": _DOC_LENGTH_ZSCORE_SQL,
     "doc_token_stats": _DOC_TOKEN_STATS_SQL,
     "doc_quality": _DOC_QUALITY_SQL,
     "doc_fingerprint": _DOC_FINGERPRINT_SQL,

@@ -149,3 +149,23 @@ def test_embedding_pca_matches_numpy(ray_session):
     # deterministic
     again = similarity.embedding_pca_project(sf)
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_doc_length_zscore_matches_numpy(sf_dir):
+    import pandas as pd
+
+    from simple_content_ocr_ray.functions.text_stats import doc_length_zscore
+
+    got = doc_length_zscore(sf_dir)
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    x = docs["n_chars"].astype("float64")
+    mean = x.groupby(docs["lang"]).transform("mean")
+    # population variance (ddof=0), matching the SUM/COUNT oracle
+    var = x.groupby(docs["lang"]).transform(lambda s: s.var(ddof=0))
+    exp = ((x - mean) / np.sqrt(var)).to_numpy()
+    merged = got.set_index("doc_id").loc[docs["doc_id"]]
+    assert np.allclose(merged["z_chars"].to_numpy(), exp, atol=5e-4)
+    # z-scores within each language have ~zero mean
+    assert abs(got["z_chars"].mean()) < 0.01
