@@ -234,12 +234,74 @@ FROM events
 """
 
 
+# --------------------------------------------------------------------------
+# Cohort retention (first-day cohort × day offset → distinct active users)
+# --------------------------------------------------------------------------
+
+def cohort_retention(sf_dir: str) -> pd.DataFrame:
+    """Classic retention matrix: cohort a user by their first active calendar
+    day, then count distinct users active at each day offset from their
+    cohort day.
+
+    Scale shape: raw events are deduped to (user, day) per batch FIRST, so
+    the only keyed shuffle moves at most |users| × |days| rows, never raw
+    events; per user-group one min() gives the cohort and each distinct day
+    emits exactly one (cohort, offset) row — making the final small
+    partial+final count an exact distinct-user count with no second
+    distinct pass."""
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def user_days(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": df["user_id"], "day": df["ts"].dt.floor("D")}
+        ).drop_duplicates()
+
+    def offsets(g: pd.DataFrame) -> pd.DataFrame:
+        days = np.unique(g["day"].to_numpy(dtype="datetime64[D]"))
+        cohort = days[0]
+        return pd.DataFrame(
+            {
+                "cohort_day": np.full(len(days), cohort, dtype="datetime64[us]"),
+                "day_offset": (days - cohort).astype("int64"),
+            }
+        )
+
+    per_user = (
+        events.map_batches(user_days, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(offsets, batch_format="pandas")
+    )
+    out = grouped_aggregate(
+        per_user, ["cohort_day", "day_offset"], {"n_users": (None, "count")}
+    ).to_pandas()
+    out = out.astype({"day_offset": "int64", "n_users": "int64"})
+    return out.sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
+
+
+_COHORT_RETENTION_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), c AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY 1
+)
+SELECT c.cohort_day,
+       DATE_DIFF('day', c.cohort_day, ud.day) AS day_offset,
+       COUNT(*) AS n_users
+FROM ud JOIN c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
+    "cohort_retention": cohort_retention,
     "user_sessions": user_sessions,
     "events_sliding_windows": events_sliding_windows,
     "user_running_totals": user_running_totals,
 }
 ORACLES: dict[str, str] = {
+    "cohort_retention": _COHORT_RETENTION_SQL,
     "user_sessions": _USER_SESSIONS_SQL,
     "events_sliding_windows": _EVENTS_SLIDING_SQL,
     "user_running_totals": _USER_RUNNING_TOTALS_SQL,

@@ -1077,7 +1077,113 @@ SELECT user_id, day FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# Q5-style six-table join (local supplier volume)
+# --------------------------------------------------------------------------
+
+Q5_REGION = "ASIA"
+Q5_YEAR_LO = pd.Timestamp("1996-01-01")
+Q5_YEAR_HI = pd.Timestamp("1997-01-01")
+
+
+def q5_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5 shape: revenue per nation from line items where the ordering
+    customer and the supplier share a nation inside one region, orders in a
+    one-year window.
+
+    Join topology for 100 TB: region→nation→(customer, supplier) collapse
+    into two driver-side key→nation maps (dimension tables — tiny next to
+    the facts); the year's orders annotated with the customer nation become
+    the small side of a broadcast merge into the single lineitem scan; the
+    supplier nation joins map-side from the broadcast supplier map; the
+    same-nation equality filters per batch; revenue partials pre-aggregate
+    before the 5-row final groupby. One pass over each fact table, zero
+    fact-side shuffles (hash-join fallback for a wider order window is
+    ``supplier_nation_hash_join``'s path)."""
+    region = _read(sf_dir, "region").to_pandas()
+    nation = _read(sf_dir, "nation").to_pandas()
+    rkeys = set(region.loc[region["r_name"] == Q5_REGION, "r_regionkey"])
+    nat = nation[nation["n_regionkey"].isin(rkeys)]
+    name_by_nat = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    nat_keys = set(name_by_nat)
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust[cust["c_nationkey"].isin(nat_keys)]
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(nat_keys)]
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def year_filter(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["o_orderdate"] >= Q5_YEAR_LO) & (df["o_orderdate"] < Q5_YEAR_HI)
+        return df.loc[m, ["o_orderkey", "o_custkey"]]
+
+    orders_small = (
+        broadcast_merge(
+            orders.map_batches(year_filter, batch_format="pandas"),
+            cust,
+            left_on="o_custkey",
+            right_on="c_custkey",
+        )
+        .select_columns(["o_orderkey", "c_nationkey"])
+        .to_pandas()
+        .rename(columns={"c_nationkey": "cust_nat"})
+    )
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    joined = broadcast_merge(
+        broadcast_merge(li, orders_small, left_on="l_orderkey", right_on="o_orderkey"),
+        supp,
+        left_on="l_suppkey",
+        right_on="s_suppkey",
+    )
+
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["cust_nat"] == df["s_nationkey"]]
+        return pd.DataFrame(
+            {
+                "n_name": df["s_nationkey"].map(name_by_nat),
+                "rev_u": np.rint(
+                    df["l_extendedprice"] * (1 - df["l_discount"]) * 1_000_000
+                ).astype("int64"),
+            }
+        )
+
+    agg = grouped_aggregate(
+        joined, ["n_name"], {"rev_u": ("rev_u", "sum")}, prepare=prepare
+    ).to_pandas()
+    agg["revenue"] = round_half_away(agg["rev_u"] / 1_000_000.0)
+    return (
+        agg.sort_values(["rev_u", "n_name"], ascending=[False, True])[
+            ["n_name", "revenue"]
+        ].reset_index(drop=True)
+    )
+
+
+_Q5_LOCAL_SUPPLIER_VOLUME_SQL = f"""
+SELECT n_name,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000, 0)
+                      AS BIGINT)) / 1000000.0, 4) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000, 0)
+                  AS BIGINT)) DESC, n_name
+"""
+
+
 QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
+    "q5_local_supplier_volume": q5_local_supplier_volume,
     "orders_priority_ntile": orders_priority_ntile,
     "view_only_user_days": view_only_user_days,
     "orders_fulfillment": orders_fulfillment,
@@ -1101,6 +1207,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q5_local_supplier_volume": _Q5_LOCAL_SUPPLIER_VOLUME_SQL,
     "orders_priority_ntile": _ORDERS_PRIORITY_NTILE_SQL,
     "view_only_user_days": _VIEW_ONLY_USER_DAYS_SQL,
     "orders_fulfillment": _ORDERS_FULFILLMENT_SQL,

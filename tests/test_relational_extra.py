@@ -244,3 +244,70 @@ def test_view_only_user_days_brute_force(ray_session):
     exp = views - buys
     got = set(zip(out["user_id"].tolist(), out["day"].tolist()))
     assert got == exp
+
+
+def test_q5_local_supplier_volume_brute_force(ray_session):
+    import pandas as pd
+
+    from simple_content_ocr_ray.pipelines.relational import (
+        Q5_REGION,
+        Q5_YEAR_HI,
+        Q5_YEAR_LO,
+        q5_local_supplier_volume,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q5_local_supplier_volume(sf)
+    region = pd.read_parquet(f"{sf}/region.parquet")
+    nation = pd.read_parquet(f"{sf}/nation.parquet")
+    cust = pd.read_parquet(f"{sf}/customer.parquet")
+    supp = pd.read_parquet(f"{sf}/supplier.parquet")
+    orders = pd.read_parquet(f"{sf}/orders.parquet")
+    li = pd.read_parquet(f"{sf}/lineitem.parquet")
+
+    rk = region.loc[region.r_name == Q5_REGION, "r_regionkey"]
+    nat = nation[nation.n_regionkey.isin(rk)]
+    j = (
+        li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+    )
+    j = j[
+        (j.c_nationkey == j.s_nationkey)
+        & (j.o_orderdate >= Q5_YEAR_LO)
+        & (j.o_orderdate < Q5_YEAR_HI)
+    ]
+    j["rev"] = j.l_extendedprice * (1 - j.l_discount)
+    exp = j.groupby("n_name")["rev"].sum().sort_values(ascending=False)
+    assert out["n_name"].tolist() == exp.index.tolist()
+    assert (out["revenue"] - exp.values).abs().max() < 0.01
+
+
+def test_cohort_retention_brute_force(ray_session):
+    import pandas as pd
+
+    from simple_content_ocr_ray.functions.window import cohort_retention
+
+    sf = "/root/testdata/sf0.001"
+    out = cohort_retention(sf)
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["user_id", "ts"])
+    ud = pd.DataFrame(
+        {"user_id": ev.user_id, "day": ev.ts.dt.floor("D")}
+    ).drop_duplicates()
+    cohort = ud.groupby("user_id")["day"].min().rename("cohort_day")
+    m = ud.join(cohort, on="user_id")
+    m["day_offset"] = (m.day - m.cohort_day).dt.days
+    exp = (
+        m.groupby(["cohort_day", "day_offset"])["user_id"]
+        .nunique()
+        .reset_index(name="n_users")
+        .sort_values(["cohort_day", "day_offset"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(exp)
+    assert out["n_users"].tolist() == exp["n_users"].tolist()
+    assert out["day_offset"].tolist() == exp["day_offset"].tolist()
+    # offset-0 row of each cohort counts the whole cohort
+    total_users = ev["user_id"].nunique()
+    assert out.loc[out.day_offset == 0, "n_users"].sum() == total_users
