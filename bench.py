@@ -225,6 +225,8 @@ def run_headline() -> dict:
             "chunk_dedup",
             "token_freq_of_freqs",
             "contaminated_docs_bloom",
+            "q5_local_supplier_volume",
+            "cohort_retention",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)

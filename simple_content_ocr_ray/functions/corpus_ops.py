@@ -543,7 +543,45 @@ FROM documents GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# Grouped argmax: the single longest document per (lang, source)
+# --------------------------------------------------------------------------
+
+def longest_doc_per_group(sf_dir: str) -> pd.DataFrame:
+    """Top-1 row per (lang, source) by ``n_chars`` (ties broken by smallest
+    ``doc_id``) — the grouped-argmax / ROW_NUMBER()=1 shape. Distributed as
+    partial top-1: each batch keeps at most one candidate row per group, the
+    driver reduces |groups|×|batches| candidates — no shuffle of the corpus
+    and no global sort (same local-then-final topology as ``topk``, but
+    keyed)."""
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "source", "n_chars"],
+    )
+
+    def local_best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        return df.groupby(["lang", "source"], sort=False).head(1)
+
+    cands = docs.map_batches(local_best, batch_format="pandas").to_pandas()
+    out = local_best(cands).astype({"doc_id": "int64", "n_chars": "int64"})
+    return out.sort_values(["lang", "source"]).reset_index(drop=True)
+
+
+_LONGEST_DOC_PER_GROUP_SQL = """
+SELECT doc_id, lang, source, n_chars FROM (
+  SELECT doc_id, lang, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang, source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
+    "longest_doc_per_group": longest_doc_per_group,
     "near_dup_degree": near_dup_degree,
     "lang_source_pivot": lang_source_pivot,
     "near_dup_components": near_dup_components,
@@ -556,6 +594,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "longest_doc_per_group": _LONGEST_DOC_PER_GROUP_SQL,
     "near_dup_degree": _NEAR_DUP_DEGREE_SQL,
     "lang_source_pivot": _LANG_SOURCE_PIVOT_SQL,
     "near_dup_components": _NEAR_DUP_COMPONENTS_SQL,

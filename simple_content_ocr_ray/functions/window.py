@@ -294,14 +294,69 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Ordered string aggregation (per-user event journey)
+# --------------------------------------------------------------------------
+
+def user_event_journeys(sf_dir: str, small_threshold: int = 2_000_000) -> pd.DataFrame:
+    """Ordered STRING_AGG per user: each user's event types joined with ','
+    in (ts, event_id) order, plus the event count — the order-sensitive
+    grouped-concat shape (sequence mining's input format).
+
+    Same adaptive topology as ``user_sessions``: one vectorized sort on
+    small logs, a ``groupby(user_id).map_groups`` keyed shuffle on large
+    ones — order-sensitive logic stays inside the group either way."""
+    from .joins import events_row_count
+
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def journeys_sorted(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("user_id", sort=False).agg(
+            journey=("event_type", ",".join), n_events=("event_type", "size")
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return out.reset_index().astype({"user_id": "int64"})
+
+    if events_row_count(sf_dir) <= small_threshold:
+        df = events.to_pandas().sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        )
+        return journeys_sorted(df).sort_values("user_id").reset_index(drop=True)
+
+    out = (
+        events.groupby("user_id")
+        .map_groups(
+            lambda g: journeys_sorted(
+                g.sort_values(["ts", "event_id"], kind="mergesort")
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+_USER_EVENT_JOURNEYS_SQL = """
+SELECT user_id,
+       STRING_AGG(event_type, ',' ORDER BY ts, event_id) AS journey,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
     "cohort_retention": cohort_retention,
+    "user_event_journeys": user_event_journeys,
     "user_sessions": user_sessions,
     "events_sliding_windows": events_sliding_windows,
     "user_running_totals": user_running_totals,
 }
 ORACLES: dict[str, str] = {
     "cohort_retention": _COHORT_RETENTION_SQL,
+    "user_event_journeys": _USER_EVENT_JOURNEYS_SQL,
     "user_sessions": _USER_SESSIONS_SQL,
     "events_sliding_windows": _EVENTS_SLIDING_SQL,
     "user_running_totals": _USER_RUNNING_TOTALS_SQL,

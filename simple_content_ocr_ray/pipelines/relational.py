@@ -1182,7 +1182,87 @@ ORDER BY SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000, 0)
 """
 
 
+# --------------------------------------------------------------------------
+# Correlated-subquery decorrelation: orders above their customer's average
+# --------------------------------------------------------------------------
+
+def orders_above_cust_avg(sf_dir: str) -> pd.DataFrame:
+    """Orders whose total price is strictly above their own customer's
+    average order price — the classic correlated subquery, decorrelated into
+    two passes: a per-customer grouped aggregate (exact int64 cent sums),
+    then a broadcast of the (sum, count) map back into a second scan that
+    filters per batch. The comparison is done in integers
+    (``price_c * n > sum_c``), so the predicate is bit-exact — no float
+    threshold can disagree with the SQL oracle.
+
+    At 100 TB the per-customer map outgrows one broadcast; the same two-pass
+    shape then hash-partitions both scans by ``o_custkey`` (one canonical
+    key, reused), which is ``supplier_nation_hash_join``'s path."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"],
+                "price_c": np.rint(df["o_totalprice"] * 100).astype("int64"),
+            }
+        )
+
+    per_cust = grouped_aggregate(
+        orders,
+        ["o_custkey"],
+        {"sum_c": ("price_c", "sum"), "n": (None, "count")},
+        prepare=prepare,
+    ).to_pandas()
+    import ray
+
+    ref = ray.put(
+        (
+            dict(zip(per_cust["o_custkey"], per_cust["sum_c"])),
+            dict(zip(per_cust["o_custkey"], per_cust["n"])),
+        )
+    )
+
+    class AboveAvg:
+        def __init__(self) -> None:
+            self.sum_by, self.n_by = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            price_c = np.rint(df["o_totalprice"].to_numpy() * 100).astype("int64")
+            sum_c = df["o_custkey"].map(self.sum_by).to_numpy(dtype="int64")
+            n = df["o_custkey"].map(self.n_by).to_numpy(dtype="int64")
+            keep = price_c * n > sum_c
+            return pd.DataFrame(
+                {
+                    "o_orderkey": df["o_orderkey"].to_numpy()[keep],
+                    "o_custkey": df["o_custkey"].to_numpy()[keep],
+                    "o_totalprice": df["o_totalprice"].to_numpy()[keep],
+                    "cust_avg": round_half_away(sum_c[keep] / 100.0 / n[keep]),
+                }
+            ).astype({"o_orderkey": "int64", "o_custkey": "int64"})
+
+    out = orders.map_batches(
+        AboveAvg, batch_format="pandas", concurrency=(1, 8)
+    ).to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+_ORDERS_ABOVE_CUST_AVG_SQL = """
+WITH a AS (
+  SELECT o_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS sum_c,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT o_orderkey, o.o_custkey, o_totalprice,
+       ROUND(a.sum_c / 100.0 / a.n, 4) AS cust_avg
+FROM orders o JOIN a ON o.o_custkey = a.o_custkey
+WHERE CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) * a.n > a.sum_c
+"""
+
+
 QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
+    "orders_above_cust_avg": orders_above_cust_avg,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "orders_priority_ntile": orders_priority_ntile,
     "view_only_user_days": view_only_user_days,
@@ -1207,6 +1287,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "orders_above_cust_avg": _ORDERS_ABOVE_CUST_AVG_SQL,
     "q5_local_supplier_volume": _Q5_LOCAL_SUPPLIER_VOLUME_SQL,
     "orders_priority_ntile": _ORDERS_PRIORITY_NTILE_SQL,
     "view_only_user_days": _VIEW_ONLY_USER_DAYS_SQL,

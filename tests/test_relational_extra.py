@@ -311,3 +311,57 @@ def test_cohort_retention_brute_force(ray_session):
     # offset-0 row of each cohort counts the whole cohort
     total_users = ev["user_id"].nunique()
     assert out.loc[out.day_offset == 0, "n_users"].sum() == total_users
+
+
+def test_orders_above_cust_avg_brute_force(ray_session):
+    import pandas as pd
+
+    from simple_content_ocr_ray.pipelines.relational import orders_above_cust_avg
+
+    sf = "/root/testdata/sf0.001"
+    out = orders_above_cust_avg(sf)
+    orders = pd.read_parquet(f"{sf}/orders.parquet")
+    avg = orders.groupby("o_custkey")["o_totalprice"].transform("mean")
+    exp = orders[orders.o_totalprice > avg].sort_values("o_orderkey")
+    assert out["o_orderkey"].tolist() == exp["o_orderkey"].tolist()
+    # every kept order strictly beats its customer's mean
+    merged = out.merge(
+        orders.groupby("o_custkey")["o_totalprice"].mean().rename("m"),
+        on="o_custkey",
+    )
+    assert (merged.o_totalprice > merged.m - 1e-6).all()
+
+
+def test_longest_doc_per_group_brute_force(ray_session):
+    import pandas as pd
+
+    from simple_content_ocr_ray.functions.corpus_ops import longest_doc_per_group
+
+    sf = "/root/testdata/sf0.001"
+    out = longest_doc_per_group(sf)
+    docs = pd.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "lang", "source", "n_chars"]
+    )
+    exp = (
+        docs.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        .groupby(["lang", "source"])
+        .head(1)
+        .sort_values(["lang", "source"])
+    )
+    assert out["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert out["n_chars"].tolist() == exp["n_chars"].tolist()
+
+
+def test_user_event_journeys_paths_equal(ray_session):
+    import pandas as pd
+
+    from simple_content_ocr_ray.functions.window import user_event_journeys
+
+    sf = "/root/testdata/sf0.001"
+    small = user_event_journeys(sf)
+    forced = user_event_journeys(sf, small_threshold=0)  # keyed-shuffle path
+    pd.testing.assert_frame_equal(small, forced)
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    u = ev.user_id.iloc[0]
+    seq = ev[ev.user_id == u].sort_values(["ts", "event_id"])["event_type"]
+    assert small.loc[small.user_id == u, "journey"].iloc[0] == ",".join(seq)
