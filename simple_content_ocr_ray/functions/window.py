@@ -238,7 +238,7 @@ FROM events
 # Cohort retention (first-day cohort × day offset → distinct active users)
 # --------------------------------------------------------------------------
 
-def cohort_retention(sf_dir: str) -> pd.DataFrame:
+def cohort_retention(sf_dir: str, small_threshold: int = 2_000_000) -> pd.DataFrame:
     """Classic retention matrix: cohort a user by their first active calendar
     day, then count distinct users active at each day offset from their
     cohort day.
@@ -248,7 +248,14 @@ def cohort_retention(sf_dir: str) -> pd.DataFrame:
     events; per user-group one min() gives the cohort and each distinct day
     emits exactly one (cohort, offset) row — making the final small
     partial+final count an exact distinct-user count with no second
-    distinct pass."""
+    distinct pass.
+
+    Adaptive like ``user_sessions``: below the row threshold the deduped
+    (user, day) pairs are reduced vectorized on the driver (the shuffle's
+    multi-second fixed cost dwarfs a 100k-row log); above it the keyed
+    shuffle runs. Tests assert both paths equal."""
+    from .joins import events_row_count
+
     events = rd.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
     )
@@ -257,6 +264,30 @@ def cohort_retention(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame(
             {"user_id": df["user_id"], "day": df["ts"].dt.floor("D")}
         ).drop_duplicates()
+
+    def finish(per_user: pd.DataFrame) -> pd.DataFrame:
+        out = per_user.astype({"day_offset": "int64", "n_users": "int64"})
+        return out.sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
+
+    if events_row_count(sf_dir) <= small_threshold:
+        ud = (
+            events.map_batches(user_days, batch_format="pandas")
+            .to_pandas()
+            .drop_duplicates()
+        )
+        cohort = ud.groupby("user_id")["day"].transform("min")
+        per_user = (
+            pd.DataFrame(
+                {
+                    "cohort_day": cohort,
+                    "day_offset": (ud["day"] - cohort).dt.days,
+                }
+            )
+            .groupby(["cohort_day", "day_offset"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_users"})
+        )
+        return finish(per_user)
 
     def offsets(g: pd.DataFrame) -> pd.DataFrame:
         days = np.unique(g["day"].to_numpy(dtype="datetime64[D]"))
@@ -276,8 +307,7 @@ def cohort_retention(sf_dir: str) -> pd.DataFrame:
     out = grouped_aggregate(
         per_user, ["cohort_day", "day_offset"], {"n_users": (None, "count")}
     ).to_pandas()
-    out = out.astype({"day_offset": "int64", "n_users": "int64"})
-    return out.sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
+    return finish(out)
 
 
 _COHORT_RETENTION_SQL = """

@@ -1100,52 +1100,61 @@ def q5_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
     before the 5-row final groupby. One pass over each fact table, zero
     fact-side shuffles (hash-join fallback for a wider order window is
     ``supplier_nation_hash_join``'s path)."""
-    region = _read(sf_dir, "region").to_pandas()
-    nation = _read(sf_dir, "nation").to_pandas()
+    import pyarrow.parquet as pq
+
+    # dimension tables: read driver-side (5 / 25 / |customers| / |suppliers|
+    # rows — tiny next to the facts; at 100 TB customer/supplier graduate to
+    # the pruned-Ray-read + broadcast_merge path, same downstream shape)
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
     rkeys = set(region.loc[region["r_name"] == Q5_REGION, "r_regionkey"])
     nat = nation[nation["n_regionkey"].isin(rkeys)]
     name_by_nat = dict(zip(nat["n_nationkey"], nat["n_name"]))
     nat_keys = set(name_by_nat)
 
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
-    cust = cust[cust["c_nationkey"].isin(nat_keys)]
-    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
-    supp = supp[supp["s_nationkey"].isin(nat_keys)]
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    cust_nat_by_key = dict(
+        zip(cust["c_custkey"], cust["c_nationkey"].where(cust["c_nationkey"].isin(nat_keys), -1))
+    )
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    supp_nat_by_key = dict(
+        zip(supp["s_suppkey"], supp["s_nationkey"].where(supp["s_nationkey"].isin(nat_keys), -1))
+    )
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
 
-    def year_filter(df: pd.DataFrame) -> pd.DataFrame:
+    def year_orders(df: pd.DataFrame) -> pd.DataFrame:
         m = (df["o_orderdate"] >= Q5_YEAR_LO) & (df["o_orderdate"] < Q5_YEAR_HI)
-        return df.loc[m, ["o_orderkey", "o_custkey"]]
-
-    orders_small = (
-        broadcast_merge(
-            orders.map_batches(year_filter, batch_format="pandas"),
-            cust,
-            left_on="o_custkey",
-            right_on="c_custkey",
+        df = df.loc[m]
+        cust_nat = df["o_custkey"].map(cust_nat_by_key)
+        keep = cust_nat >= 0
+        return pd.DataFrame(
+            {"o_orderkey": df["o_orderkey"][keep], "cust_nat": cust_nat[keep]}
         )
-        .select_columns(["o_orderkey", "c_nationkey"])
-        .to_pandas()
-        .rename(columns={"c_nationkey": "cust_nat"})
-    )
+
+    orders_small = orders.map_batches(year_orders, batch_format="pandas").to_pandas()
+    order_nat_by_key = dict(zip(orders_small["o_orderkey"], orders_small["cust_nat"]))
 
     li = _read(
         sf_dir, "lineitem",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
-    joined = broadcast_merge(
-        broadcast_merge(li, orders_small, left_on="l_orderkey", right_on="o_orderkey"),
-        supp,
-        left_on="l_suppkey",
-        right_on="s_suppkey",
-    )
 
+    # both map-side joins + the same-nation filter + revenue partials run in
+    # ONE pass inside the grouped aggregate's prepare (closure maps ship to
+    # the object store once, not per batch)
     def prepare(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["cust_nat"] == df["s_nationkey"]]
+        cust_nat = df["l_orderkey"].map(order_nat_by_key)
+        supp_nat = df["l_suppkey"].map(supp_nat_by_key)
+        keep = cust_nat.notna() & (cust_nat == supp_nat) & (supp_nat >= 0)
+        df = df[keep]
         return pd.DataFrame(
             {
-                "n_name": df["s_nationkey"].map(name_by_nat),
+                "n_name": supp_nat[keep].astype("int64").map(name_by_nat),
                 "rev_u": np.rint(
                     df["l_extendedprice"] * (1 - df["l_discount"]) * 1_000_000
                 ).astype("int64"),
@@ -1153,7 +1162,7 @@ def q5_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
         )
 
     agg = grouped_aggregate(
-        joined, ["n_name"], {"rev_u": ("rev_u", "sum")}, prepare=prepare
+        li, ["n_name"], {"rev_u": ("rev_u", "sum")}, prepare=prepare
     ).to_pandas()
     agg["revenue"] = round_half_away(agg["rev_u"] / 1_000_000.0)
     return (

@@ -291,6 +291,8 @@ def test_cohort_retention_brute_force(ray_session):
 
     sf = "/root/testdata/sf0.001"
     out = cohort_retention(sf)
+    forced = cohort_retention(sf, small_threshold=0)  # keyed-shuffle path
+    pd.testing.assert_frame_equal(out, forced)
     ev = pd.read_parquet(f"{sf}/events.parquet", columns=["user_id", "ts"])
     ud = pd.DataFrame(
         {"user_id": ev.user_id, "day": ev.ts.dt.floor("D")}
