@@ -325,6 +325,47 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# Grouped mode (most frequent value per key)
+# --------------------------------------------------------------------------
+
+def user_modal_event(sf_dir: str) -> pd.DataFrame:
+    """Each user's most frequent event type (ties broken alphabetically) and
+    its count — the grouped MODE shape. Two aggregation levels, both
+    distributed: (user, event_type) counts via partial+final sums (the only
+    shuffle, at most |users|×|types| rows), then an argmax per user over
+    that bounded table (at 10^9 users that step becomes the partial-top-1
+    shape of ``longest_doc_per_group``) — no raw-event shuffle, no sort."""
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
+    )
+    counts = grouped_aggregate(
+        events, ["user_id", "event_type"], {"n": (None, "count")}
+    ).to_pandas()
+    counts = counts.sort_values(
+        ["n", "event_type"], ascending=[False, True], kind="mergesort"
+    )
+    out = (
+        counts.groupby("user_id", sort=False)
+        .head(1)
+        .rename(columns={"event_type": "modal_event"})
+        .astype({"user_id": "int64", "n": "int64"})
+    )
+    return out.sort_values("user_id").reset_index(drop=True)[
+        ["user_id", "modal_event", "n"]
+    ]
+
+
+_USER_MODAL_EVENT_SQL = """
+SELECT user_id, modal_event, n FROM (
+  SELECT user_id, event_type AS modal_event, COUNT(*) AS n,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY COUNT(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Ordered string aggregation (per-user event journey)
 # --------------------------------------------------------------------------
 
@@ -380,6 +421,7 @@ FROM events GROUP BY user_id
 QUERIES: dict[str, Callable[[str], object]] = {
     "cohort_retention": cohort_retention,
     "user_event_journeys": user_event_journeys,
+    "user_modal_event": user_modal_event,
     "user_sessions": user_sessions,
     "events_sliding_windows": events_sliding_windows,
     "user_running_totals": user_running_totals,
@@ -387,6 +429,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 ORACLES: dict[str, str] = {
     "cohort_retention": _COHORT_RETENTION_SQL,
     "user_event_journeys": _USER_EVENT_JOURNEYS_SQL,
+    "user_modal_event": _USER_MODAL_EVENT_SQL,
     "user_sessions": _USER_SESSIONS_SQL,
     "events_sliding_windows": _EVENTS_SLIDING_SQL,
     "user_running_totals": _USER_RUNNING_TOTALS_SQL,

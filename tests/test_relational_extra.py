@@ -367,3 +367,22 @@ def test_user_event_journeys_paths_equal(ray_session):
     u = ev.user_id.iloc[0]
     seq = ev[ev.user_id == u].sort_values(["ts", "event_id"])["event_type"]
     assert small.loc[small.user_id == u, "journey"].iloc[0] == ",".join(seq)
+
+
+def test_user_modal_event_brute_force(ray_session):
+    import pandas as pd
+
+    from simple_content_ocr_ray.functions.window import user_modal_event
+
+    sf = "/root/testdata/sf0.001"
+    out = user_modal_event(sf)
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["user_id", "event_type"])
+    cnt = ev.groupby(["user_id", "event_type"]).size().reset_index(name="n")
+    exp = (
+        cnt.sort_values(["n", "event_type"], ascending=[False, True])
+        .groupby("user_id")
+        .head(1)
+        .sort_values("user_id")
+    )
+    assert out["modal_event"].tolist() == exp["event_type"].tolist()
+    assert out["n"].tolist() == exp["n"].tolist()
