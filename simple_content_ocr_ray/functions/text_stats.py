@@ -278,6 +278,102 @@ GROUP BY lang, source
 
 
 # --------------------------------------------------------------------------
+# PII redaction (emails / phone numbers / IPs → typed placeholders)
+# --------------------------------------------------------------------------
+
+# RE2-compatible patterns (pyarrow/DuckDB) that Python `re` reads identically
+PII_EMAIL_PAT = r"[a-z0-9]+@[a-z0-9.]+\.[a-z]+"
+PII_PHONE_PAT = r"555-[0-9]{4}"
+PII_IP_PAT = r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+\b"
+
+
+def pii_redaction(sf_dir: str) -> rd.Dataset:
+    """Vectorized PII scrubbing: emails, phone numbers, and IPv4 addresses
+    replaced with typed placeholders, with per-document match counts — the
+    privacy-filtering stage of a training-data pipeline.
+
+    The synthetic corpus contains no PII, so (twin-corpus style, like the
+    dedup family) the query first injects DETERMINISTIC pseudo-PII derived
+    from ``doc_id`` — the identical expression appears in the SQL oracle —
+    and the operator under test is the redaction itself, checked byte-exact
+    on the redacted text. Order of redaction passes matters (emails before
+    IPs, so an address inside an email hostname is already gone); both
+    engines apply the same order. Pure per-row transform: streams, no
+    shuffle, nothing driver-side."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+    email_re = re.compile(PII_EMAIL_PAT)
+    phone_re = re.compile(PII_PHONE_PAT)
+    ip_re = re.compile(PII_IP_PAT)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        doc_id = df["doc_id"].astype("int64")
+        text = df["text"].copy()
+        # deterministic injection (mirrored verbatim in the SQL oracle)
+        m5 = (doc_id % 5 == 0)
+        text[m5] = text[m5] + " contact user" + doc_id[m5].astype(str) + "@mail.example.com"
+        m7 = (doc_id % 7 == 0)
+        text[m7] = text[m7] + " call 555-" + (1000 + doc_id[m7] % 9000).astype(str)
+        m11 = (doc_id % 11 == 0)
+        text[m11] = (
+            text[m11]
+            + " from 10.0."
+            + (doc_id[m11] % 256).astype(str)
+            + "."
+            + (doc_id[m11] * 7 % 256).astype(str)
+        )
+        n_emails = text.str.count(email_re).astype("int64")
+        redacted = text.str.replace(email_re, "<EMAIL>", regex=True)
+        n_phones = redacted.str.count(phone_re).astype("int64")
+        redacted = redacted.str.replace(phone_re, "<PHONE>", regex=True)
+        n_ips = redacted.str.count(ip_re).astype("int64")
+        redacted = redacted.str.replace(ip_re, "<IP>", regex=True)
+        return pd.DataFrame(
+            {
+                "doc_id": doc_id,
+                "redacted": redacted,
+                "n_emails": n_emails,
+                "n_phones": n_phones,
+                "n_ips": n_ips,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+_PII_REDACTION_SQL = rf"""
+WITH injected AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' contact user' || doc_id || '@mail.example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' call 555-' || (1000 + doc_id % 9000)
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' from 10.0.' || (doc_id % 256) || '.' || (doc_id * 7 % 256)
+                 ELSE '' END AS text
+  FROM documents
+), pass1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{PII_EMAIL_PAT}')) AS BIGINT) AS n_emails,
+         regexp_replace(text, '{PII_EMAIL_PAT}', '<EMAIL>', 'g') AS t
+  FROM injected
+), pass2 AS (
+  SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(t, '{PII_PHONE_PAT}')) AS BIGINT) AS n_phones,
+         regexp_replace(t, '{PII_PHONE_PAT}', '<PHONE>', 'g') AS t
+  FROM pass1
+)
+SELECT doc_id,
+       regexp_replace(t, '{PII_IP_PAT}', '<IP>', 'g') AS redacted,
+       n_emails, n_phones,
+       CAST(len(regexp_extract_all(t, '{PII_IP_PAT}')) AS BIGINT) AS n_ips
+FROM pass2
+"""
+
+
+# --------------------------------------------------------------------------
 # Feature normalization: per-language length z-scores
 # --------------------------------------------------------------------------
 
@@ -353,6 +449,7 @@ FROM documents d JOIN m USING (lang)
 
 
 QUERIES: dict[str, Callable[[str], object]] = {
+    "pii_redaction": pii_redaction,
     "doc_length_zscore": doc_length_zscore,
     "doc_token_stats": doc_token_stats,
     "doc_quality": doc_quality,
@@ -363,6 +460,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "pii_redaction": _PII_REDACTION_SQL,
     "doc_length_zscore": _DOC_LENGTH_ZSCORE_SQL,
     "doc_token_stats": _DOC_TOKEN_STATS_SQL,
     "doc_quality": _DOC_QUALITY_SQL,

@@ -169,3 +169,27 @@ def test_doc_length_zscore_matches_numpy(sf_dir):
     assert np.allclose(merged["z_chars"].to_numpy(), exp, atol=5e-4)
     # z-scores within each language have ~zero mean
     assert abs(got["z_chars"].mean()) < 0.01
+
+
+def test_pii_redaction_semantics(sf_dir):
+    import pandas as pd
+
+    from simple_content_ocr_ray.functions.text_stats import pii_redaction
+
+    out = pii_redaction(sf_dir).to_pandas().set_index("doc_id")
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        row = out.loc[doc_id]
+        assert row["n_emails"] == (1 if doc_id % 5 == 0 else 0)
+        assert row["n_phones"] == (1 if doc_id % 7 == 0 else 0)
+        assert row["n_ips"] == (1 if doc_id % 11 == 0 else 0)
+        r = row["redacted"]
+        assert "@" not in r and "555-" not in r
+        if doc_id % 5 == 0:
+            assert "<EMAIL>" in r
+        if doc_id % 7 == 0:
+            assert "<PHONE>" in r
+        if doc_id % 11 == 0:
+            assert "<IP>" in r
+        # original text untouched before the injection point
+        assert r.startswith(text[: min(len(text), 40)])
