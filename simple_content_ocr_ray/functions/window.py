@@ -418,8 +418,80 @@ FROM events GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# Event transition matrix (Markov next-event counts, LEAD semantics)
+# --------------------------------------------------------------------------
+
+def event_transitions(sf_dir: str, small_threshold: int = 2_000_000) -> pd.DataFrame:
+    """First-order Markov transition matrix over each user's ts-ordered event
+    stream: for every consecutive (event, next-event) pair within a user,
+    the count and the row-normalized transition probability — the
+    sequence-mining LEAD shape (page-path / next-action models).
+
+    Scale topology: the only keyed shuffle is ``groupby(user_id)``, the
+    events table's one canonical partitioning; each group emits its LOCAL
+    (from, to) counts (at most |types|² rows per user, not per event), and
+    the partial+final grouped aggregate sums them. The probability
+    normalization runs on the final |types|² table — bounded by the type
+    vocabulary, never the log. Small logs skip the shuffle: one vectorized
+    sort + shift (paths byte-equal, asserted in tests)."""
+    from .joins import events_row_count
+
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def pairs_sorted(df: pd.DataFrame) -> pd.DataFrame:
+        """(from,to) local counts for a frame sorted by (user_id, ts, event_id)."""
+        et = df["event_type"].to_numpy()
+        same_user = df["user_id"].to_numpy()[:-1] == df["user_id"].to_numpy()[1:]
+        out = pd.DataFrame(
+            {"from_type": et[:-1][same_user], "to_type": et[1:][same_user]}
+        )
+        return out.groupby(["from_type", "to_type"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    if events_row_count(sf_dir) <= small_threshold:
+        df = events.to_pandas().sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        )
+        counts = pairs_sorted(df)
+    else:
+        local = events.groupby("user_id").map_groups(
+            lambda g: pairs_sorted(
+                g.sort_values(["ts", "event_id"], kind="mergesort")
+            ),
+            batch_format="pandas",
+        )
+        counts = grouped_aggregate(
+            local, ["from_type", "to_type"], {"n": ("n", "sum")}
+        ).to_pandas()
+
+    counts["n"] = counts["n"].astype("int64")
+    tot = counts.groupby("from_type")["n"].transform("sum")
+    counts["p"] = round_half_away(counts["n"] / tot)
+    return counts.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+
+
+_EVENT_TRANSITIONS_SQL = """
+WITH nxt AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+)
+SELECT from_type, to_type, COUNT(*) AS n,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY from_type), 4) AS p
+FROM nxt WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
     "cohort_retention": cohort_retention,
+    "event_transitions": event_transitions,
     "user_event_journeys": user_event_journeys,
     "user_modal_event": user_modal_event,
     "user_sessions": user_sessions,
@@ -428,6 +500,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 }
 ORACLES: dict[str, str] = {
     "cohort_retention": _COHORT_RETENTION_SQL,
+    "event_transitions": _EVENT_TRANSITIONS_SQL,
     "user_event_journeys": _USER_EVENT_JOURNEYS_SQL,
     "user_modal_event": _USER_MODAL_EVENT_SQL,
     "user_sessions": _USER_SESSIONS_SQL,

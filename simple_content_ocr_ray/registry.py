@@ -20,7 +20,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         text_stats,
         window,
     )
-    from .pipelines import clean, extract_queries, media, relational
+    from .pipelines import clean, extract_queries, media, relational, train_feed
 
     queries: dict[str, Callable[[str], Any]] = {}
     oracles: dict[str, str] = {}
@@ -29,6 +29,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         extract_queries,
         media,
         relational,
+        train_feed,
         corpus_ops,
         decontam,
         dedup,
