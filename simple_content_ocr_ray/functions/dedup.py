@@ -804,8 +804,150 @@ def simhash_pairs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+# --------------------------------------------------------------------------
+# Edit-distance (Hamming) typo dedup — pigeonhole chunk blocking
+# --------------------------------------------------------------------------
+
+HAMMING_TAU = 2
+HAMMING_CHUNKS = HAMMING_TAU + 1  # pigeonhole: ≤τ substitutions leave ≥1 chunk intact
+TYPO_TWIN_OFFSET = 3_000_000
+
+
+def typo_twin_corpus(sf_dir: str) -> rd.Dataset:
+    """Base docs + deterministic TYPO twins: for doc_id % 11 == 0 (and ≥ 3
+    chars) the character at position doc_id % len is substituted ('q', or
+    'z' if it already is 'q') — a same-length, Hamming-distance-1 copy the
+    SQL oracle reconstructs exactly. One read pass, like the other
+    augmented corpora."""
+    import pyarrow as pa
+
+    docs = _read_docs(sf_dir)
+
+    def with_twins(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        out_ids, out_texts = [], []
+        for d, txt in zip(ids, texts):
+            if d % 11 == 0 and len(txt) >= 3:
+                p = d % len(txt)
+                rep = "z" if txt[p] == "q" else "q"
+                out_ids.append(d + TYPO_TWIN_OFFSET)
+                out_texts.append(txt[:p] + rep + txt[p + 1:])
+        tw = pa.table(
+            {"doc_id": pa.array(out_ids, pa.int64()),
+             "text": pa.array(out_texts, pa.string())}
+        )
+        return pa.concat_tables([t.select(["doc_id", "text"]), tw])
+
+    return docs.map_batches(with_twins, batch_format="pyarrow")
+
+
+def hamming_typo_pairs(sf_dir: str, small_threshold: int = 5_000_000) -> pd.DataFrame:
+    """Fuzzy (edit-distance) dedup for the typo/OCR-noise case: all
+    same-length doc pairs with character Hamming distance ≤ τ=2 — the
+    substitution-only band of Levenshtein, where near-identical crawls of
+    the same page differ in a few glyphs.
+
+    Recall-complete by PIGEONHOLE blocking: each doc is split into τ+1
+    contiguous chunks; ≤ τ substitutions leave at least one chunk
+    untouched, so every qualifying pair shares ≥ 1 (length, chunk_idx,
+    chunk_bytes) bucket. Candidate generation is the same bucket-keyed
+    shuffle as MinHash/SimHash (``_pairs_from_groups``), with the TEXT
+    carried as the payload column so the exact Hamming verify runs inside
+    the grouped pair generation — no driver state, no verification join.
+    The verify vectorizes per distinct candidate length (code-point matrix
+    compare), never per pair."""
+    corpus = typo_twin_corpus(sf_dir)
+
+    def chunk_rows(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].astype(str)
+        keep = texts.str.len() > 0
+        df, texts = df[keep], texts[keep]
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(
+                {"bucket": pd.Series([], dtype="int64"),
+                 "doc_id": pd.Series([], dtype="int64"),
+                 "text": pd.Series([], dtype="object")}
+            )
+        L = texts.str.len().to_numpy(dtype="int64")
+        chunks, chunk_idx = [], []
+        for i in range(HAMMING_CHUNKS):
+            lo = L * i // HAMMING_CHUNKS
+            hi = L * (i + 1) // HAMMING_CHUNKS
+            chunks.append(
+                pd.Series(
+                    [t[a:b] for t, a, b in zip(texts, lo, hi)], dtype="object"
+                )
+            )
+            chunk_idx.append(np.full(n, i, dtype="int64"))
+        chash = pd.util.hash_array(
+            pd.concat(chunks, ignore_index=True).to_numpy()
+        ).view(np.int64)
+        return pd.DataFrame(
+            {
+                "bucket": mix64(
+                    np.tile(L, HAMMING_CHUNKS), np.concatenate(chunk_idx), chash
+                ),
+                "doc_id": np.tile(df["doc_id"].to_numpy(), HAMMING_CHUNKS),
+                "text": pd.concat(
+                    [texts] * HAMMING_CHUNKS, ignore_index=True
+                ).to_numpy(),
+            }
+        )
+
+    def hamming_ok(g: pd.DataFrame, ia: np.ndarray, ib: np.ndarray) -> np.ndarray:
+        txt = g["text"].to_numpy()
+        lens = np.fromiter((len(t) for t in txt), dtype=np.int64, count=len(txt))
+        keep = np.zeros(len(ia), dtype=bool)
+        pair_len = lens[ia]
+        same = pair_len == lens[ib]  # lengths agree in-bucket; belt and braces
+        for L in np.unique(pair_len[same]):
+            sel = same & (pair_len == L)
+            a_idx, b_idx = ia[sel], ib[sel]
+            enc = {
+                i: np.frombuffer(txt[i].encode("utf-32-le"), dtype=np.uint32)
+                for i in np.unique(np.concatenate([a_idx, b_idx]))
+            }
+            A = np.stack([enc[i] for i in a_idx])
+            B = np.stack([enc[i] for i in b_idx])
+            keep[sel] = (A != B).sum(axis=1) <= HAMMING_TAU
+        return keep
+
+    exploded = corpus.map_batches(chunk_rows, batch_format="pandas")
+    out = _pairs_from_groups(
+        exploded, "bucket", pair_filter=hamming_ok, payload_cols=("text",),
+        small_threshold=small_threshold,
+    )
+    if isinstance(out, rd.Dataset):
+        out = out.to_pandas()
+    if out.empty:
+        return _EMPTY_PAIRS()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+_HAMMING_TYPO_PAIRS_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE length(text) > 0
+  UNION ALL
+  SELECT doc_id + {TYPO_TWIN_OFFSET} AS doc_id,
+         substr(text, 1, (doc_id % length(text)))
+           || CASE WHEN substr(text, (doc_id % length(text)) + 1, 1) = 'q'
+                   THEN 'z' ELSE 'q' END
+           || substr(text, (doc_id % length(text)) + 2) AS text
+  FROM documents
+  WHERE doc_id % 11 = 0 AND length(text) >= 3
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM corpus a JOIN corpus b
+  ON length(a.text) = length(b.text) AND a.doc_id < b.doc_id
+WHERE hamming(a.text, b.text) <= {HAMMING_TAU}
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
     "dedup_exact_docs": dedup_exact_docs,
+    "hamming_typo_pairs": hamming_typo_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash_pairs": simhash_pairs,
@@ -813,6 +955,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 
 ORACLES: dict[str, str] = {
     "dedup_exact_docs": _DEDUP_EXACT_DOCS_SQL,
+    "hamming_typo_pairs": _HAMMING_TYPO_PAIRS_SQL,
     "ngram_jaccard_pairs": _NEAR_PAIRS_SQL,
     "minhash_lsh_pairs": _NEAR_PAIRS_SQL,
     # simhash_pairs: rows-only — its criterion is Hamming distance on the

@@ -448,7 +448,73 @@ FROM documents d JOIN m USING (lang)
 """
 
 
+# --------------------------------------------------------------------------
+# Hashed linear quality classifier (fastText-style bag-of-words scoring)
+# --------------------------------------------------------------------------
+
+HASH_DIM = 1001  # feature-hash buckets (odd, so weights are sign-balanced)
+HASH_OFF = (HASH_DIM - 1) // 2
+
+
+def doc_quality_classifier(sf_dir: str) -> pd.DataFrame:
+    """Linear classifier over hashed bag-of-words features — the fastText /
+    CCNet quality-filter shape: each token hashes to a bucket whose weight
+    is a deterministic function of the hash, the doc's score is the mean
+    token weight, and the keep/drop label thresholds the score at 0.
+
+    Here the "trained" weight vector is derived from the hash itself
+    (``w = md5_lower64(token) % HASH_DIM - HASH_OFF``) so the oracle can
+    reconstruct it in SQL (`md5_number_lower`); swapping in real learned
+    weights is a broadcast dict, same topology. Scale shape: embarrassingly
+    parallel map_batches; per batch only the UNIQUE tokens are hashed (the
+    md5 loop runs |vocab∩batch| times, not |tokens|), and integer weight
+    sums make the 0-threshold exact — no float boundary flakes."""
+    from .agg import round_half_away as round4
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.split(" ")
+        flat = toks.explode()
+        codes, uniques = pd.factorize(flat.to_numpy())
+        w = np.empty(len(uniques), dtype="int64")
+        for i, u in enumerate(uniques):
+            h = int.from_bytes(hashlib.md5(u.encode("utf-8")).digest()[8:16], "little")
+            w[i] = h % HASH_DIM - HASH_OFF
+        per_tok = pd.DataFrame({"doc_id": flat.index, "w": w[codes]})
+        g = per_tok.groupby("doc_id", sort=False)["w"].agg(["sum", "size"])
+        s = g["sum"].to_numpy(dtype="int64")
+        n = g["size"].to_numpy(dtype="int64")
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy()[g.index.to_numpy()],
+                "n_tokens": n,
+                "quality_score": round4(s / n),
+                "label": np.where(s > 0, "keep", "drop"),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas").to_pandas()
+
+
+_DOC_QUALITY_CLASSIFIER_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), sc AS (
+  SELECT doc_id,
+         SUM(CAST(md5_number_lower(tok) % {HASH_DIM} AS BIGINT) - {HASH_OFF}) AS s,
+         COUNT(*) AS n
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       ROUND(CAST(s AS BIGINT) * 1.0 / n, 4) AS quality_score,
+       CASE WHEN s > 0 THEN 'keep' ELSE 'drop' END AS label
+FROM sc
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
+    "doc_quality_classifier": doc_quality_classifier,
     "pii_redaction": pii_redaction,
     "doc_length_zscore": doc_length_zscore,
     "doc_token_stats": doc_token_stats,
@@ -460,6 +526,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "doc_quality_classifier": _DOC_QUALITY_CLASSIFIER_SQL,
     "pii_redaction": _PII_REDACTION_SQL,
     "doc_length_zscore": _DOC_LENGTH_ZSCORE_SQL,
     "doc_token_stats": _DOC_TOKEN_STATS_SQL,

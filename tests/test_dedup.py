@@ -276,3 +276,35 @@ def test_verify_pairs_hash_join_path(sf_dir, neardup_truth, monkeypatch):
     via_joins = D._verify_pairs(corpus_ds, cand, D.JACCARD_TAU)
     pd.testing.assert_frame_equal(via_broadcast, via_joins)
     assert set(zip(via_joins["doc_a"], via_joins["doc_b"])) == truth
+
+
+def test_hamming_typo_pairs_matches_brute_force(ray_session):
+    """Both _pairs_from_groups paths vs an all-same-length-pairs brute force
+    over the typo-twin corpus."""
+    from simple_content_ocr_ray.functions.dedup import (
+        HAMMING_TAU,
+        hamming_typo_pairs,
+        typo_twin_corpus,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = hamming_typo_pairs(sf)
+    forced = hamming_typo_pairs(sf, small_threshold=0)  # grouped-shuffle path
+    pd.testing.assert_frame_equal(out, forced)
+
+    corpus = typo_twin_corpus(sf).to_pandas()
+    corpus = corpus[corpus["text"].str.len() > 0]
+    exp = set()
+    by_len = corpus.groupby(corpus["text"].str.len())
+    for _, g in by_len:
+        ids = g["doc_id"].to_numpy()
+        texts = g["text"].to_numpy()
+        for i in range(len(g)):
+            for j in range(i + 1, len(g)):
+                d = sum(1 for x, y in zip(texts[i], texts[j]) if x != y)
+                if d <= HAMMING_TAU:
+                    a, b = sorted((int(ids[i]), int(ids[j])))
+                    exp.add((a, b))
+    got = set(zip(out["doc_a"].tolist(), out["doc_b"].tolist()))
+    assert got == exp
+    assert len(exp) > 0  # the twin synthesis produced discoverable pairs
