@@ -15,6 +15,7 @@ SQL mirrors of the synthesis rules (see synth_pages.py):
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import numpy as np
@@ -329,8 +330,115 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# URL canonicalization (crawl-frontier normalization)
+# --------------------------------------------------------------------------
+
+def url_canonicalize(sf_dir: str) -> pd.DataFrame:
+    """Crawl-URL canonicalization — the frontier/dedup normalizer every web
+    pipeline runs before URL-keyed joins: lowercase scheme+host, strip
+    ``www.``, drop the fragment, drop ``utm_*`` tracking params (fixing up
+    separators), and strip directory trailing slashes.
+
+    The messy input URL is synthesized deterministically from ``doc_id``
+    (mixed-case scheme/host, optional www/tracking/fragment/trailing slash)
+    so the oracle reconstructs it in SQL; the normalize chain itself is a
+    fixed sequence of engine-agnostic regex rewrites, identical on both
+    sides. Scale shape: embarrassingly parallel vectorized map_batches —
+    no state, no shuffle."""
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].astype("int64").reset_index(drop=True)
+        ds_ = d.astype(str)
+
+        def pick(mask: pd.Series, yes, no="") -> pd.Series:
+            return pd.Series(np.where(mask, yes, no), dtype="object")
+
+        scheme = pick(d % 2 == 0, "HTTPS://", "https://")
+        www = pick(d % 3 == 0, "WWW.")
+        host = "Site" + (d % 97).astype(str) + ".Example"
+        path = "/" + ds_.str.zfill(8)
+        slash = pick(d % 4 == 0, "/")
+        q = pick(
+            d % 5 == 0,
+            "?utm_source=feed"
+            + pick(d % 10 == 0, "&id=" + ds_)
+            + "&utm_campaign=c" + (d % 7).astype(str),
+        )
+        frag = pick(d % 6 == 0, "#sec" + (d % 9).astype(str))
+        u = (scheme + www + host + path + slash + q + frag).astype("object")
+
+        u = u.str.replace(r"#.*$", "", regex=True)  # fragment
+        prefix = u.str.extract(r"^([A-Za-z]+://[^/?#]*)", expand=False)
+        # lowercase scheme+host only (path/query are case-sensitive)
+        rest = pd.Series(
+            [s[len(p):] for s, p in zip(u, prefix)], dtype="object"
+        )
+        u = prefix.str.lower() + rest
+        u = u.str.replace(r"^https://www\.", "https://", regex=True)
+        u = u.str.replace(r"([?&])utm_[a-z_]+=[^&]*", r"\1", regex=True)
+        u = u.str.replace(r"&&+", "&", regex=True)
+        u = u.str.replace(r"\?&", "?", regex=True)
+        u = u.str.replace(r"/\?", "?", regex=True)
+        u = u.str.replace(r"[?&]+$", "", regex=True)
+        u = u.str.replace(r"/$", "", regex=True)
+        return pd.DataFrame({"doc_id": d, "url_canonical": u})
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(fn, batch_format="pandas").to_pandas()
+
+
+_URL_CANONICALIZE_SQL = r"""
+WITH messy AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+         || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+         || 'Site' || CAST(doc_id % 97 AS VARCHAR) || '.Example'
+         || '/' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+         || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0 THEN
+               '?utm_source=feed'
+               || (CASE WHEN doc_id % 10 = 0
+                        THEN '&id=' || CAST(doc_id AS VARCHAR) ELSE '' END)
+               || '&utm_campaign=c' || CAST(doc_id % 7 AS VARCHAR)
+             ELSE '' END)
+         || (CASE WHEN doc_id % 6 = 0
+                  THEN '#sec' || CAST(doc_id % 9 AS VARCHAR) ELSE '' END) AS u
+  FROM documents
+), s1 AS (
+  SELECT doc_id, regexp_replace(u, '#.*$', '') AS u FROM messy
+), s2 AS (
+  SELECT doc_id,
+         lower(regexp_extract(u, '^([A-Za-z]+://[^/?#]*)'))
+           || substr(u, length(regexp_extract(u, '^([A-Za-z]+://[^/?#]*)')) + 1)
+           AS u
+  FROM s1
+), s3 AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(u, '^https://www\.', 'https://'),
+                     '([?&])utm_[a-z_]+=[^&]*', '\1', 'g'),
+                   '&&+', '&', 'g'),
+                 '\?&', '?'),
+               '/\?', '?'),
+             '[?&]+$', ''),
+           '/$', '') AS u
+  FROM s2
+)
+SELECT doc_id, u AS url_canonical FROM s3
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
     "image_meta": image_meta,
+    "url_canonicalize": url_canonicalize,
     "exploded_pdf_text": exploded_pdf_text,
     "split_pdf_text": split_pdf_text,
     "extract_html_text": extract_html_text,
@@ -351,4 +459,5 @@ ORACLES: dict[str, str] = {
     "failed_rows": _FAILED_ROWS_SQL,
     "dedup_exact_pages": _DEDUP_EXACT_PAGES_SQL,
     "domain_stats": _DOMAIN_STATS_SQL,
+    "url_canonicalize": _URL_CANONICALIZE_SQL,
 }

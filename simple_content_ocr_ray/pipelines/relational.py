@@ -1270,7 +1270,134 @@ WHERE CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) * a.n > a.sum_c
 """
 
 
+# --------------------------------------------------------------------------
+# FULL OUTER join (day-of-month order revenue × event activity)
+# --------------------------------------------------------------------------
+
+def dom_activity_full_outer(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER join of two independently-aggregated fact tables on
+    day-of-month: order count/revenue vs event count/value. The sides have
+    genuinely unmatched keys (events stop at day 30), so both null
+    directions are exercised; unmatched measures coalesce to 0.
+
+    Topology: each side is a partial+final grouped aggregate (shuffle
+    bounded by 31 keys), then Ray Data's NATIVE hash full_outer join — the
+    same operator that joins two large fact tables key-partitioned at
+    corpus scale; nothing here relies on the sides being small."""
+    from ..functions.agg import round_half_away
+
+    orders = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def oprep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "dom": df["o_orderdate"].dt.day.astype("int64"),
+                "price_u": np.rint(df["o_totalprice"].to_numpy() * 100).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    o_agg = grouped_aggregate(
+        orders,
+        ["dom"],
+        {"n_orders": (None, "count"), "rev_u": ("price_u", "sum")},
+        prepare=oprep,
+    )
+
+    events = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def eprep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "dom": df["ts"].dt.day.astype("int64"),
+                "value_u": np.rint(df["value"].to_numpy() * 1_000_000).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    e_agg = grouped_aggregate(
+        events,
+        ["dom"],
+        {"n_events": (None, "count"), "val_u": ("value_u", "sum")},
+        prepare=eprep,
+    )
+    j = o_agg.join(
+        e_agg, join_type="full_outer", num_partitions=4, on=("dom",)
+    ).to_pandas()
+    out = pd.DataFrame(
+        {
+            "dom": j["dom"].astype("int64"),
+            "n_orders": j["n_orders"].fillna(0).astype("int64"),
+            "order_revenue": round_half_away(j["rev_u"].fillna(0) / 100.0),
+            "n_events": j["n_events"].fillna(0).astype("int64"),
+            "event_value": round_half_away(j["val_u"].fillna(0) / 1_000_000.0),
+        }
+    )
+    return out.sort_values("dom").reset_index(drop=True)
+
+
+_DOM_ACTIVITY_FULL_OUTER_SQL = """
+WITH o AS (
+  SELECT CAST(day(o_orderdate) AS BIGINT) AS dom, COUNT(*) AS n_orders,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS rev_u
+  FROM orders GROUP BY 1
+), e AS (
+  SELECT CAST(day(ts) AS BIGINT) AS dom, COUNT(*) AS n_events,
+         SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) AS val_u
+  FROM events GROUP BY 1
+)
+SELECT dom,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       ROUND(COALESCE(o.rev_u, 0) / 100.0, 4) AS order_revenue,
+       COALESCE(e.n_events, 0) AS n_events,
+       ROUND(COALESCE(e.val_u, 0) / 1000000.0, 4) AS event_value
+FROM o FULL OUTER JOIN e USING (dom)
+"""
+
+
+# --------------------------------------------------------------------------
+# Set intersection (users present in BOTH event populations)
+# --------------------------------------------------------------------------
+
+def view_purchase_users(sf_dir: str) -> pd.DataFrame:
+    """INTERSECT shape: distinct users who both viewed and purchased. One
+    pass flags each event per type, ONE user-keyed partial+final aggregate
+    (shuffle bounded by |users|, not events), then a vectorized filter —
+    no per-side distinct passes, no second shuffle."""
+    events = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        et = df["event_type"].to_numpy()
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(),
+                "is_v": (et == "view").astype("int64"),
+                "is_p": (et == "purchase").astype("int64"),
+            }
+        )
+
+    agg = grouped_aggregate(
+        events,
+        ["user_id"],
+        {"n_v": ("is_v", "sum"), "n_p": ("is_p", "sum")},
+        prepare=prep,
+    ).to_pandas()
+    out = agg.loc[(agg["n_v"] > 0) & (agg["n_p"] > 0), ["user_id"]].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+_VIEW_PURCHASE_USERS_SQL = """
+SELECT user_id FROM events WHERE event_type = 'view'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
 QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
+    "dom_activity_full_outer": dom_activity_full_outer,
+    "view_purchase_users": view_purchase_users,
     "orders_above_cust_avg": orders_above_cust_avg,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "orders_priority_ntile": orders_priority_ntile,
@@ -1296,6 +1423,8 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "dom_activity_full_outer": _DOM_ACTIVITY_FULL_OUTER_SQL,
+    "view_purchase_users": _VIEW_PURCHASE_USERS_SQL,
     "orders_above_cust_avg": _ORDERS_ABOVE_CUST_AVG_SQL,
     "q5_local_supplier_volume": _Q5_LOCAL_SUPPLIER_VOLUME_SQL,
     "orders_priority_ntile": _ORDERS_PRIORITY_NTILE_SQL,
