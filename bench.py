@@ -227,6 +227,12 @@ def run_headline() -> dict:
             "contaminated_docs_bloom",
             "q5_local_supplier_volume",
             "cohort_retention",
+            "hamming_typo_pairs",
+            "doc_quality_classifier",
+            "packed_sequences",
+            "semdedup_keepers",
+            "event_transitions",
+            "doc_pagerank",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)

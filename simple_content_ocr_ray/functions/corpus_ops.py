@@ -580,7 +580,179 @@ SELECT doc_id, lang, source, n_chars FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# PageRank (iterative edge-keyed shuffle, exact integer arithmetic)
+# --------------------------------------------------------------------------
+
+PAGERANK_ITERS = 3
+PAGERANK_SCALE = 10**12  # ranks as SCALE-scaled int64 — exact, order-free sums
+PAGERANK_OUTDEG = 3
+
+
+def doc_pagerank(sf_dir: str, iters: int = PAGERANK_ITERS) -> pd.DataFrame:
+    """PageRank over a deterministic doc-link graph — THE canonical
+    iterative web-scale computation, in its native Ray Data topology: each
+    Lloyd-style iteration is one edge-keyed shuffle (flat-map each node's
+    rank into out-edge contributions, partial+final sum by destination),
+    no adjacency ever materializes on the driver.
+
+    The graph is derived from doc_id so the oracle reconstructs it in SQL
+    (doc_ids are contiguous 0..N-1): node d links to (17·d + 13·k) mod N,
+    k = 1..3. Damping 0.85 in EXACT integer arithmetic — ranks are
+    SCALE-scaled int64, per-edge contributions are ``(r·85) // (3·100)``
+    and the teleport term ``(15·SCALE) // (100·N)`` — so distributed sum
+    order cannot perturb a single bit and the unrolled-CTE DuckDB oracle
+    matches exactly. Per-node zero rows keep in-degree-0 nodes present."""
+    import pyarrow.parquet as pq
+
+    from .agg import grouped_aggregate
+
+    n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    teleport = (15 * PAGERANK_SCALE) // (100 * n)
+    r0 = PAGERANK_SCALE // n
+
+    ranks = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(),
+             "ru": np.full(len(df), r0, dtype="int64")}
+        ),
+        batch_format="pandas",
+    )
+
+    ks = np.arange(1, PAGERANK_OUTDEG + 1, dtype="int64")
+
+    for _ in range(iters):
+
+        def contribs(df: pd.DataFrame) -> pd.DataFrame:
+            src = df["doc_id"].to_numpy()
+            ru = df["ru"].to_numpy()
+            dst = (17 * src[:, None] + 13 * ks[None, :]) % n
+            c = (ru * 85) // (100 * PAGERANK_OUTDEG)
+            return pd.DataFrame(
+                {
+                    # the per-node zero row keeps in-degree-0 nodes in the
+                    # aggregate (they still earn the teleport term)
+                    "doc_id": np.concatenate([dst.ravel(), src]),
+                    "c": np.concatenate(
+                        [np.repeat(c, PAGERANK_OUTDEG),
+                         np.zeros(len(src), dtype="int64")]
+                    ),
+                }
+            )
+
+        summed = grouped_aggregate(
+            ranks.map_batches(contribs, batch_format="pandas"),
+            ["doc_id"],
+            {"ru": ("c", "sum")},
+        )
+        ranks = summed.map_batches(
+            lambda df: pd.DataFrame(
+                {"doc_id": df["doc_id"].to_numpy(),
+                 "ru": (df["ru"].to_numpy() + teleport).astype("int64")}
+            ),
+            batch_format="pandas",
+        )
+
+    out = ranks.to_pandas().rename(columns={"ru": "rank_u"})
+    return out.astype({"doc_id": "int64", "rank_u": "int64"}).sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
+def _pagerank_sql(iters: int = PAGERANK_ITERS) -> str:
+    scale, od = PAGERANK_SCALE, PAGERANK_OUTDEG
+    parts = [
+        "WITH nn AS (SELECT COUNT(*) AS c FROM documents),",
+        "e AS (",
+        f"  SELECT d.doc_id AS src,",
+        f"         (17 * d.doc_id + 13 * t.k) % (SELECT c FROM nn) AS dst",
+        f"  FROM documents d, (VALUES (1), (2), (3)) t(k)",
+        "),",
+        f"r0 AS (SELECT doc_id, {scale} // (SELECT c FROM nn) AS ru FROM documents)",
+    ]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        parts.insert(
+            len(parts),
+            f", r{i} AS ("
+            f"  SELECT d.doc_id,"
+            f"         (15 * {scale}) // (100 * (SELECT c FROM nn))"
+            f"         + COALESCE(CAST(SUM((p.ru * 85) // {100 * od}) AS BIGINT), 0)"
+            f"           AS ru"
+            f"  FROM documents d"
+            f"  LEFT JOIN e ON e.dst = d.doc_id"
+            f"  LEFT JOIN {prev} p ON p.doc_id = e.src"
+            f"  GROUP BY d.doc_id)",
+        )
+        prev = f"r{i}"
+    parts.append(f"SELECT doc_id, CAST(ru AS BIGINT) AS rank_u FROM {prev}")
+    return "\n".join(parts)
+
+
+# --------------------------------------------------------------------------
+# Deterministic source-mixture sampling (corpus re-weighting)
+# --------------------------------------------------------------------------
+
+MIXTURE_DENOM = 1000
+
+
+def _mixture_rate_millis(source_num: np.ndarray) -> np.ndarray:
+    """Per-source keep rate in 1/MIXTURE_DENOM units: srcN keeps
+    (N % 4 + 1)/4 of its docs — the training-mixture weights table, derived
+    from the source name so the oracle can reconstruct it in SQL."""
+    return (source_num % 4 + 1) * (MIXTURE_DENOM // 4)
+
+
+def source_mixture_sample(sf_dir: str) -> pd.DataFrame:
+    """Training-data mixture sampling: down-weight each source to its
+    mixture rate with a DETERMINISTIC per-row coin —
+    ``md5(doc_id ':' source) % 1000 < rate`` — so the sample is
+    reproducible, resumable (a rerun keeps exactly the same rows) and
+    joinable across stages. In production the rate map is a broadcast dict
+    keyed by source; here it derives from the source name so DuckDB mirrors
+    it. Embarrassingly parallel map_batches — no shuffle, no state."""
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy()
+        src = df["source"].to_numpy()
+        src_num = np.fromiter(
+            (int(s[3:]) for s in src), dtype=np.int64, count=len(src)
+        )
+        rate = _mixture_rate_millis(src_num)
+        coin = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(f"{int(a)}:{s}".encode()).digest()[8:16], "little"
+                )
+                % MIXTURE_DENOM
+                for a, s in zip(d, src)
+            ),
+            dtype=np.int64,
+            count=len(d),
+        )
+        m = coin < rate
+        return pd.DataFrame({"doc_id": d[m], "source": src[m]})
+
+    out = docs.map_batches(keep, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64"})
+
+
+_SOURCE_MIXTURE_SAMPLE_SQL = f"""
+SELECT doc_id, source FROM documents
+WHERE md5_number_lower(CAST(doc_id AS VARCHAR) || ':' || source)
+        % {MIXTURE_DENOM}
+      < (CAST(substr(source, 4) AS BIGINT) % 4 + 1) * {MIXTURE_DENOM // 4}
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
+    "doc_pagerank": doc_pagerank,
+    "source_mixture_sample": source_mixture_sample,
     "longest_doc_per_group": longest_doc_per_group,
     "near_dup_degree": near_dup_degree,
     "lang_source_pivot": lang_source_pivot,
@@ -594,6 +766,8 @@ QUERIES: dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "doc_pagerank": _pagerank_sql(),
+    "source_mixture_sample": _SOURCE_MIXTURE_SAMPLE_SQL,
     "longest_doc_per_group": _LONGEST_DOC_PER_GROUP_SQL,
     "near_dup_degree": _NEAR_DUP_DEGREE_SQL,
     "lang_source_pivot": _LANG_SOURCE_PIVOT_SQL,

@@ -513,7 +513,50 @@ FROM sc
 """
 
 
+# --------------------------------------------------------------------------
+# Text normalization (NFC + casefold + whitespace collapse)
+# --------------------------------------------------------------------------
+
+def doc_normalize(sf_dir: str) -> pd.DataFrame:
+    """Canonical text normalization before dedup/hashing — the CCNet-style
+    cleanup pass: Unicode NFC composition, lowercasing, whitespace-run
+    collapse, edge trim. Reports the normalized text and whether the doc
+    changed (the dedup families key on normalized bytes, so `changed` is
+    the fraction of the corpus whose raw bytes would have missed their
+    duplicates). Embarrassingly parallel vectorized map_batches."""
+    import unicodedata
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        raw = df["text"].astype(str)
+        norm = pd.Series(
+            [unicodedata.normalize("NFC", t) for t in raw], dtype="object"
+        ).str.lower()
+        norm = norm.str.replace(r"\s+", " ", regex=True).str.strip()
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "text_norm": norm.to_numpy(),
+                "changed": (norm.to_numpy() != raw.to_numpy()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas").to_pandas()
+
+
+_DOC_NORMALIZE_SQL = r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+         AS text_norm,
+       trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) <> text
+         AS changed
+FROM documents
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
+    "doc_normalize": doc_normalize,
     "doc_quality_classifier": doc_quality_classifier,
     "pii_redaction": pii_redaction,
     "doc_length_zscore": doc_length_zscore,
@@ -526,6 +569,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "doc_normalize": _DOC_NORMALIZE_SQL,
     "doc_quality_classifier": _DOC_QUALITY_CLASSIFIER_SQL,
     "pii_redaction": _PII_REDACTION_SQL,
     "doc_length_zscore": _DOC_LENGTH_ZSCORE_SQL,

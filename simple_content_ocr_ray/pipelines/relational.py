@@ -682,6 +682,16 @@ def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
     li = _read(
         sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"]
     )
+    # shipdate predicate pushed BELOW the join: it halves the probe side
+    # before any hash lookup, and the projection drops l_shipdate so the
+    # join moves three columns, not four
+    li = li.map_batches(
+        lambda df: df.loc[
+            df["l_shipdate"] > Q3_CUTOFF,
+            ["l_orderkey", "l_extendedprice", "l_discount"],
+        ],
+        batch_format="pandas",
+    )
     joined = broadcast_merge(
         li,
         orders_small.to_pandas(),
@@ -690,7 +700,6 @@ def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
     )
 
     def prepare(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["l_shipdate"] > Q3_CUTOFF]
         return pd.DataFrame(
             {
                 "o_orderkey": df["o_orderkey"],

@@ -147,3 +147,32 @@ def test_semdedup_matches_numpy_mirror(ray_session):
     assert len(twins) > 0
     assert (~twins["is_keeper"]).all()
     assert (twins["keep_vec_id"] == twins["vec_id"] - TWIN_OFFSET).all()
+
+
+def test_pagerank_matches_numpy_mirror(ray_session):
+    """Distributed integer PageRank == single-process numpy recurrence;
+    teleport floor keeps total mass within N of SCALE per iteration."""
+    from simple_content_ocr_ray.functions.corpus_ops import (
+        PAGERANK_ITERS,
+        PAGERANK_OUTDEG,
+        PAGERANK_SCALE,
+        doc_pagerank,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = doc_pagerank(sf)
+    n = len(pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id"]))
+    assert len(out) == n
+
+    r = np.full(n, PAGERANK_SCALE // n, dtype="int64")
+    teleport = (15 * PAGERANK_SCALE) // (100 * n)
+    for _ in range(PAGERANK_ITERS):
+        nxt = np.full(n, teleport, dtype="int64")
+        c = (r * 85) // (100 * PAGERANK_OUTDEG)
+        for k in range(1, PAGERANK_OUTDEG + 1):
+            dst = (17 * np.arange(n, dtype="int64") + 13 * k) % n
+            np.add.at(nxt, dst, c)
+        r = nxt
+    assert (out["rank_u"].to_numpy() == r).all()
+    # damping preserves ~85% of mass + teleport; floor loss bounded per node
+    assert abs(int(r.sum()) - PAGERANK_SCALE) < 2 * n * PAGERANK_ITERS + n
