@@ -233,6 +233,7 @@ def run_headline() -> dict:
             "semdedup_keepers",
             "event_transitions",
             "doc_pagerank",
+            "curated_corpus",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)

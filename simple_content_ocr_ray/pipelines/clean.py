@@ -123,5 +123,199 @@ SELECT doc_id, lang, n_tokens FROM k WHERE rk = 1
 """
 
 
-QUERIES: dict[str, Callable[[str], object]] = {"clean_corpus": clean_corpus}
-ORACLES: dict[str, str] = {"clean_corpus": _CLEAN_CORPUS_SQL}
+# --------------------------------------------------------------------------
+# End-to-end curation flagship: normalize → classify → mix → dedup → pack
+# --------------------------------------------------------------------------
+
+def curated_corpus(sf_dir: str, small_threshold: int = 2_000_000) -> pd.DataFrame:
+    """The full training-data curation chain in ONE pipeline, every stage
+    SQL-mirrored: NFC/casefold/whitespace normalization → hashed linear
+    quality classifier (keep score > 0, integer-exact) → deterministic
+    source-mixture coin → exact dedup on normalized bytes (min-doc_id
+    keeper) → token-budget sequence packing over the survivors.
+
+    Scale topology follows ``clean_corpus``: all per-doc filters run
+    vectorized BEFORE any shuffle (no byte of a dropped doc crosses the
+    network), keeper selection is per-batch arg-min partials with an
+    adaptive final merge (driver pass when bounded, hash-keyed
+    ``Dataset.join`` otherwise), and the packing step is the distributed
+    prefix scan of ``packed_sequences`` (bounded per-bucket offsets) on the
+    large path. Returns (doc_id, source, n_tokens, seq_id) per kept doc."""
+    import unicodedata
+
+    import numpy as np
+
+    from ..functions.corpus_ops import MIXTURE_DENOM, _mixture_rate_millis
+    from ..functions.text_stats import HASH_DIM, HASH_OFF
+    from .train_feed import PACK_BUCKET_W, SEQ_BUDGET
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+
+    def survivors(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy()
+        src = df["source"].to_numpy()
+        norm = pd.Series(
+            [unicodedata.normalize("NFC", t) for t in df["text"].astype(str)],
+            dtype="object",
+        ).str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+
+        # hashed linear classifier on the NORMALIZED tokens, integer-exact
+        toks = norm.str.split(" ")
+        flat = toks.explode()
+        codes, uniques = pd.factorize(flat.to_numpy())
+        w = np.empty(len(uniques), dtype="int64")
+        for i, u in enumerate(uniques):
+            h = int.from_bytes(hashlib.md5(u.encode("utf-8")).digest()[8:16], "little")
+            w[i] = h % HASH_DIM - HASH_OFF
+        g = (
+            pd.DataFrame({"i": flat.index, "w": w[codes]})
+            .groupby("i", sort=False)["w"]
+            .agg(["sum", "size"])
+        )
+        s = g["sum"].to_numpy(dtype="int64")
+        n_tok = g["size"].to_numpy(dtype="int64")
+
+        src_num = np.fromiter((int(x[3:]) for x in src), dtype=np.int64, count=len(src))
+        coin = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(f"{int(a)}:{x}".encode()).digest()[8:16], "little"
+                )
+                % MIXTURE_DENOM
+                for a, x in zip(d, src)
+            ),
+            dtype=np.int64,
+            count=len(d),
+        )
+        keep = (s > 0) & (coin < _mixture_rate_millis(src_num))
+        kept = np.nonzero(keep)[0]
+        return pd.DataFrame(
+            {
+                "doc_id": d[kept],
+                "source": src[kept],
+                "n_tok": n_tok[kept],
+                "h": [hashlib.md5(norm.iloc[i].encode("utf-8")).hexdigest() for i in kept],
+            }
+        )
+
+    def local_keepers(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("doc_id", kind="mergesort").drop_duplicates(
+            "h", keep="first"
+        )
+
+    partial = docs.map_batches(
+        lambda df: local_keepers(survivors(df)), batch_format="pandas"
+    ).materialize()  # bounded by distinct hashes × batches
+
+    def pack_sorted(df: pd.DataFrame, offset: np.ndarray | int = 0) -> pd.DataFrame:
+        n_tok = df["n_tok"].to_numpy(dtype="int64")
+        start = offset + np.cumsum(n_tok) - n_tok
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "source": df["source"].to_numpy(),
+                "n_tokens": n_tok,
+                "seq_id": start // SEQ_BUDGET,
+            }
+        )
+
+    if partial.count() <= small_threshold:
+        keep = local_keepers(partial.to_pandas()).sort_values(
+            "doc_id", kind="mergesort"
+        )
+        out = pack_sorted(keep.reset_index(drop=True))
+        return out.astype({"doc_id": "int64", "n_tokens": "int64", "seq_id": "int64"})
+
+    mins = partial.groupby("h").min("doc_id")
+    joined = partial.join(
+        mins.map_batches(
+            lambda df: df.rename(columns={"min(doc_id)": "keep_doc_id"}),
+            batch_format="pandas",
+        ),
+        join_type="inner",
+        num_partitions=16,
+        on=("h",),
+    ).filter(expr="doc_id == keep_doc_id")
+
+    # distributed prefix scan over the keepers (same shape as packed_sequences)
+    import ray
+
+    from ..functions.agg import grouped_aggregate
+
+    keep_ds = joined.map_batches(
+        lambda df: df[["doc_id", "source", "n_tok"]].assign(
+            bucket=df["doc_id"].to_numpy() // PACK_BUCKET_W
+        ),
+        batch_format="pandas",
+    ).materialize()  # consumed twice (bucket sums + assignment); slim columns
+    bsum = grouped_aggregate(
+        keep_ds, ["bucket"], {"tok": ("n_tok", "sum")}
+    ).to_pandas().sort_values("bucket")
+    cum = np.cumsum(bsum["tok"].to_numpy(dtype="int64"))
+    offsets = dict(
+        zip(bsum["bucket"].to_numpy().tolist(), np.concatenate([[0], cum[:-1]]).tolist())
+    )
+    off_ref = ray.put(offsets)
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)[int(g["bucket"].iloc[0])]
+        return pack_sorted(
+            g.sort_values("doc_id", kind="mergesort").reset_index(drop=True), off
+        )
+
+    out = (
+        keep_ds.groupby("bucket")
+        .map_groups(assign, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out.astype({"doc_id": "int64", "n_tokens": "int64", "seq_id": "int64"})
+
+
+_CURATED_CORPUS_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, source,
+         trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS t
+  FROM documents
+), feat AS (
+  SELECT doc_id, source, md5(t) AS h,
+         CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tok
+  FROM norm
+), toks AS (
+  SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm
+), q AS (
+  SELECT doc_id, SUM(CAST(md5_number_lower(tok) % 1001 AS BIGINT) - 500) AS s
+  FROM toks GROUP BY doc_id
+), surv AS (
+  SELECT f.doc_id, f.source, f.h, f.n_tok
+  FROM feat f JOIN q USING (doc_id)
+  WHERE q.s > 0
+    AND md5_number_lower(CAST(f.doc_id AS VARCHAR) || ':' || f.source) % 1000
+        < (CAST(substr(f.source, 4) AS BIGINT) % 4 + 1) * 250
+), keep AS (
+  SELECT doc_id, source, n_tok FROM (
+    SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rk FROM surv
+  ) WHERE rk = 1
+), packed AS (
+  SELECT doc_id, source, n_tok,
+         SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM keep
+)
+SELECT doc_id, source, n_tok AS n_tokens,
+       CAST((cum - n_tok) // 2048 AS BIGINT) AS seq_id
+FROM packed
+"""
+
+
+QUERIES: dict[str, Callable[[str], object]] = {
+    "clean_corpus": clean_corpus,
+    "curated_corpus": curated_corpus,
+}
+ORACLES: dict[str, str] = {
+    "clean_corpus": _CLEAN_CORPUS_SQL,
+    "curated_corpus": _CURATED_CORPUS_SQL,
+}

@@ -176,3 +176,16 @@ def test_pagerank_matches_numpy_mirror(ray_session):
     assert (out["rank_u"].to_numpy() == r).all()
     # damping preserves ~85% of mass + teleport; floor loss bounded per node
     assert abs(int(r.sum()) - PAGERANK_SCALE) < 2 * n * PAGERANK_ITERS + n
+
+
+def test_curated_corpus_paths_equal(ray_session):
+    """The hash-join keeper + distributed packing path must byte-equal the
+    small driver path."""
+    from simple_content_ocr_ray.pipelines.clean import curated_corpus
+
+    base = curated_corpus(SF)
+    forced = curated_corpus(SF, small_threshold=0)
+    pd.testing.assert_frame_equal(base, forced)
+    assert len(base) > 0
+    # packing invariant: seq_id non-decreasing in doc_id order
+    assert (np.diff(base["seq_id"].to_numpy()) >= 0).all()
