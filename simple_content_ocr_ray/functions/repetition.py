@@ -366,7 +366,80 @@ FROM g GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
 """
 
 
+# --------------------------------------------------------------------------
+# BPE first-merge pair counts (tokenizer-training prep)
+# --------------------------------------------------------------------------
+
+BPE_TOPK = 20
+
+
+def bpe_pair_counts(sf_dir: str, k: int = BPE_TOPK) -> pd.DataFrame:
+    """The first iteration of BPE tokenizer training: corpus-weighted counts
+    of adjacent character pairs, top-k by count — the statistic that picks
+    the first merge rule.
+
+    Two-level scale shape: the corpus-sized pass counts WORDS (token
+    explosion inside the partial aggregate, one (word, n) partial per
+    batch — the shuffle is bounded by the vocabulary, not the token
+    stream); the quadratic-ish character work then runs over the BOUNDED
+    word-count table (each distinct word explodes into len-1 pairs
+    weighted by its corpus frequency) — never over raw text. This is
+    exactly how production BPE trainers scale: count words once, train on
+    the vocabulary."""
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+
+    def explode_words(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        flat = (
+            np.concatenate(toks.to_numpy())
+            if len(df)
+            else np.array([], dtype=object)
+        )
+        out = pd.DataFrame({"w": flat})
+        return out[out["w"] != ""]
+
+    wc = grouped_aggregate(
+        docs, ["w"], {"cnt": (None, "count")}, prepare=explode_words
+    )
+
+    def explode_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ws = df["w"].to_numpy()
+        cnts = df["cnt"].to_numpy()
+        pairs, ns = [], []
+        for w, c in zip(ws, cnts):
+            for i in range(len(w) - 1):
+                pairs.append(w[i : i + 2])
+                ns.append(c)
+        return pd.DataFrame({"pair": pd.Series(pairs, dtype="object"),
+                             "n": pd.Series(ns, dtype="int64")})
+
+    agg = grouped_aggregate(wc, ["pair"], {"n": ("n", "sum")}, prepare=explode_pairs)
+    out = agg.to_pandas()
+    out["n"] = out["n"].astype("int64")
+    out = out.sort_values(["n", "pair"], ascending=[False, True], kind="mergesort")
+    return out.head(k).reset_index(drop=True)
+
+
+_BPE_PAIR_COUNTS_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), wc AS (
+  SELECT w, COUNT(*) AS cnt FROM toks WHERE w <> '' GROUP BY w
+), pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)),
+                               i -> substr(w, CAST(i AS INT), 2))) AS pair,
+         cnt
+  FROM wc WHERE length(w) >= 2
+)
+SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n
+FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT {BPE_TOPK}
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
+    "bpe_pair_counts": bpe_pair_counts,
     "repeated_ngrams": repeated_ngrams,
     "doc_repetition_stats": doc_repetition_stats,
     "doc_word_entropy": doc_word_entropy,
@@ -375,6 +448,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "bpe_pair_counts": _BPE_PAIR_COUNTS_SQL,
     "repeated_ngrams": _REPEATED_NGRAMS_SQL,
     "doc_repetition_stats": _DOC_REPETITION_SQL,
     "doc_word_entropy": _DOC_WORD_ENTROPY_SQL,

@@ -334,6 +334,27 @@ GROUP BY 1
 # URL canonicalization (crawl-frontier normalization)
 # --------------------------------------------------------------------------
 
+def normalize_urls(u: pd.Series) -> pd.Series:
+    """The canonicalization chain itself — a fixed sequence of
+    engine-agnostic regex rewrites (idempotent: re-normalizing a canonical
+    URL is a no-op, asserted in tests)."""
+    u = u.str.replace(r"#.*$", "", regex=True)  # fragment
+    prefix = u.str.extract(r"^([A-Za-z]+://[^/?#]*)", expand=False)
+    # lowercase scheme+host only (path/query are case-sensitive)
+    rest = pd.Series(
+        [s[len(p):] for s, p in zip(u, prefix)], dtype="object", index=u.index
+    )
+    u = prefix.str.lower() + rest
+    u = u.str.replace(r"^https://www\.", "https://", regex=True)
+    u = u.str.replace(r"([?&])utm_[a-z_]+=[^&]*", r"\1", regex=True)
+    u = u.str.replace(r"&&+", "&", regex=True)
+    u = u.str.replace(r"\?&", "?", regex=True)
+    u = u.str.replace(r"/\?", "?", regex=True)
+    u = u.str.replace(r"[?&]+$", "", regex=True)
+    u = u.str.replace(r"/$", "", regex=True)
+    return u
+
+
 def url_canonicalize(sf_dir: str) -> pd.DataFrame:
     """Crawl-URL canonicalization — the frontier/dedup normalizer every web
     pipeline runs before URL-keyed joins: lowercase scheme+host, strip
@@ -368,22 +389,7 @@ def url_canonicalize(sf_dir: str) -> pd.DataFrame:
         )
         frag = pick(d % 6 == 0, "#sec" + (d % 9).astype(str))
         u = (scheme + www + host + path + slash + q + frag).astype("object")
-
-        u = u.str.replace(r"#.*$", "", regex=True)  # fragment
-        prefix = u.str.extract(r"^([A-Za-z]+://[^/?#]*)", expand=False)
-        # lowercase scheme+host only (path/query are case-sensitive)
-        rest = pd.Series(
-            [s[len(p):] for s, p in zip(u, prefix)], dtype="object"
-        )
-        u = prefix.str.lower() + rest
-        u = u.str.replace(r"^https://www\.", "https://", regex=True)
-        u = u.str.replace(r"([?&])utm_[a-z_]+=[^&]*", r"\1", regex=True)
-        u = u.str.replace(r"&&+", "&", regex=True)
-        u = u.str.replace(r"\?&", "?", regex=True)
-        u = u.str.replace(r"/\?", "?", regex=True)
-        u = u.str.replace(r"[?&]+$", "", regex=True)
-        u = u.str.replace(r"/$", "", regex=True)
-        return pd.DataFrame({"doc_id": d, "url_canonical": u})
+        return pd.DataFrame({"doc_id": d, "url_canonical": normalize_urls(u)})
 
     return rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]

@@ -189,3 +189,28 @@ def test_curated_corpus_paths_equal(ray_session):
     assert len(base) > 0
     # packing invariant: seq_id non-decreasing in doc_id order
     assert (np.diff(base["seq_id"].to_numpy()) >= 0).all()
+
+
+def test_normalize_urls_idempotent_and_cases():
+    from simple_content_ocr_ray.pipelines.extract_queries import normalize_urls
+
+    cases = pd.Series(
+        [
+            "HTTPS://WWW.Example.COM/Path/Sub/?utm_source=a&id=1&utm_medium=b#frag",
+            "https://example.com/",
+            "https://www.example.com/a?utm_x=1",
+            "http://Host.Net/A/B?keep=1&utm_y=2&also=3",
+            "https://site1.example/00000001",
+        ],
+        dtype="object",
+    )
+    once = normalize_urls(cases)
+    assert once.tolist() == [
+        "https://example.com/Path/Sub?id=1",
+        "https://example.com",
+        "https://example.com/a",
+        "http://host.net/A/B?keep=1&also=3",
+        "https://site1.example/00000001",
+    ]
+    twice = normalize_urls(once)
+    assert twice.tolist() == once.tolist()  # idempotent
