@@ -580,6 +580,45 @@ SELECT doc_id, lang, source, n_chars FROM (
 """
 
 
+GROUP_TOPK = 3
+
+
+def lang_top_docs(sf_dir: str, k: int = GROUP_TOPK) -> pd.DataFrame:
+    """Top-k rows per group (k=3 longest docs per language, ties by smallest
+    doc_id) — the grouped ROW_NUMBER() ≤ k shape, generalizing
+    ``longest_doc_per_group``'s top-1: each batch keeps at most k candidate
+    rows per group, the driver reduces |groups|×k×|batches| candidates —
+    no corpus shuffle, no global sort. Includes the in-group rank."""
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        return df.groupby("lang", sort=False).head(k)
+
+    cands = docs.map_batches(local_topk, batch_format="pandas").to_pandas()
+    out = local_topk(cands).copy()
+    out["rn"] = out.groupby("lang", sort=False).cumcount() + 1
+    out = out.astype({"doc_id": "int64", "n_chars": "int64", "rn": "int64"})
+    return out.sort_values(["lang", "rn"]).reset_index(drop=True)[
+        ["lang", "rn", "doc_id", "n_chars"]
+    ]
+
+
+_LANG_TOP_DOCS_SQL = f"""
+SELECT lang, rn, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn <= {GROUP_TOPK}
+"""
+
+
 # --------------------------------------------------------------------------
 # PageRank (iterative edge-keyed shuffle, exact integer arithmetic)
 # --------------------------------------------------------------------------
@@ -752,6 +791,7 @@ WHERE md5_number_lower(CAST(doc_id AS VARCHAR) || ':' || source)
 
 QUERIES: dict[str, Callable[[str], object]] = {
     "doc_pagerank": doc_pagerank,
+    "lang_top_docs": lang_top_docs,
     "source_mixture_sample": source_mixture_sample,
     "longest_doc_per_group": longest_doc_per_group,
     "near_dup_degree": near_dup_degree,
@@ -767,6 +807,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 
 ORACLES: dict[str, str] = {
     "doc_pagerank": _pagerank_sql(),
+    "lang_top_docs": _LANG_TOP_DOCS_SQL,
     "source_mixture_sample": _SOURCE_MIXTURE_SAMPLE_SQL,
     "longest_doc_per_group": _LONGEST_DOC_PER_GROUP_SQL,
     "near_dup_degree": _NEAR_DUP_DEGREE_SQL,

@@ -331,6 +331,52 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# Link-graph construction (href extraction from raw crawl HTML)
+# --------------------------------------------------------------------------
+
+def page_link_graph(sf_dir: str) -> pd.DataFrame:
+    """Crawl link-graph edges: parse every HTML payload's ``href``s out of
+    the raw bytes and count (source domain, link target) edges — the
+    first step of any web-graph / PageRank-over-crawl pipeline.
+
+    The extraction is REAL (regex over the decoded payload, exploded per
+    match, one vectorized pass — not derived from metadata); the oracle
+    can still mirror it because the synthesized boilerplate carries a fixed
+    link set per HTML page, so a wrong parser (missed nav, double-counted
+    footer) breaks the count exactly. Topology: map_batches explode →
+    partial+final grouped count; the shuffle carries (domain, href)
+    partials, never pages."""
+    pages_dir = synth_pages_parquet(sf_dir)
+    pages = rd.read_parquet(pages_dir, columns=["url", "html"])
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        html = df["html"].map(
+            lambda b: b.decode("utf-8", "ignore") if isinstance(b, bytes) else ""
+        )
+        is_html = html.str.startswith("<!doctype html>")
+        src = df.loc[is_html, "url"].str.extract(r"^https://([^/]+)/", expand=False)
+        hrefs = html[is_html].str.findall(r'href="([^"]+)"')
+        out = pd.DataFrame({"domain": src, "href": hrefs}).explode("href")
+        return out.dropna()
+
+    agg = grouped_aggregate(pages, ["domain", "href"], {"n": (None, "count")},
+                            prepare=edges).to_pandas()
+    agg["n"] = agg["n"].astype("int64")
+    return agg.sort_values(["domain", "href"]).reset_index(drop=True)
+
+
+_PAGE_LINK_GRAPH_SQL = """
+SELECT 'site' || CAST(doc_id % 97 AS VARCHAR) || '.example' AS domain,
+       u.href, COUNT(*) AS n
+FROM documents,
+     unnest(['/', '/news', '/about', '/login', '/rel/1', '/rel/2', '/rel/3',
+             '/terms', '/privacy']) AS u(href)
+WHERE doc_id % 20 NOT IN (0, 1, 2, 3)
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # URL canonicalization (crawl-frontier normalization)
 # --------------------------------------------------------------------------
 
@@ -444,6 +490,7 @@ SELECT doc_id, u AS url_canonical FROM s3
 
 QUERIES: dict[str, Callable[[str], object]] = {
     "image_meta": image_meta,
+    "page_link_graph": page_link_graph,
     "url_canonicalize": url_canonicalize,
     "exploded_pdf_text": exploded_pdf_text,
     "split_pdf_text": split_pdf_text,
@@ -465,5 +512,6 @@ ORACLES: dict[str, str] = {
     "failed_rows": _FAILED_ROWS_SQL,
     "dedup_exact_pages": _DEDUP_EXACT_PAGES_SQL,
     "domain_stats": _DOMAIN_STATS_SQL,
+    "page_link_graph": _PAGE_LINK_GRAPH_SQL,
     "url_canonicalize": _URL_CANONICALIZE_SQL,
 }
