@@ -21,6 +21,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         window,
     )
     from .pipelines import clean, extract_queries, media, relational, train_feed
+    from .state import dedup_index
 
     queries: dict[str, Callable[[str], Any]] = {}
     oracles: dict[str, str] = {}
@@ -30,6 +31,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         media,
         relational,
         train_feed,
+        dedup_index,
         corpus_ops,
         decontam,
         dedup,

@@ -1,0 +1,50 @@
+"""Sharded streaming dedup index: cross-partition state, idempotent
+re-ingestion, shard accounting."""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_streaming_dedup_cross_partition_and_idempotent(ray_session):
+    from simple_content_ocr_ray.state.dedup_index import StreamingDeduper
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    n = docs.count()
+    dd = StreamingDeduper(n_shards=4)
+
+    first = dd.dedup(docs).to_pandas()
+    distinct_texts = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])[
+        "text"
+    ].nunique()
+    # one survivor per distinct text, no duplicate texts among survivors
+    assert len(first) == distinct_texts
+    assert first["text"].nunique() == len(first)
+    assert dd.index_size() == distinct_texts
+
+    # re-ingesting the SAME partition is a no-op (at-least-once resume)
+    again = dd.dedup(docs).to_pandas()
+    assert len(again) == 0
+    assert dd.index_size() == distinct_texts
+
+    # a fresh index is independent state
+    dd2 = StreamingDeduper(n_shards=4)
+    assert len(dd2.dedup(docs).to_pandas()) == distinct_texts
+    assert n >= distinct_texts
+
+
+def test_streaming_dedup_stats_partitions(ray_session):
+    from simple_content_ocr_ray.state.dedup_index import streaming_dedup_stats
+
+    out = streaming_dedup_stats(SF)
+    assert out["partition"].tolist() == ["a", "b"]
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    half = len(docs) // 2
+    a = docs[docs.doc_id < half]["text"]
+    b = docs[docs.doc_id >= half]["text"]
+    assert out.loc[0, "n_in"] == half and out.loc[1, "n_in"] == len(docs) - half
+    assert out.loc[0, "n_survived"] == a.nunique()
+    assert out.loc[1, "n_survived"] == len(set(b) - set(a))
