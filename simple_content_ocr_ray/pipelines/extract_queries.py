@@ -395,9 +395,9 @@ def normalize_urls(u: pd.Series) -> pd.Series:
     u = u.str.replace(r"([?&])utm_[a-z_]+=[^&]*", r"\1", regex=True)
     u = u.str.replace(r"&&+", "&", regex=True)
     u = u.str.replace(r"\?&", "?", regex=True)
-    u = u.str.replace(r"/\?", "?", regex=True)
+    u = u.str.replace(r"/+\?", "?", regex=True)
     u = u.str.replace(r"[?&]+$", "", regex=True)
-    u = u.str.replace(r"/$", "", regex=True)
+    u = u.str.replace(r"/+$", "", regex=True)
     return u
 
 
@@ -479,9 +479,9 @@ WITH messy AS (
                      '([?&])utm_[a-z_]+=[^&]*', '\1', 'g'),
                    '&&+', '&', 'g'),
                  '\?&', '?'),
-               '/\?', '?'),
+               '/+\?', '?'),
              '[?&]+$', ''),
-           '/$', '') AS u
+           '/+$', '') AS u
   FROM s2
 )
 SELECT doc_id, u AS url_canonical FROM s3

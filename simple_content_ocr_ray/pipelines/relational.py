@@ -1016,6 +1016,56 @@ FROM orders
 """
 
 
+def orders_percent_rank(sf_dir: str, small_threshold: int = 2_000_000) -> pd.DataFrame:
+    """SQL PERCENT_RANK / CUME_DIST within each priority class, ordered by
+    (o_totalprice, o_orderkey) — the unique tiebreak makes RANK ==
+    ROW_NUMBER, so pr = (rn-1)/(n-1) and cd = rn/n, computed exactly as the
+    window functions define them. Same keyed-shuffle + in-group stable sort
+    topology (and adaptive small path) as ``orders_priority_ntile``."""
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+
+    def ranks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"], kind="mergesort")
+        n = len(g)
+        rn = np.arange(1, n + 1, dtype="float64")
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "o_orderpriority": g["o_orderpriority"].to_numpy(),
+                "pr": (rn - 1) / (n - 1) if n > 1 else np.zeros(n),
+                "cd": rn / n,
+            }
+        )
+
+    import pyarrow.parquet as pq
+
+    n_rows = pq.read_metadata(os.path.join(sf_dir, "orders.parquet")).num_rows
+    if n_rows <= small_threshold:
+        df = orders.to_pandas()
+        out = pd.concat(
+            [ranks(g) for _, g in df.groupby("o_orderpriority", sort=True)],
+            ignore_index=True,
+        )
+    else:
+        out = (
+            orders.groupby("o_orderpriority")
+            .map_groups(ranks, batch_format="pandas")
+            .to_pandas()
+        )
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+_ORDERS_PERCENT_RANK_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       PERCENT_RANK() OVER w AS pr,
+       CUME_DIST() OVER w AS cd
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
 def view_only_user_days(sf_dir: str) -> pd.DataFrame:
     """Set difference (SQL EXCEPT) at (user, day) grain: user-days with at
     least one view and no purchase. Both sides are per-batch-deduped before
@@ -1410,6 +1460,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "orders_above_cust_avg": orders_above_cust_avg,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "orders_priority_ntile": orders_priority_ntile,
+    "orders_percent_rank": orders_percent_rank,
     "view_only_user_days": view_only_user_days,
     "orders_fulfillment": orders_fulfillment,
     "orders_rollup": orders_rollup,
@@ -1437,6 +1488,7 @@ ORACLES: dict[str, str] = {
     "orders_above_cust_avg": _ORDERS_ABOVE_CUST_AVG_SQL,
     "q5_local_supplier_volume": _Q5_LOCAL_SUPPLIER_VOLUME_SQL,
     "orders_priority_ntile": _ORDERS_PRIORITY_NTILE_SQL,
+    "orders_percent_rank": _ORDERS_PERCENT_RANK_SQL,
     "view_only_user_days": _VIEW_ONLY_USER_DAYS_SQL,
     "orders_fulfillment": _ORDERS_FULFILLMENT_SQL,
     "orders_rollup": _ORDERS_ROLLUP_SQL,

@@ -171,3 +171,54 @@ def test_funnel_times_hot_user_scales_vectorized():
     assert time.time() - t0 < 5.0
     assert len(out) == 1  # one user with a view
     assert out["t3"].notna().all()  # 200k mixed events certainly convert
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization properties
+# ---------------------------------------------------------------------------
+
+url_strategy = st.builds(
+    lambda scheme, www, host, path, slash, params, frag: (
+        scheme
+        + www
+        + host
+        + "/"
+        + path
+        + ("/" if slash else "")
+        + ("?" + "&".join(params) if params else "")
+        + ("#" + frag if frag else "")
+    ),
+    scheme=st.sampled_from(["https://", "HTTPS://", "http://", "HtTpS://"]),
+    www=st.sampled_from(["", "www.", "WWW."]),
+    host=st.from_regex(r"[A-Za-z][A-Za-z0-9]{0,8}\.(com|net|example)", fullmatch=True),
+    path=st.from_regex(r"[A-Za-z0-9/._-]{0,12}", fullmatch=True),
+    slash=st.booleans(),
+    params=st.lists(
+        st.one_of(
+            st.from_regex(r"utm_[a-z]{1,6}=[A-Za-z0-9]{0,6}", fullmatch=True),
+            st.from_regex(r"[a-su-z][a-z0-9]{0,5}=[A-Za-z0-9]{0,6}", fullmatch=True),
+        ),
+        max_size=4,
+    ),
+    frag=st.from_regex(r"[A-Za-z0-9]{0,8}", fullmatch=True),
+)
+
+
+@settings(max_examples=300, derandomize=True)
+@given(url=url_strategy)
+def test_normalize_urls_properties(url):
+    from simple_content_ocr_ray.pipelines.extract_queries import normalize_urls
+
+    out = normalize_urls(pd.Series([url], dtype="object")).iloc[0]
+    # idempotent
+    assert normalize_urls(pd.Series([out], dtype="object")).iloc[0] == out
+    # no fragment, no tracking params, no trailing separators survive
+    assert "#" not in out
+    assert "utm_" not in out.split("?")[0] + ("?" + out.split("?", 1)[1] if "?" in out else "")
+    assert not out.endswith(("?", "&", "/"))
+    # scheme+host lowercased, www stripped on https
+    prefix = out.split("/", 3)
+    assert prefix[0] in ("https:", "http:")
+    host = prefix[2].split("?")[0]
+    assert host == host.lower()
+    assert not (prefix[0] == "https:" and host.startswith("www."))
