@@ -1016,6 +1016,88 @@ FROM orders
 """
 
 
+def orders_profile(sf_dir: str) -> pd.DataFrame:
+    """Data profiling — the schema-audit pass run before any pipeline over
+    an unknown table: per column, null count, exact distinct count, and
+    numeric min/max. One streaming pass emits per-batch partials (null/
+    min/max sums and the batch's DEDUPED 64-bit value hashes), the driver
+    merges; the distinct side is bounded by distinct values × batches, and
+    at unbounded cardinality it degrades to the HLL sketch
+    (``hll_distinct_users``) with the same partial topology. Non-numeric
+    columns report NULL min/max."""
+    import hashlib
+
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    ]
+    numeric = {"o_orderkey", "o_custkey", "o_totalprice"}
+    orders = _read(sf_dir, "orders", columns=cols)
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in cols:
+            s = df[c]
+            nn = int(s.isna().sum())
+            vals = s.dropna()
+            uniq = vals.unique()
+            hashes = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.md5(str(v).encode("utf-8")).digest()[:8], "little"
+                    ) >> 1
+                    for v in uniq
+                ),
+                dtype=np.int64,
+                count=len(uniq),
+            )
+            if c in numeric and len(vals):
+                mn, mx = float(vals.min()), float(vals.max())
+            else:
+                mn = mx = np.nan
+            rows.append((c, nn, hashes.tobytes(), mn, mx))
+        return pd.DataFrame(
+            rows, columns=["col", "n_null", "hashes", "min_num", "max_num"]
+        )
+
+    parts = orders.map_batches(partials, batch_format="pandas").to_pandas()
+    out_rows = []
+    for c in cols:
+        p = parts[parts["col"] == c]
+        uniq = np.unique(
+            np.concatenate(
+                [np.frombuffer(b, dtype=np.int64) for b in p["hashes"]]
+            )
+            if len(p)
+            else np.array([], dtype=np.int64)
+        )
+        mn = p["min_num"].min()
+        mx = p["max_num"].max()
+        out_rows.append((c, int(p["n_null"].sum()), len(uniq), mn, mx))
+    return pd.DataFrame(
+        out_rows, columns=["col", "n_null", "n_distinct", "min_num", "max_num"]
+    ).astype({"n_null": "int64", "n_distinct": "int64"})
+
+
+def _profile_sql() -> str:
+    numeric = {"o_orderkey", "o_custkey", "o_totalprice"}
+    selects = []
+    for c in [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    ]:
+        if c in numeric:
+            mn, mx = f"CAST(MIN({c}) AS DOUBLE)", f"CAST(MAX({c}) AS DOUBLE)"
+        else:
+            mn = mx = "CAST(NULL AS DOUBLE)"
+        selects.append(
+            f"SELECT '{c}' AS col, COUNT(*) - COUNT({c}) AS n_null,"
+            f" COUNT(DISTINCT {c}) AS n_distinct,"
+            f" {mn} AS min_num, {mx} AS max_num FROM orders"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
 def orders_percent_rank(sf_dir: str, small_threshold: int = 2_000_000) -> pd.DataFrame:
     """SQL PERCENT_RANK / CUME_DIST within each priority class, ordered by
     (o_totalprice, o_orderkey) — the unique tiebreak makes RANK ==
@@ -1461,6 +1543,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "orders_priority_ntile": orders_priority_ntile,
     "orders_percent_rank": orders_percent_rank,
+    "orders_profile": orders_profile,
     "view_only_user_days": view_only_user_days,
     "orders_fulfillment": orders_fulfillment,
     "orders_rollup": orders_rollup,
@@ -1489,6 +1572,7 @@ ORACLES: dict[str, str] = {
     "q5_local_supplier_volume": _Q5_LOCAL_SUPPLIER_VOLUME_SQL,
     "orders_priority_ntile": _ORDERS_PRIORITY_NTILE_SQL,
     "orders_percent_rank": _ORDERS_PERCENT_RANK_SQL,
+    "orders_profile": _profile_sql(),
     "view_only_user_days": _VIEW_ONLY_USER_DAYS_SQL,
     "orders_fulfillment": _ORDERS_FULFILLMENT_SQL,
     "orders_rollup": _ORDERS_ROLLUP_SQL,

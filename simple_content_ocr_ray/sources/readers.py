@@ -80,3 +80,48 @@ def read_pages_from_jsonl(paths: str | list[str]) -> rd.Dataset:
         )
 
     return ds.map_batches(to_pages, batch_format="pyarrow")
+
+
+def read_pages_from_csv(paths: str | list[str]) -> rd.Dataset:
+    """CSV corpus (url, warc_ts, html_b64, text, lang — header row) → the
+    canonical pages schema. ``read_csv`` splits files into blocks and parses
+    distributed (Arrow CSV reader per block); payload transport is base64
+    like the JSONL source, decoded vectorized. Missing columns take the
+    same defaults as the other sources, so every downstream stage stays
+    source-agnostic."""
+    import base64
+
+    ds = rd.read_csv(paths)
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        cols = set(batch.column_names)
+        n = len(batch)
+
+        def col(name, default):
+            if name in cols:
+                return batch[name]
+            return pa.array([default] * n)
+
+        raw_html = col("html_b64", "")
+        html = pa.array(
+            [
+                base64.b64decode(v) if v else b""
+                for v in raw_html.to_pylist()
+            ],
+            pa.binary(),
+        )
+        if "warc_ts" in cols:
+            ts = pa.compute.cast(batch["warc_ts"], pa.timestamp("us"))
+        else:
+            ts = pa.array([_EPOCH_US] * n, pa.timestamp("us"))
+        return pa.table(
+            {
+                "url": pa.compute.cast(col("url", ""), pa.string()),
+                "warc_ts": ts,
+                "html": html,
+                "text": pa.compute.cast(col("text", ""), pa.string()),
+                "lang": pa.compute.cast(col("lang", ""), pa.string()),
+            }
+        )
+
+    return ds.map_batches(to_pages, batch_format="pyarrow")

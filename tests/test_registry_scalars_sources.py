@@ -153,3 +153,48 @@ def test_jsonl_pages_source_roundtrip(ray_session, tmp_path):
     out = extraction_pipeline(ds).to_pandas().sort_values("url").reset_index(drop=True)
     assert out.loc[0, "status"] == "completed"
     assert "Hello JSONL world of pages" in out.loc[0, "text"]
+
+
+def test_csv_pages_source_roundtrip(ray_session, tmp_path):
+    import base64
+    import csv
+
+    import pandas as pd
+
+    from simple_content_ocr_ray.pipelines.extract import extraction_pipeline
+    from simple_content_ocr_ray.sources.readers import read_pages_from_csv
+
+    html = b"<html><body><article><p>Hello CSV world of pages</p></article></body></html>"
+    p = tmp_path / "pages.csv"
+    with open(p, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["url", "warc_ts", "html_b64", "text", "lang"])
+        w.writeheader()
+        w.writerow(
+            {
+                "url": "https://a.example/1",
+                "warc_ts": "2024-01-02T03:04:05",
+                "html_b64": base64.b64encode(html).decode(),
+                "text": "",
+                "lang": "en",
+            }
+        )
+        w.writerow(
+            {
+                "url": "https://a.example/2",
+                "warc_ts": "2024-01-02T03:04:06",
+                "html_b64": "",
+                "text": "",
+                "lang": "",
+            }
+        )
+
+    ds = read_pages_from_csv(str(p))
+    df = ds.to_pandas().sort_values("url").reset_index(drop=True)
+    assert list(df.columns) == ["url", "warc_ts", "html", "text", "lang"]
+    assert bytes(df.loc[0, "html"]) == html
+    assert df.loc[1, "html"] == b""
+    assert df.loc[0, "warc_ts"] == pd.Timestamp("2024-01-02T03:04:05")
+
+    out = extraction_pipeline(ds).to_pandas().sort_values("url").reset_index(drop=True)
+    assert out.loc[0, "status"] == "completed"
+    assert "Hello CSV world of pages" in out.loc[0, "text"]
