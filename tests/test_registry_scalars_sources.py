@@ -198,3 +198,25 @@ def test_csv_pages_source_roundtrip(ray_session, tmp_path):
     out = extraction_pipeline(ds).to_pandas().sort_values("url").reset_index(drop=True)
     assert out.loc[0, "status"] == "completed"
     assert "Hello CSV world of pages" in out.loc[0, "text"]
+
+
+def test_compact_parquet_preserves_rows(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_content_ocr_ray.sources.compact import compact_parquet, dir_row_count
+
+    src = tmp_path / "small"
+    src.mkdir()
+    for i in range(20):  # 20 tiny files of 50 rows
+        t = pa.table({"k": list(range(i * 50, i * 50 + 50)), "v": ["x"] * 50})
+        pq.write_table(t, src / f"part-{i:03d}.parquet")
+    assert dir_row_count(str(src)) == 1000
+
+    out = tmp_path / "compact"
+    n_files = compact_parquet(str(src), str(out), target_rows=500)
+    assert n_files <= 4  # ~2 target files (repartition may round)
+    back = pd.read_parquet(out).sort_values("k").reset_index(drop=True)
+    assert len(back) == 1000
+    assert back["k"].tolist() == list(range(1000))
