@@ -810,6 +810,12 @@ def simhash_pairs(sf_dir: str) -> pd.DataFrame:
 
 HAMMING_TAU = 2
 HAMMING_CHUNKS = HAMMING_TAU + 1  # pigeonhole: ≤τ substitutions leave ≥1 chunk intact
+#: docs shorter than this are excluded from the operator (both sides): below
+#: ~2×(τ+1) chars the chunks collapse toward empty strings, every same-length
+#: short doc shares one bucket, and — worse — the τ≤2 criterion itself makes
+#: nearly ALL short same-length pairs "duplicates", so the quadratic output
+#: is inherent, not a blocking artifact. Typo dedup is meaningless there.
+HAMMING_MIN_LEN = 8
 TYPO_TWIN_OFFSET = 3_000_000
 
 
@@ -861,7 +867,7 @@ def hamming_typo_pairs(sf_dir: str, small_threshold: int = 5_000_000) -> pd.Data
 
     def chunk_rows(df: pd.DataFrame) -> pd.DataFrame:
         texts = df["text"].astype(str)
-        keep = texts.str.len() > 0
+        keep = texts.str.len() >= HAMMING_MIN_LEN
         df, texts = df[keep], texts[keep]
         n = len(df)
         if n == 0:
@@ -928,7 +934,7 @@ def hamming_typo_pairs(sf_dir: str, small_threshold: int = 5_000_000) -> pd.Data
 
 _HAMMING_TYPO_PAIRS_SQL = f"""
 WITH corpus AS (
-  SELECT doc_id, text FROM documents WHERE length(text) > 0
+  SELECT doc_id, text FROM documents WHERE length(text) >= {HAMMING_MIN_LEN}
   UNION ALL
   SELECT doc_id + {TYPO_TWIN_OFFSET} AS doc_id,
          substr(text, 1, (doc_id % length(text)))
@@ -936,7 +942,7 @@ WITH corpus AS (
                    THEN 'z' ELSE 'q' END
            || substr(text, (doc_id % length(text)) + 2) AS text
   FROM documents
-  WHERE doc_id % 11 = 0 AND length(text) >= 3
+  WHERE doc_id % 11 = 0 AND length(text) >= {HAMMING_MIN_LEN}
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM corpus a JOIN corpus b

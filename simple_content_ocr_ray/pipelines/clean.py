@@ -68,35 +68,46 @@ def clean_corpus(sf_dir: str, small_threshold: int = 2_000_000) -> pd.DataFrame:
             }
         )
 
-    def local_keepers(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values("doc_id", kind="mergesort").drop_duplicates(
-            "text_hash", keep="first"
-        )
-
-    # quality filter + per-batch arg-min dedup fused in one stage
     partial = docs.map_batches(
-        lambda df: local_keepers(quality(df)), batch_format="pandas"
+        # quality filter + per-batch arg-min dedup fused in one stage
+        lambda df: _local_keepers(quality(df), "text_hash"),
+        batch_format="pandas",
     ).materialize()  # consumed twice below on the large path; bounded by
     # distinct hashes × batches, not corpus rows
-
-    if partial.count() <= small_threshold:
-        out = local_keepers(partial.to_pandas())
-    else:
-        mins = partial.groupby("text_hash").min("doc_id")
-        # keeper rows = partials whose (text_hash, doc_id) matches the min —
-        # a distributed hash join, no broadcast, no per-group python calls
-        joined = partial.join(
-            mins.map_batches(
-                lambda df: df.rename(columns={"min(doc_id)": "keep_doc_id"}),
-                batch_format="pandas",
-            ),
-            join_type="inner",
-            num_partitions=16,
-            on=("text_hash",),
-        )
-        out = joined.filter(expr="doc_id == keep_doc_id").to_pandas()
+    out = _final_keepers(partial, "text_hash", small_threshold)
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
     out = out[["doc_id", "lang", "n_tokens"]].sort_values("doc_id").reset_index(drop=True)
     return out.astype({"doc_id": "int64", "n_tokens": "int64"})
+
+
+def _local_keepers(df: pd.DataFrame, hash_col: str) -> pd.DataFrame:
+    """Per-batch arg-min dedup: the min-doc_id row per content hash."""
+    return df.sort_values("doc_id", kind="mergesort").drop_duplicates(
+        hash_col, keep="first"
+    )
+
+
+def _final_keepers(partial, hash_col: str, small_threshold: int):
+    """Merge per-batch keeper partials into global keepers — the shared
+    final step of ``clean_corpus`` and ``curated_corpus``. Adaptive: one
+    driver pass when the partials are small (returns a DataFrame), else the
+    hash-keyed ``Dataset.join`` of each hash's min doc_id back onto the
+    partials (returns a Dataset; no keeper-set broadcast, no per-group
+    python calls)."""
+    if partial.count() <= small_threshold:
+        return _local_keepers(partial.to_pandas(), hash_col)
+    mins = partial.groupby(hash_col).min("doc_id")
+    joined = partial.join(
+        mins.map_batches(
+            lambda df: df.rename(columns={"min(doc_id)": "keep_doc_id"}),
+            batch_format="pandas",
+        ),
+        join_type="inner",
+        num_partitions=16,
+        on=(hash_col,),
+    )
+    return joined.filter(expr="doc_id == keep_doc_id")
 
 
 _CLEAN_CORPUS_SQL = f"""
@@ -147,7 +158,7 @@ def curated_corpus(sf_dir: str, small_threshold: int = 2_000_000) -> pd.DataFram
 
     from ..functions.corpus_ops import MIXTURE_DENOM, _mixture_rate_millis
     from ..functions.text_stats import HASH_DIM, HASH_OFF
-    from .train_feed import PACK_BUCKET_W, SEQ_BUDGET
+    from .train_feed import pack_assign, pack_sorted_df
 
     docs = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
@@ -201,82 +212,38 @@ def curated_corpus(sf_dir: str, small_threshold: int = 2_000_000) -> pd.DataFram
             }
         )
 
-    def local_keepers(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values("doc_id", kind="mergesort").drop_duplicates(
-            "h", keep="first"
-        )
-
     partial = docs.map_batches(
-        lambda df: local_keepers(survivors(df)), batch_format="pandas"
+        lambda df: _local_keepers(survivors(df), "h"), batch_format="pandas"
     ).materialize()  # bounded by distinct hashes × batches
 
-    def pack_sorted(df: pd.DataFrame, offset: np.ndarray | int = 0) -> pd.DataFrame:
-        n_tok = df["n_tok"].to_numpy(dtype="int64")
-        start = offset + np.cumsum(n_tok) - n_tok
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"].to_numpy(),
-                "source": df["source"].to_numpy(),
-                "n_tokens": n_tok,
-                "seq_id": start // SEQ_BUDGET,
-            }
-        )
-
-    if partial.count() <= small_threshold:
-        keep = local_keepers(partial.to_pandas()).sort_values(
-            "doc_id", kind="mergesort"
-        )
-        out = pack_sorted(keep.reset_index(drop=True))
+    def finish(per_doc: pd.DataFrame) -> pd.DataFrame:
+        out = per_doc.rename(columns={"n_tok": "n_tokens"})[
+            ["doc_id", "source", "n_tokens", "seq_id"]
+        ]
+        out = out.sort_values("doc_id").reset_index(drop=True)
         return out.astype({"doc_id": "int64", "n_tokens": "int64", "seq_id": "int64"})
 
-    mins = partial.groupby("h").min("doc_id")
-    joined = partial.join(
-        mins.map_batches(
-            lambda df: df.rename(columns={"min(doc_id)": "keep_doc_id"}),
-            batch_format="pandas",
-        ),
-        join_type="inner",
-        num_partitions=16,
-        on=("h",),
-    ).filter(expr="doc_id == keep_doc_id")
+    keep = _final_keepers(partial, "h", small_threshold)
+    if isinstance(keep, pd.DataFrame):
+        keep = keep.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        return finish(pack_sorted_df(keep))
 
-    # distributed prefix scan over the keepers (same shape as packed_sequences)
-    import ray
-
-    from ..functions.agg import grouped_aggregate
-
-    keep_ds = joined.map_batches(
-        lambda df: df[["doc_id", "source", "n_tok"]].assign(
-            bucket=df["doc_id"].to_numpy() // PACK_BUCKET_W
-        ),
-        batch_format="pandas",
-    ).materialize()  # consumed twice (bucket sums + assignment); slim columns
-    bsum = grouped_aggregate(
-        keep_ds, ["bucket"], {"tok": ("n_tok", "sum")}
-    ).to_pandas().sort_values("bucket")
-    cum = np.cumsum(bsum["tok"].to_numpy(dtype="int64"))
-    offsets = dict(
-        zip(bsum["bucket"].to_numpy().tolist(), np.concatenate([[0], cum[:-1]]).tolist())
+    # distributed prefix scan over the keepers — shared with packed_sequences
+    slim = keep.map_batches(
+        lambda df: df[["doc_id", "source", "n_tok"]], batch_format="pandas"
     )
-    off_ref = ray.put(offsets)
-
-    def assign(g: pd.DataFrame) -> pd.DataFrame:
-        off = ray.get(off_ref)[int(g["bucket"].iloc[0])]
-        return pack_sorted(
-            g.sort_values("doc_id", kind="mergesort").reset_index(drop=True), off
-        )
-
-    out = (
-        keep_ds.groupby("bucket")
-        .map_groups(assign, batch_format="pandas")
-        .to_pandas()
-        .sort_values("doc_id")
-        .reset_index(drop=True)
-    )
-    return out.astype({"doc_id": "int64", "n_tokens": "int64", "seq_id": "int64"})
+    return finish(pack_assign(slim).to_pandas())
 
 
-_CURATED_CORPUS_SQL = r"""
+def _curated_corpus_sql() -> str:
+    """SQL mirror built from the SAME constants the Python stages import —
+    retuning SEQ_BUDGET / HASH_DIM / the mixture rates keeps both sides in
+    lockstep."""
+    from ..functions.corpus_ops import MIXTURE_DENOM
+    from ..functions.text_stats import HASH_DIM, HASH_OFF
+    from .train_feed import SEQ_BUDGET
+
+    return rf"""
 WITH norm AS (
   SELECT doc_id, source,
          trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS t
@@ -288,14 +255,16 @@ WITH norm AS (
 ), toks AS (
   SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm
 ), q AS (
-  SELECT doc_id, SUM(CAST(md5_number_lower(tok) % 1001 AS BIGINT) - 500) AS s
+  SELECT doc_id,
+         SUM(CAST(md5_number_lower(tok) % {HASH_DIM} AS BIGINT) - {HASH_OFF}) AS s
   FROM toks GROUP BY doc_id
 ), surv AS (
   SELECT f.doc_id, f.source, f.h, f.n_tok
   FROM feat f JOIN q USING (doc_id)
   WHERE q.s > 0
-    AND md5_number_lower(CAST(f.doc_id AS VARCHAR) || ':' || f.source) % 1000
-        < (CAST(substr(f.source, 4) AS BIGINT) % 4 + 1) * 250
+    AND md5_number_lower(CAST(f.doc_id AS VARCHAR) || ':' || f.source)
+          % {MIXTURE_DENOM}
+        < (CAST(substr(f.source, 4) AS BIGINT) % 4 + 1) * {MIXTURE_DENOM // 4}
 ), keep AS (
   SELECT doc_id, source, n_tok FROM (
     SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rk FROM surv
@@ -306,7 +275,7 @@ WITH norm AS (
   FROM keep
 )
 SELECT doc_id, source, n_tok AS n_tokens,
-       CAST((cum - n_tok) // 2048 AS BIGINT) AS seq_id
+       CAST((cum - n_tok) // {SEQ_BUDGET} AS BIGINT) AS seq_id
 FROM packed
 """
 
@@ -317,5 +286,5 @@ QUERIES: dict[str, Callable[[str], object]] = {
 }
 ORACLES: dict[str, str] = {
     "clean_corpus": _CLEAN_CORPUS_SQL,
-    "curated_corpus": _CURATED_CORPUS_SQL,
+    "curated_corpus": _curated_corpus_sql(),
 }

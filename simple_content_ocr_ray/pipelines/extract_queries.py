@@ -385,13 +385,16 @@ def normalize_urls(u: pd.Series) -> pd.Series:
     engine-agnostic regex rewrites (idempotent: re-normalizing a canonical
     URL is a no-op, asserted in tests)."""
     u = u.str.replace(r"#.*$", "", regex=True)  # fragment
-    prefix = u.str.extract(r"^([A-Za-z]+://[^/?#]*)", expand=False)
+    # schemeless rows get an empty prefix and pass through case-untouched
+    prefix = u.str.extract(r"^([A-Za-z]+://[^/?#]*)", expand=False).fillna("")
     # lowercase scheme+host only (path/query are case-sensitive)
     rest = pd.Series(
         [s[len(p):] for s, p in zip(u, prefix)], dtype="object", index=u.index
     )
     u = prefix.str.lower() + rest
-    u = u.str.replace(r"^https://www\.", "https://", regex=True)
+    # strip ALL leading www. labels in one pass — one-at-a-time stripping is
+    # not idempotent on hosts like www.www.com
+    u = u.str.replace(r"^https://(www\.)+", "https://", regex=True)
     u = u.str.replace(r"([?&])utm_[a-z_]+=[^&]*", r"\1", regex=True)
     u = u.str.replace(r"&&+", "&", regex=True)
     u = u.str.replace(r"\?&", "?", regex=True)
@@ -413,7 +416,6 @@ def url_canonicalize(sf_dir: str) -> pd.DataFrame:
     fixed sequence of engine-agnostic regex rewrites, identical on both
     sides. Scale shape: embarrassingly parallel vectorized map_batches —
     no state, no shuffle."""
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         d = df["doc_id"].astype("int64").reset_index(drop=True)
@@ -475,7 +477,7 @@ WITH messy AS (
                regexp_replace(
                  regexp_replace(
                    regexp_replace(
-                     regexp_replace(u, '^https://www\.', 'https://'),
+                     regexp_replace(u, '^https://(www\.)+', 'https://'),
                      '([?&])utm_[a-z_]+=[^&]*', '\1', 'g'),
                    '&&+', '&', 'g'),
                  '\?&', '?'),

@@ -1020,11 +1020,13 @@ def orders_profile(sf_dir: str) -> pd.DataFrame:
     """Data profiling — the schema-audit pass run before any pipeline over
     an unknown table: per column, null count, exact distinct count, and
     numeric min/max. One streaming pass emits per-batch partials (null/
-    min/max sums and the batch's DEDUPED 64-bit value hashes), the driver
-    merges; the distinct side is bounded by distinct values × batches, and
-    at unbounded cardinality it degrades to the HLL sketch
-    (``hll_distinct_users``) with the same partial topology. Non-numeric
-    columns report NULL min/max."""
+    min/max sums and the batch's DEDUPED full-128-bit value digests — at
+    10^12 distinct values the collision odds are ~1e-13, so the count is
+    exact in practice where a truncated 64-bit hash would measurably
+    collide), the driver merges; the distinct side is bounded by distinct
+    values × batches, and at unbounded cardinality it degrades to the HLL
+    sketch (``hll_distinct_users``) with the same partial topology.
+    Non-numeric columns report NULL min/max."""
     import hashlib
 
     cols = [
@@ -1041,21 +1043,14 @@ def orders_profile(sf_dir: str) -> pd.DataFrame:
             nn = int(s.isna().sum())
             vals = s.dropna()
             uniq = vals.unique()
-            hashes = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.md5(str(v).encode("utf-8")).digest()[:8], "little"
-                    ) >> 1
-                    for v in uniq
-                ),
-                dtype=np.int64,
-                count=len(uniq),
+            digests = b"".join(
+                hashlib.md5(str(v).encode("utf-8")).digest() for v in uniq
             )
             if c in numeric and len(vals):
                 mn, mx = float(vals.min()), float(vals.max())
             else:
                 mn = mx = np.nan
-            rows.append((c, nn, hashes.tobytes(), mn, mx))
+            rows.append((c, nn, digests, mn, mx))
         return pd.DataFrame(
             rows, columns=["col", "n_null", "hashes", "min_num", "max_num"]
         )
@@ -1066,10 +1061,10 @@ def orders_profile(sf_dir: str) -> pd.DataFrame:
         p = parts[parts["col"] == c]
         uniq = np.unique(
             np.concatenate(
-                [np.frombuffer(b, dtype=np.int64) for b in p["hashes"]]
+                [np.frombuffer(b, dtype="S16") for b in p["hashes"]]
             )
             if len(p)
-            else np.array([], dtype=np.int64)
+            else np.array([], dtype="S16")
         )
         mn = p["min_num"].min()
         mx = p["max_num"].max()
@@ -1417,9 +1412,11 @@ WHERE CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) * a.n > a.sum_c
 
 def dom_activity_full_outer(sf_dir: str) -> pd.DataFrame:
     """FULL OUTER join of two independently-aggregated fact tables on
-    day-of-month: order count/revenue vs event count/value. The sides have
-    genuinely unmatched keys (events stop at day 30), so both null
-    directions are exercised; unmatched measures coalesce to 0.
+    day-of-month: order count/revenue vs event count/value. BOTH unmatched
+    directions are exercised deterministically: events stop at day 30 (so
+    day 31 is order-only) and the order side excludes day 15 by business
+    rule (so day 15 is event-only); unmatched measures coalesce to 0 and
+    the join key coalesces across sides.
 
     Topology: each side is a partial+final grouped aggregate (shuffle
     bounded by 31 keys), then Ray Data's NATIVE hash full_outer join — the
@@ -1430,7 +1427,7 @@ def dom_activity_full_outer(sf_dir: str) -> pd.DataFrame:
     orders = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
 
     def oprep(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "dom": df["o_orderdate"].dt.day.astype("int64"),
                 "price_u": np.rint(df["o_totalprice"].to_numpy() * 100).astype(
@@ -1438,6 +1435,7 @@ def dom_activity_full_outer(sf_dir: str) -> pd.DataFrame:
                 ),
             }
         )
+        return out[out["dom"] != 15]
 
     o_agg = grouped_aggregate(
         orders,
@@ -1464,12 +1462,20 @@ def dom_activity_full_outer(sf_dir: str) -> pd.DataFrame:
         {"n_events": (None, "count"), "val_u": ("value_u", "sum")},
         prepare=eprep,
     )
+    # carry the key on the right side too: if the join engine leaves the
+    # left key null on right-only rows, coalesce from the copy
+    e_agg = e_agg.map_batches(
+        lambda df: df.assign(dom_e=df["dom"]), batch_format="pandas"
+    )
     j = o_agg.join(
         e_agg, join_type="full_outer", num_partitions=4, on=("dom",)
     ).to_pandas()
+    dom = j["dom"]
+    if "dom_e" in j.columns:
+        dom = dom.fillna(j["dom_e"])
     out = pd.DataFrame(
         {
-            "dom": j["dom"].astype("int64"),
+            "dom": dom.astype("int64"),
             "n_orders": j["n_orders"].fillna(0).astype("int64"),
             "order_revenue": round_half_away(j["rev_u"].fillna(0) / 100.0),
             "n_events": j["n_events"].fillna(0).astype("int64"),
@@ -1483,7 +1489,7 @@ _DOM_ACTIVITY_FULL_OUTER_SQL = """
 WITH o AS (
   SELECT CAST(day(o_orderdate) AS BIGINT) AS dom, COUNT(*) AS n_orders,
          SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS rev_u
-  FROM orders GROUP BY 1
+  FROM orders WHERE day(o_orderdate) <> 15 GROUP BY 1
 ), e AS (
   SELECT CAST(day(ts) AS BIGINT) AS dom, COUNT(*) AS n_events,
          SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) AS val_u

@@ -77,6 +77,52 @@ def _docs_row_count(sf_dir: str) -> int:
     return pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
 
 
+def pack_sorted_df(df: pd.DataFrame, offset: int = 0) -> pd.DataFrame:
+    """Assign seq_ids to a frame ALREADY sorted by doc_id, given the running
+    token count before its first row. The single source of the packing rule
+    (`seq_id = tokens-before-doc // SEQ_BUDGET`) — both the driver small
+    path and the distributed scan call this."""
+    n_tok = df["n_tok"].to_numpy(dtype="int64")
+    start = offset + np.cumsum(n_tok) - n_tok
+    out = df.copy()
+    out["seq_id"] = start // SEQ_BUDGET
+    return out
+
+
+def pack_assign(slim: "rd.Dataset") -> "rd.Dataset":
+    """Distributed prefix-scan seq assignment over a slim dataset with
+    (doc_id, n_tok, *carry) columns: per-bucket token sums via the
+    partial+final grouped aggregate, driver cumsum of the BOUNDED bucket
+    offsets, one broadcast, then a bucket-keyed shuffle where each group
+    sorts locally and calls ``pack_sorted_df`` with its offset. Returns the
+    input rows + ``seq_id``; shared by ``packed_sequences`` and
+    ``clean.curated_corpus``. The input is materialized (consumed twice:
+    sums + assignment) — it is the slim projection, not the corpus."""
+    import ray
+
+    from ..functions.agg import grouped_aggregate
+
+    slim = slim.map_batches(
+        lambda df: df.assign(bucket=df["doc_id"].to_numpy() // PACK_BUCKET_W),
+        batch_format="pandas",
+    ).materialize()
+    bsum = grouped_aggregate(
+        slim, ["bucket"], {"tok": ("n_tok", "sum")}
+    ).to_pandas().sort_values("bucket")
+    cum = np.cumsum(bsum["tok"].to_numpy(dtype="int64"))
+    offsets = dict(
+        zip(bsum["bucket"].to_numpy().tolist(), np.concatenate([[0], cum[:-1]]).tolist())
+    )
+    off_ref = ray.put(offsets)
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)[int(g["bucket"].iloc[0])]
+        g = g.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        return pack_sorted_df(g, off).drop(columns=["bucket"])
+
+    return slim.groupby("bucket").map_groups(assign, batch_format="pandas")
+
+
 def packed_sequences(sf_dir: str, small_threshold: int = 2_000_000) -> pd.DataFrame:
     """Pack documents (in doc_id order) into fixed token-budget training
     sequences: a doc belongs to the sequence in which it STARTS, i.e.
@@ -84,23 +130,13 @@ def packed_sequences(sf_dir: str, small_threshold: int = 2_000_000) -> pd.DataFr
     contiguous packing rule trainers use to build fixed-length batches.
     Returns one row per sequence: doc span, doc count, token count.
 
-    The global running sum is a distributed PREFIX SCAN, not a sort:
-
-    1. pass 1 (column-pruned) computes per-bucket token sums via the
-       partial+final grouped aggregate, where ``bucket = doc_id //
-       PACK_BUCKET_W`` — output is bounded by the bucket count;
-    2. the driver cumsums the bucket sums into per-bucket START OFFSETS
-       (bounded driver state, broadcast once via ``ray.put``);
-    3. pass 2 shuffles by bucket; each group sorts by doc_id locally,
-       cumsums, adds its broadcast offset, and emits (seq_id, n_tokens)
-       rows that feed a final bounded grouped aggregate.
-
-    Two column-pruned passes over the text beat materializing an O(N)
-    token-count table between them. Small corpora (footer row count ≤
-    threshold) take one vectorized driver pass — paths asserted equal."""
-    import pyarrow.compute as pc
-    import ray
-
+    The global running sum is the distributed PREFIX SCAN of
+    ``pack_assign`` (per-bucket token sums → driver cumsum of the bounded
+    bucket offsets → one broadcast → bucket-keyed local assignment) over
+    the slim (doc_id, n_tok) projection — 16 bytes/row regardless of text
+    size. Small corpora (footer row count ≤ threshold) take one vectorized
+    driver pass through the same ``pack_sorted_df`` rule — paths asserted
+    equal (including a shrunken-bucket boundary test)."""
     from ..functions.agg import grouped_aggregate
 
     path = os.path.join(sf_dir, "documents.parquet")
@@ -119,64 +155,32 @@ def packed_sequences(sf_dir: str, small_threshold: int = 2_000_000) -> pd.DataFr
             ["seq_id", "n_docs", "total_tokens", "first_doc", "last_doc"]
         ]
 
-    if _docs_row_count(sf_dir) <= small_threshold:
-        t = rd.read_parquet(path, columns=["doc_id", "text"]).to_pandas()
-        t = t.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
-        n_tok = (t["text"].str.count(" ") + 1).to_numpy(dtype="int64")
-        start = np.cumsum(n_tok) - n_tok
-        out = pd.DataFrame({"seq_id": start // SEQ_BUDGET, "n_tok": n_tok,
-                            "doc_id": t["doc_id"].to_numpy()})
-        agg = out.groupby("seq_id", as_index=False).agg(
+    def rollup(per_doc: pd.DataFrame) -> pd.DataFrame:
+        return per_doc.groupby("seq_id", as_index=False).agg(
             n_docs=("n_tok", "size"), total_tokens=("n_tok", "sum"),
             first_doc=("doc_id", "min"), last_doc=("doc_id", "max"),
         )
-        return finish(agg)
 
-    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+    def slim_batch(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "bucket": df["doc_id"].to_numpy() // PACK_BUCKET_W,
+                "doc_id": df["doc_id"].to_numpy(),
                 "n_tok": (df["text"].str.count(" ") + 1).to_numpy(dtype="int64"),
             }
         )
 
-    docs = rd.read_parquet(path, columns=["doc_id", "text"])
-    bsum = grouped_aggregate(
-        docs, ["bucket"], {"tok": ("n_tok", "sum")}, prepare=prepare
-    ).to_pandas().sort_values("bucket")
-    cum = np.cumsum(bsum["tok"].to_numpy(dtype="int64"))
-    offsets = dict(
-        zip(bsum["bucket"].to_numpy().tolist(), np.concatenate([[0], cum[:-1]]).tolist())
-    )
-    off_ref = ray.put(offsets)
-
-    def with_bucket(t):
-        return t.append_column(
-            "bucket",
-            pc.cast(pc.floor(pc.divide(t["doc_id"], PACK_BUCKET_W)), "int64"),
+    if _docs_row_count(sf_dir) <= small_threshold:
+        t = rd.read_parquet(path, columns=["doc_id", "text"]).to_pandas()
+        slim = slim_batch(t).sort_values("doc_id", kind="mergesort").reset_index(
+            drop=True
         )
+        return finish(rollup(pack_sorted_df(slim)))
 
-    def assign(g: pd.DataFrame) -> pd.DataFrame:
-        off = ray.get(off_ref)[int(g["bucket"].iloc[0])]
-        g = g.sort_values("doc_id", kind="mergesort")
-        n_tok = (g["text"].str.count(" ") + 1).to_numpy(dtype="int64")
-        start = off + np.cumsum(n_tok) - n_tok
-        return pd.DataFrame(
-            {
-                "seq_id": start // SEQ_BUDGET,
-                "n_tok": n_tok,
-                "doc_id": g["doc_id"].to_numpy(),
-            }
-        )
-
-    per_doc = (
-        rd.read_parquet(path, columns=["doc_id", "text"])
-        .map_batches(with_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(assign, batch_format="pandas")
+    slim = rd.read_parquet(path, columns=["doc_id", "text"]).map_batches(
+        slim_batch, batch_format="pandas"
     )
     agg = grouped_aggregate(
-        per_doc,
+        pack_assign(slim),
         ["seq_id"],
         {
             "n_docs": (None, "count"),

@@ -77,6 +77,12 @@ class StreamingDeduper:
         ) % (1 << 62)
 
     def dedup(self, ds: rd.Dataset) -> rd.Dataset:
+        """Returns the partition's surviving rows, MATERIALIZED: claim() has
+        side effects, so the plan must run exactly once — a lazy return
+        would re-claim (and emit zero rows) on every re-execution, and a
+        task retry would silently drop its batch's survivors. Materializing
+        pins the one true output; the cost is bounded by the partition, not
+        the corpus (ingestion is per-partition by design)."""
         shards, n = self.shards, self.n_shards
 
         def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -99,7 +105,7 @@ class StreamingDeduper:
             # batch-local repeats of a key: claim() marks only the first True
             return df[new]
 
-        return ds.map_batches(fn, batch_format="pandas")
+        return ds.map_batches(fn, batch_format="pandas").materialize()
 
     def index_size(self) -> int:
         return sum(ray.get([s.size.remote() for s in self.shards]))

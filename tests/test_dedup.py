@@ -293,7 +293,9 @@ def test_hamming_typo_pairs_matches_brute_force(ray_session):
     pd.testing.assert_frame_equal(out, forced)
 
     corpus = typo_twin_corpus(sf).to_pandas()
-    corpus = corpus[corpus["text"].str.len() > 0]
+    from simple_content_ocr_ray.functions.dedup import HAMMING_MIN_LEN
+
+    corpus = corpus[corpus["text"].str.len() >= HAMMING_MIN_LEN]
     exp = set()
     by_len = corpus.groupby(corpus["text"].str.len())
     for _, g in by_len:

@@ -48,3 +48,16 @@ def test_streaming_dedup_stats_partitions(ray_session):
     assert out.loc[0, "n_in"] == half and out.loc[1, "n_in"] == len(docs) - half
     assert out.loc[0, "n_survived"] == a.nunique()
     assert out.loc[1, "n_survived"] == len(set(b) - set(a))
+
+
+def test_streaming_dedup_result_stable_across_consumptions(ray_session):
+    """dedup() must materialize: consuming the returned dataset twice (or a
+    retried task) must NOT re-claim keys and change the answer."""
+    from simple_content_ocr_ray.state.dedup_index import StreamingDeduper
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    dd = StreamingDeduper(n_shards=2)
+    surv = dd.dedup(docs)
+    n1 = surv.count()
+    n2 = len(surv.to_pandas())  # second consumption of the same result
+    assert n1 == n2 > 0
