@@ -125,3 +125,68 @@ def read_pages_from_csv(paths: str | list[str]) -> rd.Dataset:
         )
 
     return ds.map_batches(to_pages, batch_format="pyarrow")
+
+
+def read_pages_from_warclite(paths: str | list[str]) -> rd.Dataset:
+    """WARC-style crawl archives → the canonical pages schema. Each file
+    holds concatenated records of the (simplified, self-describing) form::
+
+        WARC/1.0\\r\\n
+        WARC-Target-URI: <url>\\r\\n
+        WARC-Date: <iso timestamp>\\r\\n
+        Content-Length: <payload bytes>\\r\\n
+        \\r\\n
+        <payload>\\r\\n\\r\\n
+
+    Parallelism is FILE-granular (real WARC segments are ~1 GB and
+    self-contained, so one file per task is the natural unit — the same
+    reason Common Crawl ships thousands of segment files); within a file
+    the parser walks Content-Length offsets, so payloads may contain
+    anything, including header-lookalike bytes."""
+    import datetime as _dt
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+
+    def parse(batch: dict) -> pa.Table:
+        urls, tss, payloads = [], [], []
+        for blob in batch["bytes"]:
+            buf = bytes(blob)
+            pos = 0
+            while True:
+                start = buf.find(b"WARC/1.0\r\n", pos)
+                if start < 0:
+                    break
+                head_end = buf.find(b"\r\n\r\n", start)
+                if head_end < 0:
+                    break
+                headers = {}
+                for line in buf[start + 10 : head_end].split(b"\r\n"):
+                    k, _, v = line.partition(b": ")
+                    headers[k.decode()] = v.decode()
+                n = int(headers.get("Content-Length", "0"))
+                body_start = head_end + 4
+                payloads.append(buf[body_start : body_start + n])
+                urls.append(headers.get("WARC-Target-URI", ""))
+                raw_ts = headers.get("WARC-Date", "")
+                if raw_ts:
+                    ts = int(
+                        _dt.datetime.fromisoformat(
+                            raw_ts.replace("Z", "+00:00")
+                        ).timestamp()
+                        * 1_000_000
+                    )
+                else:
+                    ts = _EPOCH_US
+                tss.append(ts)
+                pos = body_start + n
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(tss, pa.timestamp("us")),
+                "html": pa.array(payloads, pa.binary()),
+                "text": pa.array([""] * len(urls), pa.string()),
+                "lang": pa.array([""] * len(urls), pa.string()),
+            }
+        )
+
+    return ds.map_batches(parse, batch_format="numpy")

@@ -220,3 +220,44 @@ def test_compact_parquet_preserves_rows(ray_session, tmp_path):
     back = pd.read_parquet(out).sort_values("k").reset_index(drop=True)
     assert len(back) == 1000
     assert back["k"].tolist() == list(range(1000))
+
+
+def test_warclite_pages_source_roundtrip(ray_session, tmp_path):
+    import pandas as pd
+
+    from simple_content_ocr_ray.pipelines.extract import extraction_pipeline
+    from simple_content_ocr_ray.sources.readers import read_pages_from_warclite
+
+    html = b"<html><body><article><p>Hello WARC world of pages</p></article></body></html>"
+    # second record's payload CONTAINS a header-lookalike — Content-Length
+    # walking must not resync on it
+    tricky = b"WARC/1.0\r\nnot a real header\r\n\r\n" + b"x" * 10
+
+    def record(url, ts, payload):
+        return (
+            b"WARC/1.0\r\n"
+            + f"WARC-Target-URI: {url}\r\n".encode()
+            + f"WARC-Date: {ts}\r\n".encode()
+            + f"Content-Length: {len(payload)}\r\n".encode()
+            + b"\r\n"
+            + payload
+            + b"\r\n\r\n"
+        )
+
+    p = tmp_path / "segment-00000.warc"
+    p.write_bytes(
+        record("https://a.example/1", "2024-01-02T03:04:05Z", html)
+        + record("https://a.example/2", "2024-01-02T03:04:06Z", tricky)
+    )
+
+    ds = read_pages_from_warclite(str(p))
+    df = ds.to_pandas().sort_values("url").reset_index(drop=True)
+    assert list(df.columns) == ["url", "warc_ts", "html", "text", "lang"]
+    assert len(df) == 2
+    assert bytes(df.loc[0, "html"]) == html
+    assert bytes(df.loc[1, "html"]) == tricky
+    assert df.loc[0, "warc_ts"] == pd.Timestamp("2024-01-02T03:04:05")
+
+    out = extraction_pipeline(ds).to_pandas().sort_values("url").reset_index(drop=True)
+    assert out.loc[0, "status"] == "completed"
+    assert "Hello WARC world of pages" in out.loc[0, "text"]
