@@ -40,6 +40,18 @@ def test_hll_registers_merge_associative():
     assert np.array_equal(whole, split)
 
 
+def test_hll_per_type_within_error_bound(ray_session):
+    got = sketch.type_distinct_users_hll(SF)
+    assert list(got.columns) == ["event_type", "approx_distinct"]
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "event_type"])
+    exact = ev.groupby("event_type")["user_id"].nunique()
+    assert set(got["event_type"]) == set(exact.index)
+    assert list(got["event_type"]) == sorted(got["event_type"])
+    for _, row in got.iterrows():
+        true_n = int(exact[row["event_type"]])
+        assert abs(int(row["approx_distinct"]) - true_n) <= max(0.10 * true_n, 5)
+
+
 def _true_counts() -> Counter:
     texts = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])["text"]
     c = Counter()
