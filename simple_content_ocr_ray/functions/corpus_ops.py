@@ -413,6 +413,77 @@ GROUP BY lang
 
 
 # --------------------------------------------------------------------------
+# Salted exact grouped distinct (hot-key-safe shuffle)
+# --------------------------------------------------------------------------
+
+#: number of value-hash shards the distinct-count shuffle fans out to; at
+#: corpus scale this is sized so |values|/S × |keys| fits one reducer's heap
+NUM_DISTINCT_SALTS = 64
+
+
+def type_distinct_users_salted(sf_dir: str) -> pd.DataFrame:
+    """Exact per-key distinct count with VALUE-HASH SALTING — the hot-key
+    pattern: a plain ``groupby(event_type)`` distinct would funnel every
+    distinct user of the hottest event type through ONE reducer. Here the
+    shuffle key is ``splitmix64(user_id) % S`` instead: every copy of a
+    given user lands in the same salt shard, so per-shard dedup is globally
+    correct and per-type distinct counts are additive across shards. Each
+    reducer holds ≤ |users|/S × |types| rows REGARDLESS of key skew, and
+    the final merge sums |types| × S bounded partials. Siblings:
+    ``sketch.type_distinct_users_hll`` (approximate, constant memory),
+    ``lang_distinct_tokens`` (exact, vocabulary-bounded driver merge)."""
+    from .sketch import _splitmix64
+
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
+    )
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = df.drop_duplicates()  # per-batch pre-shrink before the shuffle
+        salt = (
+            _splitmix64(pairs["user_id"].to_numpy().astype(np.uint64))
+            % np.uint64(NUM_DISTINCT_SALTS)
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_type": pairs["event_type"].to_numpy(),
+                "user_id": pairs["user_id"].to_numpy(),
+                "salt": salt,
+            }
+        )
+
+    def shard_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.drop_duplicates(["event_type", "user_id"])
+            .groupby("event_type", sort=False)
+            .size()
+        )
+        return pd.DataFrame(
+            {"event_type": g.index.to_numpy(), "n": g.to_numpy().astype("int64")}
+        )
+
+    parts = (
+        events.map_batches(local, batch_format="pandas")
+        .groupby("salt")
+        .map_groups(shard_counts, batch_format="pandas")
+        .to_pandas()  # bounded: |types| × NUM_DISTINCT_SALTS rows
+    )
+    out = (
+        parts.groupby("event_type", sort=True)["n"]
+        .sum()
+        .rename("n_distinct_users")
+        .reset_index()
+    )
+    return out.astype({"n_distinct_users": "int64"})
+
+
+_TYPE_DISTINCT_USERS_SALTED_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # Deterministic weighted sample (A-ES / Efraimidis-Spirakis reservoir)
 # --------------------------------------------------------------------------
 
@@ -798,6 +869,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "lang_source_pivot": lang_source_pivot,
     "near_dup_components": near_dup_components,
     "lang_distinct_tokens": lang_distinct_tokens,
+    "type_distinct_users_salted": type_distinct_users_salted,
     "weighted_sample_docs": weighted_sample_docs,
     "lang_top_tokens": lang_top_tokens,
     "doc_split_assign": doc_split_assign,
@@ -814,6 +886,7 @@ ORACLES: dict[str, str] = {
     "lang_source_pivot": _LANG_SOURCE_PIVOT_SQL,
     "near_dup_components": _NEAR_DUP_COMPONENTS_SQL,
     "lang_distinct_tokens": _LANG_DISTINCT_TOKENS_SQL,
+    "type_distinct_users_salted": _TYPE_DISTINCT_USERS_SALTED_SQL,
     "weighted_sample_docs": _WEIGHTED_SAMPLE_SQL,
     "lang_top_tokens": _LANG_TOP_TOKENS_SQL,
     "doc_split_assign": _DOC_SPLIT_ASSIGN_SQL,

@@ -103,6 +103,23 @@ def test_lang_distinct_tokens_bruteforce(ray_session):
         assert got[lang] == len(vocab)
 
 
+def test_type_distinct_users_salted_exact(ray_session):
+    import pandas as pd
+
+    from simple_content_ocr_ray.functions.corpus_ops import (
+        type_distinct_users_salted,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = type_distinct_users_salted(sf)
+    assert list(got.columns) == ["event_type", "n_distinct_users"]
+    assert list(got["event_type"]) == sorted(got["event_type"])
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["user_id", "event_type"])
+    exact = ev.groupby("event_type")["user_id"].nunique()
+    for _, row in got.iterrows():
+        assert int(row["n_distinct_users"]) == int(exact[row["event_type"]])
+
+
 def test_contaminated_docs_bruteforce(ray_session):
     import pandas as pd
 
