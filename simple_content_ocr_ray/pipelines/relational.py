@@ -456,6 +456,73 @@ GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """
 
 
+def orders_cube(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(o_orderstatus, o_orderpriority): all FOUR grouping sets
+    — (status, priority), (status), (priority), () — from the same single
+    finest-grain distributed pass as ``orders_rollup``. The extra set the
+    cube adds over the rollup ((priority) alone) is one more driver-side
+    re-aggregation of the bounded finest partials; the corpus is still
+    scanned exactly once and only one shuffle runs."""
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    )
+
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderstatus": df["o_orderstatus"],
+                "o_orderpriority": df["o_orderpriority"],
+                "price_c": np.rint(df["o_totalprice"] * 100).astype("int64"),
+            }
+        )
+
+    finest = grouped_aggregate(
+        orders,
+        ["o_orderstatus", "o_orderpriority"],
+        {"n_orders": (None, "count"), "sum_price_c": ("price_c", "sum")},
+        prepare=prepare,
+    ).to_pandas()
+
+    vals = ["n_orders", "sum_price_c"]
+    by_status = (
+        finest.groupby("o_orderstatus", as_index=False)[vals]
+        .sum()
+        .assign(o_orderpriority=None)
+    )
+    by_priority = (
+        finest.groupby("o_orderpriority", as_index=False)[vals]
+        .sum()
+        .assign(o_orderstatus=None)
+    )
+    total = pd.DataFrame(
+        {
+            "o_orderstatus": [None],
+            "o_orderpriority": [None],
+            "n_orders": [finest["n_orders"].sum()],
+            "sum_price_c": [finest["sum_price_c"].sum()],
+        }
+    )
+    out = pd.concat([finest, by_status, by_priority, total], ignore_index=True)
+    return pd.DataFrame(
+        {
+            "o_orderstatus": out["o_orderstatus"],
+            "o_orderpriority": out["o_orderpriority"],
+            "n_orders": out["n_orders"].astype("int64"),
+            "sum_price": round_half_away(out["sum_price_c"] / 100.0, 2),
+        }
+    )
+
+
+_ORDERS_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2)
+         AS sum_price
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
 # --------------------------------------------------------------------------
 # Interpolated percentiles (percentile_cont) from a value histogram
 # --------------------------------------------------------------------------
@@ -1553,6 +1620,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "view_only_user_days": view_only_user_days,
     "orders_fulfillment": orders_fulfillment,
     "orders_rollup": orders_rollup,
+    "orders_cube": orders_cube,
     "event_value_percentiles": event_value_percentiles,
     "props_value_stats": props_value_stats,
     "daily_revenue_ma7": daily_revenue_ma7,
@@ -1582,6 +1650,7 @@ ORACLES: dict[str, str] = {
     "view_only_user_days": _VIEW_ONLY_USER_DAYS_SQL,
     "orders_fulfillment": _ORDERS_FULFILLMENT_SQL,
     "orders_rollup": _ORDERS_ROLLUP_SQL,
+    "orders_cube": _ORDERS_CUBE_SQL,
     "event_value_percentiles": _EVENT_VALUE_PERCENTILES_SQL,
     "props_value_stats": _PROPS_VALUE_STATS_SQL,
     "daily_revenue_ma7": _DAILY_REVENUE_MA7_SQL,

@@ -48,6 +48,24 @@ def test_orders_rollup_levels_consistent(ray_session):
     assert abs(finest["sum_price"].sum() - total["sum_price"].iloc[0]) < 1e-6
 
 
+def test_orders_cube_levels_consistent(ray_session):
+    got = relational.orders_cube(SF)
+    finest = got[got["o_orderpriority"].notna() & got["o_orderstatus"].notna()]
+    by_status = got[got["o_orderpriority"].isna() & got["o_orderstatus"].notna()]
+    by_priority = got[got["o_orderstatus"].isna() & got["o_orderpriority"].notna()]
+    total = got[got["o_orderstatus"].isna() & got["o_orderpriority"].isna()]
+    assert len(total) == 1
+    n = total["n_orders"].iloc[0]
+    assert finest["n_orders"].sum() == n
+    assert by_status["n_orders"].sum() == n
+    assert by_priority["n_orders"].sum() == n
+    for lvl in (finest, by_status, by_priority):
+        assert abs(lvl["sum_price"].sum() - total["sum_price"].iloc[0]) < 1e-6
+    # the cube strictly extends the rollup's grouping sets
+    rollup = relational.orders_rollup(SF)
+    assert len(got) == len(rollup) + len(by_priority)
+
+
 def test_daily_revenue_ma7_window_math(ray_session):
     got = relational.daily_revenue_ma7(SF).sort_values("ship_day").reset_index(drop=True)
     li = pd.read_parquet(
