@@ -514,6 +514,102 @@ FROM sc
 
 
 # --------------------------------------------------------------------------
+# CCNet-style per-language head/middle/tail bucketing
+# --------------------------------------------------------------------------
+
+#: bucket fractions as exact rationals (numerator over BUCKET_DEN) so the
+#: quantile_disc rank ceil(q·n) is integer math — no float-boundary flakes
+BUCKET_DEN = 3
+
+
+def lang_score_buckets(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style corpus partitioning: per LANGUAGE, split docs into
+    head / middle / tail thirds by a model score (CCNet uses LM perplexity;
+    here the score is the same integer hashed-bag-of-words sum as
+    ``doc_quality_classifier`` so the oracle is exact — a real LM plugs into
+    the same seam). Three stages, one tokenize: (1) score each doc once into
+    a slim (doc_id, lang, score) table (materialized — 3 fixed-width columns,
+    never the text), (2) per-lang tertile cutoffs from a (lang, score) count
+    histogram with DuckDB ``quantile_disc`` semantics (value at 1-based rank
+    ceil(q·n), exact integer rank math) — the shuffle moves one row per
+    distinct (lang, score); if the score domain ever approaches corpus size,
+    the mergeable quantile sketch (``sketch.py``) is the bounded-memory
+    drop-in, (3) broadcast the |langs|×2 cutoffs and assign buckets
+    worker-locally."""
+    import ray
+
+    ds = _read_documents(sf_dir, ["doc_id", "lang", "text"])
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.split(" ")
+        flat = toks.explode()
+        codes, uniques = pd.factorize(flat.to_numpy())
+        w = np.empty(len(uniques), dtype="int64")
+        for i, u in enumerate(uniques):
+            h = int.from_bytes(hashlib.md5(u.encode("utf-8")).digest()[8:16], "little")
+            w[i] = h % HASH_DIM - HASH_OFF
+        per_tok = pd.DataFrame({"doc_id": flat.index, "w": w[codes]})
+        s = per_tok.groupby("doc_id", sort=False)["w"].sum()
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy()[s.index.to_numpy()],
+                "lang": batch["lang"].to_numpy()[s.index.to_numpy()],
+                "score": s.to_numpy(dtype="int64"),
+            }
+        )
+
+    slim = ds.map_batches(score, batch_format="pandas").materialize()
+
+    hist = grouped_aggregate(
+        slim, ["lang", "score"], {"cnt": (None, "count")}
+    ).to_pandas()
+    cuts: dict[str, tuple[int, int]] = {}
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("score")
+        cum = g["cnt"].cumsum().to_numpy()
+        vals = g["score"].to_numpy()
+        n = int(cum[-1])
+        ranks = [-(-k * n // BUCKET_DEN) for k in (1, 2)]  # ceil, exact ints
+        c1, c2 = (int(vals[np.searchsorted(cum, r)]) for r in ranks)
+        cuts[lang] = (c1, c2)
+    cuts_ref = ray.put(cuts)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cuts_ref)
+        c1 = df["lang"].map(lambda l: c[l][0]).to_numpy(dtype="int64")
+        c2 = df["lang"].map(lambda l: c[l][1]).to_numpy(dtype="int64")
+        s = df["score"].to_numpy()
+        bucket = np.where(s <= c1, "tail", np.where(s <= c2, "middle", "head"))
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "lang": df["lang"], "bucket": bucket}
+        )
+
+    out = slim.map_batches(assign, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64"})
+
+
+_LANG_SCORE_BUCKETS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+), sc AS (
+  SELECT doc_id, lang,
+         SUM(CAST(md5_number_lower(tok) % {HASH_DIM} AS BIGINT) - {HASH_OFF}) AS s
+  FROM toks GROUP BY doc_id, lang
+), cuts AS (
+  SELECT lang, quantile_disc(s, 1.0/{BUCKET_DEN}) AS c1,
+               quantile_disc(s, 2.0/{BUCKET_DEN}) AS c2
+  FROM sc GROUP BY lang
+)
+SELECT doc_id, sc.lang,
+       CASE WHEN s <= c1 THEN 'tail'
+            WHEN s <= c2 THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM sc JOIN cuts ON sc.lang = cuts.lang
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Text normalization (NFC + casefold + whitespace collapse)
 # --------------------------------------------------------------------------
 
@@ -558,6 +654,7 @@ FROM documents
 QUERIES: dict[str, Callable[[str], object]] = {
     "doc_normalize": doc_normalize,
     "doc_quality_classifier": doc_quality_classifier,
+    "lang_score_buckets": lang_score_buckets,
     "pii_redaction": pii_redaction,
     "doc_length_zscore": doc_length_zscore,
     "doc_token_stats": doc_token_stats,
@@ -571,6 +668,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 ORACLES: dict[str, str] = {
     "doc_normalize": _DOC_NORMALIZE_SQL,
     "doc_quality_classifier": _DOC_QUALITY_CLASSIFIER_SQL,
+    "lang_score_buckets": _LANG_SCORE_BUCKETS_SQL,
     "pii_redaction": _PII_REDACTION_SQL,
     "doc_length_zscore": _DOC_LENGTH_ZSCORE_SQL,
     "doc_token_stats": _DOC_TOKEN_STATS_SQL,

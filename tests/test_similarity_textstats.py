@@ -171,6 +171,26 @@ def test_doc_length_zscore_matches_numpy(sf_dir):
     assert abs(got["z_chars"].mean()) < 0.01
 
 
+def test_lang_score_buckets_balanced_and_ordered(sf_dir):
+    import pandas as pd
+
+    from simple_content_ocr_ray.functions.text_stats import lang_score_buckets
+
+    got = lang_score_buckets(sf_dir)
+    assert list(got.columns) == ["doc_id", "lang", "bucket"]
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    assert len(got) == len(docs)
+    assert set(got["bucket"]) <= {"head", "middle", "tail"}
+    for lang, g in got.groupby("lang"):
+        counts = g["bucket"].value_counts()
+        n = len(g)
+        # quantile_disc tertiles: each bucket within ±(#cutoff ties) of n/3;
+        # generous bound that still catches a broken cutoff
+        for b in ("head", "middle", "tail"):
+            assert counts.get(b, 0) >= 1
+            assert abs(counts.get(b, 0) - n / 3) <= max(0.25 * n, 2)
+
+
 def test_pii_redaction_semantics(sf_dir):
     import pandas as pd
 
