@@ -690,6 +690,52 @@ SELECT lang, rn, doc_id, n_chars FROM (
 """
 
 
+EXACT_K_SAMPLE = 25
+
+
+def lang_sample_exact_k(sf_dir: str, k: int = EXACT_K_SAMPLE) -> pd.DataFrame:
+    """EXACTLY-k deterministic sample per group — the companion to
+    ``stratified_sample`` (which targets ~k via a hash-rate cutoff and can
+    be off by a few): rank each group's rows by a content hash (md5 of
+    doc_id, ties by doc_id) and keep the k smallest. Uniform-random in
+    distribution, reproducible from the row alone, and exact-k by
+    construction. Same shuffle-free topology as ``lang_top_docs``: each
+    batch contributes ≤ k candidates per group, the driver reduces
+    |groups|×k×|batches| bounded candidates — the corpus never moves."""
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if "h" not in df.columns:
+            df = df.assign(
+                h=[
+                    hashlib.md5(str(int(d)).encode()).hexdigest()
+                    for d in df["doc_id"]
+                ]
+            )
+        df = df.sort_values(["h", "doc_id"], kind="mergesort")
+        return df.groupby("lang", sort=False).head(k)
+
+    cands = docs.map_batches(local_topk, batch_format="pandas").to_pandas()
+    out = local_topk(cands).drop(columns=["h"])
+    out = out.astype({"doc_id": "int64"})
+    return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)[
+        ["lang", "doc_id"]
+    ]
+
+
+_LANG_SAMPLE_EXACT_K_SQL = f"""
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= {EXACT_K_SAMPLE}
+ORDER BY lang, doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # PageRank (iterative edge-keyed shuffle, exact integer arithmetic)
 # --------------------------------------------------------------------------
@@ -863,6 +909,7 @@ WHERE md5_number_lower(CAST(doc_id AS VARCHAR) || ':' || source)
 QUERIES: dict[str, Callable[[str], object]] = {
     "doc_pagerank": doc_pagerank,
     "lang_top_docs": lang_top_docs,
+    "lang_sample_exact_k": lang_sample_exact_k,
     "source_mixture_sample": source_mixture_sample,
     "longest_doc_per_group": longest_doc_per_group,
     "near_dup_degree": near_dup_degree,
@@ -880,6 +927,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 ORACLES: dict[str, str] = {
     "doc_pagerank": _pagerank_sql(),
     "lang_top_docs": _LANG_TOP_DOCS_SQL,
+    "lang_sample_exact_k": _LANG_SAMPLE_EXACT_K_SQL,
     "source_mixture_sample": _SOURCE_MIXTURE_SAMPLE_SQL,
     "longest_doc_per_group": _LONGEST_DOC_PER_GROUP_SQL,
     "near_dup_degree": _NEAR_DUP_DEGREE_SQL,

@@ -103,6 +103,23 @@ def test_lang_distinct_tokens_bruteforce(ray_session):
         assert got[lang] == len(vocab)
 
 
+def test_lang_sample_exact_k_deterministic(ray_session):
+    import pandas as pd
+
+    from simple_content_ocr_ray.functions.corpus_ops import lang_sample_exact_k
+
+    sf = "/root/testdata/sf0.001"
+    a = lang_sample_exact_k(sf, k=7)
+    b = lang_sample_exact_k(sf, k=7)
+    pd.testing.assert_frame_equal(a, b)
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "lang"])
+    sizes = docs.groupby("lang").size()
+    for lang, g in a.groupby("lang"):
+        assert len(g) == min(7, sizes[lang])  # exactly k (or the whole group)
+    # sampled rows are real corpus rows
+    assert set(a["doc_id"]) <= set(docs["doc_id"])
+
+
 def test_type_distinct_users_salted_exact(ray_session):
     import pandas as pd
 
