@@ -151,6 +151,74 @@ def dedup_exact_pages(sf_dir: str) -> rd.Dataset:
 _DEDUP_EXACT_PAGES_SQL = _EXTRACT_HTML_TEXT_SQL
 
 
+#: above this many distinct urls the latest-snapshot filter switches from a
+#: broadcast (url → max warc_ts) map to a distributed hash join
+LATEST_BROADCAST_MAX_URLS = 5_000_000
+RECRAWL_EVERY = 50
+
+
+def latest_page_text(
+    sf_dir: str, broadcast_max_urls: int = LATEST_BROADCAST_MAX_URLS
+) -> rd.Dataset:
+    """Re-crawl dedup: keep each url's NEWEST snapshot (max ``warc_ts``) —
+    the Common-Crawl multi-snapshot shape — then extract. The input re-emits
+    every doc_id%50==11 page as a 30-days-later snapshot with changed
+    content; the newest text must win, byte-exactly.
+
+    Scale shape: pass 1 aggregates (url → max warc_ts) moving only the two
+    thin columns (never a payload); pass 2 keeps a row iff its ts equals its
+    url's max. Below ``broadcast_max_urls`` the slim map is broadcast once
+    (``ray.put``) and the filter is worker-local — zero payload shuffle.
+    Above it, the survivors are selected by a distributed hash join of pages
+    against the slim max table on (url, warc_ts); with the hash-bucketed
+    layout (``sources/bucketed.py``) that join is co-partitioned and
+    shuffle-free."""
+    import ray
+
+    pages_dir = synth_pages_parquet(sf_dir, recrawl_every=RECRAWL_EVERY)
+    pages = read_pages(pages_dir)
+    maxts = grouped_aggregate(
+        pages.select_columns(["url", "warc_ts"]),
+        ["url"],
+        {"max_ts": ("warc_ts", "max")},
+    )
+    if maxts.count() <= broadcast_max_urls:
+        mdf = maxts.to_pandas()
+        ref = ray.put(dict(zip(mdf["url"], mdf["max_ts"])))
+
+        def keep_latest(df: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(ref)
+            return df[df["warc_ts"] == df["url"].map(m)]
+
+        latest = pages.map_batches(keep_latest, batch_format="pandas")
+    else:
+        latest = pages.join(
+            maxts.map_batches(
+                lambda df: df.rename(columns={"max_ts": "warc_ts"}),
+                batch_format="pandas",
+            ),
+            join_type="inner",
+            num_partitions=16,
+            on=("url", "warc_ts"),
+        )
+    ds = extraction_pipeline(latest)
+    return ds.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["content_type"], "html")).select(
+            ["url", "text"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_LATEST_PAGE_TEXT_SQL = f"""
+SELECT {_URL_SQL} AS url,
+       CASE WHEN doc_id % {RECRAWL_EVERY} = 11 THEN text || ' updated'
+            ELSE text END AS text
+FROM documents
+WHERE doc_id % 20 NOT IN (0, 1, 2, 3)
+"""
+
+
 def exploded_pdf_text(sf_dir: str) -> rd.Dataset:
     """Heavy-doc path: explode pdf docs to page rows, extract pages in
     parallel, re-combine per url ordered by page_num (byte-exact separators,
@@ -501,6 +569,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "pdf_page_counts": pdf_page_counts,
     "failed_rows": failed_rows,
     "dedup_exact_pages": dedup_exact_pages,
+    "latest_page_text": latest_page_text,
     "domain_stats": domain_stats,
 }
 
@@ -513,6 +582,7 @@ ORACLES: dict[str, str] = {
     "pdf_page_counts": _PDF_PAGE_COUNTS_SQL,
     "failed_rows": _FAILED_ROWS_SQL,
     "dedup_exact_pages": _DEDUP_EXACT_PAGES_SQL,
+    "latest_page_text": _LATEST_PAGE_TEXT_SQL,
     "domain_stats": _DOMAIN_STATS_SQL,
     "page_link_graph": _PAGE_LINK_GRAPH_SQL,
     "url_canonicalize": _URL_CANONICALIZE_SQL,

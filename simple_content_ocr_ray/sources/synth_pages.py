@@ -113,14 +113,30 @@ def make_payload(
     ).encode("utf-8")
 
 
+#: recrawl fixture: every doc_id % recrawl_every == RECRAWL_RESIDUE gets a
+#: SECOND snapshot 30 days later whose main text is text || RECRAWL_SUFFIX —
+#: the Common-Crawl re-crawl shape (same url, newer warc_ts, changed content)
+RECRAWL_RESIDUE = 11
+RECRAWL_OFFSET_US = 30 * 86400 * 1_000_000
+RECRAWL_SUFFIX = " updated"
+
+
 def pages_table_from_documents(
-    documents: pa.Table, duplicate_every: int = 0, richness: int = 1
+    documents: pa.Table,
+    duplicate_every: int = 0,
+    richness: int = 1,
+    recrawl_every: int = 0,
 ) -> pa.Table:
     """Build the pages table from a documents table (pure function).
 
     ``duplicate_every > 0`` additionally re-emits every row whose
     ``doc_id % duplicate_every == 7`` (at-least-once delivery fixture for the
     exact-dedup operator; SQL mirror: UNION ALL of that slice).
+
+    ``recrawl_every > 0`` additionally emits a NEWER snapshot (warc_ts +
+    30 days, text suffixed with ``RECRAWL_SUFFIX``) for every row whose
+    ``doc_id % recrawl_every == RECRAWL_RESIDUE`` — the re-crawl fixture for
+    latest-snapshot dedup; SQL mirror: CASE on the same residue.
     """
     doc_ids = documents["doc_id"].to_pylist()
     texts = documents["text"].to_pylist()
@@ -133,18 +149,21 @@ def pages_table_from_documents(
     out_text: list[str] = []
     out_lang: list[str] = []
 
-    def emit(i: int) -> None:
+    def emit(i: int, ts_offset_us: int = 0, text_suffix: str = "") -> None:
         d = doc_ids[i]
+        txt = texts[i] + text_suffix
         urls.append(url_for(d))
-        ts.append(_EPOCH_US + d * 1_000_000)
-        payloads.append(make_payload(d, texts[i], langs[i], n_chars[i], richness))
-        out_text.append(texts[i] if payload_class(d) == "html" else "")
+        ts.append(_EPOCH_US + d * 1_000_000 + ts_offset_us)
+        payloads.append(make_payload(d, txt, langs[i], n_chars[i], richness))
+        out_text.append(txt if payload_class(d) == "html" else "")
         out_lang.append(langs[i])
 
     for i in range(len(doc_ids)):
         emit(i)
         if duplicate_every and doc_ids[i] % duplicate_every == 7:
             emit(i)
+        if recrawl_every and doc_ids[i] % recrawl_every == RECRAWL_RESIDUE:
+            emit(i, RECRAWL_OFFSET_US, RECRAWL_SUFFIX)
 
     return pa.Table.from_arrays(
         [
@@ -163,6 +182,7 @@ def synth_pages_parquet(
     out_root: str = "/tmp/scor_pages",
     num_files: int = 8,
     duplicate_every: int = 0,
+    recrawl_every: int = 0,
 ) -> str:
     """Materialize (once) the pages table derived from ``{sf_dir}/documents.parquet``
     as a directory of parquet files; returns the directory path.
@@ -178,6 +198,7 @@ def synth_pages_parquet(
     key = (
         f"{os.path.basename(abs_dir)}_{path_tag}"
         f"_v{SYNTH_VERSION}_dup{duplicate_every}"
+        + (f"_rc{recrawl_every}" if recrawl_every else "")
     )
     out_dir = os.path.join(out_root, key)
     done = os.path.join(out_dir, "_DONE")
@@ -185,7 +206,9 @@ def synth_pages_parquet(
         return out_dir
 
     documents = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
-    table = pages_table_from_documents(documents, duplicate_every=duplicate_every)
+    table = pages_table_from_documents(
+        documents, duplicate_every=duplicate_every, recrawl_every=recrawl_every
+    )
 
     tmp_dir = out_dir + f".tmp.{os.getpid()}"
     os.makedirs(tmp_dir, exist_ok=True)

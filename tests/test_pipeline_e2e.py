@@ -104,3 +104,39 @@ def test_dlq_split_write(pages_dir, tmp_path):
     n_in = rd.read_parquet(pages_dir).count()
     assert failed.count() + completed.count() == n_in
     assert failed.count() == n_in // 20  # the 5% garbage class
+
+
+def test_latest_page_text_recrawl_semantics(ray_session):
+    """Both latest-snapshot paths (broadcast map, distributed hash join)
+    agree, and every recrawled url carries the NEWER text."""
+    import pandas as pd
+
+    from simple_content_ocr_ray.pipelines.extract_queries import (
+        RECRAWL_EVERY,
+        latest_page_text,
+    )
+    from simple_content_ocr_ray.sources.synth_pages import RECRAWL_SUFFIX, url_for
+
+    sf = "/root/testdata/sf0.001"
+
+    def norm(ds):
+        return ds.to_pandas().sort_values("url").reset_index(drop=True)
+
+    a = norm(latest_page_text(sf))
+    b = norm(latest_page_text(sf, broadcast_max_urls=0))  # force the join path
+    pd.testing.assert_frame_equal(a, b)
+
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    got = a.set_index("url")["text"]
+    checked_recrawled = checked_plain = 0
+    for _, row in docs.iterrows():
+        d = int(row["doc_id"])
+        if d % 20 in (0, 1, 2, 3):
+            continue  # non-html routes
+        if d % RECRAWL_EVERY == 11:
+            assert got[url_for(d)] == row["text"] + RECRAWL_SUFFIX
+            checked_recrawled += 1
+        else:
+            assert got[url_for(d)] == row["text"]
+            checked_plain += 1
+    assert checked_recrawled > 0 and checked_plain > 0
