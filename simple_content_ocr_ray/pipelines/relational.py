@@ -584,6 +584,72 @@ GROUP BY event_type
 """
 
 
+# winsorization bounds as exact percent ranks (integer rank math)
+WINSOR_LO_PCT = 5
+WINSOR_HI_PCT = 95
+
+
+def event_value_winsorized(sf_dir: str) -> pd.DataFrame:
+    """Robust (winsorized) grouped mean: per event_type, clip ``value`` to
+    its own [p05, p95] (``quantile_disc`` cutoffs) and average — the
+    outlier-resistant statistic a quality dashboard wants over heavy-tailed
+    web data. ONE distributed pass: the same money-scaled (type, value)
+    count histogram as ``event_value_percentiles`` yields the cutoffs AND
+    the clipped sum (Σ clip(v)·cnt, exact int64) — no second scan, no
+    re-shuffle; events never move, only histogram rows do."""
+    events = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "value_u": np.rint(df["value"] * 1_000_000).astype("int64"),
+            }
+        )
+
+    hist = grouped_aggregate(
+        events, ["event_type", "value_u"], {"cnt": (None, "count")}, prepare=prepare
+    ).to_pandas()
+    rows = []
+    for etype, g in hist.groupby("event_type"):
+        g = g.sort_values("value_u")
+        cum = g["cnt"].cumsum().to_numpy()
+        vals = g["value_u"].to_numpy()
+        cnt = g["cnt"].to_numpy()
+        n = int(cum[-1])
+        lo = int(vals[np.searchsorted(cum, -(-WINSOR_LO_PCT * n // 100))])
+        hi = int(vals[np.searchsorted(cum, -(-WINSOR_HI_PCT * n // 100))])
+        wsum = int((np.clip(vals, lo, hi) * cnt).sum())
+        rows.append(
+            {
+                "event_type": etype,
+                "lo_cut": round_half_away(lo / 1_000_000.0),
+                "hi_cut": round_half_away(hi / 1_000_000.0),
+                "wmean": round_half_away(wsum / n / 1_000_000.0),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+
+
+_EVENT_VALUE_WINSORIZED_SQL = f"""
+WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 1000000, 0) AS BIGINT) AS vu FROM events
+), c AS (
+  SELECT event_type,
+         quantile_disc(vu, {WINSOR_LO_PCT / 100.0}) AS lo,
+         quantile_disc(vu, {WINSOR_HI_PCT / 100.0}) AS hi
+  FROM v GROUP BY event_type
+)
+SELECT v.event_type,
+       ROUND(MIN(c.lo) / 1000000.0, 4) AS lo_cut,
+       ROUND(MIN(c.hi) / 1000000.0, 4) AS hi_cut,
+       ROUND(SUM(LEAST(GREATEST(vu, c.lo), c.hi)) * 1.0
+             / COUNT(*) / 1000000.0, 4) AS wmean
+FROM v JOIN c ON v.event_type = c.event_type
+GROUP BY v.event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Semi-structured (JSON) field extraction + rollup
 # --------------------------------------------------------------------------
@@ -1621,6 +1687,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "orders_fulfillment": orders_fulfillment,
     "orders_rollup": orders_rollup,
     "orders_cube": orders_cube,
+    "event_value_winsorized": event_value_winsorized,
     "event_value_percentiles": event_value_percentiles,
     "props_value_stats": props_value_stats,
     "daily_revenue_ma7": daily_revenue_ma7,
@@ -1651,6 +1718,7 @@ ORACLES: dict[str, str] = {
     "orders_fulfillment": _ORDERS_FULFILLMENT_SQL,
     "orders_rollup": _ORDERS_ROLLUP_SQL,
     "orders_cube": _ORDERS_CUBE_SQL,
+    "event_value_winsorized": _EVENT_VALUE_WINSORIZED_SQL,
     "event_value_percentiles": _EVENT_VALUE_PERCENTILES_SQL,
     "props_value_stats": _PROPS_VALUE_STATS_SQL,
     "daily_revenue_ma7": _DAILY_REVENUE_MA7_SQL,

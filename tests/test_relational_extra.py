@@ -404,3 +404,19 @@ def test_user_modal_event_brute_force(ray_session):
     )
     assert out["modal_event"].tolist() == exp["event_type"].tolist()
     assert out["n"].tolist() == exp["n"].tolist()
+
+
+def test_event_value_winsorized_matches_numpy(ray_session):
+    got = relational.event_value_winsorized(SF).set_index("event_type")
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    ev["vu"] = np.rint(ev["value"] * 1_000_000).astype("int64")
+    for etype, g in ev.groupby("event_type"):
+        v = np.sort(g["vu"].to_numpy())
+        n = len(v)
+        lo = v[-(-5 * n // 100) - 1]
+        hi = v[-(-95 * n // 100) - 1]
+        wmean = np.clip(v, lo, hi).sum() / n / 1e6
+        assert abs(got.loc[etype, "wmean"] - wmean) < 1e-3
+        assert got.loc[etype, "lo_cut"] <= got.loc[etype, "hi_cut"]
+        # winsorized mean is within the clip bounds
+        assert got.loc[etype, "lo_cut"] <= got.loc[etype, "wmean"] <= got.loc[etype, "hi_cut"]
