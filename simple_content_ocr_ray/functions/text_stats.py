@@ -514,6 +514,47 @@ FROM sc
 
 
 # --------------------------------------------------------------------------
+# Compression-ratio quality signal (zlib)
+# --------------------------------------------------------------------------
+
+ZLIB_LEVEL = 6
+
+
+def doc_compress_ratio(sf_dir: str) -> pd.DataFrame:
+    """Compression-ratio quality feature (the RefinedWeb/Gopher-family
+    repetitiveness signal): boilerplate and template spam compress far
+    better than natural prose, so ``compressed/raw`` separates them with one
+    cheap pass. Embarrassingly parallel ``map_batches`` — the zlib deflate
+    runs at C speed per row, no shuffle, nothing leaves the worker but the
+    3-column feature rows. Rows-only by design (SQL has no deflate);
+    byte-exact semantics asserted against direct ``zlib.compress`` in
+    tests."""
+    import zlib
+
+    from .agg import round_half_away as round4
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        raw = [t.encode("utf-8") for t in batch["text"]]
+        comp = np.array(
+            [len(zlib.compress(b, ZLIB_LEVEL)) for b in raw], dtype="int64"
+        )
+        raw_n = np.array([len(b) for b in raw], dtype="int64")
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "raw_bytes": raw_n,
+                "comp_bytes": comp,
+                "compress_ratio": round4(comp / raw_n),
+            }
+        )
+
+    out = ds.map_batches(fn, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64"})
+
+
+# --------------------------------------------------------------------------
 # CCNet-style per-language head/middle/tail bucketing
 # --------------------------------------------------------------------------
 
@@ -655,6 +696,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "doc_normalize": doc_normalize,
     "doc_quality_classifier": doc_quality_classifier,
     "lang_score_buckets": lang_score_buckets,
+    "doc_compress_ratio": doc_compress_ratio,
     "pii_redaction": pii_redaction,
     "doc_length_zscore": doc_length_zscore,
     "doc_token_stats": doc_token_stats,

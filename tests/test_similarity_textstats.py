@@ -213,3 +213,24 @@ def test_pii_redaction_semantics(sf_dir):
             assert "<IP>" in r
         # original text untouched before the injection point
         assert r.startswith(text[: min(len(text), 40)])
+
+
+def test_doc_compress_ratio_matches_zlib(sf_dir):
+    import zlib
+
+    import pandas as pd
+
+    from simple_content_ocr_ray.functions.text_stats import (
+        ZLIB_LEVEL,
+        doc_compress_ratio,
+    )
+
+    got = doc_compress_ratio(sf_dir).set_index("doc_id")
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    for _, r in docs.head(50).iterrows():
+        b = r["text"].encode("utf-8")
+        row = got.loc[int(r["doc_id"])]
+        assert row["raw_bytes"] == len(b)
+        assert row["comp_bytes"] == len(zlib.compress(b, ZLIB_LEVEL))
+    # natural prose does not compress to nothing, repetition compresses well
+    assert got["compress_ratio"].between(0.01, 1.5).all()
