@@ -257,15 +257,131 @@ SELECT doc_id, text, CAST(1 AS BIGINT) AS page_count FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# Perceptual-hash (aHash) image dedup over REAL decoded pixels
+# --------------------------------------------------------------------------
+
+AHASH_CLASSES = 8
+
+
+def ahash64(px: "np.ndarray") -> int:
+    """Average hash: grey, block-mean downsample to 8×8, bit = block mean
+    strictly above the global mean — the classic perceptual near-dup key."""
+    import numpy as np
+
+    if px.ndim == 3:
+        px = px.mean(axis=2)
+    h, w = px.shape
+    bh, bw = max(1, h // 8), max(1, w // 8)
+    small = (
+        px[: bh * 8, : bw * 8]
+        .astype("float64")
+        .reshape(min(8, h), bh, min(8, w), bw)
+        .mean(axis=(1, 3))
+    )
+    bits = (small > small.mean()).astype(np.uint8).flatten()
+    bits = np.pad(bits, (0, 64 - len(bits)))
+    return int.from_bytes(np.packbits(bits).tobytes(), "big")
+
+
+class _PngAHashStage:
+    """Actor-pool stage: real PNG decode → perceptual hash, one engine per
+    actor. Emits only the slim (doc_id, ahash) rows — pixels never leave
+    the worker."""
+
+    def __init__(self) -> None:
+        from ..stages.png_decode import decode_png
+
+        self.decode = decode_png
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        hashes = [ahash64(self.decode(bytes(p))) for p in df["png"]]
+        # two's-complement into int64 so every block carries one fixed dtype
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "ahash": np.array(hashes, dtype=np.uint64).view(np.int64),
+            }
+        )
+
+
+def image_ahash_dupes(sf_dir: str) -> pd.DataFrame:
+    """Perceptual image dedup: synthesize a valid PNG per document whose
+    pattern is a pure function of doc_id % AHASH_CLASSES (first c columns
+    white — the 8 classes have pairwise-distinct aHashes), decode with the
+    REAL from-scratch PNG decoder in an actor pool, aHash the pixels, and
+    assign every image to its group keeper (min doc_id sharing the hash).
+    Scale shape: the pixel work stays in the actor pool and only slim
+    (doc_id, ahash) rows move; the keeper table is bounded by the number of
+    DISTINCT hashes (image classes), so it broadcasts; the per-image keeper
+    assignment is worker-local. The SQL oracle holds because hash classes ==
+    synthesis classes (asserted pairwise-distinct in tests)."""
+    import numpy as np
+    import ray
+
+    from ..functions.agg import grouped_aggregate
+    from ..stages.png_decode import make_png
+
+    def with_png(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        pngs = []
+        for d in df["doc_id"]:
+            c = int(d) % AHASH_CLASSES
+            px = np.zeros((8, 8), dtype=np.uint8)
+            px[:, :c] = 255
+            pngs.append(make_png(px))
+        df["png"] = pngs
+        return df
+
+    slim = (
+        _docs(sf_dir)
+        .map_batches(with_png, batch_format="pandas", batch_size=MEDIA_BATCH_SIZE)
+        .map_batches(
+            _PngAHashStage,
+            batch_format="pandas",
+            batch_size=MEDIA_BATCH_SIZE,
+            concurrency=_media_concurrency(),
+        )
+        .materialize()
+    )
+    keepers = grouped_aggregate(
+        slim, ["ahash"], {"keeper": ("doc_id", "min")}
+    ).to_pandas()  # bounded by the distinct-hash count
+    ref = ray.put(dict(zip(keepers["ahash"], keepers["keeper"])))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "keeper": df["ahash"].map(m).astype("int64"),
+            }
+        )
+
+    out = slim.map_batches(assign, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64"})
+
+
+# doc_ids are contiguous from 0, so the min doc_id of class c is c itself
+_IMAGE_AHASH_DUPES_SQL = f"""
+SELECT doc_id, CAST(doc_id % {AHASH_CLASSES} AS BIGINT) AS keeper
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
     "audio_meta": audio_meta,
     "video_meta": video_meta,
     "png_real_meta": png_real_meta,
     "pdf_real_text": pdf_real_text,
+    "image_ahash_dupes": image_ahash_dupes,
 }
 ORACLES: dict[str, str] = {
     "audio_meta": _AUDIO_META_SQL,
     "video_meta": _VIDEO_META_SQL,
     "png_real_meta": _PNG_REAL_META_SQL,
     "pdf_real_text": _PDF_REAL_TEXT_SQL,
+    "image_ahash_dupes": _IMAGE_AHASH_DUPES_SQL,
 }

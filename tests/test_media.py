@@ -78,3 +78,36 @@ def test_media_pipelines_end_to_end(ray_session):
     assert (
         merged["n_frames"] == np.maximum(1, merged["n_chars"] // 8)
     ).all()
+
+
+def test_ahash_classes_pairwise_distinct():
+    """The oracle's hash-class == synthesis-class assumption: all 8 stripe
+    patterns decode to pairwise-distinct aHashes, and aHash is invariant to
+    the block-mean downsample (16x16 upscale of the same pattern)."""
+    import numpy as np
+
+    from simple_content_ocr_ray.pipelines.media import AHASH_CLASSES, ahash64
+    from simple_content_ocr_ray.stages.png_decode import decode_png, make_png
+
+    hashes = []
+    for c in range(AHASH_CLASSES):
+        px = np.zeros((8, 8), dtype=np.uint8)
+        px[:, :c] = 255
+        hashes.append(ahash64(decode_png(make_png(px))))
+        big = np.kron(px, np.ones((2, 2), dtype=np.uint8))
+        assert ahash64(big) == hashes[-1]
+    assert len(set(hashes)) == AHASH_CLASSES
+
+
+def test_image_ahash_dupes_groups(ray_session):
+    import pandas as pd
+
+    from simple_content_ocr_ray.pipelines.media import AHASH_CLASSES, image_ahash_dupes
+
+    got = image_ahash_dupes("/root/testdata/sf0.001")
+    docs = pd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
+    )
+    assert len(got) == len(docs)
+    # keeper is the min doc_id of each class, every doc maps to its class keeper
+    assert (got["keeper"] == got["doc_id"] % AHASH_CLASSES).all()
