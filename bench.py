@@ -234,6 +234,12 @@ def run_headline() -> dict:
             "event_transitions",
             "doc_pagerank",
             "curated_corpus",
+            "type_distinct_users_salted",
+            "lang_score_buckets",
+            "latest_page_text",
+            "event_value_winsorized",
+            "doc_compress_ratio",
+            "image_ahash_dupes",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)

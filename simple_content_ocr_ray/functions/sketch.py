@@ -187,6 +187,78 @@ def type_distinct_users_hll(sf_dir: str) -> pd.DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Count-Min sketch (linear mergeable frequency sketch)
+# --------------------------------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 2048  # counters per row: overestimate ≤ e/W · N per row, min over D
+
+
+def _cms_token_hash(tokens: np.ndarray) -> np.ndarray:
+    """Stable 64-bit base hash per token (blake2b — process-independent)."""
+    import hashlib
+
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+            for t in tokens
+        ),
+        dtype=np.uint64,
+        count=len(tokens),
+    )
+
+
+def _cms_matrix(tokens: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """d×w int64 Count-Min matrix for (token, count) pairs; row r uses the
+    splitmix64 of (base_hash + r) — d independent-enough hash functions."""
+    m = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    base = _cms_token_hash(tokens)
+    for r in range(CMS_D):
+        idx = (_splitmix64(base + np.uint64(r + 1)) % np.uint64(CMS_W)).astype(
+            np.int64
+        )
+        np.add.at(m[r], idx, counts)
+    return m
+
+
+def token_counts_cms(sf_dir: str) -> pd.DataFrame:
+    """Approximate per-token frequencies from a Count-Min sketch — the
+    LINEAR mergeable sketch (partials combine by elementwise SUM, unlike
+    HLL's max or Misra-Gries' counter eviction), so any tree of merges is
+    exact over the sketch. One 64 KiB matrix per batch crosses the wire;
+    the probe set is the Misra-Gries top-10 (exact on this corpus), giving
+    (token, est_n) with the classic guarantee est ≥ true and
+    est ≤ true + (e/W)·N per row w.h.p. — asserted in tests."""
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        flat = (
+            np.concatenate(toks.to_numpy()) if len(df) else np.array([], dtype=object)
+        )
+        uniq, cnt = np.unique(flat, return_counts=True)
+        return pd.DataFrame({"m": [_cms_matrix(uniq, cnt).tobytes()]})
+
+    parts = docs.map_batches(partial, batch_format="pandas").to_pandas()
+    merged = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    for blob in parts["m"]:
+        merged += np.frombuffer(blob, dtype=np.int64).reshape(CMS_D, CMS_W)
+
+    probe = approx_top_tokens(sf_dir)["token"].to_numpy()
+    base = _cms_token_hash(probe)
+    ests = np.full(len(probe), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(CMS_D):
+        idx = (_splitmix64(base + np.uint64(r + 1)) % np.uint64(CMS_W)).astype(
+            np.int64
+        )
+        ests = np.minimum(ests, merged[r, idx])
+    out = pd.DataFrame({"token": probe, "est_n": ests})
+    return out.sort_values("token").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
 # Mergeable quantile sketch (weighted order-statistic summary)
 # --------------------------------------------------------------------------
 
@@ -238,8 +310,9 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "approx_top_tokens": approx_top_tokens,
     "event_value_quantiles_sketch": event_value_quantiles_sketch,
     "type_distinct_users_hll": type_distinct_users_hll,
+    "token_counts_cms": token_counts_cms,
 }
-#: hll_distinct_users, type_distinct_users_hll and
+#: hll_distinct_users, type_distinct_users_hll, token_counts_cms and
 #: event_value_quantiles_sketch are approximate by construction — rows-only
 #: checks by design; their accuracy bounds are asserted in tests/test_sketch.py.
 ORACLES: dict[str, str] = {

@@ -109,3 +109,30 @@ def test_quantile_sketch_rank_error_bound(ray_session):
         hi = np.searchsorted(exact, got_u, side="right")
         rank_err = min(abs(lo - q * n), abs(hi - q * n))
         assert rank_err <= 0.01 * n + 1, (q, got, rank_err)
+
+
+def test_cms_error_bounds(ray_session):
+    """Count-Min guarantees: est >= true always; est <= true + (e/W)·N with
+    high probability (checked with the slack of the min over D rows)."""
+    from simple_content_ocr_ray.functions.sketch import CMS_W, token_counts_cms
+
+    got = token_counts_cms(SF).set_index("token")["est_n"]
+    true = _true_counts()
+    n_total = sum(true.values())
+    bound = 2.718 / CMS_W * n_total * 3  # generous multiple of the eps bound
+    for token, est in got.items():
+        assert est >= true[token]
+        assert est - true[token] <= max(bound, 2)
+
+
+def test_cms_matrix_merge_linear():
+    import numpy as np
+
+    from simple_content_ocr_ray.functions.sketch import _cms_matrix
+
+    toks = np.array(["a", "b", "c", "d", "e"], dtype=object)
+    whole = _cms_matrix(toks, np.array([5, 4, 3, 2, 1]))
+    split = _cms_matrix(toks[:2], np.array([5, 4])) + _cms_matrix(
+        toks[2:], np.array([3, 2, 1])
+    )
+    assert np.array_equal(whole, split)
