@@ -219,6 +219,50 @@ WHERE doc_id % 20 NOT IN (0, 1, 2, 3)
 """
 
 
+#: deterministic denylist fixture: every host id with this residue mod 10
+BLOCK_RESIDUE = 3
+
+
+def blocked_domain_pages(sf_dir: str) -> pd.DataFrame:
+    """URL blocklist filtering (the C4/RefinedWeb domain-denylist step),
+    applied AT THE READ — blocked urls are dropped before any payload
+    reaches an engine, which at 100 TB is the cheapest work you never do.
+    The denylist broadcasts once (``ray.put``; a real multi-million-domain
+    list is tens of MB — same topology); membership is a worker-local set
+    probe on the regex-extracted host. Only the ``url`` column is read for
+    this per-domain survivor count; in the full pipeline the identical
+    filter runs inline ahead of the extraction actor pool."""
+    import ray
+
+    blocked = frozenset(
+        f"site{h}.example" for h in range(97) if h % 10 == BLOCK_RESIDUE
+    )
+    ref = ray.put(blocked)
+
+    pages_dir = synth_pages_parquet(sf_dir)
+    urls = rd.read_parquet(pages_dir, columns=["url"])
+
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        deny = ray.get(ref)
+        host = df["url"].str.extract(r"^https?://([^/]+)", expand=False)
+        return pd.DataFrame({"domain": host[~host.isin(deny)]})
+
+    out = grouped_aggregate(
+        urls, ["domain"], {"n_pages": (None, "count")}, prepare=prepare
+    ).to_pandas()
+    out["n_pages"] = out["n_pages"].astype("int64")
+    return out.sort_values("domain").reset_index(drop=True)
+
+
+_BLOCKED_DOMAIN_PAGES_SQL = f"""
+SELECT 'site' || CAST(doc_id % 97 AS VARCHAR) || '.example' AS domain,
+       COUNT(*) AS n_pages
+FROM documents
+WHERE (doc_id % 97) % 10 != {BLOCK_RESIDUE}
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def exploded_pdf_text(sf_dir: str) -> rd.Dataset:
     """Heavy-doc path: explode pdf docs to page rows, extract pages in
     parallel, re-combine per url ordered by page_num (byte-exact separators,
@@ -570,6 +614,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "failed_rows": failed_rows,
     "dedup_exact_pages": dedup_exact_pages,
     "latest_page_text": latest_page_text,
+    "blocked_domain_pages": blocked_domain_pages,
     "domain_stats": domain_stats,
 }
 
@@ -583,6 +628,7 @@ ORACLES: dict[str, str] = {
     "failed_rows": _FAILED_ROWS_SQL,
     "dedup_exact_pages": _DEDUP_EXACT_PAGES_SQL,
     "latest_page_text": _LATEST_PAGE_TEXT_SQL,
+    "blocked_domain_pages": _BLOCKED_DOMAIN_PAGES_SQL,
     "domain_stats": _DOMAIN_STATS_SQL,
     "page_link_graph": _PAGE_LINK_GRAPH_SQL,
     "url_canonicalize": _URL_CANONICALIZE_SQL,
