@@ -541,11 +541,15 @@ def _finish_verify(j: rd.Dataset, tau: float) -> pd.DataFrame:
 # n-gram Jaccard via inverted shingle index (auto df-capped above threshold)
 # --------------------------------------------------------------------------
 
-def _cooccurrence_pairs_df(df: pd.DataFrame, tau: float) -> pd.DataFrame:
-    """Exact-Jaccard pairs straight from the (shingle, doc_id, n_sh) inverted
-    index: a pair's multiplicity across shingle groups IS its intersection
-    size (shingles are distinct per doc), so jaccard = m / (n_a + n_b - m)
-    with no text re-join and no shingle-set rebuilding."""
+def _cooccurrence_pairs_df(
+    df: pd.DataFrame, tau: float, criterion: str = "jaccard"
+) -> pd.DataFrame:
+    """Exact similarity pairs straight from the (shingle, doc_id, n_sh)
+    inverted index: a pair's multiplicity across shingle groups IS its
+    intersection size (shingles are distinct per doc), so both criteria fall
+    out with no text re-join — jaccard = m / (n_a + n_b - m), containment =
+    m / min(n_a, n_b) (the asymmetric measure that catches a short doc
+    quoted inside a long one, which symmetric Jaccard misses)."""
     df = df.drop_duplicates(["shingle", "doc_id"])
     df = df[df.duplicated("shingle", keep=False)]
     if df.empty:
@@ -581,7 +585,10 @@ def _cooccurrence_pairs_df(df: pd.DataFrame, tau: float) -> pd.DataFrame:
     uk, keep_idx, mult = np.unique(key, return_index=True, return_counts=True)
     na = ns[ia[keep_idx]].astype(np.int64)
     nb = ns[ib[keep_idx]].astype(np.int64)
-    jac_ok = mult >= tau * (na + nb - mult)  # m/(na+nb-m) >= tau, no division
+    if criterion == "containment":
+        jac_ok = mult >= tau * np.minimum(na, nb)  # m/min(na,nb) >= tau
+    else:
+        jac_ok = mult >= tau * (na + nb - mult)  # m/(na+nb-m) >= tau, no division
     if not jac_ok.any():
         return _EMPTY_PAIRS()
     uk = uk[jac_ok]
@@ -595,7 +602,7 @@ def _cooccurrence_pairs_df(df: pd.DataFrame, tau: float) -> pd.DataFrame:
 
 
 def _cooccurrence_pairs_distributed(
-    shrunk: rd.Dataset, tau: float
+    shrunk: rd.Dataset, tau: float, criterion: str = "jaccard"
 ) -> pd.DataFrame:
     """Distributed co-occurrence topology: per-shingle-group pair emission
     carrying both sides' set sizes, a grouped count whose multiplicity is the
@@ -626,7 +633,10 @@ def _cooccurrence_pairs_distributed(
         m = df["m"].to_numpy(dtype=np.int64)
         na = df["n_a"].to_numpy(dtype=np.int64)
         nb = df["n_b"].to_numpy(dtype=np.int64)
-        keep = m >= tau * (na + nb - m)
+        if criterion == "containment":
+            keep = m >= tau * np.minimum(na, nb)
+        else:
+            keep = m >= tau * (na + nb - m)
         return df.loc[keep, ["doc_a", "doc_b"]].astype("int64")
 
     out = mult.map_batches(jac_filter, batch_format="pandas").to_pandas()
@@ -697,6 +707,60 @@ def ngram_jaccard_pairs(
     if shrunk.count() <= small_threshold:
         return _cooccurrence_pairs_df(shrunk.to_pandas(), JACCARD_TAU)
     return _cooccurrence_pairs_distributed(shrunk, JACCARD_TAU)
+
+
+CONTAINMENT_TAU = 0.9
+
+
+def ngram_containment_pairs(
+    sf_dir: str, small_threshold: int = 5_000_000
+) -> pd.DataFrame:
+    """Exact CONTAINMENT pairs — m / min(n_a, n_b) ≥ τ over word-3-gram
+    shingle sets. The asymmetric cousin of ``ngram_jaccard_pairs``: a short
+    document wholly quoted inside a long one has tiny Jaccard but
+    containment 1.0, which is why substring-dedup pipelines (Lee et al.)
+    block on containment. Identical topology: one inverted-index shuffle,
+    pair multiplicity = exact intersection, vectorized criterion — and the
+    same stop-shingle cap + pair-keyed verify applies above corpus scale
+    (see ``ngram_jaccard_pairs``'s capped path)."""
+    corpus = near_dup_corpus(sf_dir)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        rows_doc, rows_sh, rows_n = [], [], []
+        for d, t in zip(df["doc_id"], df["text"]):
+            hs = shingle_hashes(t)
+            rows_doc.extend([d] * len(hs))
+            rows_sh.extend(hs.tolist())
+            rows_n.extend([len(hs)] * len(hs))
+        return pd.DataFrame(
+            {"doc_id": rows_doc, "shingle": rows_sh, "n_sh": rows_n}
+        )
+
+    shrunk = (
+        corpus.map_batches(explode, batch_format="pandas")
+        .map_batches(
+            lambda d: d[["shingle", "doc_id", "n_sh"]].drop_duplicates(
+                ["shingle", "doc_id"]
+            ),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    if shrunk.count() <= small_threshold:
+        return _cooccurrence_pairs_df(
+            shrunk.to_pandas(), CONTAINMENT_TAU, criterion="containment"
+        )
+    return _cooccurrence_pairs_distributed(
+        shrunk, CONTAINMENT_TAU, criterion="containment"
+    )
+
+
+_CONTAINMENT_PAIRS_SQL = _NEAR_PAIRS_SQL.replace(
+    f"""WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {JACCARD_TAU}""",
+    f"""WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+      / least(len(a.sh), len(b.sh)) >= {CONTAINMENT_TAU}""",
+)
 
 
 # --------------------------------------------------------------------------
@@ -955,6 +1019,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "dedup_exact_docs": dedup_exact_docs,
     "hamming_typo_pairs": hamming_typo_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "ngram_containment_pairs": ngram_containment_pairs,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash_pairs": simhash_pairs,
 }
@@ -963,6 +1028,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact_docs": _DEDUP_EXACT_DOCS_SQL,
     "hamming_typo_pairs": _HAMMING_TYPO_PAIRS_SQL,
     "ngram_jaccard_pairs": _NEAR_PAIRS_SQL,
+    "ngram_containment_pairs": _CONTAINMENT_PAIRS_SQL,
     "minhash_lsh_pairs": _NEAR_PAIRS_SQL,
     # simhash_pairs: rows-only — its criterion is Hamming distance on the
     # 64-bit fingerprint, which SQL cannot reproduce; validated in tests

@@ -310,3 +310,42 @@ def test_hamming_typo_pairs_matches_brute_force(ray_session):
     got = set(zip(out["doc_a"].tolist(), out["doc_b"].tolist()))
     assert got == exp
     assert len(exp) > 0  # the twin synthesis produced discoverable pairs
+
+
+def test_containment_catches_quotes_jaccard_misses():
+    """A short doc wholly contained in a long one: containment 1.0 flags it,
+    Jaccard (m / union) stays below tau — the operator's reason to exist."""
+    import numpy as np
+    import pandas as pd
+
+    from simple_content_ocr_ray.functions.dedup import (
+        CONTAINMENT_TAU,
+        JACCARD_TAU,
+        _cooccurrence_pairs_df,
+        shingle_hashes,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    longdoc = quote + " " + " ".join(f"w{i}" for i in range(40))
+    rows = []
+    for doc_id, text in ((1, quote), (2, longdoc)):
+        hs = shingle_hashes(text)
+        for h in hs:
+            rows.append((doc_id, h, len(hs)))
+    df = pd.DataFrame(rows, columns=["doc_id", "shingle", "n_sh"])
+
+    cont = _cooccurrence_pairs_df(df, CONTAINMENT_TAU, criterion="containment")
+    jac = _cooccurrence_pairs_df(df, JACCARD_TAU, criterion="jaccard")
+    assert [(1, 2)] == list(zip(cont["doc_a"], cont["doc_b"]))
+    assert jac.empty
+
+
+def test_ngram_containment_paths_equal(ray_session):
+    import pandas as pd
+
+    from simple_content_ocr_ray.functions.dedup import ngram_containment_pairs
+
+    sf = "/root/testdata/sf0.001"
+    small = ngram_containment_pairs(sf)
+    large = ngram_containment_pairs(sf, small_threshold=0)
+    pd.testing.assert_frame_equal(small, large)
