@@ -489,7 +489,87 @@ GROUP BY from_type, to_type
 """
 
 
+SKEW_TOPK = 10
+
+
+def key_skew_report(sf_dir: str, k: int = SKEW_TOPK) -> pd.DataFrame:
+    """Shuffle-skew diagnostic: the top-k hottest keys and each one's share
+    of the total row count — what you run BEFORE choosing a partition key at
+    100 TB (a key with a double-digit share needs salting, see
+    ``type_distinct_users_salted``). One partial-count pass; the driver
+    reduces |keys-per-batch| partials, the events never move."""
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )
+    counts = grouped_aggregate(
+        events, ["user_id"], {"n": (None, "count")}
+    ).to_pandas()
+    total = int(counts["n"].sum())
+    top = counts.sort_values(
+        ["n", "user_id"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    out = pd.DataFrame(
+        {
+            "user_id": top["user_id"].to_numpy(),
+            "n": top["n"].to_numpy().astype("int64"),
+            "share": round_half_away(top["n"].to_numpy() / total),
+        }
+    )
+    return out.reset_index(drop=True)
+
+
+_KEY_SKEW_REPORT_SQL = f"""
+SELECT user_id, n, ROUND(n * 1.0 / (SELECT COUNT(*) FROM events), 4) AS share
+FROM (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)
+ORDER BY n DESC, user_id LIMIT {SKEW_TOPK}
+"""
+
+
+#: rate threshold (events within one wall-clock minute) above which a user
+#: is flagged — the crawl/bot shape a web-events pipeline filters on
+BOT_EPM_THRESHOLD = 2
+
+
+def bot_rate_flags(sf_dir: str) -> pd.DataFrame:
+    """Rate-based bot detection: a user whose burst rate ever reaches
+    ``BOT_EPM_THRESHOLD`` events within one minute is flagged. Two grouped
+    aggregates, both partial+final: (user, minute) counts — the only
+    time the full log is keyed — then a per-user max over that bounded
+    table. No sort, no sessionization, no driver loop over events."""
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": df["user_id"], "minute": df["ts"].dt.floor("min")}
+        )
+
+    per_min = grouped_aggregate(
+        events, ["user_id", "minute"], {"n": (None, "count")}, prepare=prepare
+    )
+    per_user = grouped_aggregate(
+        per_min, ["user_id"], {"max_epm": ("n", "max")}
+    ).to_pandas()
+    per_user["max_epm"] = per_user["max_epm"].astype("int64")
+    per_user["is_bot"] = (per_user["max_epm"] >= BOT_EPM_THRESHOLD).astype("int64")
+    return per_user.sort_values("user_id").reset_index(drop=True)
+
+
+_BOT_RATE_FLAGS_SQL = f"""
+WITH pm AS (
+  SELECT user_id, date_trunc('minute', ts) AS m, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, MAX(n) AS max_epm,
+       CASE WHEN MAX(n) >= {BOT_EPM_THRESHOLD} THEN 1 ELSE 0 END AS is_bot
+FROM pm GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
+    "key_skew_report": key_skew_report,
+    "bot_rate_flags": bot_rate_flags,
     "cohort_retention": cohort_retention,
     "event_transitions": event_transitions,
     "user_event_journeys": user_event_journeys,
@@ -499,6 +579,8 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "user_running_totals": user_running_totals,
 }
 ORACLES: dict[str, str] = {
+    "key_skew_report": _KEY_SKEW_REPORT_SQL,
+    "bot_rate_flags": _BOT_RATE_FLAGS_SQL,
     "cohort_retention": _COHORT_RETENTION_SQL,
     "event_transitions": _EVENT_TRANSITIONS_SQL,
     "user_event_journeys": _USER_EVENT_JOURNEYS_SQL,

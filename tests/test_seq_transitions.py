@@ -214,3 +214,37 @@ def test_normalize_urls_idempotent_and_cases():
     ]
     twice = normalize_urls(once)
     assert twice.tolist() == once.tolist()  # idempotent
+
+
+def test_key_skew_report_shares(ray_session):
+    import pandas as pd
+
+    from simple_content_ocr_ray.functions.window import SKEW_TOPK, key_skew_report
+
+    got = key_skew_report("/root/testdata/sf0.001")
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet", columns=["user_id"])
+    counts = ev["user_id"].value_counts()
+    assert len(got) == min(SKEW_TOPK, len(counts))
+    # descending by count; shares consistent with exact counts
+    assert (got["n"].diff().dropna() <= 0).all()
+    for _, r in got.iterrows():
+        assert r["n"] == counts[r["user_id"]]
+        assert abs(r["share"] - round(r["n"] / len(ev), 4)) < 1e-9
+
+
+def test_bot_rate_flags_bruteforce(ray_session):
+    import pandas as pd
+
+    from simple_content_ocr_ray.functions.window import (
+        BOT_EPM_THRESHOLD,
+        bot_rate_flags,
+    )
+
+    got = bot_rate_flags("/root/testdata/sf0.001").set_index("user_id")
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet", columns=["user_id", "ts"])
+    ev["m"] = ev["ts"].dt.floor("min")
+    epm = ev.groupby(["user_id", "m"]).size().groupby("user_id").max()
+    assert len(got) == len(epm)
+    for uid, mx in epm.items():
+        assert got.loc[uid, "max_epm"] == mx
+        assert got.loc[uid, "is_bot"] == int(mx >= BOT_EPM_THRESHOLD)
