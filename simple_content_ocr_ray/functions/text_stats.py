@@ -520,7 +520,7 @@ FROM sc
 ZLIB_LEVEL = 6
 
 
-def doc_compress_ratio(sf_dir: str) -> pd.DataFrame:
+def doc_compress_ratio(sf_dir: str) -> rd.Dataset:
     """Compression-ratio quality feature (the RefinedWeb/Gopher-family
     repetitiveness signal): boilerplate and template spam compress far
     better than natural prose, so ``compressed/raw`` separates them with one
@@ -528,7 +528,8 @@ def doc_compress_ratio(sf_dir: str) -> pd.DataFrame:
     runs at C speed per row, no shuffle, nothing leaves the worker but the
     3-column feature rows. Rows-only by design (SQL has no deflate);
     byte-exact semantics asserted against direct ``zlib.compress`` in
-    tests."""
+    tests. Returns a streaming Dataset — per-doc output never collects on
+    the driver."""
     import zlib
 
     from .agg import round_half_away as round4
@@ -550,8 +551,7 @@ def doc_compress_ratio(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    out = ds.map_batches(fn, batch_format="pandas").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64"})
+    return ds.map_batches(fn, batch_format="pandas")
 
 
 # --------------------------------------------------------------------------
@@ -563,7 +563,7 @@ def doc_compress_ratio(sf_dir: str) -> pd.DataFrame:
 BUCKET_DEN = 3
 
 
-def lang_score_buckets(sf_dir: str) -> pd.DataFrame:
+def lang_score_buckets(sf_dir: str) -> rd.Dataset:
     """CCNet-style corpus partitioning: per LANGUAGE, split docs into
     head / middle / tail thirds by a model score (CCNet uses LM perplexity;
     here the score is the same integer hashed-bag-of-words sum as
@@ -625,8 +625,7 @@ def lang_score_buckets(sf_dir: str) -> pd.DataFrame:
             {"doc_id": df["doc_id"], "lang": df["lang"], "bucket": bucket}
         )
 
-    out = slim.map_batches(assign, batch_format="pandas").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64"})
+    return slim.map_batches(assign, batch_format="pandas")
 
 
 _LANG_SCORE_BUCKETS_SQL = f"""

@@ -307,12 +307,13 @@ class _PngAHashStage:
         )
 
 
-def image_ahash_dupes(sf_dir: str) -> pd.DataFrame:
+def image_ahash_dupes(sf_dir: str) -> rd.Dataset:
     """Perceptual image dedup: synthesize a valid PNG per document whose
     pattern is a pure function of doc_id % AHASH_CLASSES (first c columns
     white — the 8 classes have pairwise-distinct aHashes), decode with the
     REAL from-scratch PNG decoder in an actor pool, aHash the pixels, and
-    assign every image to its group keeper (min doc_id sharing the hash).
+    assign every image to its group keeper (min doc_id sharing the hash);
+    the assignment streams (per-doc output never collects on the driver).
     Scale shape: the pixel work stays in the actor pool and only slim
     (doc_id, ahash) rows move; the keeper table is bounded by the number of
     DISTINCT hashes (image classes), so it broadcasts; the per-image keeper
@@ -360,8 +361,7 @@ def image_ahash_dupes(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    out = slim.map_batches(assign, batch_format="pandas").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64"})
+    return slim.map_batches(assign, batch_format="pandas")
 
 
 # doc_ids are contiguous from 0, so the min doc_id of class c is c itself

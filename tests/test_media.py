@@ -104,7 +104,7 @@ def test_image_ahash_dupes_groups(ray_session):
 
     from simple_content_ocr_ray.pipelines.media import AHASH_CLASSES, image_ahash_dupes
 
-    got = image_ahash_dupes("/root/testdata/sf0.001")
+    got = image_ahash_dupes("/root/testdata/sf0.001").to_pandas()
     docs = pd.read_parquet(
         "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
     )

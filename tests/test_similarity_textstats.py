@@ -176,7 +176,7 @@ def test_lang_score_buckets_balanced_and_ordered(sf_dir):
 
     from simple_content_ocr_ray.functions.text_stats import lang_score_buckets
 
-    got = lang_score_buckets(sf_dir)
+    got = lang_score_buckets(sf_dir).to_pandas()
     assert list(got.columns) == ["doc_id", "lang", "bucket"]
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
     assert len(got) == len(docs)
@@ -225,7 +225,7 @@ def test_doc_compress_ratio_matches_zlib(sf_dir):
         doc_compress_ratio,
     )
 
-    got = doc_compress_ratio(sf_dir).set_index("doc_id")
+    got = doc_compress_ratio(sf_dir).to_pandas().set_index("doc_id")
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     for _, r in docs.head(50).iterrows():
         b = r["text"].encode("utf-8")
