@@ -186,6 +186,45 @@ def type_distinct_users_hll(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def view_purchase_overlap_hll(sf_dir: str) -> pd.DataFrame:
+    """Approximate SET INTERSECTION cardinality by sketch composition:
+    |A∩B| = est(A) + est(B) − est(A∪B), where the union sketch is just the
+    elementwise max of the two HLL register arrays — no third pass, no key
+    shuffle ever. The approximate counterpart of the exact
+    ``view_purchase_users`` INTERSECT (which must move deduped keys);
+    inclusion-exclusion error compounds the two sketches' ±1.6%, asserted
+    against the exact overlap in tests."""
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et in ("view", "purchase"):
+            keys = df.loc[df["event_type"] == et, "user_id"].to_numpy(dtype="int64")
+            rows.append((et, _hll_registers(keys).tobytes()))
+        return pd.DataFrame(rows, columns=["side", "regs"])
+
+    parts = events.map_batches(partial, batch_format="pandas").to_pandas()
+    merged = {
+        et: np.zeros(HLL_M, dtype=np.uint8) for et in ("view", "purchase")
+    }
+    for side, blob in zip(parts["side"], parts["regs"]):
+        np.maximum(
+            merged[side], np.frombuffer(blob, dtype=np.uint8), out=merged[side]
+        )
+    est_a = _hll_estimate(merged["view"])
+    est_b = _hll_estimate(merged["purchase"])
+    est_union = _hll_estimate(np.maximum(merged["view"], merged["purchase"]))
+    return pd.DataFrame(
+        {
+            "approx_view": pd.Series([est_a], dtype="int64"),
+            "approx_purchase": pd.Series([est_b], dtype="int64"),
+            "approx_both": pd.Series([max(0, est_a + est_b - est_union)], dtype="int64"),
+        }
+    )
+
+
 # --------------------------------------------------------------------------
 # Count-Min sketch (linear mergeable frequency sketch)
 # --------------------------------------------------------------------------
@@ -311,6 +350,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "event_value_quantiles_sketch": event_value_quantiles_sketch,
     "type_distinct_users_hll": type_distinct_users_hll,
     "token_counts_cms": token_counts_cms,
+    "view_purchase_overlap_hll": view_purchase_overlap_hll,
 }
 #: hll_distinct_users, type_distinct_users_hll, token_counts_cms and
 #: event_value_quantiles_sketch are approximate by construction — rows-only

@@ -136,3 +136,17 @@ def test_cms_matrix_merge_linear():
         toks[2:], np.array([3, 2, 1])
     )
     assert np.array_equal(whole, split)
+
+
+def test_hll_overlap_accuracy(ray_session):
+    from simple_content_ocr_ray.functions.sketch import view_purchase_overlap_hll
+
+    got = view_purchase_overlap_hll(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "event_type"])
+    views = set(ev.loc[ev["event_type"] == "view", "user_id"])
+    buys = set(ev.loc[ev["event_type"] == "purchase", "user_id"])
+    exact = len(views & buys)
+    est = int(got["approx_both"].iloc[0])
+    # inclusion-exclusion compounds three ±1.6% sketches; generous small-n slack
+    assert abs(est - exact) <= max(0.15 * exact, 8)
+    assert abs(int(got["approx_view"].iloc[0]) - len(views)) <= max(0.10 * len(views), 5)
