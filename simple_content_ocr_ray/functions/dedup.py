@@ -437,8 +437,10 @@ def _verify_pairs(
     cand: pd.DataFrame | rd.Dataset,
     tau: float,
     num_partitions: int = 8,
+    criterion: str = "jaccard",
 ) -> pd.DataFrame:
-    """Exact-Jaccard verify of candidate pairs, pair-keyed and distributed.
+    """Exact similarity verify of candidate pairs (jaccard or containment),
+    pair-keyed and distributed.
 
     Two topologies, picked by candidate volume:
 
@@ -479,7 +481,7 @@ def _verify_pairs(
                 lambda d: d.rename(columns={"doc_id": "doc_b", "text": "text_b"}),
                 batch_format="pandas",
             )
-            return _finish_verify(j, tau)
+            return _finish_verify(j, tau, criterion)
         cand_ds: rd.Dataset = rd.from_pandas(cand)
     else:
         cand_ds = cand
@@ -506,10 +508,12 @@ def _verify_pairs(
     if cpus < 16:
         j1 = j1.materialize()
     j = j1.join(b_side, join_type="inner", num_partitions=num_partitions, on=("doc_b",))
-    return _finish_verify(j, tau)
+    return _finish_verify(j, tau, criterion)
 
 
-def _finish_verify(j: rd.Dataset, tau: float) -> pd.DataFrame:
+def _finish_verify(
+    j: rd.Dataset, tau: float, criterion: str = "jaccard"
+) -> pd.DataFrame:
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         memo: dict[int, set] = {}
 
@@ -526,8 +530,12 @@ def _finish_verify(j: rd.Dataset, tau: float) -> pd.DataFrame:
         ):
             sa, sb = sets_of(a, ta), sets_of(b, tb)
             inter = len(sa & sb)
-            union = len(sa) + len(sb) - inter
-            keep[i] = bool(union) and inter / union >= tau
+            denom = (
+                min(len(sa), len(sb))
+                if criterion == "containment"
+                else len(sa) + len(sb) - inter
+            )
+            keep[i] = bool(denom) and inter / denom >= tau
         out = df.loc[keep, ["doc_a", "doc_b"]]
         return out.astype({"doc_a": "int64", "doc_b": "int64"})
 
@@ -645,21 +653,24 @@ def _cooccurrence_pairs_distributed(
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
-def ngram_jaccard_pairs(
+def _ngram_similarity_pairs(
     sf_dir: str,
-    df_cap: int | str | None = "auto",
-    exact_max_docs: int = NGRAM_EXACT_MAX_DOCS,
-    small_threshold: int = 5_000_000,
+    tau: float,
+    criterion: str,
+    df_cap: int | str | None,
+    exact_max_docs: int,
+    small_threshold: int,
 ) -> pd.DataFrame:
-    """Exact-Jaccard pairs from an inverted shingle index.
+    """Shared engine for ``ngram_jaccard_pairs`` / ``ngram_containment_pairs``.
 
     Exact path (``df_cap=None`` / auto below ``exact_max_docs``): pair
     co-occurrence counting — multiplicity across shingle groups equals the
-    intersection size, so Jaccard falls out of one shuffle + grouped count
-    with no verification join at all. Capped path (auto above the
-    threshold): hot shingles are dropped from candidate generation (skew-
-    safe) and surviving candidates are verified on their FULL shingle sets
-    via the pair-keyed join, preserving recall for every discovered pair."""
+    intersection size, so either criterion falls out of one shuffle +
+    grouped count with no verification join at all. Capped path (auto above
+    the threshold): hot shingles are dropped from candidate generation
+    (skew-safe) and surviving candidates are verified on their FULL shingle
+    sets via the pair-keyed join, preserving recall for every discovered
+    pair — under the same criterion."""
     if df_cap == "auto":
         df_cap = (
             DEFAULT_DF_CAP if _corpus_size_hint(sf_dir) > exact_max_docs else None
@@ -696,7 +707,7 @@ def ngram_jaccard_pairs(
         cand = _pairs_from_groups(
             exploded.select_columns(["shingle", "doc_id"]), "shingle"
         )
-        return _verify_pairs(corpus, cand, JACCARD_TAU)
+        return _verify_pairs(corpus, cand, tau, criterion=criterion)
 
     shrunk = exploded.map_batches(
         lambda d: d[["shingle", "doc_id", "n_sh"]].drop_duplicates(
@@ -705,53 +716,43 @@ def ngram_jaccard_pairs(
         batch_format="pandas",
     ).materialize()
     if shrunk.count() <= small_threshold:
-        return _cooccurrence_pairs_df(shrunk.to_pandas(), JACCARD_TAU)
-    return _cooccurrence_pairs_distributed(shrunk, JACCARD_TAU)
+        return _cooccurrence_pairs_df(shrunk.to_pandas(), tau, criterion=criterion)
+    return _cooccurrence_pairs_distributed(shrunk, tau, criterion=criterion)
+
+
+def ngram_jaccard_pairs(
+    sf_dir: str,
+    df_cap: int | str | None = "auto",
+    exact_max_docs: int = NGRAM_EXACT_MAX_DOCS,
+    small_threshold: int = 5_000_000,
+) -> pd.DataFrame:
+    """Exact-Jaccard pairs from an inverted shingle index (see
+    ``_ngram_similarity_pairs`` for the two-path topology)."""
+    return _ngram_similarity_pairs(
+        sf_dir, JACCARD_TAU, "jaccard", df_cap, exact_max_docs, small_threshold
+    )
 
 
 CONTAINMENT_TAU = 0.9
 
 
 def ngram_containment_pairs(
-    sf_dir: str, small_threshold: int = 5_000_000
+    sf_dir: str,
+    df_cap: int | str | None = "auto",
+    exact_max_docs: int = NGRAM_EXACT_MAX_DOCS,
+    small_threshold: int = 5_000_000,
 ) -> pd.DataFrame:
     """Exact CONTAINMENT pairs — m / min(n_a, n_b) ≥ τ over word-3-gram
     shingle sets. The asymmetric cousin of ``ngram_jaccard_pairs``: a short
     document wholly quoted inside a long one has tiny Jaccard but
     containment 1.0, which is why substring-dedup pipelines (Lee et al.)
-    block on containment. Identical topology: one inverted-index shuffle,
-    pair multiplicity = exact intersection, vectorized criterion — and the
-    same stop-shingle cap + pair-keyed verify applies above corpus scale
-    (see ``ngram_jaccard_pairs``'s capped path)."""
-    corpus = near_dup_corpus(sf_dir)
-
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        rows_doc, rows_sh, rows_n = [], [], []
-        for d, t in zip(df["doc_id"], df["text"]):
-            hs = shingle_hashes(t)
-            rows_doc.extend([d] * len(hs))
-            rows_sh.extend(hs.tolist())
-            rows_n.extend([len(hs)] * len(hs))
-        return pd.DataFrame(
-            {"doc_id": rows_doc, "shingle": rows_sh, "n_sh": rows_n}
-        )
-
-    shrunk = (
-        corpus.map_batches(explode, batch_format="pandas")
-        .map_batches(
-            lambda d: d[["shingle", "doc_id", "n_sh"]].drop_duplicates(
-                ["shingle", "doc_id"]
-            ),
-            batch_format="pandas",
-        )
-        .materialize()
-    )
-    if shrunk.count() <= small_threshold:
-        return _cooccurrence_pairs_df(
-            shrunk.to_pandas(), CONTAINMENT_TAU, criterion="containment"
-        )
-    return _cooccurrence_pairs_distributed(
-        shrunk, CONTAINMENT_TAU, criterion="containment"
+    block on containment. Shares the jaccard engine verbatim — one
+    inverted-index shuffle, multiplicity = exact intersection, and the SAME
+    auto stop-shingle cap + criterion-aware pair-keyed verify above corpus
+    scale."""
+    return _ngram_similarity_pairs(
+        sf_dir, CONTAINMENT_TAU, "containment", df_cap, exact_max_docs,
+        small_threshold,
     )
 
 

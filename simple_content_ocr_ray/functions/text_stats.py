@@ -456,6 +456,17 @@ HASH_DIM = 1001  # feature-hash buckets (odd, so weights are sign-balanced)
 HASH_OFF = (HASH_DIM - 1) // 2
 
 
+def _hashed_token_weights(uniques) -> np.ndarray:
+    """Deterministic integer weight per unique token — md5-derived so the
+    SQL oracle reconstructs it via md5_number_lower. Shared by the
+    classifier and the CCNet bucketing so the two can never diverge."""
+    w = np.empty(len(uniques), dtype="int64")
+    for i, u in enumerate(uniques):
+        h = int.from_bytes(hashlib.md5(u.encode("utf-8")).digest()[8:16], "little")
+        w[i] = h % HASH_DIM - HASH_OFF
+    return w
+
+
 def doc_quality_classifier(sf_dir: str) -> pd.DataFrame:
     """Linear classifier over hashed bag-of-words features — the fastText /
     CCNet quality-filter shape: each token hashes to a bucket whose weight
@@ -477,10 +488,7 @@ def doc_quality_classifier(sf_dir: str) -> pd.DataFrame:
         toks = batch["text"].str.split(" ")
         flat = toks.explode()
         codes, uniques = pd.factorize(flat.to_numpy())
-        w = np.empty(len(uniques), dtype="int64")
-        for i, u in enumerate(uniques):
-            h = int.from_bytes(hashlib.md5(u.encode("utf-8")).digest()[8:16], "little")
-            w[i] = h % HASH_DIM - HASH_OFF
+        w = _hashed_token_weights(uniques)
         per_tok = pd.DataFrame({"doc_id": flat.index, "w": w[codes]})
         g = per_tok.groupby("doc_id", sort=False)["w"].agg(["sum", "size"])
         s = g["sum"].to_numpy(dtype="int64")
@@ -542,12 +550,18 @@ def doc_compress_ratio(sf_dir: str) -> rd.Dataset:
             [len(zlib.compress(b, ZLIB_LEVEL)) for b in raw], dtype="int64"
         )
         raw_n = np.array([len(b) for b in raw], dtype="int64")
+        # empty docs (raw 0) get ratio 0.0 — not inf — so downstream
+        # threshold filters classify them deterministically
+        ratio = np.divide(
+            comp, raw_n, out=np.zeros(len(raw_n), dtype="float64"),
+            where=raw_n > 0,
+        )
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"],
                 "raw_bytes": raw_n,
                 "comp_bytes": comp,
-                "compress_ratio": round4(comp / raw_n),
+                "compress_ratio": round4(ratio),
             }
         )
 
@@ -585,10 +599,7 @@ def lang_score_buckets(sf_dir: str) -> rd.Dataset:
         toks = batch["text"].str.split(" ")
         flat = toks.explode()
         codes, uniques = pd.factorize(flat.to_numpy())
-        w = np.empty(len(uniques), dtype="int64")
-        for i, u in enumerate(uniques):
-            h = int.from_bytes(hashlib.md5(u.encode("utf-8")).digest()[8:16], "little")
-            w[i] = h % HASH_DIM - HASH_OFF
+        w = _hashed_token_weights(uniques)
         per_tok = pd.DataFrame({"doc_id": flat.index, "w": w[codes]})
         s = per_tok.groupby("doc_id", sort=False)["w"].sum()
         return pd.DataFrame(

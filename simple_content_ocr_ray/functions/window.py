@@ -496,18 +496,20 @@ def key_skew_report(sf_dir: str, k: int = SKEW_TOPK) -> pd.DataFrame:
     """Shuffle-skew diagnostic: the top-k hottest keys and each one's share
     of the total row count — what you run BEFORE choosing a partition key at
     100 TB (a key with a double-digit share needs salting, see
-    ``type_distinct_users_salted``). One partial-count pass; the driver
-    reduces |keys-per-batch| partials, the events never move."""
+    ``type_distinct_users_salted``). One partial-count pass into the
+    distributed local-then-final top-k — the driver receives k rows plus
+    one total, never the per-key table (at 10^9 keys that table is itself
+    corpus-sized)."""
+    from .agg import topk
+
     events = rd.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
     )
     counts = grouped_aggregate(
         events, ["user_id"], {"n": (None, "count")}
-    ).to_pandas()
-    total = int(counts["n"].sum())
-    top = counts.sort_values(
-        ["n", "user_id"], ascending=[False, True], kind="mergesort"
-    ).head(k)
+    ).materialize()
+    total = int(counts.sum("n"))
+    top = topk(counts, ["n", "user_id"], k, descending=[True, False]).to_pandas()
     out = pd.DataFrame(
         {
             "user_id": top["user_id"].to_numpy(),

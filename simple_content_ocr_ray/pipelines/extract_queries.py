@@ -24,7 +24,12 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..functions.agg import grouped_aggregate
-from ..sources.synth_pages import synth_pages_parquet
+from ..sources.synth_pages import (
+    N_HOSTS,
+    RECRAWL_RESIDUE,
+    RECRAWL_SUFFIX,
+    synth_pages_parquet,
+)
 from .extract import extraction_pipeline, read_pages
 
 _URL_SQL = (
@@ -162,7 +167,7 @@ def latest_page_text(
 ) -> rd.Dataset:
     """Re-crawl dedup: keep each url's NEWEST snapshot (max ``warc_ts``) —
     the Common-Crawl multi-snapshot shape — then extract. The input re-emits
-    every doc_id%50==11 page as a 30-days-later snapshot with changed
+    every doc_id % RECRAWL_EVERY == RECRAWL_RESIDUE page as a 30-days-later snapshot with changed
     content; the newest text must win, byte-exactly.
 
     Scale shape: pass 1 aggregates (url → max warc_ts) moving only the two
@@ -181,7 +186,7 @@ def latest_page_text(
         pages.select_columns(["url", "warc_ts"]),
         ["url"],
         {"max_ts": ("warc_ts", "max")},
-    )
+    ).materialize()  # count() + the downstream consumer reuse one execution
     if maxts.count() <= broadcast_max_urls:
         mdf = maxts.to_pandas()
         ref = ray.put(dict(zip(mdf["url"], mdf["max_ts"])))
@@ -212,7 +217,8 @@ def latest_page_text(
 
 _LATEST_PAGE_TEXT_SQL = f"""
 SELECT {_URL_SQL} AS url,
-       CASE WHEN doc_id % {RECRAWL_EVERY} = 11 THEN text || ' updated'
+       CASE WHEN doc_id % {RECRAWL_EVERY} = {RECRAWL_RESIDUE}
+            THEN text || '{RECRAWL_SUFFIX}'
             ELSE text END AS text
 FROM documents
 WHERE doc_id % 20 NOT IN (0, 1, 2, 3)
@@ -235,7 +241,7 @@ def blocked_domain_pages(sf_dir: str) -> pd.DataFrame:
     import ray
 
     blocked = frozenset(
-        f"site{h}.example" for h in range(97) if h % 10 == BLOCK_RESIDUE
+        f"site{h}.example" for h in range(N_HOSTS) if h % 10 == BLOCK_RESIDUE
     )
     ref = ray.put(blocked)
 
@@ -255,10 +261,10 @@ def blocked_domain_pages(sf_dir: str) -> pd.DataFrame:
 
 
 _BLOCKED_DOMAIN_PAGES_SQL = f"""
-SELECT 'site' || CAST(doc_id % 97 AS VARCHAR) || '.example' AS domain,
+SELECT 'site' || CAST(doc_id % {N_HOSTS} AS VARCHAR) || '.example' AS domain,
        COUNT(*) AS n_pages
 FROM documents
-WHERE (doc_id % 97) % 10 != {BLOCK_RESIDUE}
+WHERE (doc_id % {N_HOSTS}) % 10 != {BLOCK_RESIDUE}
 GROUP BY 1 ORDER BY 1
 """
 

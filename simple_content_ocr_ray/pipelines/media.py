@@ -265,20 +265,26 @@ AHASH_CLASSES = 8
 
 
 def ahash64(px: "np.ndarray") -> int:
-    """Average hash: grey, block-mean downsample to 8×8, bit = block mean
-    strictly above the global mean — the classic perceptual near-dup key."""
+    """Average hash: grey, block-mean downsample to ≤8×8 covering EVERY
+    pixel (uneven block edges pool proportionally — no cropping), bit =
+    block mean strictly above the global mean — the classic perceptual
+    near-dup key."""
     import numpy as np
 
     if px.ndim == 3:
         px = px.mean(axis=2)
     h, w = px.shape
-    bh, bw = max(1, h // 8), max(1, w // 8)
-    small = (
-        px[: bh * 8, : bw * 8]
-        .astype("float64")
-        .reshape(min(8, h), bh, min(8, w), bw)
-        .mean(axis=(1, 3))
-    )
+    nh, nw = min(8, h), min(8, w)
+    # row/col → block index maps; averaging matrices pool all pixels
+    ri = (np.arange(h) * nh) // h
+    ci = (np.arange(w) * nw) // w
+    R = np.zeros((nh, h))
+    R[ri, np.arange(h)] = 1.0
+    R /= R.sum(axis=1, keepdims=True)
+    C = np.zeros((w, nw))
+    C[np.arange(w), ci] = 1.0
+    C /= C.sum(axis=0, keepdims=True)
+    small = R @ px.astype("float64") @ C
     bits = (small > small.mean()).astype(np.uint8).flatten()
     bits = np.pad(bits, (0, 64 - len(bits)))
     return int.from_bytes(np.packbits(bits).tobytes(), "big")

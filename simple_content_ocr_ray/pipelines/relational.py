@@ -396,14 +396,11 @@ LIMIT 100
 # ROLLUP (multi-level aggregate from ONE distributed pass)
 # --------------------------------------------------------------------------
 
-def orders_rollup(sf_dir: str) -> pd.DataFrame:
-    """GROUP BY ROLLUP(o_orderstatus, o_orderpriority): counts and exact
-    money sums at all three levels — (status, priority), (status), ().
-
-    The corpus is scanned ONCE at the finest grain; the coarser levels are
-    re-aggregated from the finest partials on the driver (bounded by the
-    key-combination count, not the row count) — the standard rollup trick
-    that avoids one shuffle per grouping set."""
+def _orders_finest(sf_dir: str) -> pd.DataFrame:
+    """ONE distributed pass at the finest grain (status, priority) — counts
+    and exact money sums. Both grouping-set queries (ROLLUP and CUBE)
+    re-aggregate these bounded partials; the corpus is scanned once per
+    query and only this |status|×|priority| table reaches the driver."""
     orders = _read(sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
 
     def prepare(df: pd.DataFrame) -> pd.DataFrame:
@@ -415,27 +412,16 @@ def orders_rollup(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    finest = grouped_aggregate(
+    return grouped_aggregate(
         orders,
         ["o_orderstatus", "o_orderpriority"],
         {"n_orders": (None, "count"), "sum_price_c": ("price_c", "sum")},
         prepare=prepare,
     ).to_pandas()
 
-    by_status = (
-        finest.groupby("o_orderstatus", as_index=False)[["n_orders", "sum_price_c"]]
-        .sum()
-        .assign(o_orderpriority=None)
-    )
-    total = pd.DataFrame(
-        {
-            "o_orderstatus": [None],
-            "o_orderpriority": [None],
-            "n_orders": [finest["n_orders"].sum()],
-            "sum_price_c": [finest["sum_price_c"].sum()],
-        }
-    )
-    out = pd.concat([finest, by_status, total], ignore_index=True)
+
+def _grouping_sets_output(levels: list[pd.DataFrame]) -> pd.DataFrame:
+    out = pd.concat(levels, ignore_index=True)
     return pd.DataFrame(
         {
             "o_orderstatus": out["o_orderstatus"],
@@ -443,6 +429,54 @@ def orders_rollup(sf_dir: str) -> pd.DataFrame:
             "n_orders": out["n_orders"].astype("int64"),
             "sum_price": round_half_away(out["sum_price_c"] / 100.0, 2),
         }
+    )
+
+
+def _level(finest: pd.DataFrame, by: str | None) -> pd.DataFrame:
+    vals = ["n_orders", "sum_price_c"]
+    if by is None:
+        return pd.DataFrame(
+            {
+                "o_orderstatus": [None],
+                "o_orderpriority": [None],
+                "n_orders": [finest["n_orders"].sum()],
+                "sum_price_c": [finest["sum_price_c"].sum()],
+            }
+        )
+    other = (
+        "o_orderpriority" if by == "o_orderstatus" else "o_orderstatus"
+    )
+    return finest.groupby(by, as_index=False)[vals].sum().assign(**{other: None})
+
+
+def orders_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(o_orderstatus, o_orderpriority): counts and exact
+    money sums at all three levels — (status, priority), (status), ().
+
+    The corpus is scanned ONCE at the finest grain; the coarser levels are
+    re-aggregated from the finest partials on the driver (bounded by the
+    key-combination count, not the row count) — the standard rollup trick
+    that avoids one shuffle per grouping set."""
+    finest = _orders_finest(sf_dir)
+    return _grouping_sets_output(
+        [finest, _level(finest, "o_orderstatus"), _level(finest, None)]
+    )
+
+
+def orders_cube(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(o_orderstatus, o_orderpriority): all FOUR grouping sets
+    — (status, priority), (status), (priority), () — from the same single
+    finest-grain distributed pass as ``orders_rollup``. The extra set the
+    cube adds over the rollup ((priority) alone) is one more driver-side
+    re-aggregation of the bounded finest partials."""
+    finest = _orders_finest(sf_dir)
+    return _grouping_sets_output(
+        [
+            finest,
+            _level(finest, "o_orderstatus"),
+            _level(finest, "o_orderpriority"),
+            _level(finest, None),
+        ]
     )
 
 
@@ -454,63 +488,6 @@ SELECT o_orderstatus, o_orderpriority,
 FROM orders
 GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """
-
-
-def orders_cube(sf_dir: str) -> pd.DataFrame:
-    """GROUP BY CUBE(o_orderstatus, o_orderpriority): all FOUR grouping sets
-    — (status, priority), (status), (priority), () — from the same single
-    finest-grain distributed pass as ``orders_rollup``. The extra set the
-    cube adds over the rollup ((priority) alone) is one more driver-side
-    re-aggregation of the bounded finest partials; the corpus is still
-    scanned exactly once and only one shuffle runs."""
-    orders = _read(
-        sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority", "o_totalprice"]
-    )
-
-    def prepare(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "o_orderstatus": df["o_orderstatus"],
-                "o_orderpriority": df["o_orderpriority"],
-                "price_c": np.rint(df["o_totalprice"] * 100).astype("int64"),
-            }
-        )
-
-    finest = grouped_aggregate(
-        orders,
-        ["o_orderstatus", "o_orderpriority"],
-        {"n_orders": (None, "count"), "sum_price_c": ("price_c", "sum")},
-        prepare=prepare,
-    ).to_pandas()
-
-    vals = ["n_orders", "sum_price_c"]
-    by_status = (
-        finest.groupby("o_orderstatus", as_index=False)[vals]
-        .sum()
-        .assign(o_orderpriority=None)
-    )
-    by_priority = (
-        finest.groupby("o_orderpriority", as_index=False)[vals]
-        .sum()
-        .assign(o_orderstatus=None)
-    )
-    total = pd.DataFrame(
-        {
-            "o_orderstatus": [None],
-            "o_orderpriority": [None],
-            "n_orders": [finest["n_orders"].sum()],
-            "sum_price_c": [finest["sum_price_c"].sum()],
-        }
-    )
-    out = pd.concat([finest, by_status, by_priority, total], ignore_index=True)
-    return pd.DataFrame(
-        {
-            "o_orderstatus": out["o_orderstatus"],
-            "o_orderpriority": out["o_orderpriority"],
-            "n_orders": out["n_orders"].astype("int64"),
-            "sum_price": round_half_away(out["sum_price_c"] / 100.0, 2),
-        }
-    )
 
 
 _ORDERS_CUBE_SQL = """

@@ -349,3 +349,20 @@ def test_ngram_containment_paths_equal(ray_session):
     small = ngram_containment_pairs(sf)
     large = ngram_containment_pairs(sf, small_threshold=0)
     pd.testing.assert_frame_equal(small, large)
+
+
+def test_ngram_containment_capped_path_recall(ray_session):
+    """The df-capped skew-safe path exists for containment too (review
+    finding): candidates pruned by the stop-shingle cap are verified under
+    the CONTAINMENT criterion; every pair the exact path finds whose
+    shingles aren't all hot must survive."""
+    import pandas as pd
+
+    from simple_content_ocr_ray.functions.dedup import ngram_containment_pairs
+
+    sf = "/root/testdata/sf0.001"
+    exact = ngram_containment_pairs(sf)  # auto → exact below the threshold
+    capped = ngram_containment_pairs(sf, df_cap=512)
+    # at df_cap=512 no shingle in this corpus is hot, so the capped path
+    # must reproduce the exact pair set through the verify join
+    pd.testing.assert_frame_equal(exact, capped)

@@ -115,7 +115,11 @@ def test_latest_page_text_recrawl_semantics(ray_session):
         RECRAWL_EVERY,
         latest_page_text,
     )
-    from simple_content_ocr_ray.sources.synth_pages import RECRAWL_SUFFIX, url_for
+    from simple_content_ocr_ray.sources.synth_pages import (
+        RECRAWL_RESIDUE,
+        RECRAWL_SUFFIX,
+        url_for,
+    )
 
     sf = "/root/testdata/sf0.001"
 
@@ -133,7 +137,7 @@ def test_latest_page_text_recrawl_semantics(ray_session):
         d = int(row["doc_id"])
         if d % 20 in (0, 1, 2, 3):
             continue  # non-html routes
-        if d % RECRAWL_EVERY == 11:
+        if d % RECRAWL_EVERY == RECRAWL_RESIDUE:
             assert got[url_for(d)] == row["text"] + RECRAWL_SUFFIX
             checked_recrawled += 1
         else:
