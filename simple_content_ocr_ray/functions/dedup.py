@@ -764,6 +764,80 @@ _CONTAINMENT_PAIRS_SQL = _NEAR_PAIRS_SQL.replace(
 )
 
 
+def doc_dup_fraction(sf_dir: str) -> pd.DataFrame:
+    """Corpus duplication profile: per document, the fraction of its word-
+    3-gram shingles that appear in at least one OTHER document — the
+    diagnostic a dedup pipeline runs first (Dolma/RedPajama-style "how
+    duplicated is this corpus, and which docs are mostly boilerplate").
+    One shingle-keyed shuffle: inside each shingle group every member doc
+    gets a dup flag (group has >1 distinct docs), then a per-doc
+    partial+final mean — the df table never joins back, the flags ride the
+    same shuffle that computed them."""
+    corpus = _read_docs(sf_dir).map_batches(
+        lambda df: df[df["text"].str.strip().str.len() > 0],
+        batch_format="pandas",
+    )
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        rows_doc, rows_sh = [], []
+        for d, t in zip(df["doc_id"], df["text"]):
+            hs = shingle_hashes(t)
+            rows_doc.extend([d] * len(hs))
+            rows_sh.extend(hs.tolist())
+        return pd.DataFrame({"doc_id": rows_doc, "shingle": rows_sh})
+
+    exploded = corpus.map_batches(explode, batch_format="pandas")
+
+    def flags(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id")
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "dup": np.full(len(g), int(len(g) > 1), dtype="int64"),
+            }
+        )
+
+    per_doc = grouped_aggregate(
+        exploded.groupby("shingle").map_groups(flags, batch_format="pandas"),
+        ["doc_id"],
+        {"n_dup": ("dup", "sum"), "n_shingles": (None, "count")},
+    ).to_pandas()
+    from .agg import round_half_away
+
+    out = pd.DataFrame(
+        {
+            "doc_id": per_doc["doc_id"].astype("int64"),
+            "n_shingles": per_doc["n_shingles"].astype("int64"),
+            "dup_fraction": round_half_away(
+                per_doc["n_dup"].to_numpy() / per_doc["n_shingles"].to_numpy()
+            ),
+        }
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_DOC_DUP_FRACTION_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE length(trim(text)) > 0
+), s AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                     ELSE list_distinct(list_transform(range(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                END) AS sh
+  FROM t
+), df AS (
+  SELECT sh, COUNT(DISTINCT doc_id) AS df FROM s GROUP BY sh
+)
+SELECT doc_id, COUNT(*) AS n_shingles,
+       ROUND(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+         AS dup_fraction
+FROM s JOIN df USING (sh)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH banding
 # --------------------------------------------------------------------------
@@ -1021,6 +1095,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "hamming_typo_pairs": hamming_typo_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "ngram_containment_pairs": ngram_containment_pairs,
+    "doc_dup_fraction": doc_dup_fraction,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash_pairs": simhash_pairs,
 }
@@ -1030,6 +1105,7 @@ ORACLES: dict[str, str] = {
     "hamming_typo_pairs": _HAMMING_TYPO_PAIRS_SQL,
     "ngram_jaccard_pairs": _NEAR_PAIRS_SQL,
     "ngram_containment_pairs": _CONTAINMENT_PAIRS_SQL,
+    "doc_dup_fraction": _DOC_DUP_FRACTION_SQL,
     "minhash_lsh_pairs": _NEAR_PAIRS_SQL,
     # simhash_pairs: rows-only — its criterion is Hamming distance on the
     # 64-bit fingerprint, which SQL cannot reproduce; validated in tests

@@ -366,3 +366,31 @@ def test_ngram_containment_capped_path_recall(ray_session):
     # at df_cap=512 no shingle in this corpus is hot, so the capped path
     # must reproduce the exact pair set through the verify join
     pd.testing.assert_frame_equal(exact, capped)
+
+
+def test_doc_dup_fraction_bruteforce(ray_session):
+    import pandas as pd
+
+    from simple_content_ocr_ray.functions.agg import round_half_away
+    from simple_content_ocr_ray.functions.dedup import (
+        doc_dup_fraction,
+        shingle_hashes,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = doc_dup_fraction(sf).set_index("doc_id")
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    docs = docs[docs["text"].str.strip().str.len() > 0]
+    sets = {
+        int(d): set(shingle_hashes(t).tolist())
+        for d, t in zip(docs["doc_id"], docs["text"])
+    }
+    df_count: dict[int, int] = {}
+    for s in sets.values():
+        for h in s:
+            df_count[h] = df_count.get(h, 0) + 1
+    assert len(got) == len(sets)
+    for d, s in sets.items():
+        dup = sum(1 for h in s if df_count[h] > 1)
+        assert got.loc[d, "n_shingles"] == len(s)
+        assert abs(got.loc[d, "dup_fraction"] - round_half_away(dup / len(s))) < 1e-9
