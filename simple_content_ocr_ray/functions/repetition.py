@@ -422,6 +422,96 @@ def bpe_pair_counts(sf_dir: str, k: int = BPE_TOPK) -> pd.DataFrame:
     return out.head(k).reset_index(drop=True)
 
 
+BPE_ROUNDS = 6
+
+
+def _apply_merges(symbols: list[str], merges: list[tuple[str, str]]) -> list[str]:
+    """Apply merge rules in priority order (standard BPE semantics)."""
+    for a, b in merges:
+        out = []
+        i = 0
+        while i < len(symbols):
+            if i + 1 < len(symbols) and symbols[i] == a and symbols[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(symbols[i])
+                i += 1
+        symbols = out
+    return symbols
+
+
+def bpe_merge_rounds(sf_dir: str, rounds: int = BPE_ROUNDS) -> pd.DataFrame:
+    """FULL BPE merge-rule training for ``rounds`` iterations — the
+    iterative extension of ``bpe_pair_counts``. The corpus is scanned
+    exactly ONCE (the word-count pass, vocabulary-bounded shuffle); every
+    round then re-tokenizes the distinct-WORD table under the merges so far
+    (broadcast — the merge list is ``rounds`` entries), counts adjacent
+    symbol pairs weighted by word frequency (partial+final), and the driver
+    picks the argmax pair (ties lexicographic). This is the production BPE
+    scale shape: train on the vocabulary, never on raw text. Deterministic;
+    rows-only (SQL cannot iterate merges) with a pure-python reference
+    parity test."""
+    import ray
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+
+    def explode_words(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        flat = (
+            np.concatenate(toks.to_numpy())
+            if len(df)
+            else np.array([], dtype=object)
+        )
+        out = pd.DataFrame({"w": flat})
+        return out[out["w"] != ""]
+
+    wc = grouped_aggregate(
+        docs, ["w"], {"cnt": (None, "count")}, prepare=explode_words
+    ).materialize()
+
+    merges: list[tuple[str, str]] = []
+    out_rows = []
+    for r in range(rounds):
+        merges_ref = ray.put(list(merges))
+
+        def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+            ms = ray.get(merges_ref)
+            lefts, rights, ns = [], [], []
+            for w, c in zip(df["w"], df["cnt"]):
+                syms = _apply_merges(list(w), ms)
+                for i in range(len(syms) - 1):
+                    lefts.append(syms[i])
+                    rights.append(syms[i + 1])
+                    ns.append(c)
+            return pd.DataFrame(
+                {
+                    "left": pd.Series(lefts, dtype="object"),
+                    "right": pd.Series(rights, dtype="object"),
+                    "n": pd.Series(ns, dtype="int64"),
+                }
+            )
+
+        agg = grouped_aggregate(
+            wc, ["left", "right"], {"n": ("n", "sum")}, prepare=pair_counts
+        ).to_pandas()
+        if agg.empty:
+            break
+        agg = agg.sort_values(
+            ["n", "left", "right"], ascending=[False, True, True], kind="mergesort"
+        )
+        best = agg.iloc[0]
+        merges.append((best["left"], best["right"]))
+        out_rows.append(
+            (r + 1, best["left"], best["right"], int(best["n"]))
+        )
+    return pd.DataFrame(
+        out_rows, columns=["round", "left", "right", "pair_count"]
+    ).astype({"round": "int64", "pair_count": "int64"})
+
+
 _BPE_PAIR_COUNTS_SQL = f"""
 WITH toks AS (
   SELECT unnest(string_split(text, ' ')) AS w FROM documents
@@ -440,6 +530,7 @@ FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT {BPE_TOPK}
 
 QUERIES: dict[str, Callable[[str], object]] = {
     "bpe_pair_counts": bpe_pair_counts,
+    "bpe_merge_rounds": bpe_merge_rounds,
     "repeated_ngrams": repeated_ngrams,
     "doc_repetition_stats": doc_repetition_stats,
     "doc_word_entropy": doc_word_entropy,

@@ -137,3 +137,40 @@ def test_repeated_ngrams_brute_force(sf_dir, documents_table):
     assert got == exp
     # every twin-doc gram repeats by construction
     assert len(out) > 0 and (out["n_docs"] >= 2).all()
+
+
+def test_bpe_merge_rounds_matches_reference(ray_session):
+    """Distributed BPE training equals a from-scratch pure-python trainer on
+    the same corpus (same tie-breaks: max count, then lexicographic)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from simple_content_ocr_ray.functions.repetition import (
+        BPE_ROUNDS,
+        _apply_merges,
+        bpe_merge_rounds,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = bpe_merge_rounds(sf)
+    assert list(got.columns) == ["round", "left", "right", "pair_count"]
+    assert len(got) == BPE_ROUNDS
+
+    words = Counter()
+    for t in pd.read_parquet(f"{sf}/documents.parquet", columns=["text"])["text"]:
+        for w in t.split(" "):
+            if w:
+                words[w] += 1
+    merges = []
+    for r in range(BPE_ROUNDS):
+        pc = Counter()
+        for w, c in words.items():
+            syms = _apply_merges(list(w), merges)
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append(best[0])
+        row = got.iloc[r]
+        assert (row["left"], row["right"]) == best[0], r
+        assert row["pair_count"] == best[1], r
