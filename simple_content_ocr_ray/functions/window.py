@@ -489,6 +489,77 @@ GROUP BY from_type, to_type
 """
 
 
+DAU_WINDOW_DAYS = 7
+
+
+def rolling_dau_7d(sf_dir: str) -> pd.DataFrame:
+    """Rolling 7-day distinct active users per day — the classic
+    NON-decomposable window aggregate (distinct counts can't be merged
+    across overlapping windows, so naive approaches re-scan 7× or hold
+    per-day user sets). Exact in three bounded steps: (1) dedup the log to
+    distinct (day, user) pairs — the only corpus-sized shuffle, pre-shrunk
+    per batch; (2) explode each pair into the ≤7 window-end days it serves
+    — a 7× blow-up of the DEDUPED pairs, not the log; (3) dedup (window,
+    user) and count per window, both inside one partial+final aggregate.
+    Days with activity in the trailing window but no events that day still
+    appear (window-end days come from the explode)."""
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def day_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"day": df["ts"].dt.floor("D"), "user_id": df["user_id"]}
+        ).drop_duplicates()
+
+    pairs = grouped_aggregate(
+        events, ["day", "user_id"], {"n": (None, "count")}, prepare=day_pairs
+    )
+
+    def explode_windows(df: pd.DataFrame) -> pd.DataFrame:
+        reps = DAU_WINDOW_DAYS
+        day = np.repeat(df["day"].to_numpy(), reps)
+        off = np.tile(
+            np.arange(reps, dtype="timedelta64[D]"), len(df)
+        ).astype("timedelta64[ns]")
+        return pd.DataFrame(
+            {
+                "w_day": day + off,
+                "user_id": np.repeat(df["user_id"].to_numpy(), reps),
+            }
+        ).drop_duplicates()
+
+    win_pairs = grouped_aggregate(
+        pairs, ["w_day", "user_id"], {"n": (None, "count")}, prepare=explode_windows
+    )
+    counts = grouped_aggregate(
+        win_pairs, ["w_day"], {"dau_7d": (None, "count")}
+    ).to_pandas()
+    # window-end days past the final event day are artifacts of the explode
+    max_day = counts["w_day"].max() - pd.Timedelta(days=DAU_WINDOW_DAYS - 1)
+    counts = counts[counts["w_day"] <= max_day]
+    counts["dau_7d"] = counts["dau_7d"].astype("int64")
+    return (
+        counts.rename(columns={"w_day": "day"})
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+
+
+_ROLLING_DAU_SQL = f"""
+WITH du AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+), w AS (
+  SELECT DISTINCT day + to_days(CAST(o AS INT)) AS w_day, user_id
+  FROM du, unnest(range(0, {DAU_WINDOW_DAYS})) AS t(o)
+)
+SELECT w_day AS day, COUNT(DISTINCT user_id) AS dau_7d
+FROM w
+WHERE w_day <= (SELECT MAX(date_trunc('day', ts)) FROM events)
+GROUP BY w_day ORDER BY w_day
+"""
+
+
 SKEW_TOPK = 10
 
 
@@ -572,6 +643,7 @@ FROM pm GROUP BY user_id ORDER BY user_id
 QUERIES: dict[str, Callable[[str], object]] = {
     "key_skew_report": key_skew_report,
     "bot_rate_flags": bot_rate_flags,
+    "rolling_dau_7d": rolling_dau_7d,
     "cohort_retention": cohort_retention,
     "event_transitions": event_transitions,
     "user_event_journeys": user_event_journeys,
@@ -583,6 +655,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 ORACLES: dict[str, str] = {
     "key_skew_report": _KEY_SKEW_REPORT_SQL,
     "bot_rate_flags": _BOT_RATE_FLAGS_SQL,
+    "rolling_dau_7d": _ROLLING_DAU_SQL,
     "cohort_retention": _COHORT_RETENTION_SQL,
     "event_transitions": _EVENT_TRANSITIONS_SQL,
     "user_event_journeys": _USER_EVENT_JOURNEYS_SQL,

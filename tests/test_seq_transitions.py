@@ -248,3 +248,26 @@ def test_bot_rate_flags_bruteforce(ray_session):
     for uid, mx in epm.items():
         assert got.loc[uid, "max_epm"] == mx
         assert got.loc[uid, "is_bot"] == int(mx >= BOT_EPM_THRESHOLD)
+
+
+def test_rolling_dau_7d_bruteforce(ray_session):
+    import pandas as pd
+
+    from simple_content_ocr_ray.functions.window import (
+        DAU_WINDOW_DAYS,
+        rolling_dau_7d,
+    )
+
+    got = rolling_dau_7d("/root/testdata/sf0.001").set_index("day")["dau_7d"]
+    ev = pd.read_parquet(
+        "/root/testdata/sf0.001/events.parquet", columns=["user_id", "ts"]
+    )
+    ev["day"] = ev["ts"].dt.floor("D")
+    days = pd.date_range(ev["day"].min(), ev["day"].max(), freq="D")
+    for d in days:
+        lo = d - pd.Timedelta(days=DAU_WINDOW_DAYS - 1)
+        exp = ev.loc[(ev["day"] >= lo) & (ev["day"] <= d), "user_id"].nunique()
+        if exp:
+            assert got[d] == exp, d
+        else:
+            assert d not in got.index
