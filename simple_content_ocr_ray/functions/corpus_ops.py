@@ -412,6 +412,71 @@ GROUP BY lang
 """
 
 
+def lang_token_logodds(sf_dir: str) -> pd.DataFrame:
+    """Distinctive-term analysis: per (lang, token), the smoothed log-odds
+    ratio of the token's use inside the language vs the rest of the corpus
+    (Monroe et al.'s "Fightin' Words" statistic with +1 smoothing) — the
+    corpus-comparison tool for "what words characterize this slice". One
+    vocabulary-bounded shuffle (token explosion inside the partial
+    aggregate); the log-odds math runs on the driver over the
+    |langs|×|vocab| count table. DuckDB ``ln`` bit-matches numpy ``log``
+    here, so the oracle hash-checks the rounded statistic."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
+    )
+
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        return pd.DataFrame(
+            {
+                "lang": df["lang"].repeat(toks.str.len()).to_numpy(),
+                "tok": np.concatenate(toks.to_numpy()),
+            }
+        )
+
+    from .agg import round_half_away
+
+    c = grouped_aggregate(
+        ds, ["lang", "tok"], {"n": (None, "count")}, prepare=prepare
+    ).to_pandas()  # bounded: |langs| × |vocab|
+    n = c["n"].to_numpy(dtype="float64")
+    nl = c.groupby("lang")["n"].transform("sum").to_numpy(dtype="float64")
+    nt = c.groupby("tok")["n"].transform("sum").to_numpy(dtype="float64")
+    ng = float(c["n"].sum())
+    lor = np.log((n + 1) / (nl - n + 1)) - np.log(
+        (nt - n + 1) / (ng - nl - (nt - n) + 1)
+    )
+    out = pd.DataFrame(
+        {
+            "lang": c["lang"],
+            "tok": c["tok"],
+            "lor": round_half_away(lor),
+        }
+    )
+    return out.sort_values(["lang", "tok"]).reset_index(drop=True)
+
+
+_LANG_TOKEN_LOGODDS_SQL = """
+WITH t AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+), c AS (
+  SELECT lang, tok, COUNT(*) AS n FROM t GROUP BY 1, 2
+), l AS (
+  SELECT lang, SUM(n) AS nl FROM c GROUP BY 1
+), tot AS (
+  SELECT tok, SUM(n) AS nt FROM c GROUP BY 1
+), g AS (
+  SELECT SUM(n) AS ng FROM c
+)
+SELECT c.lang, c.tok,
+       ROUND(ln((c.n + 1.0) / (l.nl - c.n + 1.0))
+             - ln((tot.nt - c.n + 1.0)
+                  / (g.ng - l.nl - (tot.nt - c.n) + 1.0)), 4) AS lor
+FROM c JOIN l USING (lang) CROSS JOIN g JOIN tot USING (tok)
+ORDER BY c.lang, c.tok
+"""
+
+
 # --------------------------------------------------------------------------
 # Salted exact grouped distinct (hot-key-safe shuffle)
 # --------------------------------------------------------------------------
@@ -916,6 +981,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "lang_source_pivot": lang_source_pivot,
     "near_dup_components": near_dup_components,
     "lang_distinct_tokens": lang_distinct_tokens,
+    "lang_token_logodds": lang_token_logodds,
     "type_distinct_users_salted": type_distinct_users_salted,
     "weighted_sample_docs": weighted_sample_docs,
     "lang_top_tokens": lang_top_tokens,
@@ -934,6 +1000,7 @@ ORACLES: dict[str, str] = {
     "lang_source_pivot": _LANG_SOURCE_PIVOT_SQL,
     "near_dup_components": _NEAR_DUP_COMPONENTS_SQL,
     "lang_distinct_tokens": _LANG_DISTINCT_TOKENS_SQL,
+    "lang_token_logodds": _LANG_TOKEN_LOGODDS_SQL,
     "type_distinct_users_salted": _TYPE_DISTINCT_USERS_SALTED_SQL,
     "weighted_sample_docs": _WEIGHTED_SAMPLE_SQL,
     "lang_top_tokens": _LANG_TOP_TOKENS_SQL,

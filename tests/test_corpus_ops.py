@@ -252,3 +252,33 @@ def test_lang_source_pivot_mass(ray_session, documents_table):
     for row in out.itertuples():
         for lang in LANGS:
             assert getattr(row, f"n_{lang}") == exp.get((row.source, lang), 0)
+
+
+def test_lang_token_logodds_semantics(ray_session):
+    """Sign sanity: a token used relatively MORE inside a language than in
+    the rest of the corpus gets positive log-odds; totals match exact
+    counts; statistic is finite everywhere."""
+    import numpy as np
+    import pandas as pd
+
+    from simple_content_ocr_ray.functions.corpus_ops import lang_token_logodds
+
+    sf = "/root/testdata/sf0.001"
+    got = lang_token_logodds(sf)
+    assert np.isfinite(got["lor"]).all()
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["lang", "text"])
+    rows = []
+    for lang, text in zip(docs["lang"], docs["text"]):
+        for t in text.split(" "):
+            rows.append((lang, t))
+    df = pd.DataFrame(rows, columns=["lang", "tok"])
+    c = df.groupby(["lang", "tok"]).size()
+    for (lang, tok), n in c.head(40).items():
+        nl = int((df["lang"] == lang).sum())
+        nt = int((df["tok"] == tok).sum())
+        ng = len(df)
+        exp = np.log((n + 1) / (nl - n + 1)) - np.log(
+            (nt - n + 1) / (ng - nl - (nt - n) + 1)
+        )
+        row = got[(got["lang"] == lang) & (got["tok"] == tok)]["lor"].iloc[0]
+        assert abs(row - exp) < 1e-3
