@@ -489,6 +489,63 @@ GROUP BY from_type, to_type
 """
 
 
+def daily_bounce_rate(sf_dir: str) -> pd.DataFrame:
+    """Per-day bounce rate: the share of sessions (30-minute gap rule, same
+    semantics as ``user_sessions``) holding exactly ONE event, keyed by the
+    session's start day. Fully distributed: the keyed session shuffle emits
+    one slim (day, is_bounce) row per session, then a partial+final day
+    rollup — the sessions table never lands on the driver."""
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def session_rows(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort").reset_index(drop=True)
+        s = _sessions_for_sorted(g)
+        return pd.DataFrame(
+            {
+                "day": s["session_start"].dt.floor("D"),
+                "bounce": (s["n_events"] == 1).astype("int64"),
+            }
+        )
+
+    sess = events.groupby("user_id").map_groups(session_rows, batch_format="pandas")
+    out = grouped_aggregate(
+        sess, ["day"], {"n_sessions": (None, "count"), "n_bounce": ("bounce", "sum")}
+    ).to_pandas()
+    out = out.astype({"n_sessions": "int64", "n_bounce": "int64"})
+    out["bounce_rate"] = round_half_away(
+        out["n_bounce"].to_numpy() / out["n_sessions"].to_numpy()
+    )
+    return out.sort_values("day").reset_index(drop=True)
+
+
+_DAILY_BOUNCE_RATE_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), sess AS (
+  SELECT date_trunc('day', MIN(ts)) AS day, COUNT(*) AS n_events
+  FROM numbered GROUP BY user_id, sid
+)
+SELECT day, COUNT(*) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounce,
+       ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 4) AS bounce_rate
+FROM sess GROUP BY day ORDER BY day
+"""
+
+
 DAU_WINDOW_DAYS = 7
 
 
@@ -644,6 +701,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "key_skew_report": key_skew_report,
     "bot_rate_flags": bot_rate_flags,
     "rolling_dau_7d": rolling_dau_7d,
+    "daily_bounce_rate": daily_bounce_rate,
     "cohort_retention": cohort_retention,
     "event_transitions": event_transitions,
     "user_event_journeys": user_event_journeys,
@@ -656,6 +714,7 @@ ORACLES: dict[str, str] = {
     "key_skew_report": _KEY_SKEW_REPORT_SQL,
     "bot_rate_flags": _BOT_RATE_FLAGS_SQL,
     "rolling_dau_7d": _ROLLING_DAU_SQL,
+    "daily_bounce_rate": _DAILY_BOUNCE_RATE_SQL,
     "cohort_retention": _COHORT_RETENTION_SQL,
     "event_transitions": _EVENT_TRANSITIONS_SQL,
     "user_event_journeys": _USER_EVENT_JOURNEYS_SQL,

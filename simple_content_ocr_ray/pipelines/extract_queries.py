@@ -225,6 +225,46 @@ WHERE doc_id % 20 NOT IN (0, 1, 2, 3)
 """
 
 
+def recrawl_churn_stats(sf_dir: str) -> pd.DataFrame:
+    """Crawl-churn report over the multi-snapshot pages table: per domain,
+    how many urls exist and how many were re-crawled (≥2 snapshots) — the
+    freshness statistic a crawl scheduler feeds on. Only (url, warc_ts)
+    leave the scan; snapshot counts per url collapse inside the partial
+    aggregate, then one bounded per-domain rollup."""
+    pages_dir = synth_pages_parquet(sf_dir, recrawl_every=RECRAWL_EVERY)
+    urls = rd.read_parquet(pages_dir, columns=["url"])
+
+    per_url = grouped_aggregate(urls, ["url"], {"n_snapshots": (None, "count")})
+
+    def domain_rows(df: pd.DataFrame) -> pd.DataFrame:
+        host = df["url"].str.extract(r"^https?://([^/]+)", expand=False)
+        return pd.DataFrame(
+            {
+                "domain": host,
+                "recrawled": (df["n_snapshots"] > 1).astype("int64"),
+            }
+        )
+
+    out = grouped_aggregate(
+        per_url,
+        ["domain"],
+        {"n_urls": (None, "count"), "n_recrawled": ("recrawled", "sum")},
+        prepare=domain_rows,
+    ).to_pandas()
+    out = out.astype({"n_urls": "int64", "n_recrawled": "int64"})
+    return out.sort_values("domain").reset_index(drop=True)
+
+
+_RECRAWL_CHURN_SQL = f"""
+SELECT 'site' || CAST(doc_id % {N_HOSTS} AS VARCHAR) || '.example' AS domain,
+       COUNT(*) AS n_urls,
+       CAST(SUM(CASE WHEN doc_id % {RECRAWL_EVERY} = {RECRAWL_RESIDUE}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_recrawled
+FROM documents
+GROUP BY 1 ORDER BY 1
+"""
+
+
 #: deterministic denylist fixture: every host id with this residue mod 10
 BLOCK_RESIDUE = 3
 
@@ -621,6 +661,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "dedup_exact_pages": dedup_exact_pages,
     "latest_page_text": latest_page_text,
     "blocked_domain_pages": blocked_domain_pages,
+    "recrawl_churn_stats": recrawl_churn_stats,
     "domain_stats": domain_stats,
 }
 
@@ -635,6 +676,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact_pages": _DEDUP_EXACT_PAGES_SQL,
     "latest_page_text": _LATEST_PAGE_TEXT_SQL,
     "blocked_domain_pages": _BLOCKED_DOMAIN_PAGES_SQL,
+    "recrawl_churn_stats": _RECRAWL_CHURN_SQL,
     "domain_stats": _DOMAIN_STATS_SQL,
     "page_link_graph": _PAGE_LINK_GRAPH_SQL,
     "url_canonicalize": _URL_CANONICALIZE_SQL,

@@ -271,3 +271,25 @@ def test_rolling_dau_7d_bruteforce(ray_session):
             assert got[d] == exp, d
         else:
             assert d not in got.index
+
+
+def test_daily_bounce_rate_consistent_with_sessions(ray_session):
+    import pandas as pd
+
+    from simple_content_ocr_ray.functions.window import (
+        daily_bounce_rate,
+        user_sessions,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = daily_bounce_rate(sf).set_index("day")
+    sess = user_sessions(sf)
+    sess["day"] = sess["session_start"].dt.floor("D")
+    exp = sess.groupby("day").agg(
+        n_sessions=("n_events", "size"),
+        n_bounce=("n_events", lambda s: int((s == 1).sum())),
+    )
+    assert len(got) == len(exp)
+    for d, row in exp.iterrows():
+        assert got.loc[d, "n_sessions"] == row["n_sessions"]
+        assert got.loc[d, "n_bounce"] == row["n_bounce"]
