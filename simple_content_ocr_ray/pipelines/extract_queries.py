@@ -309,6 +309,82 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+#: minimum whitespace tokens for the refreshed-corpus quality gate
+REFRESH_MIN_TOKENS = 15
+
+
+def refreshed_corpus(sf_dir: str) -> rd.Dataset:
+    """WEB-REFRESH FLAGSHIP — the end-to-end ingestion a crawl refresh runs,
+    composing this repo's web-side operators in their scale order:
+
+      1. domain BLOCKLIST at the read (worker-local host probe — blocked
+         payloads never reach an engine),
+      2. LATEST-SNAPSHOT dedup over the multi-snapshot pages table (slim
+         (url → max warc_ts) pass, payloads never shuffle),
+      3. main-content EXTRACTION (actor-pool engines, byte-exact text),
+      4. a QUALITY GATE (≥ REFRESH_MIN_TOKENS whitespace tokens) on the
+         extracted html text.
+
+    All per-row filters run before or inside the one extraction pass; the
+    only aggregate is the slim max-ts table. Mirrored end-to-end by a
+    single SQL CTE. Returns a streaming Dataset of (url, text)."""
+    import ray
+
+    blocked = frozenset(
+        f"site{h}.example" for h in range(N_HOSTS) if h % 10 == BLOCK_RESIDUE
+    )
+    deny_ref = ray.put(blocked)
+
+    pages_dir = synth_pages_parquet(sf_dir, recrawl_every=RECRAWL_EVERY)
+    pages = read_pages(pages_dir)
+
+    def drop_blocked(df: pd.DataFrame) -> pd.DataFrame:
+        deny = ray.get(deny_ref)
+        host = df["url"].str.extract(r"^https?://([^/]+)", expand=False)
+        return df[~host.isin(deny)]
+
+    pages = pages.map_batches(drop_blocked, batch_format="pandas")
+
+    maxts = grouped_aggregate(
+        pages.select_columns(["url", "warc_ts"]),
+        ["url"],
+        {"max_ts": ("warc_ts", "max")},
+    ).materialize()
+    mdf = maxts.to_pandas()  # slim; the join path of latest_page_text at scale
+    ts_ref = ray.put(dict(zip(mdf["url"], mdf["max_ts"])))
+
+    def keep_latest(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ts_ref)
+        return df[df["warc_ts"] == df["url"].map(m)]
+
+    ds = extraction_pipeline(pages.map_batches(keep_latest, batch_format="pandas"))
+
+    def quality_gate(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.compute.equal(t["content_type"], "html"))
+        n_tokens = pa.compute.add(
+            pa.compute.count_substring(t["text"], " "), 1
+        )
+        return t.filter(
+            pa.compute.greater_equal(n_tokens, REFRESH_MIN_TOKENS)
+        ).select(["url", "text"])
+
+    return ds.map_batches(quality_gate, batch_format="pyarrow")
+
+
+_REFRESHED_CORPUS_SQL = f"""
+SELECT {_URL_SQL} AS url,
+       CASE WHEN doc_id % {RECRAWL_EVERY} = {RECRAWL_RESIDUE}
+            THEN text || '{RECRAWL_SUFFIX}'
+            ELSE text END AS text
+FROM documents
+WHERE doc_id % 20 NOT IN (0, 1, 2, 3)
+  AND (doc_id % {N_HOSTS}) % 10 != {BLOCK_RESIDUE}
+  AND len(string_split(CASE WHEN doc_id % {RECRAWL_EVERY} = {RECRAWL_RESIDUE}
+                            THEN text || '{RECRAWL_SUFFIX}'
+                            ELSE text END, ' ')) >= {REFRESH_MIN_TOKENS}
+"""
+
+
 def exploded_pdf_text(sf_dir: str) -> rd.Dataset:
     """Heavy-doc path: explode pdf docs to page rows, extract pages in
     parallel, re-combine per url ordered by page_num (byte-exact separators,
@@ -662,6 +738,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "latest_page_text": latest_page_text,
     "blocked_domain_pages": blocked_domain_pages,
     "recrawl_churn_stats": recrawl_churn_stats,
+    "refreshed_corpus": refreshed_corpus,
     "domain_stats": domain_stats,
 }
 
@@ -677,6 +754,7 @@ ORACLES: dict[str, str] = {
     "latest_page_text": _LATEST_PAGE_TEXT_SQL,
     "blocked_domain_pages": _BLOCKED_DOMAIN_PAGES_SQL,
     "recrawl_churn_stats": _RECRAWL_CHURN_SQL,
+    "refreshed_corpus": _REFRESHED_CORPUS_SQL,
     "domain_stats": _DOMAIN_STATS_SQL,
     "page_link_graph": _PAGE_LINK_GRAPH_SQL,
     "url_canonicalize": _URL_CANONICALIZE_SQL,

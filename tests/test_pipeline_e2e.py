@@ -144,3 +144,30 @@ def test_latest_page_text_recrawl_semantics(ray_session):
             assert got[url_for(d)] == row["text"]
             checked_plain += 1
     assert checked_recrawled > 0 and checked_plain > 0
+
+
+def test_refreshed_corpus_composition(ray_session):
+    """The web-refresh flagship = blocklist ∘ latest-snapshot ∘ extract ∘
+    quality gate — consistent with its constituent operators run separately."""
+    from simple_content_ocr_ray.pipelines.extract_queries import (
+        BLOCK_RESIDUE,
+        REFRESH_MIN_TOKENS,
+        latest_page_text,
+        refreshed_corpus,
+    )
+    from simple_content_ocr_ray.sources.synth_pages import N_HOSTS
+
+    sf = "/root/testdata/sf0.001"
+    got = refreshed_corpus(sf).to_pandas().sort_values("url").reset_index(drop=True)
+    base = latest_page_text(sf).to_pandas()
+    host_id = base["url"].str.extract(r"site(\d+)\.example", expand=False).astype(int)
+    n_tokens = base["text"].str.count(" ") + 1
+    exp = (
+        base[(host_id % 10 != BLOCK_RESIDUE) & (n_tokens >= REFRESH_MIN_TOKENS)]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp)
+    assert 0 < len(got) < len(base)
