@@ -240,6 +240,10 @@ def run_headline() -> dict:
             "event_value_winsorized",
             "doc_compress_ratio",
             "image_ahash_dupes",
+            "refreshed_corpus",
+            "rolling_dau_7d",
+            "doc_dup_fraction",
+            "ngram_containment_pairs",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)

@@ -154,14 +154,18 @@ SELECT token, n FROM c ORDER BY n DESC, token LIMIT {MG_TOPK}
 """
 
 
-def type_distinct_users_hll(sf_dir: str) -> pd.DataFrame:
+def type_distinct_users_hll(
+    sf_dir: str, driver_merge_max_rows: int = 100_000
+) -> pd.DataFrame:
     """Per-KEY approximate distinct count: one HLL register array per
     (event_type, batch), merged per key by elementwise max — the grouped
-    variant of ``hll_distinct_users``. The driver holds |types|×|batches|
-    4 KiB rows (at scale the max-merge itself becomes a partial+final
-    grouped aggregate over the register column — same associative merge);
-    no per-key value set ever materializes. Deterministic (splitmix64),
-    ±~1.6% at p=12; accuracy asserted vs exact counts in tests."""
+    variant of ``hll_distinct_users``. Adaptive merge: ≤ ``driver_merge_max_
+    rows`` register rows merge on the driver; above that the max-merge runs
+    as a DISTRIBUTED key-grouped reduction over the register column (the
+    merge is associative — same result, tested equal), so the driver only
+    ever holds |keys| merged arrays. No per-key value set ever
+    materializes. Deterministic (splitmix64), ±~1.6% at p=12; accuracy
+    asserted vs exact counts in tests."""
     events = rd.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
     )
@@ -174,7 +178,20 @@ def type_distinct_users_hll(sf_dir: str) -> pd.DataFrame:
             )
         return pd.DataFrame(rows, columns=["event_type", "regs"])
 
-    parts = events.map_batches(partial, batch_format="pandas").to_pandas()
+    def _merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        merged = np.zeros(HLL_M, dtype=np.uint8)
+        for blob in g["regs"]:
+            np.maximum(merged, np.frombuffer(blob, dtype=np.uint8), out=merged)
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]], "regs": [merged.tobytes()]}
+        )
+
+    parts_ds = events.map_batches(partial, batch_format="pandas").materialize()
+    if parts_ds.count() > driver_merge_max_rows:
+        parts_ds = parts_ds.groupby("event_type").map_groups(
+            _merge_group, batch_format="pandas"
+        )
+    parts = parts_ds.to_pandas()
     out_rows = []
     for et, g in parts.groupby("event_type", sort=True):
         merged = np.zeros(HLL_M, dtype=np.uint8)

@@ -52,6 +52,17 @@ def test_hll_per_type_within_error_bound(ray_session):
         assert abs(int(row["approx_distinct"]) - true_n) <= max(0.10 * true_n, 5)
 
 
+def test_hll_per_type_distributed_merge_matches_driver(ray_session):
+    """Forcing the distributed key-grouped register merge (threshold 0) must
+    yield the exact same estimates as the driver-side merge — the max-merge
+    is associative, so the topology cannot change the result."""
+    driver = sketch.type_distinct_users_hll(SF)
+    dist = sketch.type_distinct_users_hll(SF, driver_merge_max_rows=0)
+    pd.testing.assert_frame_equal(
+        driver.reset_index(drop=True), dist.reset_index(drop=True)
+    )
+
+
 def _true_counts() -> Counter:
     texts = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])["text"]
     c = Counter()
