@@ -27,6 +27,7 @@ from ..functions.agg import grouped_aggregate
 from ..sources.synth_pages import (
     N_HOSTS,
     RECRAWL_RESIDUE,
+    RECRAWL_SAME_RESIDUE,
     RECRAWL_SUFFIX,
     synth_pages_parquet,
 )
@@ -261,6 +262,85 @@ SELECT 'site' || CAST(doc_id % {N_HOSTS} AS VARCHAR) || '.example' AS domain,
        CAST(SUM(CASE WHEN doc_id % {RECRAWL_EVERY} = {RECRAWL_RESIDUE}
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_recrawled
 FROM documents
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def snapshot_change_rate(sf_dir: str) -> pd.DataFrame:
+    """Content-level crawl-churn report: per domain, how many urls were
+    re-crawled (≥2 snapshots in the pages table) and what fraction of those
+    re-crawls actually CHANGED the page (>1 distinct extracted-text digest
+    among the url's snapshots) — the signal that separates sites worth
+    frequent re-crawling from ones serving byte-identical pages. The fixture
+    mixes changed re-crawls (residue {RECRAWL_RESIDUE}) with no-op re-crawls
+    (residue {RECRAWL_SAME_RESIDUE}) and non-HTML pages whose extracted text
+    is empty either way, so the rate is non-trivial per domain.
+
+    Scale topology: only (url, 16-byte digest) leaves the scan — page text
+    never shuffles. Distinct digests per url collapse inside the partial
+    aggregate of the first grouped pass ((url, h) keys), the second pass
+    reduces to one row per url, and the domain rollup is bounded by |hosts|.
+    """
+    import hashlib
+
+    pages_dir = synth_pages_parquet(
+        sf_dir, recrawl_every=RECRAWL_EVERY, recrawl_same_every=RECRAWL_EVERY
+    )
+    pages = rd.read_parquet(pages_dir, columns=["url", "text"])
+
+    def hash_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "url": df["url"],
+                "h": [hashlib.md5(t.encode("utf-8")).hexdigest() for t in df["text"]],
+            }
+        )
+
+    per_variant = grouped_aggregate(
+        pages, ["url", "h"], {"n": (None, "count")}, prepare=hash_rows
+    )
+    per_url = grouped_aggregate(
+        per_variant,
+        ["url"],
+        {"n_variants": (None, "count"), "n_snapshots": ("n", "sum")},
+    )
+
+    def domain_rows(df: pd.DataFrame) -> pd.DataFrame:
+        recrawled = df["n_snapshots"].to_numpy() > 1
+        host = df.loc[recrawled, "url"].str.extract(r"^https?://([^/]+)", expand=False)
+        return pd.DataFrame(
+            {
+                "domain": host,
+                "changed": (df.loc[recrawled, "n_variants"] > 1).astype("int64"),
+            }
+        )
+
+    out = grouped_aggregate(
+        per_url,
+        ["domain"],
+        {"n_recrawled": (None, "count"), "n_changed": ("changed", "sum")},
+        prepare=domain_rows,
+    ).to_pandas()
+    out = out.astype({"n_recrawled": "int64", "n_changed": "int64"})
+    out["change_rate"] = out["n_changed"] / out["n_recrawled"]
+    return out.sort_values("domain").reset_index(drop=True)
+
+
+#: mirror from first principles: a url is re-crawled iff its doc residue is
+#: one of the two recrawl fixtures; its content changed iff it is the
+#: suffix-appending residue AND the payload class is html (non-html pages
+#: extract to the empty string in every snapshot).
+_SNAPSHOT_CHANGE_SQL = f"""
+SELECT 'site' || CAST(doc_id % {N_HOSTS} AS VARCHAR) || '.example' AS domain,
+       COUNT(*) AS n_recrawled,
+       CAST(SUM(CASE WHEN doc_id % {RECRAWL_EVERY} = {RECRAWL_RESIDUE}
+                      AND doc_id % 20 NOT IN (0, 1, 2, 3)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       SUM(CASE WHEN doc_id % {RECRAWL_EVERY} = {RECRAWL_RESIDUE}
+                 AND doc_id % 20 NOT IN (0, 1, 2, 3)
+                THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS change_rate
+FROM documents
+WHERE doc_id % {RECRAWL_EVERY} IN ({RECRAWL_RESIDUE}, {RECRAWL_SAME_RESIDUE})
 GROUP BY 1 ORDER BY 1
 """
 
@@ -738,6 +818,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "latest_page_text": latest_page_text,
     "blocked_domain_pages": blocked_domain_pages,
     "recrawl_churn_stats": recrawl_churn_stats,
+    "snapshot_change_rate": snapshot_change_rate,
     "refreshed_corpus": refreshed_corpus,
     "domain_stats": domain_stats,
 }
@@ -754,6 +835,7 @@ ORACLES: dict[str, str] = {
     "latest_page_text": _LATEST_PAGE_TEXT_SQL,
     "blocked_domain_pages": _BLOCKED_DOMAIN_PAGES_SQL,
     "recrawl_churn_stats": _RECRAWL_CHURN_SQL,
+    "snapshot_change_rate": _SNAPSHOT_CHANGE_SQL,
     "refreshed_corpus": _REFRESHED_CORPUS_SQL,
     "domain_stats": _DOMAIN_STATS_SQL,
     "page_link_graph": _PAGE_LINK_GRAPH_SQL,

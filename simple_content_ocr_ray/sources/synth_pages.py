@@ -119,6 +119,11 @@ def make_payload(
 RECRAWL_RESIDUE = 11
 RECRAWL_OFFSET_US = 30 * 86400 * 1_000_000
 RECRAWL_SUFFIX = " updated"
+#: unchanged re-crawl fixture: ``doc_id % recrawl_same_every ==
+#: RECRAWL_SAME_RESIDUE`` gets a SECOND snapshot 30 days later with
+#: IDENTICAL content — the no-op re-crawl shape (same url, newer warc_ts,
+#: byte-identical page) a change-rate report must classify as unchanged.
+RECRAWL_SAME_RESIDUE = 23
 
 
 def pages_table_from_documents(
@@ -126,6 +131,7 @@ def pages_table_from_documents(
     duplicate_every: int = 0,
     richness: int = 1,
     recrawl_every: int = 0,
+    recrawl_same_every: int = 0,
 ) -> pa.Table:
     """Build the pages table from a documents table (pure function).
 
@@ -137,6 +143,11 @@ def pages_table_from_documents(
     30 days, text suffixed with ``RECRAWL_SUFFIX``) for every row whose
     ``doc_id % recrawl_every == RECRAWL_RESIDUE`` — the re-crawl fixture for
     latest-snapshot dedup; SQL mirror: CASE on the same residue.
+
+    ``recrawl_same_every > 0`` additionally emits a NEWER snapshot with
+    UNCHANGED content for every row whose ``doc_id % recrawl_same_every ==
+    RECRAWL_SAME_RESIDUE`` — the no-op re-crawl fixture for change-rate
+    reports; SQL mirror: the residue alone (content provably identical).
     """
     doc_ids = documents["doc_id"].to_pylist()
     texts = documents["text"].to_pylist()
@@ -164,6 +175,11 @@ def pages_table_from_documents(
             emit(i)
         if recrawl_every and doc_ids[i] % recrawl_every == RECRAWL_RESIDUE:
             emit(i, RECRAWL_OFFSET_US, RECRAWL_SUFFIX)
+        if (
+            recrawl_same_every
+            and doc_ids[i] % recrawl_same_every == RECRAWL_SAME_RESIDUE
+        ):
+            emit(i, RECRAWL_OFFSET_US)
 
     return pa.Table.from_arrays(
         [
@@ -183,6 +199,7 @@ def synth_pages_parquet(
     num_files: int = 8,
     duplicate_every: int = 0,
     recrawl_every: int = 0,
+    recrawl_same_every: int = 0,
 ) -> str:
     """Materialize (once) the pages table derived from ``{sf_dir}/documents.parquet``
     as a directory of parquet files; returns the directory path.
@@ -199,6 +216,7 @@ def synth_pages_parquet(
         f"{os.path.basename(abs_dir)}_{path_tag}"
         f"_v{SYNTH_VERSION}_dup{duplicate_every}"
         + (f"_rc{recrawl_every}" if recrawl_every else "")
+        + (f"_rs{recrawl_same_every}" if recrawl_same_every else "")
     )
     out_dir = os.path.join(out_root, key)
     done = os.path.join(out_dir, "_DONE")
@@ -207,7 +225,10 @@ def synth_pages_parquet(
 
     documents = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
     table = pages_table_from_documents(
-        documents, duplicate_every=duplicate_every, recrawl_every=recrawl_every
+        documents,
+        duplicate_every=duplicate_every,
+        recrawl_every=recrawl_every,
+        recrawl_same_every=recrawl_same_every,
     )
 
     tmp_dir = out_dir + f".tmp.{os.getpid()}"

@@ -146,6 +146,43 @@ def test_latest_page_text_recrawl_semantics(ray_session):
     assert checked_recrawled > 0 and checked_plain > 0
 
 
+def test_snapshot_change_rate_classifies_recrawls(ray_session):
+    """Changed (suffix) re-crawls of HTML pages count as changed; no-op
+    re-crawls and non-HTML re-crawls (empty text both snapshots) do not —
+    checked against a brute-force pandas recomputation over the pages table."""
+    import pandas as pd
+
+    from simple_content_ocr_ray.pipelines.extract_queries import (
+        RECRAWL_EVERY,
+        snapshot_change_rate,
+    )
+    from simple_content_ocr_ray.sources.synth_pages import synth_pages_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = snapshot_change_rate(sf)
+    assert list(got.columns) == ["domain", "n_recrawled", "n_changed", "change_rate"]
+    assert (got["n_recrawled"] >= got["n_changed"]).all()
+
+    pages_dir = synth_pages_parquet(
+        sf, recrawl_every=RECRAWL_EVERY, recrawl_same_every=RECRAWL_EVERY
+    )
+    pages = pd.read_parquet(pages_dir, columns=["url", "text"])
+    per_url = pages.groupby("url")["text"].agg(["count", "nunique"])
+    rec = per_url[per_url["count"] > 1]
+    assert len(rec) > 0 and (rec["nunique"] > 1).any() and (rec["nunique"] == 1).any()
+    dom = rec.index.str.extract(r"^https?://([^/]+)", expand=False)
+    exp = (
+        pd.DataFrame({"domain": dom, "changed": (rec["nunique"] > 1).to_numpy()})
+        .groupby("domain")
+        .agg(n_recrawled=("changed", "size"), n_changed=("changed", "sum"))
+        .reset_index()
+    )
+    merged = got.merge(exp, on="domain", how="outer", suffixes=("", "_exp"))
+    assert len(merged) == len(got) == len(exp)
+    assert (merged["n_recrawled"] == merged["n_recrawled_exp"]).all()
+    assert (merged["n_changed"] == merged["n_changed_exp"]).all()
+
+
 def test_refreshed_corpus_composition(ray_session):
     """The web-refresh flagship = blocklist ∘ latest-snapshot ∘ extract ∘
     quality gate — consistent with its constituent operators run separately."""
