@@ -167,6 +167,69 @@ def test_contaminated_docs_bruteforce(ray_session):
     assert dict(got) == exp
 
 
+def test_fuzzy_contaminated_docs_bruteforce(ray_session):
+    """Brute-force recomputation over the near-twin-augmented corpus: every
+    (train, eval) pair's exact 3-gram Jaccard, best match and match count —
+    and the injected near twins of eval docs MUST be flagged (recall check)."""
+    import numpy as np
+    import pandas as pd
+
+    from simple_content_ocr_ray.functions.decontam import (
+        EVAL_MOD,
+        fuzzy_contaminated_docs,
+    )
+    from simple_content_ocr_ray.functions.dedup import (
+        JACCARD_TAU,
+        MIN_TWIN_WORDS,
+        NEAR_TWIN_OFFSET,
+        shingle_hashes,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = fuzzy_contaminated_docs(sf)
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+
+    corpus = [(int(d), t) for d, t in zip(docs["doc_id"], docs["text"]) if t.strip()]
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        w = t.split(" ")
+        if d % 5 == 0 and len(w) >= MIN_TWIN_WORDS:
+            corpus.append((int(d) + NEAR_TWIN_OFFSET, " ".join(w[:-2])))
+    sets = {d: np.sort(shingle_hashes(t)) for d, t in corpus}
+    is_eval = lambda d: d % EVAL_MOD == 0 and d < NEAR_TWIN_OFFSET  # noqa: E731
+    exp = {}
+    for d, _ in corpus:
+        if is_eval(d):
+            continue
+        hits = []
+        for e, _ in corpus:
+            if not is_eval(e):
+                continue
+            inter = np.intersect1d(sets[d], sets[e], assume_unique=True).size
+            j = inter / (len(sets[d]) + len(sets[e]) - inter)
+            if j >= JACCARD_TAU:
+                hits.append((j, e))
+        if hits:
+            bj = max(h[0] for h in hits)
+            exp[d] = (min(e for j, e in hits if j == bj), bj, len(hits))
+    assert {
+        int(r.doc_id): (int(r.best_eval_id), r.best_jaccard, int(r.n_eval_matches))
+        for r in got.itertuples()
+    } == exp
+    # recall: every ≥MIN_TWIN_WORDS eval doc's injected twin is flagged with
+    # a best Jaccard at least as high as its similarity to its own source
+    # (the best_eval_id may be a DIFFERENT eval doc on an exact tie)
+    twin_checked = 0
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        if d % EVAL_MOD == 0 and len(t.split(" ")) >= MIN_TWIN_WORDS:
+            tw = int(d) + NEAR_TWIN_OFFSET
+            inter = np.intersect1d(sets[tw], sets[int(d)], assume_unique=True).size
+            j_own = inter / (len(sets[tw]) + len(sets[int(d)]) - inter)
+            assert j_own >= JACCARD_TAU
+            assert tw in exp and exp[tw][1] >= j_own
+            twin_checked += 1
+    assert twin_checked > 0
+
+
 def test_weighted_sample_docs_aes_math(ray_session):
     import hashlib
 
