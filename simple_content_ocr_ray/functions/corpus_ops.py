@@ -971,8 +971,128 @@ WHERE md5_number_lower(CAST(doc_id AS VARCHAR) || ':' || source)
 """
 
 
+# --------------------------------------------------------------------------
+# Token-budgeted mixture planner
+# --------------------------------------------------------------------------
+
+BUDGET_FRAC = 0.4  # target corpus size as a fraction of total tokens
+BUDGET_DENOM = 1_000_000  # coin resolution (rates quantized to ppm)
+
+
+def token_budget_mixture(sf_dir: str) -> pd.DataFrame:
+    """Token-budgeted mixture planning: given a global token budget
+    (``BUDGET_FRAC`` of the corpus), allocate it EQUALLY across sources and
+    derive each source's deterministic sampling rate
+    ``min(1, budget_per_source / source_tokens)`` — small sources are kept
+    whole, big sources are downsampled toward balance (the practical version
+    of the mixture-reweighting step in LLM data recipes). Reports, per
+    source, the plan (token counts, rate in ppm) AND the realized sample
+    (kept docs/tokens under the md5-coin filter), so planned vs realized
+    rates are auditable in one table.
+
+    Scale topology: pass 1 is a partial+final per-source token count
+    (bounded by |sources|); the threshold math is driver-side over that tiny
+    table; pass 2 re-streams the corpus through a worker-local coin filter
+    (rate map broadcast via the closure) into a second bounded rollup. Two
+    corpus scans, zero shuffles of the wide side, no driver row ever holds
+    text."""
+    import math
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+
+    def tok_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": df["source"],
+                "nt": pd.Series(
+                    [len(t.split(" ")) for t in df["text"]], dtype="int64"
+                ),
+            }
+        )
+
+    per = grouped_aggregate(
+        docs,
+        ["source"],
+        {"n_docs": (None, "count"), "n_tokens": ("nt", "sum")},
+        prepare=tok_rows,
+    ).to_pandas()
+    per = per.astype({"n_docs": "int64", "n_tokens": "int64"})
+    total = float(per["n_tokens"].sum())
+    ns = float(len(per))
+    per["rate_ppm"] = [
+        int(
+            math.floor(
+                min(1.0, ((BUDGET_FRAC * total) / ns) / float(st)) * BUDGET_DENOM
+            )
+        )
+        for st in per["n_tokens"]
+    ]
+    thresh = dict(zip(per["source"], per["rate_ppm"]))
+
+    def kept_rows(df: pd.DataFrame) -> pd.DataFrame:
+        srcs, nts = [], []
+        for d, s, t in zip(df["doc_id"], df["source"], df["text"]):
+            coin = (
+                int.from_bytes(
+                    hashlib.md5(f"{int(d)}#{s}".encode()).digest()[8:16], "little"
+                )
+                % BUDGET_DENOM
+            )
+            if coin < thresh[s]:
+                srcs.append(s)
+                nts.append(len(t.split(" ")))
+        return pd.DataFrame(
+            {"source": srcs, "nt": pd.Series(nts, dtype="int64")}
+        )
+
+    kept = grouped_aggregate(
+        docs,
+        ["source"],
+        {"kept_docs": (None, "count"), "kept_tokens": ("nt", "sum")},
+        prepare=kept_rows,
+    ).to_pandas()
+
+    out = per.merge(kept, on="source", how="left")
+    out["kept_docs"] = out["kept_docs"].fillna(0).astype("int64")
+    out["kept_tokens"] = out["kept_tokens"].fillna(0).astype("int64")
+    out["rate_ppm"] = out["rate_ppm"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+_TOKEN_BUDGET_MIXTURE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+  FROM documents
+), tot AS (
+  SELECT CAST(SUM(nt) AS DOUBLE) AS t, COUNT(DISTINCT source) AS ns FROM tok
+), plan AS (
+  SELECT source, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+         CAST(FLOOR(LEAST(1.0, (({BUDGET_FRAC} * tot.t) / tot.ns)
+                               / CAST(SUM(nt) AS DOUBLE)) * {BUDGET_DENOM})
+              AS BIGINT) AS rate_ppm
+  FROM tok, tot
+  GROUP BY source, tot.t, tot.ns
+), kept AS (
+  SELECT k.source, COUNT(*) AS kept_docs, CAST(SUM(k.nt) AS BIGINT) AS kept_tokens
+  FROM tok k JOIN plan p USING (source)
+  WHERE md5_number_lower(CAST(doc_id AS VARCHAR) || '#' || k.source)
+          % {BUDGET_DENOM} < p.rate_ppm
+  GROUP BY k.source
+)
+SELECT p.source, p.n_docs, p.n_tokens, p.rate_ppm,
+       COALESCE(k.kept_docs, 0) AS kept_docs,
+       COALESCE(k.kept_tokens, 0) AS kept_tokens
+FROM plan p LEFT JOIN kept k USING (source)
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
     "doc_pagerank": doc_pagerank,
+    "token_budget_mixture": token_budget_mixture,
     "lang_top_docs": lang_top_docs,
     "lang_sample_exact_k": lang_sample_exact_k,
     "source_mixture_sample": source_mixture_sample,
@@ -992,6 +1112,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 
 ORACLES: dict[str, str] = {
     "doc_pagerank": _pagerank_sql(),
+    "token_budget_mixture": _TOKEN_BUDGET_MIXTURE_SQL,
     "lang_top_docs": _LANG_TOP_DOCS_SQL,
     "lang_sample_exact_k": _LANG_SAMPLE_EXACT_K_SQL,
     "source_mixture_sample": _SOURCE_MIXTURE_SAMPLE_SQL,

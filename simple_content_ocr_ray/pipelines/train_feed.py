@@ -208,5 +208,87 @@ FROM c GROUP BY 1
 """
 
 
-QUERIES = {"packed_sequences": packed_sequences}
-ORACLES = {"packed_sequences": _PACKED_SEQUENCES_SQL}
+CHUNK_SIZE = 64  # words per chunk
+CHUNK_STRIDE = 48  # step between chunk starts (CHUNK_SIZE - stride = overlap)
+
+
+def doc_chunks(sf_dir: str) -> rd.Dataset:
+    """Sliding-window document chunking — the context-window preparation
+    step for RAG indexing / fixed-window training: each document becomes
+    overlapping chunks of ``CHUNK_SIZE`` words every ``CHUNK_STRIDE`` words
+    (the final chunk is shorter rather than padded; a doc at or under one
+    window is exactly one chunk). Output rows carry the chunk's md5 instead
+    of its text so the exploded table stays slim while remaining
+    byte-exactly checkable.
+
+    Embarrassingly parallel: a per-batch flat-map with no shuffle and no
+    driver state; the result is returned as a streaming Dataset (at corpus
+    scale it writes straight to partitioned parquet — roughly
+    corpus_bytes × CHUNK_SIZE/CHUNK_STRIDE of text if text were carried,
+    which is why only hashes leave the worker here)."""
+    import hashlib
+    import math
+
+    docs = corpus_dataset(sf_dir, ["doc_id", "text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids: list[int] = []
+        idxs: list[int] = []
+        nws: list[int] = []
+        hs: list[str] = []
+        for d, t in zip(df["doc_id"], df["text"]):
+            w = t.split(" ")
+            n = len(w)
+            n_chunks = (
+                1
+                if n <= CHUNK_SIZE
+                else math.ceil((n - CHUNK_SIZE) / CHUNK_STRIDE) + 1
+            )
+            for i in range(n_chunks):
+                s = i * CHUNK_STRIDE
+                e = min(s + CHUNK_SIZE, n)
+                ids.append(int(d))
+                idxs.append(i)
+                nws.append(e - s)
+                hs.append(hashlib.md5(" ".join(w[s:e]).encode("utf-8")).hexdigest())
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "chunk_idx": pd.Series(idxs, dtype="int64"),
+                "n_words": pd.Series(nws, dtype="int64"),
+                "chunk_md5": hs,
+            }
+        )
+
+    return docs.map_batches(explode, batch_format="pandas")
+
+
+_DOC_CHUNKS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, w, n,
+         unnest(range(0, CASE WHEN n <= {CHUNK_SIZE} THEN 1
+                 ELSE CAST(CEIL((n - {CHUNK_SIZE})
+                                / CAST({CHUNK_STRIDE} AS DOUBLE)) AS BIGINT) + 1
+                 END)) AS chunk_idx
+  FROM t
+)
+SELECT doc_id, chunk_idx,
+       CAST(LEAST(chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE}, n)
+            - chunk_idx * {CHUNK_STRIDE} AS BIGINT) AS n_words,
+       md5(array_to_string(
+             w[chunk_idx * {CHUNK_STRIDE} + 1
+               : LEAST(chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE}, n)],
+             ' ')) AS chunk_md5
+FROM c
+"""
+
+
+QUERIES = {"packed_sequences": packed_sequences, "doc_chunks": doc_chunks}
+ORACLES = {
+    "packed_sequences": _PACKED_SEQUENCES_SQL,
+    "doc_chunks": _DOC_CHUNKS_SQL,
+}

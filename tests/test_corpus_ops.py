@@ -345,3 +345,47 @@ def test_lang_token_logodds_semantics(ray_session):
         )
         row = got[(got["lang"] == lang) & (got["tok"] == tok)]["lor"].iloc[0]
         assert abs(row - exp) < 1e-3
+
+
+def test_token_budget_mixture_math(ray_session):
+    """Planned rates follow min(1, (frac·total/n_sources)/source_tokens);
+    realized counts follow the md5 coin exactly; realized token share lands
+    near the budget."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from simple_content_ocr_ray.functions.corpus_ops import (
+        BUDGET_DENOM,
+        BUDGET_FRAC,
+        token_budget_mixture,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = token_budget_mixture(sf)
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "source", "text"])
+    docs["nt"] = [len(t.split(" ")) for t in docs["text"]]
+    per = docs.groupby("source")["nt"].agg(["count", "sum"])
+    total, ns = float(per["sum"].sum()), float(len(per))
+    exp_rate = {
+        s: int(math.floor(min(1.0, ((BUDGET_FRAC * total) / ns) / float(st)) * BUDGET_DENOM))
+        for s, st in per["sum"].items()
+    }
+    assert dict(zip(got["source"], got["rate_ppm"])) == exp_rate
+
+    kept = docs[
+        [
+            int.from_bytes(hashlib.md5(f"{int(d)}#{s}".encode()).digest()[8:16], "little")
+            % BUDGET_DENOM
+            < exp_rate[s]
+            for d, s in zip(docs["doc_id"], docs["source"])
+        ]
+    ]
+    exp_kept = kept.groupby("source")["nt"].agg(["count", "sum"])
+    for r in got.itertuples():
+        assert int(r.kept_docs) == int(exp_kept["count"].get(r.source, 0))
+        assert int(r.kept_tokens) == int(exp_kept["sum"].get(r.source, 0))
+    # realized sample is a real downsample near the budget
+    assert 0 < got["kept_tokens"].sum() < got["n_tokens"].sum()
+    assert abs(got["kept_tokens"].sum() / total - BUDGET_FRAC) < 0.15

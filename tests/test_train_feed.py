@@ -36,3 +36,47 @@ def test_batch_size_respected(ray_session):
     sizes = [len(b) for b in train_feed.epoch_batches(SF, epoch=0, batch_size=64)]
     assert all(s <= 64 for s in sizes)
     assert sum(sizes) == 500
+
+
+def test_doc_chunks_window_semantics(ray_session):
+    """Every doc splits into the exact sliding windows: full CHUNK_SIZE
+    windows every CHUNK_STRIDE words, a shorter tail, one chunk for short
+    docs — verified byte-exactly via the chunk md5 against a brute force."""
+    import hashlib
+
+    import pandas as pd
+
+    got = (
+        train_feed.doc_chunks(SF)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        w = t.split(" ")
+        s = 0
+        idx = 0
+        while True:
+            e = min(s + train_feed.CHUNK_SIZE, len(w))
+            rows.append(
+                (
+                    int(d),
+                    idx,
+                    e - s,
+                    hashlib.md5(" ".join(w[s:e]).encode()).hexdigest(),
+                )
+            )
+            if e >= len(w):
+                break
+            s += train_feed.CHUNK_STRIDE
+            idx += 1
+    exp = pd.DataFrame(
+        rows, columns=["doc_id", "chunk_idx", "n_words", "chunk_md5"]
+    ).sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    exp = exp.astype({"doc_id": "int64", "chunk_idx": "int64", "n_words": "int64"})
+    pd.testing.assert_frame_equal(got, exp)
+    # overlap is real: consecutive chunks of a long doc share words
+    long_docs = exp.groupby("doc_id").size()
+    assert (long_docs > 1).any() and (long_docs == 1).any()
