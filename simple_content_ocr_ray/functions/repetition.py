@@ -528,9 +528,69 @@ FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT {BPE_TOPK}
 """
 
 
+def bpe_encode_stats(sf_dir: str, rounds: int = BPE_ROUNDS) -> pd.DataFrame:
+    """Tokenizer APPLICATION — the step after :func:`bpe_merge_rounds`:
+    encode every document under the trained merge rules and report per-doc
+    token accounting (whitespace words, character symbols before merging,
+    BPE tokens after merging, merges applied). The tokens-per-word fertility
+    this yields is the number a data pipeline actually budgets on.
+
+    Scale topology: training reuses the one-vocabulary-pass trainer; the
+    merge list (``rounds`` entries) is broadcast via ``ray.put``; encoding
+    is an embarrassingly parallel actor-pool pass with a PER-ACTOR
+    word→token-count memo (Zipf's law makes the hit rate ~99%, so encoding
+    costs ~O(distinct words) per actor, not O(corpus words)). Rows-only
+    (SQL cannot iterate merge applications) with a pure-python parity test.
+    """
+    import ray
+
+    merges_df = bpe_merge_rounds(sf_dir, rounds)
+    merges = list(zip(merges_df["left"], merges_df["right"]))
+    merges_ref = ray.put(merges)
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    class Encode:
+        def __init__(self) -> None:
+            self.merges = ray.get(merges_ref)
+            self.memo: dict[str, int] = {}
+
+        def _word_tokens(self, w: str) -> int:
+            n = self.memo.get(w)
+            if n is None:
+                n = len(_apply_merges(list(w), self.merges))
+                self.memo[w] = n
+            return n
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ids, nw, nsym, nbpe = [], [], [], []
+            for d, t in zip(df["doc_id"], df["text"]):
+                words = [w for w in t.split(" ") if w]
+                ids.append(int(d))
+                nw.append(len(words))
+                nsym.append(sum(len(w) for w in words))
+                nbpe.append(sum(self._word_tokens(w) for w in words))
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_words": pd.Series(nw, dtype="int64"),
+                    "n_symbols": pd.Series(nsym, dtype="int64"),
+                    "n_bpe_tokens": pd.Series(nbpe, dtype="int64"),
+                }
+            )
+
+    out = docs.map_batches(Encode, batch_format="pandas", concurrency=(1, 8))
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    df["n_merges_applied"] = df["n_symbols"] - df["n_bpe_tokens"]
+    return df
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
     "bpe_pair_counts": bpe_pair_counts,
     "bpe_merge_rounds": bpe_merge_rounds,
+    "bpe_encode_stats": bpe_encode_stats,
     "repeated_ngrams": repeated_ngrams,
     "doc_repetition_stats": doc_repetition_stats,
     "doc_word_entropy": doc_word_entropy,

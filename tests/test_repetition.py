@@ -174,3 +174,51 @@ def test_bpe_merge_rounds_matches_reference(ray_session):
         row = got.iloc[r]
         assert (row["left"], row["right"]) == best[0], r
         assert row["pair_count"] == best[1], r
+
+
+def test_bpe_encode_stats_matches_reference(ray_session):
+    """Distributed encoding under the trained merges equals a pure-python
+    re-encode of every document; accounting identities hold."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from simple_content_ocr_ray.functions.repetition import (
+        BPE_ROUNDS,
+        _apply_merges,
+        bpe_encode_stats,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = bpe_encode_stats(sf)
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    assert len(got) == len(docs)
+
+    # train the reference merges exactly as the trainer-parity test does
+    words = Counter()
+    for t in docs["text"]:
+        for w in t.split(" "):
+            if w:
+                words[w] += 1
+    merges = []
+    for _ in range(BPE_ROUNDS):
+        pc = Counter()
+        for w, c in words.items():
+            syms = _apply_merges(list(w), merges)
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        merges.append(min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0])
+
+    by_id = got.set_index("doc_id")
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        ws = [w for w in t.split(" ") if w]
+        row = by_id.loc[int(d)]
+        assert row["n_words"] == len(ws)
+        assert row["n_symbols"] == sum(len(w) for w in ws)
+        assert row["n_bpe_tokens"] == sum(
+            len(_apply_merges(list(w), merges)) for w in ws
+        )
+    assert (got["n_merges_applied"]
+            == got["n_symbols"] - got["n_bpe_tokens"]).all()
+    # the trained merges actually fire somewhere
+    assert got["n_merges_applied"].sum() > 0
