@@ -1652,7 +1652,106 @@ SELECT user_id FROM events WHERE event_type = 'purchase'
 """
 
 
+# --------------------------------------------------------------------------
+# Distributed linear regression (trend) from exact integer moments
+# --------------------------------------------------------------------------
+
+TREND_ANCHOR = "2024-01-01"  # fixed day-index origin, mirrored in the SQL
+
+
+def event_value_trend(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type least-squares trend of ``value`` over time (the
+    daily-drift monitor: is purchase value rising?). x = days since a fixed
+    anchor, y = value in micros; slope and intercept come from the five
+    classical moments (n, Σx, Σy, Σxy, Σx²), each an EXACT int64 partial
+    sum per batch — constant-size state per (type, batch), one bounded
+    shuffle, no sort, no driver row ever holds an event. The driver does
+    the closed-form algebra on |types| rows in arbitrary-precision python
+    ints, so the doubles are bit-identical to the oracle's HUGEINT-exact
+    arithmetic. Headroom: Σxy stays exact while corpus_rows × x × y_micros
+    < 2^63 (≈10^18 here); past that the partials widen to two-level int64
+    or float128 — same merge shape."""
+    events = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    anchor = pd.Timestamp(TREND_ANCHOR)
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        x = (df["ts"].dt.normalize() - anchor).dt.days.astype("int64")
+        y = np.rint(df["value"].to_numpy() * 1_000_000).astype("int64")
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sxx": x * x,
+            }
+        )
+
+    agg = grouped_aggregate(
+        events,
+        ["event_type"],
+        {
+            "n": (None, "count"),
+            "sx": ("sx", "sum"),
+            "sy": ("sy", "sum"),
+            "sxy": ("sxy", "sum"),
+            "sxx": ("sxx", "sum"),
+        },
+        prepare=moments,
+    ).to_pandas()
+
+    rows = []
+    for r in agg.itertuples():
+        n, sx, sy, sxy, sxx = (int(r.n), int(r.sx), int(r.sy), int(r.sxy), int(r.sxx))
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        slope = float(num) / float(den)
+        intercept = (float(sy) - slope * float(sx)) / float(n)
+        rows.append(
+            {
+                "event_type": r.event_type,
+                "n_events": n,
+                "slope_per_day": float(
+                    round_half_away(slope / 1_000_000.0, 6)
+                ),
+                "intercept": float(
+                    round_half_away(intercept / 1_000_000.0, 6)
+                ),
+            }
+        )
+    return (
+        pd.DataFrame(rows)
+        .astype({"n_events": "int64"})
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
+_EVENT_VALUE_TREND_SQL = f"""
+WITH m AS (
+  SELECT event_type,
+         CAST(datediff('day', DATE '{TREND_ANCHOR}', CAST(ts AS DATE)) AS BIGINT) AS x,
+         CAST(ROUND(value * 1000000, 0) AS BIGINT) AS y
+  FROM events
+), s AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM m GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_events,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) / 1000000.0, 6) AS slope_per_day,
+       ROUND((CAST(sy AS DOUBLE)
+              - CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) / 1000000.0, 6) AS intercept
+FROM s
+"""
+
+
 QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
+    "event_value_trend": event_value_trend,
     "dom_activity_full_outer": dom_activity_full_outer,
     "view_purchase_users": view_purchase_users,
     "orders_above_cust_avg": orders_above_cust_avg,
@@ -1684,6 +1783,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "event_value_trend": _EVENT_VALUE_TREND_SQL,
     "dom_activity_full_outer": _DOM_ACTIVITY_FULL_OUTER_SQL,
     "view_purchase_users": _VIEW_PURCHASE_USERS_SQL,
     "orders_above_cust_avg": _ORDERS_ABOVE_CUST_AVG_SQL,

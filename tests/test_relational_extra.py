@@ -420,3 +420,27 @@ def test_event_value_winsorized_matches_numpy(ray_session):
         assert got.loc[etype, "lo_cut"] <= got.loc[etype, "hi_cut"]
         # winsorized mean is within the clip bounds
         assert got.loc[etype, "lo_cut"] <= got.loc[etype, "wmean"] <= got.loc[etype, "hi_cut"]
+
+
+def test_event_value_trend_matches_numpy(ray_session):
+    """Slope/intercept from distributed integer moments equal a numpy
+    least-squares fit on the same (day, micro-value) points."""
+    import numpy as np
+    import pandas as pd
+
+    from simple_content_ocr_ray.pipelines.relational import (
+        TREND_ANCHOR,
+        event_value_trend,
+    )
+
+    got = event_value_trend(SF).set_index("event_type")
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "ts", "value"])
+    anchor = pd.Timestamp(TREND_ANCHOR)
+    ev["x"] = (ev["ts"].dt.normalize() - anchor).dt.days
+    for etype, g in ev.groupby("event_type"):
+        slope, intercept = np.polyfit(
+            g["x"].to_numpy(dtype="float64"), g["value"].to_numpy(), 1
+        )
+        assert abs(got.loc[etype, "slope_per_day"] - slope) < 1e-4, etype
+        assert abs(got.loc[etype, "intercept"] - intercept) < 1e-3, etype
+        assert got.loc[etype, "n_events"] == len(g)
