@@ -244,6 +244,12 @@ def run_headline() -> dict:
             "rolling_dau_7d",
             "doc_dup_fraction",
             "ngram_containment_pairs",
+            "snapshot_change_rate",
+            "fuzzy_contaminated_docs",
+            "doc_chunks",
+            "token_budget_mixture",
+            "bpe_encode_stats",
+            "event_value_trend",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)
