@@ -1090,8 +1090,81 @@ WHERE hamming(a.text, b.text) <= {HAMMING_TAU}
 """
 
 
+def mirrored_text_domains(sf_dir: str) -> pd.DataFrame:
+    """Cross-domain mirror/syndication detection: texts that appear
+    byte-identically under MORE THAN ONE domain (the press-release /
+    scraped-mirror signature a web-curation pipeline collapses before
+    training). Per mirrored text: how many distinct domains host it, the
+    total copy count, and the keeper (min doc_id).
+
+    Scale topology: only (16-byte digest, domain, doc_id) leaves the scan.
+    Two grouped levels — (hash, domain) collapses same-domain duplicates
+    inside the partial aggregate, then a hash-keyed rollup counts distinct
+    domains as plain rows (the distinct is FREE: level 1's keys are already
+    unique) — the classic dedup-then-count topology for grouped COUNT
+    DISTINCT without per-group sets."""
+    from ..sources.synth_pages import N_HOSTS
+
+    corpus = exact_dup_corpus(sf_dir)
+
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "h": [
+                    hashlib.md5(t.encode("utf-8")).hexdigest() for t in df["text"]
+                ],
+                "domain": [f"site{int(d) % N_HOSTS}.example" for d in ids],
+                "doc_id": ids,
+            }
+        )
+
+    per_domain = grouped_aggregate(
+        corpus,
+        ["h", "domain"],
+        {"n": (None, "count"), "min_doc": ("doc_id", "min")},
+        prepare=prepare,
+    )
+    agg = grouped_aggregate(
+        per_domain,
+        ["h"],
+        {
+            "n_domains": (None, "count"),
+            "n_copies": ("n", "sum"),
+            "keeper_doc_id": ("min_doc", "min"),
+        },
+    ).to_pandas()
+    out = agg[agg["n_domains"] > 1].rename(columns={"h": "text_md5"})
+    out = out.astype(
+        {"n_domains": "int64", "n_copies": "int64", "keeper_doc_id": "int64"}
+    )
+    return out.sort_values("text_md5").reset_index(drop=True)
+
+
+def _mirrored_text_domains_sql() -> str:
+    from ..sources.synth_pages import N_HOSTS
+
+    return f"""
+WITH corpus AS ({_EXACT_CORPUS_SQL}),
+r AS (
+  SELECT md5(text) AS h,
+         'site' || CAST(doc_id % {N_HOSTS} AS VARCHAR) || '.example' AS domain,
+         doc_id
+  FROM corpus
+), pd AS (
+  SELECT h, domain, COUNT(*) AS n, MIN(doc_id) AS min_doc
+  FROM r GROUP BY h, domain
+)
+SELECT h AS text_md5, COUNT(*) AS n_domains,
+       CAST(SUM(n) AS BIGINT) AS n_copies,
+       MIN(min_doc) AS keeper_doc_id
+FROM pd GROUP BY h HAVING COUNT(*) > 1
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
     "dedup_exact_docs": dedup_exact_docs,
+    "mirrored_text_domains": mirrored_text_domains,
     "hamming_typo_pairs": hamming_typo_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "ngram_containment_pairs": ngram_containment_pairs,
@@ -1102,6 +1175,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 
 ORACLES: dict[str, str] = {
     "dedup_exact_docs": _DEDUP_EXACT_DOCS_SQL,
+    "mirrored_text_domains": _mirrored_text_domains_sql(),
     "hamming_typo_pairs": _HAMMING_TYPO_PAIRS_SQL,
     "ngram_jaccard_pairs": _NEAR_PAIRS_SQL,
     "ngram_containment_pairs": _CONTAINMENT_PAIRS_SQL,

@@ -394,3 +394,47 @@ def test_doc_dup_fraction_bruteforce(ray_session):
         dup = sum(1 for h in s if df_count[h] > 1)
         assert got.loc[d, "n_shingles"] == len(s)
         assert abs(got.loc[d, "dup_fraction"] - round_half_away(dup / len(s))) < 1e-9
+
+
+def test_mirrored_text_domains_bruteforce(ray_session):
+    """Brute-force pandas recomputation over the exact-twin corpus; every
+    exact twin lands on a different domain, so each duplicated text is a
+    cross-domain mirror."""
+    import hashlib
+
+    import pandas as pd
+
+    from simple_content_ocr_ray.functions.dedup import (
+        EXACT_TWIN_OFFSET,
+        mirrored_text_domains,
+    )
+    from simple_content_ocr_ray.sources.synth_pages import N_HOSTS
+
+    sf = "/root/testdata/sf0.001"
+    got = mirrored_text_domains(sf)
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    rows = [(int(d), t) for d, t in zip(docs["doc_id"], docs["text"])]
+    rows += [
+        (int(d) + EXACT_TWIN_OFFSET, t)
+        for d, t in zip(docs["doc_id"], docs["text"])
+        if d % 7 == 0
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df["h"] = [hashlib.md5(t.encode()).hexdigest() for t in df["text"]]
+    df["domain"] = [f"site{d % N_HOSTS}.example" for d in df["doc_id"]]
+    pd_lvl = df.groupby(["h", "domain"])["doc_id"].agg(["size", "min"]).reset_index()
+    exp = (
+        pd_lvl.groupby("h")
+        .agg(n_domains=("domain", "size"), n_copies=("size", "sum"),
+             keeper_doc_id=("min", "min"))
+        .reset_index()
+    )
+    exp = exp[exp["n_domains"] > 1].rename(columns={"h": "text_md5"})
+    exp = exp.sort_values("text_md5").reset_index(drop=True).astype(
+        {"n_domains": "int64", "n_copies": "int64", "keeper_doc_id": "int64"}
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    # the twin fixture guarantees mirrors exist and every twinned text is
+    # flagged (distinct texts may collapse to one hash row, so compare sets)
+    twin_hashes = set(df.loc[df["doc_id"] >= EXACT_TWIN_OFFSET, "h"])
+    assert twin_hashes and twin_hashes <= set(got["text_md5"])
