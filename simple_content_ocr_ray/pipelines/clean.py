@@ -21,7 +21,9 @@ import hashlib
 import os
 from typing import Callable
 
+import numpy as np
 import pandas as pd
+import pyarrow.parquet as pq
 import ray.data as rd
 
 MIN_TOKENS = 15
@@ -280,11 +282,110 @@ FROM packed
 """
 
 
+def clean_filter_attribution(sf_dir: str) -> pd.DataFrame:
+    """Filter ablation report for :func:`clean_corpus`: every document is
+    attributed to the FIRST rule that removes it (min_tokens →
+    distinct_ratio → mean_token_len → duplicate) or to 'kept' — the table a
+    data-curation review reads before changing any threshold ("what is this
+    filter actually costing me?"). Shares are of the whole corpus.
+
+    Scale topology: rule attribution is a vectorized per-batch map feeding a
+    |reasons|-bounded rollup (no shuffle of documents); the duplicate count
+    falls out of the keeper pipeline already run by ``clean_corpus`` —
+    passing docs minus keepers — so no extra dedup shuffle is added beyond
+    the second corpus scan (fusable into one pass if the scan ever
+    dominates)."""
+    from ..functions.agg import grouped_aggregate, round_half_away
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "n_chars"],
+    )
+    n_total = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
+
+    def reasons(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        n_tokens = toks.str.len().astype("int64")
+        n_distinct = toks.map(lambda ws: len(set(ws))).astype("int64")
+        mean_len = (df["n_chars"].astype("int64") - (n_tokens - 1)) / n_tokens
+        reason = np.where(
+            n_tokens < MIN_TOKENS,
+            "min_tokens",
+            np.where(
+                n_distinct / n_tokens < MIN_DISTINCT_RATIO,
+                "distinct_ratio",
+                np.where(
+                    mean_len > MAX_MEAN_TOKEN_LEN, "mean_token_len", "pass"
+                ),
+            ),
+        )
+        return pd.DataFrame({"reason": reason})
+
+    counts = (
+        grouped_aggregate(docs, ["reason"], {"n": (None, "count")}, prepare=reasons)
+        .to_pandas()
+        .set_index("reason")["n"]
+        .astype("int64")
+    )
+    n_pass = int(counts.get("pass", 0))
+    n_kept = len(clean_corpus(sf_dir))
+    rows = [
+        (r, int(counts[r]))
+        for r in ("min_tokens", "distinct_ratio", "mean_token_len")
+        if r in counts.index and counts[r] > 0
+    ]
+    if n_pass - n_kept > 0:
+        rows.append(("duplicate", n_pass - n_kept))
+    if n_kept > 0:
+        rows.append(("kept", n_kept))
+    out = pd.DataFrame(rows, columns=["reason", "n_docs"]).astype(
+        {"n_docs": "int64"}
+    )
+    out["share"] = round_half_away(
+        out["n_docs"].to_numpy() * 1.0 / float(n_total), 6
+    )
+    return out.sort_values("reason").reset_index(drop=True)
+
+
+_CLEAN_FILTER_ATTRIBUTION_SQL = f"""
+WITH q AS (
+  SELECT doc_id, md5(text) AS h,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) * 1.0
+           / len(string_split(text, ' ')) AS distinct_ratio,
+         (n_chars - (len(string_split(text, ' ')) - 1)) * 1.0
+           / len(string_split(text, ' ')) AS mean_token_len
+  FROM documents
+), r AS (
+  SELECT doc_id, h,
+         CASE WHEN n_tokens < {MIN_TOKENS} THEN 'min_tokens'
+              WHEN distinct_ratio < {MIN_DISTINCT_RATIO} THEN 'distinct_ratio'
+              WHEN mean_token_len > {MAX_MEAN_TOKEN_LEN} THEN 'mean_token_len'
+              ELSE 'pass' END AS reason
+  FROM q
+), k AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rk
+  FROM r WHERE reason = 'pass'
+), lab AS (
+  SELECT CASE WHEN r.reason <> 'pass' THEN r.reason
+              WHEN k.rk = 1 THEN 'kept' ELSE 'duplicate' END AS reason
+  FROM r LEFT JOIN k USING (doc_id)
+)
+SELECT reason, COUNT(*) AS n_docs,
+       ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM documents), 6) AS share
+FROM lab GROUP BY reason
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
     "clean_corpus": clean_corpus,
     "curated_corpus": curated_corpus,
+    "clean_filter_attribution": clean_filter_attribution,
 }
 ORACLES: dict[str, str] = {
     "clean_corpus": _CLEAN_CORPUS_SQL,
     "curated_corpus": _curated_corpus_sql(),
+    "clean_filter_attribution": _CLEAN_FILTER_ATTRIBUTION_SQL,
 }

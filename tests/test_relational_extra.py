@@ -444,3 +444,52 @@ def test_event_value_trend_matches_numpy(ray_session):
         assert abs(got.loc[etype, "slope_per_day"] - slope) < 1e-4, etype
         assert abs(got.loc[etype, "intercept"] - intercept) < 1e-3, etype
         assert got.loc[etype, "n_events"] == len(g)
+
+
+def test_clean_filter_attribution_all_branches(ray_session, tmp_path):
+    """A crafted corpus exercising every attribution branch (short doc,
+    repetitive doc, long-token doc, exact duplicate, keeper) — counts and
+    shares must match a hand computation; the real corpus run must be
+    internally consistent with clean_corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_content_ocr_ray.pipelines.clean import (
+        clean_corpus,
+        clean_filter_attribution,
+    )
+
+    good = " ".join(f"w{i}" for i in range(20))  # 20 distinct short tokens
+    rep = " ".join(["dup"] * 20)  # distinct_ratio 1/20 < 0.3
+    # 20 DISTINCT 30-char tokens: passes distinct_ratio, fails mean len
+    longtok = " ".join("x" * 28 + f"{i:02d}" for i in range(20))
+    short = "only three words"
+    rows = [
+        (1, good),
+        (2, good),  # exact duplicate of 1 → 'duplicate'
+        (3, rep),
+        (4, longtok),
+        (5, short),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = clean_filter_attribution(str(tmp_path)).set_index("reason")
+    assert got.loc["kept", "n_docs"] == 1
+    assert got.loc["duplicate", "n_docs"] == 1
+    assert got.loc["distinct_ratio", "n_docs"] == 1
+    assert got.loc["mean_token_len", "n_docs"] == 1
+    assert got.loc["min_tokens", "n_docs"] == 1
+    assert got["n_docs"].sum() == 5
+    assert abs(got["share"].sum() - 1.0) < 1e-9
+
+    real = clean_filter_attribution(SF).set_index("reason")
+    docs_n = len(pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"]))
+    assert real["n_docs"].sum() == docs_n
+    assert real.loc["kept", "n_docs"] == len(clean_corpus(SF))
