@@ -28,7 +28,7 @@ import pandas as pd
 import ray
 import ray.data as rd
 
-from .agg import grouped_aggregate
+from .agg import grouped_aggregate, round_half_away
 from .dedup import _NEAR_PAIRS_SQL, minhash_lsh_pairs, near_dup_corpus
 
 # --------------------------------------------------------------------------
@@ -1090,9 +1090,67 @@ FROM plan p LEFT JOIN kept k USING (source)
 """
 
 
+def source_lang_kl(sf_dir: str) -> pd.DataFrame:
+    """Per-source mixture drift: KL divergence of each source's language
+    distribution from the corpus-wide distribution — the diagnostic that
+    flags a crawl source whose language mix has shifted from the corpus
+    it feeds (0 = identical mix; bigger = more skewed). KL is finite by
+    construction: every (source, lang) cell's corpus marginal is positive.
+
+    Scale topology: ONE partial+final count over (source, lang) — the only
+    corpus pass; all probability/log math runs on the |sources|×|langs|
+    count table on the driver. Results round to 6 decimals so the
+    order-of-summation float noise between the distributed and SQL sums
+    cannot flip the comparison."""
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "lang"]
+    )
+    c = grouped_aggregate(
+        docs, ["source", "lang"], {"n": (None, "count")}
+    ).to_pandas()
+    c["n"] = c["n"].astype("int64")
+    n_total = float(c["n"].sum())
+    lang_n = c.groupby("lang")["n"].sum().astype("int64")
+    rows = []
+    for source, g in c.groupby("source"):
+        ns = float(g["n"].sum())
+        kl = 0.0
+        for lang, n in sorted(zip(g["lang"], g["n"])):
+            p = float(n) * 1.0 / ns
+            q = float(lang_n[lang]) * 1.0 / n_total
+            kl += p * np.log(p / q)
+        rows.append((source, int(ns), kl))
+    out = pd.DataFrame(rows, columns=["source", "n_docs", "kl_divergence"])
+    out["kl_divergence"] = round_half_away(out["kl_divergence"].to_numpy(), 6)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+_SOURCE_LANG_KL_SQL = """
+WITH c AS (
+  SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang
+), s AS (
+  SELECT source, SUM(n) AS ns FROM c GROUP BY source
+), g AS (
+  SELECT lang, SUM(n) AS nl FROM c GROUP BY lang
+), t AS (
+  SELECT SUM(n) AS nt FROM c
+)
+SELECT c.source, CAST(s.ns AS BIGINT) AS n_docs,
+       ROUND(SUM((c.n * 1.0 / s.ns)
+                 * ln((c.n * 1.0 / s.ns) / (g.nl * 1.0 / t.nt))), 6)
+         AS kl_divergence
+FROM c
+JOIN s USING (source)
+JOIN g USING (lang)
+CROSS JOIN t
+GROUP BY c.source, s.ns
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
     "doc_pagerank": doc_pagerank,
     "token_budget_mixture": token_budget_mixture,
+    "source_lang_kl": source_lang_kl,
     "lang_top_docs": lang_top_docs,
     "lang_sample_exact_k": lang_sample_exact_k,
     "source_mixture_sample": source_mixture_sample,
@@ -1113,6 +1171,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 ORACLES: dict[str, str] = {
     "doc_pagerank": _pagerank_sql(),
     "token_budget_mixture": _TOKEN_BUDGET_MIXTURE_SQL,
+    "source_lang_kl": _SOURCE_LANG_KL_SQL,
     "lang_top_docs": _LANG_TOP_DOCS_SQL,
     "lang_sample_exact_k": _LANG_SAMPLE_EXACT_K_SQL,
     "source_mixture_sample": _SOURCE_MIXTURE_SAMPLE_SQL,

@@ -389,3 +389,23 @@ def test_token_budget_mixture_math(ray_session):
     # realized sample is a real downsample near the budget
     assert 0 < got["kept_tokens"].sum() < got["n_tokens"].sum()
     assert abs(got["kept_tokens"].sum() / total - BUDGET_FRAC) < 0.15
+
+
+def test_source_lang_kl_properties(ray_session):
+    """KL ≥ 0, zero iff the source matches the corpus mix — checked against
+    a scipy-free numpy recomputation."""
+    import numpy as np
+    import pandas as pd
+
+    from simple_content_ocr_ray.functions.corpus_ops import source_lang_kl
+
+    sf = "/root/testdata/sf0.001"
+    got = source_lang_kl(sf).set_index("source")
+    assert (got["kl_divergence"] >= 0).all()
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["source", "lang"])
+    glob = docs["lang"].value_counts(normalize=True)
+    for source, g in docs.groupby("source"):
+        p = g["lang"].value_counts(normalize=True)
+        kl = float(sum(p[l] * np.log(p[l] / glob[l]) for l in p.index))
+        assert abs(got.loc[source, "kl_divergence"] - kl) < 1e-5, source
+        assert got.loc[source, "n_docs"] == len(g)
