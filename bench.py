@@ -250,6 +250,9 @@ def run_headline() -> dict:
             "token_budget_mixture",
             "bpe_encode_stats",
             "event_value_trend",
+            "mirrored_text_domains",
+            "clean_filter_attribution",
+            "source_lang_kl",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)
