@@ -769,10 +769,16 @@ def doc_dup_fraction(sf_dir: str) -> pd.DataFrame:
     3-gram shingles that appear in at least one OTHER document — the
     diagnostic a dedup pipeline runs first (Dolma/RedPajama-style "how
     duplicated is this corpus, and which docs are mostly boilerplate").
-    One shingle-keyed shuffle: inside each shingle group every member doc
-    gets a dup flag (group has >1 distinct docs), then a per-doc
-    partial+final mean — the df table never joins back, the flags ride the
-    same shuffle that computed them."""
+    No per-group python: a doc's duplicated-shingle count is its total
+    minus the shingles it UNIQUELY owns, and unique ownership is pure
+    aggregation — per-shingle (count, min doc_id) partials, then a per-doc
+    rollup of the singleton owners. (The earlier formulation flagged dups
+    inside ``groupby(shingle).map_groups`` — one python call per shingle
+    group, i.e. millions of calls at sf0.1 and the slowest query in the
+    bench; this version is the same one logical shuffle with vectorized
+    partials on both sides.) The two per-doc tables merge on the driver
+    here (bounded by |docs|); at 10^12 docs that merge becomes one slim
+    doc-keyed join — same shape."""
     corpus = _read_docs(sf_dir).map_batches(
         lambda df: df[df["text"].str.strip().str.len() > 0],
         batch_format="pandas",
@@ -786,31 +792,41 @@ def doc_dup_fraction(sf_dir: str) -> pd.DataFrame:
             rows_sh.extend(hs.tolist())
         return pd.DataFrame({"doc_id": rows_doc, "shingle": rows_sh})
 
-    exploded = corpus.map_batches(explode, batch_format="pandas")
-
-    def flags(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id")
-        return pd.DataFrame(
-            {
-                "doc_id": g["doc_id"].to_numpy(),
-                "dup": np.full(len(g), int(len(g) > 1), dtype="int64"),
-            }
-        )
+    exploded = _pin_if_small(
+        corpus.map_batches(explode, batch_format="pandas"), sf_dir
+    )  # consumed twice below; above the pin bound both passes re-shingle
 
     per_doc = grouped_aggregate(
-        exploded.groupby("shingle").map_groups(flags, batch_format="pandas"),
-        ["doc_id"],
-        {"n_dup": ("dup", "sum"), "n_shingles": (None, "count")},
+        exploded, ["doc_id"], {"n_shingles": (None, "count")}
     ).to_pandas()
+    per_shingle = grouped_aggregate(
+        exploded,
+        ["shingle"],
+        {"cnt": (None, "count"), "owner": ("doc_id", "min")},
+    )
+
+    def singleton_owners(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df.loc[df["cnt"] == 1, "owner"].astype("int64")}
+        )
+
+    uniq = grouped_aggregate(
+        per_shingle,
+        ["doc_id"],
+        {"n_unique": (None, "count")},
+        prepare=singleton_owners,
+    ).to_pandas()
+
     from .agg import round_half_away
 
+    merged = per_doc.merge(uniq, on="doc_id", how="left")
+    n_sh = merged["n_shingles"].astype("int64").to_numpy()
+    n_dup = n_sh - merged["n_unique"].fillna(0).astype("int64").to_numpy()
     out = pd.DataFrame(
         {
-            "doc_id": per_doc["doc_id"].astype("int64"),
-            "n_shingles": per_doc["n_shingles"].astype("int64"),
-            "dup_fraction": round_half_away(
-                per_doc["n_dup"].to_numpy() / per_doc["n_shingles"].to_numpy()
-            ),
+            "doc_id": merged["doc_id"].astype("int64"),
+            "n_shingles": n_sh,
+            "dup_fraction": round_half_away(n_dup / n_sh),
         }
     )
     return out.sort_values("doc_id").reset_index(drop=True)
