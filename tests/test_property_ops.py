@@ -222,3 +222,42 @@ def test_normalize_urls_properties(url):
     host = prefix[2].split("?")[0]
     assert host == host.lower()
     assert not (prefix[0] == "https:" and host.startswith("www."))
+
+
+@given(st.integers(min_value=0, max_value=3000))
+@settings(max_examples=200, deadline=None)
+def test_doc_chunks_window_math_covers_every_word(n):
+    """For any word count, the chunk-count formula yields windows that cover
+    every word index, start every CHUNK_STRIDE, never produce an empty or
+    over-long chunk, and only the last chunk may be short."""
+    import math
+
+    from simple_content_ocr_ray.pipelines.train_feed import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+    )
+
+    n_chunks = 1 if n <= CHUNK_SIZE else math.ceil((n - CHUNK_SIZE) / CHUNK_STRIDE) + 1
+    spans = []
+    for i in range(n_chunks):
+        s = i * CHUNK_STRIDE
+        e = min(s + CHUNK_SIZE, max(n, 1) if n == 0 else n)
+        spans.append((s, e))
+    # every chunk is non-empty (n=0 still yields the one [''] chunk upstream)
+    if n > 0:
+        assert all(e > s for s, e in spans)
+        # full coverage, in order, with bounded width
+        assert spans[0][0] == 0 and spans[-1][1] == n
+        assert all(e - s <= CHUNK_SIZE for s, e in spans)
+        # consecutive chunks overlap by CHUNK_SIZE - CHUNK_STRIDE (or touch the tail)
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert s2 == s1 + CHUNK_STRIDE
+            assert s2 < e1  # genuine overlap
+        # no word skipped between windows
+        covered = set()
+        for s, e in spans:
+            covered.update(range(s, e))
+        assert covered == set(range(n))
+    # a chunk before the last is always full-size
+    for s, e in spans[:-1]:
+        assert e - s == CHUNK_SIZE
