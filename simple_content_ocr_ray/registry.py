@@ -21,6 +21,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         window,
     )
     from .pipelines import clean, extract_queries, media, relational, train_feed
+    from .sources import zorder_layout
     from .state import dedup_index
 
     queries: dict[str, Callable[[str], Any]] = {}
@@ -31,6 +32,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         media,
         relational,
         train_feed,
+        zorder_layout,
         dedup_index,
         corpus_ops,
         decontam,

@@ -145,10 +145,10 @@ def read_box(
     import glob as _glob
 
     key_x, key_y, hit = _hit_cells(out_dir, x_lo, x_hi, y_lo, y_hi)
-    if not hit:
-        return rd.from_pandas(pd.DataFrame())
     if columns is not None:
         columns = list(dict.fromkeys([*columns, key_x, key_y]))
+    if not hit:
+        return rd.from_pandas(pd.DataFrame(columns=columns or []))
     paths = [
         p
         for c in hit
@@ -159,12 +159,17 @@ def read_box(
     ds = rd.read_parquet(paths, columns=columns)
 
     def residual(df: pd.DataFrame) -> pd.DataFrame:
-        return df[
+        df = df[
             (df[key_x] >= x_lo)
             & (df[key_x] <= x_hi)
             & (df[key_y] >= y_lo)
             & (df[key_y] <= y_hi)
         ]
+        # the hive partition column is re-inferred from the paths; it is
+        # layout metadata, not data — never return it
+        if columns is not None:
+            return df[columns]
+        return df.drop(columns=["z_cell"], errors="ignore")
 
     return ds.map_batches(residual, batch_format="pandas")
 
@@ -172,3 +177,49 @@ def read_box(
 def cells_scanned(out_dir: str, x_lo, x_hi, y_lo, y_hi) -> int:
     """How many cell dirs a box query touches (pruning observability)."""
     return len(_hit_cells(out_dir, x_lo, x_hi, y_lo, y_hi)[2])
+
+
+# --------------------------------------------------------------------------
+# Oracle-checked query over the pruned read path
+# --------------------------------------------------------------------------
+
+ZORDER_VERSION = 1
+BOX_USER_LO, BOX_USER_HI = 2, 9
+BOX_VALUE_LO, BOX_VALUE_HI = 5.0, 120.0
+
+
+def zorder_box_scan(sf_dir: str) -> rd.Dataset:
+    """(user AND value) box query served from the Z-order layout — the
+    correctness probe for the pruned read path: cluster events once (cached,
+    atomic), then answer the 2-D box from only the intersecting cells. The
+    result must equal a plain full-scan WHERE, which is exactly what the SQL
+    oracle runs."""
+    import hashlib as _hashlib
+
+    abs_dir = os.path.abspath(os.path.normpath(sf_dir))
+    tag = _hashlib.blake2b(abs_dir.encode(), digest_size=4).hexdigest()
+    out = f"/tmp/scor_zorder/{os.path.basename(abs_dir)}_{tag}_v{ZORDER_VERSION}"
+    if not os.path.exists(os.path.join(out, MANIFEST_NAME)):
+        ds = rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "value"],
+        )
+        write_zorder(ds, out, "user_id", "value")
+    return read_box(
+        out,
+        BOX_USER_LO,
+        BOX_USER_HI,
+        BOX_VALUE_LO,
+        BOX_VALUE_HI,
+        columns=["event_id", "user_id", "value"],
+    )
+
+
+_ZORDER_BOX_SCAN_SQL = f"""
+SELECT event_id, user_id, value FROM events
+WHERE user_id BETWEEN {BOX_USER_LO} AND {BOX_USER_HI}
+  AND value BETWEEN {BOX_VALUE_LO} AND {BOX_VALUE_HI}
+"""
+
+QUERIES = {"zorder_box_scan": zorder_box_scan}
+ORACLES = {"zorder_box_scan": _ZORDER_BOX_SCAN_SQL}
