@@ -39,17 +39,31 @@ def read_pages_from_binary_files(paths: str | list[str]) -> rd.Dataset:
     return ds.map_batches(to_pages, batch_format="numpy")
 
 
-def read_pages_from_jsonl(paths: str | list[str]) -> rd.Dataset:
+def read_pages_from_jsonl(
+    paths: str | list[str], compression: str | None = None
+) -> rd.Dataset:
     """JSON-lines corpus (Common-Crawl WET/CC-style dumps: one JSON object
     per line with url / timestamp / html-base64 / text / lang fields) →
     the canonical pages schema. ``read_json`` splits files into blocks and
     parses distributed; the base64 payload decode is a vectorized Arrow
     map — downstream stages stay source-agnostic.
 
-    Missing fields take the same defaults as the binary-file source."""
+    Missing fields take the same defaults as the binary-file source.
+
+    ``compression="gzip"`` reads ``.jsonl.gz`` dumps (the on-the-wire shape
+    of real WET drops) — decompression happens INSIDE the distributed read
+    tasks via Arrow's input stream, file-granular parallel like the plain
+    path; nothing is inflated on the driver."""
     import base64
 
-    ds = rd.read_json(paths)
+    ds = rd.read_json(
+        paths,
+        **(
+            {"arrow_open_stream_args": {"compression": compression}}
+            if compression
+            else {}
+        ),
+    )
 
     def to_pages(batch: pa.Table) -> pa.Table:
         cols = set(batch.column_names)

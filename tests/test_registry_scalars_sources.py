@@ -155,6 +155,42 @@ def test_jsonl_pages_source_roundtrip(ray_session, tmp_path):
     assert "Hello JSONL world of pages" in out.loc[0, "text"]
 
 
+def test_jsonl_gz_pages_source_matches_plain(ray_session, tmp_path):
+    """A gzip-compressed WET-style dump parses identically to the plain
+    file — decompression runs inside the distributed read tasks."""
+    import base64
+    import gzip
+    import json
+
+    import pandas as pd
+
+    from simple_content_ocr_ray.sources.readers import read_pages_from_jsonl
+
+    html = b"<html><body><article><p>Compressed crawl drop</p></article></body></html>"
+    rows = [
+        {
+            "url": f"https://gz.example/{i}",
+            "warc_ts": "2024-02-03T04:05:06",
+            "html_b64": base64.b64encode(html).decode(),
+            "text": "",
+            "lang": "en",
+        }
+        for i in range(5)
+    ]
+    payload = ("\n".join(json.dumps(r) for r in rows) + "\n").encode()
+    plain = tmp_path / "pages.jsonl"
+    plain.write_bytes(payload)
+    gz = tmp_path / "pages.jsonl.gz"
+    gz.write_bytes(gzip.compress(payload))
+
+    a = read_pages_from_jsonl(str(plain)).to_pandas()
+    b = read_pages_from_jsonl(str(gz), compression="gzip").to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("url").reset_index(drop=True),
+        b.sort_values("url").reset_index(drop=True),
+    )
+
+
 def test_csv_pages_source_roundtrip(ray_session, tmp_path):
     import base64
     import csv
