@@ -1653,6 +1653,104 @@ SELECT user_id FROM events WHERE event_type = 'purchase'
 
 
 # --------------------------------------------------------------------------
+# Weighted sampling over a join (A-ES over aggregated join weights)
+# --------------------------------------------------------------------------
+
+WEIGHTED_ORDERS_K = 20
+
+
+def weighted_sample_orders(sf_dir: str, k: int = WEIGHTED_ORDERS_K) -> pd.DataFrame:
+    """Weighted sample without replacement of k ORDERS, probability
+    proportional to order revenue — sampling over a join: the weight is an
+    aggregate of the joined fact table (Σ extendedprice·(1−discount) per
+    order), not a stored column. The A-ES key (ln(u)/w, u from
+    md5(orderkey)) is deterministic and SQL-expressible, so the oracle
+    reproduces the exact winner set.
+
+    Topology: the weight table comes from ONE partial+final aggregate over
+    lineitem (revenue in exact micros — no join materializes); key
+    assignment is per-batch; selection is local-top-k-then-final; only the
+    k winners join back to orders through a broadcast key set. The fact
+    table is never shuffled and never joined row-to-row."""
+    line = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def rev_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["l_orderkey"].astype("int64"),
+                "rev_u": np.rint(
+                    df["l_extendedprice"].to_numpy()
+                    * (1 - df["l_discount"].to_numpy())
+                    * 1_000_000
+                ).astype("int64"),
+            }
+        )
+
+    rev = grouped_aggregate(
+        line, ["o_orderkey"], {"revenue_u": ("rev_u", "sum")}, prepare=rev_rows
+    )
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        h = [
+            hashlib.md5(str(int(d)).encode()).hexdigest()[:8]
+            for d in df["o_orderkey"]
+        ]
+        u = (np.array([int(x, 16) for x in h], dtype="float64") + 1.0) / (
+            2.0**32 + 2.0
+        )
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].astype("int64"),
+                "revenue_u": df["revenue_u"].astype("int64"),
+                "skey": np.log(u) / df["revenue_u"].to_numpy(dtype="float64"),
+            }
+        )
+
+    winners = topk(
+        rev.map_batches(keyed, batch_format="pandas"),
+        ["skey", "o_orderkey"],
+        k,
+        descending=[True, False],
+    ).to_pandas()[["o_orderkey", "revenue_u"]]
+
+    keys = set(int(x) for x in winners["o_orderkey"])
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda df: df[df["o_orderkey"].isin(keys)], batch_format="pandas"
+    ).to_pandas()
+    out = winners.merge(orders, on="o_orderkey")
+    out = out.astype(
+        {"o_orderkey": "int64", "revenue_u": "int64", "o_custkey": "int64"}
+    )
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+_WEIGHTED_SAMPLE_ORDERS_SQL = f"""
+WITH rev AS (
+  SELECT l_orderkey AS o_orderkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000, 0)
+                       AS BIGINT)) AS BIGINT) AS revenue_u
+  FROM lineitem GROUP BY l_orderkey
+), keyed AS (
+  SELECT o_orderkey, revenue_u,
+         ln((CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+             AS UBIGINT) + 1.0) / (4294967296.0 + 2.0)) / revenue_u AS skey
+  FROM rev
+), win AS (
+  SELECT o_orderkey, revenue_u FROM keyed
+  ORDER BY skey DESC, o_orderkey LIMIT {WEIGHTED_ORDERS_K}
+)
+SELECT w.o_orderkey, w.revenue_u, o.o_custkey, o.o_orderdate
+FROM win w JOIN orders o USING (o_orderkey)
+"""
+
+
+# --------------------------------------------------------------------------
 # Distributed linear regression (trend) from exact integer moments
 # --------------------------------------------------------------------------
 
@@ -1752,6 +1850,7 @@ FROM s
 
 QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "event_value_trend": event_value_trend,
+    "weighted_sample_orders": weighted_sample_orders,
     "dom_activity_full_outer": dom_activity_full_outer,
     "view_purchase_users": view_purchase_users,
     "orders_above_cust_avg": orders_above_cust_avg,
@@ -1784,6 +1883,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "event_value_trend": _EVENT_VALUE_TREND_SQL,
+    "weighted_sample_orders": _WEIGHTED_SAMPLE_ORDERS_SQL,
     "dom_activity_full_outer": _DOM_ACTIVITY_FULL_OUTER_SQL,
     "view_purchase_users": _VIEW_PURCHASE_USERS_SQL,
     "orders_above_cust_avg": _ORDERS_ABOVE_CUST_AVG_SQL,

@@ -493,3 +493,50 @@ def test_clean_filter_attribution_all_branches(ray_session, tmp_path):
     docs_n = len(pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"]))
     assert real["n_docs"].sum() == docs_n
     assert real.loc["kept", "n_docs"] == len(clean_corpus(SF))
+
+
+def test_weighted_sample_orders_aes_math(ray_session):
+    """The sampled order set equals a from-scratch A-ES computation over
+    exact per-order revenue, and sampling is revenue-biased."""
+    import hashlib
+
+    import numpy as np
+
+    from simple_content_ocr_ray.pipelines.relational import (
+        WEIGHTED_ORDERS_K,
+        weighted_sample_orders,
+    )
+
+    got = weighted_sample_orders(SF)
+    line = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    rev_u = (
+        pd.Series(
+            np.rint(
+                line["l_extendedprice"].to_numpy()
+                * (1 - line["l_discount"].to_numpy())
+                * 1_000_000
+            ).astype("int64"),
+            index=line["l_orderkey"].to_numpy(),
+        )
+        .groupby(level=0)
+        .sum()
+    )
+    u = np.array(
+        [
+            int(hashlib.md5(str(int(k)).encode()).hexdigest()[:8], 16)
+            for k in rev_u.index
+        ],
+        dtype="float64",
+    )
+    skey = np.log((u + 1.0) / (2.0**32 + 2.0)) / rev_u.to_numpy(dtype="float64")
+    order = np.lexsort((rev_u.index.to_numpy(), -skey))
+    exp = set(rev_u.index.to_numpy()[order][:WEIGHTED_ORDERS_K])
+    assert set(got["o_orderkey"]) == exp
+    assert dict(zip(got["o_orderkey"], got["revenue_u"])) == {
+        k: int(rev_u[k]) for k in exp
+    }
+    # revenue weighting is real: sampled orders skew high-revenue
+    assert got["revenue_u"].mean() > rev_u.mean()
