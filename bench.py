@@ -253,6 +253,8 @@ def run_headline() -> dict:
             "mirrored_text_domains",
             "clean_filter_attribution",
             "source_lang_kl",
+            "zorder_box_scan",
+            "weighted_sample_orders",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)
