@@ -394,14 +394,93 @@ ORDER BY raw DESC, a, b LIMIT {PMI_TOPK}
 """
 
 
+def source_lm_quality(sf_dir: str) -> pd.DataFrame:
+    """Per-SOURCE fluency under the corpus's own add-one unigram LM — the
+    rollup of :func:`doc_unigram_logprob` a mixture review reads: a source
+    whose mean token log-probability sits far below the corpus is feeding
+    rare-token noise (boilerplate, encoding damage, wrong language).
+
+    Same topology as the per-doc scorer — one partial+final (term, count)
+    pass builds the model, broadcast once — but the scoring pass emits ONE
+    (source, Σlogp, n_tokens) partial per batch instead of per-doc rows, so
+    the second pass's output is bounded by |sources| × batches."""
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+
+    def term_counts(df: pd.DataFrame) -> pd.DataFrame:
+        _, flat, _ = _explode(df)
+        return pd.DataFrame({"term": flat})
+
+    counts = grouped_aggregate(
+        docs, ["term"], {"n": (None, "count")}, prepare=term_counts
+    ).to_pandas()
+    total = int(counts["n"].sum())
+    vocab = len(counts)
+    model_ref = ray.put(dict(zip(counts["term"], counts["n"].astype("int64"))))
+
+    def score_rows(df: pd.DataFrame) -> pd.DataFrame:
+        model = ray.get(model_ref)
+        rows, flat, lens = _explode(df)
+        tok_n = pd.Series(flat).map(model).fillna(0).to_numpy(dtype="float64")
+        logp = np.log((tok_n + 1.0) / (total + vocab))
+        sums = np.bincount(rows, weights=logp, minlength=len(df))
+        return pd.DataFrame(
+            {
+                "source": df["source"],
+                "slp": sums,
+                "nt": pd.Series(lens, dtype="int64"),
+            }
+        )
+
+    agg = grouped_aggregate(
+        docs,
+        ["source"],
+        {"sum_logp": ("slp", "sum"), "n_tokens": ("nt", "sum")},
+        prepare=score_rows,
+    ).to_pandas()
+    out = pd.DataFrame(
+        {
+            "source": agg["source"],
+            "n_tokens": agg["n_tokens"].astype("int64"),
+            "mean_logprob": np.round(
+                agg["sum_logp"].to_numpy() / agg["n_tokens"].to_numpy(),
+                TFIDF_ROUND,
+            ),
+        }
+    )
+    return out.sort_values("source").reset_index(drop=True)
+
+
+_SOURCE_LM_QUALITY_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+), c AS (
+  SELECT term, COUNT(*) AS n FROM (
+    SELECT unnest(string_split(text, ' ')) AS term FROM documents
+  ) GROUP BY 1
+), consts AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS total, CAST(COUNT(*) AS DOUBLE) AS vocab
+  FROM c
+)
+SELECT tok.source, COUNT(*) AS n_tokens,
+       ROUND(AVG(ln((c.n + 1.0) / (consts.total + consts.vocab))),
+             {TFIDF_ROUND}) AS mean_logprob
+FROM tok JOIN c USING (term) CROSS JOIN consts
+GROUP BY tok.source
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
     "bm25_topk": bm25_topk,
+    "source_lm_quality": source_lm_quality,
     "tfidf_top_terms": tfidf_top_terms,
     "doc_unigram_logprob": doc_unigram_logprob,
     "top_collocations": top_collocations,
 }
 ORACLES: dict[str, str] = {
     "bm25_topk": _BM25_SQL,
+    "source_lm_quality": _SOURCE_LM_QUALITY_SQL,
     "tfidf_top_terms": _TFIDF_SQL,
     "doc_unigram_logprob": _UNIGRAM_SQL,
     "top_collocations": _TOP_COLLOCATIONS_SQL,

@@ -108,3 +108,25 @@ def test_top_collocations_pmi_math(ray_session):
         assert row["n_co"] == c
         exp = math.log(n * c / (df[a] * df[b]))
         assert abs(row["pmi"] - round(exp, search.TFIDF_ROUND)) < 1e-9
+
+
+def test_source_lm_quality_consistent_with_per_doc(ray_session):
+    """The per-source mean equals the token-weighted mean recomputed from
+    raw texts under the same model."""
+    import numpy as np
+    from collections import Counter
+
+    got = search.source_lm_quality(SF).set_index("source")
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["source", "text"])
+    model = Counter()
+    for t in docs["text"]:
+        model.update(t.split(" "))
+    total, vocab = sum(model.values()), len(model)
+    for source, g in docs.groupby("source"):
+        logps = [
+            np.log((model[w] + 1.0) / (total + vocab))
+            for t in g["text"]
+            for w in t.split(" ")
+        ]
+        assert got.loc[source, "n_tokens"] == len(logps)
+        assert abs(got.loc[source, "mean_logprob"] - np.mean(logps)) < 1e-3
