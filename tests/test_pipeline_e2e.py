@@ -208,3 +208,43 @@ def test_refreshed_corpus_composition(ray_session):
 
     pd.testing.assert_frame_equal(got, exp)
     assert 0 < len(got) < len(base)
+
+
+def test_worker_crash_mid_run_recovers(ray_session, tmp_path):
+    """Kill ONE worker process mid-pipeline (hard os._exit, not an
+    exception) and assert Ray Data retries the lost task and the run
+    completes with exactly the expected output — the single-node stand-in
+    for a node loss on the real cluster. A flag file makes the crash fire
+    once across retries."""
+    import os as _os
+
+    import ray.data as rd
+
+    from simple_content_ocr_ray.pipelines.extract import (
+        extraction_pipeline,
+        read_pages,
+    )
+    from simple_content_ocr_ray.sources.synth_pages import synth_pages_parquet
+
+    flag = tmp_path / "crashed_once"
+
+    def maybe_crash(df):
+        # first task to get here takes the flag and dies without cleanup
+        try:
+            fd = _os.open(str(flag), _os.O_CREAT | _os.O_EXCL)
+            _os.close(fd)
+            _os._exit(1)
+        except FileExistsError:
+            pass
+        return df
+
+    pages_dir = synth_pages_parquet("/root/testdata/sf0.001")
+    ds = extraction_pipeline(
+        rd.read_parquet(pages_dir).map_batches(maybe_crash, batch_format="pandas")
+    )
+    counts = {
+        r["status"]: r["count()"]
+        for r in ds.groupby("status").count().take_all()
+    }
+    assert flag.exists()  # the crash really fired
+    assert counts == {"completed": 475, "failed": 25}
