@@ -697,7 +697,97 @@ FROM pm GROUP BY user_id ORDER BY user_id
 """
 
 
+def purchase_attribution(
+    sf_dir: str, small_threshold: int = 2_000_000
+) -> pd.DataFrame:
+    """Last-touch attribution: for every purchase, which event type
+    IMMEDIATELY preceded it in the same user's timeline, and how long
+    before — the conversion-path report (LAG window + gap statistics).
+
+    Only slim (prev_type, gap_us) rows leave the per-user ordering; the
+    rollup is bounded by |event types|. Adaptive like the other window
+    ops: small logs take one vectorized global sort with user-boundary
+    masking (no per-group python); large logs take the user-keyed shuffle
+    that all the windowed operators share. Gap math runs on exact µs
+    int64, so the rounded means are bit-identical to the SQL oracle."""
+    from .agg import grouped_aggregate, round_half_away
+    from .joins import events_row_count
+
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def _slim(df: pd.DataFrame, same_user: np.ndarray) -> pd.DataFrame:
+        ts_us = df["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        types = df["event_type"].to_numpy()
+        prev_type = np.roll(types, 1)
+        gap = ts_us - np.roll(ts_us, 1)
+        m = (types == "purchase") & same_user
+        return pd.DataFrame(
+            {
+                "prev_event_type": prev_type[m],
+                "gap_us": pd.Series(gap[m], dtype="int64"),
+            }
+        )
+
+    if events_row_count(sf_dir) <= small_threshold:
+        df = events.to_pandas().sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        )
+        same_user = pd.Series(df["user_id"].to_numpy()).duplicated().to_numpy()
+        slim = rd.from_pandas(_slim(df, same_user))
+    else:
+
+        def per_user(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["ts", "event_id"], kind="mergesort")
+            same = np.ones(len(g), dtype=bool)
+            same[0] = False
+            return _slim(g, same)
+
+        slim = events.groupby("user_id").map_groups(
+            per_user, batch_format="pandas"
+        )
+
+    agg = grouped_aggregate(
+        slim,
+        ["prev_event_type"],
+        {"n_purchases": (None, "count"), "sum_gap_us": ("gap_us", "sum")},
+    ).to_pandas()
+    out = pd.DataFrame(
+        {
+            "prev_event_type": agg["prev_event_type"],
+            "n_purchases": agg["n_purchases"].astype("int64"),
+            "avg_gap_s": round_half_away(
+                agg["sum_gap_us"].to_numpy(dtype="float64")
+                * 1.0
+                / agg["n_purchases"].to_numpy(dtype="float64")
+                / 1_000_000.0,
+                4,
+            ),
+        }
+    )
+    return out.sort_values("prev_event_type").reset_index(drop=True)
+
+
+_PURCHASE_ATTRIBUTION_SQL = """
+WITH w AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER win AS prev_type,
+         LAG(ts) OVER win AS prev_ts
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT prev_type AS prev_event_type, COUNT(*) AS n_purchases,
+       ROUND(SUM(epoch_us(ts) - epoch_us(prev_ts)) * 1.0 / COUNT(*)
+             / 1000000.0, 4) AS avg_gap_s
+FROM w WHERE event_type = 'purchase' AND prev_type IS NOT NULL
+GROUP BY prev_type
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
+    "purchase_attribution": purchase_attribution,
     "key_skew_report": key_skew_report,
     "bot_rate_flags": bot_rate_flags,
     "rolling_dau_7d": rolling_dau_7d,
@@ -711,6 +801,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "user_running_totals": user_running_totals,
 }
 ORACLES: dict[str, str] = {
+    "purchase_attribution": _PURCHASE_ATTRIBUTION_SQL,
     "key_skew_report": _KEY_SKEW_REPORT_SQL,
     "bot_rate_flags": _BOT_RATE_FLAGS_SQL,
     "rolling_dau_7d": _ROLLING_DAU_SQL,

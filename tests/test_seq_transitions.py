@@ -293,3 +293,35 @@ def test_daily_bounce_rate_consistent_with_sessions(ray_session):
     for d, row in exp.iterrows():
         assert got.loc[d, "n_sessions"] == row["n_sessions"]
         assert got.loc[d, "n_bounce"] == row["n_bounce"]
+
+
+def test_purchase_attribution_paths_and_bruteforce(ray_session):
+    """Small (vectorized global sort) and large (user-keyed shuffle) paths
+    agree, and both match a per-user pandas recomputation."""
+    import numpy as np
+    import pandas as pd
+
+    from simple_content_ocr_ray.functions.window import purchase_attribution
+
+    sf = "/root/testdata/sf0.001"
+    small = purchase_attribution(sf)
+    large = purchase_attribution(sf, small_threshold=0)
+    pd.testing.assert_frame_equal(small, large)
+
+    ev = pd.read_parquet(
+        f"{sf}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    rows = []
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        for i in range(1, len(g)):
+            if g.loc[i, "event_type"] == "purchase":
+                gap = (g.loc[i, "ts"] - g.loc[i - 1, "ts"]).value  # ns
+                rows.append((g.loc[i - 1, "event_type"], gap // 1000))
+    exp = pd.DataFrame(rows, columns=["prev_event_type", "gap_us"])
+    agg = exp.groupby("prev_event_type")["gap_us"].agg(["size", "mean"])
+    got = small.set_index("prev_event_type")
+    assert set(got.index) == set(agg.index)
+    for t in agg.index:
+        assert got.loc[t, "n_purchases"] == agg.loc[t, "size"]
+        assert abs(got.loc[t, "avg_gap_s"] - agg.loc[t, "mean"] / 1e6) < 1e-3
