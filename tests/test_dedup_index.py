@@ -61,3 +61,34 @@ def test_streaming_dedup_result_stable_across_consumptions(ray_session):
     n1 = surv.count()
     n2 = len(surv.to_pandas())  # second consumption of the same result
     assert n1 == n2 > 0
+
+
+def test_checkpoint_restore_resumes_index(ray_session, tmp_path):
+    """A restored index remembers every accepted key: re-ingesting the
+    checkpointed partition yields 0 survivors; a fresh partition dedups
+    against the restored history exactly as it would in-process."""
+    import pandas as pd
+    import ray.data as rd
+
+    from simple_content_ocr_ray.state.dedup_index import StreamingDeduper
+
+    a = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["alpha", "beta", "gamma"]})
+    b = pd.DataFrame({"doc_id": [4, 5, 6], "text": ["beta", "delta", "alpha"]})
+
+    d1 = StreamingDeduper(n_shards=4)
+    surv_a = d1.dedup(rd.from_pandas(a)).to_pandas()
+    assert sorted(surv_a["text"]) == ["alpha", "beta", "gamma"]
+    snap = str(tmp_path / "dedup_snap")
+    d1.checkpoint(snap)
+
+    d2 = StreamingDeduper.restore(snap)
+    assert d2.index_size() == d1.index_size() == 3
+    again = d2.dedup(rd.from_pandas(a)).to_pandas()
+    assert len(again) == 0  # resume semantic: nothing re-claimed
+    surv_b = d2.dedup(rd.from_pandas(b)).to_pandas()
+    assert sorted(surv_b["text"]) == ["delta"]
+
+    # checkpoint after more ingestion overwrites atomically and round-trips
+    d2.checkpoint(snap)
+    d3 = StreamingDeduper.restore(snap)
+    assert d3.index_size() == 4
