@@ -255,6 +255,7 @@ def run_headline() -> dict:
             "source_lang_kl",
             "zorder_box_scan",
             "weighted_sample_orders",
+            "purchase_attribution",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)

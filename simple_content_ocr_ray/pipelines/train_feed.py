@@ -53,6 +53,54 @@ def epoch_batches(
     )
 
 
+def mixed_epoch_batches(
+    sf_dir: str,
+    epoch: int,
+    weights: dict[str, int],
+    batch_size: int = 64,
+    shuffle_buffer: int = 256,
+    columns: list[str] | None = None,
+) -> Iterator[pd.DataFrame]:
+    """Weighted INTERLEAVE of per-source streams — the tf.data
+    ``sample_from_datasets`` analog: each source streams its own shuffled
+    epoch (filter at the read, block-order shuffle, bounded local buffer),
+    and the consumer weaves batches in a deterministic Bresenham schedule
+    proportional to the integer ``weights`` (e.g. ``{"src1": 3, "src2": 1}``
+    → 3 src1 batches per src2 batch, evenly spread, not in runs). A source
+    that exhausts early drops out; the rest keep their relative cadence.
+    Deterministic in ``epoch``; memory is one in-flight batch per source
+    plus each stream's shuffle buffer — never a merged corpus."""
+    cols = list(
+        dict.fromkeys([*(columns or ["doc_id", "text", "lang"]), "source"])
+    )
+    streams = {}
+    for src in sorted(weights):
+        ds = rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=cols
+        ).filter(expr=f"source == '{src}'")
+        ds = ds.randomize_block_order(seed=1_000_003 * (epoch + 1))
+        streams[src] = iter(
+            ds.iter_batches(
+                batch_size=batch_size,
+                batch_format="pandas",
+                local_shuffle_buffer_size=shuffle_buffer,
+                local_shuffle_seed=7_919 * (epoch + 1),
+            )
+        )
+    # Bresenham cadence: at every step pick the live source whose emitted/
+    # weight ratio is lowest (ties by name) — evenly interleaved by weight
+    emitted = {s: 0 for s in streams}
+    while streams:
+        src = min(
+            streams, key=lambda s: ((emitted[s] + 1) / weights[s], s)
+        )
+        try:
+            yield next(streams[src])
+            emitted[src] += 1
+        except StopIteration:
+            del streams[src]
+
+
 def epoch_doc_order(sf_dir: str, epoch: int, batch_size: int = 64) -> np.ndarray:
     """The full doc_id visit order of one epoch (test/inspection helper)."""
     ids = [

@@ -80,3 +80,35 @@ def test_doc_chunks_window_semantics(ray_session):
     # overlap is real: consecutive chunks of a long doc share words
     long_docs = exp.groupby("doc_id").size()
     assert (long_docs > 1).any() and (long_docs == 1).any()
+
+
+def test_mixed_epoch_batches_weighted_interleave(ray_session):
+    """Batches weave by the weight schedule (no long runs), every row
+    carries its stream's source, all rows of each source arrive exactly
+    once, and the same epoch replays identically."""
+    weights = {"src1": 3, "src2": 1}
+    batches = list(
+        train_feed.mixed_epoch_batches(SF, epoch=0, weights=weights, batch_size=4)
+    )
+    # each batch is pure one source
+    srcs = []
+    for b in batches:
+        assert b["source"].nunique() == 1
+        srcs.append(b["source"].iloc[0])
+    assert set(srcs) == set(weights)
+    # Bresenham cadence while both streams are live: 3 src1 then 1 src2
+    assert srcs[:4] == ["src1", "src1", "src1", "src2"]
+    # completeness: every doc of both sources exactly once
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "source"])
+    exp = docs[docs["source"].isin(weights)]
+    got_ids = sorted(int(i) for b in batches for i in b["doc_id"])
+    assert got_ids == sorted(exp["doc_id"].astype(int))
+    # determinism
+    again = list(
+        train_feed.mixed_epoch_batches(SF, epoch=0, weights=weights, batch_size=4)
+    )
+    assert len(again) == len(batches)
+    for x, y in zip(batches, again):
+        pd.testing.assert_frame_equal(x.reset_index(drop=True), y.reset_index(drop=True))
