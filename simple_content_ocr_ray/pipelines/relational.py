@@ -1653,6 +1653,87 @@ SELECT user_id FROM events WHERE event_type = 'purchase'
 
 
 # --------------------------------------------------------------------------
+# Q18-style large-volume orders (HAVING over a join, then top-k)
+# --------------------------------------------------------------------------
+
+Q18_QTY_THRESHOLD = 300
+Q18_TOPK = 100
+
+
+def q18_large_orders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q18 shape: orders whose TOTAL lineitem quantity exceeds a
+    threshold (HAVING over the join), enriched with customer keys and
+    ranked by price — the "who places the huge orders" report.
+
+    Topology: ONE partial+final aggregate over lineitem produces per-order
+    quantity sums (exact cents-free int64: qty scales by 100); the HAVING
+    filter runs distributed on that slim table; only the SURVIVING keys —
+    a threshold that high is selective by construction — broadcast to
+    filter orders at the read; the final enrich + top-k runs on the
+    filtered remainder. The fact table is never joined row-to-row and
+    never shuffled."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def qty_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["l_orderkey"].astype("int64"),
+                "qty_c": np.rint(df["l_quantity"].to_numpy() * 100).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    per_order = grouped_aggregate(
+        li, ["o_orderkey"], {"sum_qty_c": ("qty_c", "sum")}, prepare=qty_rows
+    )
+    big = per_order.map_batches(
+        lambda df: df[df["sum_qty_c"] > Q18_QTY_THRESHOLD * 100],
+        batch_format="pandas",
+    ).to_pandas()  # selective by construction — bounded driver table
+
+    orders = broadcast_semi_filter(
+        _read(
+            sf_dir,
+            "orders",
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        ),
+        big["o_orderkey"].astype("int64"),
+        "o_orderkey",
+    ).to_pandas()
+    out = orders.merge(
+        big.astype({"o_orderkey": "int64", "sum_qty_c": "int64"}), on="o_orderkey"
+    )
+    out["total_qty"] = round_half_away(out["sum_qty_c"].to_numpy() / 100.0, 4)
+    out = out.sort_values(
+        ["o_totalprice", "o_orderdate", "o_orderkey"],
+        ascending=[False, True, True],
+        kind="mergesort",
+    ).head(Q18_TOPK)
+    out = out[
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "total_qty"]
+    ].reset_index(drop=True)
+    return out.astype({"o_orderkey": "int64", "o_custkey": "int64"})
+
+
+_Q18_LARGE_ORDERS_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey AS o_orderkey,
+         CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+           AS sum_qty_c
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT))
+         > {Q18_QTY_THRESHOLD * 100}
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice,
+       ROUND(b.sum_qty_c / 100.0, 4) AS total_qty
+FROM big b JOIN orders o USING (o_orderkey)
+ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+LIMIT {Q18_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
 # Weighted sampling over a join (A-ES over aggregated join weights)
 # --------------------------------------------------------------------------
 
@@ -1851,6 +1932,7 @@ FROM s
 QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "event_value_trend": event_value_trend,
     "weighted_sample_orders": weighted_sample_orders,
+    "q18_large_orders": q18_large_orders,
     "dom_activity_full_outer": dom_activity_full_outer,
     "view_purchase_users": view_purchase_users,
     "orders_above_cust_avg": orders_above_cust_avg,
@@ -1884,6 +1966,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
 ORACLES: dict[str, str] = {
     "event_value_trend": _EVENT_VALUE_TREND_SQL,
     "weighted_sample_orders": _WEIGHTED_SAMPLE_ORDERS_SQL,
+    "q18_large_orders": _Q18_LARGE_ORDERS_SQL,
     "dom_activity_full_outer": _DOM_ACTIVITY_FULL_OUTER_SQL,
     "view_purchase_users": _VIEW_PURCHASE_USERS_SQL,
     "orders_above_cust_avg": _ORDERS_ABOVE_CUST_AVG_SQL,

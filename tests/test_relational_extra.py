@@ -540,3 +540,27 @@ def test_weighted_sample_orders_aes_math(ray_session):
     }
     # revenue weighting is real: sampled orders skew high-revenue
     assert got["revenue_u"].mean() > rev_u.mean()
+
+
+def test_q18_large_orders_bruteforce(ray_session):
+    got = relational.q18_large_orders(SF)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    qty = (
+        pd.Series(
+            np.rint(li["l_quantity"].to_numpy() * 100).astype("int64"),
+            index=li["l_orderkey"].to_numpy(),
+        )
+        .groupby(level=0)
+        .sum()
+    )
+    big = qty[qty > relational.Q18_QTY_THRESHOLD * 100]
+    j = orders[orders["o_orderkey"].isin(big.index)].copy()
+    j["total_qty"] = (big.loc[j["o_orderkey"]].to_numpy() / 100.0).round(4)
+    j = j.sort_values(
+        ["o_totalprice", "o_orderdate", "o_orderkey"], ascending=[False, True, True]
+    ).head(relational.Q18_TOPK)
+    assert list(got["o_orderkey"]) == list(j["o_orderkey"])
+    assert np.allclose(got["total_qty"], j["total_qty"], atol=1e-9)
+    assert (got["total_qty"] > relational.Q18_QTY_THRESHOLD).all()
+    assert len(got) > 0
