@@ -770,6 +770,62 @@ def purchase_attribution(
     return out.sort_values("prev_event_type").reset_index(drop=True)
 
 
+def events_dual_distinct(sf_dir: str) -> pd.DataFrame:
+    """Two COUNT(DISTINCT …) of different columns per group from ONE
+    corpus pass and one shuffle — the multi-distinct shape engines usually
+    pay two scans for: each batch dedups (type, user) and (type, day)
+    locally and emits both into a single tagged slim stream; the grouped
+    count over (type, tag, value) keys collapses global repeats, and the
+    final per-(type, tag) row count is the distinct count. No per-group
+    sets, no second scan."""
+    from .agg import grouped_aggregate
+
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id", "ts"],
+    )
+
+    def tagged(df: pd.DataFrame) -> pd.DataFrame:
+        days = (
+            df["ts"].to_numpy(dtype="datetime64[D]").astype("int64")
+        )
+        a = pd.DataFrame(
+            {"event_type": df["event_type"], "tag": "user", "v": df["user_id"].astype("int64")}
+        ).drop_duplicates()
+        b = pd.DataFrame(
+            {"event_type": df["event_type"], "tag": "day", "v": pd.Series(days, dtype="int64")}
+        ).drop_duplicates()
+        return pd.concat([a, b], ignore_index=True)
+
+    per_value = grouped_aggregate(
+        events, ["event_type", "tag", "v"], {"n": (None, "count")}, prepare=tagged
+    )
+    counts = (
+        grouped_aggregate(
+            per_value, ["event_type", "tag"], {"n_distinct": (None, "count")}
+        )
+        .to_pandas()
+        .pivot(index="event_type", columns="tag", values="n_distinct")
+        .reset_index()
+    )
+    out = pd.DataFrame(
+        {
+            "event_type": counts["event_type"],
+            "n_distinct_users": counts["user"].astype("int64"),
+            "n_active_days": counts["day"].astype("int64"),
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_EVENTS_DUAL_DISTINCT_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_distinct_users,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS n_active_days
+FROM events GROUP BY event_type
+"""
+
+
 _PURCHASE_ATTRIBUTION_SQL = """
 WITH w AS (
   SELECT user_id, event_type, ts, event_id,
@@ -788,6 +844,7 @@ GROUP BY prev_type
 
 QUERIES: dict[str, Callable[[str], object]] = {
     "purchase_attribution": purchase_attribution,
+    "events_dual_distinct": events_dual_distinct,
     "key_skew_report": key_skew_report,
     "bot_rate_flags": bot_rate_flags,
     "rolling_dau_7d": rolling_dau_7d,
@@ -802,6 +859,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 }
 ORACLES: dict[str, str] = {
     "purchase_attribution": _PURCHASE_ATTRIBUTION_SQL,
+    "events_dual_distinct": _EVENTS_DUAL_DISTINCT_SQL,
     "key_skew_report": _KEY_SKEW_REPORT_SQL,
     "bot_rate_flags": _BOT_RATE_FLAGS_SQL,
     "rolling_dau_7d": _ROLLING_DAU_SQL,

@@ -161,3 +161,20 @@ def test_hll_overlap_accuracy(ray_session):
     # inclusion-exclusion compounds three ±1.6% sketches; generous small-n slack
     assert abs(est - exact) <= max(0.15 * exact, 8)
     assert abs(int(got["approx_view"].iloc[0]) - len(views)) <= max(0.10 * len(views), 5)
+
+
+def test_events_dual_distinct_exact(ray_session):
+    """Both distinct counts from the one-pass tagged stream equal pandas
+    nunique per type."""
+    from simple_content_ocr_ray.functions.window import events_dual_distinct
+
+    got = events_dual_distinct(SF).set_index("event_type")
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "user_id", "ts"])
+    ev["day"] = ev["ts"].dt.normalize()
+    exact = ev.groupby("event_type").agg(
+        u=("user_id", "nunique"), d=("day", "nunique")
+    )
+    assert set(got.index) == set(exact.index)
+    for t in exact.index:
+        assert got.loc[t, "n_distinct_users"] == exact.loc[t, "u"]
+        assert got.loc[t, "n_active_days"] == exact.loc[t, "d"]
