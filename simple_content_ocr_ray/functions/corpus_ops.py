@@ -1090,6 +1090,106 @@ FROM plan p LEFT JOIN kept k USING (source)
 """
 
 
+def near_dup_keepers(sf_dir: str) -> pd.DataFrame:
+    """Cluster-representative selection over the near-dup components — the
+    Dolma/RedPajama rule "keep the LONGEST member" (min-id keepers lose
+    content when the twin is the truncated copy): per component, the
+    longest text wins, ties to the smallest doc_id, singletons keep
+    themselves.
+
+    Topology: the component labels come from the mined pair list
+    (driver-bounded — it is the dedup output itself) via union-find,
+    broadcast once; ONE corpus pass emits slim (component, doc_id, len)
+    rows, and the keeper is a grouped ARGMAX — per-batch top-1 per
+    component, bounded final reduce. At pair counts past the union-find
+    bound the labels come from the distributed min-label propagation of
+    ``near_dup_components`` and the argmax shape is unchanged."""
+    from .dedup import minhash_lsh_pairs, near_dup_corpus
+
+    pairs = minhash_lsh_pairs(sf_dir)
+    labels_ref = ray.put(_union_find_labels(pairs))
+    corpus = near_dup_corpus(sf_dir)
+
+    def member_rows(df: pd.DataFrame) -> pd.DataFrame:
+        labels = ray.get(labels_ref)
+        ids = df["doc_id"].astype("int64")
+        lens = df["text"].str.len().astype("int64")
+        comp = pd.Series(
+            [labels.get(int(i), int(i)) for i in ids], dtype="int64", index=ids.index
+        )
+        # per-batch top-1 per component (argmax partial)
+        part = pd.DataFrame(
+            {"component": comp, "doc_id": ids, "keeper_len": lens, "n": 1}
+        )
+        part = part.sort_values(
+            ["component", "keeper_len", "doc_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        agg = part.groupby("component", sort=False).agg(
+            doc_id=("doc_id", "first"),
+            keeper_len=("keeper_len", "first"),
+            n=("n", "sum"),
+        )
+        return agg.reset_index()
+
+    parts = corpus.map_batches(member_rows, batch_format="pandas").to_pandas()
+    parts = parts.sort_values(
+        ["component", "keeper_len", "doc_id"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+    keep = parts.groupby("component", sort=True).agg(
+        keeper_doc_id=("doc_id", "first"),
+        keeper_len=("keeper_len", "first"),
+        n_members=("n", "sum"),
+    )
+    out = keep.reset_index().astype(
+        {
+            "component": "int64",
+            "keeper_doc_id": "int64",
+            "keeper_len": "int64",
+            "n_members": "int64",
+        }
+    )
+    return out[["component", "keeper_doc_id", "keeper_len", "n_members"]]
+
+
+def _near_dup_keepers_sql() -> str:
+    from .dedup import MIN_TWIN_WORDS, NEAR_TWIN_OFFSET
+
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT * FROM ({_NEAR_PAIRS_SQL}) q
+), corpus AS (
+  SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
+  UNION ALL
+  SELECT doc_id + {NEAR_TWIN_OFFSET} AS doc_id,
+         array_to_string(string_split(text,' ')[1:len(string_split(text,' '))-2], ' ') AS text
+  FROM documents
+  WHERE doc_id % 5 = 0 AND len(string_split(text,' ')) >= {MIN_TWIN_WORDS}
+), edges AS (
+  SELECT doc_a AS s, doc_b AS t FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS t FROM pairs
+), reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT e.t, r.lbl FROM reach r JOIN edges e ON e.s = r.node
+), comp AS (
+  SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node
+), ranked AS (
+  SELECT c.component, c.doc_id, length(t.text) AS keeper_len,
+         ROW_NUMBER() OVER (PARTITION BY c.component
+                            ORDER BY length(t.text) DESC, c.doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY c.component) AS n_members
+  FROM comp c JOIN corpus t USING (doc_id)
+)
+SELECT component, doc_id AS keeper_doc_id, keeper_len, n_members
+FROM ranked WHERE rk = 1
+"""
+
+
 def source_lang_kl(sf_dir: str) -> pd.DataFrame:
     """Per-source mixture drift: KL divergence of each source's language
     distribution from the corpus-wide distribution — the diagnostic that
@@ -1151,6 +1251,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "doc_pagerank": doc_pagerank,
     "token_budget_mixture": token_budget_mixture,
     "source_lang_kl": source_lang_kl,
+    "near_dup_keepers": near_dup_keepers,
     "lang_top_docs": lang_top_docs,
     "lang_sample_exact_k": lang_sample_exact_k,
     "source_mixture_sample": source_mixture_sample,
@@ -1172,6 +1273,7 @@ ORACLES: dict[str, str] = {
     "doc_pagerank": _pagerank_sql(),
     "token_budget_mixture": _TOKEN_BUDGET_MIXTURE_SQL,
     "source_lang_kl": _SOURCE_LANG_KL_SQL,
+    "near_dup_keepers": _near_dup_keepers_sql(),
     "lang_top_docs": _LANG_TOP_DOCS_SQL,
     "lang_sample_exact_k": _LANG_SAMPLE_EXACT_K_SQL,
     "source_mixture_sample": _SOURCE_MIXTURE_SAMPLE_SQL,

@@ -409,3 +409,29 @@ def test_source_lang_kl_properties(ray_session):
         kl = float(sum(p[l] * np.log(p[l] / glob[l]) for l in p.index))
         assert abs(got.loc[source, "kl_divergence"] - kl) < 1e-5, source
         assert got.loc[source, "n_docs"] == len(g)
+
+
+def test_near_dup_keepers_longest_wins(ray_session):
+    """Keeper is the longest member of its component (ties min doc_id);
+    every twin pair's keeper is the ORIGINAL (the twin drops two words);
+    member counts match the components operator."""
+    import pandas as pd
+
+    from simple_content_ocr_ray.functions.corpus_ops import (
+        near_dup_components,
+        near_dup_keepers,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    keep = near_dup_keepers(sf)
+    comp = near_dup_components(sf).to_pandas()
+    sizes = comp.groupby("component").size()
+    assert dict(zip(keep["component"], keep["n_members"])) == dict(sizes)
+    # every multi-member component's keeper is NOT the dropped-words twin
+    multi = keep[keep["n_members"] > 1]
+    assert len(multi) > 0
+    assert (multi["keeper_doc_id"] < 1_000_000).all()
+    # keeper is a member of its component
+    by_doc = dict(zip(comp["doc_id"], comp["component"]))
+    for r in keep.itertuples():
+        assert by_doc[r.keeper_doc_id] == r.component
