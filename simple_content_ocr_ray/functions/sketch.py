@@ -361,8 +361,61 @@ def event_value_quantiles_sketch(
     )
 
 
+def type_value_quantiles_sketch(
+    sf_dir: str, m: int = QS_M, quantiles: tuple = QS_QUANTILES
+) -> pd.DataFrame:
+    """GROUPED mergeable quantile sketch: the per-event-type variant of
+    :func:`event_value_quantiles_sketch` — each batch contributes ``m``
+    weighted order statistics PER KEY it touches, and the per-key merge is
+    the same associative weighted union, so the rank-error bound
+    (≈ N_key/(m-1)) holds per key. The driver holds |keys|×|batches|×m
+    summary rows (at scale the weighted merge becomes a key-grouped
+    reduction — identical math, same shape as the grouped-HLL merge path);
+    the value stream itself never leaves the workers."""
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for et, g in df.groupby("event_type", sort=False):
+            v = np.sort(np.rint(g["value"].to_numpy() * 1_000_000).astype("int64"))
+            n = len(v)
+            take = min(n, m)
+            idx = np.linspace(0, n - 1, take).round().astype(np.int64)
+            frames.append(
+                pd.DataFrame(
+                    {"event_type": et, "v": v[idx], "w": np.full(take, n / take)}
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype="object"),
+                    "v": pd.Series([], dtype="int64"),
+                    "w": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    parts = events.map_batches(partial, batch_format="pandas").to_pandas()
+    rows = []
+    qs = np.asarray(quantiles, dtype="float64")
+    for et, g in parts.groupby("event_type", sort=True):
+        g = g.sort_values("v", kind="mergesort")
+        cumw = g["w"].to_numpy().cumsum()
+        vals = g["v"].to_numpy()
+        pos = np.searchsorted(cumw, qs * cumw[-1], side="left").clip(
+            0, len(vals) - 1
+        )
+        for q, v in zip(qs, vals[pos]):
+            rows.append((et, float(q), np.round(v / 1_000_000.0, 4)))
+    return pd.DataFrame(rows, columns=["event_type", "q", "approx_value"])
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
     "hll_distinct_users": hll_distinct_users,
+    "type_value_quantiles_sketch": type_value_quantiles_sketch,
     "approx_top_tokens": approx_top_tokens,
     "event_value_quantiles_sketch": event_value_quantiles_sketch,
     "type_distinct_users_hll": type_distinct_users_hll,

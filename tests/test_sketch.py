@@ -178,3 +178,26 @@ def test_events_dual_distinct_exact(ray_session):
     for t in exact.index:
         assert got.loc[t, "n_distinct_users"] == exact.loc[t, "u"]
         assert got.loc[t, "n_active_days"] == exact.loc[t, "d"]
+
+
+def test_grouped_quantile_sketch_rank_error_per_key(ray_session):
+    """Per-key sketch quantiles land within the per-key rank-error bound of
+    the exact order statistics."""
+    from simple_content_ocr_ray.functions.sketch import (
+        QS_QUANTILES,
+        type_value_quantiles_sketch,
+    )
+
+    out = type_value_quantiles_sketch(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    for et, g in ev.groupby("event_type"):
+        exact = np.sort(np.rint(g["value"].to_numpy() * 1_000_000).astype("int64"))
+        n = len(exact)
+        sub = out[out["event_type"] == et]
+        assert list(sub["q"]) == list(QS_QUANTILES)
+        for q, got in zip(sub["q"], sub["approx_value"]):
+            got_u = int(round(got * 1_000_000))
+            lo = np.searchsorted(exact, got_u, side="left")
+            hi = np.searchsorted(exact, got_u, side="right")
+            rank_err = min(abs(lo - q * n), abs(hi - q * n))
+            assert rank_err <= 0.02 * n + 1, (et, q, got, rank_err)
