@@ -770,6 +770,93 @@ def purchase_attribution(
     return out.sort_values("prev_event_type").reset_index(drop=True)
 
 
+ACTIVE_WINDOW_US = 5 * 60 * 1_000_000  # each event covers [ts, ts+5min)
+
+
+def user_active_time(
+    sf_dir: str, small_threshold: int = 2_000_000
+) -> pd.DataFrame:
+    """Interval-union ("gaps and islands"): each event covers a 5-minute
+    window; overlapping windows merge into islands, and the report is each
+    user's island count and total COVERED time — the wall-clock-active
+    metric session counts can't give (overlaps must not double-count).
+
+    Vectorized sweep inside the per-user ordering: sort by start, running
+    max of interval ends (cummax), an island starts where start > previous
+    running max; island bounds reduce to exact µs int64 sums. Adaptive
+    small/large paths like every windowed operator here; only slim
+    (user_id, n_islands, active_us) rows leave the shuffle."""
+    from .joins import events_row_count
+
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def islands(g: pd.DataFrame) -> pd.DataFrame:
+        s = np.sort(g["ts"].to_numpy(dtype="datetime64[us]").astype("int64"))
+        f = s + ACTIVE_WINDOW_US
+        run_max = np.maximum.accumulate(f)
+        new = np.ones(len(s), dtype=bool)
+        new[1:] = s[1:] > run_max[:-1]
+        island = np.cumsum(new) - 1
+        starts = s[new]
+        # each island's end = max f within it = run_max at its last member
+        last = np.flatnonzero(
+            np.r_[new[1:], True]
+        )  # index of each island's final row
+        ends = run_max[last]
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])] * 1,
+                "n_islands": [int(island[-1] + 1)],
+                "active_us": [int((ends - starts).sum())],
+            }
+        )
+
+    if events_row_count(sf_dir) <= small_threshold:
+        df = events.to_pandas()
+        rows = []
+        for uid, g in df.groupby("user_id", sort=True):
+            r = islands(g)
+            rows.append((int(uid), int(r["n_islands"][0]), int(r["active_us"][0])))
+        out = pd.DataFrame(rows, columns=["user_id", "n_islands", "active_us"])
+    else:
+        out = (
+            events.groupby("user_id")
+            .map_groups(islands, batch_format="pandas")
+            .to_pandas()
+        )
+    out = out.astype(
+        {"user_id": "int64", "n_islands": "int64", "active_us": "int64"}
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+_USER_ACTIVE_TIME_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + {ACTIVE_WINDOW_US} AS f
+  FROM events
+), w AS (
+  SELECT user_id, s, f,
+         MAX(f) OVER (PARTITION BY user_id ORDER BY s, f
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM e
+), isl AS (
+  SELECT user_id, s, f,
+         SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, f
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM w
+), g AS (
+  SELECT user_id, island, MIN(s) AS st, MAX(f) AS en
+  FROM isl GROUP BY 1, 2
+)
+SELECT user_id, COUNT(*) AS n_islands, CAST(SUM(en - st) AS BIGINT) AS active_us
+FROM g GROUP BY user_id
+"""
+
+
 def events_dual_distinct(sf_dir: str) -> pd.DataFrame:
     """Two COUNT(DISTINCT …) of different columns per group from ONE
     corpus pass and one shuffle — the multi-distinct shape engines usually
@@ -845,6 +932,7 @@ GROUP BY prev_type
 QUERIES: dict[str, Callable[[str], object]] = {
     "purchase_attribution": purchase_attribution,
     "events_dual_distinct": events_dual_distinct,
+    "user_active_time": user_active_time,
     "key_skew_report": key_skew_report,
     "bot_rate_flags": bot_rate_flags,
     "rolling_dau_7d": rolling_dau_7d,
@@ -860,6 +948,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 ORACLES: dict[str, str] = {
     "purchase_attribution": _PURCHASE_ATTRIBUTION_SQL,
     "events_dual_distinct": _EVENTS_DUAL_DISTINCT_SQL,
+    "user_active_time": _USER_ACTIVE_TIME_SQL,
     "key_skew_report": _KEY_SKEW_REPORT_SQL,
     "bot_rate_flags": _BOT_RATE_FLAGS_SQL,
     "rolling_dau_7d": _ROLLING_DAU_SQL,

@@ -325,3 +325,44 @@ def test_purchase_attribution_paths_and_bruteforce(ray_session):
     for t in agg.index:
         assert got.loc[t, "n_purchases"] == agg.loc[t, "size"]
         assert abs(got.loc[t, "avg_gap_s"] - agg.loc[t, "mean"] / 1e6) < 1e-3
+
+
+def test_user_active_time_paths_and_bruteforce(ray_session):
+    """Small and keyed-shuffle paths agree; totals match a brute-force
+    interval merge; overlaps never double-count (active ≤ n_events·window,
+    with strict inequality whenever windows overlap)."""
+    import numpy as np
+    import pandas as pd
+
+    from simple_content_ocr_ray.functions.window import (
+        ACTIVE_WINDOW_US,
+        user_active_time,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    small = user_active_time(sf)
+    large = user_active_time(sf, small_threshold=0)
+    pd.testing.assert_frame_equal(small, large)
+
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["user_id", "ts"])
+    got = small.set_index("user_id")
+    overlap_seen = False
+    for uid, g in ev.groupby("user_id"):
+        s = np.sort(g["ts"].to_numpy(dtype="datetime64[us]").astype("int64"))
+        total = 0
+        n_isl = 0
+        cur_s = cur_e = None
+        for x in s:
+            if cur_e is None or x > cur_e:
+                if cur_e is not None:
+                    total += cur_e - cur_s
+                cur_s, cur_e = x, x + ACTIVE_WINDOW_US
+                n_isl += 1
+            else:
+                cur_e = max(cur_e, x + ACTIVE_WINDOW_US)
+        total += cur_e - cur_s
+        assert got.loc[uid, "n_islands"] == n_isl
+        assert got.loc[uid, "active_us"] == total
+        if total < len(s) * ACTIVE_WINDOW_US:
+            overlap_seen = True
+    assert overlap_seen
