@@ -256,6 +256,10 @@ def run_headline() -> dict:
             "zorder_box_scan",
             "weighted_sample_orders",
             "purchase_attribution",
+            "q18_large_orders",
+            "events_dual_distinct",
+            "user_active_time",
+            "near_dup_keepers",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)
