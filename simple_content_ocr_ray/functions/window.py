@@ -770,6 +770,74 @@ def purchase_attribution(
     return out.sort_values("prev_event_type").reset_index(drop=True)
 
 
+def event_trigram_counts(
+    sf_dir: str, small_threshold: int = 2_000_000
+) -> pd.DataFrame:
+    """Second-order sequence mining: counts of every consecutive ordered
+    event-type TRIPLE within a user's timeline (the funnel-DISCOVERY
+    complement of the fixed view→click→purchase funnel: which 3-step paths
+    actually happen, and how often). Same one-keyed-shuffle topology as
+    :func:`event_transitions` with a double shift — each group emits at
+    most |types|³ local count rows, never per-event rows."""
+    from .joins import events_row_count
+
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def triples_sorted(df: pd.DataFrame) -> pd.DataFrame:
+        et = df["event_type"].to_numpy()
+        uid = df["user_id"].to_numpy()
+        if len(df) < 3:
+            empty = pd.Series([], dtype="object")
+            return pd.DataFrame(
+                {"t1": empty, "t2": empty, "t3": empty,
+                 "n": pd.Series([], dtype="int64")}
+            )
+        same = (uid[:-2] == uid[1:-1]) & (uid[1:-1] == uid[2:])
+        out = pd.DataFrame(
+            {"t1": et[:-2][same], "t2": et[1:-1][same], "t3": et[2:][same]}
+        )
+        return (
+            out.groupby(["t1", "t2", "t3"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    if events_row_count(sf_dir) <= small_threshold:
+        df = events.to_pandas().sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        )
+        counts = triples_sorted(df)
+    else:
+        local = events.groupby("user_id").map_groups(
+            lambda g: triples_sorted(
+                g.sort_values(["ts", "event_id"], kind="mergesort")
+            ),
+            batch_format="pandas",
+        )
+        counts = grouped_aggregate(
+            local, ["t1", "t2", "t3"], {"n": ("n", "sum")}
+        ).to_pandas()
+    counts["n"] = counts["n"].astype("int64")
+    return counts.sort_values(["t1", "t2", "t3"]).reset_index(drop=True)
+
+
+_EVENT_TRIGRAM_COUNTS_SQL = """
+WITH w AS (
+  SELECT event_type AS t1,
+         LEAD(event_type, 1) OVER win AS t2,
+         LEAD(event_type, 2) OVER win AS t3
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1, t2, t3, COUNT(*) AS n
+FROM w WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+GROUP BY t1, t2, t3
+"""
+
+
 ACTIVE_WINDOW_US = 5 * 60 * 1_000_000  # each event covers [ts, ts+5min)
 
 
@@ -933,6 +1001,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "purchase_attribution": purchase_attribution,
     "events_dual_distinct": events_dual_distinct,
     "user_active_time": user_active_time,
+    "event_trigram_counts": event_trigram_counts,
     "key_skew_report": key_skew_report,
     "bot_rate_flags": bot_rate_flags,
     "rolling_dau_7d": rolling_dau_7d,
@@ -949,6 +1018,7 @@ ORACLES: dict[str, str] = {
     "purchase_attribution": _PURCHASE_ATTRIBUTION_SQL,
     "events_dual_distinct": _EVENTS_DUAL_DISTINCT_SQL,
     "user_active_time": _USER_ACTIVE_TIME_SQL,
+    "event_trigram_counts": _EVENT_TRIGRAM_COUNTS_SQL,
     "key_skew_report": _KEY_SKEW_REPORT_SQL,
     "bot_rate_flags": _BOT_RATE_FLAGS_SQL,
     "rolling_dau_7d": _ROLLING_DAU_SQL,

@@ -366,3 +366,30 @@ def test_user_active_time_paths_and_bruteforce(ray_session):
         if total < len(s) * ACTIVE_WINDOW_US:
             overlap_seen = True
     assert overlap_seen
+
+
+def test_event_trigram_counts_paths_and_bruteforce(ray_session):
+    import pandas as pd
+
+    from simple_content_ocr_ray.functions.window import event_trigram_counts
+
+    sf = "/root/testdata/sf0.001"
+    small = event_trigram_counts(sf)
+    large = event_trigram_counts(sf, small_threshold=0)
+    pd.testing.assert_frame_equal(small, large)
+
+    ev = pd.read_parquet(
+        f"{sf}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+    from collections import Counter
+
+    c = Counter()
+    for _, g in ev.groupby("user_id"):
+        et = list(
+            g.sort_values(["ts", "event_id"], kind="mergesort")["event_type"]
+        )
+        for i in range(len(et) - 2):
+            c[(et[i], et[i + 1], et[i + 2])] += 1
+    got = {(r.t1, r.t2, r.t3): int(r.n) for r in small.itertuples()}
+    assert got == dict(c)
+    assert sum(got.values()) == sum(len(g) - 2 for _, g in ev.groupby("user_id") if len(g) >= 3)
