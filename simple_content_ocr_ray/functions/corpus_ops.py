@@ -1090,6 +1090,87 @@ FROM plan p LEFT JOIN kept k USING (source)
 """
 
 
+def corpus_report(sf_dir: str) -> pd.DataFrame:
+    """One-call corpus health dashboard — the first thing run on a new
+    drop: document/token volume, exact-duplicate rate, language/source
+    breadth, and mean document length, as one (metric, value) table.
+
+    Two bounded passes: a single partial+final scan accumulates the scalar
+    sums (docs, tokens) and per-batch-deduped (lang, source) keys; the
+    distinct-text count rides the same hash-collapse machinery as exact
+    dedup. Every value is exact integer math (the mean rounds at the end),
+    so the oracle is a UNION ALL of scalar selects."""
+    import hashlib
+
+    from .agg import round_half_away
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source"],
+    )
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "h": [hashlib.md5(t.encode("utf-8")).hexdigest() for t in df["text"]],
+                "lang": df["lang"],
+                "source": df["source"],
+                "nt": pd.Series(
+                    [len(t.split(" ")) for t in df["text"]], dtype="int64"
+                ),
+            }
+        )
+
+    per_hash = grouped_aggregate(
+        docs,
+        ["h"],
+        {"n": (None, "count"), "sum_nt": ("nt", "sum")},
+        prepare=slim,
+    ).to_pandas()
+    n_docs = int(per_hash["n"].sum())
+    n_tokens = int(per_hash["sum_nt"].sum())
+    n_distinct_texts = len(per_hash)
+
+    langs = grouped_aggregate(
+        docs, ["lang"], {"n": (None, "count")}, prepare=slim
+    ).to_pandas()
+    sources = grouped_aggregate(
+        docs, ["source"], {"n": (None, "count")}, prepare=slim
+    ).to_pandas()
+
+    rows = [
+        ("n_docs", float(n_docs)),
+        ("n_tokens", float(n_tokens)),
+        ("n_distinct_texts", float(n_distinct_texts)),
+        ("n_exact_dup_docs", float(n_docs - n_distinct_texts)),
+        ("n_langs", float(len(langs))),
+        ("n_sources", float(len(sources))),
+        (
+            "mean_doc_tokens",
+            float(round_half_away(float(n_tokens) * 1.0 / float(n_docs), 4)),
+        ),
+    ]
+    return pd.DataFrame(rows, columns=["metric", "value"])
+
+
+_CORPUS_REPORT_SQL = """
+WITH t AS (
+  SELECT md5(text) AS h, lang, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+  FROM documents
+)
+SELECT 'n_docs' AS metric, COUNT(*) * 1.0 AS value FROM t
+UNION ALL SELECT 'n_tokens', SUM(nt) * 1.0 FROM t
+UNION ALL SELECT 'n_distinct_texts', COUNT(DISTINCT h) * 1.0 FROM t
+UNION ALL SELECT 'n_exact_dup_docs',
+                 (COUNT(*) - COUNT(DISTINCT h)) * 1.0 FROM t
+UNION ALL SELECT 'n_langs', COUNT(DISTINCT lang) * 1.0 FROM t
+UNION ALL SELECT 'n_sources', COUNT(DISTINCT source) * 1.0 FROM t
+UNION ALL SELECT 'mean_doc_tokens',
+                 ROUND(SUM(nt) * 1.0 / COUNT(*), 4) FROM t
+"""
+
+
 def near_dup_keepers(sf_dir: str) -> pd.DataFrame:
     """Cluster-representative selection over the near-dup components — the
     Dolma/RedPajama rule "keep the LONGEST member" (min-id keepers lose
@@ -1252,6 +1333,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "token_budget_mixture": token_budget_mixture,
     "source_lang_kl": source_lang_kl,
     "near_dup_keepers": near_dup_keepers,
+    "corpus_report": corpus_report,
     "lang_top_docs": lang_top_docs,
     "lang_sample_exact_k": lang_sample_exact_k,
     "source_mixture_sample": source_mixture_sample,
@@ -1274,6 +1356,7 @@ ORACLES: dict[str, str] = {
     "token_budget_mixture": _TOKEN_BUDGET_MIXTURE_SQL,
     "source_lang_kl": _SOURCE_LANG_KL_SQL,
     "near_dup_keepers": _near_dup_keepers_sql(),
+    "corpus_report": _CORPUS_REPORT_SQL,
     "lang_top_docs": _LANG_TOP_DOCS_SQL,
     "lang_sample_exact_k": _LANG_SAMPLE_EXACT_K_SQL,
     "source_mixture_sample": _SOURCE_MIXTURE_SAMPLE_SQL,

@@ -435,3 +435,23 @@ def test_near_dup_keepers_longest_wins(ray_session):
     by_doc = dict(zip(comp["doc_id"], comp["component"]))
     for r in keep.itertuples():
         assert by_doc[r.keeper_doc_id] == r.component
+
+
+def test_corpus_report_values(ray_session):
+    import hashlib
+
+    import pandas as pd
+
+    from simple_content_ocr_ray.functions.corpus_ops import corpus_report
+
+    sf = "/root/testdata/sf0.001"
+    got = dict(zip(*corpus_report(sf).T.values))
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["text", "lang", "source"])
+    hashes = {hashlib.md5(t.encode()).hexdigest() for t in docs["text"]}
+    assert got["n_docs"] == len(docs)
+    assert got["n_tokens"] == sum(len(t.split(" ")) for t in docs["text"])
+    assert got["n_distinct_texts"] == len(hashes)
+    assert got["n_exact_dup_docs"] == len(docs) - len(hashes)
+    assert got["n_langs"] == docs["lang"].nunique()
+    assert got["n_sources"] == docs["source"].nunique()
+    assert abs(got["mean_doc_tokens"] - got["n_tokens"] / got["n_docs"]) < 1e-3
