@@ -55,6 +55,96 @@ def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     return df["vec_id"].to_numpy(), _emb_matrix(df)
 
 
+MMR_K = 10
+MMR_POOL = 50
+MMR_LAMBDA = 0.7
+
+
+def mmr_topk(
+    sf_dir: str, k: int = MMR_K, pool: int = MMR_POOL, lam: float = MMR_LAMBDA
+) -> pd.DataFrame:
+    """Diversified retrieval — Maximal Marginal Relevance: greedily pick k
+    results per query maximizing ``λ·sim(query) − (1−λ)·max sim(already
+    picked)``, so near-duplicate hits don't crowd the result list (the
+    standard RAG/retrieval de-redundancy step).
+
+    Topology: the candidate pool is the EXACT global top-``pool`` per query
+    (the ann_topk local-then-final top-k shape, carrying each candidate's
+    unit vector as bytes — pool×|queries| rows, never the corpus); the
+    greedy selection is inherently sequential in k and runs on the driver
+    over that bounded pool. Rows-only (iterative greedy is not SQL) with a
+    numpy-mirror parity test."""
+    qids, Q = _query_matrix(sf_dir)
+    qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    ref = ray.put((qids, qn))
+
+    class PoolScorer:
+        def __init__(self) -> None:
+            self.qids, self.qn = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            M = _emb_matrix(df)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            sims = Mn @ self.qn.T
+            vec_ids = df["vec_id"].to_numpy()
+            out = []
+            for j, qid in enumerate(self.qids):
+                col = sims[:, j]
+                mask = vec_ids != qid
+                idx = np.argsort(-col[mask], kind="stable")[:pool]
+                ids = vec_ids[mask][idx]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(ids), qid, dtype=np.int64),
+                            "neighbor_id": ids.astype(np.int64),
+                            "cosine_sim": col[mask][idx],
+                            "emb": [v.tobytes() for v in Mn[mask][idx]],
+                        }
+                    )
+                )
+            return pd.concat(out, ignore_index=True)
+
+    partial = _read_emb(sf_dir).map_batches(
+        PoolScorer, batch_format="pandas", batch_size=4096, concurrency=(1, 4)
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["cosine_sim", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(pool)
+
+    cands = (
+        partial.groupby("query_id").map_groups(final, batch_format="pandas").to_pandas()
+    )
+
+    rows = []
+    for qid, g in cands.groupby("query_id", sort=True):
+        g = g.reset_index(drop=True)
+        S = np.stack([np.frombuffer(b, dtype="float64") for b in g["emb"]])
+        rel = g["cosine_sim"].to_numpy()
+        ids = g["neighbor_id"].to_numpy()
+        picked: list[int] = []
+        for rank in range(1, min(k, len(g)) + 1):
+            if picked:
+                red = (S @ S[picked].T).max(axis=1)
+            else:
+                red = np.zeros(len(g))
+            score = lam * rel - (1 - lam) * red
+            score[picked] = -np.inf
+            # argmax with deterministic tie-break on neighbor_id
+            best = np.lexsort((ids, -score))[0]
+            picked.append(int(best))
+            rows.append((int(qid), rank, int(ids[best]), float(score[best])))
+    out = pd.DataFrame(
+        rows, columns=["query_id", "rank", "neighbor_id", "mmr_score"]
+    )
+    from .agg import round_half_away
+
+    out["mmr_score"] = round_half_away(out["mmr_score"])
+    return out
+
+
 def ann_topk(sf_dir: str) -> pd.DataFrame:
     """Exact cosine top-k for query vectors vec_id < 8 (self excluded)."""
     qids, Q = _query_matrix(sf_dir)
@@ -736,6 +826,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "embedding_pca_project": embedding_pca_project,
     "label_centroid_norms": label_centroid_norms,
     "ann_topk": ann_topk,
+    "mmr_topk": mmr_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "embedding_dup_pairs": embedding_dup_pairs,

@@ -130,3 +130,48 @@ def test_source_lm_quality_consistent_with_per_doc(ray_session):
         ]
         assert got.loc[source, "n_tokens"] == len(logps)
         assert abs(got.loc[source, "mean_logprob"] - np.mean(logps)) < 1e-3
+
+
+def test_mmr_topk_matches_numpy_mirror(ray_session):
+    """Distributed candidate pool + greedy selection equals a from-scratch
+    numpy MMR over exact cosine; rank 1 is the plain nearest neighbor; the
+    selected set is at least as diverse as plain top-k."""
+    import numpy as np
+
+    from simple_content_ocr_ray.functions.similarity import (
+        MMR_LAMBDA,
+        MMR_POOL,
+        N_QUERIES,
+        ann_topk,
+        mmr_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = mmr_topk(sf)
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    M = np.stack([np.asarray(v, dtype="float64") for v in emb["embedding"]])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    ids = emb["vec_id"].to_numpy()
+    plain = ann_topk(sf)
+    for qid in range(N_QUERIES):
+        qv = Mn[ids == qid][0]
+        mask = ids != qid
+        rel = Mn[mask] @ qv
+        cand_idx = np.argsort(-rel, kind="stable")[:MMR_POOL]
+        # stable order ties like the operator: (cosine desc, neighbor asc)
+        order = np.lexsort((ids[mask][cand_idx], -rel[cand_idx]))
+        cand_idx = cand_idx[order]
+        S, r, nid = Mn[mask][cand_idx], rel[cand_idx], ids[mask][cand_idx]
+        picked = []
+        g = got[got["query_id"] == qid].sort_values("rank")
+        for rank, row in enumerate(g.itertuples(), start=1):
+            red = (S @ S[picked].T).max(axis=1) if picked else np.zeros(len(S))
+            score = MMR_LAMBDA * r - (1 - MMR_LAMBDA) * red
+            if picked:
+                score[picked] = -np.inf
+            best = np.lexsort((nid, -score))[0]
+            assert row.neighbor_id == nid[best], (qid, rank)
+            picked.append(best)
+        # rank 1 equals the plain top-1
+        top1 = plain[plain["query_id"] == qid].iloc[0]["neighbor_id"]
+        assert g.iloc[0]["neighbor_id"] == top1
