@@ -1157,6 +1157,93 @@ def mirrored_text_domains(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("text_md5").reset_index(drop=True)
 
 
+MIRROR_FEED = "feed-mirror"
+
+
+def source_dup_matrix(sf_dir: str) -> pd.DataFrame:
+    """Cross-feed duplication matrix: for every pair of sources, how many
+    DISTINCT texts appear in both — the "which feeds overlap" report that
+    decides feed dedup order and priority. The fixture adds a synthetic
+    mirror feed (source ``feed-mirror``) re-serving every 7th document —
+    the aggregator-that-scrapes-everyone shape; the base sources provably
+    share nothing, so the oracle checks both the hits AND the absences.
+
+    Topology: one hash-keyed collapse to per-(hash, source) rows (per-batch
+    dedup inside the partial aggregate); singleton hashes are PRUNED before
+    any per-group work (pairs only come from hashes in ≥2 sources — a set
+    bounded by actual duplication, broadcast here, hash join past the
+    broadcast bound); the surviving groups' source lists are tiny, and the
+    rollup is |sources|²-bounded. The corpus text never moves twice."""
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        hs = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in df["text"]]
+        out = pd.DataFrame({"h": hs, "source": df["source"]})
+        tw = df["doc_id"].to_numpy() % 7 == 0
+        mirror = pd.DataFrame(
+            {"h": [h for h, m in zip(hs, tw) if m], "source": MIRROR_FEED}
+        )
+        return pd.concat([out, mirror], ignore_index=True)
+
+    per_hs = grouped_aggregate(
+        docs, ["h", "source"], {"n": (None, "count")}, prepare=prepare
+    ).materialize()  # consumed twice: breadth count + pruned pair explosion
+
+    # singleton pruning BEFORE any per-group work: only hashes seen in ≥2
+    # sources can produce a pair, and that set is bounded by actual
+    # duplication, not corpus size (broadcast here; a hash join past the
+    # broadcast bound — same shape as the latest-snapshot dedup)
+    breadth = grouped_aggregate(
+        per_hs, ["h"], {"ns": (None, "count")}
+    ).to_pandas()
+    dup_hashes = frozenset(breadth.loc[breadth["ns"] > 1, "h"])
+    import ray as _ray
+
+    dup_ref = _ray.put(dup_hashes)
+
+    def keep_dups(df: pd.DataFrame) -> pd.DataFrame:
+        keep = _ray.get(dup_ref)
+        return df[df["h"].isin(keep)]
+
+    def pairs_from_batch(df: pd.DataFrame) -> pd.DataFrame:
+        a_col, b_col = [], []
+        for _, g in df.groupby("h", sort=False):
+            srcs = sorted(g["source"])
+            for i in range(len(srcs)):
+                for j in range(i + 1, len(srcs)):
+                    a_col.append(srcs[i])
+                    b_col.append(srcs[j])
+        return pd.DataFrame({"source_a": a_col, "source_b": b_col})
+
+    pruned = per_hs.map_batches(keep_dups, batch_format="pandas")
+    per_hash_pairs = pruned.groupby("h").map_groups(
+        pairs_from_batch, batch_format="pandas"
+    )
+    out = grouped_aggregate(
+        per_hash_pairs, ["source_a", "source_b"], {"n_shared_texts": (None, "count")}
+    ).to_pandas()
+    out["n_shared_texts"] = out["n_shared_texts"].astype("int64")
+    return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+_SOURCE_DUP_MATRIX_SQL = f"""
+WITH feed AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT '{MIRROR_FEED}' AS source, text FROM documents WHERE doc_id % 7 = 0
+), hs AS (
+  SELECT DISTINCT md5(text) AS h, source FROM feed
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*) AS n_shared_texts
+FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 def _mirrored_text_domains_sql() -> str:
     from ..sources.synth_pages import N_HOSTS
 
@@ -1181,6 +1268,7 @@ FROM pd GROUP BY h HAVING COUNT(*) > 1
 QUERIES: dict[str, Callable[[str], object]] = {
     "dedup_exact_docs": dedup_exact_docs,
     "mirrored_text_domains": mirrored_text_domains,
+    "source_dup_matrix": source_dup_matrix,
     "hamming_typo_pairs": hamming_typo_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "ngram_containment_pairs": ngram_containment_pairs,
@@ -1192,6 +1280,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 ORACLES: dict[str, str] = {
     "dedup_exact_docs": _DEDUP_EXACT_DOCS_SQL,
     "mirrored_text_domains": _mirrored_text_domains_sql(),
+    "source_dup_matrix": _SOURCE_DUP_MATRIX_SQL,
     "hamming_typo_pairs": _HAMMING_TYPO_PAIRS_SQL,
     "ngram_jaccard_pairs": _NEAR_PAIRS_SQL,
     "ngram_containment_pairs": _CONTAINMENT_PAIRS_SQL,

@@ -438,3 +438,24 @@ def test_mirrored_text_domains_bruteforce(ray_session):
     # flagged (distinct texts may collapse to one hash row, so compare sets)
     twin_hashes = set(df.loc[df["doc_id"] >= EXACT_TWIN_OFFSET, "h"])
     assert twin_hashes and twin_hashes <= set(got["text_md5"])
+
+
+def test_source_dup_matrix_star_shape(ray_session):
+    """Every pair involves the synthetic mirror feed (base sources provably
+    share nothing); counts equal each source's distinct %7 texts."""
+    import pandas as pd
+
+    from simple_content_ocr_ray.functions.dedup import MIRROR_FEED, source_dup_matrix
+
+    sf = "/root/testdata/sf0.001"
+    got = source_dup_matrix(sf)
+    assert len(got) > 0
+    assert ((got["source_a"] == MIRROR_FEED) | (got["source_b"] == MIRROR_FEED)).all()
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "source", "text"])
+    tw = docs[docs["doc_id"] % 7 == 0]
+    # per source: distinct texts that the mirror re-serves AND the source holds
+    mirror_texts = set(tw["text"])
+    for r in got.itertuples():
+        src = r.source_a if r.source_b == MIRROR_FEED else r.source_b
+        own = set(docs.loc[docs["source"] == src, "text"])
+        assert r.n_shared_texts == len(own & mirror_texts), src
