@@ -1653,6 +1653,58 @@ SELECT user_id FROM events WHERE event_type = 'purchase'
 
 
 # --------------------------------------------------------------------------
+# Market-basket co-occurrence via native self-join
+# --------------------------------------------------------------------------
+
+BASKET_TOPK = 15
+
+
+def part_pair_counts(sf_dir: str, k: int = BASKET_TOPK) -> pd.DataFrame:
+    """Market-basket mining (the Apriori candidate step): the top-k part
+    PAIRS most often ordered together. A genuine SELF-JOIN — lineitem
+    joined to itself on the order key through Ray's native hash join (both
+    sides shuffle once on the same key), then a pair-keyed partial+final
+    count and a distributed top-k. Baskets are small (a handful of parts
+    per order), so the join fan-out is k²-per-order bounded, not
+    quadratic in the table."""
+    left = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]).map_batches(
+        lambda df: df.rename(columns={"l_partkey": "part_a"}),
+        batch_format="pandas",
+    )
+    right = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]).map_batches(
+        lambda df: df.rename(columns={"l_partkey": "part_b"}),
+        batch_format="pandas",
+    )
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8))
+    joined = left.join(
+        right,
+        join_type="inner",
+        num_partitions=max(2, min(16, cpus)),
+        on=("l_orderkey",),
+    ).filter(expr="part_a < part_b")
+    counts = grouped_aggregate(
+        joined, ["part_a", "part_b"], {"n": (None, "count")}
+    )
+    out = topk(counts, ["n", "part_a", "part_b"], k, descending=[True, False, False])
+    out = out.to_pandas().astype(
+        {"part_a": "int64", "part_b": "int64", "n": "int64"}
+    )
+    return out.reset_index(drop=True)
+
+
+_PART_PAIR_COUNTS_SQL = f"""
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n DESC, part_a, part_b
+LIMIT {BASKET_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
 # Q18-style large-volume orders (HAVING over a join, then top-k)
 # --------------------------------------------------------------------------
 
@@ -1933,6 +1985,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "event_value_trend": event_value_trend,
     "weighted_sample_orders": weighted_sample_orders,
     "q18_large_orders": q18_large_orders,
+    "part_pair_counts": part_pair_counts,
     "dom_activity_full_outer": dom_activity_full_outer,
     "view_purchase_users": view_purchase_users,
     "orders_above_cust_avg": orders_above_cust_avg,
@@ -1967,6 +2020,7 @@ ORACLES: dict[str, str] = {
     "event_value_trend": _EVENT_VALUE_TREND_SQL,
     "weighted_sample_orders": _WEIGHTED_SAMPLE_ORDERS_SQL,
     "q18_large_orders": _Q18_LARGE_ORDERS_SQL,
+    "part_pair_counts": _PART_PAIR_COUNTS_SQL,
     "dom_activity_full_outer": _DOM_ACTIVITY_FULL_OUTER_SQL,
     "view_purchase_users": _VIEW_PURCHASE_USERS_SQL,
     "orders_above_cust_avg": _ORDERS_ABOVE_CUST_AVG_SQL,

@@ -564,3 +564,25 @@ def test_q18_large_orders_bruteforce(ray_session):
     assert np.allclose(got["total_qty"], j["total_qty"], atol=1e-9)
     assert (got["total_qty"] > relational.Q18_QTY_THRESHOLD).all()
     assert len(got) > 0
+
+
+def test_part_pair_counts_bruteforce(ray_session):
+    from collections import Counter
+    from itertools import combinations
+
+    from simple_content_ocr_ray.pipelines.relational import (
+        BASKET_TOPK,
+        part_pair_counts,
+    )
+
+    got = part_pair_counts(SF)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    c = Counter()
+    for _, g in li.groupby("l_orderkey"):
+        for a, b in combinations(sorted(g["l_partkey"]), 2):
+            if a < b:
+                c[(a, b)] += 1
+    exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:BASKET_TOPK]
+    assert [(int(r.part_a), int(r.part_b), int(r.n)) for r in got.itertuples()] == [
+        (a, b, n) for (a, b), n in exp
+    ]
