@@ -1653,6 +1653,58 @@ SELECT user_id FROM events WHERE event_type = 'purchase'
 
 
 # --------------------------------------------------------------------------
+# Equal-width grouped histogram (exact integer bin math)
+# --------------------------------------------------------------------------
+
+HIST_BINS = 10
+
+
+def event_value_histogram(sf_dir: str, bins: int = HIST_BINS) -> pd.DataFrame:
+    """Equal-width value histogram per event type — the dashboard
+    distribution panel. Two bounded passes: a constant-size min/max
+    partial per batch fixes the GLOBAL bin edges (shared across types so
+    panels align), then bin assignment is worker-local integer math over
+    money-scaled micros — ``(vu - lo) * bins // (hi - lo + 1)`` — so edge
+    rows land in the same bin on both sides bit-for-bit, with a
+    |types|×bins-bounded rollup."""
+    events = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def minmax(df: pd.DataFrame) -> pd.DataFrame:
+        vu = np.rint(df["value"].to_numpy() * 1_000_000).astype("int64")
+        return pd.DataFrame({"lo": [int(vu.min())], "hi": [int(vu.max())]})
+
+    mm = events.map_batches(minmax, batch_format="pandas").to_pandas()
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    span = hi - lo + 1
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        vu = np.rint(df["value"].to_numpy() * 1_000_000).astype("int64")
+        b = (vu - lo) * bins // span
+        return pd.DataFrame({"event_type": df["event_type"], "bin": b})
+
+    out = grouped_aggregate(
+        events, ["event_type", "bin"], {"n": (None, "count")}, prepare=assign
+    ).to_pandas()
+    out = out.astype({"bin": "int64", "n": "int64"})
+    return out.sort_values(["event_type", "bin"]).reset_index(drop=True)
+
+
+_EVENT_VALUE_HISTOGRAM_SQL = f"""
+WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 1000000, 0) AS BIGINT) AS vu
+  FROM events
+), mm AS (
+  SELECT MIN(vu) AS lo, MAX(vu) AS hi FROM v
+)
+SELECT event_type,
+       CAST((vu - mm.lo) * {HIST_BINS} // (mm.hi - mm.lo + 1) AS BIGINT) AS bin,
+       COUNT(*) AS n
+FROM v, mm
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # Market-basket co-occurrence via native self-join
 # --------------------------------------------------------------------------
 
@@ -1986,6 +2038,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "weighted_sample_orders": weighted_sample_orders,
     "q18_large_orders": q18_large_orders,
     "part_pair_counts": part_pair_counts,
+    "event_value_histogram": event_value_histogram,
     "dom_activity_full_outer": dom_activity_full_outer,
     "view_purchase_users": view_purchase_users,
     "orders_above_cust_avg": orders_above_cust_avg,
@@ -2021,6 +2074,7 @@ ORACLES: dict[str, str] = {
     "weighted_sample_orders": _WEIGHTED_SAMPLE_ORDERS_SQL,
     "q18_large_orders": _Q18_LARGE_ORDERS_SQL,
     "part_pair_counts": _PART_PAIR_COUNTS_SQL,
+    "event_value_histogram": _EVENT_VALUE_HISTOGRAM_SQL,
     "dom_activity_full_outer": _DOM_ACTIVITY_FULL_OUTER_SQL,
     "view_purchase_users": _VIEW_PURCHASE_USERS_SQL,
     "orders_above_cust_avg": _ORDERS_ABOVE_CUST_AVG_SQL,

@@ -586,3 +586,24 @@ def test_part_pair_counts_bruteforce(ray_session):
     assert [(int(r.part_a), int(r.part_b), int(r.n)) for r in got.itertuples()] == [
         (a, b, n) for (a, b), n in exp
     ]
+
+
+def test_event_value_histogram_properties(ray_session):
+    """Bins are 0..9, per-type totals conserve row counts, bin assignment
+    matches a numpy recomputation."""
+    from simple_content_ocr_ray.functions.agg import grouped_aggregate  # noqa: F401
+    from simple_content_ocr_ray.pipelines.relational import (
+        HIST_BINS,
+        event_value_histogram,
+    )
+
+    got = event_value_histogram(SF)
+    assert got["bin"].between(0, HIST_BINS - 1).all()
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    vu = np.rint(ev["value"].to_numpy() * 1e6).astype("int64")
+    lo, hi = vu.min(), vu.max()
+    ev["bin"] = (vu - lo) * HIST_BINS // (hi - lo + 1)
+    exp = ev.groupby(["event_type", "bin"]).size()
+    assert got["n"].sum() == len(ev)
+    for r in got.itertuples():
+        assert r.n == exp[(r.event_type, r.bin)]
