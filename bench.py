@@ -260,6 +260,13 @@ def run_headline() -> dict:
             "events_dual_distinct",
             "user_active_time",
             "near_dup_keepers",
+            "event_trigram_counts",
+            "corpus_report",
+            "source_lm_quality",
+            "mmr_topk",
+            "source_dup_matrix",
+            "part_pair_counts",
+            "event_value_histogram",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)
