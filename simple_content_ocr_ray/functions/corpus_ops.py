@@ -1131,11 +1131,15 @@ def corpus_report(sf_dir: str) -> pd.DataFrame:
     n_tokens = int(per_hash["sum_nt"].sum())
     n_distinct_texts = len(per_hash)
 
+    def cats(df: pd.DataFrame) -> pd.DataFrame:
+        # no hashing needed for the categorical breadth counts
+        return df[["lang", "source"]]
+
     langs = grouped_aggregate(
-        docs, ["lang"], {"n": (None, "count")}, prepare=slim
+        docs, ["lang"], {"n": (None, "count")}, prepare=cats
     ).to_pandas()
     sources = grouped_aggregate(
-        docs, ["source"], {"n": (None, "count")}, prepare=slim
+        docs, ["source"], {"n": (None, "count")}, prepare=cats
     ).to_pandas()
 
     rows = [
