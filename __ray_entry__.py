@@ -17,15 +17,19 @@ from typing import Any
 
 def entry() -> Any:
     """Flagship pipeline: pages(url, warc_ts, html, text, lang) → sniff →
-    extractor actor pool → extracted table (SURVEY.md §3.4)."""
+    extractor actor pool → extracted table (SURVEY.md §3.4). Runs the REAL
+    decoder preset on a real-payload corpus: html-main-content for HTML,
+    from-scratch pdf-text for PDFs, from-scratch png-decode for PNGs
+    (stages/extract.py REAL_ROUTE) — matching the reference's always-real
+    engines (ocr_service.py:83-108)."""
     from simple_content_ocr_ray.pipelines.extract import (
         extraction_pipeline,
         read_pages,
     )
     from simple_content_ocr_ray.sources.synth_pages import synth_pages_parquet
 
-    pages_dir = synth_pages_parquet("/root/testdata/sf0.001")
-    return extraction_pipeline(read_pages(pages_dir))
+    pages_dir = synth_pages_parquet("/root/testdata/sf0.001", real_payloads=True)
+    return extraction_pipeline(read_pages(pages_dir), preset="real")
 
 
 def _registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:

@@ -32,7 +32,7 @@ NCPU = int(os.environ.get("RAY_GRAFT_CPUS") or 32)
 N_PAGES = int(os.environ.get("BENCH_N_PAGES") or 800_000)
 RICHNESS = int(os.environ.get("BENCH_RICHNESS") or 10)
 SKIP_QUERIES = os.environ.get("BENCH_SKIP_QUERIES") == "1"
-BENCH_SYNTH_VERSION = 4
+BENCH_SYNTH_VERSION = 5  # v5: real payloads (valid PDFs/PNGs) + real route
 REP_ID_STEP = 10_000_000
 
 
@@ -81,7 +81,9 @@ def ensure_bench_pages(sf_dir: str, n_pages: int) -> str:
     import ray.data as rd
 
     docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
-    base = pages_table_from_documents(docs, richness=RICHNESS)
+    # real payloads: the headline measures REAL decoders on every route
+    # (pdf-text / png-decode), not the mock parity engines
+    base = pages_table_from_documents(docs, richness=RICHNESS, real_payloads=True)
     n_base = base.num_rows
     reps = max(1, (n_pages + n_base - 1) // n_base)
     base_ref = ray.put(base)
@@ -177,6 +179,7 @@ def run_headline() -> dict:
     t0 = time.time()
     extraction_pipeline(
         read_pages(pages_dir),
+        preset="real",
         concurrency=(pool, pool),
         batch_size=2048,
     ).write_parquet(out_dir)
@@ -199,6 +202,8 @@ def run_headline() -> dict:
 
         qs = entrymod.queries()
         for name in (
+            "extract_real_routes",
+            "jpeg_real_meta",
             "q1_pricing",
             "top_orders",
             "customer_order_totals",

@@ -41,6 +41,7 @@ def extraction_pipeline(
     pages: rd.Dataset,
     *,
     route: Optional[dict[str, str]] = None,
+    preset: Optional[str] = None,
     engine_config: Optional[dict[str, dict[str, Any]]] = None,
     batch_size: int = DEFAULT_BATCH_SIZE,
     concurrency: Optional[tuple[int, int] | int] = None,
@@ -50,12 +51,25 @@ def extraction_pipeline(
     """pages(url, warc_ts, html, text, lang) → extracted(url, status, text,
     spans, page_count, content_type, error, processing_time_ms, metadata).
 
+    ``preset="real"`` routes every content type to its REAL decoder
+    (pdf-text / png-decode / jpeg-decode; stages/extract.py REAL_ROUTE) —
+    the flagship configuration, matching the reference's always-real engines
+    (ocr_service.py:83-108). ``preset="mock"`` (or None with no ``route``)
+    keeps the byte-exact reference MockOCREngine parity route for pdf/image.
+
     The extract stage is an autoscaling actor pool: engines are constructed
     once per actor (heavy init amortized across batches), batches are
     zero-copy Arrow. Only (url, payload) are shipped to the actors — hint
     columns like ``text``/``lang``/``warc_ts`` are projected away first so
     they never cross the object store.
     """
+    if route is None and preset is not None:
+        from ..stages.extract import REAL_ROUTE
+
+        if preset == "real":
+            route = REAL_ROUTE
+        elif preset != "mock":
+            raise ValueError(f"unknown preset {preset!r} (use 'real' or 'mock')")
     payload_col = "html"
     schema = pages.schema(fetch_if_missing=False)  # never force upstream exec
     if schema is not None:

@@ -62,6 +62,69 @@ WHERE doc_id % 20 NOT IN (0, 1, 2, 3)
 """
 
 
+def extract_real_routes(sf_dir: str) -> rd.Dataset:
+    """The FLAGSHIP configuration end-to-end: real-payload corpus (valid
+    minimal PDFs and PNGs — synth_pages.py real_payloads) through the
+    ``preset="real"`` route, so EVERY content type runs its real decoder
+    (html-main-content, pdf-text, png-decode) — the reference always runs a
+    real engine per route (ocr_service.py:83-108). Asserts byte-identical
+    text per url on every route at once: HTML must reproduce
+    ``documents.text``, PDFs must recover their per-page text joined with
+    the reference page separator, PNGs their decoded-metadata line, and
+    garbage rows must fail with the reference error message."""
+    pages_dir = synth_pages_parquet(sf_dir, real_payloads=True)
+    ds = extraction_pipeline(read_pages(pages_dir), preset="real")
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t["url"],
+                "status": t["status"],
+                "text": t["text"],
+                "page_count": pa.compute.cast(t["page_count"], pa.int64()),
+                "content_type": t["content_type"],
+                "error": t["error"],
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# PAGE_SEP ('\n\n---\n\n') is embedded literally — DuckDB string literals
+# accept raw newlines. Real-PDF pages: 1 + doc_id % 3, page 1 = text,
+# page p = 'page p' (synth_pages.real_pdf_page_texts). Real-PNG metadata
+# line: constant-pixel image, mean brightness == doc_id % 256 exactly
+# (synth_pages.real_png_pixels).
+_EXTRACT_REAL_ROUTES_SQL = f"""
+SELECT {_URL_SQL} AS url,
+       CASE WHEN doc_id % 20 = 3 THEN 'failed' ELSE 'completed' END AS status,
+       CASE
+         WHEN doc_id % 20 IN (0, 1) THEN
+           CASE doc_id % 3
+             WHEN 0 THEN text
+             WHEN 1 THEN text || '\n\n---\n\npage 2'
+             ELSE text || '\n\n---\n\npage 2\n\n---\n\npage 3'
+           END
+         WHEN doc_id % 20 = 2 THEN
+           '[image ' || CAST(16 + doc_id % 9 AS VARCHAR) || 'x'
+           || CAST(4 + doc_id % 7 AS VARCHAR)
+           || ' ch=1 brightness=' || CAST(doc_id % 256 AS VARCHAR) || '.0]'
+         WHEN doc_id % 20 = 3 THEN ''
+         ELSE text
+       END AS text,
+       CASE WHEN doc_id % 20 IN (0, 1) THEN 1 + doc_id % 3
+            ELSE 1 END AS page_count,
+       CASE WHEN doc_id % 20 IN (0, 1) THEN 'pdf'
+            WHEN doc_id % 20 = 2 THEN 'png'
+            WHEN doc_id % 20 = 3 THEN 'unknown'
+            ELSE 'html' END AS content_type,
+       CASE WHEN doc_id % 20 = 3
+            THEN 'Unsupported document type: application/octet-stream'
+            ELSE '' END AS error
+FROM documents
+"""
+
+
 def route_counts(sf_dir: str) -> pd.DataFrame:
     """Content-sniff router distribution (M1/M2 analog)."""
     ds = _extracted(sf_dir)
@@ -811,6 +874,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "exploded_pdf_text": exploded_pdf_text,
     "split_pdf_text": split_pdf_text,
     "extract_html_text": extract_html_text,
+    "extract_real_routes": extract_real_routes,
     "route_counts": route_counts,
     "pdf_page_counts": pdf_page_counts,
     "failed_rows": failed_rows,
@@ -828,6 +892,7 @@ ORACLES: dict[str, str] = {
     "exploded_pdf_text": _EXPLODED_PDF_TEXT_SQL,
     "split_pdf_text": _EXPLODED_PDF_TEXT_SQL,  # both paths, one truth
     "extract_html_text": _EXTRACT_HTML_TEXT_SQL,
+    "extract_real_routes": _EXTRACT_REAL_ROUTES_SQL,
     "route_counts": _ROUTE_COUNTS_SQL,
     "pdf_page_counts": _PDF_PAGE_COUNTS_SQL,
     "failed_rows": _FAILED_ROWS_SQL,

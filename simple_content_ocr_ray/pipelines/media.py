@@ -202,6 +202,83 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# REAL JPEG decode metadata (stages/jpeg_decode.py — full baseline codec)
+# --------------------------------------------------------------------------
+
+class _JpegMetaStage:
+    """Actor-pool stage running the real baseline-JPEG decoder (marker walk,
+    Huffman entropy decode, dequantize, batched IDCT) on synthesized-yet-
+    valid JFIF payloads."""
+
+    def __init__(self) -> None:
+        from ..stages.jpeg_decode import JpegImageEngine
+
+        self.engine = JpegImageEngine()
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        widths, heights, bright = [], [], []
+        for payload in df["jpg"]:
+            res = self.engine.extract("", bytes(payload), "jpeg")
+            widths.append(int(res.metadata["width"]))
+            heights.append(int(res.metadata["height"]))
+            bright.append(int(float(res.metadata["brightness"])))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "width": pd.Series(widths, dtype="int64"),
+                "height": pd.Series(heights, dtype="int64"),
+                "brightness": pd.Series(bright, dtype="int64"),
+            }
+        )
+
+
+def jpeg_real_meta(sf_dir: str) -> rd.Dataset:
+    """Real end-to-end JPEG decode: encode a constant-gray baseline JFIF per
+    document (dimensions are pure functions of doc_id; the gray level is
+    EVEN-level-shifted — 2·(doc_id % 128) — so the DC quantization roundtrip
+    with the Annex-K Q00=16 table reconstructs the constant exactly and the
+    decoded mean brightness is SQL-predictable), decode it with the
+    from-scratch decoder in an actor pool, emit typed metadata."""
+    import numpy as np
+
+    from ..stages.jpeg_decode import make_jpeg
+
+    def with_jpg(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["jpg"] = [
+            make_jpeg(
+                np.full(
+                    (4 + int(d) % 7, 16 + int(d) % 9),
+                    2 * (int(d) % 128),
+                    dtype=np.uint8,
+                )
+            )
+            for d in df["doc_id"]
+        ]
+        return df
+
+    return (
+        _docs(sf_dir)
+        .map_batches(with_jpg, batch_format="pandas", batch_size=MEDIA_BATCH_SIZE)
+        .map_batches(
+            _JpegMetaStage,
+            batch_format="pandas",
+            batch_size=MEDIA_BATCH_SIZE,
+            concurrency=_media_concurrency(),
+        )
+    )
+
+
+_JPEG_REAL_META_SQL = """
+SELECT doc_id,
+       16 + doc_id % 9 AS width,
+       4 + doc_id % 7 AS height,
+       2 * (doc_id % 128) AS brightness
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # REAL PDF text extraction (stages/pdf_text.py — full encode→parse loop)
 # --------------------------------------------------------------------------
 
@@ -381,6 +458,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "audio_meta": audio_meta,
     "video_meta": video_meta,
     "png_real_meta": png_real_meta,
+    "jpeg_real_meta": jpeg_real_meta,
     "pdf_real_text": pdf_real_text,
     "image_ahash_dupes": image_ahash_dupes,
 }
@@ -388,6 +466,7 @@ ORACLES: dict[str, str] = {
     "audio_meta": _AUDIO_META_SQL,
     "video_meta": _VIDEO_META_SQL,
     "png_real_meta": _PNG_REAL_META_SQL,
+    "jpeg_real_meta": _JPEG_REAL_META_SQL,
     "pdf_real_text": _PDF_REAL_TEXT_SQL,
     "image_ahash_dupes": _IMAGE_AHASH_DUPES_SQL,
 }

@@ -92,18 +92,63 @@ def payload_class(doc_id: int) -> str:
     return "html"
 
 
+def real_pdf_page_texts(doc_id: int, text: str) -> list[str]:
+    """Per-page text of the REAL PDF payload for ``doc_id`` (richness=1):
+    1 + doc_id % 3 pages — page 1 is the document text, later pages are
+    'page N'. SQL mirror: a CASE on doc_id % 3 (see extract_queries)."""
+    k = 1 + doc_id % 3
+    return [text] + [f"page {p}" for p in range(2, k + 1)]
+
+
+def real_png_pixels(doc_id: int, richness: int = 1):
+    """Constant-pixel array of the REAL PNG payload for ``doc_id``:
+    (4 + doc_id % 7) × (16 + doc_id % 9) at value doc_id % 256 — every
+    decoded property (width/height/channels/mean brightness) is a pure
+    function of doc_id, so the oracle is plain SQL. ``richness`` scales
+    both dimensions (bench-only; oracles use richness=1)."""
+    import numpy as np
+
+    return np.full(
+        ((4 + doc_id % 7) * richness, (16 + doc_id % 9) * richness),
+        doc_id % 256,
+        dtype=np.uint8,
+    )
+
+
 def make_payload(
-    doc_id: int, text: str, lang: str, n_chars: int, richness: int = 1
+    doc_id: int,
+    text: str,
+    lang: str,
+    n_chars: int,
+    richness: int = 1,
+    real_payloads: bool = False,
 ) -> bytes:
     """``richness`` multiplies the main-content size: the article holds that
     many paragraphs (the base text each time). richness=1 (default, used by
     all oracle queries) keeps extracted text == ``documents.text`` byte-exact;
     the bench uses richer pages so parse work per page matches real
-    Common-Crawl article sizes."""
+    Common-Crawl article sizes.
+
+    ``real_payloads=True`` swaps the magic-bytes-only PDF/PNG fixtures for
+    VALID documents the real decoders (stages/pdf_text.py,
+    stages/png_decode.py) fully parse — the corpus the flagship
+    ``preset="real"`` route runs on. HTML and garbage rows are identical in
+    both modes; the real-PDF extracted text and real-PNG metadata remain
+    pure functions of (doc_id, text), so the SQL oracles still hold."""
     cls = payload_class(doc_id)
     if cls == "pdf":
+        if real_payloads:
+            from ..stages.pdf_text import make_minimal_pdf
+
+            return make_minimal_pdf(
+                [[t] * richness for t in real_pdf_page_texts(doc_id, text)]
+            )
         return b"%PDF-1.4\n" + b"x" * (n_chars * 50 * richness)
     if cls == "image":
+        if real_payloads:
+            from ..stages.png_decode import make_png
+
+            return make_png(real_png_pixels(doc_id, richness))
         return b"\x89PNG\r\n\x1a\n" + b"x" * (n_chars * richness)
     if cls == "garbage":
         return b"GARBAGE\x00payload " + text.encode("utf-8")[:64]
@@ -132,6 +177,7 @@ def pages_table_from_documents(
     richness: int = 1,
     recrawl_every: int = 0,
     recrawl_same_every: int = 0,
+    real_payloads: bool = False,
 ) -> pa.Table:
     """Build the pages table from a documents table (pure function).
 
@@ -165,7 +211,12 @@ def pages_table_from_documents(
         txt = texts[i] + text_suffix
         urls.append(url_for(d))
         ts.append(_EPOCH_US + d * 1_000_000 + ts_offset_us)
-        payloads.append(make_payload(d, txt, langs[i], n_chars[i], richness))
+        payloads.append(
+            make_payload(
+                d, txt, langs[i], n_chars[i], richness,
+                real_payloads=real_payloads,
+            )
+        )
         out_text.append(txt if payload_class(d) == "html" else "")
         out_lang.append(langs[i])
 
@@ -200,6 +251,7 @@ def synth_pages_parquet(
     duplicate_every: int = 0,
     recrawl_every: int = 0,
     recrawl_same_every: int = 0,
+    real_payloads: bool = False,
 ) -> str:
     """Materialize (once) the pages table derived from ``{sf_dir}/documents.parquet``
     as a directory of parquet files; returns the directory path.
@@ -217,6 +269,7 @@ def synth_pages_parquet(
         f"_v{SYNTH_VERSION}_dup{duplicate_every}"
         + (f"_rc{recrawl_every}" if recrawl_every else "")
         + (f"_rs{recrawl_same_every}" if recrawl_same_every else "")
+        + ("_real" if real_payloads else "")
     )
     out_dir = os.path.join(out_root, key)
     done = os.path.join(out_dir, "_DONE")
@@ -229,6 +282,7 @@ def synth_pages_parquet(
         duplicate_every=duplicate_every,
         recrawl_every=recrawl_every,
         recrawl_same_every=recrawl_same_every,
+        real_payloads=real_payloads,
     )
 
     tmp_dir = out_dir + f".tmp.{os.getpid()}"

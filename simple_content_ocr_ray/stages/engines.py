@@ -233,9 +233,16 @@ def _png_decode_factory(**kwargs: Any) -> Any:
     return PngImageEngine(**kwargs)
 
 
+def _jpeg_decode_factory(**kwargs: Any) -> Any:
+    from .jpeg_decode import JpegImageEngine
+
+    return JpegImageEngine(**kwargs)
+
+
 register_engine("mock", MockEngine)
 register_engine("remote-http", RemoteHttpEngine)
 register_engine("html-main-content", HtmlEngine)
 register_engine("image-decode-stub", ImageDecodeEngine)
 register_engine("pdf-text", _pdf_text_factory)
 register_engine("png-decode", _png_decode_factory)
+register_engine("jpeg-decode", _jpeg_decode_factory)

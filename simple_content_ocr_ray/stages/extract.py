@@ -53,8 +53,24 @@ EXTRACTED_SCHEMA = pa.schema(
 
 #: default content_type → engine-name routing (M1/M4 restated: the reference
 #: routes image MIME → process_image, document MIME → process_document).
+#: The mock pdf/image engines reproduce the reference MockOCREngine output
+#: byte-exactly; the REAL decoders are the ``REAL_ROUTE`` preset below.
 DEFAULT_ROUTE: dict[str, str] = {"html": "html-main-content", "pdf": "mock"}
 DEFAULT_ROUTE.update({t: "mock" for t in IMAGE_TYPES})
+
+#: real-decoder routing (the reference always runs a real engine per route —
+#: ocr_service.py:83-108): from-scratch PDF text extraction, PNG and baseline
+#: JPEG decode. GIF/BMP/TIFF/WebP stay on the documented decode-stub seam
+#: (the reference needs PIL for those; this container has no image libs).
+REAL_ROUTE: dict[str, str] = {
+    "html": "html-main-content",
+    "pdf": "pdf-text",
+    "png": "png-decode",
+    "jpeg": "jpeg-decode",
+}
+REAL_ROUTE.update(
+    {t: "image-decode-stub" for t in IMAGE_TYPES if t not in REAL_ROUTE}
+)
 
 class RowTimeoutError(Exception):
     pass

@@ -1,0 +1,163 @@
+"""From-scratch baseline JPEG codec tests (stages/jpeg_decode.py).
+
+The decoder is validated against an INDEPENDENTLY computed quantization-
+roundtrip reconstruction (pad → FDCT → round(÷Q)·Q → IDCT → clip), not
+against its own internals: if the entropy coding (Huffman, RLE, byte
+stuffing, DC prediction) drops or shifts a single coefficient, the
+pixel-exact comparison fails.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from simple_content_ocr_ray.stages.jpeg_decode import (
+    QUANT_CHROMA,
+    QUANT_LUMA,
+    JpegImageEngine,
+    UnsupportedJpegError,
+    _rgb_to_ycbcr,
+    decode_jpeg,
+    fdct_blocks,
+    idct_blocks,
+    make_jpeg,
+)
+
+
+def _ref_recon_plane(plane: np.ndarray, q: np.ndarray, bw=None, bh=None):
+    """Independent quant-roundtrip reconstruction of one plane."""
+    h, w = plane.shape
+    bw = bw if bw is not None else (w + 7) // 8
+    bh = bh if bh is not None else (h + 7) // 8
+    ph, pw = bh * 8, bw * 8
+    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    blocks = (
+        padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        .astype(np.float64) - 128.0
+    )
+    qz = np.round(fdct_blocks(blocks) / q[None]) * q[None]
+    sp = idct_blocks(qz) + 128.0
+    return sp.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(ph, pw)
+
+
+def test_constant_gray_even_shift_is_pixel_exact():
+    # even level-shifted constants roundtrip EXACTLY through the Annex-K
+    # Q00=16 DC quantizer — the property jpeg_real_meta's oracle relies on
+    for v in (0, 2, 100, 128, 200, 254):
+        px = np.full((10, 24), v, np.uint8)
+        assert np.array_equal(decode_jpeg(make_jpeg(px)), px)
+
+
+def test_random_gray_matches_independent_recon():
+    rng = np.random.RandomState(42)
+    px = rng.randint(0, 256, (13, 21), np.uint8)
+    dec = decode_jpeg(make_jpeg(px))
+    exp = np.clip(
+        np.round(_ref_recon_plane(px.astype(np.float64), QUANT_LUMA)[:13, :21]),
+        0, 255,
+    ).astype(np.uint8)
+    assert np.array_equal(dec, exp)
+    # and the lossy error is small on natural ranges
+    assert np.abs(dec.astype(int) - px.astype(int)).mean() < 20
+
+
+def test_random_rgb444_matches_independent_recon():
+    rng = np.random.RandomState(7)
+    h, w = 17, 19
+    px = rng.randint(0, 256, (h, w, 3), np.uint8)
+    dec = decode_jpeg(make_jpeg(px))
+    y, cb, cr = _rgb_to_ycbcr(px)
+    yr = _ref_recon_plane(y, QUANT_LUMA)[:h, :w]
+    cbr = _ref_recon_plane(cb, QUANT_CHROMA)[:h, :w]
+    crr = _ref_recon_plane(cr, QUANT_CHROMA)[:h, :w]
+    r_ = yr + 1.402 * (crr - 128)
+    g_ = yr - 0.344136 * (cbr - 128) - 0.714136 * (crr - 128)
+    b_ = yr + 1.772 * (cbr - 128)
+    exp = np.clip(np.round(np.stack([r_, g_, b_], 2)), 0, 255).astype(np.uint8)
+    assert np.array_equal(dec, exp)
+
+
+def test_rgb420_subsampled_matches_independent_recon():
+    rng = np.random.RandomState(11)
+    h, w = 18, 22
+    px = rng.randint(0, 256, (h, w, 3), np.uint8)
+    dec = decode_jpeg(make_jpeg(px, subsample=2))
+    y, cb, cr = _rgb_to_ycbcr(px)
+    mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+    ph2, pw2 = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+    cbd = np.pad(cb, ((0, ph2 - h), (0, pw2 - w)), mode="edge").reshape(
+        ph2 // 2, 2, pw2 // 2, 2
+    ).mean(axis=(1, 3))
+    crd = np.pad(cr, ((0, ph2 - h), (0, pw2 - w)), mode="edge").reshape(
+        ph2 // 2, 2, pw2 // 2, 2
+    ).mean(axis=(1, 3))
+    yr = _ref_recon_plane(y, QUANT_LUMA, bw=mcux * 2, bh=mcuy * 2)[:h, :w]
+    cbr = np.repeat(
+        np.repeat(_ref_recon_plane(cbd, QUANT_CHROMA, bw=mcux, bh=mcuy), 2, 0), 2, 1
+    )[:h, :w]
+    crr = np.repeat(
+        np.repeat(_ref_recon_plane(crd, QUANT_CHROMA, bw=mcux, bh=mcuy), 2, 0), 2, 1
+    )[:h, :w]
+    r_ = yr + 1.402 * (crr - 128)
+    g_ = yr - 0.344136 * (cbr - 128) - 0.714136 * (crr - 128)
+    b_ = yr + 1.772 * (cbr - 128)
+    exp = np.clip(np.round(np.stack([r_, g_, b_], 2)), 0, 255).astype(np.uint8)
+    assert np.array_equal(dec, exp)
+
+
+def test_gradient_multiblock_image():
+    # spans many blocks, exercises DC prediction across a long scan
+    x = np.linspace(0, 255, 64, dtype=np.float64)
+    px = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    dec = decode_jpeg(make_jpeg(px))
+    exp = np.clip(
+        np.round(_ref_recon_plane(px.astype(np.float64), QUANT_LUMA)[:64, :64]),
+        0, 255,
+    ).astype(np.uint8)
+    assert np.array_equal(dec, exp)
+    assert np.abs(dec.astype(int) - px.astype(int)).max() <= 12
+
+
+def test_unsupported_seams():
+    with pytest.raises(UnsupportedJpegError):
+        decode_jpeg(b"")
+    with pytest.raises(UnsupportedJpegError):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n not a jpeg")
+    # progressive (SOF2) must hit the documented seam, not crash
+    with pytest.raises(UnsupportedJpegError, match="SOF2"):
+        decode_jpeg(b"\xff\xd8\xff\xc2\x00\x10" + b"\x00" * 20)
+    # truncated entropy stream → decode error, not an infinite loop
+    good = make_jpeg(np.full((8, 8), 77, np.uint8))
+    with pytest.raises((UnsupportedJpegError, IndexError)):
+        decode_jpeg(good[: len(good) // 2])
+
+
+def test_engine_seam_output_layout():
+    px = np.full((6, 20), 100, np.uint8)
+    res = JpegImageEngine().extract("u", make_jpeg(px), "jpeg")
+    assert res.text == "[image 20x6 ch=1 brightness=100.0]"
+    assert res.metadata["width"] == "20"
+    assert res.metadata["height"] == "6"
+    assert res.metadata["channels"] == "1"
+    assert res.page_count == 1
+
+
+def test_failed_row_not_failed_task_in_extract_stage():
+    # corrupt JPEG payloads become failed ROWS through the real route
+    import pyarrow as pa
+
+    from simple_content_ocr_ray.stages.extract import REAL_ROUTE, ExtractStage
+
+    good = make_jpeg(np.full((4, 4), 50, np.uint8))
+    bad = b"\xff\xd8\xff\xc2\x00\x10" + b"\x00" * 64  # progressive
+    batch = pa.table(
+        {
+            "url": ["a", "b"],
+            "html": [good, bad],
+            "content_type": ["jpeg", "jpeg"],
+        }
+    )
+    out = ExtractStage(route=REAL_ROUTE)(batch)
+    assert out["status"].to_pylist() == ["completed", "failed"]
+    assert "SOF2" in out["error"].to_pylist()[1]
