@@ -314,6 +314,30 @@ def _cache_base() -> str:
     return "/tmp/scor_bench_pages"
 
 
+#: cal_1core_sec drift between the two scaling levels above which the window
+#: is considered CONTAMINATED (another job / hypervisor throttle changed the
+#: host's speed between levels) and the slower-calibrated level is re-run.
+SCALE_CAL_DRIFT_MAX = 0.15
+SCALE_CAL_RETRIES = int(os.environ.get("SCALE_CAL_RETRIES") or 3)
+
+
+def _run_level(n: int) -> dict:
+    env = dict(
+        os.environ,
+        RAY_GRAFT_CPUS=str(n),
+        BENCH_SKIP_QUERIES="1",
+        PYTHONPATH=os.environ["PYTHONPATH"],
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
 def run_scaling() -> dict:
     lo = int(os.environ.get("SCALE_LO") or 8)
     hi = int(os.environ.get("SCALE_HI") or 32)
@@ -322,23 +346,32 @@ def run_scaling() -> dict:
     for n in (lo, hi):
         best = None
         for _ in range(reps):  # several runs per level; keep the fastest
-            env = dict(
-                os.environ,
-                RAY_GRAFT_CPUS=str(n),
-                BENCH_SKIP_QUERIES="1",
-                PYTHONPATH=os.environ["PYTHONPATH"],
-            )
-            proc = subprocess.run(
-                [sys.executable, os.path.join(REPO, "bench.py")],
-                env=env,
-                capture_output=True,
-                text=True,
-                check=True,
-            )
-            r = json.loads(proc.stdout.strip().splitlines()[-1])
+            r = _run_level(n)
             if best is None or r["docs_per_s"] > best["docs_per_s"]:
                 best = r
         out[n] = best
+
+    # cal-validated window (r3): this host has documented multi-X slowdown
+    # windows (BASELINE.md). If the single-core calibration drifted between
+    # the two levels, the efficiency ratio mixes two machine speeds — re-run
+    # the level measured in the SLOWER window until the drift is inside the
+    # band (or retries are exhausted, recorded as cal_drift_ok=false).
+    retries = 0
+    def _drift() -> float:
+        a, b = out[lo]["cal_1core_sec"], out[hi]["cal_1core_sec"]
+        return abs(a - b) / min(a, b)
+
+    while _drift() > SCALE_CAL_DRIFT_MAX and retries < SCALE_CAL_RETRIES:
+        slow = lo if out[lo]["cal_1core_sec"] > out[hi]["cal_1core_sec"] else hi
+        r = _run_level(slow)
+        # keep the re-run only if its window is cleaner or throughput better
+        if (
+            r["cal_1core_sec"] < out[slow]["cal_1core_sec"]
+            or r["docs_per_s"] > out[slow]["docs_per_s"]
+        ):
+            out[slow] = r
+        retries += 1
+
     dps_lo, dps_hi = out[lo]["docs_per_s"], out[hi]["docs_per_s"]
     eff = (dps_hi / dps_lo) / (hi / lo)
     return {
@@ -355,6 +388,8 @@ def run_scaling() -> dict:
         "cal_1core_sec": _calibrate(),
         "cal_lo": out[lo].get("cal_1core_sec"),
         "cal_hi": out[hi].get("cal_1core_sec"),
+        "cal_drift_ok": _drift() <= SCALE_CAL_DRIFT_MAX,
+        "cal_retries": retries,
         "sf": SF_DIR,
         "num_cpus": hi,
         "queries": {},

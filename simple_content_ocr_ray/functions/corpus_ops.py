@@ -29,7 +29,7 @@ import ray
 import ray.data as rd
 
 from .agg import grouped_aggregate, round_half_away
-from .dedup import _NEAR_PAIRS_SQL, minhash_lsh_pairs, near_dup_corpus
+from .dedup import _NEAR_PAIRS_SQL, near_dup_corpus, near_dup_pairs
 
 # --------------------------------------------------------------------------
 # Connected components over the near-dup graph
@@ -127,8 +127,10 @@ def near_dup_components(
     set). Docs in no pair are their own component. Returns a streaming
     Dataset — the assignment is O(corpus) and never collects on the driver;
     only the mined pair list (the dedup output itself) is driver-bounded on
-    the small path."""
-    pairs = minhash_lsh_pairs(sf_dir)
+    the small path. The pair list comes from the SHARED mining pass
+    (``near_dup_pairs`` — memoized), so components and keepers together cost
+    one MinHash pipeline, not two."""
+    pairs = near_dup_pairs(sf_dir)
     corpus = near_dup_corpus(sf_dir)
     if len(pairs) <= small_max_edges:
         ref = ray.put(_union_find_labels(pairs))
@@ -1189,9 +1191,9 @@ def near_dup_keepers(sf_dir: str) -> pd.DataFrame:
     component, bounded final reduce. At pair counts past the union-find
     bound the labels come from the distributed min-label propagation of
     ``near_dup_components`` and the argmax shape is unchanged."""
-    from .dedup import minhash_lsh_pairs, near_dup_corpus
+    from .dedup import near_dup_corpus, near_dup_pairs
 
-    pairs = minhash_lsh_pairs(sf_dir)
+    pairs = near_dup_pairs(sf_dir)
     labels_ref = ray.put(_union_find_labels(pairs))
     corpus = near_dup_corpus(sf_dir)
 

@@ -268,14 +268,22 @@ def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
     qids, Q = _query_matrix(sf_dir)
     qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     qcells = np.argsort(-(qn @ C.T), axis=1)[:, :IVF_NPROBE]
-    # cell → list of query indices probing it
-    probe: dict[int, list[int]] = {}
-    for j in range(len(qids)):
-        for c in qcells[j]:
-            probe.setdefault(int(c), []).append(j)
+    # cell → array of query indices probing it
+    probe: dict[int, np.ndarray] = {}
+    for c in range(IVF_CELLS):
+        js = np.nonzero((qcells == c).any(axis=1))[0]
+        if len(js):
+            probe[c] = js
     ref = ray.put((qids, qn, C, probe))
 
     class CellScorer:
+        """Scores each batch's vectors against the queries probing their
+        cell — VECTORIZED (r3): rows are grouped by assigned cell and each
+        (cell members × probing queries) block is ONE matmul, followed by a
+        per-batch per-query top-k partial so the shuffle sees ≤ queries × k
+        rows per batch instead of every candidate score. No per-row python
+        in the scan."""
+
         def __init__(self) -> None:
             self.qids, self.qn, self.C, self.probe = ray.get(ref)
 
@@ -284,21 +292,44 @@ def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
             Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
             cells = np.argmax(Mn @ self.C.T, axis=1)
             vec_ids = df["vec_id"].to_numpy()
-            rows_q, rows_n, rows_s = [], [], []
-            for i in range(len(vec_ids)):
-                for j in self.probe.get(int(cells[i]), ()):
-                    if vec_ids[i] == self.qids[j]:
-                        continue
-                    rows_q.append(self.qids[j])
-                    rows_n.append(vec_ids[i])
-                    rows_s.append(float(Mn[i] @ self.qn[j]))
-            return pd.DataFrame(
+            q_parts, n_parts, s_parts = [], [], []
+            for c in np.unique(cells):
+                js = self.probe.get(int(c))
+                if js is None:
+                    continue
+                rows = np.nonzero(cells == c)[0]
+                S = Mn[rows] @ self.qn[js].T  # (members, probing queries)
+                qcol = np.broadcast_to(
+                    self.qids[js][None, :], S.shape
+                ).ravel()
+                ncol = np.broadcast_to(
+                    vec_ids[rows][:, None], S.shape
+                ).ravel()
+                keep = qcol != ncol  # a query never matches itself
+                q_parts.append(qcol[keep])
+                n_parts.append(ncol[keep])
+                s_parts.append(S.ravel()[keep])
+            if not q_parts:
+                return pd.DataFrame(
+                    {"query_id": pd.Series([], dtype="int64"),
+                     "neighbor_id": pd.Series([], dtype="int64"),
+                     "cosine_sim": pd.Series([], dtype="float64")}
+                )
+            out = pd.DataFrame(
                 {
-                    "query_id": pd.Series(rows_q, dtype="int64"),
-                    "neighbor_id": pd.Series(rows_n, dtype="int64"),
-                    "cosine_sim": pd.Series(rows_s, dtype="float64"),
+                    "query_id": np.concatenate(q_parts).astype(np.int64),
+                    "neighbor_id": np.concatenate(n_parts).astype(np.int64),
+                    "cosine_sim": np.concatenate(s_parts).astype(np.float64),
                 }
             )
+            # local top-k partial per query (ties to smallest neighbor_id,
+            # matching the global merge's ordering)
+            out = out.sort_values(
+                ["query_id", "cosine_sim", "neighbor_id"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            return out.groupby("query_id", sort=False).head(TOP_K)
 
     partial = _read_emb(sf_dir).map_batches(
         CellScorer, batch_format="pandas", batch_size=4096, concurrency=(1, 4)
@@ -488,9 +519,14 @@ def embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
             )
         return out
 
+    import pyarrow.parquet as pq
+
+    n_vec = pq.read_metadata(os.path.join(sf_dir, "embeddings.parquet")).num_rows
     exploded = corpus.map_batches(band_rows, batch_format="pandas")
     out = _pairs_from_groups(
-        exploded, "bucket", pair_filter=cosine_ok, payload_cols=("embedding",)
+        exploded, "bucket", pair_filter=cosine_ok, payload_cols=("embedding",),
+        # footer-derived bound (twins ≤ 1 per 5): no materialize-to-count pin
+        est_rows=(n_vec + n_vec // 5 + 1) * EMB_LSH_BANDS,
     )
     if not isinstance(out, pd.DataFrame):
         out = out.to_pandas()

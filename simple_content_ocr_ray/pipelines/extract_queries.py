@@ -197,23 +197,38 @@ WHERE doc_id % 20 = 3
 def dedup_exact_pages(sf_dir: str) -> rd.Dataset:
     """Exact dedup by url (D1: at-least-once duplicate-job suppression).
 
-    Input re-emits every doc_id%100==7 row; hash-partition on url and keep
-    one row per group. Output = distinct (url, text) — byte-identical text
-    must survive dedup."""
+    Input re-emits every doc_id%100==7 row; output = distinct (url, text) —
+    byte-identical text must survive dedup.
+
+    Topology (r3 — replaces the groupby(url).map_groups(head(1)) that cost
+    ~ms per group, i.e. the slow path at billions of near-singleton url
+    groups): at-least-once redeliveries are BYTE-IDENTICAL rows, so
+
+      1. a per-batch ``drop_duplicates("url")`` inside the payload stage
+         suppresses redelivered work cheaply (redeliveries are typically
+         adjacent — same source partition);
+      2. survivors extract normally (extraction is deterministic per row,
+         so extracting a rare cross-batch duplicate twice is harmless —
+         bounded by the duplicate fraction, vs. a payload-carrying keeper
+         shuffle that would move the whole corpus);
+      3. the final dedup runs on the SLIM (url, text) output via
+         ``grouped_aggregate`` — per-batch arg-min partials + adaptive
+         final merge (the clean_corpus keeper topology), min() over the
+         identical texts per url. Payloads never shuffle; no per-group
+         python anywhere."""
     pages_dir = synth_pages_parquet(sf_dir, duplicate_every=100)
-    pages = read_pages(pages_dir)
-    deduped = (
-        pages.select_columns(["url", "html", "text"])
-        .groupby("url")
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    pages = read_pages(pages_dir).map_batches(
+        lambda df: df[["url", "html", "text"]].drop_duplicates("url"),
+        batch_format="pandas",
     )
-    ds = extraction_pipeline(deduped)
-    return ds.map_batches(
+    ds = extraction_pipeline(pages)
+    slim = ds.map_batches(
         lambda t: t.filter(pa.compute.equal(t["content_type"], "html")).select(
             ["url", "text"]
         ),
         batch_format="pyarrow",
     )
+    return grouped_aggregate(slim, ["url"], {"text": ("text", "min")})
 
 
 # after dedup the duplicated rows collapse: expected output == all html docs

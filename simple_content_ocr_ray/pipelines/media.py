@@ -279,6 +279,90 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# REAL BMP / GIF / TIFF decode metadata (stages/image_formats.py)
+# --------------------------------------------------------------------------
+
+class _FormatMetaStage:
+    """Generic actor-pool stage for the lossless image codecs: synthesize a
+    valid payload per doc (constant pixels, dims pure functions of doc_id),
+    decode with the REAL from-scratch decoder, emit typed metadata."""
+
+    def __init__(self, fmt: str) -> None:
+        import numpy as np
+
+        from ..stages import image_formats as imf
+
+        self.np = np
+        enc, dec, self.wmod, self.hmod = {
+            "bmp": (imf.make_bmp, imf.decode_bmp, (12, 11), (3, 5)),
+            "gif": (imf.make_gif, imf.decode_gif, (10, 6), (5, 4)),
+            "tiff": (imf.make_tiff, imf.decode_tiff, (9, 8), (6, 3)),
+        }[fmt]
+        self.enc, self.dec = enc, dec
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        np = self.np
+        (wb, wm), (hb, hm) = self.wmod, self.hmod
+        widths, heights, bright = [], [], []
+        for d in df["doc_id"]:
+            d = int(d)
+            px = np.full((hb + d % hm, wb + d % wm), d % 256, dtype=np.uint8)
+            img = self.dec(self.enc(px))
+            h, w = img.shape[:2]
+            widths.append(w)
+            heights.append(h)
+            bright.append(int(img.mean()))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "width": pd.Series(widths, dtype="int64"),
+                "height": pd.Series(heights, dtype="int64"),
+                "brightness": pd.Series(bright, dtype="int64"),
+            }
+        )
+
+
+def _format_meta_query(fmt: str):
+    def q(sf_dir: str) -> rd.Dataset:
+        return _docs(sf_dir).map_batches(
+            _FormatMetaStage,
+            fn_constructor_kwargs={"fmt": fmt},
+            batch_format="pandas",
+            batch_size=MEDIA_BATCH_SIZE,
+            concurrency=_media_concurrency(),
+        )
+
+    q.__name__ = f"{fmt}_real_meta"
+    q.__doc__ = (
+        f"Real end-to-end {fmt.upper()} decode (lossless, so the constant-"
+        "pixel brightness is exact): encode → from-scratch decode in an "
+        "actor pool → typed metadata, SQL-mirrored from doc_id."
+    )
+    return q
+
+
+bmp_real_meta = _format_meta_query("bmp")
+gif_real_meta = _format_meta_query("gif")
+tiff_real_meta = _format_meta_query("tiff")
+
+_BMP_REAL_META_SQL = """
+SELECT doc_id, 12 + doc_id % 11 AS width, 3 + doc_id % 5 AS height,
+       doc_id % 256 AS brightness
+FROM documents
+"""
+_GIF_REAL_META_SQL = """
+SELECT doc_id, 10 + doc_id % 6 AS width, 5 + doc_id % 4 AS height,
+       doc_id % 256 AS brightness
+FROM documents
+"""
+_TIFF_REAL_META_SQL = """
+SELECT doc_id, 9 + doc_id % 8 AS width, 6 + doc_id % 3 AS height,
+       doc_id % 256 AS brightness
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # REAL PDF text extraction (stages/pdf_text.py — full encode→parse loop)
 # --------------------------------------------------------------------------
 
@@ -459,6 +543,9 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "video_meta": video_meta,
     "png_real_meta": png_real_meta,
     "jpeg_real_meta": jpeg_real_meta,
+    "bmp_real_meta": bmp_real_meta,
+    "gif_real_meta": gif_real_meta,
+    "tiff_real_meta": tiff_real_meta,
     "pdf_real_text": pdf_real_text,
     "image_ahash_dupes": image_ahash_dupes,
 }
@@ -467,6 +554,9 @@ ORACLES: dict[str, str] = {
     "video_meta": _VIDEO_META_SQL,
     "png_real_meta": _PNG_REAL_META_SQL,
     "jpeg_real_meta": _JPEG_REAL_META_SQL,
+    "bmp_real_meta": _BMP_REAL_META_SQL,
+    "gif_real_meta": _GIF_REAL_META_SQL,
+    "tiff_real_meta": _TIFF_REAL_META_SQL,
     "pdf_real_text": _PDF_REAL_TEXT_SQL,
     "image_ahash_dupes": _IMAGE_AHASH_DUPES_SQL,
 }

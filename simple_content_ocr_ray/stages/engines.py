@@ -239,6 +239,24 @@ def _jpeg_decode_factory(**kwargs: Any) -> Any:
     return JpegImageEngine(**kwargs)
 
 
+def _bmp_decode_factory(**kwargs: Any) -> Any:
+    from .image_formats import BmpImageEngine
+
+    return BmpImageEngine(**kwargs)
+
+
+def _gif_decode_factory(**kwargs: Any) -> Any:
+    from .image_formats import GifImageEngine
+
+    return GifImageEngine(**kwargs)
+
+
+def _tiff_decode_factory(**kwargs: Any) -> Any:
+    from .image_formats import TiffImageEngine
+
+    return TiffImageEngine(**kwargs)
+
+
 register_engine("mock", MockEngine)
 register_engine("remote-http", RemoteHttpEngine)
 register_engine("html-main-content", HtmlEngine)
@@ -246,3 +264,6 @@ register_engine("image-decode-stub", ImageDecodeEngine)
 register_engine("pdf-text", _pdf_text_factory)
 register_engine("png-decode", _png_decode_factory)
 register_engine("jpeg-decode", _jpeg_decode_factory)
+register_engine("bmp-decode", _bmp_decode_factory)
+register_engine("gif-decode", _gif_decode_factory)
+register_engine("tiff-decode", _tiff_decode_factory)

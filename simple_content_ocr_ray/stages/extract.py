@@ -59,14 +59,17 @@ DEFAULT_ROUTE: dict[str, str] = {"html": "html-main-content", "pdf": "mock"}
 DEFAULT_ROUTE.update({t: "mock" for t in IMAGE_TYPES})
 
 #: real-decoder routing (the reference always runs a real engine per route —
-#: ocr_service.py:83-108): from-scratch PDF text extraction, PNG and baseline
-#: JPEG decode. GIF/BMP/TIFF/WebP stay on the documented decode-stub seam
-#: (the reference needs PIL for those; this container has no image libs).
+#: ocr_service.py:83-108): from-scratch PDF text extraction plus real
+#: PNG / baseline-JPEG / BMP / GIF(LZW) / uncompressed-TIFF decoders. WebP
+#: (VP8 entropy coding) is the one remaining documented decode-stub seam.
 REAL_ROUTE: dict[str, str] = {
     "html": "html-main-content",
     "pdf": "pdf-text",
     "png": "png-decode",
     "jpeg": "jpeg-decode",
+    "bmp": "bmp-decode",
+    "gif": "gif-decode",
+    "tiff": "tiff-decode",
 }
 REAL_ROUTE.update(
     {t: "image-decode-stub" for t in IMAGE_TYPES if t not in REAL_ROUTE}

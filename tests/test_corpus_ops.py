@@ -455,3 +455,31 @@ def test_corpus_report_values(ray_session):
     assert got["n_langs"] == docs["lang"].nunique()
     assert got["n_sources"] == docs["source"].nunique()
     assert abs(got["mean_doc_tokens"] - got["n_tokens"] / got["n_docs"]) < 1e-3
+
+
+def test_near_dup_pairs_shared_mining(sf_dir, monkeypatch):
+    """r3: near_dup_components and near_dup_keepers consume ONE memoized
+    mining pass (near_dup_pairs) — the MinHash pipeline runs at most once
+    per corpus per process, and the memo returns equal copies."""
+    from simple_content_ocr_ray.functions import corpus_ops, dedup
+
+    dedup._NEAR_PAIRS_CACHE.clear()
+    calls = []
+    orig = dedup.minhash_lsh_pairs
+
+    def counting(sf):
+        calls.append(sf)
+        return orig(sf)
+
+    monkeypatch.setattr(dedup, "minhash_lsh_pairs", counting)
+    a = dedup.near_dup_pairs(sf_dir)
+    b = dedup.near_dup_pairs(sf_dir)
+    assert len(calls) == 1
+    pd.testing.assert_frame_equal(a, b)
+    # the memo hands out copies — consumer mutation cannot poison it
+    a.loc[:, "doc_a"] = -1
+    assert (dedup.near_dup_pairs(sf_dir)["doc_a"] >= 0).all()
+    # both component consumers run off the shared pass (no further mining)
+    corpus_ops.near_dup_components(sf_dir).count()
+    corpus_ops.near_dup_keepers(sf_dir)
+    assert len(calls) == 1
