@@ -204,6 +204,8 @@ def run_headline() -> dict:
         for name in (
             "extract_real_routes",
             "jpeg_real_meta",
+            "dedup_exact_pages",
+            "ann_ivf_topk",
             "q1_pricing",
             "top_orders",
             "customer_order_totals",

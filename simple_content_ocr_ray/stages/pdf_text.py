@@ -13,12 +13,14 @@ without rendering:
   needed — xref is an optimization, the objects are self-delimiting);
 * page objects: ``/Type /Page`` with a ``/Contents N 0 R`` reference;
 * content streams: bytes between ``stream``/``endstream`` of the referenced
-  object; only unfiltered streams are supported — ``/Filter`` (FlateDecode
-  etc.) raises ``UnsupportedPdfError``, the explicit seam where a zlib/
-  codec-equipped build would plug in;
-* text: ``(string) Tj`` / ``' `` / ``"`` and ``[(a) -120 (b)] TJ`` inside
-  ``BT``/``ET`` blocks, with PDF string escapes (\\n, \\( … and \\ooo
-  octal) decoded; a ``Td``/``TD``/``T*`` vertical move emits a newline.
+  object; unfiltered and ``/FlateDecode`` (stdlib zlib — the compression
+  virtually every real-world PDF uses) are decoded; other filters
+  (DCTDecode, LZWDecode, ASCII85…) raise ``UnsupportedPdfError``, the
+  explicit seam where a codec-equipped build would plug in;
+* text: ``(string) Tj`` / ``' `` / ``"``, hex strings ``<4869> Tj``, and
+  ``[(a) -120 (b)] TJ`` inside ``BT``/``ET`` blocks, with PDF string
+  escapes (\\n, \\( … and \\ooo octal) decoded; a ``Td``/``TD``/``T*``
+  vertical move emits a newline.
 
 Per-row work is a single linear scan of the payload — the engine runs
 inside the same actor pool as every other engine (stages/extract.py), so
@@ -37,16 +39,22 @@ _PAGE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
 _FILTER_RE = re.compile(rb"/Filter\b")
+_FLATE_ONLY_RE = re.compile(
+    rb"/Filter\s*(?:/FlateDecode\b|\[\s*/FlateDecode\s*\])"
+)
 _BT_ET_RE = re.compile(rb"BT(.*?)ET", re.S)
-#: show-text ops: (s) Tj · (s) ' · (s) " · [ ... ] TJ — and Td/TD/T* moves
+#: show-text ops: (s) Tj · (s) ' · (s) " · <hex> Tj · [ ... ] TJ — and moves
 _TOK_RE = re.compile(
     rb"""\((?P<s>(?:\\.|[^()\\])*)\)\s*(?:Tj|'|")   # literal string shown
+       | <(?P<hex>[0-9A-Fa-f\s]*)>\s*(?:Tj|'|")     # hex string shown
        | \[(?P<arr>(?:\\.|[^\]])*)\]\s*TJ           # array form
        | (?P<nl>T\*|Td|TD)                          # line moves
     """,
     re.S | re.X,
 )
-_ARR_STR_RE = re.compile(rb"\((?P<s>(?:\\.|[^()\\])*)\)")
+_ARR_STR_RE = re.compile(
+    rb"\((?P<s>(?:\\.|[^()\\])*)\)|<(?P<hex>[0-9A-Fa-f\s]*)>"
+)
 
 _ESCAPES = {
     b"n": b"\n",
@@ -89,6 +97,13 @@ def _unescape(raw: bytes) -> bytes:
     return bytes(out)
 
 
+def _unhex(raw: bytes) -> bytes:
+    h = b"".join(raw.split())
+    if len(h) % 2:  # odd count: spec pads a trailing 0
+        h += b"0"
+    return bytes.fromhex(h.decode("ascii"))
+
+
 def _stream_text(stream: bytes) -> str:
     """Text of one content stream: concatenate shown strings; Td/TD/T*
     becomes a newline (unless at start)."""
@@ -100,9 +115,14 @@ def _stream_text(stream: bytes) -> str:
                     parts.append(b"\n")
             elif m.group("s") is not None:
                 parts.append(_unescape(m.group("s")))
+            elif m.group("hex") is not None:
+                parts.append(_unhex(m.group("hex")))
             else:
                 for sm in _ARR_STR_RE.finditer(m.group("arr")):
-                    parts.append(_unescape(sm.group("s")))
+                    if sm.group("s") is not None:
+                        parts.append(_unescape(sm.group("s")))
+                    else:
+                        parts.append(_unhex(sm.group("hex")))
     return b"".join(parts).strip(b"\n").decode("latin-1")
 
 
@@ -123,13 +143,28 @@ def extract_pdf_text(payload: bytes) -> list[str]:
             pages.append("")
             continue
         cobj = objs.get(int(cm.group(1)), b"")
+        flate = False
         if _FILTER_RE.search(cobj):
-            raise UnsupportedPdfError(
-                "filtered content stream (FlateDecode etc.) — needs a codec "
-                "behind this seam"
-            )
+            if _FLATE_ONLY_RE.search(cobj):
+                flate = True  # stdlib zlib — the dominant real-world filter
+            else:
+                raise UnsupportedPdfError(
+                    "non-Flate content filter (DCT/LZW/ASCII85…) — needs a "
+                    "codec behind this seam"
+                )
         sm = _STREAM_RE.search(cobj)
-        pages.append(_stream_text(sm.group(1)) if sm else "")
+        if not sm:
+            pages.append("")
+            continue
+        data = sm.group(1)
+        if flate:
+            import zlib
+
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as exc:
+                raise UnsupportedPdfError(f"corrupt Flate stream: {exc}") from exc
+        pages.append(_stream_text(data))
     if not pages:
         raise UnsupportedPdfError("no /Type /Page objects found")
     return pages
@@ -155,9 +190,11 @@ class PdfTextEngine:
         )
 
 
-def make_minimal_pdf(pages: list[list[str]]) -> bytes:
-    """Build a small VALID unfiltered PDF (used by tests and demos): one
-    content stream per page, each inner list = lines of that page."""
+def make_minimal_pdf(pages: list[list[str]], flate: bool = False) -> bytes:
+    """Build a small VALID PDF (used by tests and demos): one content
+    stream per page, each inner list = lines of that page. ``flate=True``
+    emits zlib-compressed (/FlateDecode) content streams — the layout real
+    PDF writers produce."""
     out = bytearray(b"%PDF-1.4\n")
     n_pages = len(pages)
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
@@ -180,8 +217,14 @@ def make_minimal_pdf(pages: list[list[str]]) -> bytes:
             ops.append(f"({esc}) Tj")
         ops.append("ET")
         content = " ".join(ops).encode("latin-1")
+        filt = ""
+        if flate:
+            import zlib
+
+            content = zlib.compress(content)
+            filt = " /Filter /FlateDecode"
         out += (
-            f"{stream_num} 0 obj << /Length {len(content)} >> stream\n".encode()
+            f"{stream_num} 0 obj << /Length {len(content)}{filt} >> stream\n".encode()
             + content
             + b"\nendstream endobj\n"
         )

@@ -103,4 +103,68 @@ def test_real_decode_failure_becomes_failed_row(ray_session):
     )
     out = extraction_pipeline(ds, route={"pdf": "pdf-text"}).to_pandas()
     assert list(out["status"]) == ["failed"]
-    assert "filtered content stream" in out["error"].iloc[0]
+    # r3: FlateDecode is now supported, so a Flate-tagged stream whose bytes
+    # are NOT valid zlib fails as corrupt — still a failed ROW at the seam
+    assert "Flate" in out["error"].iloc[0]
+
+
+def test_flate_compressed_pdf_roundtrip():
+    """r3: /FlateDecode content streams (what real PDF writers emit) decode
+    byte-identically to the unfiltered layout."""
+    from simple_content_ocr_ray.stages.pdf_text import (
+        extract_pdf_text,
+        make_minimal_pdf,
+    )
+
+    pages = [["hello world", "line two"], ["page 2 only"]]
+    plain = make_minimal_pdf(pages)
+    flate = make_minimal_pdf(pages, flate=True)
+    assert b"/FlateDecode" in flate and b"/FlateDecode" not in plain
+    assert extract_pdf_text(flate) == extract_pdf_text(plain) == [
+        "hello world\nline two",
+        "page 2 only",
+    ]
+
+
+def test_non_flate_filter_still_hits_seam():
+    from simple_content_ocr_ray.stages.pdf_text import (
+        UnsupportedPdfError,
+        extract_pdf_text,
+        make_minimal_pdf,
+    )
+
+    pdf = make_minimal_pdf([["x"]]).replace(
+        b">> stream", b"/Filter /LZWDecode >> stream"
+    )
+    with pytest.raises(UnsupportedPdfError, match="non-Flate"):
+        extract_pdf_text(pdf)
+
+
+def test_corrupt_flate_stream_is_failed_seam():
+    from simple_content_ocr_ray.stages.pdf_text import (
+        UnsupportedPdfError,
+        extract_pdf_text,
+        make_minimal_pdf,
+    )
+
+    pdf = bytearray(make_minimal_pdf([["payload text"]], flate=True))
+    i = pdf.find(b"stream\n") + 7
+    pdf[i : i + 4] = b"\x00\x00\x00\x00"  # stomp the zlib header
+    with pytest.raises(UnsupportedPdfError, match="Flate"):
+        extract_pdf_text(bytes(pdf))
+
+
+def test_hex_string_show_text():
+    """<hex> Tj and hex entries inside [ ... ] TJ arrays decode."""
+    from simple_content_ocr_ray.stages.pdf_text import extract_pdf_text
+
+    content = b"BT <48656C6C6F> Tj 0 -14 Td [(a) -120 <20622063> (d)] TJ ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Count 1 /Kids [3 0 R] >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length " + str(len(content)).encode() + b" >> stream\n"
+        + content + b"\nendstream endobj\n%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == ["Hello\na b cd"]
