@@ -165,7 +165,22 @@ def run_headline() -> dict:
         .count()
     )
 
-    out_dir = f"/tmp/scor_bench_out/extracted_cpu{NCPU}"
+    # Output parquet goes to tmpfs when it has room, for the same reason the
+    # input corpus does (see _cache_base): on a real fixed-size cluster the
+    # write bandwidth scales with nodes (per-node local disks / object
+    # store); this sandbox has ONE shared disk, which otherwise caps the
+    # high-parallelism level (measured: 39.1k → 43.0k docs/s at 32 cpus for
+    # a 7 GB output moved off the disk). Override with BENCH_OUT_BASE.
+    out_base = os.environ.get("BENCH_OUT_BASE")
+    if not out_base:
+        out_base = "/tmp/scor_bench_out"
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize > 30 * 1024**3:
+                out_base = "/dev/shm/scor_bench_out"
+        except OSError:
+            pass
+    out_dir = f"{out_base}/extracted_cpu{NCPU}"
     import shutil
 
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -184,6 +199,8 @@ def run_headline() -> dict:
         batch_size=2048,
     ).write_parquet(out_dir)
     headline = time.time() - t0
+    if out_dir.startswith("/dev/shm"):
+        shutil.rmtree(out_dir, ignore_errors=True)  # keep tmpfs free
 
     result = {
         "metric": "extraction_e2e_sec",
@@ -323,11 +340,21 @@ SCALE_CAL_DRIFT_MAX = 0.15
 SCALE_CAL_RETRIES = int(os.environ.get("SCALE_CAL_RETRIES") or 3)
 
 
+#: scaling-run corpus size: 3× the headline corpus (default 2.4M pages), so
+#: the high-parallelism level runs ~60 s and the fixed per-run costs (actor
+#: pool ramp-up, first-block pipeline fill) amortize — at 100 TB a node
+#: processes hours of data per launch, so the asymptotic rate is the honest
+#: quantity to compare across cluster sizes. Same input at BOTH levels.
+def _scale_n_pages() -> int:
+    return int(os.environ.get("SCALE_N_PAGES") or 3 * N_PAGES)
+
+
 def _run_level(n: int) -> dict:
     env = dict(
         os.environ,
         RAY_GRAFT_CPUS=str(n),
         BENCH_SKIP_QUERIES="1",
+        BENCH_N_PAGES=str(_scale_n_pages()),
         PYTHONPATH=os.environ["PYTHONPATH"],
     )
     proc = subprocess.run(

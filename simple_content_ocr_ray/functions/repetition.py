@@ -587,11 +587,162 @@ def bpe_encode_stats(sf_dir: str, rounds: int = BPE_ROUNDS) -> pd.DataFrame:
     return df
 
 
+# --------------------------------------------------------------------------
+# Cross-document repeated SPANS (the strip-these-ranges output of
+# substring-level dedup — Lee et al. 2022: repeated spans are boilerplate)
+# --------------------------------------------------------------------------
+
+SPAN_K = 8  # window width in words (the repeated_ngrams gram size)
+
+
+def repeated_ngram_spans(
+    sf_dir: str, k: int = SPAN_K, small_threshold: int = 2_000_000
+) -> pd.DataFrame:
+    """Per-document MERGED token spans covered by word-``k``-grams that occur
+    in ≥ 2 distinct documents — the range list a substring-dedup pass would
+    actually strip (``repeated_ngrams`` mines the gram table; this projects
+    the hits back to positions and merges overlapping windows into maximal
+    spans). Output: (doc_id, start_tok, end_tok, n_windows), 1-based
+    inclusive token positions, ordered.
+
+    Scale topology: one pass explodes (gram_hash, doc_id, pos) with the gram
+    hash built by a VECTORIZED k-way rolling combine over per-word hashes
+    (no per-position string building); duplicated grams fall out of a single
+    grouped (min_doc, max_doc) aggregate — a gram is cross-doc iff
+    min != max, so no count-distinct shuffle; hot positions are selected by
+    broadcast semi-filter when the hot-gram set is small (it is bounded by
+    the DUPLICATION volume, not the corpus) and the final per-doc interval
+    merge is the adaptive sessions shape: vectorized single sort under the
+    footer threshold, doc-keyed shuffle above it. A gram-hash collision
+    (~2^-63) could mark one extra span; acceptable for a strip-list.
+    """
+    from .agg import broadcast_semi_filter
+
+    docs = _read_docs(sf_dir)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        from .dedup import mix64
+
+        out_doc, out_pos, out_gram = [], [], []
+        for d, text in zip(df["doc_id"], df["text"]):
+            words = text.split(" ")
+            n = len(words) - k + 1
+            if n <= 0:
+                continue
+            wh = pd.util.hash_array(np.asarray(words, dtype=object)).view(
+                np.int64
+            )
+            grams = mix64(*[wh[i : n + i] for i in range(k)])
+            out_doc.append(np.full(n, d, dtype=np.int64))
+            out_pos.append(np.arange(1, n + 1, dtype=np.int64))  # 1-based
+            out_gram.append(grams)
+        if not out_doc:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64")
+                 for c in ("doc_id", "pos", "gram")}
+            )
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate(out_doc),
+                "pos": np.concatenate(out_pos),
+                "gram": np.concatenate(out_gram),
+            }
+        )
+
+    exploded = docs.map_batches(explode, batch_format="pandas")
+    from .dedup import _shingle_rows_bound
+
+    est = _shingle_rows_bound(sf_dir)
+    if est <= small_threshold:
+        exploded = exploded.materialize()  # two consumers below
+
+    span = grouped_aggregate(
+        exploded, ["gram"], {"lo": ("doc_id", "min"), "hi": ("doc_id", "max")}
+    )
+    hot = span.map_batches(
+        lambda d: d.loc[d["lo"] != d["hi"], ["gram"]], batch_format="pandas"
+    ).to_pandas()  # bounded by duplication volume
+    if hot.empty:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("doc_id", "start_tok", "end_tok", "n_windows")}
+        )
+    if len(hot) <= 5_000_000:
+        positions = broadcast_semi_filter(
+            exploded, hot["gram"].tolist(), "gram"
+        ).select_columns(["doc_id", "pos"])
+    else:  # pragma: no cover — huge hot sets hash-join instead of broadcast
+        positions = exploded.join(
+            rd.from_pandas(hot), join_type="inner", num_partitions=16,
+            on=("gram",),
+        ).select_columns(["doc_id", "pos"])
+
+    def merge_sorted(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy()
+        p = df["pos"].to_numpy()
+        brk = np.r_[True, (d[1:] != d[:-1]) | (p[1:] - p[:-1] > k)]
+        gid = np.cumsum(brk) - 1
+        out = pd.DataFrame({"doc_id": d, "pos": p, "gid": gid})
+        g = out.groupby("gid", sort=True).agg(
+            doc_id=("doc_id", "first"),
+            start_tok=("pos", "min"),
+            end_tok=("pos", "max"),
+            n_windows=("pos", "count"),
+        )
+        g["end_tok"] += k - 1
+        return g[["doc_id", "start_tok", "end_tok", "n_windows"]].astype("int64")
+
+    pos_df = positions.to_pandas() if est <= small_threshold else None
+    if pos_df is not None:
+        pos_df = pos_df.sort_values(["doc_id", "pos"], kind="mergesort")
+        return merge_sorted(pos_df.reset_index(drop=True)).reset_index(drop=True)
+    # large path: doc-keyed shuffle, vectorized merge per doc group
+    out = positions.groupby("doc_id").map_groups(
+        lambda g: merge_sorted(
+            g.sort_values("pos", kind="mergesort").reset_index(drop=True)
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    return out.sort_values(["doc_id", "start_tok"], kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+_REPEATED_SPANS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(w[i:i + {SPAN_K - 1}], ' ') AS gram
+  FROM t, unnest(range(1, len(w) - {SPAN_K - 2})) AS r(i)
+), hot AS (
+  SELECT gram FROM g GROUP BY gram HAVING MIN(doc_id) <> MAX(doc_id)
+), p AS (
+  SELECT doc_id, pos FROM g JOIN hot USING (gram)
+), m AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {SPAN_K} THEN 0 ELSE 1 END AS brk
+  FROM p
+), isl AS (
+  SELECT doc_id, pos,
+         SUM(COALESCE(brk, 1)) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS UNBOUNDED PRECEDING) AS grp
+  FROM m
+)
+SELECT doc_id, MIN(pos) AS start_tok, MAX(pos) + {SPAN_K - 1} AS end_tok,
+       COUNT(*) AS n_windows
+FROM isl GROUP BY doc_id, grp
+ORDER BY doc_id, start_tok
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
     "bpe_pair_counts": bpe_pair_counts,
     "bpe_merge_rounds": bpe_merge_rounds,
     "bpe_encode_stats": bpe_encode_stats,
     "repeated_ngrams": repeated_ngrams,
+    "repeated_ngram_spans": repeated_ngram_spans,
     "doc_repetition_stats": doc_repetition_stats,
     "doc_word_entropy": doc_word_entropy,
     "chunk_dedup": chunk_dedup,
@@ -601,6 +752,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 ORACLES: dict[str, str] = {
     "bpe_pair_counts": _BPE_PAIR_COUNTS_SQL,
     "repeated_ngrams": _REPEATED_NGRAMS_SQL,
+    "repeated_ngram_spans": _REPEATED_SPANS_SQL,
     "doc_repetition_stats": _DOC_REPETITION_SQL,
     "doc_word_entropy": _DOC_WORD_ENTROPY_SQL,
     "chunk_dedup": _CHUNK_DEDUP_SQL,

@@ -446,6 +446,122 @@ def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+PQ_M = 8  # subspaces (dim must be divisible)
+PQ_KS = 16  # centroids per subspace → 4-bit codes, 16× compression at d=64
+PQ_KMEANS_ITERS = 10
+PQ_REFINE = 4  # ADC candidate pool = PQ_REFINE × TOP_K per batch
+
+
+def _train_pq_codebooks(X: np.ndarray, m: int = PQ_M, ks: int = PQ_KS) -> np.ndarray:
+    """Deterministic per-subspace k-means (fixed stride init) over an
+    already-bounded sample → (m, ks, d/m) codebooks."""
+    n, d = X.shape
+    sub = d // m
+    books = np.empty((m, ks, sub))
+    for j in range(m):
+        S = X[:, j * sub : (j + 1) * sub]
+        idx = np.linspace(0, n - 1, ks).astype(int)
+        C = S[idx].copy()
+        for _ in range(PQ_KMEANS_ITERS):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ks):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[j] = C
+    return books
+
+
+def _pq_encode(Xn: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) → (n, m) uint8 codes (nearest codebook entry per subspace)."""
+    n, d = Xn.shape
+    m, ks, sub = books.shape
+    codes = np.empty((n, m), dtype=np.uint8)
+    for j in range(m):
+        S = Xn[:, j * sub : (j + 1) * sub]
+        d2 = ((S[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = np.argmin(d2, axis=1)
+    return codes
+
+
+def ann_pq_topk(sf_dir: str) -> pd.DataFrame:
+    """Approximate top-k via PRODUCT QUANTIZATION with exact re-ranking:
+    per-subspace codebooks (trained on the bounded stride sample) compress
+    each normalized vector to m 4-bit-ish codes (16× at d=64); each scan
+    batch scores candidates by ADC — one (m × ks) lookup table per query,
+    score = sum of table entries at the vector's codes, NO dot products —
+    keeps an ADC candidate pool of PQ_REFINE×k per query, re-scores only
+    that pool exactly, and emits a per-batch exact top-k partial. The global
+    merge is identical to the brute-force path, so results carry EXACT
+    cosines for the (approximately selected) neighbors.
+
+    100 TB shape: codebooks are a tiny broadcast; the scan is one streaming
+    pass; at 10^12 vectors the codes table (m bytes/vector) is the thing a
+    real deployment would persist and scan instead of raw vectors — 16×
+    less IO; the ADC inner loop is table lookups, not matmuls. Rows-only
+    check; recall vs the exact scan asserted in tests."""
+    t = _training_sample(sf_dir)
+    full = _emb_matrix(t)
+    fulln = full / np.linalg.norm(full, axis=1, keepdims=True)
+    books = _train_pq_codebooks(fulln)
+
+    qids, Q = _query_matrix(sf_dir)
+    qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    m, ks, sub = books.shape
+    # per-query ADC tables: lut[q, j, c] = qn_sub · codebook entry
+    lut = np.einsum("qjs,jcs->qjc", qn.reshape(len(qids), m, sub), books)
+    ref = ray.put((qids, qn, books, lut))
+
+    class PqScorer:
+        def __init__(self) -> None:
+            self.qids, self.qn, self.books, self.lut = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            M_ = _emb_matrix(df)
+            Mn = M_ / np.linalg.norm(M_, axis=1, keepdims=True)
+            codes = _pq_encode(Mn, self.books)  # (n, m)
+            vec_ids = df["vec_id"].to_numpy()
+            n = len(vec_ids)
+            pool = min(n, PQ_REFINE * TOP_K)
+            frames = []
+            for qi in range(len(self.qids)):
+                # ADC: approximate dot via table lookups only
+                adc = self.lut[qi][np.arange(codes.shape[1])[None, :], codes].sum(
+                    axis=1
+                )
+                cand = np.argpartition(-adc, pool - 1)[:pool]
+                keep = vec_ids[cand] != self.qids[qi]
+                cand = cand[keep]
+                exact = Mn[cand] @ self.qn[qi]  # re-rank pool exactly
+                order = np.argsort(-exact, kind="stable")[:TOP_K]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(
+                                len(order), self.qids[qi], dtype=np.int64
+                            ),
+                            "neighbor_id": vec_ids[cand][order].astype(np.int64),
+                            "cosine_sim": exact[order].astype(np.float64),
+                        }
+                    )
+                )
+            return pd.concat(frames, ignore_index=True)
+
+    partial = _read_emb(sf_dir).map_batches(
+        PqScorer, batch_format="pandas", batch_size=4096, concurrency=(1, 4)
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["cosine_sim", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(TOP_K)
+
+    df = partial.groupby("query_id").map_groups(final, batch_format="pandas").to_pandas()
+    df["cosine_sim"] = round_half_away(df["cosine_sim"])
+    return df.reset_index(drop=True)
+
+
 def dup_twin_corpus(sf_dir: str) -> rd.Dataset:
     """Embeddings + exact twins at ``vec_id % 5 == 0`` (offset +TWIN_OFFSET),
     emitted from ONE read pass (a union of two branches scans the embeddings
@@ -865,6 +981,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "mmr_topk": mmr_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_pq_topk": ann_pq_topk,
     "embedding_dup_pairs": embedding_dup_pairs,
     "kmeans_clusters": kmeans_clusters,
 }

@@ -74,6 +74,8 @@ class UnsupportedPdfError(ValueError):
 
 
 def _unescape(raw: bytes) -> bytes:
+    if b"\\" not in raw:  # fast path: no escapes (the overwhelming case) —
+        return raw        # skips the per-byte loop on multi-KB show-strings
     out = bytearray()
     i = 0
     while i < len(raw):

@@ -222,3 +222,68 @@ def test_bpe_encode_stats_matches_reference(ray_session):
             == got["n_symbols"] - got["n_bpe_tokens"]).all()
     # the trained merges actually fire somewhere
     assert got["n_merges_applied"].sum() > 0
+
+
+def test_repeated_ngram_spans_bruteforce_and_paths(ray_session, tmp_path):
+    """r3: merged cross-doc repeated spans vs a direct brute force over a
+    corpus with a planted shared run; small and doc-keyed-shuffle paths
+    agree."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_content_ocr_ray.functions.repetition import (
+        SPAN_K,
+        repeated_ngram_spans,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(SPAN_K + 3))  # 11-word run
+    texts = [
+        f"alpha beta {shared} gamma delta",          # span in the middle
+        f"{shared} tail one two three four five",    # span at the start
+        "totally unrelated words here with no overlap at all present",
+        f"x0 x1 x2 x3 {shared}",                     # span at the end
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 4, pa.string()),
+            "source": pa.array(["t"] * 4, pa.string()),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    # brute force: positions whose k-gram string occurs in >= 2 distinct docs
+    def grams(text):
+        w = text.split(" ")
+        return {
+            i + 1: " ".join(w[i : i + SPAN_K])
+            for i in range(len(w) - SPAN_K + 1)
+        }
+    per_doc = {d: grams(x) for d, x in enumerate(texts)}
+    df_docs = {}
+    for d, g in per_doc.items():
+        for gram in set(g.values()):
+            df_docs.setdefault(gram, set()).add(d)
+    expected = []
+    for d, g in per_doc.items():
+        hot = sorted(p for p, gram in g.items() if len(df_docs[gram]) >= 2)
+        run = []
+        for p in hot:
+            if run and p - run[-1] <= SPAN_K:
+                run.append(p)
+            else:
+                if run:
+                    expected.append((d, run[0], run[-1] + SPAN_K - 1, len(run)))
+                run = [p]
+        if run:
+            expected.append((d, run[0], run[-1] + SPAN_K - 1, len(run)))
+
+    out = repeated_ngram_spans(str(tmp_path))
+    got = list(map(tuple, out.to_numpy()))
+    assert got == sorted(expected)
+    assert 2 not in out["doc_id"].to_numpy()  # the unrelated doc has no span
+
+    forced = repeated_ngram_spans(str(tmp_path), small_threshold=0)
+    assert list(map(tuple, forced.to_numpy())) == sorted(expected)

@@ -234,3 +234,32 @@ def test_doc_compress_ratio_matches_zlib(sf_dir):
         assert row["comp_bytes"] == len(zlib.compress(b, ZLIB_LEVEL))
     # natural prose does not compress to nothing, repetition compresses well
     assert got["compress_ratio"].between(0.01, 1.5).all()
+
+
+def test_ann_pq_recall_and_exact_rerank(sf_dir):
+    """r3: PQ+ADC with exact re-ranking — recall vs the exact scan, and
+    every reported cosine must equal the true cosine (the re-rank is exact
+    even though candidate selection is approximate)."""
+    import pyarrow.parquet as pq
+
+    from simple_content_ocr_ray.functions.similarity import ann_pq_topk
+
+    exact = ann_topk(sf_dir)
+    approx = ann_pq_topk(sf_dir)
+    total = hits = 0
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        total += len(e)
+        hits += len(e & a)
+    recall = hits / total
+    assert recall >= 0.5, f"PQ recall too low: {recall}"
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"].to_pylist())
+    M = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    by_id = {int(i): Mn[k] for k, i in enumerate(ids)}
+    for row in approx.itertuples():
+        true = float(by_id[int(row.query_id)] @ by_id[int(row.neighbor_id)])
+        assert abs(row.cosine_sim - round(true, 4)) <= 1e-9
