@@ -737,12 +737,88 @@ ORDER BY doc_id, start_tok
 """
 
 
+def strip_repeated_spans(sf_dir: str, k: int = SPAN_K) -> rd.Dataset:
+    """APPLY the strip list: rewrite every document with its cross-doc
+    repeated spans removed (the corpus-rewriting step of Lee et al.
+    substring dedup — ``repeated_ngram_spans`` finds the ranges, this emits
+    the cleaned corpus). Output: (doc_id, text_clean, n_tokens_removed),
+    every doc, streaming.
+
+    Scale shape: the span table is the mining output (bounded by
+    duplication volume, already driver-resident) broadcast once via
+    ``ray.put``; the rewrite is one stateless map_batches over the corpus —
+    no shuffle. At 10^12 docs the span table would come from the persisted
+    mining pass and the broadcast becomes a doc-keyed join; the rewrite
+    pass is unchanged."""
+    import ray
+
+    spans = repeated_ngram_spans(sf_dir, k=k)
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for row in spans.itertuples():
+        by_doc.setdefault(int(row.doc_id), []).append(
+            (int(row.start_tok), int(row.end_tok))
+        )
+    ref = ray.put(by_doc)
+
+    def rewrite(df: pd.DataFrame) -> pd.DataFrame:
+        table = ray.get(ref)
+        out_text, removed = [], []
+        for d, text in zip(df["doc_id"], df["text"]):
+            cuts = table.get(int(d))
+            if not cuts:
+                out_text.append(text)
+                removed.append(0)
+                continue
+            words = text.split(" ")
+            drop = np.zeros(len(words), dtype=bool)
+            for a, b in cuts:  # 1-based inclusive token positions
+                drop[a - 1 : b] = True
+            out_text.append(" ".join(w for w, x in zip(words, drop) if not x))
+            removed.append(int(drop.sum()))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "text_clean": out_text,
+                "n_tokens_removed": pd.Series(removed, dtype="int64"),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(rewrite, batch_format="pandas")
+
+
+_STRIP_SPANS_SQL = f"""
+WITH spans AS ({_REPEATED_SPANS_SQL.replace("ORDER BY doc_id, start_tok", "")}
+), t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), tok AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i] AS word
+  FROM t, unnest(range(1, len(w) + 1)) AS r(i)
+), kept AS (
+  SELECT tok.doc_id, tok.pos, tok.word
+  FROM tok
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = tok.doc_id
+      AND tok.pos BETWEEN s.start_tok AND s.end_tok
+  )
+)
+SELECT t.doc_id,
+       COALESCE((SELECT string_agg(word, ' ' ORDER BY pos)
+                 FROM kept WHERE kept.doc_id = t.doc_id), '') AS text_clean,
+       len(w) - COALESCE((SELECT COUNT(*) FROM kept
+                          WHERE kept.doc_id = t.doc_id), 0)
+         AS n_tokens_removed
+FROM t
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
     "bpe_pair_counts": bpe_pair_counts,
     "bpe_merge_rounds": bpe_merge_rounds,
     "bpe_encode_stats": bpe_encode_stats,
     "repeated_ngrams": repeated_ngrams,
     "repeated_ngram_spans": repeated_ngram_spans,
+    "strip_repeated_spans": strip_repeated_spans,
     "doc_repetition_stats": doc_repetition_stats,
     "doc_word_entropy": doc_word_entropy,
     "chunk_dedup": chunk_dedup,
@@ -753,6 +829,7 @@ ORACLES: dict[str, str] = {
     "bpe_pair_counts": _BPE_PAIR_COUNTS_SQL,
     "repeated_ngrams": _REPEATED_NGRAMS_SQL,
     "repeated_ngram_spans": _REPEATED_SPANS_SQL,
+    "strip_repeated_spans": _STRIP_SPANS_SQL,
     "doc_repetition_stats": _DOC_REPETITION_SQL,
     "doc_word_entropy": _DOC_WORD_ENTROPY_SQL,
     "chunk_dedup": _CHUNK_DEDUP_SQL,

@@ -287,3 +287,46 @@ def test_repeated_ngram_spans_bruteforce_and_paths(ray_session, tmp_path):
 
     forced = repeated_ngram_spans(str(tmp_path), small_threshold=0)
     assert list(map(tuple, forced.to_numpy())) == sorted(expected)
+
+
+def test_strip_repeated_spans_removes_planted_run(ray_session, tmp_path):
+    """The rewrite drops exactly the spans the miner reports: the planted
+    shared run disappears from every doc that had it, untouched docs pass
+    through byte-identically, and n_tokens_removed reconciles."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_content_ocr_ray.functions.repetition import (
+        SPAN_K,
+        repeated_ngram_spans,
+        strip_repeated_spans,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(SPAN_K + 2))
+    texts = [
+        f"alpha beta {shared} gamma",
+        f"{shared} tail one two three",
+        "totally unrelated words here with no overlap at all present",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "source": pa.array(["t"] * 3, pa.string()),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    out = strip_repeated_spans(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "text_clean"] == "alpha beta gamma"
+    assert out.loc[1, "text_clean"] == "tail one two three"
+    assert out.loc[2, "text_clean"] == texts[2]
+    assert out.loc[2, "n_tokens_removed"] == 0
+    spans = repeated_ngram_spans(str(tmp_path))
+    per_doc = spans.assign(n=spans["end_tok"] - spans["start_tok"] + 1).groupby(
+        "doc_id"
+    )["n"].sum()
+    for d in (0, 1):
+        assert out.loc[d, "n_tokens_removed"] == per_doc[d]
