@@ -49,6 +49,14 @@ def main(argv: list[str] | None = None) -> int:
         help="one-source-pass skew split: light rows extracted inline, heavy "
         "PDFs exploded via part=pages and recombined to part=heavy",
     )
+    p_ex.add_argument(
+        "--preset",
+        choices=["real", "mock"],
+        default="real",
+        help="engine routing: 'real' (default) runs the real decoders on "
+        "every route (pdf-text/png/jpeg/bmp/gif/tiff); 'mock' keeps the "
+        "reference MockOCREngine byte-parity route for pdf/image",
+    )
     p_ex.add_argument("--num-cpus", type=int, default=None)
 
     p_sy = sub.add_parser("synth", help="synthesize the pages table from an sf dir")
@@ -76,7 +84,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "query":
         import ray
 
-        if not ray.is_initialized():
+        owns_session = not ray.is_initialized()
+        if owns_session:
             ray.init(
                 address="local",
                 num_cpus=args.num_cpus
@@ -106,7 +115,8 @@ def main(argv: list[str] | None = None) -> int:
                 print(df.head(20).to_string())
                 print(json.dumps({"rows": len(df)}))
         finally:
-            ray.shutdown()
+            if owns_session:
+                ray.shutdown()
         return 0
 
     if args.cmd == "engines":
@@ -125,7 +135,8 @@ def main(argv: list[str] | None = None) -> int:
     os.environ.setdefault("PYTHONPATH", os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import ray
 
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         ray.init(
             address="local",
             num_cpus=args.num_cpus or int(os.environ.get("RAY_GRAFT_CPUS") or 0) or None,
@@ -151,10 +162,16 @@ def main(argv: list[str] | None = None) -> int:
         else:
             from .pipelines.extract import run_extraction
 
-            run_extraction(args.pages_dir, args.out_dir, split_failed=args.split_failed)
-            print(json.dumps({"out_dir": args.out_dir}))
+            run_extraction(
+                args.pages_dir,
+                args.out_dir,
+                split_failed=args.split_failed,
+                preset=args.preset,
+            )
+            print(json.dumps({"out_dir": args.out_dir, "preset": args.preset}))
     finally:
-        ray.shutdown()
+        if owns_session:
+            ray.shutdown()  # never tear down a caller-owned session
     return 0
 
 

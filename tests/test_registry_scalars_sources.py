@@ -297,3 +297,32 @@ def test_warclite_pages_source_roundtrip(ray_session, tmp_path):
     out = extraction_pipeline(ds).to_pandas().sort_values("url").reset_index(drop=True)
     assert out.loc[0, "status"] == "completed"
     assert "Hello WARC world of pages" in out.loc[0, "text"]
+
+
+def test_cli_extract_real_preset(ray_session, tmp_path):
+    """CLI e2e on the real-payload corpus with the default real preset:
+    every non-garbage row completes through its real decoder."""
+    import json
+
+    import ray.data as rd
+
+    from simple_content_ocr_ray.__main__ import main
+    from simple_content_ocr_ray.sources.synth_pages import synth_pages_parquet
+
+    pages = synth_pages_parquet(
+        "/root/testdata/sf0.001", out_root=str(tmp_path / "pages"),
+        real_payloads=True,
+    )
+    out = str(tmp_path / "out")
+    assert main(["extract", pages, out]) == 0
+    back = rd.read_parquet(out).to_pandas()
+    assert len(back) == 500
+    counts = back.groupby("status").size().to_dict()
+    assert counts == {"completed": 475, "failed": 25}
+    engines = (
+        back[back["status"] == "completed"]["metadata"]
+        .apply(lambda m: m["engine"]).value_counts().to_dict()
+    )
+    assert engines == {
+        "html-main-content": 400, "pdf-text": 50, "png-decode": 25,
+    }
