@@ -479,6 +479,11 @@ class _BitWriter:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)  # pad with 1s per spec
 
+    def restart_marker(self, n: int) -> None:
+        """Byte-align and emit RSTn (markers are never byte-stuffed)."""
+        self.flush()
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
 
 def _size_of(v: int) -> int:
     return int(v).bit_length() if v else 0
@@ -537,11 +542,15 @@ def _rgb_to_ycbcr(px: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return y, cb, cr
 
 
-def make_jpeg(pixels: np.ndarray, subsample: int = 1) -> bytes:
+def make_jpeg(
+    pixels: np.ndarray, subsample: int = 1, restart_interval: int = 0
+) -> bytes:
     """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a valid
     baseline JFIF JPEG (Annex K tables). ``subsample=2`` emits 4:2:0 chroma
-    (box-mean downsampled); 1 emits 4:4:4. Used by tests and the
-    ``jpeg_real_meta`` fixture."""
+    (box-mean downsampled); 1 emits 4:4:4. ``restart_interval=N`` emits a
+    DRI segment and RSTn markers every N MCUs (byte-aligned, DC predictors
+    reset) — the error-resilience layout cameras produce. Used by tests and
+    the ``jpeg_real_meta`` fixture."""
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
     out = bytearray(b"\xff\xd8")  # SOI
@@ -578,6 +587,9 @@ def make_jpeg(pixels: np.ndarray, subsample: int = 1) -> bytes:
         out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
         out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
 
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
     # SOS
     if gray:
         sos = bytes([1, 1, 0x00, 0, 63, 0])
@@ -590,7 +602,14 @@ def make_jpeg(pixels: np.ndarray, subsample: int = 1) -> bytes:
     bw = _BitWriter()
     if gray:
         zz = _encode_plane_blocks(pixels.astype(np.float64), QUANT_LUMA)
-        _encode_blocks(bw, zz, dc_l, ac_l, 0)
+        pred = 0
+        rst = 0
+        for m in range(len(zz)):  # one block per MCU in grayscale
+            if restart_interval and m and m % restart_interval == 0:
+                bw.restart_marker(rst)
+                rst += 1
+                pred = 0
+            pred = _encode_blocks(bw, zz[m : m + 1], dc_l, ac_l, pred)
     else:
         dc_c = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
         ac_c = _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
@@ -622,7 +641,12 @@ def make_jpeg(pixels: np.ndarray, subsample: int = 1) -> bytes:
         zz_cb, bw_c = plane_blocks(cb, QUANT_CHROMA, mcux, mcuy)
         zz_cr, _ = plane_blocks(cr, QUANT_CHROMA, mcux, mcuy)
         preds = [0, 0, 0]
+        rst = 0
         for m in range(mcux * mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                bw.restart_marker(rst)
+                rst += 1
+                preds = [0, 0, 0]
             my, mx = divmod(m, mcux)
             for by in range(hy):
                 for bx in range(wy):

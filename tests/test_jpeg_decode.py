@@ -161,3 +161,26 @@ def test_failed_row_not_failed_task_in_extract_stage():
     out = ExtractStage(route=REAL_ROUTE)(batch)
     assert out["status"].to_pylist() == ["completed", "failed"]
     assert "SOF2" in out["error"].to_pylist()[1]
+
+
+@pytest.mark.parametrize("interval", [2, 4])
+def test_restart_markers_roundtrip(interval):
+    """DRI/RSTn streams (the camera-output layout) decode identically to the
+    marker-free encoding — byte alignment, DC predictor reset, and RSTn
+    index wrap (>8 restarts) all exercised."""
+    rng = np.random.RandomState(9)
+    gray = rng.randint(0, 256, (24, 80), np.uint8)  # 30 MCUs
+    assert np.array_equal(
+        decode_jpeg(make_jpeg(gray, restart_interval=interval)),
+        decode_jpeg(make_jpeg(gray)),
+    )
+    rgb = rng.randint(0, 256, (34, 50, 3), np.uint8)
+    assert np.array_equal(
+        decode_jpeg(make_jpeg(rgb, subsample=2, restart_interval=interval)),
+        decode_jpeg(make_jpeg(rgb, subsample=2)),
+    )
+    wide = rng.randint(0, 256, (8, 800), np.uint8)  # 100 MCUs → RSTn wraps
+    assert np.array_equal(
+        decode_jpeg(make_jpeg(wide, restart_interval=interval)),
+        decode_jpeg(make_jpeg(wide)),
+    )
