@@ -760,30 +760,42 @@ def strip_repeated_spans(sf_dir: str, k: int = SPAN_K) -> rd.Dataset:
         )
     ref = ray.put(by_doc)
 
-    def rewrite(df: pd.DataFrame) -> pd.DataFrame:
-        table = ray.get(ref)
-        out_text, removed = [], []
-        for d, text in zip(df["doc_id"], df["text"]):
-            cuts = table.get(int(d))
-            if not cuts:
-                out_text.append(text)
-                removed.append(0)
-                continue
-            words = text.split(" ")
-            drop = np.zeros(len(words), dtype=bool)
-            for a, b in cuts:  # 1-based inclusive token positions
-                drop[a - 1 : b] = True
-            out_text.append(" ".join(w for w, x in zip(words, drop) if not x))
-            removed.append(int(drop.sum()))
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"].astype("int64"),
-                "text_clean": out_text,
-                "n_tokens_removed": pd.Series(removed, dtype="int64"),
-            }
-        )
+    class Rewrite:
+        """Actor-pool stage: the span dict is fetched (and unpickled) ONCE
+        per actor in __init__ — dicts are not zero-copy from the object
+        store, so a per-batch ray.get would re-deserialize the whole strip
+        list every batch."""
 
-    return _read_docs(sf_dir).map_batches(rewrite, batch_format="pandas")
+        def __init__(self) -> None:
+            self.table = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            out_text, removed = [], []
+            for d, text in zip(df["doc_id"], df["text"]):
+                cuts = self.table.get(int(d))
+                if not cuts:
+                    out_text.append(text)
+                    removed.append(0)
+                    continue
+                words = text.split(" ")
+                drop = np.zeros(len(words), dtype=bool)
+                for a, b in cuts:  # 1-based inclusive token positions
+                    drop[a - 1 : b] = True
+                out_text.append(
+                    " ".join(w for w, x in zip(words, drop) if not x)
+                )
+                removed.append(int(drop.sum()))
+            return pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].astype("int64"),
+                    "text_clean": out_text,
+                    "n_tokens_removed": pd.Series(removed, dtype="int64"),
+                }
+            )
+
+    return _read_docs(sf_dir).map_batches(
+        Rewrite, batch_format="pandas", concurrency=(1, 8)
+    )
 
 
 _STRIP_SPANS_SQL = f"""

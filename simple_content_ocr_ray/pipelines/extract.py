@@ -63,13 +63,17 @@ def extraction_pipeline(
     columns like ``text``/``lang``/``warc_ts`` are projected away first so
     they never cross the object store.
     """
-    if route is None and preset is not None:
-        from ..stages.extract import REAL_ROUTE
-
-        if preset == "real":
-            route = REAL_ROUTE
-        elif preset != "mock":
+    if preset is not None:
+        if preset not in ("real", "mock"):
             raise ValueError(f"unknown preset {preset!r} (use 'real' or 'mock')")
+        if route is not None:
+            raise ValueError(
+                "pass either route= or preset=, not both (a preset IS a route)"
+            )
+        if preset == "real":
+            from ..stages.extract import REAL_ROUTE
+
+            route = REAL_ROUTE
     payload_col = "html"
     schema = pages.schema(fetch_if_missing=False)  # never force upstream exec
     if schema is not None:

@@ -222,12 +222,12 @@ class _BitReader:
         return v
 
     def restart(self) -> None:
-        """Align to byte, consume the RSTn marker, reset bit state."""
+        """Align to byte, consume exactly one RSTn marker, reset bit state
+        (pad bits before the marker were discarded by the state reset)."""
         self.bitbuf = 0
         self.nbits = 0
         d = self.data
-        # skip any pad bits already discarded by reset; marker must follow
-        while d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+        if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
             self.pos += 2
             return
         raise UnsupportedJpegError("expected restart marker")
@@ -326,6 +326,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_map[cs] = (tt >> 4, tt & 0x0F)
+            if set(scan_map) != {c["id"] for c in frame["comps"]}:
+                # spec-legal but rare: baseline files with non-interleaved
+                # scans (Ns < Nf, multiple SOS) — the documented seam, not
+                # a KeyError deep in the MCU walk
+                raise UnsupportedJpegError(
+                    "non-interleaved multi-scan baseline unsupported"
+                )
             data_pos = pos + seglen
             return _decode_scan(
                 payload, data_pos, frame, scan_map, quant, huff_dc, huff_ac,
