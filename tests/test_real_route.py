@@ -127,3 +127,32 @@ def test_jpeg_route_in_real_preset(ray_session):
     assert out["status"][0] == "completed"
     assert out["content_type"][0] == "jpeg"
     assert out["text"][0] == "[image 12x6 ch=1 brightness=200.0]"
+
+
+@pytest.mark.parametrize("nblocks,batch_size", [(1, None), (7, 16), (16, 8)])
+def test_real_route_deterministic_across_parallelism(
+    ray_session, nblocks, batch_size
+):
+    """The real-decoder route produces IDENTICAL rows at every block /
+    batch partitioning — the byte-identical-per-url invariant must not
+    depend on the physical plan."""
+    docs = _docs_table(40)
+    pages = pages_table_from_documents(docs, real_payloads=True)
+    ds = rd.from_arrow(pages).repartition(nblocks)
+    out = (
+        extraction_pipeline(
+            ds, preset="real", batch_size=batch_size, concurrency=(1, 2)
+        )
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    global _REAL_DET_BASELINE
+    if "_REAL_DET_BASELINE" not in globals():
+        _REAL_DET_BASELINE = out[["url", "status", "text", "page_count"]]
+    else:
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(
+            out[["url", "status", "text", "page_count"]], _REAL_DET_BASELINE
+        )
