@@ -151,7 +151,8 @@ def main(argv: list[str] | None = None) -> int:
             from .state.manifest import run_partitioned_extraction
 
             summary = run_partitioned_extraction(
-                args.pages_dir, args.out_dir, force=args.force
+                args.pages_dir, args.out_dir, force=args.force,
+                preset=args.preset,
             )
             print(json.dumps(summary))
         elif args.split_skew:
