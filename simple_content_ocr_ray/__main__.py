@@ -57,6 +57,13 @@ def main(argv: list[str] | None = None) -> int:
         "every route (pdf-text/png/jpeg/bmp/gif/tiff); 'mock' keeps the "
         "reference MockOCREngine byte-parity route for pdf/image",
     )
+    p_ex.add_argument(
+        "--dedup-urls",
+        action="store_true",
+        help="with --resume: claim urls through the sharded streaming dedup "
+        "index so recrawled urls are extracted once across all partitions "
+        "(index checkpointed per partition, restored on resume)",
+    )
     p_ex.add_argument("--num-cpus", type=int, default=None)
 
     p_sy = sub.add_parser("synth", help="synthesize the pages table from an sf dir")
@@ -152,7 +159,7 @@ def main(argv: list[str] | None = None) -> int:
 
             summary = run_partitioned_extraction(
                 args.pages_dir, args.out_dir, force=args.force,
-                preset=args.preset,
+                preset=args.preset, dedup_urls=args.dedup_urls,
             )
             print(json.dumps(summary))
         elif args.split_skew:

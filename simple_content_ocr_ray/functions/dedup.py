@@ -979,10 +979,22 @@ def minhash_lsh_pairs(sf_dir: str) -> pd.DataFrame:
 
 
 #: per-process memo of the mined+verified near-dup pair table, keyed by
-#: corpus dir. The pair table IS the dedup output (driver-bounded by
-#: definition), so holding a few of them is bounded reuse, not a corpus pin.
-_NEAR_PAIRS_CACHE: dict[str, pd.DataFrame] = {}
+#: (corpus dir, documents.parquet mtime+size) so a regenerated corpus under
+#: the same path invalidates the entry (ADVICE r3). The pair table IS the
+#: dedup output (driver-bounded by definition), so holding a few of them is
+#: bounded reuse, not a corpus pin.
+_NEAR_PAIRS_CACHE: dict[tuple, pd.DataFrame] = {}
 _NEAR_PAIRS_CACHE_MAX = 4
+
+
+def _near_pairs_cache_key(sf_dir: str) -> tuple:
+    base = os.path.abspath(os.path.normpath(sf_dir))
+    doc = os.path.join(base, "documents.parquet")
+    try:
+        st = os.stat(doc)
+        return (base, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (base, None, None)
 
 
 def near_dup_pairs(sf_dir: str) -> pd.DataFrame:
@@ -992,7 +1004,7 @@ def near_dup_pairs(sf_dir: str) -> pd.DataFrame:
     feeds every downstream consumer, halving their combined wall time. In a
     real pipeline this is the persisted pair table a dedup stage writes
     once; the memo is the in-process equivalent."""
-    key = os.path.abspath(os.path.normpath(sf_dir))
+    key = _near_pairs_cache_key(sf_dir)
     got = _NEAR_PAIRS_CACHE.get(key)
     if got is None:
         if len(_NEAR_PAIRS_CACHE) >= _NEAR_PAIRS_CACHE_MAX:

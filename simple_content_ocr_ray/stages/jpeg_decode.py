@@ -195,8 +195,12 @@ class _BitReader:
 
     def _fill(self) -> None:
         d = self.data
+        if self.pos >= len(d):
+            raise UnsupportedJpegError("truncated entropy data")
         b = d[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(d):
+                raise UnsupportedJpegError("truncated entropy data")
             nxt = d[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -227,6 +231,8 @@ class _BitReader:
         self.bitbuf = 0
         self.nbits = 0
         d = self.data
+        if self.pos + 1 >= len(d):
+            raise UnsupportedJpegError("truncated entropy data")
         if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
             self.pos += 2
             return

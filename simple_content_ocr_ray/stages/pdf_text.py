@@ -37,7 +37,9 @@ from .engines import EngineResult
 _OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.S)
 _PAGE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+_STREAM_START_RE = re.compile(rb"stream(?:\r\n|\n|\r)")
+#: direct /Length only — an indirect "/Length 5 0 R" falls back to delimiting
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 _FILTER_RE = re.compile(rb"/Filter\b")
 _FLATE_ONLY_RE = re.compile(
     rb"/Filter\s*(?:/FlateDecode\b|\[\s*/FlateDecode\s*\])"
@@ -106,6 +108,59 @@ def _unhex(raw: bytes) -> bytes:
     return bytes.fromhex(h.decode("ascii"))
 
 
+def _stream_data(cobj: bytes) -> tuple[bytes, bool] | None:
+    """Raw bytes of a content stream and whether they are length-exact.
+
+    Streams are delimited by the /Length value when it is a direct integer
+    (the spec-correct way — delimiter scanning can never eat payload bytes).
+    Without a usable /Length the stream is delimited by ``endstream`` with
+    ONE trailing EOL stripped; that heuristic can eat a final 0x0D of binary
+    data (data ending in ``\\r`` + writer's ``\\n`` looks like a CRLF
+    delimiter), so callers get ``exact=False`` and may retry decompression
+    with the candidate byte re-appended.
+    """
+    sm = _STREAM_START_RE.search(cobj)
+    if not sm:
+        return None
+    start = sm.end()
+    lm = _LENGTH_RE.search(cobj[: sm.start()])
+    if lm:
+        n = int(lm.group(1))
+        data = cobj[start : start + n]
+        # trust /Length only if endstream IMMEDIATELY follows (spec: EOL +
+        # endstream) — a stale /Length (stream edited after writing) falls
+        # back to delimiting instead of mis-slicing
+        tail = cobj[start + n : start + n + 16]
+        if len(data) == n and re.match(rb"[\r\n \t]*endstream", tail):
+            return data, True
+    end = cobj.find(b"endstream", start)
+    if end == -1:
+        return None
+    data = cobj[start:end]
+    if data.endswith(b"\r\n"):
+        data = data[:-2]
+    elif data.endswith((b"\n", b"\r")):
+        data = data[:-1]
+    return data, False
+
+
+def _inflate(data: bytes, exact: bool) -> bytes:
+    """zlib-decompress; on delimiter-based (inexact) extraction, retry with
+    the EOL bytes the delimiter may have swallowed re-appended."""
+    import zlib
+
+    try:
+        return zlib.decompress(data)
+    except zlib.error as exc:
+        if not exact:
+            for tail in (b"\r", b"\n", b"\r\n"):
+                try:
+                    return zlib.decompress(data + tail)
+                except zlib.error:
+                    continue
+        raise UnsupportedPdfError(f"corrupt Flate stream: {exc}") from exc
+
+
 def _stream_text(stream: bytes) -> str:
     """Text of one content stream: concatenate shown strings; Td/TD/T*
     becomes a newline (unless at start)."""
@@ -154,18 +209,13 @@ def extract_pdf_text(payload: bytes) -> list[str]:
                     "non-Flate content filter (DCT/LZW/ASCII85…) — needs a "
                     "codec behind this seam"
                 )
-        sm = _STREAM_RE.search(cobj)
-        if not sm:
+        sd = _stream_data(cobj)
+        if sd is None:
             pages.append("")
             continue
-        data = sm.group(1)
+        data, exact = sd
         if flate:
-            import zlib
-
-            try:
-                data = zlib.decompress(data)
-            except zlib.error as exc:
-                raise UnsupportedPdfError(f"corrupt Flate stream: {exc}") from exc
+            data = _inflate(data, exact)
         pages.append(_stream_text(data))
     if not pages:
         raise UnsupportedPdfError("no /Type /Page objects found")

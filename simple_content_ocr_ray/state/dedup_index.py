@@ -84,8 +84,9 @@ class StreamingDeduper:
             hashlib.md5(text.encode("utf-8")).digest()[8:16], "little"
         ) % (1 << 62)
 
-    def dedup(self, ds: rd.Dataset) -> rd.Dataset:
-        """Returns the partition's surviving rows, MATERIALIZED: claim() has
+    def dedup(self, ds: rd.Dataset, column: str = "text") -> rd.Dataset:
+        """Returns the partition's surviving rows (first claimer of each
+        distinct ``column`` value wins), MATERIALIZED: claim() has
         side effects, so the plan must run exactly once — a lazy return
         would re-claim (and emit zero rows) on every re-execution, and a
         task retry would silently drop its batch's survivors. Materializing
@@ -95,7 +96,7 @@ class StreamingDeduper:
 
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             keys = np.fromiter(
-                (StreamingDeduper.key_of(t) for t in df["text"].astype(str)),
+                (StreamingDeduper.key_of(t) for t in df[column].astype(str)),
                 dtype=np.int64,
                 count=len(df),
             )

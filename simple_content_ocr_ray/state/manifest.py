@@ -53,7 +53,9 @@ def finished_partitions(out_dir: str) -> set[str]:
     if not os.path.isdir(mdir):
         return set()
     return {
-        os.path.splitext(f)[0] for f in os.listdir(mdir) if f.endswith(".json")
+        os.path.splitext(f)[0]
+        for f in os.listdir(mdir)
+        if f.endswith(".json") and not f.startswith("_")  # _run.json = config
     }
 
 
@@ -62,10 +64,35 @@ def read_manifest(out_dir: str) -> list[dict[str, Any]]:
     rows = []
     if os.path.isdir(mdir):
         for f in sorted(os.listdir(mdir)):
-            if f.endswith(".json"):
+            if f.endswith(".json") and not f.startswith("_"):
                 with open(os.path.join(mdir, f)) as fh:
                     rows.append(json.load(fh))
     return rows
+
+
+def _check_run_config(out_dir: str, cfg: dict[str, Any], force: bool) -> None:
+    """Persist the run-level config (engine preset, dedup mode) in the
+    manifest on first run; refuse a RESUME whose config differs — otherwise
+    a run started under ``preset=mock`` resumed under ``preset=real``
+    silently yields mixed mock/real output across partitions of one out_dir
+    (ADVICE r3). ``force=True`` reprocesses everything, so it may also
+    rewrite the config."""
+    path = os.path.join(out_dir, "_manifest", "_run.json")
+    if os.path.exists(path) and not force:
+        with open(path) as fh:
+            prev = json.load(fh)
+        if prev != cfg:
+            raise ValueError(
+                f"resume config mismatch for {out_dir}: this run was started "
+                f"with {prev}, resume requested {cfg}; rerun with the "
+                "original settings or pass force=True (--force) to "
+                "reprocess every partition"
+            )
+        return
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(cfg, fh)
+    os.replace(tmp, path)
 
 
 def run_partitioned_extraction(
@@ -73,6 +100,7 @@ def run_partitioned_extraction(
     out_dir: str,
     pipeline_fn=None,
     force: bool = False,
+    dedup_urls: bool = False,
     **pipeline_kwargs: Any,
 ) -> dict[str, Any]:
     """Process every unfinished input partition; returns a summary.
@@ -80,16 +108,35 @@ def run_partitioned_extraction(
     ``pipeline_fn(dataset, **kwargs) -> dataset`` defaults to the standard
     extraction pipeline. Idempotent: re-running after a kill skips finished
     partitions (identified via the manifest) and rewrites partials atomically.
+    The run-level config (preset, dedup mode) is persisted in the manifest;
+    resuming with a different config raises unless ``force=True``.
 
     ``force=True`` is the job-level ``force`` hint (reference job-processing
     spec.md:187-190): existing derived output is ignored and every partition
     is reprocessed/republished. (Resume granularity here is the partition,
     so force is a run-level switch, not per-row.)
+
+    ``dedup_urls=True`` claims every url through the sharded
+    ``StreamingDeduper`` index BEFORE extraction, so a url appearing in
+    several input partitions (recrawls) is extracted exactly once across the
+    whole run — including across a kill/resume: the index is checkpointed
+    after each published partition and restored on resume, and claims from
+    an unpublished (reprocessed) partition are re-claimed fresh because the
+    snapshot trails the publish. Per-partition survivor materialization is
+    bounded by the partition, not the corpus.
     """
     from ..pipelines.extract import extraction_pipeline
 
     pipeline_fn = pipeline_fn or extraction_pipeline
     os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
+    _check_run_config(
+        out_dir,
+        {
+            "preset": pipeline_kwargs.get("preset") or "mock",
+            "dedup_urls": bool(dedup_urls),
+        },
+        force,
+    )
 
     # sweep temp files/dirs from killed runs. Temp names start with '_' so
     # parquet readers ignore them even if a crash leaves one behind mid-write.
@@ -97,12 +144,22 @@ def run_partitioned_extraction(
 
     for d in (out_dir, os.path.join(out_dir, "_manifest")):
         for f in os.listdir(d):
-            if ".tmp." in f:
+            if ".tmp" in f:
                 p = os.path.join(d, f)
                 try:
                     shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
                 except OSError:
                     pass
+
+    deduper = None
+    snap_dir = os.path.join(out_dir, "_manifest", "_dedup_index")
+    if dedup_urls:
+        from .dedup_index import StreamingDeduper
+
+        if os.path.isdir(snap_dir) and not force:
+            deduper = StreamingDeduper.restore(snap_dir)
+        else:
+            deduper = StreamingDeduper()
 
     done = set() if force else finished_partitions(out_dir)
     todo = [
@@ -113,7 +170,10 @@ def run_partitioned_extraction(
     for path in todo:
         name = _partition_name(path)
         t0 = time.time()
-        ds = pipeline_fn(rd.read_parquet(path), **pipeline_kwargs)
+        src = rd.read_parquet(path)
+        if deduper is not None:
+            src = deduper.dedup(src, column="url")
+        ds = pipeline_fn(src, **pipeline_kwargs)
         import glob
 
         import pyarrow.compute as pc
@@ -125,25 +185,41 @@ def run_partitioned_extraction(
         ds.write_parquet(tmp_path)
         files = sorted(glob.glob(os.path.join(tmp_path, "*.parquet")))
         n_rows = n_failed = 0
-        out_bytes = 0
-        for f in files:
-            meta = pq.read_metadata(f)  # footer only
-            n_rows += meta.num_rows
-            out_bytes += os.path.getsize(f)
-            if any(
-                meta.schema.column(i).name == "status"
-                for i in range(meta.num_columns)
-            ):
-                status = pq.read_table(f, columns=["status"])["status"]
-                n_failed += pc.sum(
-                    pc.cast(pc.equal(status, "failed"), "int64")
-                ).as_py() or 0
+        def footer_counts(fpaths):
+            rows = failed = nbytes = 0
+            for f in fpaths:
+                meta = pq.read_metadata(f)  # footer only
+                rows += meta.num_rows
+                nbytes += os.path.getsize(f)
+                if any(
+                    meta.schema.column(i).name == "status"
+                    for i in range(meta.num_columns)
+                ):
+                    status = pq.read_table(f, columns=["status"])["status"]
+                    failed += pc.sum(
+                        pc.cast(pc.equal(status, "failed"), "int64")
+                    ).as_py() or 0
+            return rows, failed, nbytes
+
+        n_rows, n_failed, out_bytes = footer_counts(files)
         if n_rows:
             if os.path.isdir(out_path):  # crash between rename and manifest row
                 shutil.rmtree(out_path)
             os.replace(tmp_path, out_path)  # atomic publish (directory rename)
         else:
             shutil.rmtree(tmp_path, ignore_errors=True)
+            if deduper is not None and os.path.isdir(out_path):
+                # resume after a kill between checkpoint and manifest row:
+                # the rerun survives 0 urls (already claimed) but the prior
+                # publish is intact — count the manifest row from it.
+                n_rows, n_failed, out_bytes = footer_counts(
+                    sorted(glob.glob(os.path.join(out_path, "*.parquet")))
+                )
+        if deduper is not None:
+            # snapshot AFTER publish, BEFORE the manifest row: a kill between
+            # the two makes resume reprocess this partition against the prior
+            # snapshot — its urls are re-claimed fresh, never dropped.
+            deduper.checkpoint(snap_dir)
         elapsed = time.time() - t0
         manifest_row = {
             "partition": name,

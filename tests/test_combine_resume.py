@@ -171,3 +171,91 @@ def test_resume_recovers_unpublished_partition(pages_dir, tmp_path):
     s = run_partitioned_extraction(pages_dir, out_dir, concurrency=2)
     assert s["processed"] == 1
     assert rd.read_parquet(out_dir).count() == rd.read_parquet(pages_dir).count()
+
+
+def test_resume_preset_mismatch_raises(pages_dir, tmp_path):
+    """The manifest records the preset; resuming under a different preset
+    must fail instead of silently mixing mock/real partitions (ADVICE r3)."""
+    import pytest
+
+    out_dir = str(tmp_path / "out_preset")
+    run_partitioned_extraction(pages_dir, out_dir, concurrency=2, preset="mock")
+    with pytest.raises(ValueError, match="config mismatch"):
+        run_partitioned_extraction(pages_dir, out_dir, concurrency=2, preset="real")
+    # force reprocesses everything and may change the recorded config
+    s = run_partitioned_extraction(
+        pages_dir, out_dir, concurrency=2, preset="real", force=True
+    )
+    assert s["processed"] > 0
+    # subsequent resume under the new preset is clean
+    s2 = run_partitioned_extraction(pages_dir, out_dir, concurrency=2, preset="real")
+    assert s2["processed"] == 0
+
+
+def _two_partition_pages(tmp_path) -> str:
+    """Two input partitions sharing urls B and C (recrawl overlap)."""
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "pages_dup"
+    d.mkdir()
+    mk = lambda urls: pa.table(  # noqa: E731
+        {
+            "url": pa.array([f"https://ex.com/{u}" for u in urls], pa.string()),
+            "html": pa.array(
+                [f"<html><body><p>doc {u} body text</p></body></html>".encode()
+                 for u in urls],
+                pa.binary(),
+            ),
+        }
+    )
+    pq.write_table(mk(["a", "b", "c"]), str(d / "p1.parquet"))
+    pq.write_table(mk(["b", "c", "d"]), str(d / "p2.parquet"))
+    return str(d)
+
+
+def test_dedup_urls_across_partitions(pages_dir, tmp_path):
+    """dedup_urls=True: a url present in several input partitions is
+    extracted exactly once across the whole run."""
+    src = _two_partition_pages(tmp_path)
+    out_dir = str(tmp_path / "out_dd")
+    s = run_partitioned_extraction(src, out_dir, concurrency=2, dedup_urls=True)
+    assert s["processed"] == 2
+    urls = [r["url"] for r in rd.read_parquet(out_dir).take_all()]
+    assert sorted(urls) == sorted(
+        f"https://ex.com/{u}" for u in ["a", "b", "c", "d"]
+    )
+
+
+def test_dedup_urls_survives_kill_and_resume(tmp_path):
+    """Kill the run after partition 1 commits; the resumed run restores the
+    checkpointed index, so partition 2 still drops the urls partition 1
+    already claimed — each url extracted exactly once across kill+resume."""
+    import pytest
+
+    from simple_content_ocr_ray.pipelines.extract import extraction_pipeline
+
+    src = _two_partition_pages(tmp_path)
+    out_dir = str(tmp_path / "out_ddk")
+    calls = {"n": 0}
+
+    def dying_pipeline(ds, **kw):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("simulated kill before partition 2")
+        return extraction_pipeline(ds, **kw)
+
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        run_partitioned_extraction(
+            src, out_dir, pipeline_fn=dying_pipeline, dedup_urls=True
+        )
+    assert len(finished_partitions(out_dir)) == 1
+
+    # resume with the standard pipeline (config unchanged → no mismatch)
+    s = run_partitioned_extraction(src, out_dir, dedup_urls=True)
+    assert s["skipped"] == 1 and s["processed"] == 1
+    urls = [r["url"] for r in rd.read_parquet(out_dir).take_all()]
+    assert sorted(urls) == sorted(
+        f"https://ex.com/{u}" for u in ["a", "b", "c", "d"]
+    )
+    manifest = read_manifest(out_dir)
+    assert sum(m["rows"] for m in manifest) == 4

@@ -184,3 +184,26 @@ def test_restart_markers_roundtrip(interval):
         decode_jpeg(make_jpeg(wide, restart_interval=interval)),
         decode_jpeg(make_jpeg(wide)),
     )
+
+
+def test_truncated_mid_scan_raises_unsupported():
+    """Truncating the entropy data mid-scan must raise UnsupportedJpegError
+    (the module contract), not a raw IndexError (ADVICE r3)."""
+    import numpy as np
+    import pytest
+
+    from simple_content_ocr_ray.stages.jpeg_decode import (
+        UnsupportedJpegError,
+        decode_jpeg,
+        make_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    data = make_jpeg(img)
+    # cut at several depths inside the scan (past all headers)
+    sos = data.find(b"\xff\xda")
+    assert sos > 0
+    for cut in (sos + 20, sos + 40, len(data) - 3):
+        with pytest.raises(UnsupportedJpegError):
+            decode_jpeg(data[:cut])

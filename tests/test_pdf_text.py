@@ -168,3 +168,57 @@ def test_hex_string_show_text():
         + content + b"\nendstream endobj\n%%EOF\n"
     )
     assert extract_pdf_text(pdf) == ["Hello\na b cd"]
+
+
+def _pdf_with_flate_stream(content: bytes, with_length: bool) -> bytes:
+    import zlib
+
+    comp = zlib.compress(content)
+    length = b"/Length " + str(len(comp)).encode() + b" " if with_length else b""
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Count 1 /Kids [3 0 R] >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << " + length + b"/Filter /FlateDecode >> stream\n"
+        + comp + b"\nendstream endobj\n%%EOF\n"
+    )
+
+
+def test_flate_stream_ending_in_cr_with_length():
+    """A compressed stream whose last byte is 0x0D must survive: /Length
+    delimits exactly, no byte is eaten (ADVICE r3: _STREAM_RE ate it)."""
+    import zlib
+
+    from simple_content_ocr_ray.stages.pdf_text import extract_pdf_text
+
+    content = b"BT /F1 12 Tf 72 720 Td (line 18) Tj ET"
+    assert zlib.compress(content).endswith(b"\r")  # the hazardous shape
+    assert extract_pdf_text(_pdf_with_flate_stream(content, True)) == ["line 18"]
+
+
+def test_flate_stream_ending_in_cr_without_length():
+    """Without /Length the delimiter heuristic may strip the final 0x0D as
+    part of a CRLF; the zlib retry re-appends it instead of failing."""
+    from simple_content_ocr_ray.stages.pdf_text import extract_pdf_text
+
+    content = b"BT /F1 12 Tf 72 720 Td (line 18) Tj ET"
+    assert extract_pdf_text(_pdf_with_flate_stream(content, False)) == ["line 18"]
+
+
+def test_indirect_length_falls_back_to_delimiting():
+    """/Length N 0 R (indirect) is not resolved — the delimiter fallback
+    must still extract the stream rather than mis-slicing by the ref num."""
+    from simple_content_ocr_ray.stages.pdf_text import extract_pdf_text
+
+    content = b"BT (indirect ok) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Count 1 /Kids [3 0 R] >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length 5 0 R >> stream\n" + content
+        + b"\nendstream endobj\n"
+        b"5 0 obj " + str(len(content)).encode() + b" endobj\n%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == ["indirect ok"]
