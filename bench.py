@@ -1,8 +1,14 @@
 #!/usr/bin/env python
-"""Benchmark harness. Prints ONE JSON line:
+"""Benchmark harness. Prints the full result as one JSON line:
 
   {"metric": "...", "value": <headline sec>, "unit": "sec",
    "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+followed by a SHORT headline-only JSON line (same fields minus "queries").
+The short line is printed LAST so a recorder that keeps only a tail window
+of stdout (or parses the last line) always gets the headline + calibration
+intact — round 3's artifact lost them when 70 per-query timings pushed the
+head of the single giant line out of the capture window.
 
 Headline = the flagship extraction pipeline (read parquet pages → sniff →
 extractor actor pool → write parquet) over a large pages corpus synthesized
@@ -425,8 +431,15 @@ def run_scaling() -> dict:
     }
 
 
+def _emit(result: dict) -> None:
+    """Full line first; short headline-only line LAST (tail-capture-safe)."""
+    print(json.dumps(result))
+    if result.get("queries"):
+        print(json.dumps({k: v for k, v in result.items() if k != "queries"}))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        _emit(run_scaling())
     else:
-        print(json.dumps(run_headline()))
+        _emit(run_headline())

@@ -31,6 +31,31 @@ from ray.data.aggregate import Max, Min, Sum
 _PARTIAL_KIND = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
 
+def map_sorted_runs(
+    ds: rd.Dataset,
+    key: str,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    batch_format: str = "pandas",
+) -> rd.Dataset:
+    """Keyed shuffle + ONE vectorized UDF call per BLOCK (not per group).
+
+    ``groupby(key).map_groups(fn)`` costs ~ms of pandas slicing and UDF
+    dispatch per group — ruinous when groups are millions of near-singletons
+    (ms × 10^8 groups = hours at 100 TB). This helper gets the same
+    co-location guarantee from the range-partitioned ``sort(key)`` that
+    ``map_groups`` itself builds on — range partitioning assigns partitions
+    by VALUE, so equal keys never span a sorted output block (verified under
+    a forced-tiny ``target_max_block_size`` in tests/test_sorted_runs.py) —
+    but hands each WHOLE sorted block to ``fn`` in one call. ``fn`` must
+    therefore handle any number of complete key runs per batch, vectorized
+    (rows of one key value are contiguous; runs arrive in key order). Python
+    dispatch cost becomes one call per block, independent of group count.
+    """
+    return ds.sort(key).map_batches(
+        fn, batch_size=None, batch_format=batch_format
+    )
+
+
 def _partial_agg_fn(
     keys: list[str],
     aggs: dict[str, tuple[Optional[str], str]],

@@ -45,7 +45,7 @@ import pandas as pd
 import ray
 import ray.data as rd
 
-from .agg import broadcast_semi_filter, grouped_aggregate
+from .agg import broadcast_semi_filter, grouped_aggregate, map_sorted_runs
 
 MERSENNE_P = (1 << 61) - 1
 NUM_PERMS = 128
@@ -378,22 +378,15 @@ _EMPTY_PAIRS = lambda: pd.DataFrame(  # noqa: E731
 PairFilter = Callable[[pd.DataFrame, np.ndarray, np.ndarray], np.ndarray]
 
 
-def _pairs_from_df(
-    df: pd.DataFrame, key: str, pair_filter: Optional[PairFilter]
-) -> pd.DataFrame:
-    """All (doc_a < doc_b) pairs co-bucketed by ``key``, ragged-triu
-    vectorized: one lexsort, group sizes via bincount, then a closed-form
-    rank→(i, j) unranking — no per-group pandas objects (a python loop over
-    ~10^5 near-singleton buckets costs tens of seconds; this is ~100 ms)."""
-    # singleton buckets (the vast majority) can't form pairs — drop them first
-    df = df.drop_duplicates([key, "doc_id"])
-    df = df[df.duplicated(key, keep=False)]
-    if df.empty:
-        return _EMPTY_PAIRS()
-    order = np.lexsort((df["doc_id"].to_numpy(), df[key].to_numpy()))
-    df = df.iloc[order].reset_index(drop=True)
-    b = df[key].to_numpy()
-    d = df["doc_id"].to_numpy()
+def _grouped_triu(b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Global (i < j) index pairs within each contiguous run of equal values
+    of sorted array ``b`` — ragged-triu, fully vectorized: run sizes via
+    bincount, then a closed-form rank→(i, j) unranking. No per-group python
+    objects (a loop over ~10^5 near-singleton runs costs tens of seconds;
+    this is ~100 ms)."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    if not len(b):
+        return empty
     newgrp = np.r_[True, b[1:] != b[:-1]]
     gid = np.cumsum(newgrp) - 1
     counts = np.bincount(gid)
@@ -401,7 +394,7 @@ def _pairs_from_df(
     P = counts * (counts - 1) // 2
     total = int(P.sum())
     if total == 0:
-        return _EMPTY_PAIRS()
+        return empty
     nz = P > 0
     Pg, Sg = P[nz], starts[nz]
     gix = np.repeat(np.arange(len(Pg)), Pg)
@@ -411,8 +404,27 @@ def _pairs_from_df(
     j[j * (j - 1) // 2 > r] -= 1  # float-precision guards
     j[(j + 1) * j // 2 <= r] += 1
     i = r - j * (j - 1) // 2
-    ia = Sg[gix] + i
-    ib = Sg[gix] + j
+    return Sg[gix] + i, Sg[gix] + j
+
+
+def _pairs_from_df(
+    df: pd.DataFrame, key: str, pair_filter: Optional[PairFilter]
+) -> pd.DataFrame:
+    """All (doc_a < doc_b) pairs co-bucketed by ``key``, ragged-triu
+    vectorized — handles ANY number of buckets per call, so it serves both
+    the in-memory small path and one-call-per-sorted-block large path."""
+    # singleton buckets (the vast majority) can't form pairs — drop them first
+    df = df.drop_duplicates([key, "doc_id"])
+    df = df[df.duplicated(key, keep=False)]
+    if df.empty:
+        return _EMPTY_PAIRS()
+    order = np.lexsort((df["doc_id"].to_numpy(), df[key].to_numpy()))
+    df = df.iloc[order].reset_index(drop=True)
+    b = df[key].to_numpy()
+    d = df["doc_id"].to_numpy()
+    ia, ib = _grouped_triu(b)
+    if not len(ia):
+        return _EMPTY_PAIRS()
     # a pair co-bucketed in many bands appears once per band — dedup BEFORE
     # the (possibly expensive) pair filter so each distinct pair is verified
     # once; payload columns are functional on doc_id, so any representative
@@ -483,7 +495,12 @@ def _pairs_from_groups(
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         return _pairs_from_df(g, key, pair_filter)
 
-    cand = shrunk.groupby(key).map_groups(pairs, batch_format="pandas")
+    # sorted-run map_batches (r4): one vectorized call per BLOCK of the keyed
+    # shuffle output — _pairs_from_df handles every complete bucket run in
+    # the block at once, so pair-generation cost is independent of the group
+    # count (the r3 per-group map_groups paid ~ms × #buckets, ruinous for
+    # millions of near-singleton buckets at 100×).
+    cand = map_sorted_runs(shrunk, key, pairs)
     # distributed dedup of cross-bucket repeats: per-batch drop_duplicates,
     # then a grouped count whose keys ARE the distinct pairs
     return grouped_aggregate(
@@ -638,24 +655,9 @@ def _cooccurrence_pairs_df(
     b = df["shingle"].to_numpy()
     d = df["doc_id"].to_numpy()
     ns = df["n_sh"].to_numpy()
-    newgrp = np.r_[True, b[1:] != b[:-1]]
-    gid = np.cumsum(newgrp) - 1
-    counts = np.bincount(gid)
-    starts = np.cumsum(counts) - counts
-    P = counts * (counts - 1) // 2
-    total = int(P.sum())
-    if total == 0:
+    ia, ib = _grouped_triu(b)
+    if not len(ia):
         return _EMPTY_PAIRS()
-    nz = P > 0
-    Pg, Sg = P[nz], starts[nz]
-    gix = np.repeat(np.arange(len(Pg)), Pg)
-    r = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(Pg) - Pg, Pg)
-    j = np.floor((1.0 + np.sqrt(1.0 + 8.0 * r)) / 2.0).astype(np.int64)
-    j[j * (j - 1) // 2 > r] -= 1
-    j[(j + 1) * j // 2 <= r] += 1
-    i = r - j * (j - 1) // 2
-    ia = Sg[gix] + i
-    ib = Sg[gix] + j
     # single-int64 pair key (factorized doc codes): a structured-dtype
     # np.unique argsorts with compares — seconds at millions of pairs
     codes, uniq_docs = pd.factorize(d)
@@ -686,24 +688,27 @@ def _cooccurrence_pairs_distributed(
     """Distributed co-occurrence topology: per-shingle-group pair emission
     carrying both sides' set sizes, a grouped count whose multiplicity is the
     exact intersection, then a vectorized Jaccard filter. Only the final
-    qualifying pairs reach the driver."""
+    qualifying pairs reach the driver. Pair emission is one ragged-triu call
+    per sorted BLOCK (r4) — cost independent of the shingle-group count."""
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        m = len(g)
-        if m < 2:
+        g = g.drop_duplicates(["shingle", "doc_id"])
+        g = g[g.duplicated("shingle", keep=False)]  # singleton shingles: no pairs
+        if g.empty:
             return pd.DataFrame(
                 {c: pd.Series([], dtype="int64")
                  for c in ("doc_a", "doc_b", "n_a", "n_b")}
             )
+        order = np.lexsort((g["doc_id"].to_numpy(), g["shingle"].to_numpy()))
+        g = g.iloc[order]
         ids = g["doc_id"].to_numpy()
         ns = g["n_sh"].to_numpy()
-        ia, ib = np.triu_indices(m, k=1)
+        ia, ib = _grouped_triu(g["shingle"].to_numpy())
         return pd.DataFrame(
             {"doc_a": ids[ia], "doc_b": ids[ib], "n_a": ns[ia], "n_b": ns[ib]}
         )
 
-    cand = shrunk.groupby("shingle").map_groups(pairs, batch_format="pandas")
+    cand = map_sorted_runs(shrunk, "shingle", pairs)
     mult = grouped_aggregate(
         cand, ["doc_a", "doc_b", "n_a", "n_b"], {"m": (None, "count")}
     )
@@ -1389,19 +1394,21 @@ def source_dup_matrix(sf_dir: str) -> pd.DataFrame:
         return df[df["h"].isin(keep)]
 
     def pairs_from_batch(df: pd.DataFrame) -> pd.DataFrame:
-        a_col, b_col = [], []
-        for _, g in df.groupby("h", sort=False):
-            srcs = sorted(g["source"])
-            for i in range(len(srcs)):
-                for j in range(i + 1, len(srcs)):
-                    a_col.append(srcs[i])
-                    b_col.append(srcs[j])
-        return pd.DataFrame({"source_a": a_col, "source_b": b_col})
+        # ragged triu over every complete hash run in the sorted block —
+        # sources sorted within the run so source_a < source_b (r4: replaces
+        # the per-hash map_groups python loop)
+        if df.empty:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="object") for c in ("source_a", "source_b")}
+            )
+        order = np.lexsort((df["source"].to_numpy(), df["h"].to_numpy()))
+        df = df.iloc[order]
+        srcs = df["source"].to_numpy()
+        ia, ib = _grouped_triu(df["h"].to_numpy())
+        return pd.DataFrame({"source_a": srcs[ia], "source_b": srcs[ib]})
 
     pruned = per_hs.map_batches(keep_dups, batch_format="pandas")
-    per_hash_pairs = pruned.groupby("h").map_groups(
-        pairs_from_batch, batch_format="pandas"
-    )
+    per_hash_pairs = map_sorted_runs(pruned, "h", pairs_from_batch)
     out = grouped_aggregate(
         per_hash_pairs, ["source_a", "source_b"], {"n_shared_texts": (None, "count")}
     ).to_pandas()

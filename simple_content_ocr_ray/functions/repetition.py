@@ -696,12 +696,19 @@ def repeated_ngram_spans(
     if pos_df is not None:
         pos_df = pos_df.sort_values(["doc_id", "pos"], kind="mergesort")
         return merge_sorted(pos_df.reset_index(drop=True)).reset_index(drop=True)
-    # large path: doc-keyed shuffle, vectorized merge per doc group
-    out = positions.groupby("doc_id").map_groups(
-        lambda g: merge_sorted(
-            g.sort_values("pos", kind="mergesort").reset_index(drop=True)
+    # large path: doc-keyed shuffle, ONE vectorized merge per sorted block
+    # (merge_sorted's break mask already handles doc changes — r4, replaces
+    # the per-doc map_groups whose dispatch cost scaled with |docs|)
+    from .agg import map_sorted_runs
+
+    out = map_sorted_runs(
+        positions,
+        "doc_id",
+        lambda df: merge_sorted(
+            df.sort_values(["doc_id", "pos"], kind="mergesort").reset_index(
+                drop=True
+            )
         ),
-        batch_format="pandas",
     ).to_pandas()
     return out.sort_values(["doc_id", "start_tok"], kind="mergesort").reset_index(
         drop=True

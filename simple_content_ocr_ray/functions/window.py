@@ -1,8 +1,15 @@
 """Streaming-shaped semantics over the ``events`` log table (SURVEY.md §2.8):
-Ray Data has no event-time windows, so windows are expressed as
-``groupby(key).map_groups`` over ts-sorted groups — the partitioning
-assumption (all events of a user co-located, ordered within the group) is
-exactly what a keyed log partitioning gives at scale.
+Ray Data has no event-time windows, so windows are expressed as a keyed
+shuffle plus in-run vectorized math — the partitioning assumption (all
+events of a user co-located) is exactly what a keyed log partitioning gives
+at scale.
+
+Large-path shape (r4): every windowed operator here runs ONE vectorized UDF
+call per sorted BLOCK via ``map_sorted_runs`` — the UDF re-sorts the block
+by (user_id, ts, …) and applies the SAME multi-user vectorized function the
+small path uses on the whole log. The r3 ``groupby(user_id).map_groups``
+paid ~ms of python dispatch per user — ruinous at 10^9 users; per-block
+dispatch is group-count-independent.
 """
 
 from __future__ import annotations
@@ -14,7 +21,7 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-from .agg import grouped_aggregate, round_half_away
+from .agg import grouped_aggregate, map_sorted_runs, round_half_away
 
 SESSION_GAP_MIN = 30
 
@@ -41,25 +48,24 @@ def user_sessions(sf_dir: str, small_threshold: int = 2_000_000) -> pd.DataFrame
     previous event exceeds 30 minutes. Returns one row per session.
 
     Adaptive like grouped_aggregate: small logs are sorted once and
-    sessionized vectorized; large logs shuffle by user (``groupby(user_id)
-    .map_groups`` — the keyed-log partitioning assumption at scale). The
-    path decision reads the parquet footer row count — no execution, no
-    object-store pinning."""
+    sessionized vectorized; large logs shuffle by user and sessionize each
+    sorted BLOCK in one vectorized call (``map_sorted_runs`` — the keyed-log
+    partitioning assumption at scale, python dispatch per block, not per
+    user). The path decision reads the parquet footer row count — no
+    execution, no object-store pinning."""
     from .joins import events_row_count
 
     events = rd.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
     )
-    if events_row_count(sf_dir) <= small_threshold:
-        df = events.to_pandas().sort_values(["user_id", "ts"], kind="mergesort")
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
         return _sessions_for_sorted(df.reset_index(drop=True))
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="mergesort").reset_index(drop=True)
-        return _sessions_for_sorted(g)
-
-    out = events.groupby("user_id").map_groups(sessions, batch_format="pandas")
-    return out.to_pandas()
+    if events_row_count(sf_dir) <= small_threshold:
+        return sessions(events.to_pandas())
+    return map_sorted_runs(events, "user_id", sessions).to_pandas()
 
 
 _USER_SESSIONS_SQL = f"""
@@ -161,16 +167,12 @@ def user_running_totals(sf_dir: str, small_threshold: int = 2_000_000) -> pd.Dat
     """SQL-window-function analog: per user ordered by ts, the running total
     of ``value`` and the gap (microseconds) since the user's previous event.
 
-    One keyed shuffle (``groupby(user_id).map_groups``); inside each group a
-    stable ts sort + vectorized cumsum/diff. The same partitioning
-    assumption as sessionization — a user's history is co-located — so at
-    corpus scale this shares the events table's one canonical partitioning.
-    Money values are cumsum-ed as exactly-scaled int64, so running totals
-    are bit-identical to the SQL oracle at every row.
-
-    Adaptive like ``user_sessions``: small logs take one vectorized sort
-    (grouped cumsum/diff with no Python per-group loop); large logs take the
-    keyed shuffle. Tests assert both paths byte-equal."""
+    One keyed shuffle; inside each sorted block ONE vectorized call computes
+    per-user grouped cumsum/diff (pandas C-level groupby cumsum — the same
+    function the small path runs on the whole log; the block's user runs
+    are complete by the ``map_sorted_runs`` invariant). Money values are
+    cumsum-ed as exactly-scaled int64, so running totals are bit-identical
+    to the SQL oracle at every row. Tests assert both paths byte-equal."""
     from .joins import events_row_count
 
     events = rd.read_parquet(
@@ -178,26 +180,8 @@ def user_running_totals(sf_dir: str, small_threshold: int = 2_000_000) -> pd.Dat
         columns=["event_id", "user_id", "ts", "value"],
     )
 
-    def running(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
-        value_u = np.rint(g["value"].to_numpy() * 1_000_000).astype("int64")
-        ts_us = g["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
-        gap = np.diff(ts_us, prepend=ts_us[:1]).astype("float64")
-        gap[0] = np.nan
-        return pd.DataFrame(
-            {
-                "event_id": g["event_id"].to_numpy(),
-                "user_id": g["user_id"].to_numpy(),
-                "ts": g["ts"].to_numpy(),
-                "running_value": round_half_away(np.cumsum(value_u) / 1_000_000.0),
-                "gap_us": gap,
-            }
-        )
-
-    if events_row_count(sf_dir) <= small_threshold:
-        df = events.to_pandas().sort_values(
-            ["user_id", "ts", "event_id"], kind="mergesort"
-        )
+    def running(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         value_u = np.rint(df["value"].to_numpy() * 1_000_000).astype("int64")
         run_u = (
             pd.Series(value_u).groupby(df["user_id"].to_numpy(), sort=False).cumsum()
@@ -217,7 +201,9 @@ def user_running_totals(sf_dir: str, small_threshold: int = 2_000_000) -> pd.Dat
         )
         return out_df.astype({"event_id": "int64", "user_id": "int64"})
 
-    out = events.groupby("user_id").map_groups(running, batch_format="pandas")
+    if events_row_count(sf_dir) <= small_threshold:
+        return running(events.to_pandas())
+    out = map_sorted_runs(events, "user_id", running)
     return out.to_pandas().astype({"event_id": "int64", "user_id": "int64"})
 
 
@@ -289,20 +275,25 @@ def cohort_retention(sf_dir: str, small_threshold: int = 2_000_000) -> pd.DataFr
         )
         return finish(per_user)
 
-    def offsets(g: pd.DataFrame) -> pd.DataFrame:
-        days = np.unique(g["day"].to_numpy(dtype="datetime64[D]"))
-        cohort = days[0]
+    def offsets(df: pd.DataFrame) -> pd.DataFrame:
+        # every complete user run in the block, one vectorized pass: distinct
+        # (user, day), per-user min day via C-level grouped transform
+        df = df.drop_duplicates(["user_id", "day"])
+        # int day arithmetic: pandas Series can't hold datetime64[D]
+        days = df["day"].to_numpy(dtype="datetime64[D]").astype("int64")
+        uid = df["user_id"].to_numpy()
+        cohort = (
+            pd.Series(days).groupby(uid, sort=False).transform("min").to_numpy()
+        )
         return pd.DataFrame(
             {
-                "cohort_day": np.full(len(days), cohort, dtype="datetime64[us]"),
-                "day_offset": (days - cohort).astype("int64"),
+                "cohort_day": cohort.astype("datetime64[D]").astype("datetime64[us]"),
+                "day_offset": days - cohort,
             }
         )
 
-    per_user = (
-        events.map_batches(user_days, batch_format="pandas")
-        .groupby("user_id")
-        .map_groups(offsets, batch_format="pandas")
+    per_user = map_sorted_runs(
+        events.map_batches(user_days, batch_format="pandas"), "user_id", offsets
     )
     out = grouped_aggregate(
         per_user, ["cohort_day", "day_offset"], {"n_users": (None, "count")}
@@ -375,8 +366,9 @@ def user_event_journeys(sf_dir: str, small_threshold: int = 2_000_000) -> pd.Dat
     grouped-concat shape (sequence mining's input format).
 
     Same adaptive topology as ``user_sessions``: one vectorized sort on
-    small logs, a ``groupby(user_id).map_groups`` keyed shuffle on large
-    ones — order-sensitive logic stays inside the group either way."""
+    small logs, a keyed shuffle + one call per sorted block
+    (``map_sorted_runs``) on large ones — order-sensitive logic stays
+    inside the complete user runs either way."""
     from .joins import events_row_count
 
     events = rd.read_parquet(
@@ -384,7 +376,8 @@ def user_event_journeys(sf_dir: str, small_threshold: int = 2_000_000) -> pd.Dat
         columns=["user_id", "ts", "event_id", "event_type"],
     )
 
-    def journeys_sorted(df: pd.DataFrame) -> pd.DataFrame:
+    def journeys(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         out = df.groupby("user_id", sort=False).agg(
             journey=("event_type", ",".join), n_events=("event_type", "size")
         )
@@ -392,21 +385,9 @@ def user_event_journeys(sf_dir: str, small_threshold: int = 2_000_000) -> pd.Dat
         return out.reset_index().astype({"user_id": "int64"})
 
     if events_row_count(sf_dir) <= small_threshold:
-        df = events.to_pandas().sort_values(
-            ["user_id", "ts", "event_id"], kind="mergesort"
-        )
-        return journeys_sorted(df).sort_values("user_id").reset_index(drop=True)
-
-    out = (
-        events.groupby("user_id")
-        .map_groups(
-            lambda g: journeys_sorted(
-                g.sort_values(["ts", "event_id"], kind="mergesort")
-            ),
-            batch_format="pandas",
-        )
-        .to_pandas()
-    )
+        out = journeys(events.to_pandas())
+    else:
+        out = map_sorted_runs(events, "user_id", journeys).to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
 
 
@@ -459,11 +440,12 @@ def event_transitions(sf_dir: str, small_threshold: int = 2_000_000) -> pd.DataF
         )
         counts = pairs_sorted(df)
     else:
-        local = events.groupby("user_id").map_groups(
-            lambda g: pairs_sorted(
-                g.sort_values(["ts", "event_id"], kind="mergesort")
+        local = map_sorted_runs(
+            events,
+            "user_id",
+            lambda df: pairs_sorted(
+                df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
             ),
-            batch_format="pandas",
         )
         counts = grouped_aggregate(
             local, ["from_type", "to_type"], {"n": ("n", "sum")}
@@ -499,9 +481,11 @@ def daily_bounce_rate(sf_dir: str) -> pd.DataFrame:
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
     )
 
-    def session_rows(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="mergesort").reset_index(drop=True)
-        s = _sessions_for_sorted(g)
+    def session_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="mergesort").reset_index(
+            drop=True
+        )
+        s = _sessions_for_sorted(df)  # handles every user run in the block
         return pd.DataFrame(
             {
                 "day": s["session_start"].dt.floor("D"),
@@ -509,7 +493,7 @@ def daily_bounce_rate(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    sess = events.groupby("user_id").map_groups(session_rows, batch_format="pandas")
+    sess = map_sorted_runs(events, "user_id", session_rows)
     out = grouped_aggregate(
         sess, ["day"], {"n_sessions": (None, "count"), "n_bounce": ("bounce", "sum")}
     ).to_pandas()
@@ -731,23 +715,15 @@ def purchase_attribution(
             }
         )
 
-    if events_row_count(sf_dir) <= small_threshold:
-        df = events.to_pandas().sort_values(
-            ["user_id", "ts", "event_id"], kind="mergesort"
-        )
+    def per_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         same_user = pd.Series(df["user_id"].to_numpy()).duplicated().to_numpy()
-        slim = rd.from_pandas(_slim(df, same_user))
+        return _slim(df, same_user)
+
+    if events_row_count(sf_dir) <= small_threshold:
+        slim = rd.from_pandas(per_block(events.to_pandas()))
     else:
-
-        def per_user(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(["ts", "event_id"], kind="mergesort")
-            same = np.ones(len(g), dtype=bool)
-            same[0] = False
-            return _slim(g, same)
-
-        slim = events.groupby("user_id").map_groups(
-            per_user, batch_format="pandas"
-        )
+        slim = map_sorted_runs(events, "user_id", per_block)
 
     agg = grouped_aggregate(
         slim,
@@ -811,11 +787,12 @@ def event_trigram_counts(
         )
         counts = triples_sorted(df)
     else:
-        local = events.groupby("user_id").map_groups(
-            lambda g: triples_sorted(
-                g.sort_values(["ts", "event_id"], kind="mergesort")
+        local = map_sorted_runs(
+            events,
+            "user_id",
+            lambda df: triples_sorted(
+                df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
             ),
-            batch_format="pandas",
         )
         counts = grouped_aggregate(
             local, ["t1", "t2", "t3"], {"n": ("n", "sum")}
@@ -849,51 +826,46 @@ def user_active_time(
     user's island count and total COVERED time — the wall-clock-active
     metric session counts can't give (overlaps must not double-count).
 
-    Vectorized sweep inside the per-user ordering: sort by start, running
-    max of interval ends (cummax), an island starts where start > previous
-    running max; island bounds reduce to exact µs int64 sums. Adaptive
-    small/large paths like every windowed operator here; only slim
-    (user_id, n_islands, active_us) rows leave the shuffle."""
+    Vectorized sweep over EVERY user run in one call (shared by both
+    paths): lexsort by (user, start), per-user running max of interval ends
+    via C-level grouped cummax, an island starts at a user change or where
+    start > previous running max; island bounds reduce to exact µs int64
+    sums, rolled up per user with grouped sums — no python per user
+    anywhere. Only slim (user_id, n_islands, active_us) rows leave the
+    shuffle on the large path."""
     from .joins import events_row_count
 
     events = rd.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
     )
 
-    def islands(g: pd.DataFrame) -> pd.DataFrame:
-        s = np.sort(g["ts"].to_numpy(dtype="datetime64[us]").astype("int64"))
+    def islands(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy()
+        s = df["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        order = np.lexsort((s, uid))
+        uid, s = uid[order], s[order]
         f = s + ACTIVE_WINDOW_US
-        run_max = np.maximum.accumulate(f)
-        new = np.ones(len(s), dtype=bool)
-        new[1:] = s[1:] > run_max[:-1]
-        island = np.cumsum(new) - 1
-        starts = s[new]
-        # each island's end = max f within it = run_max at its last member
-        last = np.flatnonzero(
-            np.r_[new[1:], True]
-        )  # index of each island's final row
-        ends = run_max[last]
-        return pd.DataFrame(
-            {
-                "user_id": [int(g["user_id"].iloc[0])] * 1,
-                "n_islands": [int(island[-1] + 1)],
-                "active_us": [int((ends - starts).sum())],
-            }
+        run_max = (
+            pd.Series(f).groupby(uid, sort=False).cummax().to_numpy()
         )
+        new_user = np.ones(len(s), dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        new = new_user.copy()
+        new[1:] |= s[1:] > run_max[:-1]
+        # each island's end = run_max at its last member
+        last = np.r_[new[1:], True]
+        per_island_user = uid[new]
+        span = run_max[last] - s[new]
+        isl = pd.DataFrame({"user_id": per_island_user, "span": span})
+        out = isl.groupby("user_id", sort=False, as_index=False).agg(
+            n_islands=("span", "size"), active_us=("span", "sum")
+        )
+        return out
 
     if events_row_count(sf_dir) <= small_threshold:
-        df = events.to_pandas()
-        rows = []
-        for uid, g in df.groupby("user_id", sort=True):
-            r = islands(g)
-            rows.append((int(uid), int(r["n_islands"][0]), int(r["active_us"][0])))
-        out = pd.DataFrame(rows, columns=["user_id", "n_islands", "active_us"])
+        out = islands(events.to_pandas())
     else:
-        out = (
-            events.groupby("user_id")
-            .map_groups(islands, batch_format="pandas")
-            .to_pandas()
-        )
+        out = map_sorted_runs(events, "user_id", islands).to_pandas()
     out = out.astype(
         {"user_id": "int64", "n_islands": "int64", "active_us": "int64"}
     )
