@@ -278,6 +278,44 @@ FROM documents
 """
 
 
+def jpeg_progressive_real_meta(sf_dir: str) -> rd.Dataset:
+    """Real end-to-end PROGRESSIVE (SOF2) JPEG decode (r4): encode a
+    constant-gray multi-scan progressive JFIF per document — DC/AC first +
+    refinement scans with successive approximation — and decode it with the
+    from-scratch progressive decoder in an actor pool. Same even-gray trick
+    as ``jpeg_real_meta``, so the decoded brightness is SQL-predictable;
+    the two queries share one oracle shape, proving the progressive path is
+    value-identical to baseline."""
+    import numpy as np
+
+    from ..stages.jpeg_decode import make_progressive_jpeg
+
+    def with_jpg(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["jpg"] = [
+            make_progressive_jpeg(
+                np.full(
+                    (4 + int(d) % 7, 16 + int(d) % 9),
+                    2 * (int(d) % 128),
+                    dtype=np.uint8,
+                )
+            )
+            for d in df["doc_id"]
+        ]
+        return df
+
+    return (
+        _docs(sf_dir)
+        .map_batches(with_jpg, batch_format="pandas", batch_size=MEDIA_BATCH_SIZE)
+        .map_batches(
+            _JpegMetaStage,
+            batch_format="pandas",
+            batch_size=MEDIA_BATCH_SIZE,
+            concurrency=_media_concurrency(),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # REAL BMP / GIF / TIFF decode metadata (stages/image_formats.py)
 # --------------------------------------------------------------------------
@@ -543,6 +581,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "video_meta": video_meta,
     "png_real_meta": png_real_meta,
     "jpeg_real_meta": jpeg_real_meta,
+    "jpeg_progressive_real_meta": jpeg_progressive_real_meta,
     "bmp_real_meta": bmp_real_meta,
     "gif_real_meta": gif_real_meta,
     "tiff_real_meta": tiff_real_meta,
@@ -554,6 +593,7 @@ ORACLES: dict[str, str] = {
     "video_meta": _VIDEO_META_SQL,
     "png_real_meta": _PNG_REAL_META_SQL,
     "jpeg_real_meta": _JPEG_REAL_META_SQL,
+    "jpeg_progressive_real_meta": _JPEG_REAL_META_SQL,
     "bmp_real_meta": _BMP_REAL_META_SQL,
     "gif_real_meta": _GIF_REAL_META_SQL,
     "tiff_real_meta": _TIFF_REAL_META_SQL,

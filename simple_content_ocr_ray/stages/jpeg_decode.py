@@ -1,26 +1,33 @@
-"""Real from-scratch baseline JPEG (JFIF) decoding — stdlib + numpy only.
+"""Real from-scratch JPEG (JFIF) decoding — stdlib + numpy only.
 
 The reference accepts JPEG first among image types
 (/root/reference/src/simple_ocr/config.py:113-120) and decodes it with PIL
 (adapters/deepseek_engine.py:213-234); PIL is absent in this environment.
 JPEG needs no external codec — just Huffman coding and the 8×8 DCT — so this
 module implements the actual format, mirroring the PNG decoder's design
-(stages/png_decode.py): a marker walk, DQT/SOF0/DHT/SOS/DRI parse, an
+(stages/png_decode.py): a marker walk, DQT/SOF/DHT/SOS/DRI parse, an
 entropy-decode loop (byte-unstuffing bit reader, DC prediction with EXTEND,
 AC run/size with ZRL and EOB), batched dequantize + inverse-zigzag + IDCT
 over all blocks of a component at once (one einsum, not per-block Python),
 nearest-neighbor chroma upsampling and BT.601 YCbCr→RGB.
 
-Supported: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr with
-sampling factors 1–2 (4:4:4 / 4:2:2 / 4:2:0), restart intervals. Everything
-else — progressive (SOF2), arithmetic coding, 12-bit, CMYK — raises
-``UnsupportedJpegError`` at the same seam the other decoders document.
+Supported: baseline sequential DCT (SOF0) AND progressive DCT (SOF2 — r4:
+spectral selection, successive approximation, per-scan EOB runs, DC/AC
+first + refinement scans per T.81 §G, restart intervals in every scan
+type), 8-bit, grayscale or YCbCr with sampling factors 1–2 (4:4:4 / 4:2:2 /
+4:2:0). Everything else — arithmetic coding, 12-bit, lossless/hierarchical,
+CMYK — raises ``UnsupportedJpegError`` at the same seam the other decoders
+document.
 
-``make_jpeg`` is the matching from-scratch ENCODER (Annex K quantization and
-Huffman tables, float FDCT, run-length + Huffman entropy coding, byte
-stuffing) used by tests and the ``jpeg_real_meta`` query; the decoder is
-validated against an independently computed quant-roundtrip reconstruction,
-not against its own encoder internals (tests/test_jpeg_decode.py).
+``make_jpeg`` is the matching from-scratch baseline ENCODER (Annex K
+quantization and Huffman tables, float FDCT, run-length + Huffman entropy
+coding, byte stuffing); ``make_progressive_jpeg`` (r4) emits real SOF2
+multi-scan files (DC/AC first + refinement scans with buffered correction
+bits and cross-block EOB runs, per jcphuff semantics) so tests can assert
+the progressive decode is PIXEL-IDENTICAL to the baseline decode of the
+same quantized coefficients. The decoder is additionally validated against
+an independently computed quant-roundtrip reconstruction, not against its
+own encoder internals (tests/test_jpeg_decode.py).
 
 The entropy scan is inherently sequential per restart segment; everything
 after it (dequantize, IDCT, color transform) is vectorized numpy over all
@@ -262,8 +269,49 @@ def _extend(v: int, size: int) -> int:
     return v
 
 
+def _next_marker(data: bytes, p: int) -> int:
+    """Position of the next REAL marker (not a stuffed 0xFF00, not RSTn) at
+    or after ``p`` — how a multi-scan decoder finds the end of one scan's
+    entropy data."""
+    n = len(data)
+    while p + 1 < n:
+        if (
+            data[p] == 0xFF
+            and data[p + 1] != 0x00
+            and not (0xD0 <= data[p + 1] <= 0xD7)
+        ):
+            return p
+        p += 1
+    raise UnsupportedJpegError("no trailing marker after scan data")
+
+
+def _alloc_stores(frame: dict) -> list[np.ndarray]:
+    """Per component: (n_blocks, 64) int32 coefficient store in zigzag
+    order, sized to the interleaved-MCU grid (the superset every scan
+    indexes into)."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
+        raise UnsupportedJpegError("sampling factors beyond 2 unsupported")
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    frame["mcux"], frame["mcuy"] = mcux, mcuy
+    stores = []
+    for c in comps:
+        bw, bh = mcux * c["h"], mcuy * c["v"]
+        c["bw"], c["bh"] = bw, bh
+        # non-interleaved scans walk only the component's OWN block grid
+        c["nb_w"] = (-(-frame["w"] * c["h"] // hmax) + 7) // 8
+        c["nb_h"] = (-(-frame["h"] * c["v"] // vmax) + 7) // 8
+        stores.append(np.zeros((bh * bw, 64), dtype=np.int32))
+    return stores
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → uint8 array (h, w) grayscale or (h, w, 3) RGB."""
+    """Baseline (SOF0) or progressive (SOF2) JPEG bytes → uint8 array
+    (h, w) grayscale or (h, w, 3) RGB."""
     if len(payload) < 4 or payload[0:2] != b"\xff\xd8":
         raise UnsupportedJpegError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -271,6 +319,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
+    stores = None
     restart_interval = 0
     n = len(payload)
 
@@ -284,6 +333,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # parameterless
         (seglen,) = struct.unpack_from(">H", payload, pos)
+        if pos + seglen > n:
+            raise UnsupportedJpegError("truncated marker segment")
         seg = payload[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
             p = 0
@@ -306,7 +357,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 table = _build_decode_table(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = table
                 p += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise UnsupportedJpegError("only 8-bit precision supported")
@@ -316,35 +367,54 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedJpegError(
-                f"non-baseline frame type SOF{marker - 0xC0} unsupported"
+                f"unsupported frame type SOF{marker - 0xC0}"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
-                raise UnsupportedJpegError("SOS before SOF0")
+                raise UnsupportedJpegError("SOS before SOF")
             ns = seg[0]
+            scan_comps = []
             scan_map = {}
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_map[cs] = (tt >> 4, tt & 0x0F)
-            if set(scan_map) != {c["id"] for c in frame["comps"]}:
-                # spec-legal but rare: baseline files with non-interleaved
-                # scans (Ns < Nf, multiple SOS) — the documented seam, not
-                # a KeyError deep in the MCU walk
-                raise UnsupportedJpegError(
-                    "non-interleaved multi-scan baseline unsupported"
-                )
+                scan_comps.append(cs)
             data_pos = pos + seglen
-            return _decode_scan(
-                payload, data_pos, frame, scan_map, quant, huff_dc, huff_ac,
-                restart_interval,
+            if not frame["progressive"]:
+                if set(scan_map) != {c["id"] for c in frame["comps"]}:
+                    # spec-legal but rare: baseline files with
+                    # non-interleaved scans (Ns < Nf, multiple SOS) — the
+                    # documented seam, not a KeyError deep in the MCU walk
+                    raise UnsupportedJpegError(
+                        "non-interleaved multi-scan baseline unsupported"
+                    )
+                return _decode_scan(
+                    payload, data_pos, frame, scan_map, quant, huff_dc,
+                    huff_ac, restart_interval,
+                )
+            # progressive: accumulate this scan into the coefficient stores
+            # and keep walking markers (T.81 §G)
+            if stores is None:
+                stores = _alloc_stores(frame)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah_al = seg[3 + 2 * ns]
+            ah, al = ah_al >> 4, ah_al & 0x0F
+            end = _decode_progressive_scan(
+                payload, data_pos, frame, scan_comps, scan_map, stores,
+                huff_dc, huff_ac, restart_interval, ss, se, ah, al,
             )
+            pos = _next_marker(payload, end)
+            continue
         pos += seglen
+    if frame is not None and frame.get("progressive") and stores is not None:
+        return _finish_planes(frame, stores, quant)
     raise UnsupportedJpegError("no scan data found")
 
 
@@ -359,20 +429,8 @@ def _decode_scan(
     restart_interval: int,
 ) -> np.ndarray:
     comps = frame["comps"]
-    h, w = frame["h"], frame["w"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
-        raise UnsupportedJpegError("sampling factors beyond 2 unsupported")
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-
-    # per component: coefficient store (n_blocks, 64) int32 in zigzag order
-    stores = []
-    for c in comps:
-        bw, bh = mcux * c["h"], mcuy * c["v"]
-        stores.append(np.zeros((bh * bw, 64), dtype=np.int32))
-        c["bw"], c["bh"] = bw, bh
+    stores = _alloc_stores(frame)
+    mcux, mcuy = frame["mcux"], frame["mcuy"]
 
     r = _BitReader(data, pos)
     pred = [0] * len(comps)
@@ -415,7 +473,182 @@ def _decode_scan(
         except _RestartPending:
             raise UnsupportedJpegError("unexpected restart marker") from None
 
-    # dequantize + inverse zigzag + batched IDCT per component
+    return _finish_planes(frame, stores, quant)
+
+
+def _decode_progressive_scan(
+    data: bytes,
+    pos: int,
+    frame: dict,
+    scan_comps: list[int],
+    scan_map: dict,
+    stores: list,
+    huff_dc: dict,
+    huff_ac: dict,
+    restart_interval: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> int:
+    """One progressive scan (T.81 §G.2) accumulated into ``stores``; returns
+    the byte position just past the scan's entropy data.
+
+    Four scan types: DC first (Ss=0, Ah=0 — Huffman-coded diffs shifted left
+    by Al, interleaved or single-component), DC refinement (Ss=0, Ah>0 —
+    one appended bit per block), AC first (Ss≥1, Ah=0, single component —
+    run/size coding with cross-block EOB runs), AC refinement (Ah>0 —
+    correction bits for history-nonzero coefficients, ±1<<Al insertions for
+    newly-nonzero ones, per the jdphuff reading of figure G.7)."""
+    comps = frame["comps"]
+    by_id = {c["id"]: (ci, c) for ci, c in enumerate(comps)}
+    r = _BitReader(data, pos)
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise UnsupportedJpegError("DC scan with Se != 0")
+    if not is_dc and len(scan_comps) != 1:
+        raise UnsupportedJpegError("interleaved AC scan is spec-illegal")
+
+    state = {"eobrun": 0}
+    pred = {cid: 0 for cid in scan_comps}
+
+    def dc_block(cid: int, blk: np.ndarray) -> None:
+        if ah == 0:
+            t = huff_dc.get(scan_map[cid][0])
+            if t is None:
+                raise UnsupportedJpegError("missing DC Huffman table")
+            size = _decode_huff(r, t)
+            diff = _extend(r.read_bits(size), size)
+            pred[cid] += diff
+            blk[0] = pred[cid] << al
+        else:  # refinement: one bit
+            if r.read_bit():
+                blk[0] |= 1 << al
+
+    def ac_first_block(cid: int, blk: np.ndarray) -> None:
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        t = huff_ac.get(scan_map[cid][1])
+        if t is None:
+            raise UnsupportedJpegError("missing AC Huffman table")
+        k = ss
+        while k <= se:
+            rs = _decode_huff(r, t)
+            rr, s_ = rs >> 4, rs & 0x0F
+            if s_ == 0:
+                if rr == 15:  # ZRL: skip 16 zero coefficients
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << rr) - 1
+                if rr:
+                    state["eobrun"] += r.read_bits(rr)
+                return
+            k += rr
+            if k > se:
+                raise UnsupportedJpegError("AC index overflow")
+            v = _extend(r.read_bits(s_), s_)
+            blk[k] = v << al if v >= 0 else -((-v) << al)
+            k += 1
+
+    def ac_refine_block(cid: int, blk: np.ndarray) -> None:
+        t = huff_ac.get(scan_map[cid][1])
+        if t is None:
+            raise UnsupportedJpegError("missing AC Huffman table")
+        p1 = 1 << al
+        m1 = -p1
+
+        def correct(k: int) -> None:
+            c = int(blk[k])
+            if r.read_bit() and (c & p1) == 0:
+                blk[k] = c + (p1 if c >= 0 else m1)
+
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = _decode_huff(r, t)
+                rr, s_ = rs >> 4, rs & 0x0F
+                val = 0
+                if s_ == 0:
+                    if rr < 15:
+                        state["eobrun"] = 1 << rr
+                        if rr:
+                            state["eobrun"] += r.read_bits(rr)
+                        break
+                    # ZRL: advance over 16 zero-HISTORY coefficients
+                else:
+                    if s_ != 1:
+                        raise UnsupportedJpegError(
+                            "AC refinement size must be 1"
+                        )
+                    val = p1 if r.read_bit() else m1
+                while k <= se:
+                    if blk[k] != 0:
+                        correct(k)
+                    else:
+                        if rr == 0:
+                            if val:
+                                blk[k] = val
+                            k += 1
+                            break
+                        rr -= 1
+                    k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                k += 1
+            state["eobrun"] -= 1
+
+    if is_dc:
+        block_fn = dc_block
+    elif ah == 0:
+        block_fn = ac_first_block
+    else:
+        block_fn = ac_refine_block
+
+    def do_restart() -> None:
+        r.restart()
+        state["eobrun"] = 0
+        for cid in pred:
+            pred[cid] = 0
+
+    try:
+        if is_dc and len(scan_comps) > 1:
+            # interleaved MCU walk (DC scans only)
+            mcux, mcuy = frame["mcux"], frame["mcuy"]
+            for m in range(mcux * mcuy):
+                if restart_interval and m and m % restart_interval == 0:
+                    do_restart()
+                my, mx = divmod(m, mcux)
+                for cid in scan_comps:
+                    ci, c = by_id[cid]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            row = my * c["v"] + by
+                            col = mx * c["h"] + bx
+                            block_fn(cid, stores[ci][row * c["bw"] + col])
+        else:
+            # non-interleaved: raster walk over the component's OWN grid
+            cid = scan_comps[0]
+            ci, c = by_id[cid]
+            nbw, nbh = c["nb_w"], c["nb_h"]
+            for m in range(nbw * nbh):
+                if restart_interval and m and m % restart_interval == 0:
+                    do_restart()
+                row, col = divmod(m, nbw)
+                block_fn(cid, stores[ci][row * c["bw"] + col])
+    except _RestartPending:
+        raise UnsupportedJpegError("unexpected restart marker") from None
+    return r.pos
+
+
+def _finish_planes(frame: dict, stores: list, quant: dict) -> np.ndarray:
+    """Dequantize + inverse zigzag + batched IDCT per component, upsample,
+    color-transform — shared by the baseline and progressive paths."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     planes = []
     for ci, c in enumerate(comps):
         q = quant.get(c["tq"])
@@ -673,6 +906,281 @@ def make_jpeg(
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Progressive encoder (r4) — SOF2 fixture generator for the decoder tests
+# and the jpeg_progressive_real_meta query
+# --------------------------------------------------------------------------
+
+#: custom Huffman tables for progressive scans: the Annex K baseline AC
+#: table lacks the EOBn symbols (0x10..0xE0) progressive coding requires, so
+#: the encoder ships flat canonical tables covering EVERY (run, size) byte
+#: (255 nine-bit codes + one ten-bit — Kraft 255/512 + 1/1024, all-ones code
+#: unused as T.81 requires). Compression is not the point; validity is.
+PROG_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+PROG_DC_VALS = list(range(12))
+PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0]
+PROG_AC_VALS = list(range(256))
+
+
+def _component_layout(pixels: np.ndarray, subsample: int):
+    """Quantized zigzag blocks + grid geometry per component (shared
+    interleaved-store layout, plus each component's own non-interleaved
+    block counts for AC scans)."""
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    if gray:
+        planes = [(1, 1, 1, 0, pixels.astype(np.float64), QUANT_LUMA)]
+        hmax = vmax = 1
+    else:
+        sf = 2 if subsample == 2 else 1
+        y, cb, cr = _rgb_to_ycbcr(pixels)
+        if sf == 2:
+            ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+            cbp = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+            crp = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+            cb = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        planes = [
+            (1, sf, sf, 0, y, QUANT_LUMA),
+            (2, 1, 1, 1, cb, QUANT_CHROMA),
+            (3, 1, 1, 1, cr, QUANT_CHROMA),
+        ]
+        hmax = vmax = sf
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    comps = []
+    for cid, ch, cv, tq, plane, q in planes:
+        bw_, bh_ = mcux * ch, mcuy * cv
+        pp = np.pad(
+            plane,
+            ((0, bh_ * 8 - plane.shape[0]), (0, bw_ * 8 - plane.shape[1])),
+            mode="edge",
+        )
+        comp_w = -(-w * ch // hmax)
+        comp_h = -(-h * cv // vmax)
+        comps.append(
+            {
+                "id": cid,
+                "h": ch,
+                "v": cv,
+                "tq": tq,
+                "zz": _encode_plane_blocks(pp, q),
+                "bw": bw_,
+                "nb_w": (comp_w + 7) // 8,
+                "nb_h": (comp_h + 7) // 8,
+            }
+        )
+    return comps, mcux, mcuy, gray
+
+
+def _emit_eobrun(bw: "_BitWriter", ac_codes: dict, state: dict) -> None:
+    if state["eobrun"] > 0:
+        eb = state["eobrun"]
+        nbits = eb.bit_length() - 1
+        code, length = ac_codes[nbits << 4]
+        bw.write(code, length)
+        if nbits:
+            bw.write(eb - (1 << nbits), nbits)
+        state["eobrun"] = 0
+    for b in state["be"]:
+        bw.write(b, 1)
+    state["be"] = []
+
+
+def make_progressive_jpeg(
+    pixels: np.ndarray, subsample: int = 1, restart_interval: int = 0
+) -> bytes:
+    """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a REAL
+    progressive (SOF2) JFIF JPEG exercising all four scan types: an
+    interleaved DC-first scan at Al=1, per-component AC-first scans split
+    into two spectral bands (1–5, 6–63) at Al=1, an interleaved DC
+    refinement, and per-component AC refinement scans per band (Ah=1→Al=0,
+    with cross-block EOB runs and buffered correction bits, per the jcphuff
+    reading of T.81 §G.1.2.3). The quantized coefficients are identical to
+    ``make_jpeg``'s, so progressive decode must be PIXEL-IDENTICAL to
+    baseline decode of the same image — the roundtrip test invariant."""
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    comps, mcux, mcuy, _ = _component_layout(pixels, subsample)
+
+    out = bytearray(b"\xff\xd8")
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+
+    def dqt(tid: int, tbl: np.ndarray) -> bytes:
+        zzb = tbl.flatten()[ZIGZAG].astype(np.uint8).tobytes()
+        return b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + zzb
+
+    out += dqt(0, QUANT_LUMA)
+    if not gray:
+        out += dqt(1, QUANT_CHROMA)
+
+    comp_spec = b"".join(
+        bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]]) for c in comps
+    )
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)]) + comp_spec
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof  # SOF2
+
+    def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+    out += dht(0, 0, PROG_DC_BITS, PROG_DC_VALS)
+    out += dht(1, 0, PROG_AC_BITS, PROG_AC_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    dc_codes = _build_codes(PROG_DC_BITS, PROG_DC_VALS)
+    ac_codes = _build_codes(PROG_AC_BITS, PROG_AC_VALS)
+
+    def sos_header(scan_ids: list[int], ss: int, se: int, ah: int, al: int):
+        body = (
+            bytes([len(scan_ids)])
+            + b"".join(bytes([cid, 0x00]) for cid in scan_ids)
+            + bytes([ss, se, (ah << 4) | al])
+        )
+        out.extend(b"\xff\xda" + struct.pack(">H", len(body) + 2) + body)
+
+    def dc_scan(al: int, refine: bool) -> None:
+        sos_header([c["id"] for c in comps], 0, 0, 1 if refine else 0, al)
+        bw = _BitWriter()
+        preds = {c["id"]: 0 for c in comps}
+        rst = 0
+        for m in range(mcux * mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                bw.restart_marker(rst)
+                rst += 1
+                preds = {c["id"]: 0 for c in comps}
+            my, mx = divmod(m, mcux)
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        idx = (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
+                        v = int(c["zz"][idx][0])
+                        if refine:
+                            bw.write((v >> al) & 1, 1)
+                            continue
+                        t = v >> al  # arithmetic shift, like the decoder's << al
+                        diff = t - preds[c["id"]]
+                        preds[c["id"]] = t
+                        size = _size_of(abs(diff))
+                        code, length = dc_codes[size]
+                        bw.write(code, length)
+                        if size:
+                            bw.write(
+                                diff if diff > 0 else diff + (1 << size) - 1,
+                                size,
+                            )
+        bw.flush()
+        out.extend(bw.out)
+
+    def ac_first_scan(c: dict, ss: int, se: int, al: int) -> None:
+        sos_header([c["id"]], ss, se, 0, al)
+        bw = _BitWriter()
+        state = {"eobrun": 0, "be": []}
+        rst = 0
+        for m in range(c["nb_w"] * c["nb_h"]):
+            if restart_interval and m and m % restart_interval == 0:
+                _emit_eobrun(bw, ac_codes, state)
+                bw.restart_marker(rst)
+                rst += 1
+            row, col = divmod(m, c["nb_w"])
+            blk = c["zz"][row * c["bw"] + col]
+            run = 0
+            for k in range(ss, se + 1):
+                v = int(blk[k])
+                t = abs(v) >> al
+                if t == 0:
+                    run += 1
+                    continue
+                _emit_eobrun(bw, ac_codes, state)
+                while run > 15:
+                    code, length = ac_codes[0xF0]
+                    bw.write(code, length)
+                    run -= 16
+                size = t.bit_length()
+                code, length = ac_codes[(run << 4) | size]
+                bw.write(code, length)
+                bw.write(t if v > 0 else ~t, size)
+                run = 0
+            if run > 0:
+                state["eobrun"] += 1
+                if state["eobrun"] == 0x7FFF:
+                    _emit_eobrun(bw, ac_codes, state)
+        _emit_eobrun(bw, ac_codes, state)
+        bw.flush()
+        out.extend(bw.out)
+
+    def ac_refine_scan(c: dict, ss: int, se: int, al: int) -> None:
+        sos_header([c["id"]], ss, se, 1, al)
+        bw = _BitWriter()
+        state = {"eobrun": 0, "be": []}
+        rst = 0
+        for m in range(c["nb_w"] * c["nb_h"]):
+            if restart_interval and m and m % restart_interval == 0:
+                _emit_eobrun(bw, ac_codes, state)
+                bw.restart_marker(rst)
+                rst += 1
+            row, col = divmod(m, c["nb_w"])
+            blk = c["zz"][row * c["bw"] + col]
+            absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+            eob = ss - 1
+            for k in range(ss, se + 1):
+                if absv[k - ss] == 1:
+                    eob = k  # last NEWLY-nonzero coefficient
+            run = 0
+            br: list[int] = []  # this block's pending correction bits
+            for k in range(ss, se + 1):
+                t = absv[k - ss]
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and k <= eob:
+                    _emit_eobrun(bw, ac_codes, state)
+                    code, length = ac_codes[0xF0]
+                    bw.write(code, length)
+                    run -= 16
+                    for b in br:
+                        bw.write(b, 1)
+                    br = []
+                if t > 1:
+                    # history-nonzero: just buffer its correction bit
+                    br.append(t & 1)
+                    continue
+                _emit_eobrun(bw, ac_codes, state)
+                code, length = ac_codes[(run << 4) | 1]
+                bw.write(code, length)
+                bw.write(1 if int(blk[k]) > 0 else 0, 1)
+                for b in br:
+                    bw.write(b, 1)
+                br = []
+                run = 0
+            if run > 0 or br:
+                state["eobrun"] += 1
+                state["be"].extend(br)
+                if state["eobrun"] == 0x7FFF:
+                    _emit_eobrun(bw, ac_codes, state)
+        _emit_eobrun(bw, ac_codes, state)
+        bw.flush()
+        out.extend(bw.out)
+
+    # scan script: DC first → AC first (two spectral bands per component) →
+    # DC refinement → AC refinement per band
+    dc_scan(al=1, refine=False)
+    for c in comps:
+        ac_first_scan(c, 1, 5, al=1)
+    for c in comps:
+        ac_first_scan(c, 6, 63, al=1)
+    dc_scan(al=0, refine=True)
+    for c in comps:
+        ac_refine_scan(c, 1, 5, al=0)
+    for c in comps:
+        ac_refine_scan(c, 6, 63, al=0)
+
+    out += b"\xff\xd9"
     return bytes(out)
 
 

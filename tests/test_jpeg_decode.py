@@ -124,9 +124,9 @@ def test_unsupported_seams():
         decode_jpeg(b"")
     with pytest.raises(UnsupportedJpegError):
         decode_jpeg(b"\x89PNG\r\n\x1a\n not a jpeg")
-    # progressive (SOF2) must hit the documented seam, not crash
-    with pytest.raises(UnsupportedJpegError, match="SOF2"):
-        decode_jpeg(b"\xff\xd8\xff\xc2\x00\x10" + b"\x00" * 20)
+    # arithmetic-coded (SOF9) must hit the documented seam, not crash
+    with pytest.raises(UnsupportedJpegError, match="SOF9"):
+        decode_jpeg(b"\xff\xd8\xff\xc9\x00\x10" + b"\x08\x00\x08\x00\x08\x01\x01\x11\x00" + b"\x00" * 5)
     # truncated entropy stream → decode error, not an infinite loop
     good = make_jpeg(np.full((8, 8), 77, np.uint8))
     with pytest.raises((UnsupportedJpegError, IndexError)):
@@ -150,7 +150,7 @@ def test_failed_row_not_failed_task_in_extract_stage():
     from simple_content_ocr_ray.stages.extract import REAL_ROUTE, ExtractStage
 
     good = make_jpeg(np.full((4, 4), 50, np.uint8))
-    bad = b"\xff\xd8\xff\xc2\x00\x10" + b"\x00" * 64  # progressive
+    bad = b"\xff\xd8\xff\xc9\x00\x10" + b"\x08\x00\x08\x00\x08\x01\x01\x11\x00" + b"\x00" * 55  # arithmetic
     batch = pa.table(
         {
             "url": ["a", "b"],
@@ -160,7 +160,7 @@ def test_failed_row_not_failed_task_in_extract_stage():
     )
     out = ExtractStage(route=REAL_ROUTE)(batch)
     assert out["status"].to_pylist() == ["completed", "failed"]
-    assert "SOF2" in out["error"].to_pylist()[1]
+    assert "SOF9" in out["error"].to_pylist()[1]
 
 
 @pytest.mark.parametrize("interval", [2, 4])
@@ -207,3 +207,86 @@ def test_truncated_mid_scan_raises_unsupported():
     for cut in (sos + 20, sos + 40, len(data) - 3):
         with pytest.raises(UnsupportedJpegError):
             decode_jpeg(data[:cut])
+
+
+class TestProgressive:
+    """SOF2 progressive decode (r4): must be PIXEL-IDENTICAL to the baseline
+    decode of the same image — both paths share quantized coefficients, so
+    any entropy/scan-accumulation slip shows up as a pixel diff."""
+
+    def _roundtrip(self, img, subsample=1, restart_interval=0):
+        from simple_content_ocr_ray.stages.jpeg_decode import (
+            decode_jpeg,
+            make_jpeg,
+            make_progressive_jpeg,
+        )
+
+        base = decode_jpeg(make_jpeg(img, subsample=subsample))
+        prog = decode_jpeg(
+            make_progressive_jpeg(
+                img, subsample=subsample, restart_interval=restart_interval
+            )
+        )
+        assert np.array_equal(base, prog)
+
+    def test_grayscale(self):
+        rng = np.random.default_rng(0)
+        self._roundtrip(rng.integers(0, 256, (16, 16), dtype=np.uint8))
+
+    def test_color_odd_dims(self):
+        rng = np.random.default_rng(1)
+        self._roundtrip(rng.integers(0, 256, (24, 33, 3), dtype=np.uint8))
+
+    def test_color_420_subsampling(self):
+        rng = np.random.default_rng(2)
+        self._roundtrip(
+            rng.integers(0, 256, (40, 56, 3), dtype=np.uint8), subsample=2
+        )
+
+    def test_restart_markers_in_every_scan(self):
+        rng = np.random.default_rng(3)
+        self._roundtrip(
+            rng.integers(0, 256, (64, 48, 3), dtype=np.uint8),
+            subsample=2,
+            restart_interval=3,
+        )
+        self._roundtrip(
+            rng.integers(0, 256, (31, 17, 3), dtype=np.uint8),
+            restart_interval=5,
+        )
+
+    def test_eob_run_heavy_images(self):
+        """Smooth/constant content maximizes cross-block EOB runs and
+        buffered refinement bits — the hardest part of §G entropy coding."""
+        x = np.linspace(0, 255, 64).astype(np.uint8)
+        self._roundtrip(np.tile(x, (48, 1)))
+        img = np.full((80, 80, 3), 128, np.uint8)
+        img[40, 40] = [255, 0, 0]
+        self._roundtrip(img)
+
+    def test_sof2_is_a_progressive_file(self):
+        from simple_content_ocr_ray.stages.jpeg_decode import (
+            make_progressive_jpeg,
+        )
+
+        data = make_progressive_jpeg(np.zeros((8, 8), np.uint8))
+        assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+        assert data.count(b"\xff\xda") >= 5  # multi-scan
+
+    def test_truncated_progressive_raises_unsupported(self):
+        import pytest
+
+        from simple_content_ocr_ray.stages.jpeg_decode import (
+            UnsupportedJpegError,
+            decode_jpeg,
+            make_progressive_jpeg,
+        )
+
+        rng = np.random.default_rng(4)
+        data = make_progressive_jpeg(
+            rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        )
+        sos = data.find(b"\xff\xda")
+        for cut in (sos + 10, len(data) // 2, len(data) - 3):
+            with pytest.raises(UnsupportedJpegError):
+                decode_jpeg(data[:cut])
