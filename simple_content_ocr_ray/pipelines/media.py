@@ -400,6 +400,68 @@ FROM documents
 """
 
 
+class _WebpMetaStage:
+    """Actor-pool stage running the real VP8L (WebP-lossless) decoder (r4)
+    on synthesized-yet-valid payloads: the encoder mode rotates by doc_id —
+    plain / subtract-green / predictor / palette / color-transform, with
+    the color cache and LZ77 runs toggled by parity — so every bitstream
+    feature rides the real decode path. Lossless, so the constant-pixel
+    brightness is exact and SQL-mirrored."""
+
+    def __init__(self) -> None:
+        from ..stages.webp_decode import WebpImageEngine, make_webp_lossless
+
+        self.engine = WebpImageEngine()
+        self.enc = make_webp_lossless
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        transforms = [None, "subtract_green", "predictor", "palette", "color"]
+        widths, heights, bright = [], [], []
+        for d in df["doc_id"]:
+            d = int(d)
+            img = np.full((4 + d % 6, 8 + d % 9, 3), d % 256, dtype=np.uint8)
+            payload = self.enc(
+                img,
+                transform=transforms[d % 5],
+                cache_bits=4 if d % 2 else 0,
+                lz77=bool(d % 3),
+            )
+            res = self.engine.extract("", payload, "webp")
+            widths.append(int(res.metadata["width"]))
+            heights.append(int(res.metadata["height"]))
+            bright.append(int(float(res.metadata["brightness"])))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "width": pd.Series(widths, dtype="int64"),
+                "height": pd.Series(heights, dtype="int64"),
+                "brightness": pd.Series(bright, dtype="int64"),
+            }
+        )
+
+
+def webp_real_meta(sf_dir: str) -> rd.Dataset:
+    """Real end-to-end WebP-lossless decode: encode a constant-color VP8L
+    per document (mode rotating through every transform + cache/LZ77
+    combinations), decode with the from-scratch decoder in an actor pool,
+    emit typed metadata. Lossless → brightness is exactly doc_id % 256."""
+    return _docs(sf_dir).map_batches(
+        _WebpMetaStage,
+        batch_format="pandas",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=_media_concurrency(),
+    )
+
+
+_WEBP_REAL_META_SQL = """
+SELECT doc_id, 8 + doc_id % 9 AS width, 4 + doc_id % 6 AS height,
+       doc_id % 256 AS brightness
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # REAL PDF text extraction (stages/pdf_text.py — full encode→parse loop)
 # --------------------------------------------------------------------------
@@ -585,6 +647,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "bmp_real_meta": bmp_real_meta,
     "gif_real_meta": gif_real_meta,
     "tiff_real_meta": tiff_real_meta,
+    "webp_real_meta": webp_real_meta,
     "pdf_real_text": pdf_real_text,
     "image_ahash_dupes": image_ahash_dupes,
 }
@@ -597,6 +660,7 @@ ORACLES: dict[str, str] = {
     "bmp_real_meta": _BMP_REAL_META_SQL,
     "gif_real_meta": _GIF_REAL_META_SQL,
     "tiff_real_meta": _TIFF_REAL_META_SQL,
+    "webp_real_meta": _WEBP_REAL_META_SQL,
     "pdf_real_text": _PDF_REAL_TEXT_SQL,
     "image_ahash_dupes": _IMAGE_AHASH_DUPES_SQL,
 }

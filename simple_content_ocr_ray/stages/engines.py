@@ -257,6 +257,12 @@ def _tiff_decode_factory(**kwargs: Any) -> Any:
     return TiffImageEngine(**kwargs)
 
 
+def _webp_decode_factory(**kwargs: Any) -> Any:
+    from .webp_decode import WebpImageEngine
+
+    return WebpImageEngine(**kwargs)
+
+
 register_engine("mock", MockEngine)
 register_engine("remote-http", RemoteHttpEngine)
 register_engine("html-main-content", HtmlEngine)
@@ -267,3 +273,4 @@ register_engine("jpeg-decode", _jpeg_decode_factory)
 register_engine("bmp-decode", _bmp_decode_factory)
 register_engine("gif-decode", _gif_decode_factory)
 register_engine("tiff-decode", _tiff_decode_factory)
+register_engine("webp-decode", _webp_decode_factory)

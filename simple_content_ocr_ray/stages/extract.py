@@ -60,8 +60,9 @@ DEFAULT_ROUTE.update({t: "mock" for t in IMAGE_TYPES})
 
 #: real-decoder routing (the reference always runs a real engine per route —
 #: ocr_service.py:83-108): from-scratch PDF text extraction plus real
-#: PNG / baseline-JPEG / BMP / GIF(LZW) / uncompressed-TIFF decoders. WebP
-#: (VP8 entropy coding) is the one remaining documented decode-stub seam.
+#: PNG / JPEG (baseline + progressive) / BMP / GIF(LZW) / uncompressed-TIFF /
+#: WebP-lossless(VP8L) decoders. Lossy VP8 (boolean-coder codec) is the one
+#: remaining documented decode seam — such payloads become failed rows.
 REAL_ROUTE: dict[str, str] = {
     "html": "html-main-content",
     "pdf": "pdf-text",
@@ -70,6 +71,7 @@ REAL_ROUTE: dict[str, str] = {
     "bmp": "bmp-decode",
     "gif": "gif-decode",
     "tiff": "tiff-decode",
+    "webp": "webp-decode",
 }
 REAL_ROUTE.update(
     {t: "image-decode-stub" for t in IMAGE_TYPES if t not in REAL_ROUTE}

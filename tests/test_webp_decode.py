@@ -1,0 +1,142 @@
+"""From-scratch VP8L (WebP-lossless) codec tests (stages/webp_decode.py).
+
+Lossless means roundtrips must be PIXEL-EXACT: a single wrong bit anywhere
+in the prefix coding, LZ77 copy, color cache, or any transform inverse
+shows up as a pixel diff.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from simple_content_ocr_ray.stages.webp_decode import (
+    DISTANCE_MAP,
+    UnsupportedWebpError,
+    decode_webp,
+    make_webp_lossless,
+)
+
+
+def _check(img: np.ndarray, **kw) -> None:
+    out = decode_webp(make_webp_lossless(img, **kw))
+    if img.shape[2] == 3:
+        ref = np.concatenate(
+            [img, np.full(img.shape[:2] + (1,), 255, np.uint8)], axis=2
+        )
+    else:
+        ref = img
+    assert np.array_equal(out, ref)
+
+
+def test_distance_map_prefix_matches_spec():
+    """The 120-entry near-pixel map is generated from the proximity rule;
+    pin its head against the published spec table values."""
+    assert len(DISTANCE_MAP) == 120
+    assert DISTANCE_MAP[:24] == [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+        (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+        (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    ]
+    # every entry must point at an already-decoded pixel
+    assert all(y > 0 or x > 0 for x, y in DISTANCE_MAP)
+
+
+def test_plain_literals_roundtrip():
+    rng = np.random.default_rng(0)
+    _check(rng.integers(0, 256, (13, 17, 4), dtype=np.uint8))
+    _check(rng.integers(0, 256, (9, 5, 3), dtype=np.uint8))
+    _check(rng.integers(0, 256, (1, 1, 4), dtype=np.uint8))
+
+
+def test_color_cache_roundtrip():
+    rng = np.random.default_rng(1)
+    # few distinct colors → many cache hits
+    pal = rng.integers(0, 256, (5, 4), dtype=np.uint8)
+    img = pal[rng.integers(0, 5, (20, 20))]
+    for bits in (1, 4, 8):
+        _check(img, cache_bits=bits)
+
+
+def test_lz77_runs_both_distance_forms():
+    rng = np.random.default_rng(2)
+    img = np.tile(rng.integers(0, 256, (1, 1, 4), dtype=np.uint8), (20, 30, 1))
+    img[10, 15] = [1, 2, 3, 4]
+    _check(img, lz77=True, dist_mode="plain")
+    _check(img, lz77=True, dist_mode="map")  # 2-D near-pixel code
+    _check(img, lz77=True, cache_bits=4)  # cache inserts during copies
+
+
+@pytest.mark.parametrize("mode", [1, 2, 3, 4, 7, 11, 12, 13])
+def test_predictor_transform_roundtrip(mode):
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (21, 19, 4), dtype=np.uint8)
+    _check(img, transform="predictor", predictor_mode=mode, tile_bits=3)
+
+
+def test_subtract_green_and_color_transform():
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (14, 18, 4), dtype=np.uint8)
+    _check(img, transform="subtract_green")
+    _check(img, transform="color", tile_bits=2)
+
+
+@pytest.mark.parametrize(
+    "npal,shape",
+    [(2, (10, 23)), (4, (8, 8)), (9, (12, 13)), (16, (6, 31)),
+     (17, (5, 40)), (200, (30, 30))],
+)
+def test_palette_with_pixel_bundling(npal, shape):
+    """Palette sizes straddling every bundling regime (8/4/2/1 px per
+    byte), with widths that don't divide the bundle size."""
+    rng = np.random.default_rng(npal)
+    pal = rng.integers(0, 256, (npal, 4), dtype=np.uint8)
+    img = pal[rng.integers(0, npal, shape)]
+    _check(img, transform="palette")
+
+
+def test_engine_metadata():
+    from simple_content_ocr_ray.stages.webp_decode import WebpImageEngine
+
+    img = np.full((6, 10, 3), 200, np.uint8)
+    res = WebpImageEngine().extract("", make_webp_lossless(img), "webp")
+    assert res.metadata["width"] == "10"
+    assert res.metadata["height"] == "6"
+    assert float(res.metadata["brightness"]) == 200.0
+
+
+def test_unsupported_seams():
+    with pytest.raises(UnsupportedWebpError):
+        decode_webp(b"")
+    with pytest.raises(UnsupportedWebpError):
+        decode_webp(b"RIFF\x00\x00\x00\x00NOTW" + b"\x00" * 16)
+    # lossy VP8 chunk: documented seam
+    lossy = b"RIFF\x14\x00\x00\x00WEBPVP8 \x04\x00\x00\x00\x00\x00\x00\x00"
+    with pytest.raises(UnsupportedWebpError, match="lossy"):
+        decode_webp(lossy)
+
+
+def test_truncated_vp8l_raises_unsupported():
+    img = np.random.default_rng(5).integers(0, 256, (12, 12, 4), np.uint8)
+    data = make_webp_lossless(img)
+    for cut in (len(data) // 2, len(data) - 2):
+        with pytest.raises(UnsupportedWebpError):
+            decode_webp(data[:cut])
+
+
+def test_webp_routes_through_real_route():
+    """A VP8L payload through the extraction stage: sniffed as webp,
+    decoded by the real engine; a lossy VP8 payload becomes a failed row."""
+    import pyarrow as pa
+
+    from simple_content_ocr_ray.stages.extract import REAL_ROUTE, ExtractStage
+
+    good = make_webp_lossless(np.full((4, 4, 3), 60, np.uint8))
+    lossy = b"RIFF\x14\x00\x00\x00WEBPVP8 \x04\x00\x00\x00\x00\x00\x00\x00"
+    batch = pa.table({"url": ["a", "b"], "html": [good, lossy]})
+    from simple_content_ocr_ray.stages.sniff import sniff_batch
+
+    out = ExtractStage(route=REAL_ROUTE)(sniff_batch(batch))
+    assert out["content_type"].to_pylist() == ["webp", "webp"]
+    assert out["status"].to_pylist() == ["completed", "failed"]
+    assert "lossy" in out["error"].to_pylist()[1]
