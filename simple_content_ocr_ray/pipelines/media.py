@@ -462,6 +462,112 @@ FROM documents
 """
 
 
+class _DocxTextStage:
+    """Actor-pool stage: build a valid docx holding the document's text
+    (paragraph per line), extract it back with the from-scratch OOXML
+    engine (r4). Lossless text roundtrip → SQL identity oracle."""
+
+    def __init__(self) -> None:
+        from ..stages.ooxml_text import OoxmlTextEngine, make_docx
+
+        self.engine = OoxmlTextEngine()
+        self.make = make_docx
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        texts, pages = [], []
+        for t in df["text"]:
+            payload = self.make([str(t).split("\n")])
+            res = self.engine.extract("", payload, "zip")
+            texts.append(res.text)
+            pages.append(res.page_count)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "text": texts,
+                "page_count": pd.Series(pages, dtype="int64"),
+            }
+        )
+
+
+def docx_real_text(sf_dir: str) -> rd.Dataset:
+    """Real end-to-end DOCX text: wrap each document's text in a valid
+    minimal docx (zip + WordprocessingML runs), extract the runs back in
+    an actor pool. Text is byte-identical to the source — the reference
+    stubs these types to errors (ocr_service.py:234-242); this exceeds it."""
+    return (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        .map_batches(
+            _DocxTextStage,
+            batch_format="pandas",
+            batch_size=MEDIA_BATCH_SIZE,
+            concurrency=_media_concurrency(),
+        )
+    )
+
+
+_DOCX_REAL_TEXT_SQL = """
+SELECT doc_id, text, 1 AS page_count FROM documents
+"""
+
+
+class _OoxmlMetaStage:
+    """pptx + xlsx through the same engine: slide count and a numeric cell
+    value must survive the build→extract roundtrip."""
+
+    def __init__(self) -> None:
+        from ..stages.ooxml_text import OoxmlTextEngine, make_pptx, make_xlsx
+
+        self.engine = OoxmlTextEngine()
+        self.make_pptx = make_pptx
+        self.make_xlsx = make_xlsx
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        pptx_pages, xlsx_vals = [], []
+        for d in df["doc_id"]:
+            d = int(d)
+            n_slides = 1 + d % 3
+            pres = self.engine.extract(
+                "",
+                self.make_pptx(
+                    [[f"slide {i} of doc {d}"] for i in range(n_slides)]
+                ),
+                "zip",
+            )
+            pptx_pages.append(pres.page_count)
+            xres = self.engine.extract(
+                "", self.make_xlsx([[[f"doc {d}", d]]]), "zip"
+            )
+            xlsx_vals.append(int(xres.text.split("\t")[1]))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "pptx_pages": pd.Series(pptx_pages, dtype="int64"),
+                "xlsx_value": pd.Series(xlsx_vals, dtype="int64"),
+            }
+        )
+
+
+def ooxml_real_meta(sf_dir: str) -> rd.Dataset:
+    """Real end-to-end PPTX/XLSX extraction: per document, a pptx with
+    1 + doc_id%3 slides and an xlsx holding doc_id in a numeric cell, both
+    round-tripped through the from-scratch OOXML engine."""
+    return _docs(sf_dir).map_batches(
+        _OoxmlMetaStage,
+        batch_format="pandas",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=_media_concurrency(),
+    )
+
+
+_OOXML_REAL_META_SQL = """
+SELECT doc_id, 1 + doc_id % 3 AS pptx_pages, doc_id AS xlsx_value
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # REAL PDF text extraction (stages/pdf_text.py — full encode→parse loop)
 # --------------------------------------------------------------------------
@@ -648,6 +754,8 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "gif_real_meta": gif_real_meta,
     "tiff_real_meta": tiff_real_meta,
     "webp_real_meta": webp_real_meta,
+    "docx_real_text": docx_real_text,
+    "ooxml_real_meta": ooxml_real_meta,
     "pdf_real_text": pdf_real_text,
     "image_ahash_dupes": image_ahash_dupes,
 }
@@ -661,6 +769,8 @@ ORACLES: dict[str, str] = {
     "gif_real_meta": _GIF_REAL_META_SQL,
     "tiff_real_meta": _TIFF_REAL_META_SQL,
     "webp_real_meta": _WEBP_REAL_META_SQL,
+    "docx_real_text": _DOCX_REAL_TEXT_SQL,
+    "ooxml_real_meta": _OOXML_REAL_META_SQL,
     "pdf_real_text": _PDF_REAL_TEXT_SQL,
     "image_ahash_dupes": _IMAGE_AHASH_DUPES_SQL,
 }

@@ -263,6 +263,12 @@ def _webp_decode_factory(**kwargs: Any) -> Any:
     return WebpImageEngine(**kwargs)
 
 
+def _ooxml_text_factory(**kwargs: Any) -> Any:
+    from .ooxml_text import OoxmlTextEngine
+
+    return OoxmlTextEngine(**kwargs)
+
+
 register_engine("mock", MockEngine)
 register_engine("remote-http", RemoteHttpEngine)
 register_engine("html-main-content", HtmlEngine)
@@ -274,3 +280,4 @@ register_engine("bmp-decode", _bmp_decode_factory)
 register_engine("gif-decode", _gif_decode_factory)
 register_engine("tiff-decode", _tiff_decode_factory)
 register_engine("webp-decode", _webp_decode_factory)
+register_engine("ooxml-text", _ooxml_text_factory)

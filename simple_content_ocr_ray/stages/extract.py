@@ -72,6 +72,11 @@ REAL_ROUTE: dict[str, str] = {
     "gif": "gif-decode",
     "tiff": "tiff-decode",
     "webp": "webp-decode",
+    # OOXML text runs (docx/pptx/xlsx) — the reference lists these types
+    # but stubs them to errors (config.py:118, ocr_service.py:234-242);
+    # extracting the runs exceeds that honestly. Non-OOXML zips fail as
+    # rows at the engine's documented seam.
+    "zip": "ooxml-text",
 }
 REAL_ROUTE.update(
     {t: "image-decode-stub" for t in IMAGE_TYPES if t not in REAL_ROUTE}
