@@ -47,23 +47,43 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
-def _hll_registers(keys: np.ndarray) -> np.ndarray:
-    """uint8[HLL_M] register array for a batch of int64 keys."""
-    h = _splitmix64(keys.astype(np.uint64))
+def _md5_hash64(keys: np.ndarray) -> np.ndarray:
+    """First 8 md5 bytes (big-endian) of the DECIMAL string of each key —
+    the hash DuckDB reproduces bit-for-bit as
+    ``('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 16))::UBIGINT``, the
+    same technique that made simhash SQL-checkable (shingle_hashes_md5)."""
+    import hashlib
+
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(str(int(k)).encode()).digest()[:8], "big")
+            for k in keys
+        ),
+        dtype=np.uint64,
+        count=len(keys),
+    )
+
+
+def _hll_registers(keys: np.ndarray, hash: str = "md5") -> np.ndarray:
+    """uint8[HLL_M] register array for a batch of int64 keys.
+
+    ``hash='md5'`` (default) makes every register value — and therefore the
+    whole estimate — exactly computable by the DuckDB oracle (r4: moves the
+    three HLL queries from rows-only to hash-checked). ``hash='splitmix64'``
+    is the fully-vectorized scale path (same registers semantics, not
+    SQL-mirrorable); both paths share the rank math below and are asserted
+    to agree on error bounds in tests."""
+    if hash == "md5":
+        h = _md5_hash64(keys)
+    else:
+        h = _splitmix64(keys.astype(np.uint64))
     idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
-    rest = (h << np.uint64(HLL_P)) | np.uint64((1 << HLL_P) - 1)
-    # rank = leading zeros of the remaining 64-P bits, +1 (capped by the OR)
-    rank = np.zeros(len(h), dtype=np.uint8)
-    bit = np.uint64(1) << np.uint64(63)
-    cur = np.ones(len(h), dtype=bool)
-    r = 1
-    while cur.any():
-        top_zero = (rest & bit) == 0
-        nxt = cur & top_zero
-        rank[cur & ~top_zero] = r
-        cur = nxt
-        rest = rest << np.uint64(1)
-        r += 1
+    low = h & np.uint64((1 << (64 - HLL_P)) - 1)
+    # rank = leading zeros of the low 64-P bits + 1 = (64-P+1) - bit_length.
+    # frexp's exponent IS the bit length, integer-exact for values < 2^53
+    # (low has 52 bits at p=12) — no log2 rounding hazard.
+    bitlen = np.frexp(low.astype(np.float64))[1]
+    rank = ((64 - HLL_P + 1) - bitlen).astype(np.uint8)  # low=0 → max rank
     regs = np.zeros(HLL_M, dtype=np.uint8)
     np.maximum.at(regs, idx, rank)
     return regs
@@ -413,6 +433,89 @@ def type_value_quantiles_sketch(
     return pd.DataFrame(rows, columns=["event_type", "q", "approx_value"])
 
 
+# --------------------------------------------------------------------------
+# Exact SQL mirrors of the HLL estimates (r4): with the md5 key hash the
+# whole sketch — register index, rank, bias-corrected estimate, linear-
+# counting branch — is reproducible in DuckDB, so the three HLL queries are
+# hash-checked instead of rows-only. 2^(64-p) = 4503599627370496;
+# alpha(4096) = 0.7213/(1 + 1.079/4096).
+# --------------------------------------------------------------------------
+
+def _hll_rr_sql(key_expr: str, src: str) -> str:
+    """(idx, rank) rows for the distinct keys of ``src``."""
+    return f"""
+  SELECT CAST(hv >> 52 AS BIGINT) AS idx,
+         CAST(CASE WHEN hv % 4503599627370496::UBIGINT = 0::UBIGINT THEN 53
+              ELSE 53 - length(bin(hv % 4503599627370496::UBIGINT))
+              END AS BIGINT) AS rank
+  FROM (
+    SELECT CAST(('0x' || substring(md5(CAST({key_expr} AS VARCHAR)), 1, 16))
+                AS UBIGINT) AS hv
+    FROM (SELECT DISTINCT {key_expr} FROM {src})
+  )"""
+
+
+_HLL_EST_SQL = """
+  SELECT CAST(ROUND(
+      CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+           THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END, 0) AS BIGINT)
+  FROM (
+    SELECT (0.7213 / (1 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+             / (s + (4096 - nreg)) AS raw,
+           4096 - nreg AS zeros
+    FROM (
+      SELECT SUM(POWER(2.0, -r)) AS s, COUNT(*) AS nreg
+      FROM (SELECT idx, MAX(rank) AS r FROM rr GROUP BY idx)
+    )
+  )"""
+
+_HLL_DISTINCT_USERS_SQL = f"""
+WITH rr AS ({_hll_rr_sql("user_id", "events")})
+SELECT ({_HLL_EST_SQL}) AS approx_distinct
+"""
+
+_TYPE_DISTINCT_USERS_HLL_SQL = f"""
+WITH types AS (SELECT DISTINCT event_type FROM events)
+SELECT event_type,
+       (
+         WITH rr AS (
+           SELECT CAST(hv >> 52 AS BIGINT) AS idx,
+                  CAST(CASE WHEN hv % 4503599627370496::UBIGINT = 0::UBIGINT
+                       THEN 53
+                       ELSE 53 - length(bin(hv % 4503599627370496::UBIGINT))
+                       END AS BIGINT) AS rank
+           FROM (
+             SELECT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                            1, 16)) AS UBIGINT) AS hv
+             FROM (SELECT DISTINCT user_id FROM events e
+                   WHERE e.event_type = types.event_type)
+           )
+         )
+         {_HLL_EST_SQL}
+       ) AS approx_distinct
+FROM types ORDER BY event_type
+"""
+
+_VIEW_PURCHASE_OVERLAP_HLL_SQL = f"""
+WITH est AS (
+  SELECT
+    (WITH rr AS ({_hll_rr_sql("user_id", "events WHERE event_type = 'view'")})
+     {_HLL_EST_SQL}) AS approx_view,
+    (WITH rr AS ({_hll_rr_sql("user_id",
+                              "events WHERE event_type = 'purchase'")})
+     {_HLL_EST_SQL}) AS approx_purchase,
+    (WITH rr AS ({_hll_rr_sql(
+        "user_id",
+        "events WHERE event_type IN ('view', 'purchase')")})
+     {_HLL_EST_SQL}) AS approx_union
+)
+SELECT approx_view, approx_purchase,
+       GREATEST(0, approx_view + approx_purchase - approx_union)
+         AS approx_both
+FROM est
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
     "hll_distinct_users": hll_distinct_users,
     "type_value_quantiles_sketch": type_value_quantiles_sketch,
@@ -422,9 +525,14 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "token_counts_cms": token_counts_cms,
     "view_purchase_overlap_hll": view_purchase_overlap_hll,
 }
-#: hll_distinct_users, type_distinct_users_hll, token_counts_cms and
-#: event_value_quantiles_sketch are approximate by construction — rows-only
-#: checks by design; their accuracy bounds are asserted in tests/test_sketch.py.
+#: token_counts_cms and the quantile sketches are approximate with hashes
+#: SQL cannot reproduce (blake2b/splitmix64) — rows-only checks by design;
+#: their accuracy bounds are asserted in tests/test_sketch.py. The HLL
+#: family is EXACTLY mirrored (r4): md5 key hash → DuckDB recomputes the
+#: registers and the estimate bit-for-bit.
 ORACLES: dict[str, str] = {
     "approx_top_tokens": _APPROX_TOP_TOKENS_SQL,
+    "hll_distinct_users": _HLL_DISTINCT_USERS_SQL,
+    "type_distinct_users_hll": _TYPE_DISTINCT_USERS_HLL_SQL,
+    "view_purchase_overlap_hll": _VIEW_PURCHASE_OVERLAP_HLL_SQL,
 }
