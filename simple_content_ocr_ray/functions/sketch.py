@@ -270,30 +270,31 @@ CMS_D = 4  # hash rows
 CMS_W = 2048  # counters per row: overestimate ≤ e/W · N per row, min over D
 
 
-def _cms_token_hash(tokens: np.ndarray) -> np.ndarray:
-    """Stable 64-bit base hash per token (blake2b — process-independent)."""
+def _cms_row_index(tokens: np.ndarray, row: int) -> np.ndarray:
+    """Counter index of each token in CMS row ``row``: first 8 md5 bytes of
+    ``"{row}:{token}"`` mod W — d independent-enough hash functions that
+    DuckDB reproduces bit-for-bit (r4: same technique as the HLL/simhash
+    oracles), making the whole sketch — every cell, every probe —
+    SQL-checkable."""
     import hashlib
 
+    pre = f"{row}:".encode()
     return np.fromiter(
         (
-            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+            int.from_bytes(hashlib.md5(pre + t.encode()).digest()[:8], "big")
+            % CMS_W
             for t in tokens
         ),
-        dtype=np.uint64,
+        dtype=np.int64,
         count=len(tokens),
     )
 
 
 def _cms_matrix(tokens: np.ndarray, counts: np.ndarray) -> np.ndarray:
-    """d×w int64 Count-Min matrix for (token, count) pairs; row r uses the
-    splitmix64 of (base_hash + r) — d independent-enough hash functions."""
+    """d×w int64 Count-Min matrix for (token, count) pairs."""
     m = np.zeros((CMS_D, CMS_W), dtype=np.int64)
-    base = _cms_token_hash(tokens)
     for r in range(CMS_D):
-        idx = (_splitmix64(base + np.uint64(r + 1)) % np.uint64(CMS_W)).astype(
-            np.int64
-        )
-        np.add.at(m[r], idx, counts)
+        np.add.at(m[r], _cms_row_index(tokens, r), counts)
     return m
 
 
@@ -323,15 +324,39 @@ def token_counts_cms(sf_dir: str) -> pd.DataFrame:
         merged += np.frombuffer(blob, dtype=np.int64).reshape(CMS_D, CMS_W)
 
     probe = approx_top_tokens(sf_dir)["token"].to_numpy()
-    base = _cms_token_hash(probe)
     ests = np.full(len(probe), np.iinfo(np.int64).max, dtype=np.int64)
     for r in range(CMS_D):
-        idx = (_splitmix64(base + np.uint64(r + 1)) % np.uint64(CMS_W)).astype(
-            np.int64
-        )
-        ests = np.minimum(ests, merged[r, idx])
+        ests = np.minimum(ests, merged[r, _cms_row_index(probe, r)])
     out = pd.DataFrame({"token": probe, "est_n": ests})
     return out.sort_values("token").reset_index(drop=True)
+
+
+#: exact SQL mirror of the Count-Min sketch (r4): md5 row hashes → DuckDB
+#: rebuilds every cell total and takes the same min over rows per probe.
+_TOKEN_COUNTS_CMS_SQL = f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+tc AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY 1),
+cells AS (
+  SELECT t.r,
+         CAST(CAST(('0x' || substring(
+             md5(CAST(t.r AS VARCHAR) || ':' || tc.token), 1, 16))
+           AS UBIGINT) % {CMS_W} AS BIGINT) AS idx,
+         SUM(tc.n) AS cell_n
+  FROM tc, range({CMS_D}) t(r)
+  GROUP BY 1, 2
+),
+probe AS (SELECT token, n FROM tc ORDER BY n DESC, token LIMIT {MG_TOPK})
+SELECT p.token, CAST(MIN(c.cell_n) AS BIGINT) AS est_n
+FROM probe p
+CROSS JOIN range({CMS_D}) t(r)
+JOIN cells c
+  ON c.r = t.r
+ AND c.idx = CAST(CAST(('0x' || substring(
+         md5(CAST(t.r AS VARCHAR) || ':' || p.token), 1, 16))
+       AS UBIGINT) % {CMS_W} AS BIGINT)
+GROUP BY p.token
+ORDER BY p.token
+"""
 
 
 # --------------------------------------------------------------------------
@@ -535,4 +560,5 @@ ORACLES: dict[str, str] = {
     "hll_distinct_users": _HLL_DISTINCT_USERS_SQL,
     "type_distinct_users_hll": _TYPE_DISTINCT_USERS_HLL_SQL,
     "view_purchase_overlap_hll": _VIEW_PURCHASE_OVERLAP_HLL_SQL,
+    "token_counts_cms": _TOKEN_COUNTS_CMS_SQL,
 }
