@@ -297,6 +297,10 @@ def run_headline() -> dict:
             "source_dup_matrix",
             "part_pair_counts",
             "event_value_histogram",
+            "webp_real_meta",
+            "jpeg_progressive_real_meta",
+            "docx_real_text",
+            "streaming_dedup_stats",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)

@@ -467,6 +467,127 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def canonical_url_dedup(sf_dir: str) -> pd.DataFrame:
+    """URL canonicalization + dedup — the crawl-frontier normalization step
+    (r4): the same page arrives under uppercase hosts, tracking parameters,
+    explicit default ports and fragments; canonicalizing BEFORE the url
+    dedup collapses those variants so a page is fetched/extracted once.
+
+    Rules (the standard RFC-3986-flavored subset): lowercase scheme+host,
+    strip default :443/:80 ports, drop ``utm_*``/``ref`` tracking params
+    (other query params SURVIVE), drop fragments. All vectorized pandas
+    regex passes — DuckDB mirrors each pass with the same patterns, so the
+    canonical forms are string-identical both sides.
+
+    Messy variants are synthesized deterministically per doc (doc_id % 5
+    picks the corruption; doc_id % 7 == 0 adds a LEGITIMATE ``page=2``
+    param that must survive), so the fixture exercises every rule and the
+    collapse is exactly checkable: variants of a doc group to one canonical
+    url with keeper = min doc_id. Only slim url rows shuffle (partial+final
+    aggregate) — payloads never move."""
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def messy(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy()
+        base_host = pd.Series([f"site{x % N_HOSTS}.example" for x in d])
+        path = pd.Series([f"/doc/{x % 500}" for x in d])
+        q = pd.Series(["?page=2" if x % 7 == 0 else "" for x in d])
+        variant = d % 5
+        url = pd.Series([""] * len(d))
+        for v, fmt in (
+            (0, lambda h, p, qq: f"https://{h}{p}{qq}"),
+            (1, lambda h, p, qq: f"HTTPS://{h.upper()}{p}{qq}"),
+            (2, lambda h, p, qq: (
+                f"https://{h}{p}{qq}&utm_source=crawler&utm_medium=bot"
+                if qq else f"https://{h}{p}?utm_source=crawler&utm_medium=bot"
+            )),
+            (3, lambda h, p, qq: f"https://{h}:443{p}{qq}"),
+            (4, lambda h, p, qq: f"https://{h}{p}{qq}#section-2"),
+        ):
+            m = variant == v
+            url[m] = [
+                fmt(h, p_, qq)
+                for h, p_, qq in zip(base_host[m], path[m], q[m])
+            ]
+        return pd.DataFrame({"doc_id": d, "url": url})
+
+    def canonicalize(s: pd.Series) -> pd.Series:
+        parts = s.str.extract(r"^(?P<scheme>[A-Za-z]+)://(?P<host>[^/?#]+)(?P<rest>.*)$")
+        host = parts["host"].str.lower().str.replace(
+            r":(443|80)$", "", regex=True
+        )
+        rest = parts["rest"].str.replace(r"#.*$", "", regex=True)
+        rest = rest.str.replace(r"&(utm_[a-z]+|ref)=[^&#]*", "", regex=True)
+        rest = rest.str.replace(r"\?(utm_[a-z]+|ref)=[^&#]*&", "?", regex=True)
+        rest = rest.str.replace(r"\?(utm_[a-z]+|ref)=[^&#]*$", "", regex=True)
+        return parts["scheme"].str.lower() + "://" + host + rest
+
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"canonical_url": canonicalize(df["url"]), "doc_id": df["doc_id"]}
+        )
+
+    out = grouped_aggregate(
+        docs.map_batches(messy, batch_format="pandas"),
+        ["canonical_url"],
+        {"n_variants": (None, "count"), "keeper_doc_id": ("doc_id", "min")},
+        prepare=prepare,
+    ).to_pandas()
+    out = out.astype({"n_variants": "int64", "keeper_doc_id": "int64"})
+    return out.sort_values("canonical_url").reset_index(drop=True)
+
+
+def _canonical_url_dedup_sql() -> str:
+    return f"""
+WITH messy AS (
+  SELECT doc_id,
+    CASE doc_id % 5
+      WHEN 0 THEN 'https://site' || CAST(doc_id % {N_HOSTS} AS VARCHAR)
+                  || '.example/doc/' || CAST(doc_id % 500 AS VARCHAR)
+                  || CASE WHEN doc_id % 7 = 0 THEN '?page=2' ELSE '' END
+      WHEN 1 THEN 'HTTPS://SITE' || CAST(doc_id % {N_HOSTS} AS VARCHAR)
+                  || '.EXAMPLE/doc/' || CAST(doc_id % 500 AS VARCHAR)
+                  || CASE WHEN doc_id % 7 = 0 THEN '?page=2' ELSE '' END
+      WHEN 2 THEN 'https://site' || CAST(doc_id % {N_HOSTS} AS VARCHAR)
+                  || '.example/doc/' || CAST(doc_id % 500 AS VARCHAR)
+                  || CASE WHEN doc_id % 7 = 0
+                     THEN '?page=2&utm_source=crawler&utm_medium=bot'
+                     ELSE '?utm_source=crawler&utm_medium=bot' END
+      WHEN 3 THEN 'https://site' || CAST(doc_id % {N_HOSTS} AS VARCHAR)
+                  || '.example:443/doc/' || CAST(doc_id % 500 AS VARCHAR)
+                  || CASE WHEN doc_id % 7 = 0 THEN '?page=2' ELSE '' END
+      ELSE 'https://site' || CAST(doc_id % {N_HOSTS} AS VARCHAR)
+                  || '.example/doc/' || CAST(doc_id % 500 AS VARCHAR)
+                  || CASE WHEN doc_id % 7 = 0 THEN '?page=2' ELSE '' END
+                  || '#section-2'
+    END AS url
+  FROM documents
+), split AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+         regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+                        ':(443|80)$', '') AS host,
+         regexp_extract(url, '^[A-Za-z]+://[^/?#]+(.*)$', 1) AS rest
+  FROM messy
+), canon AS (
+  SELECT doc_id,
+         scheme || '://' || host ||
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(rest, '#.*$', ''),
+               '&(utm_[a-z]+|ref)=[^&#]*', '', 'g'),
+             '\\?(utm_[a-z]+|ref)=[^&#]*&', '?'),
+           '\\?(utm_[a-z]+|ref)=[^&#]*$', '') AS canonical_url
+  FROM split
+)
+SELECT canonical_url, COUNT(*) AS n_variants, MIN(doc_id) AS keeper_doc_id
+FROM canon GROUP BY 1 ORDER BY 1
+"""
+
+
 #: minimum whitespace tokens for the refreshed-corpus quality gate
 REFRESH_MIN_TOKENS = 15
 
@@ -886,6 +1007,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "image_meta": image_meta,
     "page_link_graph": page_link_graph,
     "url_canonicalize": url_canonicalize,
+    "canonical_url_dedup": canonical_url_dedup,
     "exploded_pdf_text": exploded_pdf_text,
     "split_pdf_text": split_pdf_text,
     "extract_html_text": extract_html_text,
@@ -914,6 +1036,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact_pages": _DEDUP_EXACT_PAGES_SQL,
     "latest_page_text": _LATEST_PAGE_TEXT_SQL,
     "blocked_domain_pages": _BLOCKED_DOMAIN_PAGES_SQL,
+    "canonical_url_dedup": _canonical_url_dedup_sql(),
     "recrawl_churn_stats": _RECRAWL_CHURN_SQL,
     "snapshot_change_rate": _SNAPSHOT_CHANGE_SQL,
     "refreshed_corpus": _REFRESHED_CORPUS_SQL,

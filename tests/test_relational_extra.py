@@ -607,3 +607,38 @@ def test_event_value_histogram_properties(ray_session):
     assert got["n"].sum() == len(ev)
     for r in got.itertuples():
         assert r.n == exp[(r.event_type, r.bin)]
+
+
+def test_canonical_url_dedup_rules():
+    """Every canonicalization rule collapses to the clean form; legitimate
+    query params survive; keeper is the min doc_id of the variant group."""
+    from simple_content_ocr_ray.pipelines.extract_queries import (
+        canonical_url_dedup,
+    )
+
+    out = canonical_url_dedup(SF)
+    urls = out["canonical_url"]
+    # no tracking params, uppercase, fragments, or explicit default ports
+    assert not urls.str.contains("utm_").any()
+    assert not urls.str.contains("#").any()
+    assert not urls.str.contains(":443").any()
+    assert (urls == urls.str.lower()).all()
+    # legitimate params survive canonicalization
+    assert urls.str.contains(r"\?page=2", regex=True).any()
+    # grouping matches a tiny in-test mirror of the canonical key
+    import ray.data as rd
+
+    from simple_content_ocr_ray.sources.synth_pages import N_HOSTS
+
+    ids = [r["doc_id"] for r in
+           rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"]).take_all()]
+    expected = {}
+    for d in ids:
+        key = (d % N_HOSTS, d % 500, "?page=2" if d % 7 == 0 else "")
+        expected.setdefault(key, []).append(d)
+    assert len(out) == len(expected)
+    got = dict(zip(out["canonical_url"], zip(out["n_variants"], out["keeper_doc_id"])))
+    for (h, p, q), members in expected.items():
+        url = f"https://site{h}.example/doc/{p}{q}"
+        n, keeper = got[url]
+        assert n == len(members) and keeper == min(members)
