@@ -93,20 +93,23 @@ def extract_page_rows(pages: rd.Dataset) -> rd.Dataset:
 
 
 def recombine(page_rows: rd.Dataset) -> rd.Dataset:
-    """groupby(url) → sort by page_num inside the group → exact-separator
-    combine. The only ordering guarantee used is within-group."""
+    """url-keyed shuffle → per-BLOCK sort by (url, page_num) →
+    exact-separator combine of every complete url run in the block (r4:
+    ``map_sorted_runs`` — one python call per block instead of one per url,
+    so combining millions of heavy documents costs per-block dispatch, not
+    ms × |urls|). The only ordering guarantee used is within-run."""
+    from ..functions.agg import map_sorted_runs
 
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("page_num", kind="mergesort")
-        return pd.DataFrame(
-            {
-                "url": [g["url"].iloc[0]],
-                "text": [combine_pages(list(g["page_md"]))],
-                "page_count": pd.Series([len(g)], dtype="int32"),
-            }
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "page_num"], kind="mergesort")
+        out = df.groupby("url", sort=False).agg(
+            text=("page_md", lambda s: combine_pages(list(s))),
+            page_count=("page_md", "size"),
         )
+        out["page_count"] = out["page_count"].astype("int32")
+        return out.reset_index()
 
-    return page_rows.groupby("url").map_groups(fn, batch_format="pandas")
+    return map_sorted_runs(page_rows, "url", fn)
 
 
 def exploded_extraction(pdf_docs: rd.Dataset) -> rd.Dataset:
