@@ -90,20 +90,21 @@ def events_asof_join(sf_dir: str, small_threshold: int = 2_000_000) -> pd.DataFr
     bit-identical to the SQL oracle.
 
     Adaptive like ``user_sessions``: below the threshold the filtered log is
-    sorted once and merged per-user vectorized (Ray's sort-based groupby has
-    a fixed multi-second shuffle cost that dwarfs small inputs); above it,
-    the keyed shuffle (``groupby(user_id).map_groups``) — the partitioning
-    an as-of join fundamentally needs at scale. Both paths share
-    ``_asof_group``; tests assert byte-equal outputs."""
+    sorted once and merged vectorized (Ray's sort-based groupby has a fixed
+    multi-second shuffle cost that dwarfs small inputs); above it, the keyed
+    shuffle — the partitioning an as-of join fundamentally needs at scale —
+    with ONE ``merge_asof(by='user_id')`` call per sorted block
+    (``map_sorted_runs``, r4: dispatch cost independent of the user count).
+    Both paths share ``_asof_frame``; tests assert byte-equal outputs."""
+    from .agg import map_sorted_runs
+
     events = _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
     # pre-filter: only the two joined event types ever enter the shuffle
     events = events.filter(
         expr="event_type == 'purchase' or event_type == 'view'"
     )
-    # decide the path from footer metadata (an upper bound on the filtered
-    # size) — no execution, no object-store pinning
-    if events_row_count(sf_dir) <= small_threshold:
-        df = events.to_pandas()
+
+    def _asof_frame(df: pd.DataFrame) -> pd.DataFrame:
         p = (
             df[df["event_type"] == "purchase"]
             .sort_values("ts", kind="mergesort")
@@ -139,8 +140,12 @@ def events_asof_join(sf_dir: str, small_threshold: int = 2_000_000) -> pd.DataFr
             }
         )
         return out_df.astype({"event_id": "int64", "user_id": "int64"})
-    out = events.groupby("user_id").map_groups(_asof_group, batch_format="pandas")
-    df = out.to_pandas()
+
+    # decide the path from footer metadata (an upper bound on the filtered
+    # size) — no execution, no object-store pinning
+    if events_row_count(sf_dir) <= small_threshold:
+        return _asof_frame(events.to_pandas())
+    df = map_sorted_runs(events, "user_id", _asof_frame).to_pandas()
     return df.astype({"event_id": "int64", "user_id": "int64"})
 
 
@@ -335,8 +340,12 @@ def user_funnel_counts(sf_dir: str, small_threshold: int = 2_000_000) -> pd.Data
     click. One row: (n_view, n_view_click, n_funnel).
 
     Adaptive: small logs run the vectorized grouped merges on one node;
-    large logs shuffle by user (``groupby(user_id).map_groups``) and the
-    per-user flags are count-reduced — the driver sees three integers."""
+    large logs shuffle by user and run the SAME grouped merges once per
+    sorted block (``map_sorted_runs``, r4 — every user's rows co-located,
+    dispatch independent of user count); the per-user flags are
+    count-reduced — the driver sees three integers."""
+    from .agg import map_sorted_runs
+
     events = _read_events(sf_dir, ["user_id", "ts", "event_type"]).filter(
         expr="event_type == 'view' or event_type == 'click' or event_type == 'purchase'"
     )
@@ -344,10 +353,7 @@ def user_funnel_counts(sf_dir: str, small_threshold: int = 2_000_000) -> pd.Data
     if events_row_count(sf_dir) <= small_threshold:
         t = _funnel_times(events.to_pandas())
     else:
-        flags = events.groupby("user_id").map_groups(
-            _funnel_times, batch_format="pandas"
-        )
-        t = flags.to_pandas()
+        t = map_sorted_runs(events, "user_id", _funnel_times).to_pandas()
     return pd.DataFrame(
         {
             "n_view": pd.Series([len(t)], dtype="int64"),
