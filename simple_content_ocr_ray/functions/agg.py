@@ -50,6 +50,14 @@ def map_sorted_runs(
     therefore handle any number of complete key runs per batch, vectorized
     (rows of one key value are contiguous; runs arrive in key order). Python
     dispatch cost becomes one call per block, independent of group count.
+
+    INVARIANT NOTE: key-run completeness per block is the same property
+    ``GroupedData.map_groups`` builds on but is not a documented Ray API
+    contract — it follows from range partitioning assigning partitions by
+    key VALUE. It is pinned for the vendored Ray (2.49) by
+    tests/test_sorted_runs.py (forced-tiny ``target_max_block_size``, hot
+    key ≫ block size); a Ray upgrade must keep that test green before any
+    of the ~14 operators built on this helper can be trusted.
     """
     return ds.sort(key).map_batches(
         fn, batch_size=None, batch_format=batch_format

@@ -73,8 +73,9 @@ def _hll_registers(keys: np.ndarray, hash: str = "md5") -> np.ndarray:
     is the fully-vectorized scale path (same registers semantics, not
     SQL-mirrorable); both paths share the rank math below and are asserted
     to agree on error bounds in tests."""
-    if hash == "md5":
-        h = _md5_hash64(keys)
+    keys = np.unique(keys)  # registers max-merge: duplicates contribute
+    if hash == "md5":       # nothing, and md5 is per-row python — hash
+        h = _md5_hash64(keys)  # each DISTINCT key once per batch
     else:
         h = _splitmix64(keys.astype(np.uint64))
     idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
@@ -184,8 +185,8 @@ def type_distinct_users_hll(
     as a DISTRIBUTED key-grouped reduction over the register column (the
     merge is associative — same result, tested equal), so the driver only
     ever holds |keys| merged arrays. No per-key value set ever
-    materializes. Deterministic (splitmix64), ±~1.6% at p=12; accuracy
-    asserted vs exact counts in tests."""
+    materializes. Deterministic (md5 key hash — exactly SQL-mirrored, r4),
+    ±~1.6% at p=12; accuracy asserted vs exact counts in tests."""
     events = rd.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
     )

@@ -62,10 +62,7 @@ def _read_part(zf: zipfile.ZipFile, name: str) -> ElementTree.Element:
         raise UnsupportedOoxmlError(f"malformed XML in {name}: {exc}") from exc
 
 
-def detect_ooxml_kind(payload: bytes) -> str:
-    """'docx' | 'pptx' | 'xlsx' from the archive layout."""
-    with _open_zip(payload) as zf:
-        names = set(zf.namelist())
+def _kind_from_names(names: set[str]) -> str:
     if "word/document.xml" in names:
         return "docx"
     if any(n.startswith("ppt/slides/slide") for n in names):
@@ -75,11 +72,21 @@ def detect_ooxml_kind(payload: bytes) -> str:
     raise UnsupportedOoxmlError("zip archive is not a known OOXML package")
 
 
+def detect_ooxml_kind(payload: bytes) -> str:
+    """'docx' | 'pptx' | 'xlsx' from the archive layout."""
+    with _open_zip(payload) as zf:
+        return _kind_from_names(set(zf.namelist()))
+
+
 def extract_docx_text(payload: bytes) -> list[str]:
     """Per-PAGE text of a docx (explicit page breaks split pages;
     single-page documents return one entry)."""
     with _open_zip(payload) as zf:
-        root = _read_part(zf, "word/document.xml")
+        return _docx_pages(zf)
+
+
+def _docx_pages(zf: zipfile.ZipFile) -> list[str]:
+    root = _read_part(zf, "word/document.xml")
     pages: list[list[str]] = [[]]
     for p in root.iter(f"{{{W_NS}}}p"):
         parts: list[str] = []
@@ -109,68 +116,76 @@ def extract_docx_text(payload: bytes) -> list[str]:
 def extract_pptx_text(payload: bytes) -> list[str]:
     """Per-SLIDE text of a pptx, slides in numeric order."""
     with _open_zip(payload) as zf:
-        slide_names = sorted(
-            (n for n in zf.namelist()
-             if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
-            key=lambda n: int(re.search(r"(\d+)", n).group(1)),
-        )
-        if not slide_names:
-            raise UnsupportedOoxmlError("pptx has no slides")
-        out = []
-        for name in slide_names:
-            root = _read_part(zf, name)
-            paras = []
-            for p in root.iter(f"{{{A_NS}}}p"):
-                paras.append(
-                    "".join(t.text or "" for t in p.iter(f"{{{A_NS}}}t"))
-                )
-            out.append("\n".join(paras))
+        return _pptx_pages(zf)
+
+
+def _pptx_pages(zf: zipfile.ZipFile) -> list[str]:
+    slide_names = sorted(
+        (n for n in zf.namelist()
+         if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
+        key=lambda n: int(re.search(r"(\d+)", n).group(1)),
+    )
+    if not slide_names:
+        raise UnsupportedOoxmlError("pptx has no slides")
+    out = []
+    for name in slide_names:
+        root = _read_part(zf, name)
+        paras = []
+        for p in root.iter(f"{{{A_NS}}}p"):
+            paras.append(
+                "".join(t.text or "" for t in p.iter(f"{{{A_NS}}}t"))
+            )
+        out.append("\n".join(paras))
     return out
 
 
 def extract_xlsx_text(payload: bytes) -> list[str]:
     """Per-SHEET text of an xlsx: cells joined by tab, rows by newline."""
     with _open_zip(payload) as zf:
-        names = set(zf.namelist())
-        shared: list[str] = []
-        if "xl/sharedStrings.xml" in names:
-            sroot = _read_part(zf, "xl/sharedStrings.xml")
-            for si in sroot.iter(f"{{{S_NS}}}si"):
-                shared.append(
-                    "".join(t.text or "" for t in si.iter(f"{{{S_NS}}}t"))
-                )
-        sheet_names = sorted(
-            (n for n in names
-             if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
-            key=lambda n: int(re.search(r"(\d+)", n).group(1)),
-        )
-        if not sheet_names:
-            raise UnsupportedOoxmlError("xlsx has no worksheets")
-        out = []
-        for name in sheet_names:
-            root = _read_part(zf, name)
-            rows = []
-            for row in root.iter(f"{{{S_NS}}}row"):
-                cells = []
-                for c in row.iter(f"{{{S_NS}}}c"):
-                    ctype = c.get("t", "n")
-                    if ctype == "s":  # shared string
-                        v = c.find(f"{{{S_NS}}}v")
-                        idx = int(v.text) if v is not None and v.text else -1
-                        cells.append(
-                            shared[idx] if 0 <= idx < len(shared) else ""
+        return _xlsx_pages(zf)
+
+
+def _xlsx_pages(zf: zipfile.ZipFile) -> list[str]:
+    names = set(zf.namelist())
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in names:
+        sroot = _read_part(zf, "xl/sharedStrings.xml")
+        for si in sroot.iter(f"{{{S_NS}}}si"):
+            shared.append(
+                "".join(t.text or "" for t in si.iter(f"{{{S_NS}}}t"))
+            )
+    sheet_names = sorted(
+        (n for n in names
+         if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+        key=lambda n: int(re.search(r"(\d+)", n).group(1)),
+    )
+    if not sheet_names:
+        raise UnsupportedOoxmlError("xlsx has no worksheets")
+    out = []
+    for name in sheet_names:
+        root = _read_part(zf, name)
+        rows = []
+        for row in root.iter(f"{{{S_NS}}}row"):
+            cells = []
+            for c in row.iter(f"{{{S_NS}}}c"):
+                ctype = c.get("t", "n")
+                if ctype == "s":  # shared string
+                    v = c.find(f"{{{S_NS}}}v")
+                    idx = int(v.text) if v is not None and v.text else -1
+                    cells.append(
+                        shared[idx] if 0 <= idx < len(shared) else ""
+                    )
+                elif ctype == "inlineStr":
+                    cells.append(
+                        "".join(
+                            t.text or "" for t in c.iter(f"{{{S_NS}}}t")
                         )
-                    elif ctype == "inlineStr":
-                        cells.append(
-                            "".join(
-                                t.text or "" for t in c.iter(f"{{{S_NS}}}t")
-                            )
-                        )
-                    else:  # n / str / b — the raw value
-                        v = c.find(f"{{{S_NS}}}v")
-                        cells.append(v.text or "" if v is not None else "")
-                rows.append("\t".join(cells))
-            out.append("\n".join(rows))
+                    )
+                else:  # n / str / b — the raw value
+                    v = c.find(f"{{{S_NS}}}v")
+                    cells.append(v.text or "" if v is not None else "")
+            rows.append("\t".join(cells))
+        out.append("\n".join(rows))
     return out
 
 
@@ -184,12 +199,13 @@ class OoxmlTextEngine:
     def extract(self, url: str, payload: bytes, content_type: str):
         from .engines import EngineResult
 
-        kind = detect_ooxml_kind(payload)
-        pages = {
-            "docx": extract_docx_text,
-            "pptx": extract_pptx_text,
-            "xlsx": extract_xlsx_text,
-        }[kind](payload)
+        with _open_zip(payload) as zf:  # ONE central-directory parse
+            kind = _kind_from_names(set(zf.namelist()))
+            pages = {
+                "docx": _docx_pages,
+                "pptx": _pptx_pages,
+                "xlsx": _xlsx_pages,
+            }[kind](zf)
         return EngineResult(
             text=PAGE_SEP.join(pages),
             page_count=len(pages),
@@ -200,6 +216,13 @@ class OoxmlTextEngine:
 # --------------------------------------------------------------------------
 # Fixture builders (tests + oracled roundtrip queries)
 # --------------------------------------------------------------------------
+
+def _xml_text(s: str) -> str:
+    """Escape text for element content INCLUDING carriage returns: XML
+    parsers normalize literal \\r and \\r\\n to \\n, so a lossless text
+    roundtrip must emit CR as a character reference."""
+    return escape(s).replace("\r", "&#13;")
+
 
 _CT_XML = (
     '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
@@ -227,7 +250,7 @@ def make_docx(pages: list[list[str]]) -> bytes:
             body.append(f'<w:p><w:r><w:br w:type="page"/></w:r></w:p>')
         for para in paras:
             body.append(
-                f'<w:p><w:r><w:t xml:space="preserve">{escape(para)}</w:t>'
+                f'<w:p><w:r><w:t xml:space="preserve">{_xml_text(para)}</w:t>'
                 "</w:r></w:p>"
             )
     doc = (
@@ -242,7 +265,7 @@ def make_pptx(slides: list[list[str]]) -> bytes:
     parts = {}
     for i, paras in enumerate(slides, start=1):
         runs = "".join(
-            f'<a:p><a:r><a:t>{escape(p)}</a:t></a:r></a:p>' for p in paras
+            f'<a:p><a:r><a:t>{_xml_text(p)}</a:t></a:r></a:p>' for p in paras
         )
         parts[f"ppt/slides/slide{i}.xml"] = (
             f'<p:sld xmlns:p="http://schemas.openxmlformats.org/'
@@ -283,7 +306,7 @@ def make_xlsx(sheets: list[list[list[object]]]) -> bytes:
         f'<sst xmlns="{S_NS}" count="{len(shared)}" '
         f'uniqueCount="{len(shared)}">'
         + "".join(
-            f'<si><t xml:space="preserve">{escape(s)}</t></si>' for s in shared
+            f'<si><t xml:space="preserve">{_xml_text(s)}</t></si>' for s in shared
         )
         + "</sst>"
     )

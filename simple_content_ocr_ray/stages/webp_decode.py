@@ -239,14 +239,16 @@ def _lz77_code(value: int) -> tuple[int, int, int]:
 
 def _make_distance_map() -> list[tuple[int, int]]:
     """The spec's 120-entry near-pixel map: all (x, y) offsets with
-    y ∈ [0, 15], x ∈ [-8, 7] that point to an already-decoded pixel,
-    ordered by squared euclidean distance (ties: larger y first, then
-    positive x before negative); first 120 taken. The head of the table is
-    pinned against the published spec values in tests."""
+    y ∈ [0, 7], x ∈ [-7, 8] that point to an already-decoded pixel
+    (the ranges the distance-code encoding ``x = 8 - (v & 0xF)``,
+    ``y = v >> 4`` can represent — an earlier draft used y ≤ 15 / x ≤ 7
+    and diverged from the spec at index 96), ordered by squared euclidean
+    distance (ties: larger y first, then positive x before negative).
+    The FULL table is pinned against the spec's plane-code LUT in tests."""
     cand = [
         (x, y)
-        for y in range(16)
-        for x in range(-8, 8)
+        for y in range(8)
+        for x in range(-7, 9)
         if y > 0 or x > 0
     ]
     cand.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], -p[0]))

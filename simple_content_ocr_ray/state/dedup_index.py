@@ -121,14 +121,19 @@ class StreamingDeduper:
 
     def checkpoint(self, out_dir: str) -> None:
         """Durable snapshot of the whole index (the JetStream-durability
-        analog for actor state): every shard dumps its sorted key set, the
-        snapshot directory is written to a temp path and atomically renamed
-        — a killed checkpoint leaves the previous one intact. Snapshot size
-        is 8 bytes/key, sharded into one file per actor."""
+        analog for actor state): every shard dumps its sorted key set into a
+        temp dir, the previous snapshot is PARKED at ``<out_dir>.old`` while
+        the new one renames into place, then the parked one is removed — a
+        kill at ANY point leaves either the new or the parked snapshot on
+        disk (``restore_available`` checks both), never zero snapshots
+        (an earlier version rmtree'd the old snapshot before the rename,
+        leaving a kill window with no snapshot at all). Snapshot size is
+        8 bytes/key, sharded into one file per actor."""
         import json
         import shutil
 
         tmp = out_dir + f".tmp{os.getpid()}"
+        old = out_dir + ".old"
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp)
         blobs = ray.get([s.dump.remote() for s in self.shards])
@@ -137,8 +142,24 @@ class StreamingDeduper:
                 f.write(blob)
         with open(os.path.join(tmp, "meta.json"), "w") as f:
             json.dump({"n_shards": self.n_shards}, f)
-        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(out_dir):
+            os.rename(out_dir, old)  # park, don't destroy
         os.rename(tmp, out_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    @classmethod
+    def restore_available(cls, snap_dir: str) -> "StreamingDeduper | None":
+        """Restore the newest intact snapshot: the primary dir, else the
+        parked ``.old`` one (kill mid-swap), else None. Claims recorded only
+        in a lost newer snapshot are simply re-claimed when their partition
+        reprocesses — never dropped."""
+        if os.path.isdir(snap_dir):
+            return cls.restore(snap_dir)
+        old = snap_dir + ".old"
+        if os.path.isdir(old):
+            return cls.restore(old)
+        return None
 
     @classmethod
     def restore(cls, snap_dir: str) -> "StreamingDeduper":
@@ -178,9 +199,13 @@ def streaming_dedup_stats(sf_dir: str, n_shards: int = DEFAULT_SHARDS) -> pd.Dat
 
     dd = StreamingDeduper(n_shards=n_shards)
     rows = []
-    for name, part, n_in in (("a", part_a, half), ("b", part_b, n_docs - half)):
-        survived = dd.dedup(part).count()
-        rows.append((name, n_in, survived))
+    for name, part in (("a", part_a), ("b", part_b)):
+        kept = dd.dedup(part)
+        # count n_in from the actual partition rows (not the doc_id
+        # arithmetic — doc_ids need not be contiguous after a refresh),
+        # matching the oracle's COUNT(*) exactly
+        n_in = part.count()
+        rows.append((name, n_in, kept.count()))
     out = pd.DataFrame(rows, columns=["partition", "n_in", "n_survived"])
     return out.astype({"n_in": "int64", "n_survived": "int64"})
 

@@ -151,15 +151,24 @@ def run_partitioned_extraction(
                 except OSError:
                     pass
 
+    mdir = os.path.join(out_dir, "_manifest")
+    snap_dir = os.path.join(mdir, "_dedup_index")
+    if force:
+        # force invalidates ALL prior state, not just the partition list: a
+        # killed force-run resumed later must not skip partitions whose
+        # manifest rows (and dedup claims) came from the PREVIOUS config —
+        # that silently yields mixed-config output across one out_dir.
+        for f in os.listdir(mdir):
+            if f.endswith(".json") and not f.startswith("_"):
+                os.remove(os.path.join(mdir, f))
+        for d in (snap_dir, snap_dir + ".old"):
+            shutil.rmtree(d, ignore_errors=True)
+
     deduper = None
-    snap_dir = os.path.join(out_dir, "_manifest", "_dedup_index")
     if dedup_urls:
         from .dedup_index import StreamingDeduper
 
-        if os.path.isdir(snap_dir) and not force:
-            deduper = StreamingDeduper.restore(snap_dir)
-        else:
-            deduper = StreamingDeduper()
+        deduper = StreamingDeduper.restore_available(snap_dir) or StreamingDeduper()
 
     done = set() if force else finished_partitions(out_dir)
     todo = [

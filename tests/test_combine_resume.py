@@ -259,3 +259,55 @@ def test_dedup_urls_survives_kill_and_resume(tmp_path):
     )
     manifest = read_manifest(out_dir)
     assert sum(m["rows"] for m in manifest) == 4
+
+
+def test_killed_force_run_resumed_without_force(tmp_path):
+    """force invalidates ALL prior manifest rows up front: a force run
+    killed mid-way and resumed WITHOUT --force must reprocess the
+    partitions the old config produced, not skip them (mixed mock/real
+    output otherwise)."""
+    import pyarrow.parquet as pq
+    import pytest
+
+    from simple_content_ocr_ray.pipelines.extract import extraction_pipeline
+    from simple_content_ocr_ray.stages.pdf_text import make_minimal_pdf
+
+    d = tmp_path / "pages_pdf"
+    d.mkdir()
+    for i, name in enumerate(["p1", "p2"]):
+        t = pa.table(
+            {
+                "url": [f"https://ex.com/{name}"],
+                "html": [make_minimal_pdf([[f"real text {i}"]])],
+            }
+        )
+        pq.write_table(t, str(d / f"{name}.parquet"))
+    out_dir = str(tmp_path / "out_force")
+
+    # run 1: mock preset everywhere
+    run_partitioned_extraction(str(d), out_dir, preset="mock")
+    texts = [r["text"] for r in rd.read_parquet(out_dir).take_all()]
+    assert all("Mock OCR" in t or "#" in t for t in texts)  # mock markdown
+
+    # run 2: --force --preset real, killed after partition 1
+    calls = {"n": 0}
+
+    def dying(ds, **kw):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("kill")
+        return extraction_pipeline(ds, **kw)
+
+    with pytest.raises(RuntimeError):
+        run_partitioned_extraction(
+            str(d), out_dir, pipeline_fn=dying, preset="real", force=True
+        )
+    # stale mock-era manifest rows must be gone: only p1's new row exists
+    assert finished_partitions(out_dir) == {"p1"}
+
+    # run 3: resume WITHOUT force under the new config
+    s = run_partitioned_extraction(str(d), out_dir, preset="real")
+    assert s["processed"] == 1 and s["skipped"] == 1
+    rows = {r["url"]: r for r in rd.read_parquet(out_dir).take_all()}
+    for i, name in enumerate(["p1", "p2"]):
+        assert rows[f"https://ex.com/{name}"]["text"] == f"real text {i}"

@@ -92,3 +92,30 @@ def test_checkpoint_restore_resumes_index(ray_session, tmp_path):
     d2.checkpoint(snap)
     d3 = StreamingDeduper.restore(snap)
     assert d3.index_size() == 4
+
+
+def test_checkpoint_swap_kill_window_restores_parked_snapshot(tmp_path):
+    """A kill between parking the old snapshot and renaming the new one in
+    must still leave a restorable snapshot (.old) — never zero snapshots."""
+    import os
+    import ray.data as rd
+
+    from simple_content_ocr_ray.state.dedup_index import StreamingDeduper
+
+    snap = str(tmp_path / "snap")
+    dd = StreamingDeduper(n_shards=2)
+    ds = rd.from_items([{"text": f"t{i}"} for i in range(20)])
+    dd.dedup(ds)
+    dd.checkpoint(snap)
+    # simulate the kill window: primary parked at .old, new one never landed
+    os.rename(snap, snap + ".old")
+    back = StreamingDeduper.restore_available(snap)
+    assert back is not None
+    assert back.index_size() == 20
+    # re-ingesting yields zero survivors — the resume semantic
+    assert back.dedup(ds).count() == 0
+    # nothing at all → None (fresh index)
+    import shutil
+
+    shutil.rmtree(snap + ".old")
+    assert StreamingDeduper.restore_available(snap) is None

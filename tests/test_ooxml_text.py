@@ -109,3 +109,13 @@ def test_zip_routes_through_real_route():
     assert out["text"].to_pylist()[0] == "body text here"
     meta = out["metadata"].to_pylist()[0]
     assert meta["engine"] == "ooxml-text"
+
+
+def test_docx_carriage_return_roundtrip():
+    """Text containing \\r / \\r\\n must survive byte-identically: XML
+    parsers normalize literal CR to LF, so the builder emits &#13;."""
+    out = extract_docx_text(make_docx([["line a\r", "b\rc"]]))
+    assert out == ["line a\r\nb\rc"]
+    # xlsx shared strings too
+    sheets = [[["x\ry", 1]]]
+    assert extract_xlsx_text(make_xlsx(sheets)) == ["x\ry\t1"]

@@ -29,15 +29,34 @@ def _check(img: np.ndarray, **kw) -> None:
     assert np.array_equal(out, ref)
 
 
-def test_distance_map_prefix_matches_spec():
-    """The 120-entry near-pixel map is generated from the proximity rule;
-    pin its head against the published spec table values."""
+#: the spec's plane-code lookup table (encoder side): index j = y*16 +
+#: (8 - x) for y ∈ [0,7], x ∈ [-7,8]; value = 0-based distance code,
+#: 255 = not-a-neighbor. DISTANCE_MAP must be exactly its inverse.
+_PLANE_TO_CODE_LUT = [
+    96, 73, 55, 39, 23, 13, 5, 1, 255, 255, 255, 255, 255, 255, 255, 255,
+    101, 78, 58, 42, 26, 16, 8, 2, 0, 3, 9, 17, 27, 43, 59, 79,
+    102, 86, 62, 46, 32, 20, 10, 6, 4, 7, 11, 21, 33, 47, 63, 87,
+    105, 90, 70, 52, 37, 28, 18, 14, 12, 15, 19, 29, 38, 53, 71, 91,
+    110, 99, 82, 66, 48, 35, 30, 24, 22, 25, 31, 36, 49, 67, 83, 100,
+    115, 108, 94, 76, 64, 50, 44, 40, 34, 41, 45, 51, 65, 77, 95, 109,
+    118, 113, 103, 92, 80, 68, 60, 56, 54, 57, 61, 69, 81, 93, 104, 114,
+    119, 116, 111, 106, 97, 88, 84, 74, 72, 75, 85, 89, 98, 107, 112, 117,
+]
+
+
+def test_distance_map_matches_spec_lut():
+    """Pin ALL 120 entries against the published plane-code LUT: the map
+    must be its exact inverse (a wrong offset silently corrupts backward
+    references in real-world files using 2-D distance codes)."""
     assert len(DISTANCE_MAP) == 120
-    assert DISTANCE_MAP[:24] == [
-        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
-        (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
-        (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
-    ]
+    seen = set()
+    for j, code in enumerate(_PLANE_TO_CODE_LUT):
+        if code == 255:
+            continue
+        y, x = j >> 4, 8 - (j & 0xF)
+        assert DISTANCE_MAP[code] == (x, y), (code, x, y, DISTANCE_MAP[code])
+        seen.add(code)
+    assert seen == set(range(120))
     # every entry must point at an already-decoded pixel
     assert all(y > 0 or x > 0 for x, y in DISTANCE_MAP)
 
