@@ -278,14 +278,26 @@ class SplitRouterStage:
             .append_column("part", pa.array(["light"] * n, pa.string()))
         )
 
-        urls, nums, szs = [], [], []
-        for url, payload in zip(heavy["url"].to_pylist(), heavy["html"].to_pylist()):
-            size = len(payload or b"")
-            np_ = min(MAX_PAGES_CAP, estimate_page_count("application/pdf", size))
-            urls.extend([url] * np_)
-            nums.extend(range(1, np_ + 1))
-            szs.extend([size] * np_)
-        m = len(urls)
+        import numpy as np
+
+        h_sizes = pc.binary_length(heavy["html"]).to_numpy(zero_copy_only=False)
+        n_pages = np.minimum(
+            MAX_PAGES_CAP,
+            np.fromiter(
+                (estimate_page_count("application/pdf", int(s)) for s in h_sizes),
+                dtype=np.int64,
+                count=len(h_sizes),
+            ),
+        )
+        # vectorized explode: repeat urls/sizes, ragged 1..n page numbers
+        urls = np.repeat(
+            np.asarray(heavy["url"].to_pylist(), dtype=object), n_pages
+        )
+        szs = np.repeat(h_sizes.astype(np.int64), n_pages)
+        total = int(n_pages.sum())
+        starts = np.cumsum(n_pages) - n_pages
+        nums = np.arange(total, dtype=np.int64) - np.repeat(starts, n_pages) + 1
+        m = total
         meta = pa.StructArray.from_arrays(
             [pa.array([""] * m, pa.string())] * 7,
             names=["engine", "mime_type", "size_bytes", "page_count",
