@@ -217,6 +217,7 @@ def run_headline() -> dict:
         "n_pages": n_in,
         "docs_per_s": round(n_in / headline, 1),
         "cal_1core_sec": _calibrate(),
+        "width_eff": _width_probe(),
         "queries": {},
     }
 
@@ -311,6 +312,34 @@ def run_headline() -> dict:
 
     ray.shutdown()
     return result
+
+
+def _width_probe(n: int = 32) -> float:
+    """Aggregate-parallelism efficiency: n processes each run the cal loop;
+    returns sum(per-proc time) / (n × wall) ∈ (0, 1] — ~1.0 at full width,
+    low when the hypervisor caps wide parallelism. Distinguishes the
+    wide-throttle capacity windows (which hit the 32-cpu scaling level
+    first, BASELINE.md) from single-core slowdowns: cal can read normal
+    while width is capped."""
+    import multiprocessing as mp
+
+    def work(q):
+        t0 = time.time()
+        x = 0
+        for i in range(10**7):
+            x += i
+        q.put(time.time() - t0)
+
+    q = mp.Queue()
+    ps = [mp.Process(target=work, args=(q,)) for _ in range(n)]
+    t0 = time.time()
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join()
+    wall = time.time() - t0
+    times = [q.get() for _ in range(n)]
+    return round(sum(times) / (n * wall), 3)
 
 
 def _calibrate() -> float:
@@ -427,6 +456,9 @@ def run_scaling() -> dict:
         "cal_1core_sec": _calibrate(),
         "cal_lo": out[lo].get("cal_1core_sec"),
         "cal_hi": out[hi].get("cal_1core_sec"),
+        "width_lo": out[lo].get("width_eff"),
+        "width_hi": out[hi].get("width_eff"),
+        "width_eff": _width_probe(),
         "cal_drift_ok": _drift() <= SCALE_CAL_DRIFT_MAX,
         "cal_retries": retries,
         "sf": SF_DIR,
