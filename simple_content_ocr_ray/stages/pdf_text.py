@@ -11,12 +11,25 @@ without rendering:
 
 * object table: ``N 0 obj ... endobj`` scanned positionally (no xref
   needed — xref is an optimization, the objects are self-delimiting);
-* page objects: ``/Type /Page`` with a ``/Contents N 0 R`` reference;
+  PDF-1.5 compressed object streams (``/Type /ObjStm`` — where modern
+  writers pack every non-stream object, page dicts included) are inflated
+  and their contained objects merged into the table, so "no /Type /Page
+  found" no longer fires on post-2005 writers;
+* page ORDER follows the document's ``/Pages`` tree (recursive ``/Kids``
+  walk from the root, cycle-guarded) — object-number order is only the
+  fallback when no tree is present, since real writers renumber freely;
+* page objects: ``/Type /Page`` with ``/Contents N 0 R`` or the equally
+  common array form ``/Contents [4 0 R 7 0 R]`` (streams concatenated —
+  the spec allows tokens to span the boundary, so they are joined BEFORE
+  tokenizing); ``/Length`` may be a direct integer or an indirect
+  reference (``/Length 5 0 R``), both resolved exactly;
 * content streams: bytes between ``stream``/``endstream`` of the referenced
   object; unfiltered and ``/FlateDecode`` (stdlib zlib — the compression
-  virtually every real-world PDF uses) are decoded; other filters
-  (DCTDecode, LZWDecode, ASCII85…) raise ``UnsupportedPdfError``, the
-  explicit seam where a codec-equipped build would plug in;
+  virtually every real-world PDF uses) are decoded, including the PNG
+  predictors (``/DecodeParms /Predictor 10-15``) object/xref streams
+  carry; other filters (DCTDecode, LZWDecode, ASCII85…) raise
+  ``UnsupportedPdfError``, the explicit seam where a codec-equipped build
+  would plug in;
 * text: ``(string) Tj`` / ``' `` / ``"``, hex strings ``<4869> Tj``, and
   ``[(a) -120 (b)] TJ`` inside ``BT``/``ET`` blocks, with PDF string
   escapes (\\n, \\( … and \\ooo octal) decoded; a ``Td``/``TD``/``T*``
@@ -36,10 +49,22 @@ from .engines import EngineResult
 
 _OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.S)
 _PAGE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
+_PAGES_RE = re.compile(rb"/Type\s*/Pages\b")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
+_CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[([^\]]*)\]")
+_REF_RE = re.compile(rb"(\d+)\s+0\s+R")
+_KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]")
+_PARENT_RE = re.compile(rb"/Parent\s+\d+\s+0\s+R")
+_OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm\b")
+_N_RE = re.compile(rb"/N\s+(\d+)")
+_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+_PREDICTOR_RE = re.compile(rb"/Predictor\s+(\d+)")
+_PRED_COLUMNS_RE = re.compile(rb"/Columns\s+(\d+)")
 _STREAM_START_RE = re.compile(rb"stream(?:\r\n|\n|\r)")
-#: direct /Length only — an indirect "/Length 5 0 R" falls back to delimiting
+#: direct /Length — an indirect "/Length 5 0 R" is resolved via the object
+#: table; only an unresolvable one falls back to delimiting
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+_LENGTH_IND_RE = re.compile(rb"/Length\s+(\d+)\s+0\s+R")
 _FILTER_RE = re.compile(rb"/Filter\b")
 _FLATE_ONLY_RE = re.compile(
     rb"/Filter\s*(?:/FlateDecode\b|\[\s*/FlateDecode\s*\])"
@@ -108,24 +133,35 @@ def _unhex(raw: bytes) -> bytes:
     return bytes.fromhex(h.decode("ascii"))
 
 
-def _stream_data(cobj: bytes) -> tuple[bytes, bool] | None:
+def _stream_data(
+    cobj: bytes, objs: dict[int, bytes] | None = None
+) -> tuple[bytes, bool] | None:
     """Raw bytes of a content stream and whether they are length-exact.
 
     Streams are delimited by the /Length value when it is a direct integer
-    (the spec-correct way — delimiter scanning can never eat payload bytes).
-    Without a usable /Length the stream is delimited by ``endstream`` with
-    ONE trailing EOL stripped; that heuristic can eat a final 0x0D of binary
-    data (data ending in ``\\r`` + writer's ``\\n`` looks like a CRLF
-    delimiter), so callers get ``exact=False`` and may retry decompression
-    with the candidate byte re-appended.
+    or a resolvable indirect reference (the spec-correct way — delimiter
+    scanning can never eat payload bytes). Without a usable /Length the
+    stream is delimited by ``endstream`` with ONE trailing EOL stripped;
+    that heuristic can eat a final 0x0D of binary data (data ending in
+    ``\\r`` + writer's ``\\n`` looks like a CRLF delimiter), so callers get
+    ``exact=False`` and may retry decompression with the candidate byte
+    re-appended.
     """
     sm = _STREAM_START_RE.search(cobj)
     if not sm:
         return None
     start = sm.end()
+    n = None
     lm = _LENGTH_RE.search(cobj[: sm.start()])
     if lm:
         n = int(lm.group(1))
+    elif objs is not None:
+        im = _LENGTH_IND_RE.search(cobj[: sm.start()])
+        if im:  # "/Length 5 0 R": the referenced object body IS the integer
+            ref = objs.get(int(im.group(1)))
+            if ref is not None and ref.strip().isdigit():
+                n = int(ref.strip())
+    if n is not None:
         data = cobj[start : start + n]
         # trust /Length only if endstream IMMEDIATELY follows (spec: EOL +
         # endstream) — a stale /Length (stream edited after writing) falls
@@ -142,6 +178,66 @@ def _stream_data(cobj: bytes) -> tuple[bytes, bool] | None:
     elif data.endswith((b"\n", b"\r")):
         data = data[:-1]
     return data, False
+
+
+def _unpredict_png(data: bytes, columns: int, bpp: int = 1) -> bytes:
+    """Reverse the PNG row predictors (PDF /Predictor 10-15 over Flate
+    output — the encoding xref and object streams routinely carry). Each
+    row is ``1 + columns*bpp`` bytes: a per-row filter tag then the
+    filtered bytes (None/Sub/Up/Average/Paeth, PNG spec §6)."""
+    import numpy as np
+
+    rowlen = columns * bpp
+    stride = rowlen + 1
+    if rowlen <= 0 or len(data) % stride:
+        raise UnsupportedPdfError("predictor data not a whole number of rows")
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(-1, stride)
+    tags, rows = arr[:, 0], arr[:, 1:].astype(np.int32)
+    prev = np.zeros(rowlen, dtype=np.int32)
+    out = np.empty_like(rows)
+    for r in range(rows.shape[0]):
+        tag, cur = int(tags[r]), rows[r]
+        if tag == 0:
+            line = cur
+        elif tag == 2:  # Up
+            line = (cur + prev) & 0xFF
+        else:  # Sub/Average/Paeth need the in-row running value
+            line = cur.copy()
+            for i in range(rowlen):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                if tag == 1:
+                    line[i] = (line[i] + a) & 0xFF
+                elif tag == 3:
+                    line[i] = (line[i] + ((a + b) >> 1)) & 0xFF
+                elif tag == 4:
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    line[i] = (line[i] + pred) & 0xFF
+                else:
+                    raise UnsupportedPdfError(f"unknown predictor tag {tag}")
+        out[r] = line
+        prev = line
+    return out.astype(np.uint8).tobytes()
+
+
+def _maybe_unpredict(cobj: bytes, data: bytes) -> bytes:
+    """Apply /DecodeParms PNG predictors to inflated stream data if the
+    stream dict declares them (Predictor 1/absent = identity; TIFF
+    predictor 2 is not emitted by real PDF writers for Flate and raises)."""
+    pm = _PREDICTOR_RE.search(cobj)
+    if not pm:
+        return data
+    pred = int(pm.group(1))
+    if pred <= 1:
+        return data
+    if pred < 10:
+        raise UnsupportedPdfError(f"unsupported TIFF predictor {pred}")
+    cm = _PRED_COLUMNS_RE.search(cobj)
+    columns = int(cm.group(1)) if cm else 1
+    return _unpredict_png(data, columns)
 
 
 def _inflate(data: bytes, exact: bool) -> bytes:
@@ -183,40 +279,126 @@ def _stream_text(stream: bytes) -> str:
     return b"".join(parts).strip(b"\n").decode("latin-1")
 
 
+def _decoded_stream(cobj: bytes, objs: dict[int, bytes]) -> bytes | None:
+    """Fully decoded bytes of one stream object (Flate + predictors), or
+    None when the object carries no stream."""
+    flate = False
+    if _FILTER_RE.search(cobj):
+        if _FLATE_ONLY_RE.search(cobj):
+            flate = True  # stdlib zlib — the dominant real-world filter
+        else:
+            raise UnsupportedPdfError(
+                "non-Flate content filter (DCT/LZW/ASCII85…) — needs a "
+                "codec behind this seam"
+            )
+    sd = _stream_data(cobj, objs)
+    if sd is None:
+        return None
+    data, exact = sd
+    if flate:
+        data = _maybe_unpredict(cobj, _inflate(data, exact))
+    return data
+
+
+def _unpack_object_streams(objs: dict[int, bytes]) -> None:
+    """Merge objects packed in PDF-1.5 ``/Type /ObjStm`` streams into the
+    object table. The stream layout (spec §7.5.7): ``/N`` pairs of
+    ``objnum offset`` integers, then object bodies starting at ``/First``.
+    Contained objects carry no ``obj``/``endobj`` wrappers. Top-level
+    definitions win on objnum collision (spec forbids duplicates; a
+    damaged file should not let a packed object shadow a scanned one).
+    Container entries are dropped afterwards — an UNcompressed container's
+    body textually contains the packed dicts, and must not itself match
+    the page/pages scans."""
+    containers: list[int] = []
+    for cont_num, body in list(objs.items()):
+        if not _OBJSTM_RE.search(body):
+            continue
+        containers.append(cont_num)
+        nm, fm = _N_RE.search(body), _FIRST_RE.search(body)
+        data = _decoded_stream(body, objs)
+        if not (nm and fm) or data is None:
+            raise UnsupportedPdfError("malformed /ObjStm header")
+        n, first = int(nm.group(1)), int(fm.group(1))
+        header = data[:first].split()
+        if len(header) < 2 * n:
+            raise UnsupportedPdfError("short /ObjStm pair table")
+        nums = [int(x) for x in header[0 : 2 * n : 2]]
+        offs = [int(x) for x in header[1 : 2 * n : 2]]
+        for i, (num, off) in enumerate(zip(nums, offs)):
+            end = offs[i + 1] if i + 1 < n else len(data) - first
+            objs.setdefault(num, data[first + off : first + end])
+    for cont_num in containers:
+        del objs[cont_num]
+
+
+def _contents_refs(page_body: bytes) -> list[int]:
+    """Object numbers of a page's content stream(s): single-ref and array
+    (``/Contents [4 0 R 7 0 R]``) forms."""
+    am = _CONTENTS_ARR_RE.search(page_body)
+    if am:
+        return [int(m.group(1)) for m in _REF_RE.finditer(am.group(1))]
+    cm = _CONTENTS_RE.search(page_body)
+    return [int(cm.group(1))] if cm else []
+
+
+def _page_order(objs: dict[int, bytes]) -> list[int]:
+    """Document page order: recursive ``/Kids`` walk from the root
+    ``/Pages`` node (the node with no ``/Parent``), falling back to
+    object-number order when no usable tree exists — real writers
+    renumber objects freely, so the tree, not the numbering, is
+    authoritative."""
+    roots = [
+        num
+        for num, body in objs.items()
+        if _PAGES_RE.search(body) and not _PARENT_RE.search(body)
+    ]
+    order: list[int] = []
+    seen: set[int] = set()
+
+    def walk(num: int) -> None:
+        if num in seen:  # cycle guard: damaged files must not hang the task
+            return
+        seen.add(num)
+        body = objs.get(num, b"")
+        if _PAGE_RE.search(body):
+            order.append(num)
+            return
+        km = _KIDS_RE.search(body)
+        if km:
+            for m in _REF_RE.finditer(km.group(1)):
+                walk(int(m.group(1)))
+
+    for root in sorted(roots):
+        walk(root)
+    if order:
+        return order
+    return [num for num in sorted(objs) if _PAGE_RE.search(objs[num])]
+
+
 def extract_pdf_text(payload: bytes) -> list[str]:
-    """Per-page text of a minimal (unfiltered) PDF, in page order."""
+    """Per-page text of an embedded-text PDF, in page-tree order."""
     if not payload.startswith(b"%PDF"):
         raise UnsupportedPdfError("not a PDF payload")
     objs: dict[int, bytes] = {
         int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(payload)
     }
+    _unpack_object_streams(objs)
     pages: list[str] = []
-    for num in sorted(objs):
-        body = objs[num]
-        if not _PAGE_RE.search(body):
-            continue
-        cm = _CONTENTS_RE.search(body)
-        if not cm:
+    for num in _page_order(objs):
+        refs = _contents_refs(objs[num])
+        if not refs:
             pages.append("")
             continue
-        cobj = objs.get(int(cm.group(1)), b"")
-        flate = False
-        if _FILTER_RE.search(cobj):
-            if _FLATE_ONLY_RE.search(cobj):
-                flate = True  # stdlib zlib — the dominant real-world filter
-            else:
-                raise UnsupportedPdfError(
-                    "non-Flate content filter (DCT/LZW/ASCII85…) — needs a "
-                    "codec behind this seam"
-                )
-        sd = _stream_data(cobj)
-        if sd is None:
-            pages.append("")
-            continue
-        data, exact = sd
-        if flate:
-            data = _inflate(data, exact)
-        pages.append(_stream_text(data))
+        # multiple content streams form ONE logical stream (tokens may span
+        # the boundary) — join raw bytes before tokenizing, with the
+        # whitespace byte the spec guarantees between them
+        chunks = [
+            data
+            for cnum in refs
+            if (data := _decoded_stream(objs.get(cnum, b""), objs)) is not None
+        ]
+        pages.append(_stream_text(b"\n".join(chunks)) if chunks else "")
     if not pages:
         raise UnsupportedPdfError("no /Type /Page objects found")
     return pages
@@ -242,25 +424,73 @@ class PdfTextEngine:
         )
 
 
-def make_minimal_pdf(pages: list[list[str]], flate: bool = False) -> bytes:
-    """Build a small VALID PDF (used by tests and demos): one content
-    stream per page, each inner list = lines of that page. ``flate=True``
-    emits zlib-compressed (/FlateDecode) content streams — the layout real
-    PDF writers produce."""
-    out = bytearray(b"%PDF-1.4\n")
+def _predict_png_rows(data: bytes, columns: int) -> bytes:
+    """PNG-predictor-ENCODE ``data`` (test/demo writer side): pad to whole
+    rows with spaces, cycle through all five filter tags so every decoder
+    path is exercised."""
+    data += b" " * ((-len(data)) % columns)
+    out = bytearray()
+    prev = bytes(columns)
+    for r in range(0, len(data), columns):
+        row = data[r : r + columns]
+        tag = (r // columns) % 5
+        out.append(tag)
+        for i, byte in enumerate(row):
+            a = row[i - 1] if i else 0
+            b = prev[i]
+            if tag == 0:
+                pred = 0
+            elif tag == 1:
+                pred = a
+            elif tag == 2:
+                pred = b
+            elif tag == 3:
+                pred = (a + b) >> 1
+            else:
+                c = prev[i - 1] if i else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((byte - pred) & 0xFF)
+        prev = row
+    return bytes(out)
+
+
+def make_minimal_pdf(
+    pages: list[list[str]],
+    flate: bool = False,
+    contents_split: int = 1,
+    indirect_length: bool = False,
+    objstm: bool = False,
+    predictor: int = 0,
+) -> bytes:
+    """Build a small VALID PDF (used by tests and demos): each inner list =
+    lines of that page. Writer knobs mirror real-world layouts:
+
+    * ``flate`` — zlib-compressed (/FlateDecode) content streams;
+    * ``contents_split=k`` — k content streams per page referenced via the
+      array form ``/Contents [a 0 R b 0 R]``;
+    * ``indirect_length`` — ``/Length N 0 R`` with the integer in its own
+      object;
+    * ``objstm`` — catalog/pages/page dicts packed into a Flate
+      ``/Type /ObjStm`` object stream (the PDF-1.5 layout modern writers
+      default to);
+    * ``predictor`` (with ``objstm``) — PNG row predictors on the object
+      stream via ``/DecodeParms``.
+    """
+    import zlib
+
     n_pages = len(pages)
-    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
-    out += b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
-    out += (
-        f"2 0 obj << /Type /Pages /Count {n_pages} /Kids [{kids}] >> endobj\n"
-    ).encode()
+    objects: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: (
+            "<< /Type /Pages /Count %d /Kids [%s] >>"
+            % (n_pages, " ".join(f"{3 + i} 0 R" for i in range(n_pages)))
+        ).encode(),
+    }
+    streams: dict[int, tuple[bytes, bytes]] = {}  # num -> (dict, raw bytes)
+    next_num = 3 + n_pages
     for i, lines in enumerate(pages):
-        page_num = 3 + 2 * i
-        stream_num = page_num + 1
-        out += (
-            f"{page_num} 0 obj << /Type /Page /Parent 2 0 R "
-            f"/MediaBox [0 0 612 792] /Contents {stream_num} 0 R >> endobj\n"
-        ).encode()
         ops = ["BT /F1 12 Tf 72 720 Td"]
         for k, line in enumerate(lines):
             esc = line.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
@@ -268,16 +498,68 @@ def make_minimal_pdf(pages: list[list[str]], flate: bool = False) -> bytes:
                 ops.append("0 -14 Td")
             ops.append(f"({esc}) Tj")
         ops.append("ET")
-        content = " ".join(ops).encode("latin-1")
-        filt = ""
-        if flate:
-            import zlib
+        k = max(1, contents_split)
+        chunks = [ops[j * len(ops) // k : (j + 1) * len(ops) // k] for j in range(k)]
+        refs: list[int] = []
+        for chunk in chunks:
+            if not chunk:
+                continue
+            content = " ".join(chunk).encode("latin-1")
+            filt = ""
+            if flate:
+                content = zlib.compress(content)
+                filt = " /Filter /FlateDecode"
+            num, next_num = next_num, next_num + 1
+            if indirect_length:
+                lnum, next_num = next_num, next_num + 1
+                objects[lnum] = str(len(content)).encode()
+                ldecl = f"/Length {lnum} 0 R"
+            else:
+                ldecl = f"/Length {len(content)}"
+            streams[num] = (f"<< {ldecl}{filt} >>".encode(), content)
+            refs.append(num)
+        cdecl = (
+            f"/Contents {refs[0]} 0 R"
+            if len(refs) == 1
+            else "/Contents [" + " ".join(f"{r} 0 R" for r in refs) + "]"
+        )
+        objects[3 + i] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] {cdecl} >>"
+        ).encode()
 
-            content = zlib.compress(content)
-            filt = " /Filter /FlateDecode"
+    packed: set[int] = set()
+    if objstm:
+        packed = {1, 2, *range(3, 3 + n_pages)}
+        nums = sorted(packed)
+        bodies = [objects[n] for n in nums]
+        offs, cur = [], 0
+        for b in bodies:
+            offs.append(cur)
+            cur += len(b) + 1
+        header = " ".join(f"{n} {o}" for n, o in zip(nums, offs)).encode() + b"\n"
+        data = header + b"\n".join(bodies)
+        dparms = ""
+        if predictor >= 10:
+            data = _predict_png_rows(data, 16)
+            dparms = f" /DecodeParms << /Predictor {predictor} /Columns 16 >>"
+        comp = zlib.compress(data)
+        snum, next_num = next_num, next_num + 1
+        streams[snum] = (
+            (
+                f"<< /Type /ObjStm /N {len(nums)} /First {len(header)} "
+                f"/Length {len(comp)} /Filter /FlateDecode{dparms} >>"
+            ).encode(),
+            comp,
+        )
+
+    out = bytearray(b"%PDF-1.5\n" if objstm else b"%PDF-1.4\n")
+    for num in sorted(objects):
+        if num not in packed:
+            out += f"{num} 0 obj ".encode() + objects[num] + b" endobj\n"
+    for num in sorted(streams):
+        d, content = streams[num]
         out += (
-            f"{stream_num} 0 obj << /Length {len(content)}{filt} >> stream\n".encode()
-            + content
+            f"{num} 0 obj ".encode() + d + b" stream\n" + content
             + b"\nendstream endobj\n"
         )
     out += b"%%EOF\n"

@@ -206,12 +206,13 @@ def test_flate_stream_ending_in_cr_without_length():
     assert extract_pdf_text(_pdf_with_flate_stream(content, False)) == ["line 18"]
 
 
-def test_indirect_length_falls_back_to_delimiting():
-    """/Length N 0 R (indirect) is not resolved — the delimiter fallback
-    must still extract the stream rather than mis-slicing by the ref num."""
+def test_indirect_length_is_resolved_exactly():
+    """/Length N 0 R (indirect) resolves via the object table — proven by a
+    show-string containing the word "endstream", which the delimiter
+    fallback would mis-slice at but the exact length ignores."""
     from simple_content_ocr_ray.stages.pdf_text import extract_pdf_text
 
-    content = b"BT (indirect ok) Tj ET"
+    content = b"BT (fake endstream inside) Tj ET"
     pdf = (
         b"%PDF-1.4\n"
         b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
@@ -221,4 +222,141 @@ def test_indirect_length_falls_back_to_delimiting():
         + b"\nendstream endobj\n"
         b"5 0 obj " + str(len(content)).encode() + b" endobj\n%%EOF\n"
     )
-    assert extract_pdf_text(pdf) == ["indirect ok"]
+    assert extract_pdf_text(pdf) == ["fake endstream inside"]
+
+
+def test_contents_array_multiple_streams_per_page():
+    """/Contents [a 0 R b 0 R]: streams concatenate into ONE logical
+    stream before tokenizing (the spec lets tokens span the boundary)."""
+    from simple_content_ocr_ray.stages.pdf_text import (
+        extract_pdf_text,
+        make_minimal_pdf,
+    )
+
+    pages = [["alpha", "beta", "gamma"], ["delta"]]
+    pdf = make_minimal_pdf(pages, contents_split=3)
+    assert b"/Contents [" in pdf
+    assert extract_pdf_text(pdf) == ["alpha\nbeta\ngamma", "delta"]
+    # same result compressed, and with indirect lengths on every stream
+    flate = make_minimal_pdf(pages, flate=True, contents_split=2,
+                             indirect_length=True)
+    assert extract_pdf_text(flate) == ["alpha\nbeta\ngamma", "delta"]
+
+
+def test_objstm_packed_page_dicts():
+    """PDF-1.5 layout: page/catalog dicts live inside a compressed
+    /Type /ObjStm object stream — no /Type /Page visible at top level."""
+    from simple_content_ocr_ray.stages.pdf_text import (
+        extract_pdf_text,
+        make_minimal_pdf,
+    )
+
+    pdf = make_minimal_pdf(
+        [["packed page one"], ["packed page two"]], flate=True, objstm=True
+    )
+    assert b"/ObjStm" in pdf and b"/Type /Page" not in pdf.replace(
+        b"/Type /Pages", b""
+    )
+    assert extract_pdf_text(pdf) == ["packed page one", "packed page two"]
+
+
+@pytest.mark.parametrize("pred", [10, 12, 15])
+def test_objstm_with_png_predictors(pred):
+    from simple_content_ocr_ray.stages.pdf_text import (
+        extract_pdf_text,
+        make_minimal_pdf,
+    )
+
+    pdf = make_minimal_pdf(
+        [["predicted one"], ["predicted two"], ["predicted three"]],
+        flate=True,
+        objstm=True,
+        predictor=pred,
+    )
+    assert b"/DecodeParms" in pdf
+    assert extract_pdf_text(pdf) == [
+        "predicted one", "predicted two", "predicted three"
+    ]
+
+
+def test_png_predictor_all_tags_roundtrip():
+    import numpy as np
+
+    from simple_content_ocr_ray.stages.pdf_text import (
+        _predict_png_rows,
+        _unpredict_png,
+    )
+
+    rng = np.random.default_rng(7)
+    raw = rng.integers(0, 256, size=257, dtype=np.uint8).tobytes()
+    cols = 16
+    enc = _predict_png_rows(raw, cols)
+    padded = raw + b" " * ((-len(raw)) % cols)
+    assert _unpredict_png(enc, cols) == padded
+
+
+def test_kids_order_overrides_object_numbering():
+    """Page order comes from the /Pages tree, not object numbering."""
+    from simple_content_ocr_ray.stages.pdf_text import extract_pdf_text
+
+    def stream(num: int, text: str) -> bytes:
+        content = f"BT ({text}) Tj ET".encode()
+        return (
+            f"{num} 0 obj << /Length {len(content)} >> stream\n".encode()
+            + content + b"\nendstream endobj\n"
+        )
+
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Count 2 /Kids [5 0 R 3 0 R] >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        + stream(4, "second by tree")
+        + b"5 0 obj << /Type /Page /Parent 2 0 R /Contents 6 0 R >> endobj\n"
+        + stream(6, "first by tree")
+        + b"%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == ["first by tree", "second by tree"]
+
+
+def test_nested_pages_tree_flattens_in_order():
+    from simple_content_ocr_ray.stages.pdf_text import extract_pdf_text
+
+    def stream(num: int, text: str) -> bytes:
+        content = f"BT ({text}) Tj ET".encode()
+        return (
+            f"{num} 0 obj << /Length {len(content)} >> stream\n".encode()
+            + content + b"\nendstream endobj\n"
+        )
+
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Count 3 /Kids [10 0 R 3 0 R] >> endobj\n"
+        b"10 0 obj << /Type /Pages /Parent 2 0 R /Count 2 "
+        b"/Kids [5 0 R 7 0 R] >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        + stream(4, "third")
+        + b"5 0 obj << /Type /Page /Parent 10 0 R /Contents 6 0 R >> endobj\n"
+        + stream(6, "first")
+        + b"7 0 obj << /Type /Page /Parent 10 0 R /Contents 8 0 R >> endobj\n"
+        + stream(8, "second")
+        + b"%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == ["first", "second", "third"]
+
+
+def test_pages_tree_cycle_does_not_hang():
+    """A damaged tree with a self-referencing Kids entry must terminate."""
+    from simple_content_ocr_ray.stages.pdf_text import extract_pdf_text
+
+    content = b"BT (survivor) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Count 1 /Kids [2 0 R 3 0 R] >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length " + str(len(content)).encode()
+        + b" >> stream\n" + content + b"\nendstream endobj\n%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == ["survivor"]
