@@ -316,6 +316,102 @@ def jpeg_progressive_real_meta(sf_dir: str) -> rd.Dataset:
     )
 
 
+class _JpegExifStage:
+    """Actor-pool stage parsing EXIF (APP1 / TIFF-IFD binary walk) from raw
+    JPEG bytes AND running the full real decode on the same payload — one
+    pass proves the decoder skips APPn segments and that metadata survives
+    the splice."""
+
+    def __init__(self) -> None:
+        from ..stages.exif import parse_exif
+        from ..stages.jpeg_decode import JpegImageEngine
+
+        self.parse = parse_exif
+        self.engine = JpegImageEngine()
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        order, orient, make, pxw, pxh, bright = [], [], [], [], [], []
+        for payload in df["jpg"]:
+            payload = bytes(payload)
+            meta = self.parse(payload)
+            res = self.engine.extract("", payload, "jpeg")
+            order.append(meta["byte_order"])
+            orient.append(int(meta["orientation"]))
+            make.append(meta["make"])
+            pxw.append(int(meta["pixel_x"]))
+            pxh.append(int(meta["pixel_y"]))
+            bright.append(int(float(res.metadata["brightness"])))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "byte_order": pd.Series(order, dtype="object"),
+                "orientation": pd.Series(orient, dtype="int64"),
+                "make": pd.Series(make, dtype="object"),
+                "px_w": pd.Series(pxw, dtype="int64"),
+                "px_h": pd.Series(pxh, dtype="int64"),
+                "brightness": pd.Series(bright, dtype="int64"),
+            }
+        )
+
+
+def jpeg_exif_meta(sf_dir: str) -> rd.Dataset:
+    """Real EXIF extraction over JPEG payloads: splice a writer-built APP1
+    block — orientation/camera/pixel tags, byte order alternating II/MM by
+    doc parity so BOTH endianness paths run — into the constant-gray JFIF,
+    then parse the tags back out of the raw TIFF-IFD bytes in an actor pool
+    alongside a full real decode (stages/exif.py). The reference gets the
+    same tags through PIL; every value is a pure function of doc_id, so the
+    oracle mirrors the whole row in SQL."""
+    import numpy as np
+
+    from ..stages.exif import insert_exif, make_exif_app1
+    from ..stages.jpeg_decode import make_jpeg
+
+    def with_jpg(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+
+        def build(d: int) -> bytes:
+            w, h = 16 + d % 9, 4 + d % 7
+            app1 = make_exif_app1(
+                orientation=1 + d % 8,
+                make=f"cam{d % 5}",
+                model=f"m{d % 3}",
+                datetime="2024:01:02 03:04:05",
+                pixel_x=w,
+                pixel_y=h,
+                big_endian=bool(d % 2),
+            )
+            return insert_exif(
+                make_jpeg(np.full((h, w), 2 * (d % 128), dtype=np.uint8)), app1
+            )
+
+        df["jpg"] = [build(int(d)) for d in df["doc_id"]]
+        return df
+
+    return (
+        _docs(sf_dir)
+        .map_batches(with_jpg, batch_format="pandas", batch_size=MEDIA_BATCH_SIZE)
+        .map_batches(
+            _JpegExifStage,
+            batch_format="pandas",
+            batch_size=MEDIA_BATCH_SIZE,
+            concurrency=_media_concurrency(),
+        )
+    )
+
+
+_JPEG_EXIF_META_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 1 THEN 'MM' ELSE 'II' END AS byte_order,
+       1 + doc_id % 8 AS orientation,
+       'cam' || CAST(doc_id % 5 AS VARCHAR) AS make,
+       16 + doc_id % 9 AS px_w,
+       4 + doc_id % 7 AS px_h,
+       2 * (doc_id % 128) AS brightness
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # REAL BMP / GIF / TIFF decode metadata (stages/image_formats.py)
 # --------------------------------------------------------------------------
@@ -750,6 +846,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "png_real_meta": png_real_meta,
     "jpeg_real_meta": jpeg_real_meta,
     "jpeg_progressive_real_meta": jpeg_progressive_real_meta,
+    "jpeg_exif_meta": jpeg_exif_meta,
     "bmp_real_meta": bmp_real_meta,
     "gif_real_meta": gif_real_meta,
     "tiff_real_meta": tiff_real_meta,
@@ -765,6 +862,7 @@ ORACLES: dict[str, str] = {
     "png_real_meta": _PNG_REAL_META_SQL,
     "jpeg_real_meta": _JPEG_REAL_META_SQL,
     "jpeg_progressive_real_meta": _JPEG_REAL_META_SQL,
+    "jpeg_exif_meta": _JPEG_EXIF_META_SQL,
     "bmp_real_meta": _BMP_REAL_META_SQL,
     "gif_real_meta": _GIF_REAL_META_SQL,
     "tiff_real_meta": _TIFF_REAL_META_SQL,
