@@ -24,12 +24,14 @@ without rendering:
   tokenizing); ``/Length`` may be a direct integer or an indirect
   reference (``/Length 5 0 R``), both resolved exactly;
 * content streams: bytes between ``stream``/``endstream`` of the referenced
-  object; unfiltered and ``/FlateDecode`` (stdlib zlib — the compression
-  virtually every real-world PDF uses) are decoded, including the PNG
+  object; every text-capable filter is decoded from the spec with the
+  stdlib — ``/FlateDecode`` (zlib), ``/LZWDecode`` (9→12-bit TIFF-variant
+  codes with EarlyChange), ``/ASCII85Decode``, ``/ASCIIHexDecode``,
+  ``/RunLengthDecode``, filter ARRAYS applied in chain order, and the PNG
   predictors (``/DecodeParms /Predictor 10-15``) object/xref streams
-  carry; other filters (DCTDecode, LZWDecode, ASCII85…) raise
-  ``UnsupportedPdfError``, the explicit seam where a codec-equipped build
-  would plug in;
+  carry; the remaining filters (DCTDecode/JPXDecode/JBIG2Decode/CCITTFax)
+  are image codecs that never hold content streams and raise
+  ``UnsupportedPdfError``, the explicit seam;
 * text: ``(string) Tj`` / ``' `` / ``"``, hex strings ``<4869> Tj``, and
   ``[(a) -120 (b)] TJ`` inside ``BT``/``ET`` blocks, with PDF string
   escapes (\\n, \\( … and \\ooo octal) decoded; a ``Td``/``TD``/``T*``
@@ -65,10 +67,18 @@ _STREAM_START_RE = re.compile(rb"stream(?:\r\n|\n|\r)")
 #: table; only an unresolvable one falls back to delimiting
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 _LENGTH_IND_RE = re.compile(rb"/Length\s+(\d+)\s+0\s+R")
-_FILTER_RE = re.compile(rb"/Filter\b")
-_FLATE_ONLY_RE = re.compile(
-    rb"/Filter\s*(?:/FlateDecode\b|\[\s*/FlateDecode\s*\])"
-)
+_FILTER_RE = re.compile(rb"/Filter\s*(/\w+|\[[^\]]*\])")
+_NAME_RE = re.compile(rb"/(\w+)")
+#: filters that can carry TEXT content, all implemented from the spec with
+#: the stdlib; the rest (DCTDecode/JPXDecode/JBIG2Decode/CCITTFaxDecode)
+#: are image codecs that never hold content streams
+_TEXT_FILTERS = {
+    b"FlateDecode",
+    b"LZWDecode",
+    b"ASCII85Decode",
+    b"ASCIIHexDecode",
+    b"RunLengthDecode",
+}
 _BT_ET_RE = re.compile(rb"BT(.*?)ET", re.S)
 #: show-text ops: (s) Tj · (s) ' · (s) " · <hex> Tj · [ ... ] TJ — and moves
 _TOK_RE = re.compile(
@@ -240,6 +250,146 @@ def _maybe_unpredict(cobj: bytes, data: bytes) -> bytes:
     return _unpredict_png(data, columns)
 
 
+def _filter_chain(head: bytes) -> list[bytes]:
+    """Ordered filter names of a stream dict (single name or array form)."""
+    m = _FILTER_RE.search(head)
+    if not m:
+        return []
+    blob = m.group(1)
+    if blob.startswith(b"["):
+        return [n.group(1) for n in _NAME_RE.finditer(blob)]
+    return [blob[1:]]
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """PDF ASCII85Decode: whitespace-tolerant, ``~>`` EOD, ``z`` zero-group
+    (stdlib base85)."""
+    import base64
+
+    s = b"".join(data.split())
+    if s.endswith(b"~>"):
+        s = s[:-2]
+    try:
+        return base64.a85decode(s)
+    except ValueError as exc:
+        raise UnsupportedPdfError(f"corrupt ASCII85 stream: {exc}") from exc
+
+
+def _asciihex_decode(data: bytes) -> bytes:
+    s = b"".join(data.split())
+    if s.endswith(b">"):
+        s = s[:-1]
+    if len(s) % 2:  # spec: odd count implies a trailing 0
+        s += b"0"
+    try:
+        return bytes.fromhex(s.decode("ascii"))
+    except ValueError as exc:
+        raise UnsupportedPdfError(f"corrupt ASCIIHex stream: {exc}") from exc
+
+
+def _rle_decode(data: bytes) -> bytes:
+    """PDF RunLengthDecode: length byte L — 0..127 copies L+1 literal
+    bytes, 129..255 repeats the next byte 257-L times, 128 is EOD."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        L = data[i]
+        if L == 128:
+            break
+        if L < 128:
+            out += data[i + 1 : i + 2 + L]
+            i += 2 + L
+        else:
+            if i + 1 >= len(data):
+                raise UnsupportedPdfError("truncated RunLength stream")
+            out += data[i + 1 : i + 2] * (257 - L)
+            i += 2
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """PDF LZWDecode (the TIFF variant): MSB-first variable-width codes
+    growing 9→12 bits with EarlyChange=1 (the spec default — width bumps
+    one code early), Clear=256, EOD=257. Missing EOD (some old writers)
+    ends at input exhaustion."""
+    out = bytearray()
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
+    next_code, width = 258, 9
+    prev: bytes | None = None
+    bitbuf = nbits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table = {i: bytes([i]) for i in range(256)}
+                next_code, width, prev = 258, 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code > 255:
+                    raise UnsupportedPdfError("LZW: first code not a literal")
+                entry = table[code]
+            else:
+                if code in table:
+                    entry = table[code]
+                elif code == next_code:  # the KwKwK self-reference case
+                    entry = prev + prev[:1]
+                else:
+                    raise UnsupportedPdfError("LZW: code beyond table")
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if width < 12 and next_code + 1 >= (1 << width):
+                    width += 1  # EarlyChange=1
+            out += entry
+            prev = entry
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """LZW-ENCODE (writer/test side), bit-exact mirror of ``_lzw_decode``'s
+    width schedule."""
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    bits: list[tuple[int, int]] = [(256, width)]
+    w = b""
+    for i in range(len(data)):
+        c = data[i : i + 1]
+        if w + c in table:
+            w += c
+            continue
+        bits.append((table[w], width))
+        table[w + c] = next_code
+        next_code += 1
+        # the decoder's table lags this one by a single entry, so its
+        # EarlyChange bump (next_code+1 >= 2^w) pairs with next_code >= 2^w
+        # here — both sides then flip width between the same two codes
+        if width < 12 and next_code >= (1 << width):
+            width += 1
+        if next_code == 4095:  # table nearly full: clear and restart
+            bits.append((256, width))
+            table = {bytes([j]): j for j in range(256)}
+            next_code, width = 258, 9
+        w = c
+    if w:
+        bits.append((table[w], width))
+    bits.append((257, width))
+    buf = nbuf = 0
+    out = bytearray()
+    for code, wd in bits:
+        buf = (buf << wd) | code
+        nbuf += wd
+        while nbuf >= 8:
+            out.append((buf >> (nbuf - 8)) & 0xFF)
+            nbuf -= 8
+    if nbuf:
+        out.append((buf << (8 - nbuf)) & 0xFF)
+    return bytes(out)
+
+
 def _inflate(data: bytes, exact: bool) -> bytes:
     """zlib-decompress; on delimiter-based (inexact) extraction, retry with
     the EOL bytes the delimiter may have swallowed re-appended."""
@@ -280,23 +430,37 @@ def _stream_text(stream: bytes) -> str:
 
 
 def _decoded_stream(cobj: bytes, objs: dict[int, bytes]) -> bytes | None:
-    """Fully decoded bytes of one stream object (Flate + predictors), or
-    None when the object carries no stream."""
-    flate = False
-    if _FILTER_RE.search(cobj):
-        if _FLATE_ONLY_RE.search(cobj):
-            flate = True  # stdlib zlib — the dominant real-world filter
-        else:
-            raise UnsupportedPdfError(
-                "non-Flate content filter (DCT/LZW/ASCII85…) — needs a "
-                "codec behind this seam"
-            )
+    """Fully decoded bytes of one stream object — the whole /Filter CHAIN
+    (e.g. ``[/ASCII85Decode /FlateDecode]``) applied in order, with PNG
+    predictors after the compression stage — or None when the object
+    carries no stream. Filter names are parsed from the DICT region only
+    (before the ``stream`` keyword), never from stream data that happens
+    to contain the token."""
+    sm = _STREAM_START_RE.search(cobj)
+    head = cobj[: sm.start()] if sm else cobj
+    filters = _filter_chain(head)
+    bad = [f for f in filters if f not in _TEXT_FILTERS]
+    if bad:
+        raise UnsupportedPdfError(
+            f"unsupported content filter {bad[0].decode()!r} — image codecs "
+            "never hold content streams; this is the explicit seam"
+        )
     sd = _stream_data(cobj, objs)
     if sd is None:
         return None
     data, exact = sd
-    if flate:
-        data = _maybe_unpredict(cobj, _inflate(data, exact))
+    for f in filters:
+        if f == b"FlateDecode":
+            data = _maybe_unpredict(head, _inflate(data, exact))
+        elif f == b"LZWDecode":
+            data = _maybe_unpredict(head, _lzw_decode(data))
+        elif f == b"ASCII85Decode":
+            data = _ascii85_decode(data)
+        elif f == b"ASCIIHexDecode":
+            data = _asciihex_decode(data)
+        else:
+            data = _rle_decode(data)
+        exact = True  # later chain stages see exactly-delimited bytes
     return data
 
 

@@ -126,7 +126,9 @@ def test_flate_compressed_pdf_roundtrip():
     ]
 
 
-def test_non_flate_filter_still_hits_seam():
+def test_image_codec_filter_still_hits_seam():
+    """r4: LZW/ASCII85/Hex/RunLength are now decoded; the seam is only the
+    image codecs, which never carry content streams."""
     from simple_content_ocr_ray.stages.pdf_text import (
         UnsupportedPdfError,
         extract_pdf_text,
@@ -134,9 +136,9 @@ def test_non_flate_filter_still_hits_seam():
     )
 
     pdf = make_minimal_pdf([["x"]]).replace(
-        b">> stream", b"/Filter /LZWDecode >> stream"
+        b">> stream", b"/Filter /JBIG2Decode >> stream"
     )
-    with pytest.raises(UnsupportedPdfError, match="non-Flate"):
+    with pytest.raises(UnsupportedPdfError, match="JBIG2Decode"):
         extract_pdf_text(pdf)
 
 
@@ -360,3 +362,105 @@ def test_pages_tree_cycle_does_not_hang():
         + b" >> stream\n" + content + b"\nendstream endobj\n%%EOF\n"
     )
     assert extract_pdf_text(pdf) == ["survivor"]
+
+
+def _pdf_one_stream(dict_extra: str, content: bytes) -> bytes:
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Count 1 /Kids [3 0 R] >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        + f"4 0 obj << /Length {len(content)}{dict_extra} >> stream\n".encode()
+        + content + b"\nendstream endobj\n%%EOF\n"
+    )
+
+
+def test_lzw_filtered_content_stream():
+    from simple_content_ocr_ray.stages.pdf_text import (
+        _lzw_encode,
+        extract_pdf_text,
+    )
+
+    content = _lzw_encode(b"BT (lzw text line) Tj ET")
+    pdf = _pdf_one_stream(" /Filter /LZWDecode", content)
+    assert extract_pdf_text(pdf) == ["lzw text line"]
+
+
+def test_lzw_hand_vector_pins_bit_order():
+    """Independent hand-derived bitstream: Clear,65,258(='AA'),65,EOD at 9
+    bits MSB-first decodes to AAAA — pins the spec conventions against a
+    mirrored encoder/decoder bug."""
+    from simple_content_ocr_ray.stages.pdf_text import _lzw_decode
+
+    bits = "100000000" "001000001" "100000010" "001000001" "100000001"
+    bits += "0" * (-len(bits) % 8)
+    vec = int(bits, 2).to_bytes(len(bits) // 8, "big")
+    assert _lzw_decode(vec) == b"AAAA"
+
+
+def test_lzw_width_growth_and_clear_roundtrip():
+    from simple_content_ocr_ray.stages.pdf_text import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rep = b"abcabcabd" * 20000  # grows the table through 9/10/11/12 bits
+    assert _lzw_decode(_lzw_encode(rep)) == rep
+
+
+def test_ascii85_filtered_content_stream():
+    import base64
+
+    from simple_content_ocr_ray.stages.pdf_text import extract_pdf_text
+
+    content = base64.a85encode(b"BT (a85 text) Tj ET") + b"~>"
+    pdf = _pdf_one_stream(" /Filter /ASCII85Decode", content)
+    assert extract_pdf_text(pdf) == ["a85 text"]
+
+
+def test_asciihex_and_runlength_streams():
+    from simple_content_ocr_ray.stages.pdf_text import extract_pdf_text
+
+    raw = b"BT (hex text) Tj ET"
+    pdf = _pdf_one_stream(" /Filter /ASCIIHexDecode", raw.hex().encode() + b">")
+    assert extract_pdf_text(pdf) == ["hex text"]
+
+    raw2 = b"BT (rle) Tj ET"
+    rle = bytes([len(raw2) - 1]) + raw2 + b"\x80"
+    pdf2 = _pdf_one_stream(" /Filter /RunLengthDecode", rle)
+    assert extract_pdf_text(pdf2) == ["rle"]
+
+
+def test_filter_chain_ascii85_over_flate():
+    """Filter ARRAY applied in chain order: [/ASCII85Decode /FlateDecode]."""
+    import base64
+    import zlib
+
+    from simple_content_ocr_ray.stages.pdf_text import extract_pdf_text
+
+    content = base64.a85encode(zlib.compress(b"BT (chained text) Tj ET")) + b"~>"
+    pdf = _pdf_one_stream(
+        " /Filter [/ASCII85Decode /FlateDecode]", content
+    )
+    assert extract_pdf_text(pdf) == ["chained text"]
+
+
+def test_image_codec_filter_still_raises_seam():
+    from simple_content_ocr_ray.stages.pdf_text import (
+        UnsupportedPdfError,
+        extract_pdf_text,
+    )
+
+    pdf = _pdf_one_stream(" /Filter /DCTDecode", b"\xff\xd8\xff\xe0junk")
+    with pytest.raises(UnsupportedPdfError, match="DCTDecode"):
+        extract_pdf_text(pdf)
+
+
+def test_filter_token_inside_stream_data_is_ignored():
+    """A show-string containing "/Filter /DCTDecode" must not poison the
+    dict scan — filters parse from the dict region only."""
+    from simple_content_ocr_ray.stages.pdf_text import extract_pdf_text
+
+    content = rb"BT (mentions /Filter /DCTDecode in prose) Tj ET"
+    pdf = _pdf_one_stream("", content)
+    assert extract_pdf_text(pdf) == ["mentions /Filter /DCTDecode in prose"]
