@@ -80,15 +80,26 @@ _TEXT_FILTERS = {
     b"RunLengthDecode",
 }
 _BT_ET_RE = re.compile(rb"BT(.*?)ET", re.S)
-#: show-text ops: (s) Tj · (s) ' · (s) " · <hex> Tj · [ ... ] TJ — and moves
+#: show-text ops: (s) Tj · (s) ' · (s) " · <hex> Tj · [ ... ] TJ — plus
+#: line moves and font selection (Tf drives /ToUnicode CMap routing)
 _TOK_RE = re.compile(
     rb"""\((?P<s>(?:\\.|[^()\\])*)\)\s*(?:Tj|'|")   # literal string shown
        | <(?P<hex>[0-9A-Fa-f\s]*)>\s*(?:Tj|'|")     # hex string shown
        | \[(?P<arr>(?:\\.|[^\]])*)\]\s*TJ           # array form
+       | /(?P<tf>[^\s/<>\[\]()]+)\s+[-\d.]+\s+Tf    # font select
        | (?P<nl>T\*|Td|TD)                          # line moves
     """,
     re.S | re.X,
 )
+_RES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+0\s+R")
+_FONT_DICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
+_FONT_REF_RE = re.compile(rb"/Font\s+(\d+)\s+0\s+R")
+_FONT_ENTRY_RE = re.compile(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+0\s+R")
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+0\s+R")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_CSR_RE = re.compile(rb"begincodespacerange(.*?)endcodespacerange", re.S)
+_HEX_TOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>|(\[)|(\])")
 _ARR_STR_RE = re.compile(
     rb"\((?P<s>(?:\\.|[^()\\])*)\)|<(?P<hex>[0-9A-Fa-f\s]*)>"
 )
@@ -407,26 +418,105 @@ def _inflate(data: bytes, exact: bool) -> bytes:
         raise UnsupportedPdfError(f"corrupt Flate stream: {exc}") from exc
 
 
-def _stream_text(stream: bytes) -> str:
+def _parse_cmap(data: bytes) -> tuple[dict[int, str], int]:
+    """(code → unicode string, code byte-width) of a /ToUnicode CMap:
+    ``bfchar`` pairs, ``bfrange`` with a destination start (last unit
+    incremented per the spec) or an explicit array, destination hex decoded
+    as UTF-16BE. Width comes from the codespacerange (Identity-H = 2)."""
+    width = 2
+    m = _CSR_RE.search(data)
+    if m:
+        h = _HEX_TOK_RE.search(m.group(1))
+        if h and h.group(1):
+            width = max(1, len(h.group(1)) // 2)
+
+    def uni(hexs: bytes) -> str:
+        if len(hexs) % 4:  # UTF-16BE units are 4 hex chars
+            hexs = hexs + b"0" * (-len(hexs) % 4)
+        return bytes.fromhex(hexs.decode("ascii")).decode("utf-16-be", "replace")
+
+    cmap: dict[int, str] = {}
+    for blk in _BFCHAR_RE.findall(data):
+        toks = [t[0] for t in _HEX_TOK_RE.findall(blk) if t[0]]
+        for j in range(0, len(toks) - 1, 2):
+            cmap[int(toks[j], 16)] = uni(toks[j + 1])
+    for blk in _BFRANGE_RE.findall(data):
+        toks: list[bytes | str] = []
+        for hx, lb, rb_ in _HEX_TOK_RE.findall(blk):
+            toks.append(hx if hx else ("[" if lb else "]"))
+        i = 0
+        while i + 2 < len(toks):  # each entry: lo, hi, then dst or [array]
+            lo_t, hi_t = toks[i], toks[i + 1]
+            if not isinstance(lo_t, bytes) or not isinstance(hi_t, bytes):
+                break
+            lo, hi = int(lo_t, 16), int(hi_t, 16)
+            i += 2
+            if i < len(toks) and toks[i] == "[":
+                i += 1
+                c = lo
+                while i < len(toks) and toks[i] != "]":
+                    if isinstance(toks[i], bytes) and c <= hi:
+                        cmap[c] = uni(toks[i])
+                        c += 1
+                    i += 1
+                i += 1  # past "]"
+            elif i < len(toks) and isinstance(toks[i], bytes):
+                dst = toks[i]
+                base = int(dst, 16)
+                nbytes = (len(dst) + 1) // 2
+                for c in range(lo, hi + 1):
+                    v = (base + (c - lo)).to_bytes(max(nbytes, 2), "big")
+                    cmap[c] = v.decode("utf-16-be", "replace")
+                i += 1
+            else:
+                break
+    return cmap, width
+
+
+def _mapped(raw: bytes, cmap: dict[int, str], width: int) -> str:
+    """Glyph-code bytes → unicode through a CMap (unmapped codes become
+    U+FFFD, the pdftotext convention); a trailing partial code is dropped."""
+    return "".join(
+        cmap.get(int.from_bytes(raw[i : i + width], "big"), "�")
+        for i in range(0, len(raw) - width + 1, width)
+    )
+
+
+def _stream_text(
+    stream: bytes, fontmaps: dict[bytes, tuple[dict[int, str], int]] | None = None
+) -> str:
     """Text of one content stream: concatenate shown strings; Td/TD/T*
-    becomes a newline (unless at start)."""
-    parts: list[bytes] = []
+    becomes a newline (unless at start). ``fontmaps`` routes strings shown
+    under a /ToUnicode-carrying font (selected by ``Tf``) through its CMap
+    — the Identity-H/embedded-subset case where raw bytes are glyph codes,
+    not characters."""
+    fontmaps = fontmaps or {}
+    cur: tuple[dict[int, str], int] | None = None
+    parts: list[str] = []
+
+    def shown(raw: bytes) -> str:
+        if cur is not None:
+            return _mapped(raw, cur[0], cur[1])
+        return raw.decode("latin-1")
+
     for block in _BT_ET_RE.findall(stream):
         for m in _TOK_RE.finditer(block):
             if m.group("nl") is not None:
-                if parts and parts[-1] != b"\n":
-                    parts.append(b"\n")
+                if parts and parts[-1] != "\n":
+                    parts.append("\n")
+            elif m.group("tf") is not None:
+                cur = fontmaps.get(m.group("tf"))
             elif m.group("s") is not None:
-                parts.append(_unescape(m.group("s")))
+                parts.append(shown(_unescape(m.group("s"))))
             elif m.group("hex") is not None:
-                parts.append(_unhex(m.group("hex")))
+                parts.append(shown(_unhex(m.group("hex"))))
             else:
                 for sm in _ARR_STR_RE.finditer(m.group("arr")):
                     if sm.group("s") is not None:
-                        parts.append(_unescape(sm.group("s")))
+                        parts.append(shown(_unescape(sm.group("s"))))
                     else:
-                        parts.append(_unhex(sm.group("hex")))
-    return b"".join(parts).strip(b"\n").decode("latin-1")
+                        parts.append(shown(_unhex(sm.group("hex"))))
+    return "".join(parts).strip("\n")
 
 
 def _decoded_stream(cobj: bytes, objs: dict[int, bytes]) -> bytes | None:
@@ -496,6 +586,40 @@ def _unpack_object_streams(objs: dict[int, bytes]) -> None:
         del objs[cont_num]
 
 
+def _page_fontmaps(
+    page_body: bytes, objs: dict[int, bytes], pages_bodies: list[bytes]
+) -> dict[bytes, tuple[dict[int, str], int]]:
+    """font resource name → (ToUnicode CMap, code width) for one page.
+    /Resources may be inline, an indirect ref, or INHERITED from a /Pages
+    ancestor (a layout real writers use constantly); /Font likewise may be
+    inline or a ref. Fonts without /ToUnicode get no entry — their strings
+    pass through as latin-1, the pre-CMap behavior."""
+    font_region: bytes | None = None
+    for region in [page_body, *pages_bodies]:
+        rm = _RES_REF_RE.search(region)
+        res = objs.get(int(rm.group(1)), b"") if rm else region
+        fm = _FONT_DICT_RE.search(res)
+        if fm:
+            font_region = fm.group(1)
+            break
+        fr = _FONT_REF_RE.search(res)
+        if fr:
+            font_region = objs.get(int(fr.group(1)), b"")
+            break
+    if not font_region:
+        return {}
+    out: dict[bytes, tuple[dict[int, str], int]] = {}
+    for m in _FONT_ENTRY_RE.finditer(font_region):
+        name, ref = m.group(1), int(m.group(2))
+        tu = _TOUNICODE_RE.search(objs.get(ref, b""))
+        if not tu:
+            continue
+        data = _decoded_stream(objs.get(int(tu.group(1)), b""), objs)
+        if data:
+            out[name] = _parse_cmap(data)
+    return out
+
+
 def _contents_refs(page_body: bytes) -> list[int]:
     """Object numbers of a page's content stream(s): single-ref and array
     (``/Contents [4 0 R 7 0 R]``) forms."""
@@ -548,6 +672,7 @@ def extract_pdf_text(payload: bytes) -> list[str]:
         int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(payload)
     }
     _unpack_object_streams(objs)
+    pages_bodies = [b for b in objs.values() if _PAGES_RE.search(b)]
     pages: list[str] = []
     for num in _page_order(objs):
         refs = _contents_refs(objs[num])
@@ -562,7 +687,10 @@ def extract_pdf_text(payload: bytes) -> list[str]:
             for cnum in refs
             if (data := _decoded_stream(objs.get(cnum, b""), objs)) is not None
         ]
-        pages.append(_stream_text(b"\n".join(chunks)) if chunks else "")
+        fontmaps = _page_fontmaps(objs[num], objs, pages_bodies)
+        pages.append(
+            _stream_text(b"\n".join(chunks), fontmaps) if chunks else ""
+        )
     if not pages:
         raise UnsupportedPdfError("no /Type /Page objects found")
     return pages

@@ -464,3 +464,80 @@ def test_filter_token_inside_stream_data_is_ignored():
     content = rb"BT (mentions /Filter /DCTDecode in prose) Tj ET"
     pdf = _pdf_one_stream("", content)
     assert extract_pdf_text(pdf) == ["mentions /Filter /DCTDecode in prose"]
+
+
+_CMAP = b"""/CIDInit /ProcSet findresource begin
+begincmap
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+2 beginbfchar
+<0041> <0394>
+<0042> <00480069>
+endbfchar
+1 beginbfrange
+<0100> <0102> <0416>
+endbfrange
+1 beginbfrange
+<0200> <0201> [<0041> <004200FC>]
+endbfrange
+endcmap
+"""
+
+
+def _cmap_pdf(content: bytes, cmap: bytes = _CMAP,
+              resources_on_root: bool = False, flate_cmap: bool = False) -> bytes:
+    import zlib
+
+    res = b" /Resources << /Font << /F7 5 0 R >> >>"
+    cm, filt = (zlib.compress(cmap), b" /Filter /FlateDecode") if flate_cmap else (cmap, b"")
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Count 1 /Kids [3 0 R]"
+        + (res if resources_on_root else b"") + b" >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R"
+        + (b"" if resources_on_root else res) + b" /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length " + str(len(content)).encode() + b" >> stream\n"
+        + content + b"\nendstream endobj\n"
+        b"5 0 obj << /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >> endobj\n"
+        b"6 0 obj << /Length " + str(len(cm)).encode() + filt + b" >> stream\n"
+        + cm + b"\nendstream endobj\n%%EOF\n"
+    )
+
+
+def test_tounicode_cmap_maps_glyph_codes():
+    """Identity-H-style text: 2-byte glyph codes route through the font's
+    /ToUnicode CMap — bfchar (incl. multi-unit targets), bfrange with base
+    increment, and bfrange with an explicit array."""
+    from simple_content_ocr_ray.stages.pdf_text import extract_pdf_text
+
+    content = b"BT /F7 12 Tf <0041 0100 0101 0102 0042> Tj 0 -14 Td <02000201> Tj ET"
+    assert extract_pdf_text(_cmap_pdf(content)) == ["ΔЖЗИHi\nA" "Bü"]
+
+
+def test_tounicode_resources_inherited_from_pages_root():
+    from simple_content_ocr_ray.stages.pdf_text import extract_pdf_text
+
+    content = b"BT /F7 12 Tf <0041> Tj ET"
+    assert extract_pdf_text(
+        _cmap_pdf(content, resources_on_root=True)
+    ) == ["Δ"]
+
+
+def test_tounicode_flate_compressed_cmap_stream():
+    from simple_content_ocr_ray.stages.pdf_text import extract_pdf_text
+
+    content = b"BT /F7 12 Tf <00410042> Tj ET"
+    assert extract_pdf_text(_cmap_pdf(content, flate_cmap=True)) == ["ΔHi"]
+
+
+def test_tounicode_font_switch_and_unmapped_code():
+    """Switching to a font without a CMap restores latin-1 passthrough;
+    unmapped codes under the CMap font become U+FFFD."""
+    from simple_content_ocr_ray.stages.pdf_text import extract_pdf_text
+
+    content = (
+        b"BT /F7 12 Tf <0041 9999> Tj /F1 12 Tf (plain) Tj ET"
+    )
+    assert extract_pdf_text(_cmap_pdf(content)) == ["Δ�plain"]
