@@ -90,7 +90,11 @@ class HtmlEngine:
         self._extractor = HtmlMainContentExtractor(**extractor_kwargs)
 
     def extract(self, url: str, payload: bytes, content_type: str) -> EngineResult:
-        text, spans = self._extractor.extract(payload.decode("utf-8", errors="replace"))
+        from .charset import decode_html
+
+        # charset-sniffed decode (BOM → transport header → meta prescan →
+        # UTF-8 trial → cp1252): the crawled web is very far from all-UTF-8
+        text, spans = self._extractor.extract(decode_html(payload, content_type))
         return EngineResult(
             text=text,
             page_count=1,
