@@ -917,6 +917,51 @@ def normalize_urls(u: pd.Series) -> pd.Series:
     return u
 
 
+def page_head_meta(sf_dir: str) -> rd.Dataset:
+    """DOM-head metadata enrichment — the standard webtext annotation pass:
+    ``<title>``, first ``<h1>``, the declared ``<html lang>`` and the
+    out-link count, parsed from the RAW page bytes (vectorized pandas .str
+    regex over the decoded payload — not derived from table metadata). The
+    synthesized boilerplate pins every field to a pure function of doc_id,
+    so a wrong parser (grabbing a nested tag, missing the lang attribute,
+    over/under-counting hrefs) breaks the SQL mirror exactly. Scale shape:
+    embarrassingly parallel map_batches, no shuffle, streaming Dataset
+    out."""
+    pages_dir = synth_pages_parquet(sf_dir)
+    pages = rd.read_parquet(pages_dir, columns=["url", "html"])
+
+    def head(df: pd.DataFrame) -> pd.DataFrame:
+        html = df["html"].map(
+            lambda b: b.decode("utf-8", "ignore") if isinstance(b, bytes) else ""
+        )
+        is_html = html.str.startswith("<!doctype html>")
+        html = html[is_html]
+        return pd.DataFrame(
+            {
+                "url": df.loc[is_html, "url"],
+                "title": html.str.extract(r"<title>([^<]*)</title>", expand=False),
+                "h1": html.str.extract(r"<h1>([^<]*)</h1>", expand=False),
+                "html_lang": html.str.extract(
+                    r'<html lang="([^"]*)"', expand=False
+                ),
+                "n_links": html.str.count(r'href="').astype("int64"),
+            }
+        )
+
+    return pages.map_batches(head, batch_format="pandas")
+
+
+_PAGE_HEAD_META_SQL = f"""
+SELECT {_URL_SQL} AS url,
+       'Document ' || CAST(doc_id AS VARCHAR) AS title,
+       'site' || CAST(doc_id % 97 AS VARCHAR) || ' portal' AS h1,
+       lang AS html_lang,
+       9 AS n_links
+FROM documents
+WHERE doc_id % 20 NOT IN (0, 1, 2, 3)
+"""
+
+
 def url_canonicalize(sf_dir: str) -> pd.DataFrame:
     """Crawl-URL canonicalization — the frontier/dedup normalizer every web
     pipeline runs before URL-keyed joins: lowercase scheme+host, strip
@@ -1006,6 +1051,7 @@ SELECT doc_id, u AS url_canonical FROM s3
 QUERIES: dict[str, Callable[[str], object]] = {
     "image_meta": image_meta,
     "page_link_graph": page_link_graph,
+    "page_head_meta": page_head_meta,
     "url_canonicalize": url_canonicalize,
     "canonical_url_dedup": canonical_url_dedup,
     "exploded_pdf_text": exploded_pdf_text,
@@ -1042,5 +1088,6 @@ ORACLES: dict[str, str] = {
     "refreshed_corpus": _REFRESHED_CORPUS_SQL,
     "domain_stats": _DOMAIN_STATS_SQL,
     "page_link_graph": _PAGE_LINK_GRAPH_SQL,
+    "page_head_meta": _PAGE_HEAD_META_SQL,
     "url_canonicalize": _URL_CANONICALIZE_SQL,
 }
