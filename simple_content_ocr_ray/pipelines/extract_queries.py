@@ -917,6 +917,102 @@ def normalize_urls(u: pd.Series) -> pd.Series:
     return u
 
 
+def parse_robots(raw: bytes) -> list[tuple[bool, str]]:
+    """``robots.txt`` → ordered (is_allow, path_prefix) rules for the ``*``
+    user-agent, per RFC 9309: agent lines open a group, rule lines close
+    it; only groups naming ``*`` apply here. Wildcard path patterns
+    (``*``/``$``, a Google extension) are out of scope and ignored."""
+    rules: list[tuple[bool, str]] = []
+    applies = False
+    in_agents = False
+    for line in raw.decode("utf-8", "replace").splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field, value = field.strip().lower(), value.strip()
+        if field == "user-agent":
+            if not in_agents:  # a new group starts: reset applicability
+                applies = value == "*"
+                in_agents = True
+            else:
+                applies = applies or value == "*"
+        else:
+            in_agents = False
+            # an EMPTY Disallow means "allow all" (RFC 9309) — drop it
+            # rather than treating it as a match-everything prefix
+            if applies and field in ("allow", "disallow") and value and "*" not in value:
+                rules.append((field == "allow", value))
+    return rules
+
+
+def robots_allows(rules: list[tuple[bool, str]], path: str) -> bool:
+    """RFC 9309 precedence: the longest matching path prefix wins; on a
+    length tie Allow wins. No matching rule (or an empty-path Disallow
+    beaten by anything longer) means allowed."""
+    verdict, best_len = True, -1
+    for allow, prefix in rules:
+        if path.startswith(prefix):
+            n = len(prefix)
+            if n > best_len or (n == best_len and allow):
+                verdict, best_len = allow, n
+    return verdict
+
+
+def robots_allowed_links(sf_dir: str) -> pd.DataFrame:
+    """Crawl-policy filtering — the robots.txt compliance pass every
+    polite crawler runs on its frontier: parse each domain's (synthesized,
+    deterministic) robots.txt BYTES with a real RFC 9309 parser, then
+    judge every distinct out-link of the crawl by longest-prefix-match
+    precedence.
+
+    Per-domain policy (pure functions of the domain index K, so the oracle
+    mirrors the whole table): ``/login`` is always disallowed; domains with
+    K%3==0 disallow ``/rel/`` but re-Allow ``/rel/2`` (exercising the
+    Allow-beats-shorter-Disallow rule); domains with K%5==0 also disallow
+    ``/news``. Scale shape: links collapse to the distinct (domain, href)
+    table via the same partial+final count as page_link_graph; the rules
+    table is |domains|-bounded and broadcast into the verdict stage."""
+    edges = page_link_graph(sf_dir)[["domain", "href"]]
+
+    def robots_txt(k: int) -> bytes:
+        lines = ["User-agent: googlebot", "Disallow: /private",
+                 "", "User-agent: *", "Disallow: /login"]
+        if k % 3 == 0:
+            lines += ["Disallow: /rel/", "Allow: /rel/2"]
+        if k % 5 == 0:
+            lines += ["Disallow: /news"]
+        return "\n".join(lines).encode()
+
+    rules = {
+        d: parse_robots(robots_txt(int(d.removeprefix("site").split(".")[0])))
+        for d in edges["domain"].unique()
+    }
+    edges = edges.copy()
+    edges["allowed"] = [
+        robots_allows(rules[d], h) for d, h in zip(edges["domain"], edges["href"])
+    ]
+    return edges.sort_values(["domain", "href"]).reset_index(drop=True)
+
+
+_ROBOTS_ALLOWED_LINKS_SQL = """
+WITH doms AS (SELECT DISTINCT doc_id % 97 AS k FROM documents
+              WHERE doc_id % 20 NOT IN (0, 1, 2, 3)),
+paths(href) AS (VALUES ('/'), ('/news'), ('/about'), ('/login'),
+                        ('/rel/1'), ('/rel/2'), ('/rel/3'),
+                        ('/terms'), ('/privacy'))
+SELECT 'site' || CAST(k AS VARCHAR) || '.example' AS domain,
+       href,
+       CASE
+         WHEN href = '/login' THEN FALSE
+         WHEN k % 3 = 0 AND href IN ('/rel/1', '/rel/3') THEN FALSE
+         WHEN k % 5 = 0 AND href = '/news' THEN FALSE
+         ELSE TRUE
+       END AS allowed
+FROM doms CROSS JOIN paths
+"""
+
+
 def page_head_meta(sf_dir: str) -> rd.Dataset:
     """DOM-head metadata enrichment — the standard webtext annotation pass:
     ``<title>``, first ``<h1>``, the declared ``<html lang>`` and the
@@ -1052,6 +1148,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "image_meta": image_meta,
     "page_link_graph": page_link_graph,
     "page_head_meta": page_head_meta,
+    "robots_allowed_links": robots_allowed_links,
     "url_canonicalize": url_canonicalize,
     "canonical_url_dedup": canonical_url_dedup,
     "exploded_pdf_text": exploded_pdf_text,
@@ -1089,5 +1186,6 @@ ORACLES: dict[str, str] = {
     "domain_stats": _DOMAIN_STATS_SQL,
     "page_link_graph": _PAGE_LINK_GRAPH_SQL,
     "page_head_meta": _PAGE_HEAD_META_SQL,
+    "robots_allowed_links": _ROBOTS_ALLOWED_LINKS_SQL,
     "url_canonicalize": _URL_CANONICALIZE_SQL,
 }

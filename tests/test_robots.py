@@ -1,0 +1,53 @@
+"""robots.txt parsing + RFC 9309 precedence (pipelines/extract_queries.py)."""
+
+from __future__ import annotations
+
+from simple_content_ocr_ray.pipelines.extract_queries import (
+    parse_robots,
+    robots_allows,
+)
+
+
+def test_longest_match_allow_beats_shorter_disallow():
+    rules = parse_robots(b"User-agent: *\nDisallow: /rel/\nAllow: /rel/2\n")
+    assert robots_allows(rules, "/rel/1") is False
+    assert robots_allows(rules, "/rel/2") is True
+    assert robots_allows(rules, "/other") is True
+
+
+def test_allow_wins_length_ties():
+    rules = parse_robots(b"User-agent: *\nDisallow: /a\nAllow: /a\n")
+    assert robots_allows(rules, "/a/page") is True
+
+
+def test_groups_scope_to_their_agents():
+    raw = (
+        b"User-agent: googlebot\nDisallow: /private\n\n"
+        b"User-agent: *\nDisallow: /login\n"
+    )
+    rules = parse_robots(raw)
+    assert robots_allows(rules, "/private") is True  # googlebot-only rule
+    assert robots_allows(rules, "/login") is False
+
+
+def test_multi_agent_group_including_star():
+    raw = b"User-agent: botA\nUser-agent: *\nDisallow: /x\n"
+    rules = parse_robots(raw)
+    assert robots_allows(rules, "/x/1") is False
+
+
+def test_comments_blank_disallow_and_wildcards():
+    raw = (
+        b"# top comment\nUser-agent: *\n"
+        b"Disallow:   # empty = allow all\n"
+        b"Disallow: /tmp/*/x\n"  # wildcard pattern: ignored (documented)
+        b"Disallow: /real\n"
+    )
+    rules = parse_robots(raw)
+    assert robots_allows(rules, "/anything") is True
+    assert robots_allows(rules, "/real/page") is False
+
+
+def test_empty_and_garbage_robots_allow_everything():
+    assert robots_allows(parse_robots(b""), "/any") is True
+    assert robots_allows(parse_robots(b"\x00\xff not a robots file"), "/any") is True
