@@ -286,21 +286,39 @@ def read_pages_from_warc(paths: str | list[str]) -> rd.Dataset:
 
     Parallelism stays FILE-granular (Common Crawl ships ~1 GB segment
     files; one file per task is the natural distributed unit — list many
-    paths for fan-out). The transport Content-Type travels no further
-    than this reader because the pages schema is source-agnostic; the
-    html route re-sniffs charset from the bytes (stages/charset.py),
-    exactly like a browser rendering a saved page."""
+    paths for fan-out). ``.warc.gz`` is decompressed MEMBER BY MEMBER
+    (each record is its own gzip member in the real framing), so task
+    heap holds the compressed file plus ONE decompressed record — never
+    the ~4× whole-segment expansion. The transport Content-Type travels
+    no further than this reader because the pages schema is
+    source-agnostic; the html route re-sniffs charset from the bytes
+    (stages/charset.py), exactly like a browser rendering a saved
+    page."""
     import datetime as _dt
-    import gzip as _gzip
+    import zlib as _zlib
 
     ds = rd.read_binary_files(paths, include_paths=True)
 
+    def gzip_members(buf: bytes):
+        """Decompressed gzip members, one at a time (bounded heap)."""
+        view = memoryview(buf)
+        pos = 0
+        while pos < len(buf):
+            d = _zlib.decompressobj(wbits=31)
+            try:
+                chunk = d.decompress(view[pos:]) + d.flush()
+            except _zlib.error:
+                break  # trailing garbage: stop at the last whole member
+            yield chunk
+            consumed = len(buf) - pos - len(d.unused_data)
+            if consumed <= 0:
+                break
+            pos += consumed
+
     def parse(batch: dict) -> pa.Table:
         urls, tss, payloads = [], [], []
-        for blob in batch["bytes"]:
-            buf = bytes(blob)
-            if buf[:2] == b"\x1f\x8b":
-                buf = _gzip.decompress(buf)  # multi-member: all records
+
+        def records(buf: bytes) -> None:
             pos = 0
             while True:
                 start = buf.find(b"WARC/1.", pos)
@@ -342,6 +360,14 @@ def read_pages_from_warc(paths: str | list[str]) -> rd.Dataset:
                 else:
                     ts = _EPOCH_US
                 tss.append(ts)
+
+        for blob in batch["bytes"]:
+            buf = bytes(blob)
+            if buf[:2] == b"\x1f\x8b":
+                for member in gzip_members(buf):
+                    records(member)
+            else:
+                records(buf)
         return pa.table(
             {
                 "url": pa.array(urls, pa.string()),

@@ -92,3 +92,29 @@ def test_warc_through_extraction_with_legacy_charset(ray_session, tmp_path):
     out = extraction_pipeline(read_pages_from_warc(str(p))).to_pandas()
     assert list(out["status"]) == ["completed"]
     assert ru in out["text"].iloc[0]
+
+
+def test_many_member_gz_streams_all_records(ray_session, tmp_path):
+    """200 gzip members decompress one at a time (bounded heap) and every
+    record survives — pins the member-boundary consumed math."""
+    recs = [
+        {"type": "response", "url": f"https://m.example/{i:04d}",
+         "body": f"<!doctype html><p>rec {i}</p>".encode()}
+        for i in range(200)
+    ]
+    p = tmp_path / "many.warc.gz"
+    p.write_bytes(make_warc_gz(recs, gzip_members=True))
+    df = read_pages_from_warc(str(p)).to_pandas().sort_values("url")
+    assert len(df) == 200
+    assert bytes(df["html"].iloc[7]) == b"<!doctype html><p>rec 7</p>"
+
+
+def test_single_member_whole_file_gz(ray_session, tmp_path):
+    """Some writers gzip the whole WARC as ONE member — still parses."""
+    import gzip
+
+    raw = make_warc_gz(_records(), gzip_members=False)
+    p = tmp_path / "single.warc.gz"
+    p.write_bytes(gzip.compress(raw))
+    df = read_pages_from_warc(str(p)).to_pandas()
+    assert len(df) == 4
