@@ -9,12 +9,118 @@ stage is source-agnostic.
 
 from __future__ import annotations
 
+import datetime as _dt
 import os
+from typing import Iterator
 
 import pyarrow as pa
 import ray.data as rd
 
 from .synth_pages import _EPOCH_US  # 2024-01-01 UTC — single source of truth
+
+
+def _warc_ts(raw: str) -> int:
+    """WARC-Date → microseconds since epoch; a missing or malformed date
+    degrades to the corpus epoch rather than failing the whole read task
+    (one damaged record must cost one row, never a ~1 GB segment)."""
+    if not raw:
+        return _EPOCH_US
+    try:
+        dt = _dt.datetime.fromisoformat(raw.replace("Z", "+00:00"))
+    except ValueError:
+        return _EPOCH_US
+    return int(dt.timestamp() * 1_000_000)
+
+
+def _iter_warc_records_stream(
+    chunks,
+) -> Iterator[tuple[dict[str, str], bytes]]:
+    """(lowercased headers, raw body bytes) of each WARC record in a
+    stream of byte chunks — the single record walk both WARC readers
+    share. Bodies are delimited by Content-Length offsets, so payloads
+    may contain anything, including header-lookalike bytes. A record with
+    a malformed Content-Length is skipped (the scan resumes after its
+    header block) instead of raising out of the read task.
+
+    Streaming keeps heap at O(one record + one chunk): consumed bytes are
+    trimmed from the rolling buffer after every record, so a ~1 GB
+    ``.warc.gz`` segment is never fully resident decompressed."""
+    it = iter(chunks)
+    acc = bytearray()
+    pos = 0  # parse cursor within acc
+
+    def pull() -> bool:
+        try:
+            acc.extend(next(it))
+        except StopIteration:
+            return False
+        return True
+
+    while True:
+        start = acc.find(b"WARC/1.", pos)
+        while start < 0:
+            # garbage prefix: keep only a short tail (the marker can span
+            # a chunk boundary) and pull more data
+            del acc[: max(pos, len(acc) - 8)]
+            pos = 0
+            if not pull():
+                return
+            start = acc.find(b"WARC/1.", pos)
+        head_end = acc.find(b"\r\n\r\n", start)
+        while head_end < 0:
+            if not pull():
+                return
+            head_end = acc.find(b"\r\n\r\n", start)
+        headers: dict[str, str] = {}
+        for line in bytes(acc[start:head_end]).split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().decode("latin-1").lower()] = v.strip().decode(
+                "latin-1"
+            )
+        try:
+            n = int(headers.get("content-length", "0"))
+        except ValueError:
+            pos = head_end + 4
+            continue
+        body_start = head_end + 4
+        while len(acc) < body_start + n:
+            if not pull():
+                return  # truncated final record: drop it
+        yield headers, bytes(acc[body_start : body_start + n])
+        pos = body_start + n
+        if pos >= (1 << 20):  # amortized trim — a per-record del would
+            del acc[:pos]     # memmove the whole buffer every record
+            pos = 0
+
+
+def _iter_warc_records(buf: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
+    """Record walk over one in-memory buffer (plain ``.warc``)."""
+    return _iter_warc_records_stream((buf,))
+
+
+def _gzip_chunks(buf: bytes, chunk: int = 1 << 20):
+    """Decompressed bytes of a (possibly multi-member) gzip buffer, one
+    bounded chunk at a time. ``GzipFile``'s incremental reader feeds the
+    decompressor 8 KiB of COMPRESSED data at a time and re-buffers at
+    most that much between members, so the walk is linear in the file
+    size regardless of member count — unlike per-member
+    ``decompressobj`` loops, whose ``unused_data`` materializes an
+    O(remaining) copy per member and turns ~100k-member Common Crawl
+    segments quadratic. Corruption or truncation ends the stream at the
+    last whole decompressed byte (records before the damage are kept)."""
+    import gzip as _gzip
+    import io as _io
+    import zlib as _zlib
+
+    gz = _gzip.GzipFile(fileobj=_io.BytesIO(buf))
+    while True:
+        try:
+            piece = gz.read(chunk)
+        except (OSError, EOFError, _zlib.error):
+            return
+        if not piece:
+            return
+        yield piece
 
 
 def read_pages_from_binary_files(paths: str | list[str]) -> rd.Dataset:
@@ -157,42 +263,15 @@ def read_pages_from_warclite(paths: str | list[str]) -> rd.Dataset:
     reason Common Crawl ships thousands of segment files); within a file
     the parser walks Content-Length offsets, so payloads may contain
     anything, including header-lookalike bytes."""
-    import datetime as _dt
-
     ds = rd.read_binary_files(paths, include_paths=True)
 
     def parse(batch: dict) -> pa.Table:
         urls, tss, payloads = [], [], []
         for blob in batch["bytes"]:
-            buf = bytes(blob)
-            pos = 0
-            while True:
-                start = buf.find(b"WARC/1.0\r\n", pos)
-                if start < 0:
-                    break
-                head_end = buf.find(b"\r\n\r\n", start)
-                if head_end < 0:
-                    break
-                headers = {}
-                for line in buf[start + 10 : head_end].split(b"\r\n"):
-                    k, _, v = line.partition(b": ")
-                    headers[k.decode()] = v.decode()
-                n = int(headers.get("Content-Length", "0"))
-                body_start = head_end + 4
-                payloads.append(buf[body_start : body_start + n])
-                urls.append(headers.get("WARC-Target-URI", ""))
-                raw_ts = headers.get("WARC-Date", "")
-                if raw_ts:
-                    ts = int(
-                        _dt.datetime.fromisoformat(
-                            raw_ts.replace("Z", "+00:00")
-                        ).timestamp()
-                        * 1_000_000
-                    )
-                else:
-                    ts = _EPOCH_US
-                tss.append(ts)
-                pos = body_start + n
+            for headers, body in _iter_warc_records(bytes(blob)):
+                payloads.append(body)
+                urls.append(headers.get("warc-target-uri", ""))
+                tss.append(_warc_ts(headers.get("warc-date", "")))
         return pa.table(
             {
                 "url": pa.array(urls, pa.string()),
@@ -250,11 +329,15 @@ def _strip_http_envelope(block: bytes) -> tuple[bytes, int, str] | None:
     cenc = headers.get("content-encoding", "").lower()
     if cenc in ("gzip", "x-gzip"):
         import gzip as _gzip
+        import zlib as _zlib
 
         try:
             body = _gzip.decompress(body)
-        except OSError:
-            pass  # mislabeled body: keep raw bytes, the row can still fail late
+        # mislabeled → OSError/BadGzipFile, truncated → EOFError, corrupt
+        # deflate → zlib.error: all three are one-row problems (keep raw
+        # bytes, the row can still fail late), never task killers
+        except (OSError, EOFError, _zlib.error):
+            pass
     elif cenc == "deflate":
         import zlib as _zlib
 
@@ -273,9 +356,8 @@ def read_pages_from_warc(paths: str | list[str]) -> rd.Dataset:
     schema. Handles what the simplified ``read_pages_from_warclite`` does
     not:
 
-    * ``.warc.gz`` — each record its own gzip member, concatenated
-      (stdlib ``gzip.decompress`` walks all members); plain ``.warc``
-      detected by magic;
+    * ``.warc.gz`` — each record its own gzip member, concatenated;
+      plain ``.warc`` detected by magic;
     * ``WARC-Type`` routing: only ``response`` (HTTP envelope) and
       ``resource`` (raw payload) records become pages; request/metadata/
       warcinfo/revisit records are skipped;
@@ -286,57 +368,23 @@ def read_pages_from_warc(paths: str | list[str]) -> rd.Dataset:
 
     Parallelism stays FILE-granular (Common Crawl ships ~1 GB segment
     files; one file per task is the natural distributed unit — list many
-    paths for fan-out). ``.warc.gz`` is decompressed MEMBER BY MEMBER
-    (each record is its own gzip member in the real framing), so task
-    heap holds the compressed file plus ONE decompressed record — never
-    the ~4× whole-segment expansion. The transport Content-Type travels
+    paths for fan-out). ``.warc.gz`` is decompressed as a bounded-chunk
+    STREAM and records are carved from a rolling buffer
+    (``_gzip_chunks`` + ``_iter_warc_records_stream``), so task heap
+    holds the compressed file plus ~one decompressed record — never the
+    ~4× whole-segment expansion — and the walk stays LINEAR in file size
+    however many gzip members frame it. The transport Content-Type travels
     no further than this reader because the pages schema is
     source-agnostic; the html route re-sniffs charset from the bytes
     (stages/charset.py), exactly like a browser rendering a saved
     page."""
-    import datetime as _dt
-    import zlib as _zlib
-
     ds = rd.read_binary_files(paths, include_paths=True)
-
-    def gzip_members(buf: bytes):
-        """Decompressed gzip members, one at a time (bounded heap)."""
-        view = memoryview(buf)
-        pos = 0
-        while pos < len(buf):
-            d = _zlib.decompressobj(wbits=31)
-            try:
-                chunk = d.decompress(view[pos:]) + d.flush()
-            except _zlib.error:
-                break  # trailing garbage: stop at the last whole member
-            yield chunk
-            consumed = len(buf) - pos - len(d.unused_data)
-            if consumed <= 0:
-                break
-            pos += consumed
 
     def parse(batch: dict) -> pa.Table:
         urls, tss, payloads = [], [], []
 
-        def records(buf: bytes) -> None:
-            pos = 0
-            while True:
-                start = buf.find(b"WARC/1.", pos)
-                if start < 0:
-                    break
-                head_end = buf.find(b"\r\n\r\n", start)
-                if head_end < 0:
-                    break
-                headers: dict[str, str] = {}
-                for line in buf[start : head_end].split(b"\r\n")[1:]:
-                    k, _, v = line.partition(b":")
-                    headers[k.strip().decode("latin-1").lower()] = v.strip().decode(
-                        "latin-1"
-                    )
-                n = int(headers.get("content-length", "0"))
-                body_start = head_end + 4
-                block = buf[body_start : body_start + n]
-                pos = body_start + n
+        def records(recs) -> None:
+            for headers, block in recs:
                 rec_type = headers.get("warc-type", "").lower()
                 payload: bytes | None = None
                 if rec_type == "response":
@@ -349,25 +397,14 @@ def read_pages_from_warc(paths: str | list[str]) -> rd.Dataset:
                     continue
                 payloads.append(payload)
                 urls.append(headers.get("warc-target-uri", ""))
-                raw_ts = headers.get("warc-date", "")
-                if raw_ts:
-                    ts = int(
-                        _dt.datetime.fromisoformat(
-                            raw_ts.replace("Z", "+00:00")
-                        ).timestamp()
-                        * 1_000_000
-                    )
-                else:
-                    ts = _EPOCH_US
-                tss.append(ts)
+                tss.append(_warc_ts(headers.get("warc-date", "")))
 
         for blob in batch["bytes"]:
             buf = bytes(blob)
             if buf[:2] == b"\x1f\x8b":
-                for member in gzip_members(buf):
-                    records(member)
+                records(_iter_warc_records_stream(_gzip_chunks(buf)))
             else:
-                records(buf)
+                records(_iter_warc_records(buf))
         return pa.table(
             {
                 "url": pa.array(urls, pa.string()),

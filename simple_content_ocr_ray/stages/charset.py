@@ -28,12 +28,21 @@ from __future__ import annotations
 import codecs
 import re
 
-_META_RE = re.compile(
-    rb"""<meta[^>]+?(?:
-            charset\s*=\s*["']?\s*([A-Za-z0-9._:-]+)
-          | content\s*=\s*["'][^"']*charset\s*=\s*([A-Za-z0-9._:-]+)
-        )""",
-    re.I | re.X,
+#: per-tag scan (the WHATWG prescan examines meta tags one at a time):
+#: a ``charset`` ATTRIBUTE counts on any meta, but ``charset=`` inside a
+#: ``content`` attribute value counts ONLY when the same tag carries
+#: ``http-equiv=Content-Type`` — otherwise page prose like
+#: content="how to set charset=koi8-r" would hijack the document encoding
+_META_TAG_RE = re.compile(rb"<meta\b[^>]*", re.I)
+_CONTENT_ATTR_RE = re.compile(rb"""content\s*=\s*("[^"]*"|'[^']*')""", re.I)
+_CHARSET_ATTR_RE = re.compile(
+    rb"""[\s"']charset\s*=\s*["']?\s*([A-Za-z0-9._:-]+)""", re.I
+)
+_HTTP_EQUIV_CT_RE = re.compile(
+    rb"""http-equiv\s*=\s*["']?\s*content-type""", re.I
+)
+_CONTENT_CHARSET_RE = re.compile(
+    rb"""content\s*=\s*["'][^"']*charset\s*=\s*([A-Za-z0-9._:-]+)""", re.I
 )
 _CT_RE = re.compile(r"charset\s*=\s*\"?'?\s*([A-Za-z0-9._:-]+)", re.I)
 
@@ -72,12 +81,30 @@ def sniff_charset(payload: bytes, content_type: str = "") -> str:
     if m:
         enc = _normalize_label(m.group(1))
         if enc:
-            return enc
-    m = _META_RE.search(payload[:_PRESCAN])
-    if m:
-        enc = _normalize_label((m.group(1) or m.group(2)).decode("ascii"))
+            # BOM checks already ran, so a utf-16 label here has no BOM to
+            # back it — decoding ASCII-compatible bytes as utf-16 mojibakes
+            # the whole page; remap to UTF-8 like the meta path below
+            return "utf-8" if enc.startswith("utf-16") else enc
+    for tag in _META_TAG_RE.finditer(payload[:_PRESCAN]):
+        raw = tag.group(0)
+        label: bytes | None = None
+        # the charset ATTRIBUTE — matched with content values blanked so
+        # charset= inside prose can never be mistaken for the attribute
+        am = _CHARSET_ATTR_RE.search(_CONTENT_ATTR_RE.sub(b"content=x", raw))
+        if am:
+            label = am.group(1)
+        elif _HTTP_EQUIV_CT_RE.search(raw):
+            cm = _CONTENT_CHARSET_RE.search(raw)
+            if cm:
+                label = cm.group(1)
+        if label is None:
+            continue
+        enc = _normalize_label(label.decode("ascii"))
         if enc:
-            return enc
+            # WHATWG "get an encoding from meta": a utf-16 label is a lie
+            # by construction (the meta itself was readable as ASCII) and
+            # is remapped to UTF-8
+            return "utf-8" if enc.startswith("utf-16") else enc
     try:
         payload.decode("utf-8")
         return "utf-8"

@@ -57,6 +57,7 @@ _CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[([^\]]*)\]")
 _REF_RE = re.compile(rb"(\d+)\s+0\s+R")
 _KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]")
 _PARENT_RE = re.compile(rb"/Parent\s+\d+\s+0\s+R")
+_PARENT_REF_RE = re.compile(rb"/Parent\s+(\d+)\s+0\s+R")
 _OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm\b")
 _N_RE = re.compile(rb"/N\s+(\d+)")
 _FIRST_RE = re.compile(rb"/First\s+(\d+)")
@@ -64,8 +65,11 @@ _PREDICTOR_RE = re.compile(rb"/Predictor\s+(\d+)")
 _PRED_COLUMNS_RE = re.compile(rb"/Columns\s+(\d+)")
 _STREAM_START_RE = re.compile(rb"stream(?:\r\n|\n|\r)")
 #: direct /Length — an indirect "/Length 5 0 R" is resolved via the object
-#: table; only an unresolvable one falls back to delimiting
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+#: table; only an unresolvable one falls back to delimiting. The (?!\d)
+#: pins the group to the WHOLE number so backtracking cannot shrink
+#: "/Length 123 0 R" to a bogus direct length of 12 and defeat the
+#: indirect-reference lookahead.
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 _LENGTH_IND_RE = re.compile(rb"/Length\s+(\d+)\s+0\s+R")
 _FILTER_RE = re.compile(rb"/Filter\s*(/\w+|\[[^\]]*\])")
 _NAME_RE = re.compile(rb"/(\w+)")
@@ -79,17 +83,28 @@ _TEXT_FILTERS = {
     b"ASCIIHexDecode",
     b"RunLengthDecode",
 }
-_BT_ET_RE = re.compile(rb"BT(.*?)ET", re.S)
-#: show-text ops: (s) Tj · (s) ' · (s) " · <hex> Tj · [ ... ] TJ — plus
-#: line moves and font selection (Tf drives /ToUnicode CMap routing)
-_TOK_RE = re.compile(
-    rb"""\((?P<s>(?:\\.|[^()\\])*)\)\s*(?:Tj|'|")   # literal string shown
-       | <(?P<hex>[0-9A-Fa-f\s]*)>\s*(?:Tj|'|")     # hex string shown
-       | \[(?P<arr>(?:\\.|[^\]])*)\]\s*TJ           # array form
-       | /(?P<tf>[^\s/<>\[\]()]+)\s+[-\d.]+\s+Tf    # font select
-       | (?P<nl>T\*|Td|TD)                          # line moves
+#: content-stream tokenizer pieces — a grammar regex cannot delimit PDF
+#: text ops (balanced nested parens are legal in literal strings, ']' is
+#: legal inside TJ-array strings, and 'ET' appears as a byte pair inside
+#: shown prose), so streams are tokenized linearly and the show ops are
+#: interpreted over the token sequence instead
+_PAREN_RE = re.compile(rb"[()\\]")
+#: one token per match — literal strings match just their "(" (the
+#: balanced scan takes over), everything else is complete: hex strings,
+#: dict delimiters, array delimiters, /names, comments, and words
+#: (numbers and operators alike); whitespace and stray {} bytes are
+#: skipped by the scan itself, at C speed
+_CSTOK_RE = re.compile(
+    rb"""\(
+       | <<
+       | >>
+       | <[0-9A-Fa-f\s]*>?
+       | [\[\]]
+       | /[^\x00\t\n\x0c\r /<>\[\]{}()%]*
+       | %[^\r\n]*
+       | [^\x00\t\n\x0c\r /<>\[\]{}()%]+
     """,
-    re.S | re.X,
+    re.X,
 )
 _RES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+0\s+R")
 _FONT_DICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
@@ -100,9 +115,6 @@ _BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
 _BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
 _CSR_RE = re.compile(rb"begincodespacerange(.*?)endcodespacerange", re.S)
 _HEX_TOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>|(\[)|(\])")
-_ARR_STR_RE = re.compile(
-    rb"\((?P<s>(?:\\.|[^()\\])*)\)|<(?P<hex>[0-9A-Fa-f\s]*)>"
-)
 
 _ESCAPES = {
     b"n": b"\n",
@@ -482,40 +494,125 @@ def _mapped(raw: bytes, cmap: dict[int, str], width: int) -> str:
     )
 
 
+def _scan_literal(stream: bytes, i: int) -> tuple[bytes, int]:
+    """Contents of a literal string whose ``(`` sits at ``i - 1`` and the
+    index past its closing ``)``. Balanced nested parens are legal inside
+    PDF strings (spec §7.3.4.2) and escaped delimiters must not count —
+    neither is expressible in the regex grammar this replaces. The scan
+    jumps delimiter-to-delimiter (C regex), not byte-by-byte."""
+    depth, pos, start = 1, i, i
+    while True:
+        m = _PAREN_RE.search(stream, pos)
+        if m is None:  # unterminated: the rest of the stream is the string
+            return stream[start:], len(stream)
+        b = stream[m.start()]
+        if b == 0x5C:  # backslash: the escaped byte is never a delimiter
+            pos = m.start() + 2
+        elif b == 0x28:  # (
+            depth += 1
+            pos = m.start() + 1
+        else:  # )
+            depth -= 1
+            if depth == 0:
+                return stream[start : m.start()], m.start() + 1
+            pos = m.start() + 1
+
+
+def _tokens(stream: bytes):
+    """(kind, value) tokens of a content stream: ``str`` (raw literal-string
+    bytes, escapes still encoded), ``hex``, ``name``, ``arr`` (``[``/``]``)
+    and ``word`` (numbers and operators alike — the interpreter tells them
+    apart). ``<<``/``>>`` dicts, ``{``/``}``, and comments are consumed as
+    noise; inline-image data (``ID … EI``) is skipped wholesale so binary
+    bytes never reach the text grammar. The scan is ``finditer`` over one
+    master token regex, restarted only after a literal string (whose
+    balanced parens need the manual scan) or an inline image."""
+    pos, n = 0, len(stream)
+    while pos < n:
+        restarted = False
+        for m in _CSTOK_RE.finditer(stream, pos):
+            tok = m.group(0)
+            c = tok[0]
+            if c == 0x28:  # (  — hand over to the balanced-paren scan
+                raw, pos = _scan_literal(stream, m.start() + 1)
+                yield "str", raw
+                restarted = True
+                break
+            if c == 0x3C:  # <hex> — or << dict open (noise)
+                if tok != b"<<":
+                    yield "hex", tok[1:-1] if tok.endswith(b">") else tok[1:]
+            elif c in (0x5B, 0x5D):  # [ ]
+                yield "arr", tok
+            elif c == 0x2F:  # /Name
+                yield "name", tok[1:]
+            elif c == 0x3E or c == 0x25:  # >> dict close / % comment
+                pass
+            elif tok == b"ID":  # inline image: binary data up to EI
+                j = stream.find(b"EI", m.end())
+                pos = n if j < 0 else j + 2
+                restarted = True
+                break
+            else:
+                yield "word", tok
+        if not restarted:
+            return
+
+
 def _stream_text(
     stream: bytes, fontmaps: dict[bytes, tuple[dict[int, str], int]] | None = None
 ) -> str:
-    """Text of one content stream: concatenate shown strings; Td/TD/T*
-    becomes a newline (unless at start). ``fontmaps`` routes strings shown
-    under a /ToUnicode-carrying font (selected by ``Tf``) through its CMap
-    — the Identity-H/embedded-subset case where raw bytes are glyph codes,
-    not characters."""
+    """Text of one content stream: concatenate strings shown by Tj/'/"/TJ
+    inside BT/ET blocks; Td/TD/T* becomes a newline (unless at start).
+    ``fontmaps`` routes strings shown under a /ToUnicode-carrying font
+    (selected by ``Tf``) through its CMap — the Identity-H/embedded-subset
+    case where raw bytes are glyph codes, not characters. BT/ET and the
+    show ops are recognized as TOKENS, so 'ET' inside shown prose (GET,
+    MARKET…) cannot truncate the block the way a byte-pair regex did."""
     fontmaps = fontmaps or {}
     cur: tuple[dict[int, str], int] | None = None
     parts: list[str] = []
+    in_text = False
+    last_str: bytes | None = None
+    last_name: bytes | None = None
+    arr: list[bytes] | None = None
+    collecting = False
 
     def shown(raw: bytes) -> str:
         if cur is not None:
             return _mapped(raw, cur[0], cur[1])
         return raw.decode("latin-1")
 
-    for block in _BT_ET_RE.findall(stream):
-        for m in _TOK_RE.finditer(block):
-            if m.group("nl") is not None:
-                if parts and parts[-1] != "\n":
-                    parts.append("\n")
-            elif m.group("tf") is not None:
-                cur = fontmaps.get(m.group("tf"))
-            elif m.group("s") is not None:
-                parts.append(shown(_unescape(m.group("s"))))
-            elif m.group("hex") is not None:
-                parts.append(shown(_unhex(m.group("hex"))))
+    for kind, val in _tokens(stream):
+        if kind == "str" or kind == "hex":
+            raw = _unescape(val) if kind == "str" else _unhex(val)
+            if collecting:
+                arr.append(raw)
             else:
-                for sm in _ARR_STR_RE.finditer(m.group("arr")):
-                    if sm.group("s") is not None:
-                        parts.append(shown(_unescape(sm.group("s"))))
-                    else:
-                        parts.append(shown(_unhex(sm.group("hex"))))
+                last_str = raw
+        elif kind == "arr":
+            if val == b"[":
+                arr, collecting = [], True
+            else:
+                collecting = False
+        elif kind == "name":
+            last_name = val
+        elif val == b"BT":
+            in_text = True
+        elif val == b"ET":
+            in_text = False
+        elif val in (b"Tj", b"'", b'"'):
+            if in_text and last_str is not None:
+                parts.append(shown(last_str))
+            last_str = None  # show ops consume their operand
+        elif val == b"TJ":
+            if in_text and arr is not None:
+                parts.extend(shown(r) for r in arr)
+            arr = None
+        elif val == b"Tf":
+            cur = fontmaps.get(last_name) if last_name is not None else None
+        elif val in (b"Td", b"TD", b"T*"):
+            if in_text and parts and parts[-1] != "\n":
+                parts.append("\n")
     return "".join(parts).strip("\n")
 
 
@@ -587,15 +684,31 @@ def _unpack_object_streams(objs: dict[int, bytes]) -> None:
 
 
 def _page_fontmaps(
-    page_body: bytes, objs: dict[int, bytes], pages_bodies: list[bytes]
+    page_body: bytes, objs: dict[int, bytes]
 ) -> dict[bytes, tuple[dict[int, str], int]]:
     """font resource name → (ToUnicode CMap, code width) for one page.
-    /Resources may be inline, an indirect ref, or INHERITED from a /Pages
-    ancestor (a layout real writers use constantly); /Font likewise may be
-    inline or a ref. Fonts without /ToUnicode get no entry — their strings
-    pass through as latin-1, the pre-CMap behavior."""
+    /Resources may be inline, an indirect ref, or INHERITED through the
+    page's /Parent chain (a layout real writers use constantly — and per
+    spec §7.7.3.4 only ANCESTORS may supply inherited attributes, never a
+    sibling /Pages subtree, whose fonts could map the same resource name
+    through a different CMap); /Font likewise may be inline or a ref.
+    Fonts without /ToUnicode get no entry — their strings pass through as
+    latin-1, the pre-CMap behavior."""
+    chain = [page_body]
+    seen: set[int] = set()
+    body = page_body
+    while True:  # cycle-guarded walk up the /Parent chain
+        pm = _PARENT_REF_RE.search(body)
+        if not pm:
+            break
+        num = int(pm.group(1))
+        if num in seen:
+            break
+        seen.add(num)
+        body = objs.get(num, b"")
+        chain.append(body)
     font_region: bytes | None = None
-    for region in [page_body, *pages_bodies]:
+    for region in chain:
         rm = _RES_REF_RE.search(region)
         res = objs.get(int(rm.group(1)), b"") if rm else region
         fm = _FONT_DICT_RE.search(res)
@@ -672,7 +785,6 @@ def extract_pdf_text(payload: bytes) -> list[str]:
         int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(payload)
     }
     _unpack_object_streams(objs)
-    pages_bodies = [b for b in objs.values() if _PAGES_RE.search(b)]
     pages: list[str] = []
     for num in _page_order(objs):
         refs = _contents_refs(objs[num])
@@ -687,7 +799,7 @@ def extract_pdf_text(payload: bytes) -> list[str]:
             for cnum in refs
             if (data := _decoded_stream(objs.get(cnum, b""), objs)) is not None
         ]
-        fontmaps = _page_fontmaps(objs[num], objs, pages_bodies)
+        fontmaps = _page_fontmaps(objs[num], objs)
         pages.append(
             _stream_text(b"\n".join(chunks), fontmaps) if chunks else ""
         )
