@@ -98,29 +98,38 @@ def _iter_warc_records(buf: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
     return _iter_warc_records_stream((buf,))
 
 
-def _gzip_chunks(buf: bytes, chunk: int = 1 << 20):
+def _gzip_chunks(buf: bytes, feed: int = 8192, chunk: int = 1 << 20):
     """Decompressed bytes of a (possibly multi-member) gzip buffer, one
-    bounded chunk at a time. ``GzipFile``'s incremental reader feeds the
-    decompressor 8 KiB of COMPRESSED data at a time and re-buffers at
-    most that much between members, so the walk is linear in the file
-    size regardless of member count — unlike per-member
-    ``decompressobj`` loops, whose ``unused_data`` materializes an
-    O(remaining) copy per member and turns ~100k-member Common Crawl
-    segments quadratic. Corruption or truncation ends the stream at the
-    last whole decompressed byte (records before the damage are kept)."""
-    import gzip as _gzip
-    import io as _io
+    bounded chunk at a time. The decompressor is fed fixed SMALL slices
+    (``feed``) of the compressed buffer; when a member ends mid-slice the
+    cursor rewinds by ``unused_data`` (at most one slice) and a fresh
+    decompressor continues. That keeps the walk linear in file size
+    regardless of member count — handing ``decompressobj`` the whole
+    remaining tail materializes an O(remaining) ``unused_data`` copy per
+    member and turns ~100k-member Common Crawl segments quadratic.
+    Corruption or truncation ends the stream at the last decompressable
+    byte, so records before the damage are kept."""
     import zlib as _zlib
 
-    gz = _gzip.GzipFile(fileobj=_io.BytesIO(buf))
-    while True:
+    view = memoryview(buf)
+    n = len(buf)
+    pos = 0
+    out = bytearray()
+    d = _zlib.decompressobj(wbits=31)
+    while pos < n:
         try:
-            piece = gz.read(chunk)
-        except (OSError, EOFError, _zlib.error):
-            return
-        if not piece:
-            return
-        yield piece
+            out += d.decompress(view[pos : pos + feed])
+        except _zlib.error:
+            break  # corrupt member: salvage what decoded before it
+        pos = min(pos + feed, n)
+        if d.eof:  # member boundary: rewind the over-fed tail (≤ one slice)
+            pos -= len(d.unused_data)
+            d = _zlib.decompressobj(wbits=31)
+        if len(out) >= chunk:
+            yield bytes(out)
+            out.clear()
+    if out:  # tail chunk — including partial data of a truncated member
+        yield bytes(out)
 
 
 def read_pages_from_binary_files(paths: str | list[str]) -> rd.Dataset:

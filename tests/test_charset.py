@@ -90,3 +90,34 @@ def test_html_engine_decodes_legacy_page():
         "https://ru.example/1", page.encode("cp1251"), "text/html"
     )
     assert RU in res.text
+
+
+def test_charset_in_prose_content_does_not_hijack():
+    """charset= inside a non-Content-Type meta's content value is page
+    PROSE, not a declaration (WHATWG prescan honors it only under
+    http-equiv=Content-Type)."""
+    from simple_content_ocr_ray.stages.charset import sniff_charset
+
+    page = (
+        b'<meta name="description" content="how to set charset=koi8-r">'
+        b"<p>\xc3\xa9</p>"
+    )
+    assert sniff_charset(page) == "utf-8"
+
+
+def test_http_equiv_content_type_charset_still_honored():
+    from simple_content_ocr_ray.stages.charset import sniff_charset
+
+    page = b'<meta http-equiv="Content-Type" content="text/html; charset=euc-kr">'
+    assert sniff_charset(page) == "euc_kr"
+
+
+def test_utf16_meta_label_remaps_to_utf8():
+    """A meta that declares utf-16 was itself readable as ASCII — the
+    label is a lie by construction and WHATWG remaps it to UTF-8."""
+    from simple_content_ocr_ray.stages.charset import decode_html, sniff_charset
+
+    assert decode_html(b'<meta charset="utf-16"><p>hi</p>') == (
+        '<meta charset="utf-16"><p>hi</p>'
+    )
+    assert sniff_charset(b"<p>x</p>", "text/html; charset=utf-16") == "utf-8"

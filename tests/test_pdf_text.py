@@ -541,3 +541,96 @@ def test_tounicode_font_switch_and_unmapped_code():
         b"BT /F7 12 Tf <0041 9999> Tj /F1 12 Tf (plain) Tj ET"
     )
     assert extract_pdf_text(_cmap_pdf(content)) == ["Δ�plain"]
+
+
+# ---- tokenizer-rewrite regressions (grammar-regex failure modes) ----
+
+
+def test_et_bytes_inside_shown_text_do_not_truncate():
+    """'ET' as a byte pair inside shown prose (GET, MARKET, BUDGET) must
+    not terminate the BT block — only the ET TOKEN may."""
+    from simple_content_ocr_ray.stages.pdf_text import (
+        extract_pdf_text,
+        make_minimal_pdf,
+    )
+
+    line = "BUDGET report for GET requests to MARKET endpoints"
+    assert extract_pdf_text(make_minimal_pdf([[line]])) == [line]
+
+
+def test_bracket_inside_tj_array_string():
+    """']' is a legal byte inside a TJ-array literal string and must not
+    end the array early."""
+    from simple_content_ocr_ray.stages.pdf_text import _stream_text
+
+    assert _stream_text(b"BT [(a]b) -120 (c)] TJ ET") == "a]bc"
+
+
+def test_nested_balanced_parens_in_literal_string():
+    """Balanced unescaped parens are legal in literal strings (spec
+    7.3.4.2)."""
+    from simple_content_ocr_ray.stages.pdf_text import _stream_text
+
+    assert _stream_text(b"BT (a(b)c) Tj (d((e))f) Tj ET") == "a(b)cd((e))f"
+
+
+def test_inline_image_binary_is_skipped():
+    """BI … ID <binary> EI: the binary data (which may contain parens or
+    operator lookalikes) must not reach the text grammar."""
+    from simple_content_ocr_ray.stages.pdf_text import _stream_text
+
+    s = b"BT (x) Tj ET BI /W 8 ID \x00\xff(\x28gar ET bage EI BT (y) Tj ET"
+    assert _stream_text(s) == "xy"
+
+
+def test_show_ops_outside_bt_et_are_ignored():
+    from simple_content_ocr_ray.stages.pdf_text import _stream_text
+
+    assert _stream_text(b"(lead) Tj BT (in) Tj ET (trail) Tj") == "in"
+
+
+def test_indirect_length_multi_digit_ref_not_misread():
+    """'/Length 123 0 R' must resolve the reference — regex backtracking
+    once parsed it as a direct length of 12."""
+    from simple_content_ocr_ray.stages.pdf_text import _LENGTH_RE
+
+    assert _LENGTH_RE.search(b"/Length 123 0 R >>") is None
+    m = _LENGTH_RE.search(b"/Length 456 /Filter /FlateDecode")
+    assert m and m.group(1) == b"456"
+
+
+def test_resources_inherited_only_from_parent_chain():
+    """Two /Pages subtrees with different /ToUnicode CMaps for the same
+    font name: a page must inherit from ITS ancestor, not whichever
+    subtree scans first."""
+    from simple_content_ocr_ray.stages.pdf_text import extract_pdf_text
+
+    def cmap(dst: bytes) -> bytes:
+        return (
+            b"begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            b"beginbfchar <0041> <" + dst + b"> endbfchar"
+        )
+
+    cm_a, cm_b = cmap(b"0394"), cmap(b"0416")  # A -> Delta vs Zhe
+    content = b"BT /F7 12 Tf <0041> Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >> endobj\n"
+        # subtree A (lower object number -> would win a naive scan)
+        b"3 0 obj << /Type /Pages /Parent 2 0 R /Kids [5 0 R] /Count 1 "
+        b"/Resources << /Font << /F7 7 0 R >> >> >> endobj\n"
+        b"4 0 obj << /Type /Pages /Parent 2 0 R /Kids [6 0 R] /Count 1 "
+        b"/Resources << /Font << /F7 8 0 R >> >> >> endobj\n"
+        b"5 0 obj << /Type /Page /Parent 3 0 R /Contents 9 0 R >> endobj\n"
+        b"6 0 obj << /Type /Page /Parent 4 0 R /Contents 9 0 R >> endobj\n"
+        b"7 0 obj << /Type /Font /ToUnicode 10 0 R >> endobj\n"
+        b"8 0 obj << /Type /Font /ToUnicode 11 0 R >> endobj\n"
+        b"9 0 obj << /Length " + str(len(content)).encode() + b" >> stream\n"
+        + content + b"\nendstream endobj\n"
+        b"10 0 obj << /Length " + str(len(cm_a)).encode() + b" >> stream\n"
+        + cm_a + b"\nendstream endobj\n"
+        b"11 0 obj << /Length " + str(len(cm_b)).encode() + b" >> stream\n"
+        + cm_b + b"\nendstream endobj\n%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == ["Δ", "Ж"]

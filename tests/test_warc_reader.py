@@ -118,3 +118,95 @@ def test_single_member_whole_file_gz(ray_session, tmp_path):
     p.write_bytes(gzip.compress(raw))
     df = read_pages_from_warc(str(p)).to_pandas()
     assert len(df) == 4
+
+
+def test_malformed_record_costs_one_record_not_the_file():
+    """A damaged Content-Length or WARC-Date in one record must not raise
+    out of the read task — later records still parse."""
+    from simple_content_ocr_ray.sources.readers import _iter_warc_records
+
+    def rec(url, body, *, clen=None, date=b"2024-03-01T00:00:00Z"):
+        n = str(len(body)).encode() if clen is None else clen
+        return (
+            b"WARC/1.0\r\nWARC-Type: resource\r\nWARC-Target-URI: "
+            + url + b"\r\nWARC-Date: " + date + b"\r\nContent-Length: "
+            + n + b"\r\n\r\n" + body
+        )
+
+    buf = (
+        rec(b"http://bad-len", b"x" * 10, clen=b"1,0")
+        + rec(b"http://bad-date", b"y" * 5, date=b"not-a-date")
+        + rec(b"http://ok", b"z" * 5)
+    )
+    got = list(_iter_warc_records(buf))
+    urls = [h["warc-target-uri"] for h, _ in got]
+    assert "http://ok" in urls and "http://bad-date" in urls
+    assert "http://bad-len" not in urls
+
+
+def test_gzip_stream_walk_is_linear_and_salvages_truncation():
+    """The .warc.gz walk must not quadratically re-copy the tail per gzip
+    member, and a truncated final member keeps the records before it."""
+    import gzip
+    import time
+
+    from simple_content_ocr_ray.sources.readers import (
+        _gzip_chunks,
+        _iter_warc_records_stream,
+    )
+
+    body = b"payload"
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: resource\r\nWARC-Target-URI: http://a\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+    )
+    member = gzip.compress(rec)
+
+    def walk(k):
+        t0 = time.perf_counter()
+        cnt = sum(1 for _ in _iter_warc_records_stream(_gzip_chunks(member * k)))
+        return cnt, time.perf_counter() - t0
+
+    c1, t1 = walk(5000)
+    c2, t2 = walk(20000)
+    assert (c1, c2) == (5000, 20000)
+    # 4x the members: quadratic would be ~16x; allow generous noise
+    assert t2 < t1 * 10
+
+    # truncated final member: whole earlier records survive
+    trunc = member * 3 + member[: len(member) // 2]
+    cnt = sum(1 for _ in _iter_warc_records_stream(_gzip_chunks(trunc)))
+    assert cnt == 3
+
+
+def test_record_spanning_gzip_chunk_boundaries():
+    """One record larger than the decompression chunk must reassemble."""
+    from simple_content_ocr_ray.sources.readers import _iter_warc_records_stream
+
+    body = b"z" * (3 << 20)
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: resource\r\nWARC-Target-URI: http://big\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+    )
+    chunks = [rec[i : i + 65536] for i in range(0, len(rec), 65536)]
+    got = list(_iter_warc_records_stream(iter(chunks)))
+    assert len(got) == 1 and got[0][1] == body
+
+
+def test_http_envelope_bad_gzip_body_keeps_raw_bytes():
+    """Truncated/corrupt Content-Encoding: gzip bodies (EOFError /
+    zlib.error, not just OSError) degrade to raw bytes, never a task
+    crash."""
+    import gzip
+
+    from simple_content_ocr_ray.sources.readers import _strip_http_envelope
+
+    good = gzip.compress(b"hello")
+    flipped = bytearray(good)
+    flipped[12] ^= 0xFF  # corrupt the deflate data mid-stream
+    for bad in (good[: len(good) // 2], bytes(flipped)):
+        block = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + bad
+        )
+        got = _strip_http_envelope(block)
+        assert got is not None and got[0] == bad  # raw bytes kept
