@@ -995,6 +995,67 @@ def robots_allowed_links(sf_dir: str) -> pd.DataFrame:
     return edges.sort_values(["domain", "href"]).reset_index(drop=True)
 
 
+def anchor_text_index(sf_dir: str) -> pd.DataFrame:
+    """Incoming-anchor-text index — the classic web-graph enrichment used
+    to build retrieval/query training pairs (anchor text ≈ a human-written
+    query for the target page): extract every ``<a href>…</a>`` PAIR from
+    the raw HTML bytes with a paired-capture regex, resolve site-relative
+    hrefs against the page origin to an ABSOLUTE target URL, and count
+    (target, anchor) occurrences across the corpus.
+
+    Differs from ``page_link_graph`` (href-only edge counts) in both
+    halves real pipelines need: the anchor TEXT travels with the edge, and
+    targets are canonical absolute URLs ready for a URL-keyed join against
+    the crawl. The synthesized boilerplate pins each href to a fixed
+    anchor string, so a wrong parser (split pair, nested-tag grab, missed
+    resolution) breaks the SQL mirror exactly. Scale shape: map_batches
+    explode → partial+final grouped count; the shuffle carries (target,
+    anchor) partials, never pages."""
+    pages_dir = synth_pages_parquet(sf_dir)
+    pages = rd.read_parquet(pages_dir, columns=["url", "html"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        html = df["html"].map(
+            lambda b: b.decode("utf-8", "ignore") if isinstance(b, bytes) else ""
+        )
+        is_html = html.str.startswith("<!doctype html>")
+        origin = df.loc[is_html, "url"].str.extract(
+            r"^(https://[^/]+)", expand=False
+        )
+        found = html[is_html].str.findall(r'<a href="([^"]+)">([^<]*)</a>')
+        out = pd.DataFrame({"origin": origin, "pair": found}).explode("pair")
+        out = out.dropna(subset=["pair"])
+        href = out["pair"].str[0]
+        # site-relative hrefs resolve against the page origin; absolute
+        # ones pass through (none in the synthetic corpus, common in WARC)
+        target = np.where(href.str.startswith("/"), out["origin"] + href, href)
+        return pd.DataFrame({"target": target, "anchor": out["pair"].str[1]})
+
+    agg = grouped_aggregate(
+        pages, ["target", "anchor"], {"n_links": (None, "count")}, prepare=pairs
+    ).to_pandas()
+    agg["n_links"] = agg["n_links"].astype("int64")
+    return agg.sort_values(["target", "anchor"]).reset_index(drop=True)
+
+
+_ANCHOR_TEXT_INDEX_SQL = """
+SELECT 'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example'
+         || l.href AS target,
+       l.anchor,
+       COUNT(*) AS n_links
+FROM documents
+CROSS JOIN (VALUES ('/', 'home'), ('/news', 'latest news'),
+                   ('/about', 'about us'), ('/login', 'sign in'),
+                   ('/rel/1', 'related article one'),
+                   ('/rel/2', 'related article two'),
+                   ('/rel/3', 'trending story three'),
+                   ('/terms', 'terms'), ('/privacy', 'privacy'))
+           AS l(href, anchor)
+WHERE doc_id % 20 NOT IN (0, 1, 2, 3)
+GROUP BY 1, 2
+"""
+
+
 _ROBOTS_ALLOWED_LINKS_SQL = """
 WITH doms AS (SELECT DISTINCT doc_id % 97 AS k FROM documents
               WHERE doc_id % 20 NOT IN (0, 1, 2, 3)),
@@ -1147,6 +1208,7 @@ SELECT doc_id, u AS url_canonical FROM s3
 QUERIES: dict[str, Callable[[str], object]] = {
     "image_meta": image_meta,
     "page_link_graph": page_link_graph,
+    "anchor_text_index": anchor_text_index,
     "page_head_meta": page_head_meta,
     "robots_allowed_links": robots_allowed_links,
     "url_canonicalize": url_canonicalize,
@@ -1185,6 +1247,7 @@ ORACLES: dict[str, str] = {
     "refreshed_corpus": _REFRESHED_CORPUS_SQL,
     "domain_stats": _DOMAIN_STATS_SQL,
     "page_link_graph": _PAGE_LINK_GRAPH_SQL,
+    "anchor_text_index": _ANCHOR_TEXT_INDEX_SQL,
     "page_head_meta": _PAGE_HEAD_META_SQL,
     "robots_allowed_links": _ROBOTS_ALLOWED_LINKS_SQL,
     "url_canonicalize": _URL_CANONICALIZE_SQL,
