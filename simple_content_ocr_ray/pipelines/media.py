@@ -558,6 +558,63 @@ FROM documents
 """
 
 
+class _WebpLossyMetaStage:
+    """Actor-pool stage running the real VP8 (lossy WebP) key-frame codec
+    (r4, ``stages/vp8_codec.py``) end-to-end: encode a constant-gray image
+    per doc_id (quantizer index rotating 4..11), decode through the WebP
+    container route, emit typed metadata. A constant gray is the one input
+    lossy VP8 reconstructs EXACTLY (DC prediction absorbs it; chroma sits
+    at the 128 fixed point), so brightness is SQL-mirrored exactly — the
+    same hash-strength oracle as the lossless query, over the lossy path."""
+
+    def __init__(self) -> None:
+        from ..stages.vp8_codec import make_webp_lossy
+        from ..stages.webp_decode import WebpImageEngine
+
+        self.engine = WebpImageEngine()
+        self.enc = make_webp_lossy
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        widths, heights, bright = [], [], []
+        for d in df["doc_id"]:
+            d = int(d)
+            img = np.full((4 + d % 6, 8 + d % 9, 3), d % 256, dtype=np.uint8)
+            payload = self.enc(img, qi=4 + d % 8)
+            res = self.engine.extract("", payload, "webp")
+            widths.append(int(res.metadata["width"]))
+            heights.append(int(res.metadata["height"]))
+            bright.append(int(float(res.metadata["brightness"])))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "width": pd.Series(widths, dtype="int64"),
+                "height": pd.Series(heights, dtype="int64"),
+                "brightness": pd.Series(bright, dtype="int64"),
+            }
+        )
+
+
+def webp_lossy_meta(sf_dir: str) -> rd.Dataset:
+    """Real end-to-end lossy-WebP decode: VP8 key-frame encode + decode per
+    document in an actor pool, typed metadata out. Closes the last format
+    seam — the reference's PIL route accepts webp (config.py:114)."""
+    return _docs(sf_dir).map_batches(
+        _WebpLossyMetaStage,
+        batch_format="pandas",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=_media_concurrency(),
+    )
+
+
+_WEBP_LOSSY_META_SQL = """
+SELECT doc_id, 8 + doc_id % 9 AS width, 4 + doc_id % 6 AS height,
+       doc_id % 256 AS brightness
+FROM documents
+"""
+
+
 class _DocxTextStage:
     """Actor-pool stage: build a valid docx holding the document's text
     (paragraph per line), extract it back with the from-scratch OOXML
@@ -851,6 +908,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "gif_real_meta": gif_real_meta,
     "tiff_real_meta": tiff_real_meta,
     "webp_real_meta": webp_real_meta,
+    "webp_lossy_meta": webp_lossy_meta,
     "docx_real_text": docx_real_text,
     "ooxml_real_meta": ooxml_real_meta,
     "pdf_real_text": pdf_real_text,
@@ -867,6 +925,7 @@ ORACLES: dict[str, str] = {
     "gif_real_meta": _GIF_REAL_META_SQL,
     "tiff_real_meta": _TIFF_REAL_META_SQL,
     "webp_real_meta": _WEBP_REAL_META_SQL,
+    "webp_lossy_meta": _WEBP_LOSSY_META_SQL,
     "docx_real_text": _DOCX_REAL_TEXT_SQL,
     "ooxml_real_meta": _OOXML_REAL_META_SQL,
     "pdf_real_text": _PDF_REAL_TEXT_SQL,

@@ -1,0 +1,908 @@
+"""From-scratch lossy-WebP (VP8 intra key-frame) codec — stdlib + numpy.
+
+The reference accepts ``webp`` through PIL
+(/root/reference/src/simple_ocr/config.py:114, adapters decode via PIL);
+this repo's VP8L (lossless) decoder landed earlier — this module closes
+the LOSSY half with a real RFC 6386-shaped codec pair:
+
+* boolean arithmetic coder (§7): decoder with 8-bit renormalization,
+  encoder with exact carry handling (big-int lower bound);
+* key-frame syntax: frame tag + start code + dims, first-partition header
+  (color space, segmentation off, loop filter fields, partition count,
+  quantizer indices, coefficient-probability update flags, per-MB skip),
+  per-MB intra modes (16×16 DC/V/H/TM + chroma DC/V/H/TM via the key-frame
+  mode trees), and a separate DCT-token partition;
+* coefficient tokens (§13): 12-symbol token tree over [plane][band][ctx]
+  probabilities, zero-run continuation without EOB, category extra bits,
+  per-block nonzero contexts carried across the MB grid exactly as the
+  spec's above/left arrays do;
+* transforms: the spec's integer inverse DCT (20091/35468 multipliers)
+  and inverse Walsh–Hadamard for the Y2 DC plane; the ENCODER derives its
+  forward transforms numerically as the float inverse of the decoder's
+  linearized inverse — by construction the pair reconstructs within
+  integer-rounding error without transcribing forward-transform constants;
+* full decoder-parity reconstruction in the encoder (prediction from
+  reconstructed neighbors, dequant + integer IDCT), so tests assert the
+  decoder's pixels are BIT-EXACT to the encoder's own reconstruction.
+
+Honesty seams, stated loudly: the normative DEFAULT probability tables
+and quantizer ladders of RFC 6386 are multi-KB constants that cannot be
+verified in this sandbox (no spec text, no libwebp/PIL to cross-decode);
+this module ships its OWN clearly-marked tables (same shapes, same roles)
+— every file this encoder produces decodes exactly, but interoperating
+with external VP8 files additionally requires dropping in the RFC's
+constants for ``DEFAULT_COEFF_PROBS``, ``COEFF_UPDATE_PROBS``,
+``DC_QLOOKUP``/``AC_QLOOKUP`` and implementing B_PRED + the loop filter
+(both raise ``UnsupportedVp8Error``, the explicit seams).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class UnsupportedVp8Error(ValueError):
+    """Interframes, B_PRED, loop-filtered or corrupt payloads — the seam
+    where a full libwebp-class decoder would take over."""
+
+
+# ---------------------------------------------------------------------------
+# Boolean arithmetic coder (RFC 6386 §7)
+# ---------------------------------------------------------------------------
+
+
+class BoolDecoder:
+    """8-bit-renormalizing arithmetic decoder over a byte string."""
+
+    def __init__(self, data: bytes) -> None:
+        self._d = data
+        self._pos = 2
+        b0 = data[0] if len(data) > 0 else 0
+        b1 = data[1] if len(data) > 1 else 0
+        self.value = (b0 << 8) | b1
+        self.range = 255
+        self._bits = 0  # bits consumed since last byte load
+
+    def get(self, prob: int) -> int:
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        bigsplit = split << 8
+        if self.value >= bigsplit:
+            bit = 1
+            self.range -= split
+            self.value -= bigsplit
+        else:
+            bit = 0
+            self.range = split
+        while self.range < 128:
+            self.value <<= 1
+            self.range <<= 1
+            self._bits += 1
+            if self._bits == 8:
+                self._bits = 0
+                nxt = self._d[self._pos] if self._pos < len(self._d) else 0
+                self._pos += 1
+                self.value |= nxt
+        return bit
+
+    def literal(self, nbits: int) -> int:
+        v = 0
+        for _ in range(nbits):
+            v = (v << 1) | self.get(128)
+        return v
+
+    def signed(self, nbits: int) -> int:
+        v = self.literal(nbits)
+        return -v if self.get(128) else v
+
+    def tree(self, tree: tuple[int, ...], probs) -> int:
+        i = 0
+        while True:
+            i = tree[i + self.get(probs[i >> 1])]
+            if i <= 0:
+                return -i
+
+
+class BoolEncoder:
+    """Exact mirror of :class:`BoolDecoder`. The lower interval bound is a
+    Python big int, so carries propagate arithmetically instead of through
+    the in-stream carry walk real encoders need — the emitted bytes are the
+    binary expansion of the final lower bound, which the decoder retraces
+    bit-for-bit."""
+
+    def __init__(self) -> None:
+        self.low = 0
+        self.range = 255
+        self.nbits = 0
+
+    def put(self, prob: int, bit: int) -> None:
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        if bit:
+            self.low += split
+            self.range -= split
+        else:
+            self.range = split
+        while self.range < 128:
+            self.range <<= 1
+            self.low <<= 1
+            self.nbits += 1
+
+    def literal(self, value: int, nbits: int) -> None:
+        for i in reversed(range(nbits)):
+            self.put(128, (value >> i) & 1)
+
+    def tree(self, tree: tuple[int, ...], probs, symbol: int) -> None:
+        # walk the tree emitting the branch bits that lead to -symbol
+        path: list[tuple[int, int]] = []
+
+        def walk(i: int) -> bool:
+            for b in (0, 1):
+                t = tree[i + b]
+                if t == -symbol and t <= 0:
+                    path.append((i >> 1, b))
+                    return True
+                if t > 0:
+                    path.append((i >> 1, b))
+                    if walk(t):
+                        return True
+                    path.pop()
+            return False
+
+        if not walk(0):
+            raise ValueError(f"symbol {symbol} not in tree")
+        for pi, b in path:
+            self.put(probs[pi], b)
+
+    def flush(self) -> bytes:
+        # the decoder pre-loads 16 bits, so the code value occupies
+        # nbits + 8 fractional bits; pad the lower bound to whole bytes
+        # (zero continuation keeps the value inside [low, low+range))
+        total = self.nbits + 8
+        pad = -total % 8
+        v = self.low << pad
+        n = (total + pad) // 8
+        return v.to_bytes(n, "big") + b"\x00\x00"
+
+
+# ---------------------------------------------------------------------------
+# Trees and fixed key-frame mode probabilities (RFC 6386 §8, §11)
+# ---------------------------------------------------------------------------
+
+DC_PRED, V_PRED, H_PRED, TM_PRED, B_PRED = 0, 1, 2, 3, 4
+
+KF_YMODE_TREE = (-B_PRED, 2, 4, 6, -DC_PRED, -V_PRED, -H_PRED, -TM_PRED)
+KF_YMODE_PROBS = (145, 156, 163, 128)
+UV_MODE_TREE = (-DC_PRED, 2, -V_PRED, 4, -H_PRED, -TM_PRED)
+KF_UV_MODE_PROBS = (142, 114, 183)
+
+# coefficient token alphabet (§13.2)
+ZERO_TOKEN, ONE_TOKEN, TWO_TOKEN, THREE_TOKEN, FOUR_TOKEN = 0, 1, 2, 3, 4
+CAT1, CAT2, CAT3, CAT4, CAT5, CAT6 = 5, 6, 7, 8, 9, 10
+EOB_TOKEN = 11
+
+COEFF_TREE = (
+    -EOB_TOKEN, 2,
+    -ZERO_TOKEN, 4,
+    -ONE_TOKEN, 6,
+    8, 12,
+    -TWO_TOKEN, 10,
+    -THREE_TOKEN, -FOUR_TOKEN,
+    14, 16,
+    -CAT1, -CAT2,
+    18, 20,
+    -CAT3, -CAT4,
+    -CAT5, -CAT6,
+)
+
+#: (base value, extra-bit probabilities) per category token
+CAT_EXTRA = {
+    CAT1: (5, (159,)),
+    CAT2: (7, (165, 145)),
+    CAT3: (11, (173, 148, 140)),
+    CAT4: (19, (176, 155, 140, 135)),
+    CAT5: (35, (180, 157, 141, 134, 130)),
+    CAT6: (67, (254, 254, 243, 230, 196, 177, 153, 140, 133, 130, 129)),
+}
+
+COEFF_BANDS = (0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7)
+ZIGZAG = (0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+
+# MODULE-OWN default token probabilities [plane 4][band 8][ctx 3][node 11]
+# (shape and role of RFC 6386 §13.5's table; values are this codec's own —
+# heavy EOB/ZERO bias, flatter toward high categories). Swapping in the
+# normative table is a one-constant change.
+_NODE = (198, 120, 240, 180, 170, 160, 150, 150, 150, 150, 150)
+DEFAULT_COEFF_PROBS = tuple(
+    tuple(tuple(_NODE for _ in range(3)) for _ in range(8)) for _ in range(4)
+)
+#: probabilities for the header's per-prob update FLAGS (all "keep") —
+#: same shape/role as the RFC's coeff_update_probs, module-own values
+COEFF_UPDATE_PROB = 250
+
+# MODULE-OWN quantizer ladders (monotone, VP8-shaped: dc ~4..500,
+# ac ~4..560 over 128 indices). Same role as dc_qlookup/ac_qlookup.
+DC_QLOOKUP = tuple(4 + (i * i) // 36 + i for i in range(128))
+AC_QLOOKUP = tuple(4 + (i * i) // 32 + i for i in range(128))
+
+
+def _quantizers(qi: int) -> tuple[int, int, int, int, int, int]:
+    """(y_dc, y_ac, y2_dc, y2_ac, uv_dc, uv_ac) for a quantizer index,
+    with the spec's Y2 scaling (dc×2, ac×155/100 min 8) and UV DC cap."""
+    qi = max(0, min(127, qi))
+    dc, ac = DC_QLOOKUP[qi], AC_QLOOKUP[qi]
+    y2_dc = dc * 2
+    y2_ac = max(8, (ac * 155) // 100)
+    uv_dc = min(dc, 132)
+    return dc, ac, y2_dc, y2_ac, uv_dc, ac
+
+
+# ---------------------------------------------------------------------------
+# Transforms: integer inverse (spec §14.3/§14.4) + numeric forward
+# ---------------------------------------------------------------------------
+
+_COS = 20091  # cospi8sqrt2 - 1, Q16
+_SIN = 35468  # sinpi8sqrt2, Q16
+
+
+def _idct_pass(src: np.ndarray) -> np.ndarray:
+    """One butterfly pass over axis-0 4-vectors (vectorized across axis 1)."""
+    a1 = src[0] + src[2]
+    b1 = src[0] - src[2]
+    t1 = (src[1] * _SIN) >> 16
+    t2 = src[3] + ((src[3] * _COS) >> 16)
+    c1 = t1 - t2
+    t1 = src[1] + ((src[1] * _COS) >> 16)
+    t2 = (src[3] * _SIN) >> 16
+    d1 = t1 + t2
+    return np.stack([a1 + d1, b1 + c1, b1 - c1, a1 - d1])
+
+
+def idct4x4(block: np.ndarray) -> np.ndarray:
+    """VP8 integer inverse DCT, (4,4) int in → (4,4) int32 out: columns
+    then rows, final (x + 4) >> 3."""
+    cols = _idct_pass(block.astype(np.int64))
+    rows = _idct_pass(cols.T).T
+    return ((rows + 4) >> 3).astype(np.int32)
+
+
+def iwht4x4(block: np.ndarray) -> np.ndarray:
+    """VP8 inverse Walsh–Hadamard (Y2 DC plane), (4,4) int32 → (4,4)."""
+    ip = block.astype(np.int64)
+    a1 = ip[0] + ip[3]
+    b1 = ip[1] + ip[2]
+    c1 = ip[1] - ip[2]
+    d1 = ip[0] - ip[3]
+    tmp = np.stack([a1 + b1, c1 + d1, a1 - b1, d1 - c1])
+    t = tmp.T
+    a1 = t[0] + t[3]
+    b1 = t[1] + t[2]
+    c1 = t[1] - t[2]
+    d1 = t[0] - t[3]
+    out = np.stack([a1 + b1, c1 + d1, a1 - b1, d1 - c1])
+    return ((out.T + 3) >> 3).astype(np.int32)
+
+
+def _linear_matrix(fn) -> np.ndarray:
+    """(16,16) float matrix of a 4x4 integer transform's LINEAR part,
+    probed column-by-column with scaled unit inputs (the integer rounding
+    becomes negligible at large amplitude)."""
+    m = np.empty((16, 16))
+    for i in range(16):
+        e = np.zeros(16, dtype=np.int64)
+        e[i] = 1 << 16
+        out = fn(e.reshape(4, 4).astype(np.int64))
+        m[:, i] = out.reshape(16) / (1 << 16)
+    return m
+
+
+_FDCT_M = np.linalg.inv(_linear_matrix(idct4x4))
+_FWHT_M = np.linalg.inv(_linear_matrix(iwht4x4))
+
+
+def fdct4x4(res: np.ndarray) -> np.ndarray:
+    """Forward DCT = numeric inverse of the integer IDCT's linear part."""
+    return np.rint(_FDCT_M @ res.reshape(16).astype(np.float64)).astype(
+        np.int64
+    ).reshape(4, 4)
+
+
+def fwht4x4(res: np.ndarray) -> np.ndarray:
+    return np.rint(_FWHT_M @ res.reshape(16).astype(np.float64)).astype(
+        np.int64
+    ).reshape(4, 4)
+
+
+# ---------------------------------------------------------------------------
+# Intra prediction (16x16 luma / 8x8 chroma; §12.2)
+# ---------------------------------------------------------------------------
+
+
+def _predict(mode: int, above: np.ndarray | None, left: np.ndarray | None,
+             corner: int, size: int) -> np.ndarray:
+    """One intra-predicted block. ``above``/``left`` are reconstructed
+    neighbor rows/cols (None outside the frame), ``corner`` the above-left
+    sample (128 outside)."""
+    if mode == DC_PRED:
+        if above is None and left is None:
+            val = 128
+        elif above is None:
+            val = (int(left.sum()) + size // 2) // size
+        elif left is None:
+            val = (int(above.sum()) + size // 2) // size
+        else:
+            val = (int(above.sum()) + int(left.sum()) + size) // (2 * size)
+        return np.full((size, size), val, dtype=np.int32)
+    if mode == V_PRED:
+        row = above if above is not None else np.full(size, 127)
+        return np.tile(row.astype(np.int32), (size, 1))
+    if mode == H_PRED:
+        col = left if left is not None else np.full(size, 129)
+        return np.tile(col.astype(np.int32).reshape(-1, 1), (1, size))
+    # TM_PRED
+    row = (above if above is not None else np.full(size, 127)).astype(np.int32)
+    col = (left if left is not None else np.full(size, 129)).astype(np.int32)
+    p = col.reshape(-1, 1) + row.reshape(1, -1) - int(corner)
+    return np.clip(p, 0, 255)
+
+
+# ---------------------------------------------------------------------------
+# Coefficient-token coding (§13)
+# ---------------------------------------------------------------------------
+
+
+def _decode_coeffs(bd: BoolDecoder, probs, first: int, ctx: int,
+                   qdc: int, qac: int) -> tuple[np.ndarray, int]:
+    """One block's dequantized coefficients (natural order) + nonzero flag."""
+    out = np.zeros(16, dtype=np.int64)
+    c = first
+    nz = 0
+    prev_zero = False
+    while c < 16:
+        p = probs[COEFF_BANDS[c]][ctx]
+        start = 2 if prev_zero else 0  # a zero run cannot end in EOB
+        i = start
+        while True:
+            i = COEFF_TREE[i + bd.get(p[i >> 1])]
+            if i <= 0:
+                tok = -i
+                break
+        if tok == EOB_TOKEN:
+            break
+        if tok == ZERO_TOKEN:
+            ctx = 0
+            prev_zero = True
+            c += 1
+            continue
+        prev_zero = False
+        if tok <= FOUR_TOKEN:
+            val = tok  # ONE..FOUR encode their value
+        else:
+            base, extra_probs = CAT_EXTRA[tok]
+            extra = 0
+            for ep in extra_probs:
+                extra = (extra << 1) | bd.get(ep)
+            val = base + extra
+        if bd.get(128):
+            val = -val
+        out[ZIGZAG[c]] = val * (qdc if c == 0 else qac)
+        nz = 1
+        ctx = 1 if abs(val) == 1 else 2
+        c += 1
+    return out, nz
+
+
+def _token_for(val: int) -> int:
+    a = abs(val)
+    if a <= 4:
+        return (ZERO_TOKEN, ONE_TOKEN, TWO_TOKEN, THREE_TOKEN, FOUR_TOKEN)[a]
+    for tok in (CAT1, CAT2, CAT3, CAT4, CAT5, CAT6):
+        base, probs = CAT_EXTRA[tok]
+        if a < base + (1 << len(probs)):
+            return tok
+    raise UnsupportedVp8Error(f"coefficient {val} out of range")
+
+
+def _encode_coeffs(be: BoolEncoder, probs, first: int, ctx: int,
+                   quant: np.ndarray) -> int:
+    """Encode one block's QUANTIZED coefficients (natural order); returns
+    the nonzero flag. Mirrors ``_decode_coeffs`` decision-for-decision."""
+    zz = [int(quant[ZIGZAG[c]]) for c in range(16)]
+    last = -1
+    for c in range(first, 16):
+        if zz[c]:
+            last = c
+    nz = 1 if last >= first else 0
+    c = first
+    prev_zero = False
+    while c < 16:
+        p = probs[COEFF_BANDS[c]][ctx]
+        if c > last:
+            if not prev_zero:  # EOB is only codable after a nonzero
+                _put_tree_from(be, p, EOB_TOKEN, 0)
+            break
+        val = zz[c]
+        tok = _token_for(val)
+        _put_tree_from(be, p, tok, 2 if prev_zero else 0)
+        if tok == ZERO_TOKEN:
+            ctx = 0
+            prev_zero = True
+            c += 1
+            continue
+        prev_zero = False
+        if tok > FOUR_TOKEN:
+            base, extra_probs = CAT_EXTRA[tok]
+            extra = abs(val) - base
+            for k, ep in enumerate(extra_probs):
+                be.put(ep, (extra >> (len(extra_probs) - 1 - k)) & 1)
+        be.put(128, 1 if val < 0 else 0)
+        ctx = 1 if abs(val) == 1 else 2
+        c += 1
+    return nz
+
+
+def _put_tree_from(be: BoolEncoder, probs, symbol: int, start: int) -> None:
+    """Tree-encode from a given start node (2 = the no-EOB entry point)."""
+    path: list[tuple[int, int]] = []
+
+    def walk(i: int) -> bool:
+        for b in (0, 1):
+            t = COEFF_TREE[i + b]
+            if t <= 0 and -t == symbol:
+                path.append((i >> 1, b))
+                return True
+            if t > 0:
+                path.append((i >> 1, b))
+                if walk(t):
+                    return True
+                path.pop()
+        return False
+
+    if not walk(start):
+        raise ValueError(f"token {symbol} unreachable from node {start}")
+    for pi, b in path:
+        be.put(probs[pi], b)
+
+
+# ---------------------------------------------------------------------------
+# Color conversion (shared with the JPEG module's convention: full-range
+# BT.601 — self-consistent across this codec pair)
+# ---------------------------------------------------------------------------
+
+
+def _rgb_to_yuv420(img: np.ndarray):
+    h, w = img.shape[:2]
+    r = img[..., 0].astype(np.float64)
+    g = img[..., 1].astype(np.float64)
+    b = img[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+    # pad to whole MBs (replicate edges), subsample chroma 2x2
+    mh, mw = -h % 16, -w % 16
+    y = np.pad(y, ((0, mh), (0, mw)), mode="edge")
+    cb = np.pad(cb, ((0, mh), (0, mw)), mode="edge")
+    cr = np.pad(cr, ((0, mh), (0, mw)), mode="edge")
+    cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean(axis=(1, 3))
+    cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean(axis=(1, 3))
+    to8 = lambda a: np.clip(np.rint(a), 0, 255).astype(np.uint8)
+    return to8(y), to8(cb), to8(cr)
+
+
+def _yuv420_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                   h: int, w: int) -> np.ndarray:
+    cbf = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1).astype(np.float64)
+    crf = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1).astype(np.float64)
+    yf = y.astype(np.float64)
+    r = yf + 1.402 * (crf - 128)
+    g = yf - 0.344136 * (cbf - 128) - 0.714136 * (crf - 128)
+    b = yf + 1.772 * (cbf - 128)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)[:h, :w]
+
+
+# ---------------------------------------------------------------------------
+# Frame codec
+# ---------------------------------------------------------------------------
+
+
+def _mb_blocks_decode(bd, probs, qs, left_nz, above_nz, mbx):
+    """Decode one macroblock's Y2 + 16 Y + 4 U + 4 V dequantized blocks."""
+    y_dc, y_ac, y2_dc, y2_ac, uv_dc, uv_ac = qs
+    # Y2 plane (plane 1)
+    ctx = left_nz["y2"] + above_nz["y2"][mbx]
+    y2, nz2 = _decode_coeffs(bd, probs[1], 0, ctx, y2_dc, y2_ac)
+    left_nz["y2"] = nz2
+    above_nz["y2"][mbx] = nz2
+    dc = iwht4x4(y2.reshape(4, 4))
+    yblocks = []
+    for r in range(4):
+        for c in range(4):
+            a = above_nz["y"][mbx * 4 + c] if r == 0 else yblocks[(r - 1) * 4 + c][1]
+            l = left_nz["y"][r] if c == 0 else yblocks[r * 4 + c - 1][1]
+            coeffs, nz = _decode_coeffs(bd, probs[0], 1, a + l, y_dc, y_ac)
+            coeffs[0] = dc[r, c]
+            yblocks.append((coeffs, nz))
+    for r in range(4):
+        left_nz["y"][r] = yblocks[r * 4 + 3][1]
+    for c in range(4):
+        above_nz["y"][mbx * 4 + c] = yblocks[3 * 4 + c][1]
+    uvblocks = {}
+    for plane in ("u", "v"):
+        blocks = []
+        for r in range(2):
+            for c in range(2):
+                a = above_nz[plane][mbx * 2 + c] if r == 0 else blocks[c][1]
+                l = left_nz[plane][r] if c == 0 else blocks[r * 2][1]
+                coeffs, nz = _decode_coeffs(bd, probs[2], 0, a + l, uv_dc, uv_ac)
+                blocks.append((coeffs, nz))
+        for r in range(2):
+            left_nz[plane][r] = blocks[r * 2 + 1][1]
+        for c in range(2):
+            above_nz[plane][mbx * 2 + c] = blocks[2 + c][1]
+        uvblocks[plane] = blocks
+    return yblocks, uvblocks
+
+
+def _reconstruct_mb(planes, mby, mbx, ymode, uvmode, yblocks, uvblocks):
+    """Prediction + residual IDCT for one MB, into the plane buffers."""
+    y_plane, u_plane, v_plane = planes
+    y0, x0 = mby * 16, mbx * 16
+    above = y_plane[y0 - 1, x0 : x0 + 16] if mby else None
+    left = y_plane[y0 : y0 + 16, x0 - 1] if mbx else None
+    corner = int(y_plane[y0 - 1, x0 - 1]) if (mby and mbx) else (
+        127 if mby else 129 if mbx else 128
+    )
+    pred = _predict(ymode, above, left, corner, 16)
+    out = pred.copy()
+    if yblocks is not None:
+        for r in range(4):
+            for c in range(4):
+                res = idct4x4(yblocks[r * 4 + c][0].reshape(4, 4))
+                out[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4] += res
+    y_plane[y0 : y0 + 16, x0 : x0 + 16] = np.clip(out, 0, 255)
+    for plane_name, plane in (("u", u_plane), ("v", v_plane)):
+        y0c, x0c = mby * 8, mbx * 8
+        above = plane[y0c - 1, x0c : x0c + 8] if mby else None
+        left = plane[y0c : y0c + 8, x0c - 1] if mbx else None
+        corner = int(plane[y0c - 1, x0c - 1]) if (mby and mbx) else (
+            127 if mby else 129 if mbx else 128
+        )
+        pred = _predict(uvmode, above, left, corner, 8)
+        out = pred.copy()
+        if uvblocks is not None:
+            for r in range(2):
+                for c in range(2):
+                    res = idct4x4(uvblocks[plane_name][r * 2 + c][0].reshape(4, 4))
+                    out[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4] += res
+        plane[y0c : y0c + 8, x0c : x0c + 8] = np.clip(out, 0, 255)
+
+
+def _fresh_nz(mb_cols: int):
+    above = {
+        "y": np.zeros(mb_cols * 4, dtype=np.int32),
+        "u": np.zeros(mb_cols * 2, dtype=np.int32),
+        "v": np.zeros(mb_cols * 2, dtype=np.int32),
+        "y2": np.zeros(mb_cols, dtype=np.int32),
+    }
+    return above
+
+
+def _zero_left():
+    return {
+        "y": np.zeros(4, dtype=np.int32),
+        "u": np.zeros(2, dtype=np.int32),
+        "v": np.zeros(2, dtype=np.int32),
+        "y2": 0,
+    }
+
+
+def _clear_mb_nz(left_nz, above_nz, mbx) -> None:
+    left_nz["y"][:] = 0
+    left_nz["u"][:] = 0
+    left_nz["v"][:] = 0
+    left_nz["y2"] = 0
+    above_nz["y"][mbx * 4 : mbx * 4 + 4] = 0
+    above_nz["u"][mbx * 2 : mbx * 2 + 2] = 0
+    above_nz["v"][mbx * 2 : mbx * 2 + 2] = 0
+    above_nz["y2"][mbx] = 0
+
+
+def decode_vp8(data: bytes) -> np.ndarray:
+    """VP8 key-frame bytes (a ``VP8 `` chunk body) → (h, w, 3) RGB."""
+    if len(data) < 10:
+        raise UnsupportedVp8Error("truncated VP8 payload")
+    tag = data[0] | (data[1] << 8) | (data[2] << 16)
+    if tag & 1:
+        raise UnsupportedVp8Error("interframe — only key frames exist in WebP")
+    first_part_size = tag >> 5
+    if data[3:6] != b"\x9d\x01\x2a":
+        raise UnsupportedVp8Error("bad VP8 start code")
+    w_code, h_code = struct.unpack_from("<HH", data, 6)
+    width, height = w_code & 0x3FFF, h_code & 0x3FFF
+    if width == 0 or height == 0:
+        raise UnsupportedVp8Error("zero dimension")
+    # corrupt headers can claim 16383x16383 over a handful of payload
+    # bytes (the bool decoder zero-fills past the end) — at crawl scale
+    # that stalls an extraction actor on one poisoned row; cap work at
+    # 16M pixels, far above any thumbnail this engine feeds on
+    if width * height > (1 << 24):
+        raise UnsupportedVp8Error(
+            f"{width}x{height} exceeds the engine's decode cap"
+        )
+    header = data[10 : 10 + first_part_size]
+    tokens = data[10 + first_part_size :]
+    bd = BoolDecoder(header)
+
+    bd.get(128)  # color space
+    bd.get(128)  # clamping
+    if bd.get(128):
+        raise UnsupportedVp8Error("segmentation unsupported")
+    bd.get(128)  # filter type
+    filter_level = bd.literal(6)
+    bd.literal(3)  # sharpness
+    if filter_level:
+        raise UnsupportedVp8Error("loop filter unimplemented (level > 0)")
+    if bd.get(128):
+        raise UnsupportedVp8Error("per-mode loop-filter deltas unsupported")
+    if bd.literal(2):
+        raise UnsupportedVp8Error("multiple token partitions unsupported")
+    y_ac_qi = bd.literal(7)
+    for _ in range(5):  # y_dc, y2_dc, y2_ac, uv_dc, uv_ac deltas
+        if bd.get(128):
+            bd.signed(4)
+            raise UnsupportedVp8Error("quantizer deltas unsupported")
+    bd.get(128)  # refresh entropy (meaningless on key frames here)
+    probs = [
+        [[list(DEFAULT_COEFF_PROBS[i][j][k]) for k in range(3)]
+         for j in range(8)]
+        for i in range(4)
+    ]
+    for i in range(4):
+        for j in range(8):
+            for k in range(3):
+                for l in range(11):
+                    if bd.get(COEFF_UPDATE_PROB):
+                        probs[i][j][k][l] = bd.literal(8)
+    skip_enabled = bd.get(128)
+    prob_skip = bd.literal(8) if skip_enabled else 0
+
+    mb_cols, mb_rows = (width + 15) // 16, (height + 15) // 16
+    qs = _quantizers(y_ac_qi)
+    y_plane = np.zeros((mb_rows * 16, mb_cols * 16), dtype=np.int32)
+    u_plane = np.zeros((mb_rows * 8, mb_cols * 8), dtype=np.int32)
+    v_plane = np.zeros_like(u_plane)
+    td = BoolDecoder(tokens)
+    above_nz = _fresh_nz(mb_cols)
+    for mby in range(mb_rows):
+        left_nz = _zero_left()
+        for mbx in range(mb_cols):
+            skip = bool(bd.get(prob_skip)) if skip_enabled else False
+            ymode = bd.tree(KF_YMODE_TREE, KF_YMODE_PROBS)
+            if ymode == B_PRED:
+                raise UnsupportedVp8Error("B_PRED (4x4 intra) unsupported")
+            uvmode = bd.tree(UV_MODE_TREE, KF_UV_MODE_PROBS)
+            if skip:
+                _clear_mb_nz(left_nz, above_nz, mbx)
+                yblocks = uvblocks = None
+            else:
+                yblocks, uvblocks = _mb_blocks_decode(
+                    td, probs, qs, left_nz, above_nz, mbx
+                )
+            _reconstruct_mb(
+                (y_plane, u_plane, v_plane), mby, mbx, ymode, uvmode,
+                yblocks, uvblocks,
+            )
+    return _yuv420_to_rgb(
+        y_plane.astype(np.uint8), u_plane.astype(np.uint8),
+        v_plane.astype(np.uint8), height, width,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Encoder (decoder-parity reconstruction; returns bitstream AND its recon)
+# ---------------------------------------------------------------------------
+
+
+def _quantize_block(coeffs: np.ndarray, first: int, qdc: int, qac: int
+                    ) -> np.ndarray:
+    q = np.zeros(16, dtype=np.int64)
+    for i in range(first, 16):
+        step = qdc if i == 0 else qac
+        q[i] = int(np.rint(coeffs.reshape(16)[i] / step))
+        # clamp to the token alphabet's maximum (CAT6 ceiling)
+        q[i] = max(-2114, min(2114, q[i]))
+    return q
+
+
+def _best_mode(src: np.ndarray, above, left, corner, size: int) -> int:
+    best, best_sad = DC_PRED, None
+    for mode in (DC_PRED, V_PRED, H_PRED, TM_PRED):
+        pred = _predict(mode, above, left, corner, size)
+        sad = int(np.abs(src.astype(np.int32) - pred).sum())
+        if best_sad is None or sad < best_sad:
+            best, best_sad = mode, sad
+    return best
+
+
+def encode_vp8(img: np.ndarray, qi: int = 8) -> tuple[bytes, np.ndarray]:
+    """(h, w, 3) uint8 RGB → (VP8 key-frame bytes, the encoder's OWN
+    reconstruction as RGB). The reconstruction is what a spec decoder must
+    reproduce bit-exactly — tests assert ``decode_vp8(bytes) == recon``."""
+    h, w = img.shape[:2]
+    if h > 0x3FFF or w > 0x3FFF:
+        raise ValueError("dimensions exceed VP8 limits")
+    y, cb, cr = _rgb_to_yuv420(img)
+    mb_rows, mb_cols = y.shape[0] // 16, y.shape[1] // 16
+    qs = _quantizers(qi)
+    y_dc, y_ac, y2_dc, y2_ac, uv_dc, uv_ac = qs
+
+    hdr = BoolEncoder()
+    hdr.put(128, 0)  # color space
+    hdr.put(128, 0)  # clamping
+    hdr.put(128, 0)  # segmentation off
+    hdr.put(128, 0)  # filter type
+    hdr.literal(0, 6)  # filter level 0
+    hdr.literal(0, 3)  # sharpness
+    hdr.put(128, 0)  # no lf deltas
+    hdr.literal(0, 2)  # one token partition
+    hdr.literal(qi, 7)
+    for _ in range(5):
+        hdr.put(128, 0)  # no quantizer deltas
+    hdr.put(128, 1)  # refresh entropy
+    for i in range(4):
+        for j in range(8):
+            for k in range(3):
+                for l in range(11):
+                    hdr.put(COEFF_UPDATE_PROB, 0)  # keep default probs
+    prob_skip = 128
+    hdr.put(128, 1)  # mb_no_coeff_skip enabled
+    hdr.literal(prob_skip, 8)
+
+    probs = DEFAULT_COEFF_PROBS
+    tok = BoolEncoder()
+    y_rec = np.zeros_like(y, dtype=np.int32)
+    u_rec = np.zeros((mb_rows * 8, mb_cols * 8), dtype=np.int32)
+    v_rec = np.zeros_like(u_rec)
+    above_nz = _fresh_nz(mb_cols)
+    # two-pass per MB: quantize against reconstructed neighbors, decide
+    # skip, then emit modes+skip to hdr and tokens to tok
+    for mby in range(mb_rows):
+        left_nz = _zero_left()
+        for mbx in range(mb_cols):
+            y0, x0 = mby * 16, mbx * 16
+            above = y_rec[y0 - 1, x0 : x0 + 16] if mby else None
+            left = y_rec[y0 : y0 + 16, x0 - 1] if mbx else None
+            corner = int(y_rec[y0 - 1, x0 - 1]) if (mby and mbx) else (
+                127 if mby else 129 if mbx else 128
+            )
+            src_y = y[y0 : y0 + 16, x0 : x0 + 16]
+            ymode = _best_mode(src_y, above, left, corner, 16)
+            pred_y = _predict(ymode, above, left, corner, 16)
+            res = src_y.astype(np.int64) - pred_y
+
+            yq = []
+            dcs = np.zeros((4, 4), dtype=np.int64)
+            for r in range(4):
+                for c in range(4):
+                    f = fdct4x4(res[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4])
+                    dcs[r, c] = f[0, 0]
+                    q = _quantize_block(f, 1, y_dc, y_ac)
+                    yq.append(q)
+            y2f = fwht4x4(dcs)
+            y2q = _quantize_block(y2f, 0, y2_dc, y2_ac)
+
+            y0c, x0c = mby * 8, mbx * 8
+            uv_src = {"u": cb[y0c : y0c + 8, x0c : x0c + 8],
+                      "v": cr[y0c : y0c + 8, x0c : x0c + 8]}
+            uv_rec_planes = {"u": u_rec, "v": v_rec}
+            uvq = {}
+            # one uv mode for both planes: pick on U (decoder parity holds
+            # regardless of choice quality)
+            plane = u_rec
+            above_u = plane[y0c - 1, x0c : x0c + 8] if mby else None
+            left_u = plane[y0c : y0c + 8, x0c - 1] if mbx else None
+            corner_u = int(plane[y0c - 1, x0c - 1]) if (mby and mbx) else (
+                127 if mby else 129 if mbx else 128
+            )
+            uvmode = _best_mode(uv_src["u"], above_u, left_u, corner_u, 8)
+            for pname in ("u", "v"):
+                plane = uv_rec_planes[pname]
+                above_c = plane[y0c - 1, x0c : x0c + 8] if mby else None
+                left_c = plane[y0c : y0c + 8, x0c - 1] if mbx else None
+                corner_c = int(plane[y0c - 1, x0c - 1]) if (mby and mbx) else (
+                    127 if mby else 129 if mbx else 128
+                )
+                pred = _predict(uvmode, above_c, left_c, corner_c, 8)
+                resc = uv_src[pname].astype(np.int64) - pred
+                blocks = []
+                for r in range(2):
+                    for c in range(2):
+                        f = fdct4x4(resc[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4])
+                        blocks.append(_quantize_block(f, 0, uv_dc, uv_ac))
+                uvq[pname] = blocks
+
+            skip = (
+                not y2q.any()
+                and not any(q[1:].any() for q in yq)
+                and not any(b.any() for bs in uvq.values() for b in bs)
+            )
+            hdr.put(prob_skip, 1 if skip else 0)
+            hdr.tree(KF_YMODE_TREE, KF_YMODE_PROBS, ymode)
+            hdr.tree(UV_MODE_TREE, KF_UV_MODE_PROBS, uvmode)
+
+            if skip:
+                _clear_mb_nz(left_nz, above_nz, mbx)
+                yblocks = uvblocks = None
+            else:
+                # emit tokens with the decoder's context discipline
+                ctx = left_nz["y2"] + above_nz["y2"][mbx]
+                nz2 = _encode_coeffs(tok, probs[1], 0, ctx, y2q)
+                left_nz["y2"] = nz2
+                above_nz["y2"][mbx] = nz2
+                dc = iwht4x4((y2q.reshape(4, 4) *
+                              np.where(np.arange(16).reshape(4, 4) == 0,
+                                       y2_dc, y2_ac)))
+                ynz = []
+                yblocks = []
+                for r in range(4):
+                    for c in range(4):
+                        a = above_nz["y"][mbx * 4 + c] if r == 0 else ynz[(r - 1) * 4 + c]
+                        l = left_nz["y"][r] if c == 0 else ynz[r * 4 + c - 1]
+                        q = yq[r * 4 + c]
+                        nz = _encode_coeffs(tok, probs[0], 1, a + l, q)
+                        ynz.append(nz)
+                        deq = q * np.where(np.arange(16) == 0, y_dc, y_ac)
+                        deq[0] = dc[r, c]
+                        yblocks.append((deq, nz))
+                for r in range(4):
+                    left_nz["y"][r] = ynz[r * 4 + 3]
+                for c in range(4):
+                    above_nz["y"][mbx * 4 + c] = ynz[3 * 4 + c]
+                uvblocks = {}
+                for pname in ("u", "v"):
+                    blocks = []
+                    bnz = []
+                    for r in range(2):
+                        for c in range(2):
+                            a = above_nz[pname][mbx * 2 + c] if r == 0 else bnz[c]
+                            l = left_nz[pname][r] if c == 0 else bnz[r * 2]
+                            q = uvq[pname][r * 2 + c]
+                            nz = _encode_coeffs(tok, probs[2], 0, a + l, q)
+                            bnz.append(nz)
+                            deq = q * np.where(np.arange(16) == 0, uv_dc, uv_ac)
+                            blocks.append((deq, nz))
+                    for r in range(2):
+                        left_nz[pname][r] = bnz[r * 2 + 1]
+                    for c in range(2):
+                        above_nz[pname][mbx * 2 + c] = bnz[2 + c]
+                    uvblocks[pname] = blocks
+            _reconstruct_mb(
+                (y_rec, u_rec, v_rec), mby, mbx, ymode, uvmode,
+                yblocks, uvblocks,
+            )
+
+    header = hdr.flush()
+    tokens = tok.flush()
+    tag = (0) | (0 << 1) | (1 << 4) | (len(header) << 5)
+    out = (
+        bytes((tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF))
+        + b"\x9d\x01\x2a"
+        + struct.pack("<HH", w, h)
+        + header
+        + tokens
+    )
+    recon = _yuv420_to_rgb(
+        y_rec.astype(np.uint8), u_rec.astype(np.uint8),
+        v_rec.astype(np.uint8), h, w,
+    )
+    return out, recon
+
+
+def make_webp_lossy(img: np.ndarray, qi: int = 8) -> bytes:
+    """RGB array → a complete lossy WebP file (RIFF + ``VP8 `` chunk)."""
+    frame, _ = encode_vp8(img, qi=qi)
+    if len(frame) % 2:
+        frame += b"\x00"
+    chunk = b"VP8 " + struct.pack("<I", len(frame)) + frame
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk

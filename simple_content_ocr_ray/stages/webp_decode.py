@@ -24,9 +24,11 @@ style of the PNG/GIF/JPEG decoders in this package:
   cross-channel deltas), SUBTRACT_GREEN, and COLOR_INDEXING (palette with
   delta-coded entries and sub-byte pixel bundling for palettes ≤ 16).
 
-Lossy WebP (``VP8 `` chunks) is a completely different codec (full VP8
-intra prediction + boolean arithmetic coding) and raises
-``UnsupportedWebpError`` — the one documented seam left in this family.
+Lossy WebP (``VP8 `` chunks) routes to the VP8 key-frame codec in
+``vp8_codec.py`` (intra 16×16 prediction, boolean arithmetic coding,
+integer IDCT/IWHT). Its remaining seams — B_PRED macroblocks, the loop
+filter, and external files relying on RFC 6386's normative default
+probability tables — surface here as ``UnsupportedWebpError``.
 
 ``make_webp_lossless`` is the matching from-scratch ENCODER subset used by
 tests and the ``webp_real_meta`` query: literal/LZ77/color-cache coding
@@ -48,7 +50,7 @@ import numpy as np
 
 
 class UnsupportedWebpError(ValueError):
-    """Lossy VP8 / corrupt payloads — the documented decoder seam."""
+    """Unsupported VP8 features / corrupt payloads — the decoder seam."""
 
 
 # --------------------------------------------------------------------------
@@ -530,8 +532,11 @@ def _inverse_color_indexing(
 # --------------------------------------------------------------------------
 
 def decode_webp(payload: bytes) -> np.ndarray:
-    """WebP bytes → (h, w, 4) RGBA uint8. Lossless (VP8L) only; lossy VP8
-    raises ``UnsupportedWebpError`` (the documented seam)."""
+    """WebP bytes → (h, w, 4) RGBA uint8. Lossless (VP8L) decodes with the
+    prefix-code pipeline below; lossy (``VP8 ``) decodes with the VP8
+    key-frame codec in ``vp8_codec.py`` (intra 16×16, self-consistent
+    probability tables — see that module's docstring for the interop
+    seams, which surface here as ``UnsupportedWebpError``)."""
     if len(payload) < 20 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise UnsupportedWebpError("not a WebP payload (missing RIFF/WEBP)")
     pos = 12
@@ -542,12 +547,18 @@ def decode_webp(payload: bytes) -> np.ndarray:
         if tag == b"VP8L":
             return _decode_vp8l(body)
         if tag == b"VP8 ":
-            raise UnsupportedWebpError(
-                "lossy VP8 unsupported (boolean-coder codec) — the seam "
-                "where a full VP8 build would plug in"
-            )
+            from .vp8_codec import UnsupportedVp8Error, decode_vp8
+
+            try:
+                rgb = decode_vp8(body)
+            except UnsupportedVp8Error as exc:
+                raise UnsupportedWebpError(f"lossy VP8: {exc}") from exc
+            rgba = np.empty((*rgb.shape[:2], 4), dtype=np.uint8)
+            rgba[..., :3] = rgb
+            rgba[..., 3] = 255
+            return rgba
         pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
-    raise UnsupportedWebpError("no VP8L chunk found")
+    raise UnsupportedWebpError("no VP8L or VP8 chunk found")
 
 
 def _decode_vp8l(body: bytes) -> np.ndarray:

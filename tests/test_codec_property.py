@@ -84,3 +84,49 @@ def test_progressive_jpeg_matches_baseline_fuzz(data):
         make_progressive_jpeg(img, subsample=subsample, restart_interval=restart)
     )
     assert np.array_equal(base, prog)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_vp8_lossy_recon_parity_fuzz(data):
+    """Lossy VP8's contract under fuzz: whatever the image and quantizer,
+    the decoder's pixels equal the encoder's decoder-parity reconstruction
+    bit-for-bit (loss lives between source and recon, never between the
+    two sides of the bitstream)."""
+    from simple_content_ocr_ray.stages.vp8_codec import decode_vp8, encode_vp8
+
+    img = _rand_img(data.draw, 70, 3)
+    qi = data.draw(st.integers(0, 127))
+    frame, recon = encode_vp8(img, qi=qi)
+    out = decode_vp8(frame)
+    assert out.shape == img.shape
+    assert np.array_equal(out, recon)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=200), st.integers(0, 2**31 - 1))
+def test_vp8_decoder_rejects_garbage_safely(tail, seed):
+    """Random bytes after a valid-looking header must produce either a
+    clean UnsupportedVp8Error or a well-formed image — never an index
+    error, hang, or other exception class out of the engine seam."""
+    from simple_content_ocr_ray.stages.vp8_codec import (
+        UnsupportedVp8Error,
+        decode_vp8,
+    )
+
+    rng = np.random.default_rng(seed)
+    w, h = int(rng.integers(1, 64)), int(rng.integers(1, 64))
+    sz = int(rng.integers(0, min(len(tail) + 1, 1 << 10)))
+    tag = (0) | (1 << 4) | (sz << 5)
+    data = (
+        bytes((tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF))
+        + b"\x9d\x01\x2a"
+        + np.uint16(w).tobytes()
+        + np.uint16(h).tobytes()
+        + tail
+    )
+    try:
+        out = decode_vp8(data)
+        assert out.shape == (h, w, 3) and out.dtype == np.uint8
+    except UnsupportedVp8Error:
+        pass

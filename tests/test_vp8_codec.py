@@ -1,0 +1,175 @@
+"""VP8 intra key-frame codec (stages/vp8_codec.py).
+
+The correctness invariant for a lossy codec pair: the decoder's pixels are
+BIT-EXACT to the encoder's own decoder-parity reconstruction (prediction
+from reconstructed neighbors, dequant + integer IDCT) — quantization loss
+lives between source and reconstruction, never between the two sides of
+the bitstream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from simple_content_ocr_ray.stages.vp8_codec import (
+    AC_QLOOKUP,
+    DC_QLOOKUP,
+    DEFAULT_COEFF_PROBS,
+    KF_YMODE_PROBS,
+    KF_YMODE_TREE,
+    BoolDecoder,
+    BoolEncoder,
+    UnsupportedVp8Error,
+    _decode_coeffs,
+    _encode_coeffs,
+    decode_vp8,
+    encode_vp8,
+    fdct4x4,
+    fwht4x4,
+    idct4x4,
+    iwht4x4,
+    make_webp_lossy,
+)
+
+
+def test_bool_coder_roundtrip_random_probs():
+    rng = np.random.default_rng(7)
+    bits = rng.integers(0, 2, 4000)
+    probs = rng.integers(1, 255, 4000)
+    be = BoolEncoder()
+    for b, p in zip(bits, probs):
+        be.put(int(p), int(b))
+    bd = BoolDecoder(be.flush())
+    assert [bd.get(int(p)) for p in probs] == list(bits)
+
+
+def test_bool_coder_literals_and_trees():
+    be = BoolEncoder()
+    for v in (0, 1, 63, 127):
+        be.literal(v, 7)
+    for s in (0, 1, 2, 3):
+        be.tree(KF_YMODE_TREE, KF_YMODE_PROBS, s)
+    bd = BoolDecoder(be.flush())
+    assert [bd.literal(7) for _ in range(4)] == [0, 1, 63, 127]
+    assert [bd.tree(KF_YMODE_TREE, KF_YMODE_PROBS) for _ in range(4)] == [
+        0, 1, 2, 3,
+    ]
+
+
+def test_transform_pairs_invert_within_one():
+    """The numeric forward transforms invert the integer inverses to
+    within the inverses' own rounding (±1) across the residual range."""
+    rng = np.random.default_rng(11)
+    for _ in range(300):
+        res = rng.integers(-255, 256, (4, 4))
+        assert np.abs(idct4x4(fdct4x4(res)) - res).max() <= 1
+        assert np.abs(iwht4x4(fwht4x4(res)) - res).max() <= 1
+
+
+def test_quantizer_ladders_monotone():
+    assert list(DC_QLOOKUP) == sorted(DC_QLOOKUP)
+    assert list(AC_QLOOKUP) == sorted(AC_QLOOKUP)
+    assert len(DC_QLOOKUP) == len(AC_QLOOKUP) == 128
+
+
+def test_coeff_token_roundtrip_all_categories():
+    """Every token category (ZERO..CAT6), both first-coefficient modes,
+    all entry contexts."""
+    rng = np.random.default_rng(13)
+    for first in (0, 1):
+        for _ in range(200):
+            q = np.zeros(16, dtype=np.int64)
+            pos = rng.choice(
+                np.arange(first, 16), size=int(rng.integers(0, 10)),
+                replace=False,
+            )
+            for p in pos:
+                q[p] = int(rng.integers(-2114, 2115))
+            ctx = int(rng.integers(0, 3))
+            be = BoolEncoder()
+            nz_e = _encode_coeffs(be, DEFAULT_COEFF_PROBS[0], first, ctx, q)
+            got, nz_d = _decode_coeffs(
+                BoolDecoder(be.flush()), DEFAULT_COEFF_PROBS[0], first, ctx,
+                1, 1,
+            )
+            assert nz_e == nz_d
+            assert np.array_equal(got, q)
+
+
+@pytest.mark.parametrize("shape", [(16, 16), (37, 51), (4, 200), (130, 7)])
+def test_frame_roundtrip_bit_exact_to_recon(shape):
+    rng = np.random.default_rng(sum(shape))
+    img = rng.integers(0, 256, (*shape, 3)).astype(np.uint8)
+    data, recon = encode_vp8(img, qi=8)
+    out = decode_vp8(data)
+    assert out.shape == (*shape, 3)
+    assert np.array_equal(out, recon)
+
+
+def test_constant_image_reconstructs_exactly():
+    """DC prediction nails a constant image: zero loss end-to-end."""
+    img = np.full((32, 48, 3), 200, dtype=np.uint8)
+    data, recon = encode_vp8(img, qi=8)
+    out = decode_vp8(data)
+    assert np.array_equal(out, img)
+    assert np.array_equal(out, recon)
+
+
+def test_gradient_psnr_reasonable():
+    h, w = 48, 64
+    g = np.add.outer(np.linspace(0, 255, h), np.linspace(0, 255, w)) / 2
+    img = np.stack([g, g, g], axis=-1).astype(np.uint8)
+    data, recon = encode_vp8(img, qi=8)
+    out = decode_vp8(data)
+    assert np.array_equal(out, recon)
+    mse = float(np.mean((out.astype(float) - img.astype(float)) ** 2))
+    assert 10 * np.log10(255**2 / max(mse, 1e-9)) > 30
+
+
+@pytest.mark.parametrize("qi", [0, 40, 100, 127])
+def test_quantizer_sweep_stays_bit_exact(qi):
+    rng = np.random.default_rng(qi)
+    img = rng.integers(0, 256, (24, 40, 3)).astype(np.uint8)
+    data, recon = encode_vp8(img, qi=qi)
+    assert np.array_equal(decode_vp8(data), recon)
+
+
+def test_skip_macroblocks_roundtrip():
+    """A flat image at a coarse quantizer produces skipped MBs next to
+    coded ones; nonzero-context clearing must agree on both sides."""
+    img = np.full((48, 48, 3), 128, dtype=np.uint8)
+    img[20:28, 20:28] = 255  # one busy MB in a sea of skips
+    data, recon = encode_vp8(img, qi=60)
+    assert np.array_equal(decode_vp8(data), recon)
+
+
+def test_container_roundtrip_and_seams():
+    from simple_content_ocr_ray.stages.webp_decode import (
+        UnsupportedWebpError,
+        decode_webp,
+    )
+
+    img = np.full((20, 30, 3), 77, dtype=np.uint8)
+    rgba = decode_webp(make_webp_lossy(img))
+    assert rgba.shape == (20, 30, 4)
+    assert np.array_equal(rgba[..., :3], img)
+    assert (rgba[..., 3] == 255).all()
+    # truncated VP8 chunk fails as a seam error, not a crash
+    with pytest.raises(UnsupportedWebpError, match="lossy VP8"):
+        decode_webp(
+            b"RIFF\x14\x00\x00\x00WEBPVP8 \x04\x00\x00\x00\x00\x00\x00\x00"
+        )
+
+
+def test_interframe_rejected():
+    img = np.full((16, 16, 3), 10, dtype=np.uint8)
+    data, _ = encode_vp8(img)
+    bad = bytes([data[0] | 1]) + data[1:]  # flip the key-frame bit
+    with pytest.raises(UnsupportedVp8Error, match="interframe"):
+        decode_vp8(bad)
+
+
+def test_truncated_payload_rejected():
+    with pytest.raises(UnsupportedVp8Error):
+        decode_vp8(b"\x00\x01")
