@@ -995,6 +995,35 @@ def robots_allowed_links(sf_dir: str) -> pd.DataFrame:
     return edges.sort_values(["domain", "href"]).reset_index(drop=True)
 
 
+def anchor_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    """The per-batch extraction behind ``anchor_text_index`` (module-level
+    so unit tests exercise THIS code, not a copy): paired href+anchor
+    capture, then URL resolution — site-relative ``/p`` against the page
+    origin (http or https), protocol-relative ``//host/p`` against the
+    page scheme, absolute hrefs pass through. Rows whose origin cannot be
+    parsed are dropped rather than emitting NaN targets."""
+    html = df["html"].map(
+        lambda b: b.decode("utf-8", "ignore") if isinstance(b, bytes) else ""
+    )
+    is_html = html.str.startswith("<!doctype html>")
+    url = df.loc[is_html, "url"]
+    origin = url.str.extract(r"^(https?://[^/]+)", expand=False)
+    scheme = url.str.extract(r"^(https?):", expand=False)
+    found = html[is_html].str.findall(r'<a href="([^"]+)">([^<]*)</a>')
+    out = pd.DataFrame(
+        {"origin": origin, "scheme": scheme, "pair": found}
+    ).explode("pair")
+    out = out.dropna()
+    href = out["pair"].str[0]
+    proto_rel = href.str.startswith("//")
+    target = np.where(
+        proto_rel,
+        out["scheme"] + ":" + href,
+        np.where(href.str.startswith("/"), out["origin"] + href, href),
+    )
+    return pd.DataFrame({"target": target, "anchor": out["pair"].str[1]})
+
+
 def anchor_text_index(sf_dir: str) -> pd.DataFrame:
     """Incoming-anchor-text index — the classic web-graph enrichment used
     to build retrieval/query training pairs (anchor text ≈ a human-written
@@ -1013,26 +1042,9 @@ def anchor_text_index(sf_dir: str) -> pd.DataFrame:
     anchor) partials, never pages."""
     pages_dir = synth_pages_parquet(sf_dir)
     pages = rd.read_parquet(pages_dir, columns=["url", "html"])
-
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        html = df["html"].map(
-            lambda b: b.decode("utf-8", "ignore") if isinstance(b, bytes) else ""
-        )
-        is_html = html.str.startswith("<!doctype html>")
-        origin = df.loc[is_html, "url"].str.extract(
-            r"^(https://[^/]+)", expand=False
-        )
-        found = html[is_html].str.findall(r'<a href="([^"]+)">([^<]*)</a>')
-        out = pd.DataFrame({"origin": origin, "pair": found}).explode("pair")
-        out = out.dropna(subset=["pair"])
-        href = out["pair"].str[0]
-        # site-relative hrefs resolve against the page origin; absolute
-        # ones pass through (none in the synthetic corpus, common in WARC)
-        target = np.where(href.str.startswith("/"), out["origin"] + href, href)
-        return pd.DataFrame({"target": target, "anchor": out["pair"].str[1]})
-
     agg = grouped_aggregate(
-        pages, ["target", "anchor"], {"n_links": (None, "count")}, prepare=pairs
+        pages, ["target", "anchor"], {"n_links": (None, "count")},
+        prepare=anchor_pairs,
     ).to_pandas()
     agg["n_links"] = agg["n_links"].astype("int64")
     return agg.sort_values(["target", "anchor"]).reset_index(drop=True)

@@ -497,34 +497,48 @@ FROM documents
 
 
 class _WebpMetaStage:
-    """Actor-pool stage running the real VP8L (WebP-lossless) decoder (r4)
-    on synthesized-yet-valid payloads: the encoder mode rotates by doc_id —
-    plain / subtract-green / predictor / palette / color-transform, with
-    the color cache and LZ77 runs toggled by parity — so every bitstream
-    feature rides the real decode path. Lossless, so the constant-pixel
-    brightness is exact and SQL-mirrored."""
+    """Actor-pool stage running a real WebP decode on synthesized-yet-valid
+    payloads, one stage for BOTH halves of the format (``lossy`` selects
+    the encoder):
 
-    def __init__(self) -> None:
+    * lossless (VP8L): the encoder mode rotates by doc_id — plain /
+      subtract-green / predictor / palette / color-transform, with the
+      color cache and LZ77 runs toggled by parity — so every bitstream
+      feature rides the real decode path;
+    * lossy (VP8 key frames, r4 ``stages/vp8_codec.py``): quantizer index
+      rotates 4..11. A constant GRAY is the one input lossy VP8
+      reconstructs exactly (DC prediction absorbs it; chroma sits at the
+      128 fixed point), so brightness stays SQL-mirrored exactly on the
+      lossy path too."""
+
+    def __init__(self, lossy: bool = False) -> None:
+        from ..stages.vp8_codec import make_webp_lossy
         from ..stages.webp_decode import WebpImageEngine, make_webp_lossless
 
         self.engine = WebpImageEngine()
-        self.enc = make_webp_lossless
+        self.lossy = lossy
+        self.enc_lossless = make_webp_lossless
+        self.enc_lossy = make_webp_lossy
+
+    def _payload(self, d: int, img) -> bytes:
+        if self.lossy:
+            return self.enc_lossy(img, qi=4 + d % 8)
+        transforms = [None, "subtract_green", "predictor", "palette", "color"]
+        return self.enc_lossless(
+            img,
+            transform=transforms[d % 5],
+            cache_bits=4 if d % 2 else 0,
+            lz77=bool(d % 3),
+        )
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        transforms = [None, "subtract_green", "predictor", "palette", "color"]
         widths, heights, bright = [], [], []
         for d in df["doc_id"]:
             d = int(d)
             img = np.full((4 + d % 6, 8 + d % 9, 3), d % 256, dtype=np.uint8)
-            payload = self.enc(
-                img,
-                transform=transforms[d % 5],
-                cache_bits=4 if d % 2 else 0,
-                lz77=bool(d % 3),
-            )
-            res = self.engine.extract("", payload, "webp")
+            res = self.engine.extract("", self._payload(d, img), "webp")
             widths.append(int(res.metadata["width"]))
             heights.append(int(res.metadata["height"]))
             bright.append(int(float(res.metadata["brightness"])))
@@ -558,50 +572,13 @@ FROM documents
 """
 
 
-class _WebpLossyMetaStage:
-    """Actor-pool stage running the real VP8 (lossy WebP) key-frame codec
-    (r4, ``stages/vp8_codec.py``) end-to-end: encode a constant-gray image
-    per doc_id (quantizer index rotating 4..11), decode through the WebP
-    container route, emit typed metadata. A constant gray is the one input
-    lossy VP8 reconstructs EXACTLY (DC prediction absorbs it; chroma sits
-    at the 128 fixed point), so brightness is SQL-mirrored exactly — the
-    same hash-strength oracle as the lossless query, over the lossy path."""
-
-    def __init__(self) -> None:
-        from ..stages.vp8_codec import make_webp_lossy
-        from ..stages.webp_decode import WebpImageEngine
-
-        self.engine = WebpImageEngine()
-        self.enc = make_webp_lossy
-
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        widths, heights, bright = [], [], []
-        for d in df["doc_id"]:
-            d = int(d)
-            img = np.full((4 + d % 6, 8 + d % 9, 3), d % 256, dtype=np.uint8)
-            payload = self.enc(img, qi=4 + d % 8)
-            res = self.engine.extract("", payload, "webp")
-            widths.append(int(res.metadata["width"]))
-            heights.append(int(res.metadata["height"]))
-            bright.append(int(float(res.metadata["brightness"])))
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"].astype("int64"),
-                "width": pd.Series(widths, dtype="int64"),
-                "height": pd.Series(heights, dtype="int64"),
-                "brightness": pd.Series(bright, dtype="int64"),
-            }
-        )
-
-
 def webp_lossy_meta(sf_dir: str) -> rd.Dataset:
     """Real end-to-end lossy-WebP decode: VP8 key-frame encode + decode per
     document in an actor pool, typed metadata out. Closes the last format
     seam — the reference's PIL route accepts webp (config.py:114)."""
     return _docs(sf_dir).map_batches(
-        _WebpLossyMetaStage,
+        _WebpMetaStage,
+        fn_constructor_kwargs={"lossy": True},
         batch_format="pandas",
         batch_size=MEDIA_BATCH_SIZE,
         concurrency=_media_concurrency(),

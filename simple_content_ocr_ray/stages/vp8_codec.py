@@ -624,9 +624,11 @@ def decode_vp8(data: bytes) -> np.ndarray:
         raise UnsupportedVp8Error("zero dimension")
     # corrupt headers can claim 16383x16383 over a handful of payload
     # bytes (the bool decoder zero-fills past the end) — at crawl scale
-    # that stalls an extraction actor on one poisoned row; cap work at
-    # 16M pixels, far above any thumbnail this engine feeds on
-    if width * height > (1 << 24):
+    # that stalls an extraction actor on one poisoned row. The per-MB
+    # loops are Python (~3 ms/MB), so the cap must bound WORK, not just
+    # memory: 1M pixels ≈ 4096 MBs ≈ 12 s worst case, while the engine's
+    # real inputs are thumbnails
+    if width * height > (1 << 20):
         raise UnsupportedVp8Error(
             f"{width}x{height} exceeds the engine's decode cap"
         )
@@ -732,6 +734,11 @@ def encode_vp8(img: np.ndarray, qi: int = 8) -> tuple[bytes, np.ndarray]:
     h, w = img.shape[:2]
     if h > 0x3FFF or w > 0x3FFF:
         raise ValueError("dimensions exceed VP8 limits")
+    if h * w > (1 << 20):
+        # above this the encoder would emit streams its own decoder
+        # refuses (work cap) — and far above it, a first partition past
+        # the 19-bit frame-tag size field, which would truncate silently
+        raise ValueError("image exceeds the codec's 1M-pixel cap")
     y, cb, cr = _rgb_to_yuv420(img)
     mb_rows, mb_cols = y.shape[0] // 16, y.shape[1] // 16
     qs = _quantizers(qi)
@@ -884,6 +891,8 @@ def encode_vp8(img: np.ndarray, qi: int = 8) -> tuple[bytes, np.ndarray]:
 
     header = hdr.flush()
     tokens = tok.flush()
+    if len(header) >= (1 << 19):  # frame-tag size field is 19 bits
+        raise ValueError("first partition exceeds the 19-bit size field")
     tag = (0) | (0 << 1) | (1 << 4) | (len(header) << 5)
     out = (
         bytes((tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF))

@@ -1004,10 +1004,12 @@ def make_webp_lossless(
 # --------------------------------------------------------------------------
 
 class WebpImageEngine:
-    """Engine-seam wrapper: REAL VP8L decode → typed image metadata
-    (width, height, channels, mean brightness) — identical layout to
-    ``PngImageEngine``/``JpegImageEngine``. Lossy VP8 payloads raise →
-    failed rows, the documented seam."""
+    """Engine-seam wrapper: REAL decode of BOTH WebP halves — lossless
+    VP8L here, lossy VP8 key frames via ``vp8_codec.py`` — → typed image
+    metadata (width, height, channels, mean brightness), identical layout
+    to ``PngImageEngine``/``JpegImageEngine``. Unsupported VP8 features
+    (B_PRED, loop filter, external default-prob files) raise → failed
+    rows, the documented interop seams."""
 
     name = "webp-decode"
 

@@ -1,32 +1,20 @@
 """Anchor-text index extraction (pipelines/extract_queries.py).
 
 The full-corpus aggregation is oracle-checked by the driver/sweep; these
-tests pin the extraction semantics on hand-built HTML — paired capture,
-relative-URL resolution, and non-HTML row exclusion — via the same
-per-batch `prepare` path the distributed query runs.
+tests pin the extraction semantics of the PRODUCTION per-batch function
+(`anchor_pairs`) on hand-built HTML — paired capture, relative and
+protocol-relative URL resolution, and non-HTML row exclusion.
 """
 
 from __future__ import annotations
 
 import pandas as pd
 
+from simple_content_ocr_ray.pipelines.extract_queries import anchor_pairs
+
 
 def _pairs(rows: list[tuple[str, bytes]]) -> pd.DataFrame:
-    """Run anchor_text_index's per-batch extraction on raw (url, html)."""
-    import numpy as np
-
-    df = pd.DataFrame(rows, columns=["url", "html"])
-    html = df["html"].map(
-        lambda b: b.decode("utf-8", "ignore") if isinstance(b, bytes) else ""
-    )
-    is_html = html.str.startswith("<!doctype html>")
-    origin = df.loc[is_html, "url"].str.extract(r"^(https://[^/]+)", expand=False)
-    found = html[is_html].str.findall(r'<a href="([^"]+)">([^<]*)</a>')
-    out = pd.DataFrame({"origin": origin, "pair": found}).explode("pair")
-    out = out.dropna(subset=["pair"])
-    href = out["pair"].str[0]
-    target = np.where(href.str.startswith("/"), out["origin"] + href, href)
-    return pd.DataFrame({"target": target, "anchor": out["pair"].str[1]})
+    return anchor_pairs(pd.DataFrame(rows, columns=["url", "html"]))
 
 
 def test_relative_hrefs_resolve_against_page_origin():
@@ -34,6 +22,25 @@ def test_relative_hrefs_resolve_against_page_origin():
         [("https://ex.com/p1", b'<!doctype html><a href="/about">About Us</a>')]
     )
     assert got.iloc[0].tolist() == ["https://ex.com/about", "About Us"]
+
+
+def test_http_origin_resolves_too():
+    got = _pairs(
+        [("http://ex.com/p1", b'<!doctype html><a href="/b">c</a>')]
+    )
+    assert got.iloc[0].tolist() == ["http://ex.com/b", "c"]
+
+
+def test_protocol_relative_hrefs_take_the_page_scheme():
+    got = _pairs(
+        [
+            (
+                "https://ex.com/p1",
+                b'<!doctype html><a href="//cdn.org/x">cdn</a>',
+            )
+        ]
+    )
+    assert got.iloc[0].tolist() == ["https://cdn.org/x", "cdn"]
 
 
 def test_absolute_hrefs_pass_through():
@@ -46,6 +53,13 @@ def test_absolute_hrefs_pass_through():
         ]
     )
     assert got.iloc[0].tolist() == ["https://other.org/x", "cross link"]
+
+
+def test_unparseable_origin_drops_rows_instead_of_nan_targets():
+    got = _pairs(
+        [("ftp://weird/p", b'<!doctype html><a href="/a">a</a>')]
+    )
+    assert len(got) == 0
 
 
 def test_non_html_rows_and_pages_without_links_are_excluded():
