@@ -10,8 +10,12 @@ the LOSSY half with a real RFC 6386-shaped codec pair:
 * key-frame syntax: frame tag + start code + dims, first-partition header
   (color space, segmentation off, loop filter fields, partition count,
   quantizer indices, coefficient-probability update flags, per-MB skip),
-  per-MB intra modes (16×16 DC/V/H/TM + chroma DC/V/H/TM via the key-frame
-  mode trees), and a separate DCT-token partition;
+  per-MB intra modes — 16×16 DC/V/H/TM, B_PRED with all ten 4×4 submodes
+  coded under above/left submode contexts, chroma DC/V/H/TM — and a
+  separate DCT-token partition; B_PRED macroblocks take plane-3
+  coefficients with no Y2 (contexts carried over) and reconstruct
+  subblock-sequentially, each 4×4 predicting from already-written pixels
+  including the above-right rule;
 * coefficient tokens (§13): 12-symbol token tree over [plane][band][ctx]
   probabilities, zero-run continuation without EOB, category extra bits,
   per-block nonzero contexts carried across the MB grid exactly as the
@@ -32,8 +36,8 @@ this module ships its OWN clearly-marked tables (same shapes, same roles)
 — every file this encoder produces decodes exactly, but interoperating
 with external VP8 files additionally requires dropping in the RFC's
 constants for ``DEFAULT_COEFF_PROBS``, ``COEFF_UPDATE_PROBS``,
-``DC_QLOOKUP``/``AC_QLOOKUP`` and implementing B_PRED + the loop filter
-(both raise ``UnsupportedVp8Error``, the explicit seams).
+``KF_BMODE_PROB``, ``DC_QLOOKUP``/``AC_QLOOKUP`` and implementing the
+loop filter (which raises ``UnsupportedVp8Error``, the explicit seam).
 """
 
 from __future__ import annotations
@@ -175,6 +179,28 @@ KF_YMODE_TREE = (-B_PRED, 2, 4, 6, -DC_PRED, -V_PRED, -H_PRED, -TM_PRED)
 KF_YMODE_PROBS = (145, 156, 163, 128)
 UV_MODE_TREE = (-DC_PRED, 2, -V_PRED, 4, -H_PRED, -TM_PRED)
 KF_UV_MODE_PROBS = (142, 114, 183)
+
+# 4x4 submodes (B_PRED macroblocks)
+(B_DC, B_TM, B_VE, B_HE, B_LD, B_RD, B_VR, B_VL, B_HD, B_HU) = range(10)
+BMODE_TREE = (
+    -B_DC, 2,
+    -B_TM, 4,
+    -B_VE, 6,
+    8, 12,
+    -B_HE, 10,
+    -B_RD, -B_VR,
+    -B_LD, 14,
+    -B_VL, 16,
+    -B_HD, -B_HU,
+)
+#: key-frame submode probabilities are context-conditioned on the above
+#: and left neighbors' submodes (a 10x10x9 table in RFC 6386 §11.4); this
+#: codec ships ONE module-own 9-vector for every context — the context
+#: TRACKING below is structurally faithful, the values are a documented
+#: drop-in seam like the coefficient tables
+KF_BMODE_PROB = (132, 112, 140, 128, 130, 128, 128, 128, 128)
+#: a 16x16-mode neighbor contributes its "equivalent" submode as context
+MODE_TO_SUBMODE = {DC_PRED: B_DC, V_PRED: B_VE, H_PRED: B_HE, TM_PRED: B_TM}
 
 # coefficient token alphabet (§13.2)
 ZERO_TOKEN, ONE_TOKEN, TWO_TOKEN, THREE_TOKEN, FOUR_TOKEN = 0, 1, 2, 3, 4
@@ -346,6 +372,117 @@ def _predict(mode: int, above: np.ndarray | None, left: np.ndarray | None,
     return np.clip(p, 0, 255)
 
 
+def _avg2(a, b):
+    return (a + b + 1) >> 1
+
+
+def _avg3(a, b, c):
+    return (a + 2 * b + c + 2) >> 2
+
+
+def _predict4(mode: int, A: np.ndarray, L: np.ndarray, P: int) -> np.ndarray:
+    """One 4x4 intra-predicted subblock. ``A`` holds the 8 above pixels
+    (4 above + 4 above-right), ``L`` the 4 left pixels, ``P`` the corner.
+    The ten modes follow the spec's averaging structure (``avg2``/``avg3``
+    over the edge sequences); like the probability tables, the four
+    compound-diagonal modes (VR/VL/HD/HU) are self-consistent module
+    definitions rather than externally cross-validated pixel tables."""
+    A = A.astype(np.int32)
+    L = L.astype(np.int32)
+    out = np.empty((4, 4), dtype=np.int32)
+    if mode == B_DC:
+        out[:] = (int(A[:4].sum()) + int(L.sum()) + 4) >> 3
+    elif mode == B_TM:
+        out[:] = np.clip(L.reshape(4, 1) + A[:4].reshape(1, 4) - P, 0, 255)
+    elif mode == B_VE:
+        e = np.concatenate(([P], A[:5]))
+        row = np.array([_avg3(e[i], e[i + 1], e[i + 2]) for i in range(4)])
+        out[:] = row.reshape(1, 4)
+    elif mode == B_HE:
+        e = np.array([P, L[0], L[1], L[2], L[3], L[3]])
+        col = np.array([_avg3(e[i], e[i + 1], e[i + 2]) for i in range(4)])
+        out[:] = col.reshape(4, 1)
+    elif mode == B_LD:
+        e = np.concatenate((A, [A[7]]))
+        for r in range(4):
+            for c in range(4):
+                i = r + c
+                out[r, c] = _avg3(e[i], e[i + 1], e[min(i + 2, 8)])
+    elif mode == B_RD:
+        e = np.array([L[3], L[2], L[1], L[0], P, A[0], A[1], A[2], A[3]])
+        for r in range(4):
+            for c in range(4):
+                i = 4 + c - r
+                out[r, c] = _avg3(e[i - 1], e[i], e[min(i + 1, 8)])
+    elif mode == B_VR:
+        e = np.array([L[3], L[2], L[1], L[0], P, A[0], A[1], A[2], A[3]])
+        for r in range(4):
+            for c in range(4):
+                i = 4 + c - (r >> 1)
+                if (r % 2) == 0:
+                    out[r, c] = _avg2(e[i], e[min(i + 1, 8)])
+                else:
+                    out[r, c] = _avg3(e[i - 1], e[i], e[min(i + 1, 8)])
+    elif mode == B_VL:
+        e = np.concatenate((A, [A[7]]))
+        for r in range(4):
+            for c in range(4):
+                i = c + (r >> 1)
+                if (r % 2) == 0:
+                    out[r, c] = _avg2(e[i], e[i + 1])
+                else:
+                    out[r, c] = _avg3(e[i], e[i + 1], e[min(i + 2, 8)])
+    elif mode == B_HD:
+        e = np.array([L[3], L[2], L[1], L[0], P, A[0], A[1], A[2]])
+        for r in range(4):
+            for c in range(4):
+                i = 3 - r + (c >> 1)
+                if (c % 2) == 0:
+                    out[r, c] = _avg2(e[i], e[min(i + 1, 7)])
+                else:
+                    out[r, c] = _avg3(e[i], e[min(i + 1, 7)], e[min(i + 2, 7)])
+    else:  # B_HU
+        e = np.array([L[0], L[1], L[2], L[3], L[3]])
+        for r in range(4):
+            for c in range(4):
+                i = min(r + (c >> 1), 3)
+                if (c % 2) == 0:
+                    out[r, c] = _avg2(e[i], e[min(i + 1, 4)])
+                else:
+                    out[r, c] = _avg3(e[i], e[min(i + 1, 4)], e[min(i + 2, 4)])
+    return out
+
+
+def _sub_neighbors(y_plane: np.ndarray, r0: int, c0: int, sr: int, sc: int,
+                   mb_last_col: bool) -> tuple[np.ndarray, np.ndarray, int]:
+    """(A8, L4, P) for the 4x4 subblock whose top-left pixel is (r0, c0).
+    Frame edges take the 127 (above) / 129 (left) / 128 (origin corner)
+    conventions of the 16x16 path. Above-right pixels are real when the
+    four pixels at ``y_plane[r0-1, c0+4:c0+8]`` are already reconstructed
+    in decode order (any subblock except the right MB column below the MB
+    top row, and except past the padded frame edge) — otherwise the last
+    above pixel is replicated; both codec sides share this rule."""
+    h, w = y_plane.shape
+    if r0 == 0:
+        A = np.full(8, 127, dtype=np.int32)
+    else:
+        A = np.empty(8, dtype=np.int32)
+        A[:4] = y_plane[r0 - 1, c0 : c0 + 4]
+        ar_ok = c0 + 8 <= w and (sr == 0 or sc < 3) and not (
+            sr == 0 and sc == 3 and mb_last_col
+        )
+        A[4:] = y_plane[r0 - 1, c0 + 4 : c0 + 8] if ar_ok else A[3]
+    L = (
+        y_plane[r0 : r0 + 4, c0 - 1].astype(np.int32)
+        if c0
+        else np.full(4, 129, dtype=np.int32)
+    )
+    P = int(y_plane[r0 - 1, c0 - 1]) if (r0 and c0) else (
+        127 if r0 else 129 if c0 else 128
+    )
+    return A, L, P
+
+
 # ---------------------------------------------------------------------------
 # Coefficient-token coding (§13)
 # ---------------------------------------------------------------------------
@@ -506,22 +643,32 @@ def _yuv420_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def _mb_blocks_decode(bd, probs, qs, left_nz, above_nz, mbx):
-    """Decode one macroblock's Y2 + 16 Y + 4 U + 4 V dequantized blocks."""
+def _mb_blocks_decode(bd, probs, qs, left_nz, above_nz, mbx, has_y2=True):
+    """Decode one macroblock's [Y2 +] 16 Y + 4 U + 4 V dequantized blocks.
+    B_PRED macroblocks carry no Y2: their Y blocks keep their own DC
+    (first coefficient 0) and use plane 3's probabilities; the Y2 nonzero
+    contexts are left untouched (the carry-over rule)."""
     y_dc, y_ac, y2_dc, y2_ac, uv_dc, uv_ac = qs
-    # Y2 plane (plane 1)
-    ctx = left_nz["y2"] + above_nz["y2"][mbx]
-    y2, nz2 = _decode_coeffs(bd, probs[1], 0, ctx, y2_dc, y2_ac)
-    left_nz["y2"] = nz2
-    above_nz["y2"][mbx] = nz2
-    dc = iwht4x4(y2.reshape(4, 4))
+    if has_y2:
+        ctx = left_nz["y2"] + above_nz["y2"][mbx]
+        y2, nz2 = _decode_coeffs(bd, probs[1], 0, ctx, y2_dc, y2_ac)
+        left_nz["y2"] = nz2
+        above_nz["y2"][mbx] = nz2
+        dc = iwht4x4(y2.reshape(4, 4))
+        y_plane_idx, first = 0, 1
+    else:
+        dc = None
+        y_plane_idx, first = 3, 0
     yblocks = []
     for r in range(4):
         for c in range(4):
             a = above_nz["y"][mbx * 4 + c] if r == 0 else yblocks[(r - 1) * 4 + c][1]
             l = left_nz["y"][r] if c == 0 else yblocks[r * 4 + c - 1][1]
-            coeffs, nz = _decode_coeffs(bd, probs[0], 1, a + l, y_dc, y_ac)
-            coeffs[0] = dc[r, c]
+            coeffs, nz = _decode_coeffs(
+                bd, probs[y_plane_idx], first, a + l, y_dc, y_ac
+            )
+            if has_y2:
+                coeffs[0] = dc[r, c]
             yblocks.append((coeffs, nz))
     for r in range(4):
         left_nz["y"][r] = yblocks[r * 4 + 3][1]
@@ -544,23 +691,41 @@ def _mb_blocks_decode(bd, probs, qs, left_nz, above_nz, mbx):
     return yblocks, uvblocks
 
 
-def _reconstruct_mb(planes, mby, mbx, ymode, uvmode, yblocks, uvblocks):
+def _bpred_luma(y_plane, mby, mbx, mb_last_col, submodes, yblocks) -> None:
+    """Sequential 4x4 reconstruction of a B_PRED MB's luma: each subblock
+    predicts from pixels already written (including earlier subblocks of
+    the same MB), so order is part of the bitstream contract."""
+    for r in range(4):
+        for c in range(4):
+            r0, c0 = mby * 16 + r * 4, mbx * 16 + c * 4
+            A, L, P = _sub_neighbors(y_plane, r0, c0, r, c, mb_last_col)
+            out = _predict4(submodes[r * 4 + c], A, L, P)
+            if yblocks is not None:
+                out = out + idct4x4(yblocks[r * 4 + c][0].reshape(4, 4))
+            y_plane[r0 : r0 + 4, c0 : c0 + 4] = np.clip(out, 0, 255)
+
+
+def _reconstruct_mb(planes, mby, mbx, ymode, uvmode, yblocks, uvblocks,
+                    submodes=None, mb_last_col=False):
     """Prediction + residual IDCT for one MB, into the plane buffers."""
     y_plane, u_plane, v_plane = planes
     y0, x0 = mby * 16, mbx * 16
-    above = y_plane[y0 - 1, x0 : x0 + 16] if mby else None
-    left = y_plane[y0 : y0 + 16, x0 - 1] if mbx else None
-    corner = int(y_plane[y0 - 1, x0 - 1]) if (mby and mbx) else (
-        127 if mby else 129 if mbx else 128
-    )
-    pred = _predict(ymode, above, left, corner, 16)
-    out = pred.copy()
-    if yblocks is not None:
-        for r in range(4):
-            for c in range(4):
-                res = idct4x4(yblocks[r * 4 + c][0].reshape(4, 4))
-                out[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4] += res
-    y_plane[y0 : y0 + 16, x0 : x0 + 16] = np.clip(out, 0, 255)
+    if ymode == B_PRED:
+        _bpred_luma(y_plane, mby, mbx, mb_last_col, submodes, yblocks)
+    else:
+        above = y_plane[y0 - 1, x0 : x0 + 16] if mby else None
+        left = y_plane[y0 : y0 + 16, x0 - 1] if mbx else None
+        corner = int(y_plane[y0 - 1, x0 - 1]) if (mby and mbx) else (
+            127 if mby else 129 if mbx else 128
+        )
+        pred = _predict(ymode, above, left, corner, 16)
+        out = pred.copy()
+        if yblocks is not None:
+            for r in range(4):
+                for c in range(4):
+                    res = idct4x4(yblocks[r * 4 + c][0].reshape(4, 4))
+                    out[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4] += res
+        y_plane[y0 : y0 + 16, x0 : x0 + 16] = np.clip(out, 0, 255)
     for plane_name, plane in (("u", u_plane), ("v", v_plane)):
         y0c, x0c = mby * 8, mbx * 8
         above = plane[y0c - 1, x0c : x0c + 8] if mby else None
@@ -597,15 +762,47 @@ def _zero_left():
     }
 
 
-def _clear_mb_nz(left_nz, above_nz, mbx) -> None:
+def _clear_mb_nz(left_nz, above_nz, mbx, has_y2=True) -> None:
     left_nz["y"][:] = 0
     left_nz["u"][:] = 0
     left_nz["v"][:] = 0
-    left_nz["y2"] = 0
     above_nz["y"][mbx * 4 : mbx * 4 + 4] = 0
     above_nz["u"][mbx * 2 : mbx * 2 + 2] = 0
     above_nz["v"][mbx * 2 : mbx * 2 + 2] = 0
-    above_nz["y2"][mbx] = 0
+    if has_y2:  # B_PRED MBs never touch the Y2 contexts (carry-over rule)
+        left_nz["y2"] = 0
+        above_nz["y2"][mbx] = 0
+
+
+def _read_submodes(bd, above_modes, left_modes, mbx) -> list[int]:
+    """16 B_PRED submodes, context-conditioned on the above/left neighbor
+    submodes exactly as the spec's arrays do (the probability VALUES are
+    the module-own seam; see KF_BMODE_PROB)."""
+    modes = []
+    for r in range(4):
+        for c in range(4):
+            above = above_modes[mbx * 4 + c] if r == 0 else modes[(r - 1) * 4 + c]
+            left = left_modes[r] if c == 0 else modes[r * 4 + c - 1]
+            _ = (above, left)  # context lookup — one shared vector here
+            modes.append(bd.tree(BMODE_TREE, KF_BMODE_PROB))
+    for r in range(4):
+        left_modes[r] = modes[r * 4 + 3]
+    for c in range(4):
+        above_modes[mbx * 4 + c] = modes[3 * 4 + c]
+    return modes
+
+
+def _write_submodes(be, above_modes, left_modes, mbx, modes) -> None:
+    for r in range(4):
+        for c in range(4):
+            above = above_modes[mbx * 4 + c] if r == 0 else modes[(r - 1) * 4 + c]
+            left = left_modes[r] if c == 0 else modes[r * 4 + c - 1]
+            _ = (above, left)
+            be.tree(BMODE_TREE, KF_BMODE_PROB, modes[r * 4 + c])
+    for r in range(4):
+        left_modes[r] = modes[r * 4 + 3]
+    for c in range(4):
+        above_modes[mbx * 4 + c] = modes[3 * 4 + c]
 
 
 def decode_vp8(data: bytes) -> np.ndarray:
@@ -676,24 +873,32 @@ def decode_vp8(data: bytes) -> np.ndarray:
     v_plane = np.zeros_like(u_plane)
     td = BoolDecoder(tokens)
     above_nz = _fresh_nz(mb_cols)
+    above_modes = np.full(mb_cols * 4, B_DC, dtype=np.int32)
     for mby in range(mb_rows):
         left_nz = _zero_left()
+        left_modes = [B_DC] * 4
         for mbx in range(mb_cols):
             skip = bool(bd.get(prob_skip)) if skip_enabled else False
             ymode = bd.tree(KF_YMODE_TREE, KF_YMODE_PROBS)
+            submodes = None
             if ymode == B_PRED:
-                raise UnsupportedVp8Error("B_PRED (4x4 intra) unsupported")
+                submodes = _read_submodes(bd, above_modes, left_modes, mbx)
+            else:
+                sub = MODE_TO_SUBMODE[ymode]
+                above_modes[mbx * 4 : mbx * 4 + 4] = sub
+                left_modes = [sub] * 4
             uvmode = bd.tree(UV_MODE_TREE, KF_UV_MODE_PROBS)
+            has_y2 = ymode != B_PRED
             if skip:
-                _clear_mb_nz(left_nz, above_nz, mbx)
+                _clear_mb_nz(left_nz, above_nz, mbx, has_y2)
                 yblocks = uvblocks = None
             else:
                 yblocks, uvblocks = _mb_blocks_decode(
-                    td, probs, qs, left_nz, above_nz, mbx
+                    td, probs, qs, left_nz, above_nz, mbx, has_y2
                 )
             _reconstruct_mb(
                 (y_plane, u_plane, v_plane), mby, mbx, ymode, uvmode,
-                yblocks, uvblocks,
+                yblocks, uvblocks, submodes, mbx == mb_cols - 1,
             )
     return _yuv420_to_rgb(
         y_plane.astype(np.uint8), u_plane.astype(np.uint8),
@@ -717,14 +922,48 @@ def _quantize_block(coeffs: np.ndarray, first: int, qdc: int, qac: int
     return q
 
 
-def _best_mode(src: np.ndarray, above, left, corner, size: int) -> int:
+def _best_mode(src: np.ndarray, above, left, corner, size: int
+               ) -> tuple[int, int]:
     best, best_sad = DC_PRED, None
     for mode in (DC_PRED, V_PRED, H_PRED, TM_PRED):
         pred = _predict(mode, above, left, corner, size)
         sad = int(np.abs(src.astype(np.int32) - pred).sum())
         if best_sad is None or sad < best_sad:
             best, best_sad = mode, sad
-    return best
+    return best, best_sad
+
+
+def _bpred_trial(y_rec, src, mby, mbx, last_col, qdc, qac):
+    """Greedy per-subblock B_PRED pass WRITING into ``y_rec`` (callers
+    save/restore the MB region if 16x16 wins): each subblock tries all ten
+    modes against the source, quantizes the winner's residual, and
+    reconstructs so later subblocks predict from true decoder state.
+    Returns (submodes, quantized blocks, reconstruction SAD)."""
+    total = 0
+    modes: list[int] = []
+    quants: list[np.ndarray] = []
+    deq_steps = np.where(np.arange(16) == 0, qdc, qac)
+    for r in range(4):
+        for c in range(4):
+            r0, c0 = mby * 16 + r * 4, mbx * 16 + c * 4
+            A, L, P = _sub_neighbors(y_rec, r0, c0, r, c, last_col)
+            sblk = src[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4].astype(np.int32)
+            best, bsad, bpred = B_DC, None, None
+            for m in range(10):
+                pred = _predict4(m, A, L, P)
+                sad = int(np.abs(sblk - pred).sum())
+                if bsad is None or sad < bsad:
+                    best, bsad, bpred = m, sad, pred
+            f = fdct4x4(sblk.astype(np.int64) - bpred)
+            q = _quantize_block(f, 0, qdc, qac)
+            out = np.clip(
+                bpred + idct4x4((q * deq_steps).reshape(4, 4)), 0, 255
+            )
+            y_rec[r0 : r0 + 4, c0 : c0 + 4] = out
+            total += int(np.abs(sblk - out).sum())
+            modes.append(best)
+            quants.append(q)
+    return modes, quants, total
 
 
 def encode_vp8(img: np.ndarray, qi: int = 8) -> tuple[bytes, np.ndarray]:
@@ -772,32 +1011,64 @@ def encode_vp8(img: np.ndarray, qi: int = 8) -> tuple[bytes, np.ndarray]:
     u_rec = np.zeros((mb_rows * 8, mb_cols * 8), dtype=np.int32)
     v_rec = np.zeros_like(u_rec)
     above_nz = _fresh_nz(mb_cols)
+    above_modes = np.full(mb_cols * 4, B_DC, dtype=np.int32)
     # two-pass per MB: quantize against reconstructed neighbors, decide
     # skip, then emit modes+skip to hdr and tokens to tok
     for mby in range(mb_rows):
         left_nz = _zero_left()
+        left_modes = [B_DC] * 4
         for mbx in range(mb_cols):
             y0, x0 = mby * 16, mbx * 16
+            last_col = mbx == mb_cols - 1
             above = y_rec[y0 - 1, x0 : x0 + 16] if mby else None
             left = y_rec[y0 : y0 + 16, x0 - 1] if mbx else None
             corner = int(y_rec[y0 - 1, x0 - 1]) if (mby and mbx) else (
                 127 if mby else 129 if mbx else 128
             )
             src_y = y[y0 : y0 + 16, x0 : x0 + 16]
-            ymode = _best_mode(src_y, above, left, corner, 16)
-            pred_y = _predict(ymode, above, left, corner, 16)
+            mode16, _ = _best_mode(src_y, above, left, corner, 16)
+            # build the 16x16 candidate fully (quantize + reconstruct) so
+            # the B_PRED decision compares RECONSTRUCTION SAD on both
+            # sides — comparing against prediction SAD let B_PRED "win"
+            # constant MBs and lose their exact reconstruction
+            pred_y = _predict(mode16, above, left, corner, 16)
             res = src_y.astype(np.int64) - pred_y
-
-            yq = []
+            yq16 = []
             dcs = np.zeros((4, 4), dtype=np.int64)
             for r in range(4):
                 for c in range(4):
                     f = fdct4x4(res[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4])
                     dcs[r, c] = f[0, 0]
-                    q = _quantize_block(f, 1, y_dc, y_ac)
-                    yq.append(q)
-            y2f = fwht4x4(dcs)
-            y2q = _quantize_block(y2f, 0, y2_dc, y2_ac)
+                    yq16.append(_quantize_block(f, 1, y_dc, y_ac))
+            y2q16 = _quantize_block(fwht4x4(dcs), 0, y2_dc, y2_ac)
+            dc16 = iwht4x4((y2q16.reshape(4, 4) *
+                            np.where(np.arange(16).reshape(4, 4) == 0,
+                                     y2_dc, y2_ac)))
+            out16 = pred_y.astype(np.int64).copy()
+            ysteps = np.where(np.arange(16) == 0, y_dc, y_ac)
+            for r in range(4):
+                for c in range(4):
+                    deq = yq16[r * 4 + c] * ysteps
+                    deq[0] = dc16[r, c]
+                    out16[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4] += idct4x4(
+                        deq.reshape(4, 4)
+                    )
+            sad16 = int(
+                np.abs(src_y.astype(np.int64) - np.clip(out16, 0, 255)).sum()
+            )
+            # B_PRED trial on the real buffer (restored below)
+            save = y_rec[y0 : y0 + 16, x0 : x0 + 16].copy()
+            submodes, bp_q, bp_sad = _bpred_trial(
+                y_rec, src_y, mby, mbx, last_col, y_dc, y_ac
+            )
+            y_rec[y0 : y0 + 16, x0 : x0 + 16] = save
+            use_bpred = bp_sad < sad16
+            ymode = B_PRED if use_bpred else mode16
+            if use_bpred:
+                yq, y2q = bp_q, None
+            else:
+                submodes = None
+                yq, y2q = yq16, y2q16
 
             y0c, x0c = mby * 8, mbx * 8
             uv_src = {"u": cb[y0c : y0c + 8, x0c : x0c + 8],
@@ -812,7 +1083,7 @@ def encode_vp8(img: np.ndarray, qi: int = 8) -> tuple[bytes, np.ndarray]:
             corner_u = int(plane[y0c - 1, x0c - 1]) if (mby and mbx) else (
                 127 if mby else 129 if mbx else 128
             )
-            uvmode = _best_mode(uv_src["u"], above_u, left_u, corner_u, 8)
+            uvmode, _ = _best_mode(uv_src["u"], above_u, left_u, corner_u, 8)
             for pname in ("u", "v"):
                 plane = uv_rec_planes[pname]
                 above_c = plane[y0c - 1, x0c : x0c + 8] if mby else None
@@ -829,27 +1100,41 @@ def encode_vp8(img: np.ndarray, qi: int = 8) -> tuple[bytes, np.ndarray]:
                         blocks.append(_quantize_block(f, 0, uv_dc, uv_ac))
                 uvq[pname] = blocks
 
-            skip = (
-                not y2q.any()
-                and not any(q[1:].any() for q in yq)
-                and not any(b.any() for bs in uvq.values() for b in bs)
+            y_zero = (
+                not any(q.any() for q in yq)
+                if use_bpred
+                else (not y2q.any() and not any(q[1:].any() for q in yq))
+            )
+            skip = y_zero and not any(
+                b.any() for bs in uvq.values() for b in bs
             )
             hdr.put(prob_skip, 1 if skip else 0)
             hdr.tree(KF_YMODE_TREE, KF_YMODE_PROBS, ymode)
+            if use_bpred:
+                _write_submodes(hdr, above_modes, left_modes, mbx, submodes)
+            else:
+                sub = MODE_TO_SUBMODE[ymode]
+                above_modes[mbx * 4 : mbx * 4 + 4] = sub
+                left_modes = [sub] * 4
             hdr.tree(UV_MODE_TREE, KF_UV_MODE_PROBS, uvmode)
 
             if skip:
-                _clear_mb_nz(left_nz, above_nz, mbx)
+                _clear_mb_nz(left_nz, above_nz, mbx, has_y2=not use_bpred)
                 yblocks = uvblocks = None
             else:
                 # emit tokens with the decoder's context discipline
-                ctx = left_nz["y2"] + above_nz["y2"][mbx]
-                nz2 = _encode_coeffs(tok, probs[1], 0, ctx, y2q)
-                left_nz["y2"] = nz2
-                above_nz["y2"][mbx] = nz2
-                dc = iwht4x4((y2q.reshape(4, 4) *
-                              np.where(np.arange(16).reshape(4, 4) == 0,
-                                       y2_dc, y2_ac)))
+                if use_bpred:
+                    dc = None
+                    y_plane_idx, first = 3, 0
+                else:
+                    ctx = left_nz["y2"] + above_nz["y2"][mbx]
+                    nz2 = _encode_coeffs(tok, probs[1], 0, ctx, y2q)
+                    left_nz["y2"] = nz2
+                    above_nz["y2"][mbx] = nz2
+                    dc = iwht4x4((y2q.reshape(4, 4) *
+                                  np.where(np.arange(16).reshape(4, 4) == 0,
+                                           y2_dc, y2_ac)))
+                    y_plane_idx, first = 0, 1
                 ynz = []
                 yblocks = []
                 for r in range(4):
@@ -857,10 +1142,13 @@ def encode_vp8(img: np.ndarray, qi: int = 8) -> tuple[bytes, np.ndarray]:
                         a = above_nz["y"][mbx * 4 + c] if r == 0 else ynz[(r - 1) * 4 + c]
                         l = left_nz["y"][r] if c == 0 else ynz[r * 4 + c - 1]
                         q = yq[r * 4 + c]
-                        nz = _encode_coeffs(tok, probs[0], 1, a + l, q)
+                        nz = _encode_coeffs(
+                            tok, probs[y_plane_idx], first, a + l, q
+                        )
                         ynz.append(nz)
                         deq = q * np.where(np.arange(16) == 0, y_dc, y_ac)
-                        deq[0] = dc[r, c]
+                        if dc is not None:
+                            deq[0] = dc[r, c]
                         yblocks.append((deq, nz))
                 for r in range(4):
                     left_nz["y"][r] = ynz[r * 4 + 3]
@@ -886,7 +1174,7 @@ def encode_vp8(img: np.ndarray, qi: int = 8) -> tuple[bytes, np.ndarray]:
                     uvblocks[pname] = blocks
             _reconstruct_mb(
                 (y_rec, u_rec, v_rec), mby, mbx, ymode, uvmode,
-                yblocks, uvblocks,
+                yblocks, uvblocks, submodes, last_col,
             )
 
     header = hdr.flush()

@@ -25,9 +25,9 @@ style of the PNG/GIF/JPEG decoders in this package:
   delta-coded entries and sub-byte pixel bundling for palettes ≤ 16).
 
 Lossy WebP (``VP8 `` chunks) routes to the VP8 key-frame codec in
-``vp8_codec.py`` (intra 16×16 prediction, boolean arithmetic coding,
-integer IDCT/IWHT). Its remaining seams — B_PRED macroblocks, the loop
-filter, and external files relying on RFC 6386's normative default
+``vp8_codec.py`` (intra 16×16 + B_PRED 4×4 prediction, boolean
+arithmetic coding, integer IDCT/IWHT). Its remaining seams — the loop
+filter and external files relying on RFC 6386's normative default
 probability tables — surface here as ``UnsupportedWebpError``.
 
 ``make_webp_lossless`` is the matching from-scratch ENCODER subset used by
@@ -1008,8 +1008,8 @@ class WebpImageEngine:
     VP8L here, lossy VP8 key frames via ``vp8_codec.py`` — → typed image
     metadata (width, height, channels, mean brightness), identical layout
     to ``PngImageEngine``/``JpegImageEngine``. Unsupported VP8 features
-    (B_PRED, loop filter, external default-prob files) raise → failed
-    rows, the documented interop seams."""
+    (loop filter, external default-prob files) raise → failed rows, the
+    documented interop seams."""
 
     name = "webp-decode"
 
