@@ -37,7 +37,8 @@ this module ships its OWN clearly-marked tables (same shapes, same roles)
 with external VP8 files additionally requires dropping in the RFC's
 constants for ``DEFAULT_COEFF_PROBS``, ``COEFF_UPDATE_PROBS``,
 ``KF_BMODE_PROB``, ``DC_QLOOKUP``/``AC_QLOOKUP`` and implementing the
-loop filter (which raises ``UnsupportedVp8Error``, the explicit seam).
+NORMAL-profile loop filter (the simple profile is implemented as a luma
+post-pass; normal raises ``UnsupportedVp8Error``, the explicit seam).
 """
 
 from __future__ import annotations
@@ -639,6 +640,88 @@ def _yuv420_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Loop filter (simple profile, §15.2) — a LUMA post-pass over the
+# reconstructed frame. Intra prediction reads the unfiltered
+# reconstruction, so both codec sides run this identically after the MB
+# loop; a constant surface passes through unchanged (a = 0), which keeps
+# constant-gray exactness intact.
+# ---------------------------------------------------------------------------
+
+
+def _sclamp(x: np.ndarray) -> np.ndarray:
+    return np.clip(x, -128, 127)
+
+
+def _simple_edge(p1, p0, q0, q1, limit: int):
+    """Common adjustment of the simple filter across one edge (vectorized
+    along it): returns (new_p0, new_q0). Values are unsigned uint8 rows."""
+    P1 = p1.astype(np.int32) - 128
+    P0 = p0.astype(np.int32) - 128
+    Q0 = q0.astype(np.int32) - 128
+    Q1 = q1.astype(np.int32) - 128
+    mask = (np.abs(P0 - Q0) * 2 + (np.abs(P1 - Q1) >> 1)) <= limit
+    a = _sclamp(_sclamp(P1 - Q1) + 3 * (Q0 - P0))
+    F = _sclamp(a + 4) >> 3
+    E = _sclamp(a + 3) >> 3
+    new_q0 = np.where(mask, np.clip(Q0 - F + 128, 0, 255), q0)
+    new_p0 = np.where(mask, np.clip(P0 + E + 128, 0, 255), p0)
+    return new_p0.astype(np.int32), new_q0.astype(np.int32)
+
+
+def _filter_limits(level: int, sharpness: int) -> tuple[int, int]:
+    """(macroblock-edge limit, interior/subblock-edge limit)."""
+    interior = level
+    if sharpness:
+        interior >>= 1 if sharpness <= 4 else 2
+        interior = min(interior, 9 - sharpness)
+    interior = max(interior, 1)
+    return (level + 2) * 2 + interior, level * 2 + interior
+
+
+def _loop_filter_simple(y_plane, level, sharpness, mb_rows, mb_cols,
+                        interior_flags) -> None:
+    """In-place simple loop filter over the luma plane, in MB raster order
+    (left MB edge, interior vertical edges, top MB edge, interior
+    horizontal edges — later edges see earlier edges' output).
+    ``interior_flags[mby][mbx]`` gates the subblock edges: they are
+    filtered only for MBs that coded coefficients or are B_PRED."""
+    mb_limit, sub_limit = _filter_limits(level, sharpness)
+    for mby in range(mb_rows):
+        for mbx in range(mb_cols):
+            y0, x0 = mby * 16, mbx * 16
+            rows = slice(y0, y0 + 16)
+            if mbx:  # left MB edge (vertical)
+                p1, q0 = y_plane[rows, x0 - 2], y_plane[rows, x0]
+                p0, q1 = y_plane[rows, x0 - 1], y_plane[rows, x0 + 1]
+                y_plane[rows, x0 - 1], y_plane[rows, x0] = _simple_edge(
+                    p1, p0, q0, q1, mb_limit
+                )
+            if interior_flags[mby][mbx]:
+                for dx in (4, 8, 12):
+                    x = x0 + dx
+                    p1, q0 = y_plane[rows, x - 2], y_plane[rows, x]
+                    p0, q1 = y_plane[rows, x - 1], y_plane[rows, x + 1]
+                    y_plane[rows, x - 1], y_plane[rows, x] = _simple_edge(
+                        p1, p0, q0, q1, sub_limit
+                    )
+            cols = slice(x0, x0 + 16)
+            if mby:  # top MB edge (horizontal)
+                p1, q0 = y_plane[y0 - 2, cols], y_plane[y0, cols]
+                p0, q1 = y_plane[y0 - 1, cols], y_plane[y0 + 1, cols]
+                y_plane[y0 - 1, cols], y_plane[y0, cols] = _simple_edge(
+                    p1, p0, q0, q1, mb_limit
+                )
+            if interior_flags[mby][mbx]:
+                for dy in (4, 8, 12):
+                    yy = y0 + dy
+                    p1, q0 = y_plane[yy - 2, cols], y_plane[yy, cols]
+                    p0, q1 = y_plane[yy - 1, cols], y_plane[yy + 1, cols]
+                    y_plane[yy - 1, cols], y_plane[yy, cols] = _simple_edge(
+                        p1, p0, q0, q1, sub_limit
+                    )
+
+
+# ---------------------------------------------------------------------------
 # Frame codec
 # ---------------------------------------------------------------------------
 
@@ -837,11 +920,11 @@ def decode_vp8(data: bytes) -> np.ndarray:
     bd.get(128)  # clamping
     if bd.get(128):
         raise UnsupportedVp8Error("segmentation unsupported")
-    bd.get(128)  # filter type
+    filter_simple = bd.get(128)  # filter type: 1 = simple profile
     filter_level = bd.literal(6)
-    bd.literal(3)  # sharpness
-    if filter_level:
-        raise UnsupportedVp8Error("loop filter unimplemented (level > 0)")
+    sharpness = bd.literal(3)
+    if filter_level and not filter_simple:
+        raise UnsupportedVp8Error("normal-profile loop filter unimplemented")
     if bd.get(128):
         raise UnsupportedVp8Error("per-mode loop-filter deltas unsupported")
     if bd.literal(2):
@@ -874,6 +957,7 @@ def decode_vp8(data: bytes) -> np.ndarray:
     td = BoolDecoder(tokens)
     above_nz = _fresh_nz(mb_cols)
     above_modes = np.full(mb_cols * 4, B_DC, dtype=np.int32)
+    interior_flags = [[True] * mb_cols for _ in range(mb_rows)]
     for mby in range(mb_rows):
         left_nz = _zero_left()
         left_modes = [B_DC] * 4
@@ -889,6 +973,7 @@ def decode_vp8(data: bytes) -> np.ndarray:
                 left_modes = [sub] * 4
             uvmode = bd.tree(UV_MODE_TREE, KF_UV_MODE_PROBS)
             has_y2 = ymode != B_PRED
+            interior_flags[mby][mbx] = (not skip) or ymode == B_PRED
             if skip:
                 _clear_mb_nz(left_nz, above_nz, mbx, has_y2)
                 yblocks = uvblocks = None
@@ -900,6 +985,10 @@ def decode_vp8(data: bytes) -> np.ndarray:
                 (y_plane, u_plane, v_plane), mby, mbx, ymode, uvmode,
                 yblocks, uvblocks, submodes, mbx == mb_cols - 1,
             )
+    if filter_level:
+        _loop_filter_simple(
+            y_plane, filter_level, sharpness, mb_rows, mb_cols, interior_flags
+        )
     return _yuv420_to_rgb(
         y_plane.astype(np.uint8), u_plane.astype(np.uint8),
         v_plane.astype(np.uint8), height, width,
@@ -966,10 +1055,14 @@ def _bpred_trial(y_rec, src, mby, mbx, last_col, qdc, qac):
     return modes, quants, total
 
 
-def encode_vp8(img: np.ndarray, qi: int = 8) -> tuple[bytes, np.ndarray]:
+def encode_vp8(img: np.ndarray, qi: int = 8,
+               filter_level: int | None = None) -> tuple[bytes, np.ndarray]:
     """(h, w, 3) uint8 RGB → (VP8 key-frame bytes, the encoder's OWN
     reconstruction as RGB). The reconstruction is what a spec decoder must
-    reproduce bit-exactly — tests assert ``decode_vp8(bytes) == recon``."""
+    reproduce bit-exactly — tests assert ``decode_vp8(bytes) == recon``.
+    ``filter_level`` sets the simple-profile loop filter (None derives a
+    level from the quantizer; 0 disables); both sides run the identical
+    post-pass, so parity is preserved."""
     h, w = img.shape[:2]
     if h > 0x3FFF or w > 0x3FFF:
         raise ValueError("dimensions exceed VP8 limits")
@@ -983,12 +1076,14 @@ def encode_vp8(img: np.ndarray, qi: int = 8) -> tuple[bytes, np.ndarray]:
     qs = _quantizers(qi)
     y_dc, y_ac, y2_dc, y2_ac, uv_dc, uv_ac = qs
 
+    if filter_level is None:
+        filter_level = min(63, qi // 4)
     hdr = BoolEncoder()
     hdr.put(128, 0)  # color space
     hdr.put(128, 0)  # clamping
     hdr.put(128, 0)  # segmentation off
-    hdr.put(128, 0)  # filter type
-    hdr.literal(0, 6)  # filter level 0
+    hdr.put(128, 1)  # filter type: simple profile
+    hdr.literal(filter_level, 6)
     hdr.literal(0, 3)  # sharpness
     hdr.put(128, 0)  # no lf deltas
     hdr.literal(0, 2)  # one token partition
@@ -1012,6 +1107,7 @@ def encode_vp8(img: np.ndarray, qi: int = 8) -> tuple[bytes, np.ndarray]:
     v_rec = np.zeros_like(u_rec)
     above_nz = _fresh_nz(mb_cols)
     above_modes = np.full(mb_cols * 4, B_DC, dtype=np.int32)
+    interior_flags = [[True] * mb_cols for _ in range(mb_rows)]
     # two-pass per MB: quantize against reconstructed neighbors, decide
     # skip, then emit modes+skip to hdr and tokens to tok
     for mby in range(mb_rows):
@@ -1108,6 +1204,7 @@ def encode_vp8(img: np.ndarray, qi: int = 8) -> tuple[bytes, np.ndarray]:
             skip = y_zero and not any(
                 b.any() for bs in uvq.values() for b in bs
             )
+            interior_flags[mby][mbx] = (not skip) or use_bpred
             hdr.put(prob_skip, 1 if skip else 0)
             hdr.tree(KF_YMODE_TREE, KF_YMODE_PROBS, ymode)
             if use_bpred:
@@ -1177,6 +1274,10 @@ def encode_vp8(img: np.ndarray, qi: int = 8) -> tuple[bytes, np.ndarray]:
                 yblocks, uvblocks, submodes, last_col,
             )
 
+    if filter_level:
+        _loop_filter_simple(
+            y_rec, filter_level, 0, mb_rows, mb_cols, interior_flags
+        )
     header = hdr.flush()
     tokens = tok.flush()
     if len(header) >= (1 << 19):  # frame-tag size field is 19 bits

@@ -26,9 +26,10 @@ style of the PNG/GIF/JPEG decoders in this package:
 
 Lossy WebP (``VP8 `` chunks) routes to the VP8 key-frame codec in
 ``vp8_codec.py`` (intra 16×16 + B_PRED 4×4 prediction, boolean
-arithmetic coding, integer IDCT/IWHT). Its remaining seams — the loop
-filter and external files relying on RFC 6386's normative default
-probability tables — surface here as ``UnsupportedWebpError``.
+arithmetic coding, integer IDCT/IWHT, simple-profile loop filter). Its
+remaining seams — the normal-profile loop filter and external files
+relying on RFC 6386's normative default probability tables — surface
+here as ``UnsupportedWebpError``.
 
 ``make_webp_lossless`` is the matching from-scratch ENCODER subset used by
 tests and the ``webp_real_meta`` query: literal/LZ77/color-cache coding

@@ -233,3 +233,29 @@ def test_predict4_all_modes_in_range():
             out = _predict4(mode, A, L, P)
             assert out.shape == (4, 4)
             assert out.min() >= 0 and out.max() <= 255
+
+
+def test_loop_filter_parity_and_constant_passthrough():
+    """Simple-profile loop filter: identical post-pass on both sides, and
+    a constant surface passes through unchanged (a = 0), preserving the
+    constant-gray exactness the oracle relies on."""
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (48, 40, 3)).astype(np.uint8)
+    for fl in (0, 10, 40, 63):
+        data, recon = encode_vp8(img, qi=70, filter_level=fl)
+        assert np.array_equal(decode_vp8(data), recon)
+    flat = np.full((32, 32, 3), 90, dtype=np.uint8)
+    out = decode_vp8(encode_vp8(flat, qi=8, filter_level=50)[0])
+    assert np.array_equal(out, flat)
+
+
+def test_simple_edge_filters_small_steps_not_real_edges():
+    from simple_content_ocr_ray.stages.vp8_codec import _simple_edge
+
+    row = lambda v: np.full(8, v, dtype=np.int32)
+    # a 4-level step is inside the limit: both sides move toward each other
+    p0, q0 = _simple_edge(row(100), row(100), row(104), row(104), limit=20)
+    assert (p0 > 100).all() and (q0 < 104).all()
+    # a 120-level step exceeds the limit: a real picture edge, untouched
+    p0, q0 = _simple_edge(row(10), row(10), row(130), row(130), limit=20)
+    assert (p0 == 10).all() and (q0 == 130).all()
