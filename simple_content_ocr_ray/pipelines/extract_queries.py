@@ -1086,6 +1086,68 @@ FROM doms CROSS JOIN paths
 """
 
 
+FRONTIER_SHARDS = 16
+
+
+def frontier_shards(sf_dir: str) -> pd.DataFrame:
+    """Crawl-frontier sharding — the fetch-assignment pass of a
+    distributed crawler: every distinct out-link target goes to one of
+    ``FRONTIER_SHARDS`` fetch shards by ``md5(host) % K``, so a host's
+    URLs always land on ONE shard (politeness: per-host rate limiting
+    needs a single owner) while hosts spread evenly. Emits per-shard
+    frontier size and host count.
+
+    The md5 assignment is the same deterministic-hash trick the CMS/HLL
+    oracles use, so the whole table is hash-checked in SQL. Scale shape:
+    targets come from the (target) distinct-count partials of the link
+    extraction (payloads never shuffle); the shard table is K rows."""
+    import hashlib
+
+    edges = page_link_graph(sf_dir)[["domain", "href"]]
+    targets = pd.DataFrame(
+        {
+            "host": edges["domain"],
+            "target": "https://" + edges["domain"] + edges["href"],
+        }
+    ).drop_duplicates("target")
+    shard = targets["host"].map(
+        lambda h: int.from_bytes(
+            hashlib.md5(h.encode()).digest()[:8], "big"
+        ) % FRONTIER_SHARDS
+    )
+    out = (
+        pd.DataFrame({"shard": shard, "target": targets["target"],
+                      "host": targets["host"]})
+        .groupby("shard")
+        .agg(n_urls=("target", "count"), n_hosts=("host", "nunique"))
+        .reset_index()
+    )
+    out["shard"] = out["shard"].astype("int64")
+    out["n_urls"] = out["n_urls"].astype("int64")
+    out["n_hosts"] = out["n_hosts"].astype("int64")
+    return out.sort_values("shard").reset_index(drop=True)
+
+
+_FRONTIER_SHARDS_SQL = f"""
+WITH hosts AS (
+  SELECT DISTINCT 'site' || CAST(doc_id % 97 AS VARCHAR) || '.example'
+           AS host
+  FROM documents WHERE doc_id % 20 NOT IN (0, 1, 2, 3)
+),
+t AS (
+  SELECT host,
+         CAST(CAST(('0x' || substring(md5(host), 1, 16)) AS UBIGINT)
+              % {FRONTIER_SHARDS} AS BIGINT) AS shard,
+         u.href
+  FROM hosts,
+       unnest(['/', '/news', '/about', '/login', '/rel/1', '/rel/2',
+               '/rel/3', '/terms', '/privacy']) AS u(href)
+)
+SELECT shard, COUNT(*) AS n_urls, COUNT(DISTINCT host) AS n_hosts
+FROM t GROUP BY shard
+"""
+
+
 def page_head_meta(sf_dir: str) -> rd.Dataset:
     """DOM-head metadata enrichment — the standard webtext annotation pass:
     ``<title>``, first ``<h1>``, the declared ``<html lang>`` and the
@@ -1221,6 +1283,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "image_meta": image_meta,
     "page_link_graph": page_link_graph,
     "anchor_text_index": anchor_text_index,
+    "frontier_shards": frontier_shards,
     "page_head_meta": page_head_meta,
     "robots_allowed_links": robots_allowed_links,
     "url_canonicalize": url_canonicalize,
@@ -1260,6 +1323,7 @@ ORACLES: dict[str, str] = {
     "domain_stats": _DOMAIN_STATS_SQL,
     "page_link_graph": _PAGE_LINK_GRAPH_SQL,
     "anchor_text_index": _ANCHOR_TEXT_INDEX_SQL,
+    "frontier_shards": _FRONTIER_SHARDS_SQL,
     "page_head_meta": _PAGE_HEAD_META_SQL,
     "robots_allowed_links": _ROBOTS_ALLOWED_LINKS_SQL,
     "url_canonicalize": _URL_CANONICALIZE_SQL,
