@@ -21,6 +21,7 @@ from typing import Callable
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 from ..functions.agg import grouped_aggregate
@@ -1086,6 +1087,104 @@ FROM doms CROSS JOIN paths
 """
 
 
+_SITEMAP_STRIDES = (0, 2, 7, 53, 200)
+
+
+def make_sitemap(k: int) -> bytes:
+    """Deterministic sitemap.xml for domain index ``k`` (the fixture the
+    coverage audit parses): five doc URLs at growing strides — the later
+    ones exist only at larger corpus scales, so matched counts vary by sf
+    — plus two URLs the crawler never fetched."""
+    locs = [
+        f"https://site{k}.example/{k + 97 * j:08d}" for j in _SITEMAP_STRIDES
+    ] + [f"https://site{k}.example/extra/{i}" for i in (1, 2)]
+    body = "".join(
+        f"<url><loc>{u}</loc><lastmod>2024-01-15</lastmod></url>" for u in locs
+    )
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        f"{body}</urlset>"
+    ).encode()
+
+
+def parse_sitemap(raw: bytes) -> list[str]:
+    """``<loc>`` URLs of a sitemap.xml, via a real namespace-aware XML
+    parse (not regex); malformed XML yields an empty list (one bad
+    sitemap costs one domain, never the task)."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(raw)
+    except ET.ParseError:
+        return []
+    ns = "{http://www.sitemaps.org/schemas/sitemap/0.9}"
+    return [
+        el.text.strip()
+        for el in root.iter(f"{ns}loc")
+        if el.text and el.text.strip()
+    ]
+
+
+def sitemap_coverage(sf_dir: str) -> pd.DataFrame:
+    """Sitemap-vs-crawl audit — the coverage report a crawl operator runs
+    per domain: parse each domain's (synthesized, deterministic)
+    sitemap.xml with a real XML parser, then count how many listed URLs
+    the crawl actually fetched. Scale shape: the sitemap URL set is tiny
+    (domains × 7) and BROADCAST into a map_batches membership filter over
+    the pages; matched (domain, url) partials dedupe at the driver
+    bounded by the sitemap size, never the crawl size."""
+    pages_dir = synth_pages_parquet(sf_dir)
+    pages = rd.read_parquet(pages_dir, columns=["url"])
+
+    domains = sorted(
+        {int(d) for d in range(97)}
+    )  # url_for() hashes doc_id % 97 — every index occurs at any sf
+    listed: dict[str, str] = {}
+    n_listed: dict[str, int] = {}
+    for k in domains:
+        urls = parse_sitemap(make_sitemap(k))
+        dom = f"site{k}.example"
+        n_listed[dom] = len(urls)
+        for u in urls:
+            listed[u] = dom
+    listed_ref = ray.put(listed)
+
+    def matched(df: pd.DataFrame) -> pd.DataFrame:
+        lk = ray.get(listed_ref)
+        hit = df["url"].map(lk)
+        out = pd.DataFrame({"url": df["url"], "domain": hit}).dropna()
+        # typed (possibly empty) frame — object-dtype empties trip Ray's
+        # block size estimator
+        return out.drop_duplicates("url").astype(
+            {"url": "string", "domain": "string"}
+        )
+
+    hits = pages.map_batches(matched, batch_format="pandas").to_pandas()
+    hits = hits.drop_duplicates("url")
+    counts = hits.groupby("domain").size()
+    return pd.DataFrame(
+        {
+            "domain": sorted(n_listed),
+            "n_sitemap_urls": [n_listed[d] for d in sorted(n_listed)],
+            "n_matched": [int(counts.get(d, 0)) for d in sorted(n_listed)],
+        }
+    ).astype({"n_sitemap_urls": "int64", "n_matched": "int64"})
+
+
+_SITEMAP_COVERAGE_SQL = f"""
+WITH cand AS (
+  SELECT ks.k, ks.k + 97 * t.j AS did
+  FROM range(97) ks(k), unnest({list(_SITEMAP_STRIDES)}) AS t(j)
+)
+SELECT 'site' || CAST(cand.k AS VARCHAR) || '.example' AS domain,
+       7 AS n_sitemap_urls,
+       COUNT(d.doc_id) AS n_matched
+FROM cand LEFT JOIN documents d ON d.doc_id = cand.did
+GROUP BY 1
+"""
+
+
 FRONTIER_SHARDS = 16
 
 
@@ -1284,6 +1383,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "page_link_graph": page_link_graph,
     "anchor_text_index": anchor_text_index,
     "frontier_shards": frontier_shards,
+    "sitemap_coverage": sitemap_coverage,
     "page_head_meta": page_head_meta,
     "robots_allowed_links": robots_allowed_links,
     "url_canonicalize": url_canonicalize,
@@ -1324,6 +1424,7 @@ ORACLES: dict[str, str] = {
     "page_link_graph": _PAGE_LINK_GRAPH_SQL,
     "anchor_text_index": _ANCHOR_TEXT_INDEX_SQL,
     "frontier_shards": _FRONTIER_SHARDS_SQL,
+    "sitemap_coverage": _SITEMAP_COVERAGE_SQL,
     "page_head_meta": _PAGE_HEAD_META_SQL,
     "robots_allowed_links": _ROBOTS_ALLOWED_LINKS_SQL,
     "url_canonicalize": _URL_CANONICALIZE_SQL,

@@ -1,0 +1,59 @@
+"""Sitemap parsing + coverage audit (pipelines/extract_queries.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from simple_content_ocr_ray.pipelines.extract_queries import (
+    make_sitemap,
+    parse_sitemap,
+)
+
+
+def test_parse_sitemap_namespace_aware():
+    urls = parse_sitemap(make_sitemap(5))
+    assert len(urls) == 7
+    assert urls[0] == "https://site5.example/00000005"
+    assert urls[-1] == "https://site5.example/extra/2"
+
+
+def test_parse_sitemap_handles_whitespace_and_missing_lastmod():
+    raw = (
+        b'<?xml version="1.0"?>'
+        b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        b"<url><loc>  https://a.example/x </loc></url>"
+        b"<url><loc>https://a.example/y</loc><lastmod>2024-02-02</lastmod>"
+        b"</url></urlset>"
+    )
+    assert parse_sitemap(raw) == ["https://a.example/x", "https://a.example/y"]
+
+
+def test_parse_sitemap_malformed_returns_empty():
+    assert parse_sitemap(b"<urlset><loc>unclosed") == []
+    assert parse_sitemap(b"not xml at all") == []
+
+
+def test_coverage_matches_oracle(ray_session, sf_dir):
+    import duckdb
+
+    from simple_content_ocr_ray.pipelines.extract_queries import (
+        _SITEMAP_COVERAGE_SQL,
+        sitemap_coverage,
+    )
+
+    got = sitemap_coverage(sf_dir).sort_values("domain").reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = (
+        con.sql(_SITEMAP_COVERAGE_SQL)
+        .df()
+        .sort_values("domain")
+        .reset_index(drop=True)
+        .astype({"n_sitemap_urls": "int64", "n_matched": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # extras are listed but never crawled; later strides exceed the corpus
+    assert (got["n_matched"] < got["n_sitemap_urls"]).all()
