@@ -1087,6 +1087,90 @@ FROM doms CROSS JOIN paths
 """
 
 
+#: per-doc Cache-Control fixture (pure function of doc_id, like robots)
+_CACHE_HEADERS = (
+    "max-age=3600",
+    "max-age=86400, public",
+    "no-store",
+    "no-cache, max-age=600",
+    "public, max-age=300, must-revalidate",
+    "",
+)
+_DEFAULT_TTL_S = 7 * 86400
+
+
+def parse_cache_control(value: str, default_ttl: int = _DEFAULT_TTL_S) -> int:
+    """Seconds until a fetched page should be re-fetched, per its
+    Cache-Control header (RFC 9111 subset): ``no-store``/``no-cache``
+    mean refetch immediately (0), ``max-age=N`` wins otherwise, and an
+    absent/unparseable header takes the crawler's default TTL."""
+    directives: dict[str, str] = {}
+    for part in value.split(","):
+        part = part.strip().lower()
+        if not part:
+            continue
+        k, _, v = part.partition("=")
+        directives[k.strip()] = v.strip().strip('"')
+    if "no-store" in directives or "no-cache" in directives:
+        return 0
+    if "max-age" in directives:
+        try:
+            return max(0, int(directives["max-age"]))
+        except ValueError:
+            return default_ttl
+    return default_ttl
+
+
+def recrawl_schedule(sf_dir: str) -> rd.Dataset:
+    """Fetch-scheduling pass — the politeness/freshness planner of a
+    continuous crawler: parse each page's (synthesized, deterministic)
+    Cache-Control header with a real RFC 9111 directive parser and emit
+    when the URL is due for re-fetch (``warc_ts`` + TTL; no-store/no-cache
+    mean immediately, absent means the crawler default). Scale shape:
+    embarrassingly parallel vectorized map_batches over (url, warc_ts)
+    only — payloads never read, the six header patterns parse once per
+    batch and broadcast via take()."""
+    pages_dir = synth_pages_parquet(sf_dir)
+    pages = rd.read_parquet(pages_dir, columns=["url", "warc_ts"])
+    ttls = np.array(
+        [parse_cache_control(h) for h in _CACHE_HEADERS], dtype="int64"
+    )
+    headers = np.array(_CACHE_HEADERS, dtype=object)
+
+    def sched(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["url"].str[-8:].astype("int64") % 6
+        return pd.DataFrame(
+            {
+                "url": df["url"],
+                "cache_control": headers.take(d),
+                "next_fetch_ts": df["warc_ts"]
+                + pd.to_timedelta(ttls.take(d), unit="s"),
+            }
+        )
+
+    return pages.map_batches(sched, batch_format="pandas")
+
+
+_RECRAWL_SCHEDULE_SQL = f"""
+SELECT {_URL_SQL} AS url,
+       CASE doc_id % 6
+         WHEN 0 THEN 'max-age=3600'
+         WHEN 1 THEN 'max-age=86400, public'
+         WHEN 2 THEN 'no-store'
+         WHEN 3 THEN 'no-cache, max-age=600'
+         WHEN 4 THEN 'public, max-age=300, must-revalidate'
+         ELSE ''
+       END AS cache_control,
+       TIMESTAMP '2024-01-01 00:00:00'
+         + to_microseconds(doc_id * 1000000)
+         + to_microseconds(CAST(CASE doc_id % 6
+             WHEN 0 THEN 3600 WHEN 1 THEN 86400 WHEN 2 THEN 0
+             WHEN 3 THEN 0 WHEN 4 THEN 300 ELSE {_DEFAULT_TTL_S}
+           END AS BIGINT) * 1000000) AS next_fetch_ts
+FROM documents
+"""
+
+
 _SITEMAP_STRIDES = (0, 2, 7, 53, 200)
 
 
@@ -1384,6 +1468,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "anchor_text_index": anchor_text_index,
     "frontier_shards": frontier_shards,
     "sitemap_coverage": sitemap_coverage,
+    "recrawl_schedule": recrawl_schedule,
     "page_head_meta": page_head_meta,
     "robots_allowed_links": robots_allowed_links,
     "url_canonicalize": url_canonicalize,
@@ -1425,6 +1510,7 @@ ORACLES: dict[str, str] = {
     "anchor_text_index": _ANCHOR_TEXT_INDEX_SQL,
     "frontier_shards": _FRONTIER_SHARDS_SQL,
     "sitemap_coverage": _SITEMAP_COVERAGE_SQL,
+    "recrawl_schedule": _RECRAWL_SCHEDULE_SQL,
     "page_head_meta": _PAGE_HEAD_META_SQL,
     "robots_allowed_links": _ROBOTS_ALLOWED_LINKS_SQL,
     "url_canonicalize": _URL_CANONICALIZE_SQL,

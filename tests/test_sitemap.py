@@ -57,3 +57,32 @@ def test_coverage_matches_oracle(ray_session, sf_dir):
     pd.testing.assert_frame_equal(got, want)
     # extras are listed but never crawled; later strides exceed the corpus
     assert (got["n_matched"] < got["n_sitemap_urls"]).all()
+
+
+# ---- Cache-Control parsing (recrawl_schedule) ----
+
+
+def test_cache_control_directive_precedence():
+    from simple_content_ocr_ray.pipelines.extract_queries import (
+        parse_cache_control,
+    )
+
+    assert parse_cache_control("max-age=3600") == 3600
+    assert parse_cache_control("public, max-age=300, must-revalidate") == 300
+    # no-store / no-cache win over any max-age
+    assert parse_cache_control("no-store") == 0
+    assert parse_cache_control("no-cache, max-age=600") == 0
+    assert parse_cache_control("MAX-AGE=42") == 42  # case-insensitive
+    assert parse_cache_control('max-age="90"') == 90  # quoted value
+
+
+def test_cache_control_defaults_and_garbage():
+    from simple_content_ocr_ray.pipelines.extract_queries import (
+        _DEFAULT_TTL_S,
+        parse_cache_control,
+    )
+
+    assert parse_cache_control("") == _DEFAULT_TTL_S
+    assert parse_cache_control("private") == _DEFAULT_TTL_S
+    assert parse_cache_control("max-age=banana") == _DEFAULT_TTL_S
+    assert parse_cache_control("max-age=-5") == 0  # clamped, not negative
