@@ -299,9 +299,14 @@ def run_headline() -> dict:
             "part_pair_counts",
             "event_value_histogram",
             "webp_real_meta",
+            "webp_lossy_meta",
             "jpeg_progressive_real_meta",
             "docx_real_text",
             "streaming_dedup_stats",
+            "anchor_text_index",
+            "frontier_shards",
+            "sitemap_coverage",
+            "recrawl_schedule",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)

@@ -293,6 +293,18 @@ def idct4x4(block: np.ndarray) -> np.ndarray:
     return ((rows + 4) >> 3).astype(np.int32)
 
 
+def idct4x4_batch(blocks: np.ndarray) -> np.ndarray:
+    """Batched inverse DCT, (n,4,4) → (n,4,4): both butterfly passes run
+    once over all blocks (the per-block hot path of reconstruction)."""
+    x = blocks.astype(np.int64)
+    n = x.shape[0]
+    p1 = _idct_pass(x.transpose(1, 0, 2).reshape(4, -1))
+    p1 = p1.reshape(4, n, 4).transpose(1, 0, 2)
+    p2 = _idct_pass(p1.transpose(2, 0, 1).reshape(4, -1))
+    p2 = p2.reshape(4, n, 4).transpose(1, 2, 0)
+    return ((p2 + 4) >> 3).astype(np.int32)
+
+
 def iwht4x4(block: np.ndarray) -> np.ndarray:
     """VP8 inverse Walsh–Hadamard (Y2 DC plane), (4,4) int32 → (4,4)."""
     ip = block.astype(np.int64)
@@ -332,6 +344,12 @@ def fdct4x4(res: np.ndarray) -> np.ndarray:
     return np.rint(_FDCT_M @ res.reshape(16).astype(np.float64)).astype(
         np.int64
     ).reshape(4, 4)
+
+
+def fdct4x4_batch(res: np.ndarray) -> np.ndarray:
+    """Batched forward DCT, (n,4,4) → (n,4,4): one matmul."""
+    flat = res.reshape(res.shape[0], 16).astype(np.float64)
+    return np.rint(flat @ _FDCT_M.T).astype(np.int64).reshape(-1, 4, 4)
 
 
 def fwht4x4(res: np.ndarray) -> np.ndarray:
@@ -804,10 +822,12 @@ def _reconstruct_mb(planes, mby, mbx, ymode, uvmode, yblocks, uvblocks,
         pred = _predict(ymode, above, left, corner, 16)
         out = pred.copy()
         if yblocks is not None:
+            res = idct4x4_batch(
+                np.stack([b[0] for b in yblocks]).reshape(16, 4, 4)
+            )
             for r in range(4):
                 for c in range(4):
-                    res = idct4x4(yblocks[r * 4 + c][0].reshape(4, 4))
-                    out[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4] += res
+                    out[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4] += res[r * 4 + c]
         y_plane[y0 : y0 + 16, x0 : x0 + 16] = np.clip(out, 0, 255)
     for plane_name, plane in (("u", u_plane), ("v", v_plane)):
         y0c, x0c = mby * 8, mbx * 8
@@ -819,10 +839,14 @@ def _reconstruct_mb(planes, mby, mbx, ymode, uvmode, yblocks, uvblocks,
         pred = _predict(uvmode, above, left, corner, 8)
         out = pred.copy()
         if uvblocks is not None:
+            res = idct4x4_batch(
+                np.stack(
+                    [b[0] for b in uvblocks[plane_name]]
+                ).reshape(4, 4, 4)
+            )
             for r in range(2):
                 for c in range(2):
-                    res = idct4x4(uvblocks[plane_name][r * 2 + c][0].reshape(4, 4))
-                    out[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4] += res
+                    out[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4] += res[r * 2 + c]
         plane[y0c : y0c + 8, x0c : x0c + 8] = np.clip(out, 0, 255)
 
 
@@ -1002,12 +1026,13 @@ def decode_vp8(data: bytes) -> np.ndarray:
 
 def _quantize_block(coeffs: np.ndarray, first: int, qdc: int, qac: int
                     ) -> np.ndarray:
-    q = np.zeros(16, dtype=np.int64)
-    for i in range(first, 16):
-        step = qdc if i == 0 else qac
-        q[i] = int(np.rint(coeffs.reshape(16)[i] / step))
-        # clamp to the token alphabet's maximum (CAT6 ceiling)
-        q[i] = max(-2114, min(2114, q[i]))
+    steps = np.where(np.arange(16) == 0, qdc, qac)
+    # clamp to the token alphabet's maximum (CAT6 ceiling)
+    q = np.clip(
+        np.rint(coeffs.reshape(16) / steps).astype(np.int64), -2114, 2114
+    )
+    if first:
+        q[:first] = 0
     return q
 
 
@@ -1129,35 +1154,49 @@ def encode_vp8(img: np.ndarray, qi: int = 8,
             # constant MBs and lose their exact reconstruction
             pred_y = _predict(mode16, above, left, corner, 16)
             res = src_y.astype(np.int64) - pred_y
-            yq16 = []
-            dcs = np.zeros((4, 4), dtype=np.int64)
-            for r in range(4):
-                for c in range(4):
-                    f = fdct4x4(res[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4])
-                    dcs[r, c] = f[0, 0]
-                    yq16.append(_quantize_block(f, 1, y_dc, y_ac))
+            # batched candidate build: one fdct matmul over the 16 blocks,
+            # one vectorized quantize, one batched idct for the recon SAD
+            blocks = (
+                res.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 4, 4)
+            )
+            f_all = fdct4x4_batch(blocks)
+            ysteps = np.where(np.arange(16) == 0, y_dc, y_ac)
+            q_all = np.clip(
+                np.rint(f_all.reshape(16, 16) / ysteps).astype(np.int64),
+                -2114, 2114,
+            )
+            q_all[:, 0] = 0  # DC travels via Y2
+            yq16 = list(q_all)
+            dcs = f_all[:, 0, 0].reshape(4, 4)
             y2q16 = _quantize_block(fwht4x4(dcs), 0, y2_dc, y2_ac)
             dc16 = iwht4x4((y2q16.reshape(4, 4) *
                             np.where(np.arange(16).reshape(4, 4) == 0,
                                      y2_dc, y2_ac)))
+            deq_all = q_all * ysteps
+            deq_all[:, 0] = dc16.reshape(16)
+            res_all = idct4x4_batch(deq_all.reshape(16, 4, 4))
             out16 = pred_y.astype(np.int64).copy()
-            ysteps = np.where(np.arange(16) == 0, y_dc, y_ac)
             for r in range(4):
                 for c in range(4):
-                    deq = yq16[r * 4 + c] * ysteps
-                    deq[0] = dc16[r, c]
-                    out16[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4] += idct4x4(
-                        deq.reshape(4, 4)
-                    )
+                    out16[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4] += res_all[
+                        r * 4 + c
+                    ]
             sad16 = int(
                 np.abs(src_y.astype(np.int64) - np.clip(out16, 0, 255)).sum()
             )
-            # B_PRED trial on the real buffer (restored below)
-            save = y_rec[y0 : y0 + 16, x0 : x0 + 16].copy()
-            submodes, bp_q, bp_sad = _bpred_trial(
-                y_rec, src_y, mby, mbx, last_col, y_dc, y_ac
-            )
-            y_rec[y0 : y0 + 16, x0 : x0 + 16] = save
+            # B_PRED trial on the real buffer (restored below) — skipped
+            # when 16x16 already reconstructs perfectly: the strict < can
+            # never prefer B_PRED over SAD 0, and flat corpora (constant
+            # thumbnails, padding MBs) would pay the 160-prediction trial
+            # for nothing
+            if sad16 > 0:
+                save = y_rec[y0 : y0 + 16, x0 : x0 + 16].copy()
+                submodes, bp_q, bp_sad = _bpred_trial(
+                    y_rec, src_y, mby, mbx, last_col, y_dc, y_ac
+                )
+                y_rec[y0 : y0 + 16, x0 : x0 + 16] = save
+            else:
+                submodes, bp_q, bp_sad = None, None, sad16 + 1
             use_bpred = bp_sad < sad16
             ymode = B_PRED if use_bpred else mode16
             if use_bpred:
