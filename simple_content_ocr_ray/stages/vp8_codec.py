@@ -36,9 +36,10 @@ this module ships its OWN clearly-marked tables (same shapes, same roles)
 — every file this encoder produces decodes exactly, but interoperating
 with external VP8 files additionally requires dropping in the RFC's
 constants for ``DEFAULT_COEFF_PROBS``, ``COEFF_UPDATE_PROBS``,
-``KF_BMODE_PROB``, ``DC_QLOOKUP``/``AC_QLOOKUP`` and implementing the
-NORMAL-profile loop filter (the simple profile is implemented as a luma
-post-pass; normal raises ``UnsupportedVp8Error``, the explicit seam).
+``KF_BMODE_PROB``, ``DC_QLOOKUP``/``AC_QLOOKUP``. Both loop-filter
+profiles are implemented as reconstruction post-passes (simple:
+luma-only 2-tap; normal: luma+chroma 4/6-tap with high-edge-variance
+dispatch) — the tables are the one remaining interop seam.
 """
 
 from __future__ import annotations
@@ -696,6 +697,147 @@ def _filter_limits(level: int, sharpness: int) -> tuple[int, int]:
     return (level + 2) * 2 + interior, level * 2 + interior
 
 
+def _hev_threshold(level: int) -> int:
+    """High-edge-variance threshold (key-frame schedule)."""
+    return 2 if level >= 40 else (1 if level >= 15 else 0)
+
+
+def _normal_mask(px, limit: int, interior: int) -> np.ndarray:
+    """Normal-profile filter mask over p3..q3 (8 rows of edge pixels)."""
+    p3, p2, p1, p0, q0, q1, q2, q3 = (x.astype(np.int32) for x in px)
+    return (
+        (np.abs(p3 - p2) <= interior)
+        & (np.abs(p2 - p1) <= interior)
+        & (np.abs(p1 - p0) <= interior)
+        & (np.abs(q1 - q0) <= interior)
+        & (np.abs(q2 - q1) <= interior)
+        & (np.abs(q3 - q2) <= interior)
+        & ((np.abs(p0 - q0) * 2 + (np.abs(p1 - q1) >> 1)) <= limit)
+    )
+
+
+def _normal_subblock_edge(px, limit: int, interior: int, hev_thr: int):
+    """Normal-profile 4-tap filter (subblock edges): adjusts p1,p0,q0,q1.
+    ``px`` is the tuple (p3..q3) of uint-valued rows; returns the adjusted
+    (p1, p0, q0, q1)."""
+    p3, p2, p1, p0, q0, q1, q2, q3 = (x.astype(np.int32) for x in px)
+    mask = _normal_mask(px, limit, interior)
+    hev = (np.abs(p1 - p0) > hev_thr) | (np.abs(q1 - q0) > hev_thr)
+    ps1, ps0, qs0, qs1 = p1 - 128, p0 - 128, q0 - 128, q1 - 128
+    f = np.where(hev, _sclamp(ps1 - qs1), 0)
+    f = _sclamp(f + 3 * (qs0 - ps0))
+    f = np.where(mask, f, 0)
+    F1 = _sclamp(f + 4) >> 3
+    F2 = _sclamp(f + 3) >> 3
+    qs0 = _sclamp(qs0 - F1)
+    ps0 = _sclamp(ps0 + F2)
+    a = np.where(~hev & mask, (F1 + 1) >> 1, 0)
+    qs1 = _sclamp(qs1 - a)
+    ps1 = _sclamp(ps1 + a)
+    to8 = lambda v: np.clip(v + 128, 0, 255).astype(np.int32)
+    return to8(ps1), to8(ps0), to8(qs0), to8(qs1)
+
+
+def _normal_mb_edge(px, limit: int, interior: int, hev_thr: int):
+    """Normal-profile 6-tap filter (MB edges): adjusts p2..q2. High-edge-
+    variance positions take the sharp 4-tap instead (spec structure; the
+    27/18/9 taper constants follow the reference filter)."""
+    p3, p2, p1, p0, q0, q1, q2, q3 = (x.astype(np.int32) for x in px)
+    mask = _normal_mask(px, limit, interior)
+    hev = (np.abs(p1 - p0) > hev_thr) | (np.abs(q1 - q0) > hev_thr)
+    ps2, ps1, ps0 = p2 - 128, p1 - 128, p0 - 128
+    qs0, qs1, qs2 = q0 - 128, q1 - 128, q2 - 128
+    w = _sclamp(_sclamp(ps1 - qs1) + 3 * (qs0 - ps0))
+    # hev positions: sharp 4-tap on p0/q0 only
+    fh = np.where(mask & hev, w, 0)
+    F1 = _sclamp(fh + 4) >> 3
+    F2 = _sclamp(fh + 3) >> 3
+    qs0 = _sclamp(qs0 - F1)
+    ps0 = _sclamp(ps0 + F2)
+    # non-hev positions: tapered 6-tap across three pixel pairs
+    wn = np.where(mask & ~hev, w, 0)
+    u = _sclamp((27 * wn + 63) >> 7)
+    qs0 = _sclamp(qs0 - u)
+    ps0 = _sclamp(ps0 + u)
+    u = _sclamp((18 * wn + 63) >> 7)
+    qs1 = _sclamp(qs1 - u)
+    ps1 = _sclamp(ps1 + u)
+    u = _sclamp((9 * wn + 63) >> 7)
+    qs2 = _sclamp(qs2 - u)
+    ps2 = _sclamp(ps2 + u)
+    to8 = lambda v: np.clip(v + 128, 0, 255).astype(np.int32)
+    return tuple(to8(v) for v in (ps2, ps1, ps0, qs0, qs1, qs2))
+
+
+def _gather_v(plane, rows, x):
+    """(p3..q3) columns around vertical edge x."""
+    return tuple(plane[rows, x + d] for d in range(-4, 4))
+
+
+def _gather_h(plane, y, cols):
+    return tuple(plane[y + d, cols] for d in range(-4, 4))
+
+
+def _loop_filter_normal(planes, level, sharpness, mb_rows, mb_cols,
+                        interior_flags) -> None:
+    """Normal-profile loop filter post-pass: luma AND chroma, MB edges
+    with the 6-tap filter, interior edges with the 4-tap, in MB raster
+    order. Same self-consistency contract as the rest of the codec."""
+    y_plane, u_plane, v_plane = planes
+    mb_limit, sub_limit = _filter_limits(level, sharpness)
+    interior = max(1, min(level, 9 - sharpness) if sharpness else level)
+    hev_thr = _hev_threshold(level)
+
+    def v_edge(plane, rows, x, lim, mb):
+        px = _gather_v(plane, rows, x)
+        if mb:
+            out = _normal_mb_edge(px, lim, interior, hev_thr)
+            for d, v in zip(range(-3, 3), out):
+                plane[rows, x + d] = v
+        else:
+            out = _normal_subblock_edge(px, lim, interior, hev_thr)
+            for d, v in zip(range(-2, 2), out):
+                plane[rows, x + d] = v
+
+    def h_edge(plane, y, cols, lim, mb):
+        px = _gather_h(plane, y, cols)
+        if mb:
+            out = _normal_mb_edge(px, lim, interior, hev_thr)
+            for d, v in zip(range(-3, 3), out):
+                plane[y + d, cols] = v
+        else:
+            out = _normal_subblock_edge(px, lim, interior, hev_thr)
+            for d, v in zip(range(-2, 2), out):
+                plane[y + d, cols] = v
+
+    for mby in range(mb_rows):
+        for mbx in range(mb_cols):
+            y0, x0 = mby * 16, mbx * 16
+            c0, cx0 = mby * 8, mbx * 8
+            yrows = slice(y0, y0 + 16)
+            crows = slice(c0, c0 + 8)
+            if mbx:
+                v_edge(y_plane, yrows, x0, mb_limit, True)
+                v_edge(u_plane, crows, cx0, mb_limit, True)
+                v_edge(v_plane, crows, cx0, mb_limit, True)
+            if interior_flags[mby][mbx]:
+                for dx in (4, 8, 12):
+                    v_edge(y_plane, yrows, x0 + dx, sub_limit, False)
+                v_edge(u_plane, crows, cx0 + 4, sub_limit, False)
+                v_edge(v_plane, crows, cx0 + 4, sub_limit, False)
+            ycols = slice(x0, x0 + 16)
+            ccols = slice(cx0, cx0 + 8)
+            if mby:
+                h_edge(y_plane, y0, ycols, mb_limit, True)
+                h_edge(u_plane, c0, ccols, mb_limit, True)
+                h_edge(v_plane, c0, ccols, mb_limit, True)
+            if interior_flags[mby][mbx]:
+                for dy in (4, 8, 12):
+                    h_edge(y_plane, y0 + dy, ycols, sub_limit, False)
+                h_edge(u_plane, c0 + 4, ccols, sub_limit, False)
+                h_edge(v_plane, c0 + 4, ccols, sub_limit, False)
+
+
 def _loop_filter_simple(y_plane, level, sharpness, mb_rows, mb_cols,
                         interior_flags) -> None:
     """In-place simple loop filter over the luma plane, in MB raster order
@@ -947,8 +1089,6 @@ def decode_vp8(data: bytes) -> np.ndarray:
     filter_simple = bd.get(128)  # filter type: 1 = simple profile
     filter_level = bd.literal(6)
     sharpness = bd.literal(3)
-    if filter_level and not filter_simple:
-        raise UnsupportedVp8Error("normal-profile loop filter unimplemented")
     if bd.get(128):
         raise UnsupportedVp8Error("per-mode loop-filter deltas unsupported")
     if bd.literal(2):
@@ -1010,9 +1150,16 @@ def decode_vp8(data: bytes) -> np.ndarray:
                 yblocks, uvblocks, submodes, mbx == mb_cols - 1,
             )
     if filter_level:
-        _loop_filter_simple(
-            y_plane, filter_level, sharpness, mb_rows, mb_cols, interior_flags
-        )
+        if filter_simple:
+            _loop_filter_simple(
+                y_plane, filter_level, sharpness, mb_rows, mb_cols,
+                interior_flags,
+            )
+        else:
+            _loop_filter_normal(
+                (y_plane, u_plane, v_plane), filter_level, sharpness,
+                mb_rows, mb_cols, interior_flags,
+            )
     return _yuv420_to_rgb(
         y_plane.astype(np.uint8), u_plane.astype(np.uint8),
         v_plane.astype(np.uint8), height, width,
@@ -1081,13 +1228,15 @@ def _bpred_trial(y_rec, src, mby, mbx, last_col, qdc, qac):
 
 
 def encode_vp8(img: np.ndarray, qi: int = 8,
-               filter_level: int | None = None) -> tuple[bytes, np.ndarray]:
+               filter_level: int | None = None,
+               filter_type: str = "simple") -> tuple[bytes, np.ndarray]:
     """(h, w, 3) uint8 RGB → (VP8 key-frame bytes, the encoder's OWN
     reconstruction as RGB). The reconstruction is what a spec decoder must
     reproduce bit-exactly — tests assert ``decode_vp8(bytes) == recon``.
-    ``filter_level`` sets the simple-profile loop filter (None derives a
-    level from the quantizer; 0 disables); both sides run the identical
-    post-pass, so parity is preserved."""
+    ``filter_level`` sets the loop filter (None derives a level from the
+    quantizer; 0 disables) and ``filter_type`` picks the profile
+    (``simple`` = luma-only 2-tap, ``normal`` = luma+chroma 4/6-tap);
+    both sides run the identical post-pass, so parity is preserved."""
     h, w = img.shape[:2]
     if h > 0x3FFF or w > 0x3FFF:
         raise ValueError("dimensions exceed VP8 limits")
@@ -1103,11 +1252,12 @@ def encode_vp8(img: np.ndarray, qi: int = 8,
 
     if filter_level is None:
         filter_level = min(63, qi // 4)
+    simple = filter_type != "normal"
     hdr = BoolEncoder()
     hdr.put(128, 0)  # color space
     hdr.put(128, 0)  # clamping
     hdr.put(128, 0)  # segmentation off
-    hdr.put(128, 1)  # filter type: simple profile
+    hdr.put(128, 1 if simple else 0)  # filter type
     hdr.literal(filter_level, 6)
     hdr.literal(0, 3)  # sharpness
     hdr.put(128, 0)  # no lf deltas
@@ -1314,9 +1464,15 @@ def encode_vp8(img: np.ndarray, qi: int = 8,
             )
 
     if filter_level:
-        _loop_filter_simple(
-            y_rec, filter_level, 0, mb_rows, mb_cols, interior_flags
-        )
+        if simple:
+            _loop_filter_simple(
+                y_rec, filter_level, 0, mb_rows, mb_cols, interior_flags
+            )
+        else:
+            _loop_filter_normal(
+                (y_rec, u_rec, v_rec), filter_level, 0, mb_rows, mb_cols,
+                interior_flags,
+            )
     header = hdr.flush()
     tokens = tok.flush()
     if len(header) >= (1 << 19):  # frame-tag size field is 19 bits

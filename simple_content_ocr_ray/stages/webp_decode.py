@@ -26,10 +26,9 @@ style of the PNG/GIF/JPEG decoders in this package:
 
 Lossy WebP (``VP8 `` chunks) routes to the VP8 key-frame codec in
 ``vp8_codec.py`` (intra 16×16 + B_PRED 4×4 prediction, boolean
-arithmetic coding, integer IDCT/IWHT, simple-profile loop filter). Its
-remaining seams — the normal-profile loop filter and external files
-relying on RFC 6386's normative default probability tables — surface
-here as ``UnsupportedWebpError``.
+arithmetic coding, integer IDCT/IWHT, both loop-filter profiles). Its
+remaining seam — external files relying on RFC 6386's normative default
+probability tables — surfaces here as ``UnsupportedWebpError``.
 
 ``make_webp_lossless`` is the matching from-scratch ENCODER subset used by
 tests and the ``webp_real_meta`` query: literal/LZ77/color-cache coding
@@ -1008,9 +1007,9 @@ class WebpImageEngine:
     """Engine-seam wrapper: REAL decode of BOTH WebP halves — lossless
     VP8L here, lossy VP8 key frames via ``vp8_codec.py`` — → typed image
     metadata (width, height, channels, mean brightness), identical layout
-    to ``PngImageEngine``/``JpegImageEngine``. Unsupported VP8 features
-    (loop filter, external default-prob files) raise → failed rows, the
-    documented interop seams."""
+    to ``PngImageEngine``/``JpegImageEngine``. External files relying on
+    the normative default probability tables raise → failed rows, the
+    documented interop seam."""
 
     name = "webp-decode"
 

@@ -97,7 +97,9 @@ def test_vp8_lossy_recon_parity_fuzz(data):
 
     img = _rand_img(data.draw, 70, 3)
     qi = data.draw(st.integers(0, 127))
-    frame, recon = encode_vp8(img, qi=qi)
+    fl = data.draw(st.integers(0, 63))
+    ftype = data.draw(st.sampled_from(["simple", "normal"]))
+    frame, recon = encode_vp8(img, qi=qi, filter_level=fl, filter_type=ftype)
     out = decode_vp8(frame)
     assert out.shape == img.shape
     assert np.array_equal(out, recon)

@@ -259,3 +259,31 @@ def test_simple_edge_filters_small_steps_not_real_edges():
     # a 120-level step exceeds the limit: a real picture edge, untouched
     p0, q0 = _simple_edge(row(10), row(10), row(130), row(130), limit=20)
     assert (p0 == 10).all() and (q0 == 130).all()
+
+
+def test_normal_loop_filter_parity_and_passthrough():
+    """Normal-profile filter (luma+chroma, 4/6-tap, hev dispatch): bit
+    parity across quantizers/levels, constant passthrough."""
+    rng = np.random.default_rng(33)
+    img = rng.integers(0, 256, (48, 40, 3)).astype(np.uint8)
+    for fl in (5, 25, 63):
+        data, recon = encode_vp8(
+            img, qi=70, filter_level=fl, filter_type="normal"
+        )
+        assert np.array_equal(decode_vp8(data), recon)
+    flat = np.full((32, 32, 3), 90, dtype=np.uint8)
+    out = decode_vp8(
+        encode_vp8(flat, qi=8, filter_level=50, filter_type="normal")[0]
+    )
+    assert np.array_equal(out, flat)
+
+
+def test_normal_filter_differs_from_simple():
+    """The two profiles are distinct bitstreams AND distinct pixels on a
+    blocky low-quality image (normal also touches chroma)."""
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (48, 48, 3)).astype(np.uint8)
+    d_s, _ = encode_vp8(img, qi=100, filter_level=40, filter_type="simple")
+    d_n, _ = encode_vp8(img, qi=100, filter_level=40, filter_type="normal")
+    assert d_s != d_n
+    assert not np.array_equal(decode_vp8(d_s), decode_vp8(d_n))
