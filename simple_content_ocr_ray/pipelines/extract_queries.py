@@ -1221,12 +1221,9 @@ def sitemap_coverage(sf_dir: str) -> pd.DataFrame:
     pages_dir = synth_pages_parquet(sf_dir)
     pages = rd.read_parquet(pages_dir, columns=["url"])
 
-    domains = sorted(
-        {int(d) for d in range(97)}
-    )  # url_for() hashes doc_id % 97 — every index occurs at any sf
     listed: dict[str, str] = {}
     n_listed: dict[str, int] = {}
-    for k in domains:
+    for k in range(97):  # url_for() hashes doc_id % 97 — every index occurs
         urls = parse_sitemap(make_sitemap(k))
         dom = f"site{k}.example"
         n_listed[dom] = len(urls)

@@ -687,14 +687,15 @@ def _simple_edge(p1, p0, q0, q1, limit: int):
     return new_p0.astype(np.int32), new_q0.astype(np.int32)
 
 
-def _filter_limits(level: int, sharpness: int) -> tuple[int, int]:
-    """(macroblock-edge limit, interior/subblock-edge limit)."""
+def _filter_limits(level: int, sharpness: int) -> tuple[int, int, int]:
+    """(macroblock-edge limit, interior/subblock-edge limit, interior
+    threshold) — the single derivation both filter profiles use."""
     interior = level
     if sharpness:
         interior >>= 1 if sharpness <= 4 else 2
         interior = min(interior, 9 - sharpness)
     interior = max(interior, 1)
-    return (level + 2) * 2 + interior, level * 2 + interior
+    return (level + 2) * 2 + interior, level * 2 + interior, interior
 
 
 def _hev_threshold(level: int) -> int:
@@ -784,8 +785,7 @@ def _loop_filter_normal(planes, level, sharpness, mb_rows, mb_cols,
     with the 6-tap filter, interior edges with the 4-tap, in MB raster
     order. Same self-consistency contract as the rest of the codec."""
     y_plane, u_plane, v_plane = planes
-    mb_limit, sub_limit = _filter_limits(level, sharpness)
-    interior = max(1, min(level, 9 - sharpness) if sharpness else level)
+    mb_limit, sub_limit, interior = _filter_limits(level, sharpness)
     hev_thr = _hev_threshold(level)
 
     def v_edge(plane, rows, x, lim, mb):
@@ -845,7 +845,7 @@ def _loop_filter_simple(y_plane, level, sharpness, mb_rows, mb_cols,
     horizontal edges — later edges see earlier edges' output).
     ``interior_flags[mby][mbx]`` gates the subblock edges: they are
     filtered only for MBs that coded coefficients or are B_PRED."""
-    mb_limit, sub_limit = _filter_limits(level, sharpness)
+    mb_limit, sub_limit, _ = _filter_limits(level, sharpness)
     for mby in range(mb_rows):
         for mbx in range(mb_cols):
             y0, x0 = mby * 16, mbx * 16
@@ -1023,35 +1023,46 @@ def _clear_mb_nz(left_nz, above_nz, mbx, has_y2=True) -> None:
         above_nz["y2"][mbx] = 0
 
 
-def _read_submodes(bd, above_modes, left_modes, mbx) -> list[int]:
-    """16 B_PRED submodes, context-conditioned on the above/left neighbor
-    submodes exactly as the spec's arrays do (the probability VALUES are
-    the module-own seam; see KF_BMODE_PROB)."""
-    modes = []
+def _submode_probs(above: int, left: int):
+    """Probability vector for one submode, conditioned on the above/left
+    neighbor submodes. This is the SINGLE lookup both codec sides call —
+    the spec's 10x10x9 table plugs in here; the module ships one shared
+    vector (the documented seam)."""
+    _ = (above, left)
+    return KF_BMODE_PROB
+
+
+def _code_submodes(code_one, above_modes, left_modes, mbx,
+                   modes=None) -> list[int]:
+    """One traversal of a B_PRED MB's 16 submodes with the spec's
+    above/left context bookkeeping, shared by the decoder (``code_one``
+    reads a tree symbol) and the encoder (it writes ``modes[i]``)."""
+    out: list[int] = []
     for r in range(4):
         for c in range(4):
-            above = above_modes[mbx * 4 + c] if r == 0 else modes[(r - 1) * 4 + c]
-            left = left_modes[r] if c == 0 else modes[r * 4 + c - 1]
-            _ = (above, left)  # context lookup — one shared vector here
-            modes.append(bd.tree(BMODE_TREE, KF_BMODE_PROB))
+            above = above_modes[mbx * 4 + c] if r == 0 else out[(r - 1) * 4 + c]
+            left = left_modes[r] if c == 0 else out[r * 4 + c - 1]
+            sym = None if modes is None else modes[r * 4 + c]
+            out.append(code_one(_submode_probs(above, left), sym))
     for r in range(4):
-        left_modes[r] = modes[r * 4 + 3]
+        left_modes[r] = out[r * 4 + 3]
     for c in range(4):
-        above_modes[mbx * 4 + c] = modes[3 * 4 + c]
-    return modes
+        above_modes[mbx * 4 + c] = out[3 * 4 + c]
+    return out
+
+
+def _read_submodes(bd, above_modes, left_modes, mbx) -> list[int]:
+    return _code_submodes(
+        lambda p, _: bd.tree(BMODE_TREE, p), above_modes, left_modes, mbx
+    )
 
 
 def _write_submodes(be, above_modes, left_modes, mbx, modes) -> None:
-    for r in range(4):
-        for c in range(4):
-            above = above_modes[mbx * 4 + c] if r == 0 else modes[(r - 1) * 4 + c]
-            left = left_modes[r] if c == 0 else modes[r * 4 + c - 1]
-            _ = (above, left)
-            be.tree(BMODE_TREE, KF_BMODE_PROB, modes[r * 4 + c])
-    for r in range(4):
-        left_modes[r] = modes[r * 4 + 3]
-    for c in range(4):
-        above_modes[mbx * 4 + c] = modes[3 * 4 + c]
+    def one(p, sym: int) -> int:
+        be.tree(BMODE_TREE, p, sym)
+        return sym
+
+    _code_submodes(one, above_modes, left_modes, mbx, modes)
 
 
 def decode_vp8(data: bytes) -> np.ndarray:
@@ -1171,16 +1182,21 @@ def decode_vp8(data: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _quantize_blocks(coeffs: np.ndarray, first: int, qdc: int, qac: int
+                     ) -> np.ndarray:
+    """Quantize (n, 16) coefficient rows: rint against the per-position
+    step, clamped to the token alphabet's maximum (CAT6 ceiling). The one
+    place the ±2114 ceiling and rounding live."""
+    steps = np.where(np.arange(16) == 0, qdc, qac)
+    q = np.clip(np.rint(coeffs / steps).astype(np.int64), -2114, 2114)
+    if first:
+        q[:, :first] = 0
+    return q
+
+
 def _quantize_block(coeffs: np.ndarray, first: int, qdc: int, qac: int
                     ) -> np.ndarray:
-    steps = np.where(np.arange(16) == 0, qdc, qac)
-    # clamp to the token alphabet's maximum (CAT6 ceiling)
-    q = np.clip(
-        np.rint(coeffs.reshape(16) / steps).astype(np.int64), -2114, 2114
-    )
-    if first:
-        q[:first] = 0
-    return q
+    return _quantize_blocks(coeffs.reshape(1, 16), first, qdc, qac)[0]
 
 
 def _best_mode(src: np.ndarray, above, left, corner, size: int
@@ -1238,6 +1254,11 @@ def encode_vp8(img: np.ndarray, qi: int = 8,
     (``simple`` = luma-only 2-tap, ``normal`` = luma+chroma 4/6-tap);
     both sides run the identical post-pass, so parity is preserved."""
     h, w = img.shape[:2]
+    # clamp to the header field widths (7-bit qi, 6-bit level) — wrapped
+    # literals would desynchronize the bitstream from the returned recon
+    qi = max(0, min(127, qi))
+    if filter_level is not None:
+        filter_level = max(0, min(63, filter_level))
     if h > 0x3FFF or w > 0x3FFF:
         raise ValueError("dimensions exceed VP8 limits")
     if h * w > (1 << 20):
@@ -1311,11 +1332,9 @@ def encode_vp8(img: np.ndarray, qi: int = 8,
             )
             f_all = fdct4x4_batch(blocks)
             ysteps = np.where(np.arange(16) == 0, y_dc, y_ac)
-            q_all = np.clip(
-                np.rint(f_all.reshape(16, 16) / ysteps).astype(np.int64),
-                -2114, 2114,
-            )
-            q_all[:, 0] = 0  # DC travels via Y2
+            q_all = _quantize_blocks(
+                f_all.reshape(16, 16), 1, y_dc, y_ac
+            )  # first=1: DC travels via Y2
             yq16 = list(q_all)
             dcs = f_all[:, 0, 0].reshape(4, 4)
             y2q16 = _quantize_block(fwht4x4(dcs), 0, y2_dc, y2_ac)

@@ -287,3 +287,14 @@ def test_normal_filter_differs_from_simple():
     d_n, _ = encode_vp8(img, qi=100, filter_level=40, filter_type="normal")
     assert d_s != d_n
     assert not np.array_equal(decode_vp8(d_s), decode_vp8(d_n))
+
+
+def test_out_of_range_params_clamp_and_stay_bit_exact():
+    """A filter level or quantizer beyond its header field width must
+    clamp, not wrap — a wrapped literal desynchronizes the bitstream from
+    the returned reconstruction."""
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (33, 29, 3)).astype(np.uint8)
+    for qi, fl, ft in ((8, 64, "simple"), (200, 10, "normal"), (127, 99, "normal")):
+        data, recon = encode_vp8(img, qi=qi, filter_level=fl, filter_type=ft)
+        assert np.array_equal(decode_vp8(data), recon)
