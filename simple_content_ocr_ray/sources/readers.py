@@ -400,7 +400,8 @@ def read_pages_from_warc(paths: str | list[str]) -> rd.Dataset:
                     stripped = _strip_http_envelope(block)
                     if stripped and 200 <= stripped[1] < 300:
                         payload = stripped[0]
-                elif rec_type == "resource":
+                elif rec_type in ("resource", "conversion"):
+                    # conversion = WET extracted-text records (write_wet)
                     payload = block
                 if payload is None:
                     continue
@@ -425,6 +426,85 @@ def read_pages_from_warc(paths: str | list[str]) -> rd.Dataset:
         )
 
     return ds.map_batches(parse, batch_format="numpy")
+
+
+def write_wet(
+    ds: rd.Dataset,
+    out_dir: str,
+    url_col: str = "url",
+    text_col: str = "text",
+    ts_col: str | None = None,
+):
+    """Distributed WET export — the Common Crawl extracted-text sink:
+    every Ray block becomes one ``.warc.wet.gz`` shard of ``conversion``
+    records (each record its OWN gzip member, the real framing), so a
+    corpus exported here round-trips through ``read_pages_from_warc``.
+
+    Scale shape: shard-per-block streaming write (no driver
+    materialization of text); files are written to a temp name and
+    renamed, so a re-run never exposes torn shards; shard names are
+    content-addressed (md5 of the first url + record count), making the
+    write idempotent per block. Returns the shard manifest
+    (path, n_records, n_bytes) — driver-side rows are one per shard."""
+    import datetime as dt
+    import gzip as _gzip
+    import hashlib
+    import os as _os
+
+    _os.makedirs(out_dir, exist_ok=True)
+
+    def dump(df: pd.DataFrame) -> pd.DataFrame:
+        import pandas as _pd
+
+        if not len(df):
+            return _pd.DataFrame(
+                {
+                    "path": _pd.Series([], dtype="string"),
+                    "n_records": _pd.Series([], dtype="int64"),
+                    "n_bytes": _pd.Series([], dtype="int64"),
+                }
+            )
+        out = bytearray()
+        for _, row in df.iterrows():
+            body = str(row[text_col]).encode("utf-8")
+            if ts_col is not None:
+                ts = row[ts_col]
+                date = (
+                    _pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ")
+                    if not _pd.isna(ts)
+                    else "1970-01-01T00:00:00Z"
+                )
+            else:
+                date = dt.datetime.fromtimestamp(0, dt.timezone.utc).strftime(
+                    "%Y-%m-%dT%H:%M:%SZ"
+                )
+            rec = (
+                b"WARC/1.0\r\n"
+                b"WARC-Type: conversion\r\n"
+                + f"WARC-Target-URI: {row[url_col]}\r\n".encode()
+                + f"WARC-Date: {date}\r\n".encode()
+                + b"Content-Type: text/plain\r\n"
+                + f"Content-Length: {len(body)}\r\n\r\n".encode()
+                + body
+                + b"\r\n\r\n"
+            )
+            out += _gzip.compress(rec)
+        tag = hashlib.md5(str(df[url_col].iloc[0]).encode()).hexdigest()[:12]
+        name = f"wet-{tag}-{len(df)}.warc.wet.gz"
+        path = _os.path.join(out_dir, name)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(bytes(out))
+        _os.replace(tmp, path)
+        return _pd.DataFrame(
+            {
+                "path": _pd.Series([path], dtype="string"),
+                "n_records": _pd.Series([len(df)], dtype="int64"),
+                "n_bytes": _pd.Series([len(out)], dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(dump, batch_format="pandas").to_pandas()
 
 
 def make_warc_gz(

@@ -210,3 +210,49 @@ def test_http_envelope_bad_gzip_body_keeps_raw_bytes():
         )
         got = _strip_http_envelope(block)
         assert got is not None and got[0] == bad  # raw bytes kept
+
+
+def test_wet_export_roundtrip(ray_session, tmp_path):
+    """Extracted text -> .warc.wet.gz conversion records -> read back:
+    texts, urls and timestamps survive byte-exactly, and the shard write
+    is idempotent (content-addressed names, atomic rename)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from simple_content_ocr_ray.sources.readers import (
+        read_pages_from_warc,
+        write_wet,
+    )
+
+    rows = pd.DataFrame(
+        {
+            "url": [f"https://w.example/{i:04d}" for i in range(50)],
+            "text": [f"doc {i} text with unicode é{i}" for i in range(50)],
+            "warc_ts": pd.to_datetime(
+                [1_700_000_000 + i for i in range(50)], unit="s"
+            ),
+        }
+    )
+    out = tmp_path / "wet"
+    manifest = write_wet(
+        rd.from_pandas(rows), str(out), ts_col="warc_ts"
+    )
+    assert manifest["n_records"].sum() == 50
+    assert all(p.endswith(".warc.wet.gz") for p in manifest["path"])
+
+    back = (
+        read_pages_from_warc([str(out)])
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert len(back) == 50
+    texts = [b.decode("utf-8") for b in back["html"]]
+    assert texts == list(rows["text"])
+    assert list(back["url"]) == list(rows["url"])
+    assert list(back["warc_ts"]) == list(rows["warc_ts"])
+
+    # idempotence: re-running writes the same shard names, no torn files
+    manifest2 = write_wet(rd.from_pandas(rows), str(out), ts_col="warc_ts")
+    assert sorted(manifest2["path"]) == sorted(manifest["path"])
+    assert not any(f.name.endswith(".tmp") for f in out.iterdir())
