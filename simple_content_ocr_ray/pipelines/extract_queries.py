@@ -938,6 +938,10 @@ def parse_robots(raw: bytes) -> list[tuple[bool, str]]:
                 in_agents = True
             else:
                 applies = applies or value == "*"
+        elif field == "sitemap":
+            # Sitemap is a non-group directive (RFC 9309 §2.3 "other
+            # records") — it neither opens nor closes an agent group
+            continue
         else:
             in_agents = False
             # an EMPTY Disallow means "allow all" (RFC 9309) — drop it
@@ -945,6 +949,21 @@ def parse_robots(raw: bytes) -> list[tuple[bool, str]]:
             if applies and field in ("allow", "disallow") and value and "*" not in value:
                 rules.append((field == "allow", value))
     return rules
+
+
+def robots_sitemaps(raw: bytes) -> list[str]:
+    """Absolute sitemap URLs declared by ``Sitemap:`` lines anywhere in a
+    robots.txt (group-independent per RFC 9309 §2.3) — the discovery hook
+    a crawler feeds into the sitemap audit."""
+    out: list[str] = []
+    for line in raw.decode("utf-8", "replace").splitlines():
+        line = line.split("#", 1)[0].strip()
+        field, _, value = line.partition(":")
+        if field.strip().lower() == "sitemap":
+            value = value.strip()
+            if value:
+                out.append(value)
+    return out
 
 
 def robots_allows(rules: list[tuple[bool, str]], path: str) -> bool:

@@ -51,3 +51,32 @@ def test_comments_blank_disallow_and_wildcards():
 def test_empty_and_garbage_robots_allow_everything():
     assert robots_allows(parse_robots(b""), "/any") is True
     assert robots_allows(parse_robots(b"\x00\xff not a robots file"), "/any") is True
+
+
+def test_sitemap_lines_do_not_disturb_groups():
+    """Sitemap is a non-group directive: it must neither close the open
+    agent group nor leak into the rules."""
+    raw = (
+        b"User-agent: *\n"
+        b"Sitemap: https://a.example/sitemap.xml\n"
+        b"Disallow: /login\n"
+    )
+    rules = parse_robots(raw)
+    assert robots_allows(rules, "/login") is False  # group stayed open
+
+
+def test_robots_sitemaps_extraction():
+    from simple_content_ocr_ray.pipelines.extract_queries import (
+        robots_sitemaps,
+    )
+
+    raw = (
+        b"Sitemap: https://a.example/sitemap.xml\n"
+        b"User-agent: *\nDisallow: /x\n"
+        b"sitemap: https://a.example/news.xml  # comment\n"
+        b"Sitemap:\n"  # empty value: ignored
+    )
+    assert robots_sitemaps(raw) == [
+        "https://a.example/sitemap.xml",
+        "https://a.example/news.xml",
+    ]
