@@ -64,11 +64,24 @@ def main(argv: list[str] | None = None) -> int:
         "index so recrawled urls are extracted once across all partitions "
         "(index checkpointed per partition, restored on resume)",
     )
+    p_ex.add_argument(
+        "--wet-out",
+        default=None,
+        help="also export the completed rows' extracted text as "
+        ".warc.wet.gz shards (Common Crawl WET framing) to this directory",
+    )
     p_ex.add_argument("--num-cpus", type=int, default=None)
 
     p_sy = sub.add_parser("synth", help="synthesize the pages table from an sf dir")
     p_sy.add_argument("sf_dir")
     p_sy.add_argument("--dup", type=int, default=0)
+    p_sy.add_argument(
+        "--mock-payloads",
+        action="store_true",
+        help="magic-bytes-only pdf/image payloads (the byte-parity mock "
+        "corpus); the default synthesizes REAL payloads to pair with "
+        "extract's default --preset real",
+    )
 
     sub.add_parser("engines", help="list registered extraction engines")
 
@@ -135,7 +148,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "synth":
         from .sources.synth_pages import synth_pages_parquet
 
-        print(synth_pages_parquet(args.sf_dir, duplicate_every=args.dup))
+        print(
+            synth_pages_parquet(
+                args.sf_dir,
+                duplicate_every=args.dup,
+                real_payloads=not args.mock_payloads,
+            )
+        )
         return 0
 
     # extract — owns the Ray session
@@ -176,7 +195,23 @@ def main(argv: list[str] | None = None) -> int:
                 split_failed=args.split_failed,
                 preset=args.preset,
             )
-            print(json.dumps({"out_dir": args.out_dir, "preset": args.preset}))
+            summary = {"out_dir": args.out_dir, "preset": args.preset}
+            if args.wet_out:
+                import ray.data as rd
+
+                from .sources.readers import write_wet
+
+                import pyarrow.compute as pc
+
+                done = rd.read_parquet(args.out_dir).map_batches(
+                    lambda t: t.filter(pc.equal(t["status"], "completed")),
+                    batch_format="pyarrow",
+                )
+                manifest = write_wet(done, args.wet_out)
+                summary["wet_out"] = args.wet_out
+                summary["wet_shards"] = len(manifest)
+                summary["wet_records"] = int(manifest["n_records"].sum())
+            print(json.dumps(summary))
     finally:
         if owns_session:
             ray.shutdown()  # never tear down a caller-owned session
