@@ -256,3 +256,43 @@ def test_wet_export_roundtrip(ray_session, tmp_path):
     manifest2 = write_wet(rd.from_pandas(rows), str(out), ts_col="warc_ts")
     assert sorted(manifest2["path"]) == sorted(manifest["path"])
     assert not any(f.name.endswith(".tmp") for f in out.iterdir())
+
+
+def test_wet_roundtrip_adversarial_texts(ray_session, tmp_path):
+    """Texts containing WARC header lookalikes, bare CRLF runs, and
+    non-BMP unicode survive the WET roundtrip byte-exactly — the reader
+    walks Content-Length offsets, so embedded framing bytes are data."""
+    import pandas as pd
+    import ray.data as rd
+
+    from simple_content_ocr_ray.sources.readers import (
+        read_pages_from_warc,
+        write_wet,
+    )
+
+    texts = [
+        "WARC/1.0\r\nContent-Length: 4\r\n\r\nfake",  # embedded record
+        "plain",
+        "\r\n\r\n\r\n",  # separator runs
+        "emoji 🜁🜂 and CJK 汉字 and é",
+        "",  # empty document
+        "trailing newline\n",
+    ]
+    rows = pd.DataFrame(
+        {
+            "url": [f"https://adv.example/{i}" for i in range(len(texts))],
+            "text": texts,
+        }
+    )
+    out = tmp_path / "advwet"
+    write_wet(rd.from_pandas(rows), str(out))
+    back = (
+        read_pages_from_warc([str(out)])
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert len(back) == len(texts)
+    got = {u: b.decode("utf-8") for u, b in zip(back["url"], back["html"])}
+    for u, t in zip(rows["url"], rows["text"]):
+        assert got[u] == t, u
