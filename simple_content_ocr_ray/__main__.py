@@ -172,6 +172,33 @@ def main(argv: list[str] | None = None) -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    if args.wet_out and args.split_skew:
+        print(
+            "--wet-out is not supported with --split-skew "
+            "(the skew layout holds page rows, not final documents)",
+            file=sys.stderr,
+        )
+        return 2
+
+    def export_wet(summary: dict) -> None:
+        """Completed rows → WET shards; supported after plain AND resumed
+        runs (both layouts carry the status column)."""
+        if not args.wet_out:
+            return
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from .sources.readers import write_wet
+
+        done = rd.read_parquet(args.out_dir).map_batches(
+            lambda t: t.filter(pc.equal(t["status"], "completed")),
+            batch_format="pyarrow",
+        )
+        manifest = write_wet(done, args.wet_out, overwrite_dir=True)
+        summary["wet_out"] = args.wet_out
+        summary["wet_shards"] = len(manifest)
+        summary["wet_records"] = int(manifest["n_records"].sum())
+
     try:
         if args.resume:
             from .state.manifest import run_partitioned_extraction
@@ -180,6 +207,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.pages_dir, args.out_dir, force=args.force,
                 preset=args.preset, dedup_urls=args.dedup_urls,
             )
+            export_wet(summary)
             print(json.dumps(summary))
         elif args.split_skew:
             from .pipelines.extract import run_split_extraction
@@ -196,21 +224,7 @@ def main(argv: list[str] | None = None) -> int:
                 preset=args.preset,
             )
             summary = {"out_dir": args.out_dir, "preset": args.preset}
-            if args.wet_out:
-                import ray.data as rd
-
-                from .sources.readers import write_wet
-
-                import pyarrow.compute as pc
-
-                done = rd.read_parquet(args.out_dir).map_batches(
-                    lambda t: t.filter(pc.equal(t["status"], "completed")),
-                    batch_format="pyarrow",
-                )
-                manifest = write_wet(done, args.wet_out)
-                summary["wet_out"] = args.wet_out
-                summary["wet_shards"] = len(manifest)
-                summary["wet_records"] = int(manifest["n_records"].sum())
+            export_wet(summary)
             print(json.dumps(summary))
     finally:
         if owns_session:

@@ -434,6 +434,7 @@ def write_wet(
     url_col: str = "url",
     text_col: str = "text",
     ts_col: str | None = None,
+    overwrite_dir: bool = False,
 ):
     """Distributed WET export — the Common Crawl extracted-text sink:
     every Ray block becomes one ``.warc.wet.gz`` shard of ``conversion``
@@ -441,21 +442,43 @@ def write_wet(
     corpus exported here round-trips through ``read_pages_from_warc``.
 
     Scale shape: shard-per-block streaming write (no driver
-    materialization of text); files are written to a temp name and
-    renamed, so a re-run never exposes torn shards; shard names are
-    content-addressed (md5 of the first url + record count), making the
-    write idempotent per block. Returns the shard manifest
-    (path, n_records, n_bytes) — driver-side rows are one per shard."""
-    import datetime as dt
+    materialization of text); files are written to a per-attempt temp
+    name and atomically renamed (no torn shards); shard names are
+    content-addressed over the block's FULL url list, so re-running the
+    same export is idempotent while distinct blocks can never collide on
+    a name. Rows whose text is missing (None/NaN) are dropped, not
+    exported as the literal string "None". Re-running after the corpus
+    or block boundaries changed leaves the PREVIOUS run's shards in
+    place — pass ``overwrite_dir=True`` (the CLI does) to clear the
+    directory first, or export each run into a fresh directory. Returns
+    the shard manifest (path, n_records, n_bytes) — driver-side rows are
+    one per shard."""
     import gzip as _gzip
     import hashlib
     import os as _os
+    import shutil as _shutil
 
+    import pandas as pd
+
+    if overwrite_dir:
+        _shutil.rmtree(out_dir, ignore_errors=True)
     _os.makedirs(out_dir, exist_ok=True)
+
+    def _date(ts) -> str:
+        if pd.isna(ts):
+            return "1970-01-01T00:00:00Z"
+        t = pd.Timestamp(ts)
+        if t.tzinfo is not None:  # label only true UTC instants with Z
+            t = t.tz_convert("UTC").tz_localize(None)
+        if t.microsecond or t.nanosecond:
+            return t.strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z"
+        return t.strftime("%Y-%m-%dT%H:%M:%SZ")
 
     def dump(df: pd.DataFrame) -> pd.DataFrame:
         import pandas as _pd
 
+        if text_col in df.columns:
+            df = df[df[text_col].notna()]
         if not len(df):
             return _pd.DataFrame(
                 {
@@ -467,17 +490,9 @@ def write_wet(
         out = bytearray()
         for _, row in df.iterrows():
             body = str(row[text_col]).encode("utf-8")
-            if ts_col is not None:
-                ts = row[ts_col]
-                date = (
-                    _pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ")
-                    if not _pd.isna(ts)
-                    else "1970-01-01T00:00:00Z"
-                )
-            else:
-                date = dt.datetime.fromtimestamp(0, dt.timezone.utc).strftime(
-                    "%Y-%m-%dT%H:%M:%SZ"
-                )
+            date = _date(row[ts_col]) if ts_col is not None else (
+                "1970-01-01T00:00:00Z"
+            )
             rec = (
                 b"WARC/1.0\r\n"
                 b"WARC-Type: conversion\r\n"
@@ -489,10 +504,12 @@ def write_wet(
                 + b"\r\n\r\n"
             )
             out += _gzip.compress(rec)
-        tag = hashlib.md5(str(df[url_col].iloc[0]).encode()).hexdigest()[:12]
+        tag = hashlib.md5(
+            b"\x00".join(str(u).encode() for u in df[url_col])
+        ).hexdigest()[:16]
         name = f"wet-{tag}-{len(df)}.warc.wet.gz"
         path = _os.path.join(out_dir, name)
-        tmp = path + ".tmp"
+        tmp = f"{path}.{_os.getpid()}.tmp"  # per-attempt: no interleaving
         with open(tmp, "wb") as f:
             f.write(bytes(out))
         _os.replace(tmp, path)

@@ -296,3 +296,68 @@ def test_wet_roundtrip_adversarial_texts(ray_session, tmp_path):
     got = {u: b.decode("utf-8") for u, b in zip(back["url"], back["html"])}
     for u, t in zip(rows["url"], rows["text"]):
         assert got[u] == t, u
+
+
+def test_wet_timestamps_roundtrip_microseconds_and_tz(ray_session, tmp_path):
+    """Microsecond precision survives, tz-aware timestamps are converted
+    to true UTC before the Z label, and missing text rows are dropped."""
+    import pandas as pd
+    import ray.data as rd
+
+    from simple_content_ocr_ray.sources.readers import (
+        read_pages_from_warc,
+        write_wet,
+    )
+
+    rows = pd.DataFrame(
+        {
+            "url": ["https://t.example/a", "https://t.example/b",
+                    "https://t.example/c"],
+            "text": ["micro", "zoned", None],
+            "warc_ts": [
+                pd.Timestamp("2024-03-01 12:00:00.123456"),
+                pd.Timestamp("2024-03-01 14:30:00+02:00"),
+                pd.Timestamp("2024-03-01 00:00:00"),
+            ],
+        }
+    )
+    out = tmp_path / "tswet"
+    manifest = write_wet(rd.from_pandas(rows), str(out), ts_col="warc_ts")
+    assert manifest["n_records"].sum() == 2  # None-text row dropped
+    back = read_pages_from_warc([str(out)]).to_pandas().sort_values("url")
+    assert list(back["warc_ts"]) == [
+        pd.Timestamp("2024-03-01 12:00:00.123456"),
+        pd.Timestamp("2024-03-01 12:30:00"),  # 14:30+02:00 == 12:30 UTC
+    ]
+
+
+def test_cli_wet_export_end_to_end(ray_session, capsys):
+    """extract --wet-out through the real CLI: summary carries shard and
+    record counts, and the export equals the completed-row count."""
+    import json
+    import shutil
+
+    from simple_content_ocr_ray.__main__ import main
+    from simple_content_ocr_ray.sources.synth_pages import synth_pages_parquet
+
+    pages = synth_pages_parquet("/root/testdata/sf0.001", real_payloads=True)
+    shutil.rmtree("/tmp/cli_wet_e2e", ignore_errors=True)
+    rc = main(
+        [
+            "extract", pages, "/tmp/cli_wet_e2e/out",
+            "--wet-out", "/tmp/cli_wet_e2e/wet",
+        ]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["wet_records"] == 475  # 500 - 25 garbage failures
+    assert summary["wet_shards"] >= 1
+
+    # rejected combination: skew layout holds page rows, not documents
+    rc = main(
+        [
+            "extract", pages, "/tmp/cli_wet_e2e/out2",
+            "--split-skew", "--wet-out", "/tmp/cli_wet_e2e/wet2",
+        ]
+    )
+    assert rc == 2
