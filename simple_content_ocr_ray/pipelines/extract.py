@@ -46,6 +46,7 @@ def extraction_pipeline(
     batch_size: int = DEFAULT_BATCH_SIZE,
     concurrency: Optional[tuple[int, int] | int] = None,
     row_timeout_s: Optional[float] = None,
+    max_payload_bytes: Optional[int] = None,
     ray_remote_args: Optional[dict[str, Any]] = None,
 ) -> rd.Dataset:
     """pages(url, warc_ts, html, text, lang) → extracted(url, status, text,
@@ -91,6 +92,7 @@ def extraction_pipeline(
             "route": route,
             "engine_config": engine_config,
             "row_timeout_s": row_timeout_s,
+            "max_payload_bytes": max_payload_bytes,
         },
         batch_format="pyarrow",
         batch_size=batch_size,

@@ -82,6 +82,14 @@ REAL_ROUTE.update(
     {t: "image-decode-stub" for t in IMAGE_TYPES if t not in REAL_ROUTE}
 )
 
+class PayloadTooLargeError(Exception):
+    """Admission cap: the reference DECLARES max_image_size (10 MB,
+    config.py:105-108) but never enforces it; here an over-limit payload
+    becomes a failed ROW before any engine touches it — at crawl scale an
+    unbounded payload is the classic actor-stall vector (a corrupt header
+    can promise gigapixels over kilobytes)."""
+
+
 class RowTimeoutError(Exception):
     pass
 
@@ -136,11 +144,14 @@ class ExtractStage:
         engine_config: Optional[dict[str, dict[str, Any]]] = None,
         payload_column: str = "html",
         row_timeout_s: Optional[float] = None,
+        max_payload_bytes: Optional[int] = None,
     ) -> None:
         self._route = dict(DEFAULT_ROUTE if route is None else route)
         self._engine_config = engine_config or {}
         self._build_engines()
         self.payload_column = payload_column
+        #: admission cap (see PayloadTooLargeError); None = unlimited
+        self.max_payload_bytes = max_payload_bytes
         # Straggler guard (the reference declares per-job/request timeouts —
         # config.py:65-68,134-137 — but never enforces them): when set, each
         # engine call runs on a sidecar DAEMON thread with a deadline; a row
@@ -245,6 +256,14 @@ class ExtractStage:
                 if engine is None:
                     mime = CONTENT_TYPE_TO_MIME.get(ctype, "application/octet-stream")
                     raise UnsupportedTypeError(f"Unsupported document type: {mime}")
+                if (
+                    self.max_payload_bytes
+                    and len(payload) > self.max_payload_bytes
+                ):
+                    raise PayloadTooLargeError(
+                        f"payload is {len(payload)} bytes "
+                        f"(max: {self.max_payload_bytes})"
+                    )
                 hints = parse_hints(hints_raw[i]) if hints_raw else {}
                 timeout_s = self.row_timeout_s
                 if "timeout_seconds" in hints:

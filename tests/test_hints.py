@@ -103,3 +103,36 @@ def test_force_reprocesses_finished_partitions(tmp_path):
         rd.read_parquet(out_dir).count()
         == rd.read_parquet(pages_dir).count()
     )
+
+
+def test_max_payload_bytes_admission_cap(ray_session):
+    """The reference declares max_image_size but never enforces it
+    (config.py:105-108); here an over-limit payload becomes a failed ROW
+    before any engine runs, and in-limit rows are untouched."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from simple_content_ocr_ray.pipelines.extract import extraction_pipeline
+
+    big = b"<!doctype html>" + b"x" * 5000
+    small = b"<!doctype html><article><p>ok body text</p></article>"
+    pages = rd.from_arrow(
+        pa.table(
+            {
+                "url": ["https://c.example/big", "https://c.example/small"],
+                "warc_ts": pa.array([0, 0], pa.timestamp("us")),
+                "html": [big, small],
+                "text": ["", ""],
+                "lang": ["", ""],
+            }
+        )
+    )
+    out = (
+        extraction_pipeline(pages, preset="real", max_payload_bytes=1024)
+        .to_pandas()
+        .set_index("url")
+    )
+    assert out.loc["https://c.example/big", "status"] == "failed"
+    assert "max: 1024" in out.loc["https://c.example/big", "error"]
+    assert out.loc["https://c.example/small", "status"] == "completed"
