@@ -2033,7 +2033,535 @@ FROM s
 """
 
 
+# --------------------------------------------------------------------------
+# Q6-style forecast revenue (pure filter → scalar sum; the simplest TPC-H)
+# --------------------------------------------------------------------------
+
+Q6_LO = pd.Timestamp("1996-01-01")
+Q6_HI = pd.Timestamp("1997-01-01")
+Q6_DISC_LO_C = 5  # discount cents, inclusive
+Q6_DISC_HI_C = 7
+Q6_QTY_MAX = 24
+
+
+def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 shape: revenue delta from dropping small discounts — a pure
+    filter → scalar sum with no join and no shuffle at all. The discount
+    band compares exactly-scaled int64 cents in BOTH engines, so the float
+    boundary (0.05 is not representable) can never disagree with the SQL
+    oracle. Scale shape: per-batch int64 partials, one tiny final reduce —
+    the canonical "full scan, constant output" pattern."""
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        disc_c = np.rint(df["l_discount"].to_numpy() * 100).astype("int64")
+        keep = (
+            (df["l_shipdate"] >= Q6_LO).to_numpy()
+            & (df["l_shipdate"] < Q6_HI).to_numpy()
+            & (disc_c >= Q6_DISC_LO_C)
+            & (disc_c <= Q6_DISC_HI_C)
+            & (df["l_quantity"].to_numpy() < Q6_QTY_MAX)
+        )
+        sub = df[keep]
+        return pd.DataFrame(
+            {
+                "g": np.zeros(len(sub), dtype="int64"),
+                "rev_u": np.rint(
+                    sub["l_extendedprice"] * sub["l_discount"] * 1_000_000
+                ).astype("int64"),
+            }
+        )
+
+    agg = grouped_aggregate(
+        li, ["g"], {"rev_u": ("rev_u", "sum")}, prepare=prepare
+    ).to_pandas()
+    total = int(agg["rev_u"].sum())  # 0 rows if nothing matched
+    return pd.DataFrame({"revenue": [round_half_away(total / 1_000_000.0)]})
+
+
+_Q6_FORECAST_REVENUE_SQL = f"""
+SELECT ROUND(COALESCE(SUM(CAST(ROUND(l_extendedprice * l_discount * 1000000, 0)
+                               AS BIGINT)), 0) / 1000000.0, 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND CAST(ROUND(l_discount * 100, 0) AS BIGINT) BETWEEN {Q6_DISC_LO_C} AND {Q6_DISC_HI_C}
+  AND l_quantity < {Q6_QTY_MAX}
+"""
+
+
+# --------------------------------------------------------------------------
+# Q7-style volume shipping (two-nation trade flows by year)
+# --------------------------------------------------------------------------
+
+Q7_NATION_A = "NATION_3"
+Q7_NATION_B = "NATION_7"
+Q7_YEAR_LO = pd.Timestamp("1996-01-01")
+Q7_YEAR_HI = pd.Timestamp("1998-01-01")
+
+
+def q7_volume_shipping(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7 shape: lineitem revenue shipped between two specific nations
+    (supplier nation ≠ customer nation, both directions), grouped by ship
+    year. Topology mirrors Q5: the nation pair prunes customers and
+    suppliers to tiny driver-side key→nation maps; one orders pass keeps
+    only orders from pruned customers (a few % of orders) and broadcasts
+    orderkey→cust_nation; the single lineitem scan then does BOTH map-side
+    joins, the cross-nation pair filter, and the revenue partials in one
+    ``prepare``. Zero fact-side shuffles; at 100 TB the orderkey map
+    graduates to a hash-partitioned join on the one canonical key
+    (``supplier_nation_hash_join``'s path)."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    key_by_name = dict(zip(nation["n_name"], nation["n_nationkey"]))
+    ka, kb = int(key_by_name[Q7_NATION_A]), int(key_by_name[Q7_NATION_B])
+    name_by_key = {ka: Q7_NATION_A, kb: Q7_NATION_B}
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).to_pandas()
+    cust = cust[cust["c_nationkey"].isin((ka, kb))]
+    cust_nat_by_key = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    ).to_pandas()
+    supp = supp[supp["s_nationkey"].isin((ka, kb))]
+    supp_nat_by_key = dict(zip(supp["s_suppkey"], supp["s_nationkey"]))
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def order_nat(df: pd.DataFrame) -> pd.DataFrame:
+        cn = df["o_custkey"].map(cust_nat_by_key)
+        keep = cn.notna()
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"][keep],
+                "cust_nat": cn[keep].astype("int64"),
+            }
+        )
+
+    orders_small = orders.map_batches(order_nat, batch_format="pandas").to_pandas()
+    order_nat_by_key = dict(zip(orders_small["o_orderkey"], orders_small["cust_nat"]))
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_orderkey",
+            "l_suppkey",
+            "l_shipdate",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["l_shipdate"] >= Q7_YEAR_LO) & (df["l_shipdate"] < Q7_YEAR_HI)
+        df = df[m]
+        supp_nat = df["l_suppkey"].map(supp_nat_by_key)
+        cust_nat = df["l_orderkey"].map(order_nat_by_key)
+        keep = supp_nat.notna() & cust_nat.notna() & (supp_nat != cust_nat)
+        df = df[keep]
+        sn = supp_nat[keep].astype("int64")
+        cn = cust_nat[keep].astype("int64")
+        return pd.DataFrame(
+            {
+                "supp_nation": sn.map(name_by_key),
+                "cust_nation": cn.map(name_by_key),
+                "l_year": df["l_shipdate"].dt.year.astype("int64"),
+                "rev_u": np.rint(
+                    df["l_extendedprice"] * (1 - df["l_discount"]) * 1_000_000
+                ).astype("int64"),
+            }
+        )
+
+    agg = grouped_aggregate(
+        li,
+        ["supp_nation", "cust_nation", "l_year"],
+        {"rev_u": ("rev_u", "sum")},
+        prepare=prepare,
+    ).to_pandas()
+    agg["revenue"] = round_half_away(agg["rev_u"] / 1_000_000.0)
+    return (
+        agg.sort_values(["supp_nation", "cust_nation", "l_year"])[
+            ["supp_nation", "cust_nation", "l_year", "revenue"]
+        ].reset_index(drop=True)
+    )
+
+
+_Q7_VOLUME_SHIPPING_SQL = f"""
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000, 0)
+                      AS BIGINT)) / 1000000.0, 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}')
+  AND cn.n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}')
+  AND sn.n_name <> cn.n_name
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY sn.n_name, cn.n_name, EXTRACT(year FROM l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# --------------------------------------------------------------------------
+# Q10-style returned-item reporting (quarter join → per-customer top-k)
+# --------------------------------------------------------------------------
+
+Q10_QUARTER_LO = pd.Timestamp("1996-07-01")
+Q10_QUARTER_HI = pd.Timestamp("1996-10-01")
+Q10_TOPK = 20
+
+
+def q10_returned_items(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10 shape: which customers returned the most revenue in one
+    quarter — lineitem(returnflag='R') ⋈ orders(quarter) ⋈ customer ⋈
+    nation, top 20 by lost revenue. Topology: the quarter prunes orders to
+    a small broadcast orderkey→custkey map; one lineitem pass filters 'R',
+    maps custkey map-side, and pre-aggregates revenue per customer (the
+    partial+final aggregate is bounded by |customers|, not |lineitem|);
+    the tiny result enriches from the driver-side customer/nation tables
+    and takes the top 20 with an explicit custkey tiebreak so ranking is
+    deterministic in both engines."""
+    import pyarrow.parquet as pq
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def quarter_orders(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["o_orderdate"] >= Q10_QUARTER_LO) & (
+            df["o_orderdate"] < Q10_QUARTER_HI
+        )
+        return df.loc[m, ["o_orderkey", "o_custkey"]]
+
+    orders_small = orders.map_batches(
+        quarter_orders, batch_format="pandas"
+    ).to_pandas()
+    cust_by_order = dict(zip(orders_small["o_orderkey"], orders_small["o_custkey"]))
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_returnflag"] == "R"]
+        ck = df["l_orderkey"].map(cust_by_order)
+        keep = ck.notna()
+        df = df[keep]
+        return pd.DataFrame(
+            {
+                "c_custkey": ck[keep].astype("int64"),
+                "rev_u": np.rint(
+                    df["l_extendedprice"] * (1 - df["l_discount"]) * 1_000_000
+                ).astype("int64"),
+            }
+        )
+
+    per_cust = grouped_aggregate(
+        li, ["c_custkey"], {"rev_u": ("rev_u", "sum")}, prepare=prepare
+    ).to_pandas()
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    ).to_pandas()
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    ).to_pandas()
+    out = per_cust.merge(cust, on="c_custkey").merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    out = out.sort_values(
+        ["rev_u", "c_custkey"], ascending=[False, True]
+    ).head(Q10_TOPK)
+    return pd.DataFrame(
+        {
+            "c_custkey": out["c_custkey"].astype("int64").to_numpy(),
+            "c_name": out["c_name"].to_numpy(),
+            "revenue": round_half_away(out["rev_u"].to_numpy() / 1_000_000.0),
+            "c_acctbal": out["c_acctbal"].to_numpy(),
+            "n_name": out["n_name"].to_numpy(),
+        }
+    )
+
+
+_Q10_RETURNED_ITEMS_SQL = f"""
+SELECT c_custkey,
+       c_name,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000, 0)
+                      AS BIGINT)) / 1000000.0, 4) AS revenue,
+       c_acctbal,
+       n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000, 0)
+                  AS BIGINT)) DESC, c_custkey
+LIMIT {Q10_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
+# Q13-style customer order-count distribution (left join incl. zeros)
+# --------------------------------------------------------------------------
+
+def q13_order_distribution(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 shape: the histogram of orders-per-customer INCLUDING
+    customers with zero orders (the left-join subtlety Q13 exists to test).
+    Topology: one partial+final count over orders keyed by customer (slim —
+    two int64 columns), then the zero bucket is computed from the customer
+    key table rather than materializing a joined fact table: customers with
+    no orders = |customer| − |distinct custkeys in orders|. The histogram
+    itself is a ≤ max-orders-per-customer-row groupby."""
+    import pyarrow.parquet as pq
+
+    per_cust = grouped_aggregate(
+        _read(sf_dir, "orders", columns=["o_custkey"]),
+        ["o_custkey"],
+        {"c_count": (None, "count")},
+    ).to_pandas()
+    n_customers = pq.read_metadata(
+        os.path.join(sf_dir, "customer.parquet")
+    ).num_rows
+    hist = (
+        per_cust.groupby("c_count").size().reset_index(name="custdist")
+    )
+    zeros = int(n_customers - len(per_cust))
+    if zeros:
+        hist = pd.concat(
+            [hist, pd.DataFrame({"c_count": [0], "custdist": [zeros]})],
+            ignore_index=True,
+        )
+    hist = hist.sort_values(
+        ["custdist", "c_count"], ascending=[False, False]
+    ).reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "c_count": hist["c_count"].astype("int64"),
+            "custdist": hist["custdist"].astype("int64"),
+        }
+    )
+
+
+_Q13_ORDER_DISTRIBUTION_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --------------------------------------------------------------------------
+# Q14-style promo revenue share (broadcast dimension → two scalar sums)
+# --------------------------------------------------------------------------
+
+Q14_MONTH_LO = pd.Timestamp("1996-09-01")
+Q14_MONTH_HI = pd.Timestamp("1996-10-01")
+Q14_PROMO_TYPE = "PROMO"
+
+
+def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 shape: what fraction of one month's revenue came from
+    promo-type parts. Topology: the part table collapses to a broadcast
+    partkey→is_promo map (dimension, tiny next to lineitem); ONE lineitem
+    pass computes both the promo and total int64 revenue partials; the
+    percentage divides two identical int64 sums in both engines, so the
+    float result is bit-identical."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    ).to_pandas()
+    promo_keys = frozenset(
+        part.loc[part["p_type"] == Q14_PROMO_TYPE, "p_partkey"].astype("int64")
+    )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["l_shipdate"] >= Q14_MONTH_LO) & (df["l_shipdate"] < Q14_MONTH_HI)
+        df = df[m]
+        rev_u = np.rint(
+            df["l_extendedprice"] * (1 - df["l_discount"]) * 1_000_000
+        ).astype("int64")
+        is_promo = df["l_partkey"].isin(promo_keys).to_numpy()
+        return pd.DataFrame(
+            {
+                "g": np.zeros(len(df), dtype="int64"),
+                "promo_u": np.where(is_promo, rev_u, 0),
+                "total_u": rev_u,
+            }
+        )
+
+    agg = grouped_aggregate(
+        li,
+        ["g"],
+        {"promo_u": ("promo_u", "sum"), "total_u": ("total_u", "sum")},
+        prepare=prepare,
+    ).to_pandas()
+    promo = int(agg["promo_u"].sum())
+    total = int(agg["total_u"].sum())
+    pct = 100.0 * promo / total if total else 0.0
+    return pd.DataFrame({"promo_revenue": [float(round_half_away(pct))]})
+
+
+_Q14_PROMO_REVENUE_SQL = f"""
+SELECT ROUND(
+         100.0 * SUM(CASE WHEN p_type = '{Q14_PROMO_TYPE}'
+                          THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000, 0) AS BIGINT)
+                          ELSE 0 END)
+         / SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000, 0) AS BIGINT)),
+         4) AS promo_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate <  TIMESTAMP '1996-10-01'
+"""
+
+
+# --------------------------------------------------------------------------
+# Q16-style supplier counts per part group (distinct-pair dedup + NOT IN)
+# --------------------------------------------------------------------------
+
+Q16_EXCL_BRAND = "Brand#1"
+Q16_EXCL_TYPE = "PROMO"
+Q16_SIZES = (1, 4, 9, 16, 25, 36, 49)
+
+
+def q16_parts_supplier_counts(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q16 shape: how many DISTINCT suppliers can deliver each
+    (brand, type, size) part group, excluding one brand, one type family,
+    off-list sizes, and a supplier blacklist (restated: suppliers with a
+    negative account balance stand in for Q16's complaint filter; this
+    corpus has no partsupp table, so distinct (l_partkey, l_suppkey) pairs
+    observed in lineitem play that role — documented divergences, mirrored
+    exactly in the SQL oracle).
+
+    Topology: part prunes to the qualifying keys driver-side (dimension);
+    a broadcast semi-filter keeps only qualifying parts' lineitems at the
+    read; per-batch pair dedup pre-shrinks, then ONE partial+final
+    aggregate keyed (partkey, suppkey) makes the pairs globally distinct
+    without shuffling the fact table twice; the distinct-supplier count per
+    (brand, type, size) then runs over a table bounded by |qualifying
+    pairs|, never |lineitem|."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    ).to_pandas()
+    part = part[
+        (part["p_brand"] != Q16_EXCL_BRAND)
+        & (part["p_type"] != Q16_EXCL_TYPE)
+        & (part["p_size"].isin(Q16_SIZES))
+    ]
+    attrs_by_key = {
+        int(k): (b, t, int(s))
+        for k, b, t, s in zip(
+            part["p_partkey"], part["p_brand"], part["p_type"], part["p_size"]
+        )
+    }
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_acctbal"],
+    ).to_pandas()
+    bad_supp = frozenset(
+        supp.loc[supp["s_acctbal"] < 0, "s_suppkey"].astype("int64")
+    )
+
+    li = broadcast_semi_filter(
+        _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"]),
+        attrs_by_key.keys(),
+        "l_partkey",
+    )
+
+    def pair_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[~df["l_suppkey"].isin(bad_supp)]
+        return df.drop_duplicates()  # pre-shrink before the keyed shuffle
+
+    pairs = grouped_aggregate(
+        li,
+        ["l_partkey", "l_suppkey"],
+        {"n": (None, "count")},
+        prepare=pair_rows,
+    ).to_pandas()  # bounded by |qualifying (part, supplier) pairs|
+
+    attrs = pairs["l_partkey"].map(attrs_by_key)
+    out = pd.DataFrame(
+        {
+            "p_brand": [a[0] for a in attrs],
+            "p_type": [a[1] for a in attrs],
+            "p_size": [a[2] for a in attrs],
+            "s_suppkey": pairs["l_suppkey"].astype("int64"),
+        }
+    ).drop_duplicates()
+    hist = (
+        out.groupby(["p_brand", "p_type", "p_size"])
+        .size()
+        .reset_index(name="supplier_cnt")
+    )
+    hist = hist.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True],
+    ).reset_index(drop=True)
+    hist["p_size"] = hist["p_size"].astype("int64")
+    hist["supplier_cnt"] = hist["supplier_cnt"].astype("int64")
+    return hist
+
+
+_Q16_PARTS_SUPPLIER_COUNTS_SQL = f"""
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{Q16_EXCL_BRAND}'
+  AND p_type <> '{Q16_EXCL_TYPE}'
+  AND p_size IN {Q16_SIZES}
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
 QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q10_returned_items": q10_returned_items,
+    "q13_order_distribution": q13_order_distribution,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q16_parts_supplier_counts": q16_parts_supplier_counts,
     "event_value_trend": event_value_trend,
     "weighted_sample_orders": weighted_sample_orders,
     "q18_large_orders": q18_large_orders,
@@ -2070,6 +2598,12 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q6_forecast_revenue": _Q6_FORECAST_REVENUE_SQL,
+    "q7_volume_shipping": _Q7_VOLUME_SHIPPING_SQL,
+    "q10_returned_items": _Q10_RETURNED_ITEMS_SQL,
+    "q13_order_distribution": _Q13_ORDER_DISTRIBUTION_SQL,
+    "q14_promo_revenue": _Q14_PROMO_REVENUE_SQL,
+    "q16_parts_supplier_counts": _Q16_PARTS_SUPPLIER_COUNTS_SQL,
     "event_value_trend": _EVENT_VALUE_TREND_SQL,
     "weighted_sample_orders": _WEIGHTED_SAMPLE_ORDERS_SQL,
     "q18_large_orders": _Q18_LARGE_ORDERS_SQL,
