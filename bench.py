@@ -307,6 +307,12 @@ def run_headline() -> dict:
             "frontier_shards",
             "sitemap_coverage",
             "recrawl_schedule",
+            "q7_volume_shipping",
+            "q16_parts_supplier_counts",
+            "q4_order_priority",
+            "q9_product_profit",
+            "q21_waiting_suppliers",
+            "q22_sales_opportunity",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)

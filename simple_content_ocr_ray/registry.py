@@ -20,7 +20,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         text_stats,
         window,
     )
-    from .pipelines import clean, extract_queries, media, relational, train_feed
+    from .pipelines import clean, extract_queries, media, relational, tpch_rest, train_feed
     from .sources import zorder_layout
     from .state import dedup_index
 
@@ -31,6 +31,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         extract_queries,
         media,
         relational,
+        tpch_rest,
         train_feed,
         zorder_layout,
         dedup_index,
