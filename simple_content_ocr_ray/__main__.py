@@ -70,6 +70,13 @@ def main(argv: list[str] | None = None) -> int:
         help="also export the completed rows' extracted text as "
         ".warc.wet.gz shards (Common Crawl WET framing) to this directory",
     )
+    p_ex.add_argument(
+        "--warc-out",
+        default=None,
+        help="also archive the INPUT pages (url, warc_ts, raw payload) as "
+        ".warc.gz response shards (Common Crawl framing) to this directory "
+        "— the raw-crawl sink pairing read_pages_from_warc",
+    )
     p_ex.add_argument("--num-cpus", type=int, default=None)
 
     p_sy = sub.add_parser("synth", help="synthesize the pages table from an sf dir")
@@ -199,6 +206,21 @@ def main(argv: list[str] | None = None) -> int:
         summary["wet_shards"] = len(manifest)
         summary["wet_records"] = int(manifest["n_records"].sum())
 
+    def export_warc(summary: dict) -> None:
+        """Raw input pages → WARC response shards (works with every run
+        layout — it reads the INPUT, not the extraction output)."""
+        if not getattr(args, "warc_out", None):
+            return
+        import ray.data as rd
+
+        from .sources.readers import write_warc
+
+        pages = rd.read_parquet(args.pages_dir)
+        manifest = write_warc(pages, args.warc_out, overwrite_dir=True)
+        summary["warc_out"] = args.warc_out
+        summary["warc_shards"] = len(manifest)
+        summary["warc_records"] = int(manifest["n_records"].sum())
+
     try:
         if args.resume:
             from .state.manifest import run_partitioned_extraction
@@ -208,12 +230,15 @@ def main(argv: list[str] | None = None) -> int:
                 preset=args.preset, dedup_urls=args.dedup_urls,
             )
             export_wet(summary)
+            export_warc(summary)
             print(json.dumps(summary))
         elif args.split_skew:
             from .pipelines.extract import run_split_extraction
 
             run_split_extraction(args.pages_dir, args.out_dir)
-            print(json.dumps({"out_dir": args.out_dir, "layout": "part=light|pages|heavy"}))
+            summary = {"out_dir": args.out_dir, "layout": "part=light|pages|heavy"}
+            export_warc(summary)
+            print(json.dumps(summary))
         else:
             from .pipelines.extract import run_extraction
 
@@ -225,6 +250,7 @@ def main(argv: list[str] | None = None) -> int:
             )
             summary = {"out_dir": args.out_dir, "preset": args.preset}
             export_wet(summary)
+            export_warc(summary)
             print(json.dumps(summary))
     finally:
         if owns_session:

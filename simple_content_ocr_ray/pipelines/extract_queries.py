@@ -1478,7 +1478,114 @@ SELECT doc_id, u AS url_canonical FROM s3
 """
 
 
+def cdx_index(sf_dir: str) -> pd.DataFrame:
+    """CDX-style capture index — the Common Crawl URL-index artifact: one
+    row per capture keyed by the SURT (Sort-friendly URI Reordering
+    Transform) of its url, plus capture timestamp, mime, status, payload
+    digest and byte length — the exact fields cc-index serves so lookups
+    and prefix scans run without touching WARC payloads.
+
+    SURT rules (the documented subset, mirrored term-for-term in SQL):
+    lowercase host, strip a leading ``www.``, strip default ``:80``/
+    ``:443`` ports, reverse the dot-labels comma-joined, ``)`` joins
+    host to path, query parameters sorted bytewise. Messy url variants
+    (www, uppercase+port, unsorted params) are synthesized per doc so
+    every rule fires. Digest = md5 of the text payload (DuckDB ``md5``
+    hashes the same UTF-8 bytes); length = payload byte length (``strlen``).
+
+    Scale shape: the index derives per batch (hashing is per-row C work,
+    string rules vectorized) with no shuffle; the CDX artifact itself is
+    a SORTED file family, so at corpus scale the tail is
+    ``ds.sort("surt_key")`` + per-range shard writes (the
+    ``sources/sorted_layout.py`` machinery) — here the test-scale table
+    sorts driver-side."""
+    import hashlib
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy()
+        host = pd.Series([f"site{x % N_HOSTS}.example" for x in d])
+        path = pd.Series([f"/articles/{x % 500}" for x in d])
+        variant = d % 4
+        url = pd.Series([""] * len(d))
+        for v, fmt in (
+            (0, lambda h, p: f"https://www.{h}{p}"),
+            (1, lambda h, p: f"https://{h.upper()}:443{p}"),
+            (2, lambda h, p: f"http://{h}{p}?b=2&a=1"),
+            (3, lambda h, p: f"https://{h}{p}?z=9"),
+        ):
+            m = variant == v
+            url[m] = [fmt(h, p_) for h, p_ in zip(host[m], path[m])]
+
+        parts = url.str.extract(r"^[A-Za-z]+://(?P<host>[^/?#]+)(?P<rest>.*)$")
+        h = (
+            parts["host"].str.lower()
+            .str.replace(r":(443|80)$", "", regex=True)
+            .str.replace(r"^www\.", "", regex=True)
+        )
+        rev = h.str.split(".").map(lambda xs: ",".join(reversed(xs)))
+        p = parts["rest"].str.replace(r"\?.*$", "", regex=True)
+        q = parts["rest"].str.extract(r"\?(.*)$")[0].fillna("")
+        q_sorted = q.map(lambda s: "&".join(sorted(s.split("&"))) if s else "")
+        surt = rev + ")" + p + np.where(q_sorted != "", "?" + q_sorted, "")
+
+        text = df["text"].fillna("")
+        return pd.DataFrame(
+            {
+                "surt_key": surt,
+                "ts": pd.Timestamp("2026-01-01")
+                + pd.to_timedelta(d % 86400, unit="s"),
+                "url": url,
+                "mime": "text/html",
+                "status": np.full(len(d), 200, dtype="int64"),
+                "digest": [hashlib.md5(t.encode("utf-8")).hexdigest() for t in text],
+                "length": text.str.encode("utf-8").str.len().astype("int64"),
+            }
+        )
+
+    out = docs.map_batches(build, batch_format="pandas").to_pandas()
+    out["ts"] = out["ts"].astype("datetime64[us]")
+    return out.sort_values(["surt_key", "ts", "url"]).reset_index(drop=True)
+
+
+_CDX_INDEX_SQL = f"""
+WITH capt AS (
+  SELECT doc_id, text,
+    'site' || CAST(doc_id % {N_HOSTS} AS VARCHAR) || '.example' AS h0,
+    '/articles/' || CAST(doc_id % 500 AS VARCHAR) AS p0
+  FROM documents
+),
+u AS (
+  SELECT doc_id, text, p0,
+    CASE doc_id % 4
+      WHEN 0 THEN 'https://www.' || h0 || p0
+      WHEN 1 THEN 'https://' || upper(h0) || ':443' || p0
+      WHEN 2 THEN 'http://' || h0 || p0 || '?b=2&a=1'
+      ELSE 'https://' || h0 || p0 || '?z=9'
+    END AS url,
+    CASE doc_id % 4 WHEN 2 THEN 'a=1&b=2' WHEN 3 THEN 'z=9' ELSE '' END AS q_sorted,
+    h0 AS host
+  FROM capt
+)
+SELECT
+  array_to_string(list_reverse(string_split(host, '.')), ',') || ')' || p0
+    || CASE WHEN q_sorted = '' THEN '' ELSE '?' || q_sorted END AS surt_key,
+  TIMESTAMP '2026-01-01' + to_seconds(doc_id % 86400) AS ts,
+  url,
+  'text/html' AS mime,
+  CAST(200 AS BIGINT) AS status,
+  md5(text) AS digest,
+  CAST(strlen(text) AS BIGINT) AS length
+FROM u
+ORDER BY surt_key, ts, url
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
+    "cdx_index": cdx_index,
     "image_meta": image_meta,
     "page_link_graph": page_link_graph,
     "anchor_text_index": anchor_text_index,
@@ -1506,6 +1613,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "cdx_index": _CDX_INDEX_SQL,
     "image_meta": _IMAGE_META_SQL,
     "exploded_pdf_text": _EXPLODED_PDF_TEXT_SQL,
     "split_pdf_text": _EXPLODED_PDF_TEXT_SQL,  # both paths, one truth

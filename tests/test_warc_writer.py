@@ -1,0 +1,94 @@
+"""write_warc → read_pages_from_warc roundtrip: the distributed WARC sink
+must reproduce every payload byte-identically per url through the repo's
+own reader, including adversarial payloads that look like WARC/HTTP
+framing."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import os
+
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from simple_content_ocr_ray.sources.readers import read_pages_from_warc, write_warc
+
+ADVERSARIAL = [
+    b"",
+    b"plain ascii",
+    b"\x00\x01\xff binary \x1f\x8b not-gzip",
+    b"WARC/1.0\r\nWARC-Type: response\r\n\r\nfake inner record\r\n\r\n",
+    b"HTTP/1.1 200 OK\r\n\r\nfake inner response",
+    b"line\r\n\r\nwith blank\r\n\r\nlines",
+    "unicode é中文".encode("utf-8"),
+    b"x" * 70_000,  # bigger than one gzip flush window
+]
+
+
+@pytest.fixture()
+def pages_df():
+    rows = []
+    for i, body in enumerate(ADVERSARIAL * 3):
+        rows.append(
+            {
+                "url": f"https://host{i % 4}.example/p/{i}",
+                "warc_ts": pd.Timestamp("2026-03-01 12:00:00") + pd.Timedelta(seconds=i),
+                "html": body,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def test_warc_roundtrip_byte_identical(ray_session, tmp_path, pages_df):
+    out = str(tmp_path / "warc")
+    manifest = write_warc(rd.from_pandas(pages_df, override_num_blocks=3), out)
+    assert manifest["n_records"].sum() == len(pages_df)
+    assert len(manifest) == len(glob.glob(os.path.join(out, "*.warc.gz")))
+
+    back = read_pages_from_warc(sorted(glob.glob(os.path.join(out, "*.warc.gz")))).to_pandas()
+    assert len(back) == len(pages_df)
+    got = dict(zip(back["url"], back["html"]))
+    for _, r in pages_df.iterrows():
+        assert bytes(got[r["url"]]) == bytes(r["html"]), r["url"]
+    # timestamps survive at second precision
+    ts = dict(zip(back["url"], back["warc_ts"]))
+    for _, r in pages_df.iterrows():
+        assert ts[r["url"]] == r["warc_ts"]
+
+
+def test_warc_shards_are_own_member_gzip(ray_session, tmp_path, pages_df):
+    out = str(tmp_path / "warc")
+    write_warc(rd.from_pandas(pages_df, override_num_blocks=2), out)
+    shard = sorted(glob.glob(os.path.join(out, "*.warc.gz")))[0]
+    raw = open(shard, "rb").read()
+    # multi-member framing: decompressing only the FIRST member yields one
+    # whole record, not the whole shard
+    first = gzip.decompress(raw[: raw.index(b"\x1f\x8b", 2) if raw.count(b"\x1f\x8b") > 1 else len(raw)])
+    assert first.startswith(b"WARC/1.0\r\n")
+    assert first.count(b"WARC-Target-URI:") == 1
+
+
+def test_warc_rewrite_is_idempotent(ray_session, tmp_path, pages_df):
+    out = str(tmp_path / "warc")
+    ds = rd.from_pandas(pages_df, override_num_blocks=3)
+    write_warc(ds, out)
+    names1 = sorted(os.listdir(out))
+    write_warc(rd.from_pandas(pages_df, override_num_blocks=3), out)
+    assert sorted(os.listdir(out)) == names1
+
+
+def test_warc_drops_null_payloads(ray_session, tmp_path):
+    df = pd.DataFrame(
+        {
+            "url": ["https://a.example/1", "https://a.example/2"],
+            "warc_ts": [pd.Timestamp("2026-01-01")] * 2,
+            "html": [b"keep", None],
+        }
+    )
+    out = str(tmp_path / "warc")
+    manifest = write_warc(rd.from_pandas(df), out)
+    assert manifest["n_records"].sum() == 1
+    back = read_pages_from_warc(sorted(glob.glob(os.path.join(out, "*.warc.gz")))).to_pandas()
+    assert list(back["url"]) == ["https://a.example/1"]
