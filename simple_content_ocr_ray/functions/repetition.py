@@ -831,7 +831,113 @@ FROM t
 """
 
 
+LINE_DEDUP_FRACTION = 0.05
+_LINE_N_HOSTS = 97
+
+
+def line_dedup_clean(sf_dir: str) -> pd.DataFrame:
+    """CCNet/RefinedWeb-style corpus-wide LINE dedup: a line that appears
+    in more than ``LINE_DEDUP_FRACTION`` of all documents is boilerplate
+    (nav bars, footers, cookie banners) and is stripped from every
+    document; surviving lines rebuild each document in original order.
+    The fraction threshold makes the semantics scale-invariant — the same
+    rule fires identically at sf0.001 and at 10^12 docs.
+
+    The corpus' texts have no newlines, so each doc synthesizes its
+    4-line page deterministically: a per-host nav line (~1% of docs —
+    kept), the doc's own text (unique — kept), a tag line shared by 1/7
+    of docs (dropped), and a global footer (dropped).
+
+    Scale topology (the CCNet shape): pass 1 is a line-hash frequency
+    aggregate pre-shrunk per batch (one row per distinct line per batch
+    crosses the shuffle); the >threshold hot set is SMALL BY CONSTRUCTION
+    (only lines repeated across >5% of a corpus fit in it) and broadcasts
+    into pass 2, which drops lines and rebuilds docs entirely within
+    their own batch — payload text never shuffles."""
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    n_docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).count()
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy()
+        text = df["text"].fillna("")
+        return pd.DataFrame(
+            {
+                "line": np.concatenate(
+                    [
+                        [f"site{x % _LINE_N_HOSTS}.example navigation home about contact" for x in d],
+                        text.to_numpy(dtype=object),
+                        [f"tag {x % 7}" for x in d],
+                        ["copyright 2026 all rights reserved"] * len(d),
+                    ]
+                ),
+            }
+        )
+
+    freq = grouped_aggregate(
+        docs, ["line"], {"n": (None, "count")}, prepare=explode
+    ).to_pandas()
+    hot = frozenset(freq.loc[freq["n"] > n_docs * LINE_DEDUP_FRACTION, "line"])
+
+    import ray
+
+    hot_ref = ray.put(hot)
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        hot_set = ray.get(hot_ref)
+        d = df["doc_id"].to_numpy()
+        text = df["text"].fillna("")
+        lines_per_doc = [
+            [f"site{x % _LINE_N_HOSTS}.example navigation home about contact", t, f"tag {x % 7}",
+             "copyright 2026 all rights reserved"]
+            for x, t in zip(d, text)
+        ]
+        kept = [[ln for ln in lines if ln not in hot_set] for lines in lines_per_doc]
+        return pd.DataFrame(
+            {
+                "doc_id": d.astype("int64"),
+                "clean_text": ["\n".join(k) for k in kept],
+                "n_kept": pd.Series([len(k) for k in kept], dtype="int64"),
+                "n_dropped": pd.Series([4 - len(k) for k in kept], dtype="int64"),
+            }
+        )
+
+    out = docs.map_batches(rebuild, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_LINE_DEDUP_CLEAN_SQL = f"""
+WITH lines AS (
+  SELECT doc_id, 1 AS idx,
+         'site' || CAST(doc_id % {_LINE_N_HOSTS} AS VARCHAR)
+           || '.example navigation home about contact' AS line
+  FROM documents
+  UNION ALL SELECT doc_id, 2, text FROM documents
+  UNION ALL SELECT doc_id, 3, 'tag ' || CAST(doc_id % 7 AS VARCHAR) FROM documents
+  UNION ALL SELECT doc_id, 4, 'copyright 2026 all rights reserved' FROM documents
+),
+freq AS (SELECT line, COUNT(*) AS n FROM lines GROUP BY 1),
+total AS (SELECT COUNT(*) AS n_docs FROM documents),
+kept AS (
+  SELECT l.doc_id, l.idx, l.line
+  FROM lines l JOIN freq f USING (line), total
+  WHERE f.n <= total.n_docs * {LINE_DEDUP_FRACTION}
+)
+SELECT doc_id,
+       string_agg(line, chr(10) ORDER BY idx) AS clean_text,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(4 - COUNT(*) AS BIGINT) AS n_dropped
+FROM kept
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
+    "line_dedup_clean": line_dedup_clean,
     "bpe_pair_counts": bpe_pair_counts,
     "bpe_merge_rounds": bpe_merge_rounds,
     "bpe_encode_stats": bpe_encode_stats,
@@ -845,6 +951,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "line_dedup_clean": _LINE_DEDUP_CLEAN_SQL,
     "bpe_pair_counts": _BPE_PAIR_COUNTS_SQL,
     "repeated_ngrams": _REPEATED_NGRAMS_SQL,
     "repeated_ngram_spans": _REPEATED_SPANS_SQL,
