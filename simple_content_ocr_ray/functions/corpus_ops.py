@@ -914,6 +914,105 @@ def _pagerank_sql(iters: int = PAGERANK_ITERS) -> str:
     return "\n".join(parts)
 
 
+HITS_TOPK = 100
+
+
+def hits_scores(sf_dir: str) -> pd.DataFrame:
+    """HITS hubs & authorities (Kleinberg) over a deterministic doc-link
+    graph — the other canonical web-graph iteration next to
+    ``doc_pagerank``, with the same exact-integer discipline: two
+    unrolled unnormalized steps (a1 = in-degree, h1 = Σ a1 over
+    out-links, a2 = Σ h1 over in-links) are pure int64 sums, so
+    distributed accumulation order cannot move a bit and the unrolled-CTE
+    oracle matches exactly.
+
+    Graph (oracle-reconstructable from contiguous doc_ids): node d links
+    to ``(23·d + 7·k) mod N`` for k = 1..(1 + d%3) — out-degree varies
+    1..3 so in-degrees (and therefore scores) are non-uniform.
+
+    Topology: edges derive per batch from doc_id (never materialized
+    driver-side); a1 is one edge-keyed partial+final count; h1 computes
+    in-batch from the broadcast a1 map (bounded by |nodes| — at 10^12
+    docs this becomes a hash join on dst, the
+    ``supplier_nation_hash_join`` path); a2 is a second edge-keyed
+    shuffle of h1 contributions. Output: top-{HITS_TOPK} authorities."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from .agg import grouped_aggregate
+
+    n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def edges_of(src: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(src_repeated, dst) for the varying-out-degree modular graph."""
+        deg = 1 + (src % 3)
+        src_rep = np.repeat(src, deg)
+        # ragged arange (k = 1..deg per source), fully vectorized
+        starts = np.repeat(np.cumsum(deg) - deg, deg)
+        k = np.arange(len(src_rep), dtype="int64") - starts + 1
+        return src_rep, (23 * src_rep + 7 * k) % n
+
+    def a1_partial(df: pd.DataFrame) -> pd.DataFrame:
+        _, dst = edges_of(df["doc_id"].to_numpy())
+        return pd.DataFrame({"doc_id": dst})
+
+    a1 = grouped_aggregate(docs, ["doc_id"], {"a1": (None, "count")}, prepare=a1_partial).to_pandas()
+    a1_ref = ray.put(dict(zip(a1["doc_id"].astype(int), a1["a1"].astype(int))))
+
+    def h1_then_a2_contribs(df: pd.DataFrame) -> pd.DataFrame:
+        a1_map = ray.get(a1_ref)
+        src = df["doc_id"].to_numpy()
+        src_rep, dst = edges_of(src)
+        a1_dst = pd.Series(dst).map(a1_map).fillna(0).astype("int64")
+        # h1 per source = sum of a1 over its out-links (all in this batch)
+        h1_by_src = a1_dst.groupby(src_rep).sum()
+        h1_rep = pd.Series(src_rep).map(h1_by_src).to_numpy(dtype="int64")
+        # zero rows keep every node present (in-degree-0 authorities)
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate([dst, src]),
+                "c": np.concatenate([h1_rep, np.zeros(len(src), dtype="int64")]),
+            }
+        )
+
+    a2 = grouped_aggregate(
+        docs, ["doc_id"], {"auth": ("c", "sum")}, prepare=h1_then_a2_contribs
+    ).to_pandas()
+    a2 = a2.astype({"doc_id": "int64", "auth": "int64"})
+    out = a2.sort_values(["auth", "doc_id"], ascending=[False, True]).head(HITS_TOPK)
+    return out.reset_index(drop=True)
+
+
+_HITS_SCORES_SQL = f"""
+WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+e AS (
+  SELECT d.doc_id AS src,
+         (23 * d.doc_id + 7 * t.k) % (SELECT c FROM nn) AS dst
+  FROM documents d, (VALUES (1), (2), (3)) t(k)
+  WHERE t.k <= 1 + d.doc_id % 3
+),
+a1 AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS a1 FROM e GROUP BY 1),
+h1 AS (
+  SELECT e.src, CAST(SUM(COALESCE(a1.a1, 0)) AS BIGINT) AS h1
+  FROM e LEFT JOIN a1 ON a1.dst = e.dst
+  GROUP BY e.src
+),
+a2 AS (
+  SELECT d.doc_id, CAST(COALESCE(SUM(h1.h1), 0) AS BIGINT) AS auth
+  FROM documents d
+  LEFT JOIN e  ON e.dst = d.doc_id
+  LEFT JOIN h1 ON h1.src = e.src
+  GROUP BY d.doc_id
+)
+SELECT doc_id, auth FROM a2
+ORDER BY auth DESC, doc_id
+LIMIT {HITS_TOPK}
+"""
+
+
 # --------------------------------------------------------------------------
 # Deterministic source-mixture sampling (corpus re-weighting)
 # --------------------------------------------------------------------------
@@ -1355,10 +1454,12 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "doc_split_assign": doc_split_assign,
     "stratified_sample": stratified_sample,
     "lang_length_quantiles": lang_length_quantiles,
+    "hits_scores": hits_scores,
 }
 
 ORACLES: dict[str, str] = {
     "doc_pagerank": _pagerank_sql(),
+    "hits_scores": _HITS_SCORES_SQL,
     "token_budget_mixture": _TOKEN_BUDGET_MIXTURE_SQL,
     "source_lang_kl": _SOURCE_LANG_KL_SQL,
     "near_dup_keepers": _near_dup_keepers_sql(),
