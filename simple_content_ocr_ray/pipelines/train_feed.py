@@ -335,8 +335,76 @@ FROM c
 """
 
 
-QUERIES = {"packed_sequences": packed_sequences, "doc_chunks": doc_chunks}
+SPLIT_FEED_CONSUMERS = 3
+
+
+def split_feed(
+    sf_dir: str, n_consumers: int = SPLIT_FEED_CONSUMERS, columns: list[str] | None = None
+) -> list[list[pd.DataFrame]]:
+    """Multi-consumer training feed via ``Dataset.streaming_split`` — the
+    Ray Data API for feeding N trainer workers from ONE dataset without
+    materializing per-worker copies: each consumer pulls a disjoint
+    stream of blocks with backpressure, and the union is exactly one
+    epoch. The iterators must be consumed CONCURRENTLY (the coordinator
+    hands blocks to whichever consumer is ready), so each runs in its own
+    thread here — in a real trainer each lives in its training worker.
+
+    Returns the batches each consumer received; coverage guarantees
+    (disjoint, complete) are asserted by ``split_feed_coverage`` and
+    tests/test_train_feed.py."""
+    import threading
+
+    ds = corpus_dataset(sf_dir, columns or ["doc_id"])
+    its = ds.streaming_split(n_consumers, equal=False)
+    out: list[list[pd.DataFrame]] = [[] for _ in range(n_consumers)]
+
+    def consume(i: int) -> None:
+        for b in its[i].iter_batches(batch_size=256, batch_format="pandas"):
+            out[i].append(b)
+
+    threads = [threading.Thread(target=consume, args=(i,)) for i in range(n_consumers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return out
+
+
+def split_feed_coverage(sf_dir: str) -> pd.DataFrame:
+    """Driver-gate wrapper for ``split_feed``: one row asserting the
+    multi-consumer stream is a PARTITION of the corpus — every doc seen
+    exactly once across consumers, none twice, none missed. The row is
+    deterministic even though the per-consumer assignment is not."""
+    parts = split_feed(sf_dir)
+    ids: list[np.ndarray] = [
+        pd.concat(bs)["doc_id"].to_numpy() if bs else np.array([], dtype="int64")
+        for bs in parts
+    ]
+    allids = np.concatenate(ids)
+    return pd.DataFrame(
+        {
+            "n_consumers": pd.Series([len(parts)], dtype="int64"),
+            "total_rows": pd.Series([len(allids)], dtype="int64"),
+            "distinct_rows": pd.Series([len(np.unique(allids))], dtype="int64"),
+        }
+    )
+
+
+_SPLIT_FEED_COVERAGE_SQL = f"""
+SELECT CAST({SPLIT_FEED_CONSUMERS} AS BIGINT) AS n_consumers,
+       CAST(COUNT(*) AS BIGINT) AS total_rows,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS distinct_rows
+FROM documents
+"""
+
+
+QUERIES = {
+    "packed_sequences": packed_sequences,
+    "doc_chunks": doc_chunks,
+    "split_feed_coverage": split_feed_coverage,
+}
 ORACLES = {
     "packed_sequences": _PACKED_SEQUENCES_SQL,
     "doc_chunks": _DOC_CHUNKS_SQL,
+    "split_feed_coverage": _SPLIT_FEED_COVERAGE_SQL,
 }

@@ -112,3 +112,21 @@ def test_mixed_epoch_batches_weighted_interleave(ray_session):
     assert len(again) == len(batches)
     for x, y in zip(batches, again):
         pd.testing.assert_frame_equal(x.reset_index(drop=True), y.reset_index(drop=True))
+
+
+def test_split_feed_partitions_the_corpus(ray_session):
+    """streaming_split consumers receive a disjoint, complete partition."""
+    import numpy as np
+    import pandas as pd
+
+    parts = train_feed.split_feed(SF, n_consumers=3)
+    ids = [
+        pd.concat(bs)["doc_id"].to_numpy() if bs else np.array([], dtype="int64")
+        for bs in parts
+    ]
+    allids = np.concatenate(ids)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    assert sorted(allids) == sorted(docs["doc_id"].astype(int))
+    assert len(np.unique(allids)) == len(allids)  # disjoint
+    # the stream actually fans out: more than one consumer got data
+    assert sum(1 for x in ids if len(x)) > 1
