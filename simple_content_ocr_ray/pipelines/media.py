@@ -874,7 +874,75 @@ FROM documents ORDER BY doc_id
 """
 
 
+def image_thumbnails(sf_dir: str) -> rd.Dataset:
+    """Real thumbnail pipeline — decode (from-scratch PNG) → exact
+    area-mean resize into an 8×8 box, aspect preserved → PNG re-encode —
+    the reference design doc's companion service to OCR (design.md:9
+    cites its 50–130 ms latency envelope as the OCR comparison point).
+
+    Input images are constant-pixel PNGs (dims and value pure functions
+    of doc_id, like ``png_real_meta``), so every emitted field — dims,
+    thumb dims (the IEEE scale formula mirrored verbatim), brightness
+    (resize of a constant is the constant) — is SQL-predictable; the
+    resize kernel's non-constant behavior is pinned separately by the
+    gradient parity test in tests/test_media.py. The re-encoded
+    ``thumb_png`` column is dropped before comparison (zlib bytes are
+    deterministic but not SQL-derivable); its validity is asserted by the
+    decode-roundtrip test."""
+    import numpy as np
+
+    from ..stages.media import ImageThumbnailStage
+    from ..stages.png_decode import make_png
+
+    def with_png(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["png"] = [
+            make_png(
+                np.full(
+                    (9 + int(d) % 21, 9 + int(d) % 13),
+                    int(d) % 256,
+                    dtype=np.uint8,
+                )
+            )
+            for d in df["doc_id"]
+        ]
+        return df
+
+    return (
+        _docs(sf_dir)
+        .map_batches(with_png, batch_format="pandas", batch_size=MEDIA_BATCH_SIZE)
+        .map_batches(
+            ImageThumbnailStage,
+            batch_format="pandas",
+            batch_size=MEDIA_BATCH_SIZE,
+            concurrency=_media_concurrency(),
+        )
+        .map_batches(
+            lambda df: df[
+                ["doc_id", "width", "height", "thumb_w", "thumb_h", "thumb_brightness"]
+            ],
+            batch_format="pandas",
+        )
+    )
+
+
+_IMAGE_THUMBNAILS_SQL = """
+WITH dims AS (
+  SELECT doc_id,
+         9 + doc_id % 13 AS width,
+         9 + doc_id % 21 AS height
+  FROM documents
+)
+SELECT doc_id, width, height,
+       GREATEST(1, CAST(FLOOR(width  * LEAST(8.0 / height, 8.0 / width)) AS BIGINT)) AS thumb_w,
+       GREATEST(1, CAST(FLOOR(height * LEAST(8.0 / height, 8.0 / width)) AS BIGINT)) AS thumb_h,
+       doc_id % 256 AS thumb_brightness
+FROM dims
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
+    "image_thumbnails": image_thumbnails,
     "audio_meta": audio_meta,
     "video_meta": video_meta,
     "png_real_meta": png_real_meta,
@@ -892,6 +960,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "image_ahash_dupes": image_ahash_dupes,
 }
 ORACLES: dict[str, str] = {
+    "image_thumbnails": _IMAGE_THUMBNAILS_SQL,
     "audio_meta": _AUDIO_META_SQL,
     "video_meta": _VIDEO_META_SQL,
     "png_real_meta": _PNG_REAL_META_SQL,

@@ -101,6 +101,77 @@ class AudioFeatureStage:
         return out
 
 
+THUMB_BOX = 8  # thumbnails fit an 8×8 box, aspect preserved
+
+
+def area_mean_resize(img: "np.ndarray", th: int, tw: int) -> "np.ndarray":
+    """Exact area-mean downscale of a 2-D uint8 image to (th, tw): each
+    output pixel is the floor-mean of its source bucket (buckets split at
+    ``floor(i·src/dst)`` boundaries — the classic box filter). Fully
+    vectorized via two ``np.add.reduceat`` passes; integer arithmetic
+    throughout, so the result is platform-exact."""
+    h, w = img.shape
+    ys = (np.arange(th, dtype=np.int64) * h) // th
+    xs = (np.arange(tw, dtype=np.int64) * w) // tw
+    sums = np.add.reduceat(
+        np.add.reduceat(img.astype(np.int64), ys, axis=0), xs, axis=1
+    )
+    yc = np.diff(np.append(ys, h))
+    xc = np.diff(np.append(xs, w))
+    counts = yc[:, None] * xc[None, :]
+    return (sums // counts).astype(np.uint8)
+
+
+def thumb_dims(h: int, w: int, box: int = THUMB_BOX) -> tuple[int, int]:
+    """Aspect-preserving fit into a box×box target (floor, min 1) — the
+    formula is mirrored verbatim in the image_thumbnails SQL oracle, so
+    both engines evaluate the identical IEEE expression."""
+    scale = min(box / h, box / w)
+    return max(1, int(h * scale)), max(1, int(w * scale))
+
+
+class ImageThumbnailStage:
+    """Actor-pool thumbnailer — the reference design doc's companion
+    service to OCR (its latency envelope cites "thumbnailer 50–130 ms" vs
+    OCR 1–5 s: openspec/changes/add-ocr-processing-capability/design.md:9):
+    decode the image payload with the from-scratch PNG decoder, area-mean
+    downscale into an 8×8 box preserving aspect, re-encode as a real PNG.
+    Emits thumbnail dims, brightness, and the encoded thumbnail bytes.
+    Decoder import happens once per actor (``__init__``), resize + encode
+    per batch."""
+
+    def __init__(self, payload_col: str = "png") -> None:
+        from .png_decode import decode_png, make_png
+
+        self.payload_col = payload_col
+        self._decode = decode_png
+        self._encode = make_png
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ws, hs, tws, ths, bright, blobs = [], [], [], [], [], []
+        for payload in df[self.payload_col]:
+            img = self._decode(bytes(payload))
+            if img.ndim == 3:  # (h, w, ch) → integer-exact grey
+                img = (img.astype(np.int64).sum(axis=2) // img.shape[2]).astype(np.uint8)
+            h, w = img.shape
+            th, tw = thumb_dims(h, w)
+            thumb = area_mean_resize(img, th, tw)
+            hs.append(h)
+            ws.append(w)
+            ths.append(th)
+            tws.append(tw)
+            bright.append(int(thumb.astype(np.int64).sum() // thumb.size))
+            blobs.append(self._encode(thumb))
+        out = df.drop(columns=[self.payload_col]).reset_index(drop=True)
+        out["width"] = pd.Series(ws, dtype="int64")
+        out["height"] = pd.Series(hs, dtype="int64")
+        out["thumb_w"] = pd.Series(tws, dtype="int64")
+        out["thumb_h"] = pd.Series(ths, dtype="int64")
+        out["thumb_brightness"] = pd.Series(bright, dtype="int64")
+        out["thumb_png"] = blobs
+        return out
+
+
 class VideoFrameSampleStage:
     """Actor-pool stage: raw frame-stack binary column → frame count +
     per-sampled-frame mean brightness (every ``sample_every``-th frame).

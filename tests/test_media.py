@@ -111,3 +111,48 @@ def test_image_ahash_dupes_groups(ray_session):
     assert len(got) == len(docs)
     # keeper is the min doc_id of each class, every doc maps to its class keeper
     assert (got["keeper"] == got["doc_id"] % AHASH_CLASSES).all()
+
+
+def test_area_mean_resize_matches_brute_force():
+    """The vectorized reduceat resize equals a per-bucket floor-mean
+    brute force on a gradient image (non-constant → every bucket edge
+    case fires), for divisible and non-divisible shape pairs."""
+    import numpy as np
+
+    from simple_content_ocr_ray.stages.media import area_mean_resize
+
+    rng_img = (np.add.outer(np.arange(23), np.arange(17)) * 3 % 251).astype(np.uint8)
+    for th, tw in [(8, 8), (5, 3), (23, 17), (1, 1), (7, 16)]:
+        got = area_mean_resize(rng_img, th, tw)
+        h, w = rng_img.shape
+        exp = np.empty((th, tw), dtype=np.uint8)
+        for i in range(th):
+            y0, y1 = (i * h) // th, ((i + 1) * h) // th if i + 1 < th else h
+            for j in range(tw):
+                x0, x1 = (j * w) // tw, ((j + 1) * w) // tw if j + 1 < tw else w
+                block = rng_img[y0:y1, x0:x1].astype(np.int64)
+                exp[i, j] = block.sum() // block.size
+        assert (got == exp).all(), (th, tw)
+
+
+def test_thumbnail_stage_roundtrips_png(ray_session):
+    """ImageThumbnailStage emits a VALID PNG whose decoded pixels equal
+    the resize of the decoded input."""
+    import numpy as np
+    import pandas as pd
+
+    from simple_content_ocr_ray.stages.media import (
+        ImageThumbnailStage,
+        area_mean_resize,
+        thumb_dims,
+    )
+    from simple_content_ocr_ray.stages.png_decode import decode_png, make_png
+
+    img = (np.add.outer(np.arange(30), np.arange(12)) % 256).astype(np.uint8)
+    stage = ImageThumbnailStage()
+    out = stage(pd.DataFrame({"doc_id": [1], "png": [make_png(img)]}))
+    th, tw = thumb_dims(*img.shape)
+    assert (out.thumb_h.iloc[0], out.thumb_w.iloc[0]) == (th, tw)
+    back = decode_png(bytes(out.thumb_png.iloc[0]))
+    back = back[:, :, 0] if back.ndim == 3 else back
+    assert (back == area_mean_resize(img, th, tw)).all()
