@@ -313,6 +313,10 @@ def run_headline() -> dict:
             "q9_product_profit",
             "q21_waiting_suppliers",
             "q22_sales_opportunity",
+            "cdx_index",
+            "line_dedup_clean",
+            "hits_scores",
+            "image_thumbnails",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)
