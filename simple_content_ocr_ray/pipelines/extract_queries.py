@@ -1478,6 +1478,52 @@ SELECT doc_id, u AS url_canonical FROM s3
 """
 
 
+def _cdx_rows(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch CDX capture rows (shared by ``cdx_index`` and
+    ``cdx_prefix_scan``): synthesize the messy url variant, derive the
+    SURT key, digest and length. See ``cdx_index`` for the rules."""
+    import hashlib
+
+    d = df["doc_id"].to_numpy()
+    host = pd.Series([f"site{x % N_HOSTS}.example" for x in d])
+    path = pd.Series([f"/articles/{x % 500}" for x in d])
+    variant = d % 4
+    url = pd.Series([""] * len(d))
+    for v, fmt in (
+        (0, lambda h, p: f"https://www.{h}{p}"),
+        (1, lambda h, p: f"https://{h.upper()}:443{p}"),
+        (2, lambda h, p: f"http://{h}{p}?b=2&a=1"),
+        (3, lambda h, p: f"https://{h}{p}?z=9"),
+    ):
+        m = variant == v
+        url[m] = [fmt(h, p_) for h, p_ in zip(host[m], path[m])]
+
+    parts = url.str.extract(r"^[A-Za-z]+://(?P<host>[^/?#]+)(?P<rest>.*)$")
+    h = (
+        parts["host"].str.lower()
+        .str.replace(r":(443|80)$", "", regex=True)
+        .str.replace(r"^www\.", "", regex=True)
+    )
+    rev = h.str.split(".").map(lambda xs: ",".join(reversed(xs)))
+    p = parts["rest"].str.replace(r"\?.*$", "", regex=True)
+    q = parts["rest"].str.extract(r"\?(.*)$")[0].fillna("")
+    q_sorted = q.map(lambda s: "&".join(sorted(s.split("&"))) if s else "")
+    surt = rev + ")" + p + np.where(q_sorted != "", "?" + q_sorted, "")
+
+    text = df["text"].fillna("")
+    return pd.DataFrame(
+        {
+            "surt_key": surt,
+            "ts": pd.Timestamp("2026-01-01") + pd.to_timedelta(d % 86400, unit="s"),
+            "url": url,
+            "mime": "text/html",
+            "status": np.full(len(d), 200, dtype="int64"),
+            "digest": [hashlib.md5(t.encode("utf-8")).hexdigest() for t in text],
+            "length": text.str.encode("utf-8").str.len().astype("int64"),
+        }
+    )
+
+
 def cdx_index(sf_dir: str) -> pd.DataFrame:
     """CDX-style capture index — the Common Crawl URL-index artifact: one
     row per capture keyed by the SURT (Sort-friendly URI Reordering
@@ -1499,54 +1545,10 @@ def cdx_index(sf_dir: str) -> pd.DataFrame:
     ``ds.sort("surt_key")`` + per-range shard writes (the
     ``sources/sorted_layout.py`` machinery) — here the test-scale table
     sorts driver-side."""
-    import hashlib
-
     docs = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
-
-    def build(df: pd.DataFrame) -> pd.DataFrame:
-        d = df["doc_id"].to_numpy()
-        host = pd.Series([f"site{x % N_HOSTS}.example" for x in d])
-        path = pd.Series([f"/articles/{x % 500}" for x in d])
-        variant = d % 4
-        url = pd.Series([""] * len(d))
-        for v, fmt in (
-            (0, lambda h, p: f"https://www.{h}{p}"),
-            (1, lambda h, p: f"https://{h.upper()}:443{p}"),
-            (2, lambda h, p: f"http://{h}{p}?b=2&a=1"),
-            (3, lambda h, p: f"https://{h}{p}?z=9"),
-        ):
-            m = variant == v
-            url[m] = [fmt(h, p_) for h, p_ in zip(host[m], path[m])]
-
-        parts = url.str.extract(r"^[A-Za-z]+://(?P<host>[^/?#]+)(?P<rest>.*)$")
-        h = (
-            parts["host"].str.lower()
-            .str.replace(r":(443|80)$", "", regex=True)
-            .str.replace(r"^www\.", "", regex=True)
-        )
-        rev = h.str.split(".").map(lambda xs: ",".join(reversed(xs)))
-        p = parts["rest"].str.replace(r"\?.*$", "", regex=True)
-        q = parts["rest"].str.extract(r"\?(.*)$")[0].fillna("")
-        q_sorted = q.map(lambda s: "&".join(sorted(s.split("&"))) if s else "")
-        surt = rev + ")" + p + np.where(q_sorted != "", "?" + q_sorted, "")
-
-        text = df["text"].fillna("")
-        return pd.DataFrame(
-            {
-                "surt_key": surt,
-                "ts": pd.Timestamp("2026-01-01")
-                + pd.to_timedelta(d % 86400, unit="s"),
-                "url": url,
-                "mime": "text/html",
-                "status": np.full(len(d), 200, dtype="int64"),
-                "digest": [hashlib.md5(t.encode("utf-8")).hexdigest() for t in text],
-                "length": text.str.encode("utf-8").str.len().astype("int64"),
-            }
-        )
-
-    out = docs.map_batches(build, batch_format="pandas").to_pandas()
+    out = docs.map_batches(_cdx_rows, batch_format="pandas").to_pandas()
     out["ts"] = out["ts"].astype("datetime64[us]")
     return out.sort_values(["surt_key", "ts", "url"]).reset_index(drop=True)
 
@@ -1584,8 +1586,54 @@ ORDER BY surt_key, ts, url
 """
 
 
+CDX_SCAN_HOST = 7  # host whose captures the prefix lookup serves
+CDX_LAYOUT_VERSION = 1
+
+
+def cdx_prefix_scan(sf_dir: str) -> pd.DataFrame:
+    """CDX lookups SERVED from the sorted layout — what cc-index actually
+    does: the capture table is range-clustered by SURT once (cached,
+    atomic — ``sources/sorted_layout.py``), and a host-prefix query opens
+    ONLY the ranges overlapping ``[prefix, prefix+0x7f]``, never the full
+    index. The oracle runs the equivalent full-scan ``LIKE prefix%`` —
+    pruning must not change the answer; tests additionally assert that
+    fewer ranges than the whole layout are touched."""
+    import hashlib as _hashlib
+
+    from ..sources.sorted_layout import MANIFEST_NAME, read_range, write_sorted
+
+    abs_dir = os.path.abspath(os.path.normpath(sf_dir))
+    tag = _hashlib.blake2b(abs_dir.encode(), digest_size=4).hexdigest()
+    out = f"/tmp/scor_cdx/{os.path.basename(abs_dir)}_{tag}_v{CDX_LAYOUT_VERSION}"
+    if not os.path.exists(os.path.join(out, MANIFEST_NAME)):
+        docs = rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        write_sorted(docs.map_batches(_cdx_rows, batch_format="pandas"), out, "surt_key")
+    prefix = f"example,site{CDX_SCAN_HOST})"
+    res = read_range(out, prefix, prefix + "\x7f").to_pandas()
+    res = res.drop(columns=["range_id"], errors="ignore")
+    res["ts"] = res["ts"].astype("datetime64[us]")
+    return res.sort_values(["surt_key", "ts", "url"]).reset_index(drop=True)
+
+
+_CDX_PREFIX_SCAN_SQL = (
+    _CDX_INDEX_SQL.replace(
+        "ORDER BY surt_key, ts, url",
+        f"""HAVING_PLACEHOLDER
+ORDER BY surt_key, ts, url""",
+    ).replace(
+        "FROM u\n",
+        f"FROM u\nWHERE array_to_string(list_reverse(string_split(host, '.')), ',')"
+        f" || ')' || p0 || CASE WHEN q_sorted = '' THEN '' ELSE '?' || q_sorted END"
+        f" LIKE 'example,site{CDX_SCAN_HOST})%'\n",
+    ).replace("HAVING_PLACEHOLDER\n", "")
+)
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
     "cdx_index": cdx_index,
+    "cdx_prefix_scan": cdx_prefix_scan,
     "image_meta": image_meta,
     "page_link_graph": page_link_graph,
     "anchor_text_index": anchor_text_index,
@@ -1614,6 +1662,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 
 ORACLES: dict[str, str] = {
     "cdx_index": _CDX_INDEX_SQL,
+    "cdx_prefix_scan": _CDX_PREFIX_SCAN_SQL,
     "image_meta": _IMAGE_META_SQL,
     "exploded_pdf_text": _EXPLODED_PDF_TEXT_SQL,
     "split_pdf_text": _EXPLODED_PDF_TEXT_SQL,  # both paths, one truth

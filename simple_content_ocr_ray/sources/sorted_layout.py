@@ -43,6 +43,10 @@ def _cut_points(ds: rd.Dataset, key: str, num_ranges: int) -> np.ndarray:
 
     s = ds.map_batches(sample, batch_format="pandas").to_pandas()[key].to_numpy()
     qs = np.linspace(0, 1, num_ranges + 1)[1:-1]
+    if s.dtype.kind in ("O", "U", "S"):  # string keys (e.g. SURT): positional
+        s = np.sort(s)                   # quantiles of the sorted sample
+        idx = np.minimum((qs * (len(s) - 1)).round().astype(int), len(s) - 1)
+        return np.unique(s[idx])
     return np.unique(np.quantile(s, qs, method="nearest"))
 
 

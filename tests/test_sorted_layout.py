@@ -68,3 +68,41 @@ def test_read_range_empty_window(ray_session, tmp_path):
     ds = sorted_layout.read_range(out, -2.0, -1.0)
     assert ds.count() == 0
     assert sorted_layout.ranges_scanned(out, -2.0, -1.0) == 0
+
+
+def test_cdx_prefix_scan_prunes_ranges(ray_session):
+    """The SURT prefix lookup opens strictly fewer ranges than the layout
+    holds (string cut points work), and pruning does not change the rows."""
+    import json
+    import os
+
+    import pandas as pd
+
+    from simple_content_ocr_ray.pipelines.extract_queries import (
+        CDX_SCAN_HOST,
+        _cdx_rows,
+        cdx_prefix_scan,
+    )
+    from simple_content_ocr_ray.sources.sorted_layout import MANIFEST_NAME, ranges_scanned
+
+    sf = "/root/testdata/sf0.001"
+    out = cdx_prefix_scan(sf)
+    assert len(out) > 0
+    assert out["surt_key"].str.startswith(f"example,site{CDX_SCAN_HOST})").all()
+
+    # brute force over the full capture table
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    full = _cdx_rows(docs)
+    exp = full[full["surt_key"].str.startswith(f"example,site{CDX_SCAN_HOST})")]
+    assert sorted(out["url"]) == sorted(exp["url"])
+
+    # pruning: fewer ranges touched than the layout has
+    import hashlib
+
+    abs_dir = os.path.abspath(sf)
+    tag = hashlib.blake2b(abs_dir.encode(), digest_size=4).hexdigest()
+    layout = f"/tmp/scor_cdx/{os.path.basename(abs_dir)}_{tag}_v1"
+    with open(os.path.join(layout, MANIFEST_NAME)) as f:
+        n_total = len(json.load(f)["ranges"])
+    prefix = f"example,site{CDX_SCAN_HOST})"
+    assert ranges_scanned(layout, prefix, prefix + "\x7f") < n_total
