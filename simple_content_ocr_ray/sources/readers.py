@@ -211,6 +211,83 @@ def read_pages_from_jsonl(
     return ds.map_batches(to_pages, batch_format="pyarrow")
 
 
+def write_jsonl(
+    ds: rd.Dataset,
+    out_dir: str,
+    compression: str | None = "gzip",
+    overwrite_dir: bool = False,
+):
+    """Distributed JSONL export — the dump format ``read_pages_from_jsonl``
+    ingests, closing the source/sink pair: one ``.jsonl[.gz]`` shard per
+    Ray block, one JSON object per row with the canonical field names
+    (``url``, ``warc_ts`` ISO-8601, ``html_b64``, ``text``, ``lang``);
+    binary payloads ship base64 so the file stays valid UTF-8 text.
+
+    Same scale shape as ``write_wet``/``write_warc``: shard-per-block
+    streaming write, per-attempt temp + atomic rename, content-addressed
+    shard names (idempotent re-runs, no cross-block collisions). Returns
+    the shard manifest (path, n_records, n_bytes)."""
+    import base64
+    import gzip as _gzip
+    import hashlib
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    import pandas as pd
+
+    if overwrite_dir:
+        _shutil.rmtree(out_dir, ignore_errors=True)
+    _os.makedirs(out_dir, exist_ok=True)
+    ext = ".jsonl.gz" if compression == "gzip" else ".jsonl"
+
+    def dump(df: pd.DataFrame) -> pd.DataFrame:
+        import pandas as _pd
+
+        if not len(df):
+            return _pd.DataFrame(
+                {
+                    "path": _pd.Series([], dtype="string"),
+                    "n_records": _pd.Series([], dtype="int64"),
+                    "n_bytes": _pd.Series([], dtype="int64"),
+                }
+            )
+        lines = []
+        for _, row in df.iterrows():
+            obj: dict = {"url": str(row.get("url", ""))}
+            ts = row.get("warc_ts")
+            if ts is not None and not pd.isna(ts):
+                obj["warc_ts"] = pd.Timestamp(ts).isoformat()
+            html = row.get("html")
+            if html is not None and not (isinstance(html, float) and pd.isna(html)):
+                obj["html_b64"] = base64.b64encode(bytes(html)).decode()
+            for k in ("text", "lang"):
+                v = row.get(k)
+                if v is not None and not (isinstance(v, float) and pd.isna(v)):
+                    obj[k] = str(v)
+            lines.append(_json.dumps(obj, ensure_ascii=False))
+        payload = ("\n".join(lines) + "\n").encode("utf-8")
+        if compression == "gzip":
+            payload = _gzip.compress(payload)
+        tag = hashlib.md5(
+            b"\x00".join(str(u).encode() for u in df["url"])
+        ).hexdigest()[:16]
+        path = _os.path.join(out_dir, f"pages-{tag}-{len(df)}{ext}")
+        tmp = f"{path}.{_os.getpid()}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        _os.replace(tmp, path)
+        return _pd.DataFrame(
+            {
+                "path": _pd.Series([path], dtype="string"),
+                "n_records": _pd.Series([len(df)], dtype="int64"),
+                "n_bytes": _pd.Series([len(payload)], dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(dump, batch_format="pandas").to_pandas()
+
+
 def read_pages_from_csv(paths: str | list[str]) -> rd.Dataset:
     """CSV corpus (url, warc_ts, html_b64, text, lang — header row) → the
     canonical pages schema. ``read_csv`` splits files into blocks and parses

@@ -92,3 +92,31 @@ def test_warc_drops_null_payloads(ray_session, tmp_path):
     assert manifest["n_records"].sum() == 1
     back = read_pages_from_warc(sorted(glob.glob(os.path.join(out, "*.warc.gz")))).to_pandas()
     assert list(back["url"]) == ["https://a.example/1"]
+
+
+def test_jsonl_roundtrip(ray_session, tmp_path, pages_df):
+    """write_jsonl shards round-trip byte-identically through
+    read_pages_from_jsonl (gzip and plain)."""
+    import glob
+
+    from simple_content_ocr_ray.sources.readers import (
+        read_pages_from_jsonl,
+        write_jsonl,
+    )
+
+    for comp, pat in (("gzip", "*.jsonl.gz"), (None, "*.jsonl")):
+        out = str(tmp_path / f"jsonl_{comp}")
+        manifest = write_jsonl(
+            rd.from_pandas(pages_df, override_num_blocks=3), out, compression=comp
+        )
+        assert manifest["n_records"].sum() == len(pages_df)
+        back = read_pages_from_jsonl(
+            sorted(glob.glob(os.path.join(out, pat))), compression=comp
+        ).to_pandas()
+        assert len(back) == len(pages_df)
+        got = dict(zip(back["url"], back["html"]))
+        for _, r in pages_df.iterrows():
+            assert bytes(got[r["url"]]) == bytes(r["html"])
+        ts = dict(zip(back["url"], back["warc_ts"]))
+        for _, r in pages_df.iterrows():
+            assert ts[r["url"]] == r["warc_ts"]
