@@ -77,6 +77,13 @@ def main(argv: list[str] | None = None) -> int:
         ".warc.gz response shards (Common Crawl framing) to this directory "
         "— the raw-crawl sink pairing read_pages_from_warc",
     )
+    p_ex.add_argument(
+        "--thumbs-out",
+        default=None,
+        help="also write PNG thumbnails of the input's image payloads "
+        "(any format in the real-decoder family) as parquet to this "
+        "directory — the reference design doc's companion thumbnailer",
+    )
     p_ex.add_argument("--num-cpus", type=int, default=None)
 
     p_sy = sub.add_parser("synth", help="synthesize the pages table from an sf dir")
@@ -221,6 +228,34 @@ def main(argv: list[str] | None = None) -> int:
         summary["warc_shards"] = len(manifest)
         summary["warc_records"] = int(manifest["n_records"].sum())
 
+    def export_thumbs(summary: dict) -> None:
+        """Input image payloads → PNG thumbnail parquet (reads the INPUT,
+        works with every run layout)."""
+        if not getattr(args, "thumbs_out", None):
+            return
+        import pandas as pd
+        import ray.data as rd
+
+        from .stages.media import ImageThumbnailStage
+
+        magics = (b"\x89PNG", b"\xff\xd8", b"BM", b"GIF8", b"II*\x00", b"MM\x00*", b"RIFF")
+
+        def images_only(df: pd.DataFrame) -> pd.DataFrame:
+            keep = df["html"].map(
+                lambda b: isinstance(b, (bytes, bytearray))
+                and bytes(b).startswith(magics)
+            )
+            out = df.loc[keep, ["url", "html"]].rename(columns={"html": "png"})
+            return out
+
+        thumbs = (
+            rd.read_parquet(args.pages_dir, columns=["url", "html"])
+            .map_batches(images_only, batch_format="pandas")
+            .map_batches(ImageThumbnailStage, batch_format="pandas", concurrency=2)
+        )
+        thumbs.write_parquet(args.thumbs_out)
+        summary["thumbs_out"] = args.thumbs_out
+
     try:
         if args.resume:
             from .state.manifest import run_partitioned_extraction
@@ -231,6 +266,7 @@ def main(argv: list[str] | None = None) -> int:
             )
             export_wet(summary)
             export_warc(summary)
+            export_thumbs(summary)
             print(json.dumps(summary))
         elif args.split_skew:
             from .pipelines.extract import run_split_extraction
@@ -238,6 +274,7 @@ def main(argv: list[str] | None = None) -> int:
             run_split_extraction(args.pages_dir, args.out_dir)
             summary = {"out_dir": args.out_dir, "layout": "part=light|pages|heavy"}
             export_warc(summary)
+            export_thumbs(summary)
             print(json.dumps(summary))
         else:
             from .pipelines.extract import run_extraction
@@ -251,6 +288,7 @@ def main(argv: list[str] | None = None) -> int:
             summary = {"out_dir": args.out_dir, "preset": args.preset}
             export_wet(summary)
             export_warc(summary)
+            export_thumbs(summary)
             print(json.dumps(summary))
     finally:
         if owns_session:

@@ -453,3 +453,29 @@ GifImageEngine = _meta_engine("gif-decode", decode_gif)
 TiffImageEngine = _meta_engine("tiff-decode", decode_tiff)
 
 # registered in stages/engines.py (lazy factories)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Magic-byte router over the whole real-decoder family: any image
+    format the reference accepts (config.py:113-120) → uint8 pixel array,
+    one call. Raises ``UnsupportedImageError`` for unknown magics — the
+    shared failed-row seam."""
+    if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        from .png_decode import decode_png
+
+        return decode_png(payload)
+    if payload.startswith(b"\xff\xd8"):
+        from .jpeg_decode import decode_jpeg
+
+        return decode_jpeg(payload)
+    if payload.startswith(b"BM"):
+        return decode_bmp(payload)
+    if payload.startswith((b"GIF87a", b"GIF89a")):
+        return decode_gif(payload)
+    if payload.startswith((b"II*\x00", b"MM\x00*")):
+        return decode_tiff(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .webp_decode import decode_webp
+
+        return decode_webp(payload)
+    raise UnsupportedImageError("unknown image magic")

@@ -141,16 +141,26 @@ class ImageThumbnailStage:
     per batch."""
 
     def __init__(self, payload_col: str = "png") -> None:
-        from .png_decode import decode_png, make_png
+        from .image_formats import decode_image
+        from .png_decode import make_png
 
         self.payload_col = payload_col
-        self._decode = decode_png
+        self._decode = decode_image  # any format in the real-decoder family
         self._encode = make_png
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        ws, hs, tws, ths, bright, blobs = [], [], [], [], [], []
+        from .png_decode import UnsupportedImageError
+
+        ws, hs, tws, ths, bright, blobs, keep = [], [], [], [], [], [], []
         for payload in df[self.payload_col]:
-            img = self._decode(bytes(payload))
+            # undecodable payloads cost their ROW, never the task — the
+            # same failed-row seam every decoder stage uses
+            try:
+                img = self._decode(bytes(payload))
+            except (UnsupportedImageError, ValueError):
+                keep.append(False)
+                continue
+            keep.append(True)
             if img.ndim == 3:  # (h, w, ch) → integer-exact grey
                 img = (img.astype(np.int64).sum(axis=2) // img.shape[2]).astype(np.uint8)
             h, w = img.shape
@@ -162,7 +172,11 @@ class ImageThumbnailStage:
             tws.append(tw)
             bright.append(int(thumb.astype(np.int64).sum() // thumb.size))
             blobs.append(self._encode(thumb))
-        out = df.drop(columns=[self.payload_col]).reset_index(drop=True)
+        out = (
+            df[np.asarray(keep, dtype=bool)]
+            .drop(columns=[self.payload_col])
+            .reset_index(drop=True)
+        )
         out["width"] = pd.Series(ws, dtype="int64")
         out["height"] = pd.Series(hs, dtype="int64")
         out["thumb_w"] = pd.Series(tws, dtype="int64")
