@@ -115,3 +115,43 @@ def test_engines_in_real_route(ray_session):
     assert out.loc["gif", "text"] == "[image 6x4 ch=1 brightness=20.0]"
     assert out.loc["tiff", "text"] == "[image 7x2 ch=1 brightness=30.0]"
     assert (out["status"] == "completed").all()
+
+
+def test_decode_image_routes_every_format():
+    """The magic-byte router reaches the right decoder for each family
+    member and raises the shared seam error for unknown magics."""
+    import numpy as np
+    import pytest
+
+    from simple_content_ocr_ray.stages.image_formats import (
+        decode_image,
+        make_bmp,
+        make_gif,
+        make_tiff,
+    )
+    from simple_content_ocr_ray.stages.jpeg_decode import make_jpeg
+    from simple_content_ocr_ray.stages.png_decode import UnsupportedImageError, make_png
+    from simple_content_ocr_ray.stages.webp_decode import make_webp_lossless
+
+    grey = (np.add.outer(np.arange(16), np.arange(16)) * 7 % 256).astype(np.uint8)
+    rgb = np.stack([grey, grey.T, 255 - grey], axis=2)
+
+    blobs = [
+        make_png(grey),
+        make_bmp(rgb),
+        make_gif(grey),
+        make_tiff(grey),
+        make_jpeg(rgb),          # lossy: dims checked, pixels approximate
+        make_webp_lossless(rgb),
+    ]
+    for blob in blobs:
+        out = decode_image(blob)
+        assert out.dtype == np.uint8
+        assert out.shape[0] == 16 and out.shape[1] == 16
+    # lossless greyscale paths reproduce the pixels exactly
+    for blob in (make_png(grey), make_tiff(grey)):
+        out = decode_image(blob)
+        flat = out[:, :, 0] if out.ndim == 3 else out
+        assert (flat == grey).all()
+    with pytest.raises(UnsupportedImageError):
+        decode_image(b"\x00\x01\x02 not an image")
