@@ -52,9 +52,16 @@ def ensure_bench_pages(sf_dir: str, n_pages: int) -> str:
         pages_table_from_documents,
     )
 
+    # documents.parquet's mtime+size join the key: a regenerated testdata
+    # table under the same path must rebuild the corpus, never time stale one
+    try:
+        st = os.stat(os.path.join(os.path.normpath(sf_dir), "documents.parquet"))
+        stamp = f"_{st.st_mtime_ns % 10**9}_{st.st_size}"
+    except OSError:
+        stamp = "_nostat"
     key = (
         f"{os.path.basename(os.path.normpath(sf_dir))}"
-        f"_v{SYNTH_VERSION}.{BENCH_SYNTH_VERSION}_n{n_pages}_r{RICHNESS}"
+        f"_v{SYNTH_VERSION}.{BENCH_SYNTH_VERSION}_n{n_pages}_r{RICHNESS}{stamp}"
     )
     out_dir = os.path.join(_cache_base(), key)
     if os.path.exists(os.path.join(out_dir, "_SUCCESS")):

@@ -1590,6 +1590,22 @@ CDX_SCAN_HOST = 7  # host whose captures the prefix lookup serves
 CDX_LAYOUT_VERSION = 1
 
 
+def _cdx_layout_dir(sf_dir: str) -> str:
+    """Cache dir of the SURT-sorted capture layout; keyed by path AND the
+    source table's mtime+size so a regenerated documents.parquet under the
+    same path can never serve a stale layout."""
+    import hashlib as _hashlib
+
+    abs_dir = os.path.abspath(os.path.normpath(sf_dir))
+    try:
+        st = os.stat(os.path.join(abs_dir, "documents.parquet"))
+        stamp = f"{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        stamp = "nostat"
+    tag = _hashlib.blake2b(f"{abs_dir}|{stamp}".encode(), digest_size=4).hexdigest()
+    return f"/tmp/scor_cdx/{os.path.basename(abs_dir)}_{tag}_v{CDX_LAYOUT_VERSION}"
+
+
 def cdx_prefix_scan(sf_dir: str) -> pd.DataFrame:
     """CDX lookups SERVED from the sorted layout — what cc-index actually
     does: the capture table is range-clustered by SURT once (cached,
@@ -1598,13 +1614,9 @@ def cdx_prefix_scan(sf_dir: str) -> pd.DataFrame:
     index. The oracle runs the equivalent full-scan ``LIKE prefix%`` —
     pruning must not change the answer; tests additionally assert that
     fewer ranges than the whole layout are touched."""
-    import hashlib as _hashlib
-
     from ..sources.sorted_layout import MANIFEST_NAME, read_range, write_sorted
 
-    abs_dir = os.path.abspath(os.path.normpath(sf_dir))
-    tag = _hashlib.blake2b(abs_dir.encode(), digest_size=4).hexdigest()
-    out = f"/tmp/scor_cdx/{os.path.basename(abs_dir)}_{tag}_v{CDX_LAYOUT_VERSION}"
+    out = _cdx_layout_dir(sf_dir)
     if not os.path.exists(os.path.join(out, MANIFEST_NAME)):
         docs = rd.read_parquet(
             os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]

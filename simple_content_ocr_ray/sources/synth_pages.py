@@ -261,9 +261,16 @@ def synth_pages_parquet(
     """
     # the basename alone would alias two corpora at different paths that
     # share a leaf name (e.g. /a/sf0.001 vs /b/sf0.001) — include a short
-    # digest of the normalized absolute path
+    # digest of the normalized absolute path, PLUS the source table's
+    # mtime+size so a regenerated documents.parquet under the same path
+    # can never serve stale synthesized pages
     abs_dir = os.path.abspath(os.path.normpath(sf_dir))
-    path_tag = _hashlib.blake2b(abs_dir.encode(), digest_size=4).hexdigest()
+    try:
+        st = os.stat(os.path.join(abs_dir, "documents.parquet"))
+        stamp = f"{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        stamp = "nostat"
+    path_tag = _hashlib.blake2b(f"{abs_dir}|{stamp}".encode(), digest_size=4).hexdigest()
     key = (
         f"{os.path.basename(abs_dir)}_{path_tag}"
         f"_v{SYNTH_VERSION}_dup{duplicate_every}"

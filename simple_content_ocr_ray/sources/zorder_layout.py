@@ -197,7 +197,14 @@ def zorder_box_scan(sf_dir: str) -> rd.Dataset:
     import hashlib as _hashlib
 
     abs_dir = os.path.abspath(os.path.normpath(sf_dir))
-    tag = _hashlib.blake2b(abs_dir.encode(), digest_size=4).hexdigest()
+    # events.parquet's mtime+size join the cache key: a regenerated table
+    # under the same path must rebuild the layout, never serve stale cells
+    try:
+        st = os.stat(os.path.join(abs_dir, "events.parquet"))
+        stamp = f"{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        stamp = "nostat"
+    tag = _hashlib.blake2b(f"{abs_dir}|{stamp}".encode(), digest_size=4).hexdigest()
     out = f"/tmp/scor_zorder/{os.path.basename(abs_dir)}_{tag}_v{ZORDER_VERSION}"
     if not os.path.exists(os.path.join(out, MANIFEST_NAME)):
         ds = rd.read_parquet(

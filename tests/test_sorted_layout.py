@@ -97,11 +97,9 @@ def test_cdx_prefix_scan_prunes_ranges(ray_session):
     assert sorted(out["url"]) == sorted(exp["url"])
 
     # pruning: fewer ranges touched than the layout has
-    import hashlib
+    from simple_content_ocr_ray.pipelines.extract_queries import _cdx_layout_dir
 
-    abs_dir = os.path.abspath(sf)
-    tag = hashlib.blake2b(abs_dir.encode(), digest_size=4).hexdigest()
-    layout = f"/tmp/scor_cdx/{os.path.basename(abs_dir)}_{tag}_v1"
+    layout = _cdx_layout_dir(sf)
     with open(os.path.join(layout, MANIFEST_NAME)) as f:
         n_total = len(json.load(f)["ranges"])
     prefix = f"example,site{CDX_SCAN_HOST})"
