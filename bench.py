@@ -324,6 +324,8 @@ def run_headline() -> dict:
             "line_dedup_clean",
             "hits_scores",
             "image_thumbnails",
+            "dsir_doc_weights",
+            "dsir_resample",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)

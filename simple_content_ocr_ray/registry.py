@@ -12,6 +12,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         corpus_ops,
         decontam,
         dedup,
+        importance,
         joins,
         repetition,
         search,
@@ -38,6 +39,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         corpus_ops,
         decontam,
         dedup,
+        importance,
         joins,
         repetition,
         search,
