@@ -326,6 +326,7 @@ def run_headline() -> dict:
             "image_thumbnails",
             "dsir_doc_weights",
             "dsir_resample",
+            "xlingual_margin_pairs",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)

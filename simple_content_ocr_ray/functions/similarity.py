@@ -973,6 +973,199 @@ def semdedup_keepers(sf_dir: str, k: int = SEMDEDUP_K) -> pd.DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Margin-based bitext mining (CCMatrix / LASER-style, Artetxe & Schwenk 2019)
+# --------------------------------------------------------------------------
+
+#: neighbors in each margin denominator (the papers use k=4).
+MARGIN_K = 4
+#: bounded source-side query block — mining runs block-wise over the source
+#: corpus exactly like CCMatrix shards its source sentences.
+MARGIN_NQ = 64
+#: ratio-margin acceptance threshold (CCMatrix ships 1.04–1.06).
+MARGIN_T = 1.05
+
+
+def _margin_sides(sf_dir: str):
+    """Deterministic two-'language' split of the embeddings table: even
+    vec_ids are the source (X) side, odd the target (Y) side. Returns the
+    full normalized X matrix + ids (the INDEXED side — at 10^12 rows this
+    broadcast table is what the IVF/LSH index replaces) and the bounded
+    query-block column positions within it."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    df = t.to_pandas()
+    x = df[df["vec_id"] % 2 == 0].sort_values("vec_id")
+    X = _emb_matrix(x)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    xids = x["vec_id"].to_numpy()
+    qpos = np.flatnonzero(xids < 2 * MARGIN_NQ)
+    return xids, Xn, qpos
+
+
+def xlingual_margin_pairs(sf_dir: str) -> pd.DataFrame:
+    """Parallel-corpus mining with the RATIO margin criterion:
+
+        margin(x, y) = cos(x, y) / ((avg_{k-NN_Y}(x) + avg_{k-NN_X}(y)) / 2)
+
+    — for each source vector x in the bounded query block, the
+    best-margin target-side match and whether it clears ``MARGIN_T``.
+    Plain cosine argmax mines hubs (vectors close to everything); dividing
+    by both sides' local neighborhood density is the published fix.
+
+    Topology: two passes over the STREAMED target side, each emitting only
+    bounded rows — pass 1: per-batch top-k cosine candidates per query
+    (k·|queries| rows/batch) merged into the per-query denominator
+    ``a_x``; pass 2: per-row exact ``a_y`` against the broadcast X index +
+    per-batch argmax-margin candidate per query (|queries| rows/batch),
+    final argmax on the driver over batches×|queries| rows. The corpus is
+    never exploded, joined, or materialized; at 10^12 rows the broadcast
+    X-side matmul swaps for the ann_ivf cell scan, same two-pass shape."""
+    xids, Xn, qpos = _margin_sides(sf_dir)
+    qids = xids[qpos]
+    ref = ray.put((Xn, qpos, xids[qpos]))
+
+    def _odd_only(t):
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(pc.bit_wise_and(t.column("vec_id"), 1), 1))
+
+    ds = _read_emb(sf_dir).map_batches(_odd_only, batch_format="pyarrow")
+
+    class PassOne:
+        def __init__(self) -> None:
+            self.Xn, self.qpos, self.qids = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            M = _emb_matrix(df)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            q_cos = Mn @ self.Xn[self.qpos].T  # (batch, nq)
+            y_ids = df["vec_id"].to_numpy()
+            out = []
+            for j, qid in enumerate(self.qids):
+                col = q_cos[:, j]
+                idx = np.lexsort((y_ids, -col))[:MARGIN_K]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(idx), qid, dtype="int64"),
+                            "y_id": y_ids[idx].astype("int64"),
+                            "cos": col[idx],
+                        }
+                    )
+                )
+            return pd.concat(out, ignore_index=True)
+
+    cands = (
+        ds.map_batches(PassOne, batch_format="pandas", batch_size=4096, concurrency=(1, 4))
+        .to_pandas()
+    )  # bounded: batches × |queries| × k rows
+    a_x = np.empty(len(qids))
+    for j, qid in enumerate(qids):
+        g = cands[cands["query_id"] == qid].sort_values(
+            ["cos", "y_id"], ascending=[False, True], kind="mergesort"
+        )
+        a_x[j] = g["cos"].to_numpy()[:MARGIN_K].mean()
+    ref2 = ray.put(a_x)
+
+    class PassTwo:
+        def __init__(self) -> None:
+            self.Xn, self.qpos, self.qids = ray.get(ref)
+            self.a_x = ray.get(ref2)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            M = _emb_matrix(df)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            C = Mn @ self.Xn.T  # (batch, |X|) — exact a_y vs the full index
+            topk = np.sort(C, axis=1)[:, -MARGIN_K:]
+            a_y = topk.mean(axis=1)
+            q_cos = C[:, self.qpos]
+            margin = q_cos / ((self.a_x[None, :] + a_y[:, None]) / 2.0)
+            y_ids = df["vec_id"].to_numpy()
+            rows = []
+            for j, qid in enumerate(self.qids):
+                col = margin[:, j]
+                best = np.lexsort((y_ids, -col))[0]
+                rows.append(
+                    (int(qid), int(y_ids[best]), q_cos[best, j], col[best])
+                )
+            return pd.DataFrame(
+                rows, columns=["query_id", "matched_id", "cos", "margin"]
+            )
+
+    part = (
+        ds.map_batches(PassTwo, batch_format="pandas", batch_size=4096, concurrency=(1, 4))
+        .to_pandas()
+    )  # bounded: batches × |queries| rows
+    best = (
+        part.sort_values(
+            ["margin", "matched_id"], ascending=[False, True], kind="mergesort"
+        )
+        .groupby("query_id", sort=True)
+        .head(1)
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "query_id": best["query_id"].astype("int64"),
+            "matched_id": best["matched_id"].astype("int64"),
+            "cosine_sim": round_half_away(best["cos"]),
+            "margin": round_half_away(best["margin"]),
+            "accepted": (best["margin"] >= MARGIN_T).to_numpy().astype("int64"),
+        }
+    )
+
+
+_XLINGUAL_MARGIN_SQL = f"""
+WITH xf AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE vec_id % 2 = 0
+), xq AS (
+  SELECT vec_id, e FROM xf WHERE vec_id < {2 * MARGIN_NQ}
+), y AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE vec_id % 2 = 1
+), ay AS (
+  SELECT vec_id, AVG(c) AS a_y FROM (
+    SELECT y.vec_id, list_cosine_similarity(y.e, xf.e) AS c,
+           row_number() OVER (
+             PARTITION BY y.vec_id
+             ORDER BY list_cosine_similarity(y.e, xf.e) DESC, xf.vec_id
+           ) AS rk
+    FROM y CROSS JOIN xf
+  ) WHERE rk <= {MARGIN_K} GROUP BY 1
+), cq AS (
+  SELECT xq.vec_id AS query_id, y.vec_id AS y_id,
+         list_cosine_similarity(xq.e, y.e) AS c
+  FROM xq CROSS JOIN y
+), ax AS (
+  SELECT query_id, AVG(c) AS a_x FROM (
+    SELECT query_id, c,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY c DESC, y_id
+           ) AS rk
+    FROM cq
+  ) WHERE rk <= {MARGIN_K} GROUP BY 1
+), m AS (
+  SELECT query_id, y_id, c, c / ((a_x + a_y) / 2) AS margin
+  FROM cq JOIN ax USING (query_id) JOIN ay ON ay.vec_id = cq.y_id
+)
+SELECT query_id, y_id AS matched_id, ROUND(c, 4) AS cosine_sim,
+       ROUND(margin, 4) AS margin,
+       CAST(CASE WHEN margin >= {MARGIN_T} THEN 1 ELSE 0 END AS BIGINT) AS accepted
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY margin DESC, y_id
+  ) AS rk FROM m
+) WHERE rk = 1
+ORDER BY query_id
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
     "semdedup_keepers": semdedup_keepers,
     "embedding_pca_project": embedding_pca_project,
@@ -984,11 +1177,13 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "ann_pq_topk": ann_pq_topk,
     "embedding_dup_pairs": embedding_dup_pairs,
     "kmeans_clusters": kmeans_clusters,
+    "xlingual_margin_pairs": xlingual_margin_pairs,
 }
 
 ORACLES: dict[str, str] = {
     "label_centroid_norms": _LABEL_CENTROID_SQL,
     "ann_topk": _ANN_TOPK_SQL,
+    "xlingual_margin_pairs": _XLINGUAL_MARGIN_SQL,
     "embedding_dup_pairs": _EMBEDDING_DUP_PAIRS_SQL,
     # ann_ivf_topk: rows-only (approximate; recall asserted in tests)
     # kmeans_clusters: rows-only (iterative, not SQL-expressible; invariants
