@@ -327,6 +327,7 @@ def run_headline() -> dict:
             "dsir_doc_weights",
             "dsir_resample",
             "xlingual_margin_pairs",
+            "html_table_cells",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)

@@ -1643,7 +1643,83 @@ ORDER BY surt_key, ts, url""",
 )
 
 
+# --------------------------------------------------------------------------
+# HTML table extraction (structured layout parse — stages/html_tables.py)
+# --------------------------------------------------------------------------
+
+
+def table_html_payload(lang: str, source: str, n_chars: int) -> bytes:
+    """Deterministic table-bearing page: every cell is a pure function of
+    the document's columns so the SQL oracle can reconstruct the full grid.
+    Deliberately hostile markup on the ORACLE-CHECKED path: a decoy table
+    inside <script>, an attribute containing '>', inner markup + entities
+    in cells, implicitly-closed td/tr (row 2 never closes its cells), and a
+    colspan gap in the second table."""
+    return (
+        "<html><head><title>t</title><style>td{color:red}</style></head><body>"
+        "<p>Prose outside any table; the extractor must ignore it.</p>"
+        '<script>var decoy = "<table><tr><td>never</td></tr></table>";</script>'
+        '<table class="data" summary="a>b">'
+        "<tr><th>lang</th><th>source</th><th>n_chars</th><th>title</th></tr>"
+        f"<tr><td> {lang} </td><td><b>{source}</b></td><td>{n_chars}</td>"
+        f"<td>A &amp; B {lang}</td></tr>"
+        f"<tr><td>{lang.upper()}<td>{source}!<td>{n_chars * 2}"
+        f"<td>C &lt;D&gt; {source}</table>"
+        '<table><tr><td>x1</td><td colspan="2">wide</td><td>x2</td></tr></table>'
+        "</body></html>"
+    ).encode()
+
+
+def html_table_cells(sf_dir: str) -> rd.Dataset:
+    """Real end-to-end table extraction: synthesize a valid-but-hostile
+    table-bearing HTML page per document, run the from-scratch structure
+    parser in an actor pool, emit one row per recovered cell with its true
+    (table, row, col) grid position. Streaming — ~15 slim rows out per doc,
+    payloads never shuffle."""
+    from ..stages.html_tables import TableExtractStage
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "source", "n_chars"],
+    )
+
+    def with_html(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["html"] = [
+            table_html_payload(l, s, int(n))
+            for l, s, n in zip(df["lang"], df["source"], df["n_chars"])
+        ]
+        return df[["doc_id", "html"]]
+
+    return ds.map_batches(with_html, batch_format="pandas").map_batches(
+        TableExtractStage,
+        fn_constructor_kwargs={"id_col": "doc_id"},
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )
+
+
+_HTML_TABLE_CELLS_SQL = """
+SELECT doc_id, 0 AS table_idx, 0 AS row_idx, 0 AS col_idx, 'lang' AS cell FROM documents
+UNION ALL SELECT doc_id, 0, 0, 1, 'source' FROM documents
+UNION ALL SELECT doc_id, 0, 0, 2, 'n_chars' FROM documents
+UNION ALL SELECT doc_id, 0, 0, 3, 'title' FROM documents
+UNION ALL SELECT doc_id, 0, 1, 0, lang FROM documents
+UNION ALL SELECT doc_id, 0, 1, 1, source FROM documents
+UNION ALL SELECT doc_id, 0, 1, 2, CAST(n_chars AS VARCHAR) FROM documents
+UNION ALL SELECT doc_id, 0, 1, 3, 'A & B ' || lang FROM documents
+UNION ALL SELECT doc_id, 0, 2, 0, upper(lang) FROM documents
+UNION ALL SELECT doc_id, 0, 2, 1, source || '!' FROM documents
+UNION ALL SELECT doc_id, 0, 2, 2, CAST(n_chars * 2 AS VARCHAR) FROM documents
+UNION ALL SELECT doc_id, 0, 2, 3, 'C <D> ' || source FROM documents
+UNION ALL SELECT doc_id, 1, 0, 0, 'x1' FROM documents
+UNION ALL SELECT doc_id, 1, 0, 1, 'wide' FROM documents
+UNION ALL SELECT doc_id, 1, 0, 3, 'x2' FROM documents
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
+    "html_table_cells": html_table_cells,
     "cdx_index": cdx_index,
     "cdx_prefix_scan": cdx_prefix_scan,
     "image_meta": image_meta,
@@ -1673,6 +1749,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "html_table_cells": _HTML_TABLE_CELLS_SQL,
     "cdx_index": _CDX_INDEX_SQL,
     "cdx_prefix_scan": _CDX_PREFIX_SCAN_SQL,
     "image_meta": _IMAGE_META_SQL,
