@@ -328,6 +328,7 @@ def run_headline() -> dict:
             "dsir_resample",
             "xlingual_margin_pairs",
             "html_table_cells",
+            "feed_entries",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)

@@ -1644,6 +1644,194 @@ ORDER BY surt_key, ts, url""",
 
 
 # --------------------------------------------------------------------------
+# RSS / Atom feed parsing (crawl-ops: feed-driven discovery)
+# --------------------------------------------------------------------------
+
+_FEED_EPOCH = "2024-01-01 00:00:00"
+_FEED_STRIDES = (0, 1, 2, 3, 4)
+#: entries pointing at never-crawled docs — must be filtered by the join
+_FEED_PHANTOM_OFFSET = 1_000_000_000
+
+
+def _feed_entry_fields(k: int, j: int) -> tuple[int, str, str, str]:
+    """(did, url, title, iso_ts) for entry j of domain k's feed — shared by
+    the generator, so parse-side output is exactly reconstructable."""
+    from datetime import datetime, timedelta
+
+    did = k + 97 * j
+    url = f"https://site{k}.example/{did:08d}"
+    ts = datetime.fromisoformat(_FEED_EPOCH) + timedelta(hours=did)
+    return did, url, f"Post {did}", ts.isoformat()
+
+
+def make_feed(k: int) -> bytes:
+    """Deterministic syndication feed for domain ``k``: RSS 2.0 for even
+    domains, Atom for odd — both formats must round-trip through the same
+    parser. Five real entries plus two phantoms the crawl never fetched."""
+    from datetime import datetime, timezone
+    from email.utils import format_datetime
+
+    entries = [_feed_entry_fields(k, j) for j in _FEED_STRIDES]
+    entries += [
+        (did + _FEED_PHANTOM_OFFSET, url + "x", t, iso)
+        for did, url, t, iso in (_feed_entry_fields(k, 9),)
+    ] + [
+        (did + _FEED_PHANTOM_OFFSET, url + "y", t, iso)
+        for did, url, t, iso in (_feed_entry_fields(k, 11),)
+    ]
+    if k % 2 == 0:  # RSS 2.0 with RFC 822 dates
+        items = "".join(
+            f"<item><title>{t}</title><link>{u}</link>"
+            f"<pubDate>{format_datetime(datetime.fromisoformat(iso).replace(tzinfo=timezone.utc))}</pubDate>"
+            "</item>"
+            for _, u, t, iso in entries
+        )
+        body = (
+            '<?xml version="1.0"?><rss version="2.0"><channel>'
+            f"<title>site{k}</title><link>https://site{k}.example/</link>"
+            f"{items}</channel></rss>"
+        )
+    else:  # Atom with ISO 8601 dates
+        items = "".join(
+            f"<entry><title>{t}</title><link href=\"{u}\"/>"
+            f"<updated>{iso}Z</updated></entry>"
+            for _, u, t, iso in entries
+        )
+        body = (
+            '<?xml version="1.0"?><feed xmlns="http://www.w3.org/2005/Atom">'
+            f"<title>site{k}</title>{items}</feed>"
+        )
+    return body.encode()
+
+
+def parse_feed(raw: bytes) -> list[dict]:
+    """Entries of an RSS 2.0 or Atom feed via a real namespace-aware XML
+    parse: ``(url, title, published)`` with RFC 822 (RSS pubDate) and ISO
+    8601 (Atom updated) dates both parsed to naive-UTC datetimes.
+    Malformed XML yields [] — one bad feed costs one feed, never the task."""
+    import xml.etree.ElementTree as ET
+    from datetime import timezone
+    from email.utils import parsedate_to_datetime
+
+    try:
+        root = ET.fromstring(raw)
+    except ET.ParseError:
+        return []
+    out: list[dict] = []
+    if root.tag == "rss":
+        for item in root.iter("item"):
+            link = item.findtext("link")
+            pub = item.findtext("pubDate")
+            if not link or not pub:
+                continue
+            try:
+                ts = parsedate_to_datetime(pub)
+            except (TypeError, ValueError):
+                continue
+            out.append(
+                {
+                    "url": link.strip(),
+                    "title": (item.findtext("title") or "").strip(),
+                    "published": ts.astimezone(timezone.utc).replace(tzinfo=None),
+                }
+            )
+    else:
+        from datetime import datetime
+
+        ns = "{http://www.w3.org/2005/Atom}"
+        for item in root.iter(f"{ns}entry"):
+            link_el = item.find(f"{ns}link")
+            upd = item.findtext(f"{ns}updated")
+            if link_el is None or not upd:
+                continue
+            href = link_el.get("href")
+            if not href:
+                continue
+            try:
+                ts = datetime.fromisoformat(upd.replace("Z", "+00:00"))
+            except ValueError:
+                continue
+            out.append(
+                {
+                    "url": href.strip(),
+                    "title": (item.findtext(f"{ns}title") or "").strip(),
+                    "published": ts.astimezone(timezone.utc).replace(tzinfo=None),
+                }
+            )
+    return out
+
+
+def feed_entries(sf_dir: str) -> pd.DataFrame:
+    """Feed-driven discovery audit: parse every domain's syndication feed
+    (RSS and Atom mixed, real XML + real date parsing) and keep the entries
+    whose document the crawl actually holds. Scale shape: feeds parse
+    DISTRIBUTED (map_batches over the feed payload table — at real scale
+    that table is millions of fetched feeds); the parsed entry set is tiny
+    and broadcast into a membership filter over the streamed documents
+    table — the crawl side never shuffles."""
+    feeds = rd.from_items(
+        [{"k": k, "payload": make_feed(k)} for k in range(97)]
+    )
+
+    def parse_batch(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, payload in zip(df["k"], df["payload"]):
+            fmt = "rss" if int(k) % 2 == 0 else "atom"
+            for e in parse_feed(bytes(payload)):
+                rows.append(
+                    {
+                        "domain": f"site{int(k)}.example",
+                        "fmt": fmt,
+                        "url": e["url"],
+                        "title": e["title"],
+                        "published": e["published"],
+                    }
+                )
+        out = pd.DataFrame(
+            rows, columns=["domain", "fmt", "url", "title", "published"]
+        )
+        out["published"] = out["published"].astype("datetime64[us]")
+        return out
+
+    entries = feeds.map_batches(parse_batch, batch_format="pandas").to_pandas()
+    # entry link encodes the doc id: .../<did:08d>; phantoms have a suffix
+    did = pd.to_numeric(entries["url"].str.extract(r"/(\d{8})$")[0], errors="coerce")
+    entries = entries.assign(doc_id=did).dropna(subset=["doc_id"])
+    entries["doc_id"] = entries["doc_id"].astype("int64")
+    lookup_ref = ray.put(set(entries["doc_id"]))
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+
+    def crawled(df: pd.DataFrame) -> pd.DataFrame:
+        lk = ray.get(lookup_ref)
+        hit = df[df["doc_id"].isin(lk)][["doc_id"]]
+        return hit.astype({"doc_id": "int64"})
+
+    have = set(
+        docs.map_batches(crawled, batch_format="pandas").to_pandas()["doc_id"]
+    )  # bounded by the entry set, never the crawl
+    out = entries[entries["doc_id"].isin(have)]
+    return (
+        out[["domain", "fmt", "doc_id", "url", "title", "published"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+_FEED_ENTRIES_SQL = f"""
+SELECT 'site' || CAST(d.doc_id % 97 AS VARCHAR) || '.example' AS domain,
+       CASE WHEN (d.doc_id % 97) % 2 = 0 THEN 'rss' ELSE 'atom' END AS fmt,
+       d.doc_id,
+       'https://site' || CAST(d.doc_id % 97 AS VARCHAR) || '.example/'
+         || lpad(CAST(d.doc_id AS VARCHAR), 8, '0') AS url,
+       'Post ' || CAST(d.doc_id AS VARCHAR) AS title,
+       TIMESTAMP '{_FEED_EPOCH}' + INTERVAL (d.doc_id) HOUR AS published
+FROM documents d
+WHERE d.doc_id < {97 * len(_FEED_STRIDES)}
+"""
+
+
+# --------------------------------------------------------------------------
 # HTML table extraction (structured layout parse — stages/html_tables.py)
 # --------------------------------------------------------------------------
 
@@ -1719,6 +1907,7 @@ UNION ALL SELECT doc_id, 1, 0, 3, 'x2' FROM documents
 
 
 QUERIES: dict[str, Callable[[str], object]] = {
+    "feed_entries": feed_entries,
     "html_table_cells": html_table_cells,
     "cdx_index": cdx_index,
     "cdx_prefix_scan": cdx_prefix_scan,
@@ -1749,6 +1938,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "feed_entries": _FEED_ENTRIES_SQL,
     "html_table_cells": _HTML_TABLE_CELLS_SQL,
     "cdx_index": _CDX_INDEX_SQL,
     "cdx_prefix_scan": _CDX_PREFIX_SCAN_SQL,
