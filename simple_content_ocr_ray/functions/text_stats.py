@@ -702,7 +702,84 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# Mojibake repair (ftfy-style encoding fix: UTF-8 read back as Latin-1)
+# --------------------------------------------------------------------------
+
+#: accented suffix per language — makes every synthetic doc carry real
+#: non-ASCII so the round-trip is exercised (the raw corpus is pure ASCII);
+#: plain string literals, so the SQL mirror concatenates the same bytes.
+_MOJI_WORDS = {
+    "en": "naïve",
+    "fr": "déjà vu",
+    "es": "mañana",
+    "de": "Größe",
+    "zh": "中文编码",
+}
+
+
+def _mojibake_fix(s: str) -> str | None:
+    """Reverse the classic corruption (UTF-8 bytes decoded as Latin-1):
+    re-encode as Latin-1 and re-decode as UTF-8. Returns the repaired
+    string, or None when the text is NOT mojibake — genuine Latin-1-range
+    accents fail the UTF-8 re-decode, CJK can't encode to Latin-1 at all,
+    so false positives need adversarial input, not prose."""
+    try:
+        fixed = s.encode("latin-1").decode("utf-8")
+    except (UnicodeEncodeError, UnicodeDecodeError):
+        return None
+    return fixed if fixed != s else None
+
+
+def fix_mojibake(sf_dir: str) -> rd.Dataset:
+    """Encoding-repair pass over a deterministically half-corrupted corpus:
+    docs get a language-specific accented suffix, every third doc is then
+    mangled by the UTF-8-as-Latin-1 mistake, and the stage detects + fixes
+    mojibake per row. The oracle asserts the repaired text is byte-equal
+    to the never-corrupted original AND that detection fires exactly on
+    the corrupted rows. Embarrassingly parallel map_batches; the repair
+    attempt is a cheap two-codec round-trip per row, no shuffle."""
+    ds = _read_documents(sf_dir, ["doc_id", "text", "lang"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        orig = df["text"] + " café " + df["lang"].map(_MOJI_WORDS)
+        ids = df["doc_id"].to_numpy()
+        served = [
+            o.encode("utf-8").decode("latin-1") if int(i) % 3 == 0 else o
+            for i, o in zip(ids, orig)
+        ]
+        fixed, flags = [], []
+        for s in served:
+            f = _mojibake_fix(s)
+            fixed.append(f if f is not None else s)
+            flags.append(1 if f is not None else 0)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "was_fixed": np.asarray(flags, dtype="int64"),
+                "text": fixed,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+_FIX_MOJIBAKE_SQL = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS was_fixed,
+       text || ' café ' || CASE lang
+         WHEN 'en' THEN 'naïve'
+         WHEN 'fr' THEN 'déjà vu'
+         WHEN 'es' THEN 'mañana'
+         WHEN 'de' THEN 'Größe'
+         WHEN 'zh' THEN '中文编码'
+       END AS text
+FROM documents
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
+    "fix_mojibake": fix_mojibake,
     "doc_normalize": doc_normalize,
     "doc_quality_classifier": doc_quality_classifier,
     "lang_score_buckets": lang_score_buckets,
@@ -718,6 +795,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "fix_mojibake": _FIX_MOJIBAKE_SQL,
     "doc_normalize": _DOC_NORMALIZE_SQL,
     "doc_quality_classifier": _DOC_QUALITY_CLASSIFIER_SQL,
     "lang_score_buckets": _LANG_SCORE_BUCKETS_SQL,

@@ -263,3 +263,26 @@ def test_ann_pq_recall_and_exact_rerank(sf_dir):
     for row in approx.itertuples():
         true = float(by_id[int(row.query_id)] @ by_id[int(row.neighbor_id)])
         assert abs(row.cosine_sim - round(true, 4)) <= 1e-9
+
+
+def test_mojibake_fix_roundtrip_and_detection(sf_dir):
+    from simple_content_ocr_ray.functions.text_stats import (
+        _MOJI_WORDS,
+        _mojibake_fix,
+        fix_mojibake,
+    )
+
+    # unit: the classic corruption is reversed exactly; clean text is left alone
+    for w in _MOJI_WORDS.values():
+        clean = f"hello {w} world"
+        mangled = clean.encode("utf-8").decode("latin-1")
+        assert _mojibake_fix(mangled) == clean
+        assert _mojibake_fix(clean) is None
+    assert _mojibake_fix("pure ascii") is None
+
+    # distributed: every third doc was mangled and must come back byte-equal
+    df = fix_mojibake(sf_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (df["was_fixed"] == (df["doc_id"] % 3 == 0).astype("int64")).all()
+    assert df["text"].str.contains("café").all()
+    # no mojibake markers survive (the Latin-1 view of UTF-8 always has Â/Ã)
+    assert not df["text"].str.contains("Ã").any()
