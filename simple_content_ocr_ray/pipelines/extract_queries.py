@@ -1644,6 +1644,77 @@ ORDER BY surt_key, ts, url""",
 
 
 # --------------------------------------------------------------------------
+# WAT sidecar roundtrip (crawl-ops: metadata artifact)
+# --------------------------------------------------------------------------
+
+WAT_LAYOUT_VERSION = 1
+
+
+def _wat_shards_dir(sf_dir: str) -> str:
+    """Cache dir of the exported WAT shard family; keyed by path AND the
+    source table's mtime+size (stale-cache rule, see ``_cdx_layout_dir``)."""
+    import hashlib as _hashlib
+
+    abs_dir = os.path.abspath(os.path.normpath(sf_dir))
+    try:
+        st = os.stat(os.path.join(abs_dir, "documents.parquet"))
+        stamp = f"{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        stamp = "nostat"
+    tag = _hashlib.blake2b(f"{abs_dir}|{stamp}".encode(), digest_size=4).hexdigest()
+    return f"/tmp/scor_wat/{os.path.basename(abs_dir)}_{tag}_v{WAT_LAYOUT_VERSION}"
+
+
+def wat_head_index(sf_dir: str) -> pd.DataFrame:
+    """End-to-end WAT sidecar roundtrip — the metadata artifact that
+    completes the archive family (WARC raw / WET text / CDX index): export
+    the crawl as ``.warc.wat.gz`` metadata shards (``sources/readers.py:
+    write_wat`` — JSON envelopes with REAL parsed head title/lang/metas and
+    the outlink list), then rebuild the head index purely FROM the shards
+    (``read_wat_index``) with the raw pages never re-read. The oracle
+    reconstructs title/lang/n_links from ``documents`` — a writer that drops
+    a link or a reader that misparses an envelope breaks the mirror exactly.
+
+    Scale shape: shard-per-block export (atomic per-shard renames, whole
+    directory published by a single atomic rename), FILE-granular parse-back,
+    no shuffle anywhere; the artifact is cached keyed by source mtime+size.
+    Non-HTML captures (pdf/image/garbage payload classes) stay in the WAT —
+    the query keeps them out via the null-title filter, and tests assert
+    they are present in the index with n_links = 0."""
+    from ..sources.readers import read_wat_index, write_wat
+
+    out = _wat_shards_dir(sf_dir)
+    if not os.path.isdir(out):
+        pages_dir = synth_pages_parquet(sf_dir)
+        tmp = f"{out}.tmp.{os.getpid()}"
+        write_wat(read_pages(pages_dir), tmp, overwrite_dir=True)
+        try:
+            os.rename(tmp, out)  # atomic publish; loser of a race cleans up
+        except OSError:
+            import shutil as _shutil
+
+            _shutil.rmtree(tmp, ignore_errors=True)
+    idx = read_wat_index(out).to_pandas()
+    idx = idx[idx["title"].notna()]
+    return (
+        idx[["url", "title", "html_lang", "n_links"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
+_WAT_HEAD_INDEX_SQL = f"""
+SELECT {_URL_SQL} AS url,
+       'Document ' || CAST(doc_id AS VARCHAR) AS title,
+       lang AS html_lang,
+       CAST(9 AS BIGINT) AS n_links
+FROM documents
+WHERE doc_id % 20 NOT IN (0, 1, 2, 3)
+ORDER BY url
+"""
+
+
+# --------------------------------------------------------------------------
 # RSS / Atom feed parsing (crawl-ops: feed-driven discovery)
 # --------------------------------------------------------------------------
 
@@ -1908,6 +1979,7 @@ UNION ALL SELECT doc_id, 1, 0, 3, 'x2' FROM documents
 
 QUERIES: dict[str, Callable[[str], object]] = {
     "feed_entries": feed_entries,
+    "wat_head_index": wat_head_index,
     "html_table_cells": html_table_cells,
     "cdx_index": cdx_index,
     "cdx_prefix_scan": cdx_prefix_scan,
@@ -1939,6 +2011,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 
 ORACLES: dict[str, str] = {
     "feed_entries": _FEED_ENTRIES_SQL,
+    "wat_head_index": _WAT_HEAD_INDEX_SQL,
     "html_table_cells": _HTML_TABLE_CELLS_SQL,
     "cdx_index": _CDX_INDEX_SQL,
     "cdx_prefix_scan": _CDX_PREFIX_SCAN_SQL,

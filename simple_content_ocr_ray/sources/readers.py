@@ -755,3 +755,217 @@ def make_warc_gz(
         record = head + body + b"\r\n\r\n"
         out += _gzip.compress(record) if gzip_members else record
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# WAT export / index (Common Crawl metadata sidecar)
+# --------------------------------------------------------------------------
+
+#: head-metadata regexes shared by the WAT writer; compiled once per module
+#: import (once per worker process), reused across every batch.
+import re as _re
+
+_TITLE_RE = _re.compile(r"<title>([^<]*)</title>")
+_LANG_RE = _re.compile(r'<html lang="([^"]*)"')
+_HREF_RE = _re.compile(r'href="([^"]+)"')
+_META_RE = _re.compile(r"<meta ([^>]+)>")
+_ATTR_RE = _re.compile(r'([a-zA-Z-]+)="([^"]*)"')
+
+
+def _html_metadata(payload: bytes) -> dict | None:
+    """CC-WAT-style ``HTML-Metadata`` for one payload, or None when the
+    bytes are not an HTML document: ``Head`` (Title, Lang — the ``<html
+    lang>`` attribute, an extension field — and Metas as attr dicts) and
+    ``Links`` (every href, in document order, path ``A@/href``)."""
+    text = payload.decode("utf-8", "ignore")
+    if not text.startswith("<!doctype html>") and not text[:256].lstrip().startswith(
+        "<html"
+    ):
+        return None
+    head: dict = {}
+    m = _TITLE_RE.search(text)
+    if m:
+        head["Title"] = m.group(1)
+    m = _LANG_RE.search(text)
+    if m:
+        head["Lang"] = m.group(1)
+    metas = [dict(_ATTR_RE.findall(attrs)) for attrs in _META_RE.findall(text)]
+    if metas:
+        head["Metas"] = metas
+    links = [{"path": "A@/href", "url": u} for u in _HREF_RE.findall(text)]
+    return {"Head": head, "Links": links}
+
+
+def write_wat(
+    ds: rd.Dataset,
+    out_dir: str,
+    url_col: str = "url",
+    payload_col: str = "html",
+    ts_col: str | None = "warc_ts",
+    overwrite_dir: bool = False,
+):
+    """Distributed WAT export — the Common Crawl metadata sidecar that
+    completes the archive family (``write_warc`` raw crawl, ``write_wet``
+    extracted text, ``cdx_index`` URL index): one ``metadata`` record per
+    capture whose JSON envelope carries the WARC header metadata plus
+    parsed ``HTML-Metadata`` (head title/lang/metas and the full outlink
+    list) for HTML payloads — the artifact link-graph and head-analytics
+    jobs consume WITHOUT touching the raw WARC.
+
+    Same scale shape as ``write_wet``/``write_warc``: shard-per-block
+    streaming write (payloads never gather on the driver), each record its
+    OWN gzip member (real framing), per-attempt temp name + atomic rename,
+    shard names content-addressed over the block's url list (idempotent
+    re-runs, no cross-block collisions). JSON is serialized with sorted
+    keys so the artifact is byte-deterministic for a given block. Returns
+    the shard manifest (path, n_records, n_bytes)."""
+    import gzip as _gzip
+    import hashlib
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    import pandas as pd
+
+    if overwrite_dir:
+        _shutil.rmtree(out_dir, ignore_errors=True)
+    _os.makedirs(out_dir, exist_ok=True)
+
+    def _date(ts) -> str:
+        if ts is None or pd.isna(ts):
+            return "1970-01-01T00:00:00Z"
+        t = pd.Timestamp(ts)
+        if t.tzinfo is not None:
+            t = t.tz_convert("UTC").tz_localize(None)
+        if t.microsecond or t.nanosecond:
+            return t.strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z"
+        return t.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+    def dump(df: pd.DataFrame) -> pd.DataFrame:
+        import pandas as _pd
+
+        if payload_col in df.columns:
+            df = df[df[payload_col].notna()]
+        if not len(df):
+            return _pd.DataFrame(
+                {
+                    "path": _pd.Series([], dtype="string"),
+                    "n_records": _pd.Series([], dtype="int64"),
+                    "n_bytes": _pd.Series([], dtype="int64"),
+                }
+            )
+        out = bytearray()
+        for _, row in df.iterrows():
+            payload = bytes(row[payload_col])
+            date = _date(row[ts_col]) if ts_col is not None else "1970-01-01T00:00:00Z"
+            envelope = {
+                "Envelope": {
+                    "WARC-Header-Metadata": {
+                        "WARC-Target-URI": str(row[url_col]),
+                        "WARC-Date": date,
+                        "WARC-Type": "response",
+                        "Content-Length": str(len(payload)),
+                    },
+                    "Payload-Metadata": {
+                        "Actual-Content-Length": str(len(payload)),
+                    },
+                }
+            }
+            html_meta = _html_metadata(payload)
+            if html_meta is not None:
+                envelope["Envelope"]["Payload-Metadata"][
+                    "HTTP-Response-Metadata"
+                ] = {"HTML-Metadata": html_meta}
+            body = _json.dumps(
+                envelope, sort_keys=True, separators=(",", ":")
+            ).encode("utf-8")
+            rec = (
+                b"WARC/1.0\r\n"
+                b"WARC-Type: metadata\r\n"
+                + f"WARC-Target-URI: {row[url_col]}\r\n".encode()
+                + f"WARC-Date: {date}\r\n".encode()
+                + b"Content-Type: application/json\r\n"
+                + f"Content-Length: {len(body)}\r\n\r\n".encode()
+                + body
+                + b"\r\n\r\n"
+            )
+            out += _gzip.compress(rec)
+        tag = hashlib.md5(
+            b"\x00".join(str(u).encode() for u in df[url_col])
+        ).hexdigest()[:16]
+        name = f"wat-{tag}-{len(df)}.warc.wat.gz"
+        path = _os.path.join(out_dir, name)
+        tmp = f"{path}.{_os.getpid()}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(bytes(out))
+        _os.replace(tmp, path)
+        return _pd.DataFrame(
+            {
+                "path": _pd.Series([path], dtype="string"),
+                "n_records": _pd.Series([len(df)], dtype="int64"),
+                "n_bytes": _pd.Series([len(out)], dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(dump, batch_format="pandas").to_pandas()
+
+
+def read_wat_index(paths: str | list[str]) -> rd.Dataset:
+    """WAT shards → a flat head-metadata index Dataset: one row per
+    ``metadata`` record with columns (url, warc_ts, title, html_lang,
+    n_links, payload_len). Rows whose envelope has no HTML-Metadata
+    (non-HTML captures) carry null title/html_lang and n_links = 0 —
+    they are real captures, not parse errors, so they stay.
+
+    Parallelism is FILE-granular like ``read_pages_from_warc``; shards
+    stream through the same bounded-buffer gzip-member walk."""
+    import json as _json
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+
+    def parse(batch: dict) -> pa.Table:
+        urls: list[str] = []
+        tss: list[int] = []
+        titles: list[str | None] = []
+        langs: list[str | None] = []
+        nlinks: list[int] = []
+        plens: list[int] = []
+        for blob in batch["bytes"]:
+            buf = bytes(blob)
+            recs = (
+                _iter_warc_records_stream(_gzip_chunks(buf))
+                if buf[:2] == b"\x1f\x8b"
+                else _iter_warc_records(buf)
+            )
+            for headers, block in recs:
+                if headers.get("warc-type", "").lower() != "metadata":
+                    continue
+                try:
+                    env = _json.loads(block.decode("utf-8"))["Envelope"]
+                except (ValueError, KeyError, UnicodeDecodeError):
+                    continue  # one damaged record costs one row
+                pm = env.get("Payload-Metadata", {})
+                hm = pm.get("HTTP-Response-Metadata", {}).get("HTML-Metadata")
+                urls.append(headers.get("warc-target-uri", ""))
+                tss.append(_warc_ts(headers.get("warc-date", "")))
+                plens.append(int(pm.get("Actual-Content-Length", 0)))
+                if hm is None:
+                    titles.append(None)
+                    langs.append(None)
+                    nlinks.append(0)
+                else:
+                    titles.append(hm.get("Head", {}).get("Title"))
+                    langs.append(hm.get("Head", {}).get("Lang"))
+                    nlinks.append(len(hm.get("Links", [])))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(tss, pa.timestamp("us")),
+                "title": pa.array(titles, pa.string()),
+                "html_lang": pa.array(langs, pa.string()),
+                "n_links": pa.array(nlinks, pa.int64()),
+                "payload_len": pa.array(plens, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(parse, batch_format="numpy")

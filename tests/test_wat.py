@@ -1,0 +1,140 @@
+"""WAT sidecar export/index tests (sources/readers.py: write_wat /
+read_wat_index)."""
+
+import gzip
+import json
+import os
+
+import pandas as pd
+import ray.data as rd
+
+from simple_content_ocr_ray.sources.readers import (
+    _html_metadata,
+    read_wat_index,
+    write_wat,
+)
+
+HTML = (
+    b"<!doctype html>\n"
+    b'<html lang="fr">\n<head>\n<title>T1</title>\n'
+    b'<meta charset="utf-8">\n<meta name="robots" content="noindex">\n'
+    b'</head>\n<body><a href="/a">a</a> <a href="/b">b</a></body></html>\n'
+)
+
+
+def _pages(rows):
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def test_html_metadata_fields():
+    m = _html_metadata(HTML)
+    assert m["Head"]["Title"] == "T1"
+    assert m["Head"]["Lang"] == "fr"
+    assert {"charset": "utf-8"} in m["Head"]["Metas"]
+    assert {"name": "robots", "content": "noindex"} in m["Head"]["Metas"]
+    assert [link["url"] for link in m["Links"]] == ["/a", "/b"]
+    assert _html_metadata(b"%PDF-1.4 not html") is None
+
+
+def test_wat_roundtrip_html_and_binary(tmp_path):
+    out = str(tmp_path / "wat")
+    pages = _pages(
+        [
+            {
+                "url": "https://x.example/1",
+                "warc_ts": pd.Timestamp("2024-03-01T12:00:00"),
+                "html": HTML,
+            },
+            {
+                "url": "https://x.example/2",
+                "warc_ts": pd.Timestamp("2024-03-02T00:00:00.250000"),
+                "html": b"\x89PNG\r\n\x1a\nbinarystuff",
+            },
+        ]
+    )
+    manifest = write_wat(pages, out)
+    assert manifest["n_records"].sum() == 2
+    assert all(p.endswith(".warc.wat.gz") for p in manifest["path"])
+
+    idx = (
+        read_wat_index(out)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert list(idx["url"]) == ["https://x.example/1", "https://x.example/2"]
+    assert idx.loc[0, "title"] == "T1"
+    assert idx.loc[0, "html_lang"] == "fr"
+    assert idx.loc[0, "n_links"] == 2
+    assert idx.loc[0, "payload_len"] == len(HTML)
+    assert str(idx.loc[0, "warc_ts"]) == "2024-03-01 12:00:00"
+    # the binary capture is a real row, not an error: null head, 0 links
+    assert pd.isna(idx.loc[1, "title"]) and pd.isna(idx.loc[1, "html_lang"])
+    assert idx.loc[1, "n_links"] == 0
+    assert idx.loc[1, "payload_len"] == len(b"\x89PNG\r\n\x1a\nbinarystuff")
+    # sub-second WARC-Date survives the roundtrip
+    assert idx.loc[1, "warc_ts"].microsecond == 250000
+
+
+def test_wat_envelope_is_valid_cc_shape(tmp_path):
+    out = str(tmp_path / "wat")
+    write_wat(
+        _pages([{"url": "https://x.example/1", "warc_ts": None, "html": HTML}]),
+        out,
+        ts_col=None,
+    )
+    shard = os.path.join(out, os.listdir(out)[0])
+    rec = gzip.decompress(open(shard, "rb").read())
+    head, _, body = rec.partition(b"\r\n\r\n")
+    assert b"WARC-Type: metadata" in head
+    env = json.loads(body.rstrip(b"\r\n"))["Envelope"]
+    assert env["WARC-Header-Metadata"]["WARC-Target-URI"] == "https://x.example/1"
+    assert env["WARC-Header-Metadata"]["Content-Length"] == str(len(HTML))
+    hm = env["Payload-Metadata"]["HTTP-Response-Metadata"]["HTML-Metadata"]
+    assert hm["Links"][0] == {"path": "A@/href", "url": "/a"}
+
+
+def test_wat_damaged_record_costs_one_row(tmp_path):
+    out = str(tmp_path / "wat")
+    write_wat(
+        _pages(
+            [
+                {"url": "https://x.example/1", "warc_ts": None, "html": HTML},
+                {"url": "https://x.example/2", "warc_ts": None, "html": HTML},
+            ]
+        ),
+        out,
+        ts_col=None,
+    )
+    shard = os.path.join(out, os.listdir(out)[0])
+    # corrupt the FIRST record's JSON body while keeping WARC framing valid
+    import re
+    import zlib
+
+    members = []
+    data = open(shard, "rb").read()
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(31)
+        members.append(d.decompress(data[pos:]))
+        pos = len(data) - len(d.unused_data)
+    bad_body = b"{not json"
+    old_len = int(re.search(rb"Content-Length: (\d+)", members[0]).group(1))
+    rec0 = members[0].replace(
+        b"Content-Length: %d" % old_len, b"Content-Length: %d" % len(bad_body)
+    )
+    rec0 = rec0.partition(b"\r\n\r\n")[0] + b"\r\n\r\n" + bad_body + b"\r\n\r\n"
+    with open(shard, "wb") as f:
+        f.write(gzip.compress(rec0) + gzip.compress(members[1]))
+    idx = read_wat_index(out).to_pandas()
+    assert len(idx) == 1  # damaged record dropped, the good one survives
+    assert idx.loc[0, "url"] == "https://x.example/2"
+
+
+def test_wat_rerun_idempotent_shard_names(tmp_path):
+    out = str(tmp_path / "wat")
+    rows = [{"url": "https://x.example/1", "warc_ts": None, "html": HTML}]
+    m1 = write_wat(_pages(rows), out, ts_col=None)
+    m2 = write_wat(_pages(rows), out, ts_col=None)
+    assert sorted(m1["path"]) == sorted(m2["path"])
+    assert len(os.listdir(out)) == 1
