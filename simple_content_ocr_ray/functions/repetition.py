@@ -251,6 +251,126 @@ FROM ch GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup
+# --------------------------------------------------------------------------
+
+#: Gear-style rolling boundary rule over a 4-char window: position i (1-based)
+#: ends a chunk when the base-1001 polynomial of the trailing 4 chars
+#: (((c1*1001 + c2)*1001 + c3)*1001 + c4) % CDC_MOD == 0. CDC_MOD prime →
+#: average chunk ≈ CDC_MOD chars (base 1001 > any char code keeps the map
+#: injective on 4-grams, so residues spread even over tiny alphabets — a
+#: weighted SUM left entire small vocabularies boundary-free). The mixing is
+#: a polynomial instead of a random gear table SO THE SQL ORACLE CAN
+#: EVALUATE IT (ascii(substr(...))); the scale shape — boundaries from local
+#: content only, so an insertion re-chunks ONE neighborhood instead of
+#: shifting every downstream chunk like fixed-size chunking does — is the
+#: real CDC property and is asserted by the shift-resistance test.
+CDC_MOD = 61
+CDC_WIN = 4
+
+
+def _cdc_ends(text: str) -> np.ndarray:
+    """1-based chunk END positions, vectorized (one numpy pass per doc, no
+    per-position Python). Positions are CHARACTER offsets; the rule reads
+    byte values, which equal character codes for the ASCII corpus (the SQL
+    mirror's ascii()/substr() are character-based — documented seam for
+    non-ASCII corpora)."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+    if len(b) < CDC_WIN:
+        return np.empty(0, dtype=np.int64)
+    s = ((b[:-3] * 1001 + b[1:-2]) * 1001 + b[2:-1]) * 1001 + b[3:]
+    return np.nonzero(s % CDC_MOD == 0)[0] + CDC_WIN
+
+
+def cdc_chunks(text: str) -> list[str]:
+    """Split ``text`` at the content-defined boundaries (used by the query
+    explode AND directly by the shift-resistance test)."""
+    ends = _cdc_ends(text)
+    out: list[str] = []
+    prev = 0
+    for e in ends:
+        out.append(text[prev:e])
+        prev = int(e)
+    if prev < len(text):
+        out.append(text[prev:])
+    return out
+
+
+def cdc_chunk_dedup(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup at CONTENT-DEFINED chunk granularity over the exact-twin
+    corpus — the storage/dedup-friendly alternative to ``chunk_dedup``'s
+    fixed word windows: boundaries depend only on a local 4-char window, so
+    edits re-chunk one neighborhood instead of shifting every later chunk.
+    Output: one row per chunk content seen ≥ 2 times — (chunk_hash, n_docs
+    distinct documents containing it, n_occ total occurrences).
+
+    Scale topology: per-batch vectorized boundary scan + md5 per CHUNK (not
+    per position) → one (hash, doc) pre-shrunk grouped count → a second
+    hash-keyed count/sum over the already chunk-bounded intermediate; the
+    dup-filtered result is bounded by the DUPLICATION volume."""
+    corpus = exact_dup_corpus(sf_dir)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        hashes, dids = [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            for chunk in cdc_chunks(text):
+                hashes.append(hashlib.md5(chunk.encode("utf-8")).hexdigest())
+                dids.append(doc_id)
+        return pd.DataFrame(
+            {
+                "chunk_hash": pd.Series(hashes, dtype="object"),
+                "doc_id": pd.Series(dids, dtype="int64"),
+            }
+        )
+
+    per_doc = grouped_aggregate(
+        corpus.map_batches(explode, batch_format="pandas"),
+        ["chunk_hash", "doc_id"],
+        {"c": (None, "count")},
+    )
+    agg = grouped_aggregate(
+        per_doc, ["chunk_hash"], {"n_docs": (None, "count"), "n_occ": ("c", "sum")}
+    ).to_pandas()
+    agg = agg[agg["n_occ"] >= 2]
+    agg["n_docs"] = agg["n_docs"].astype("int64")
+    agg["n_occ"] = agg["n_occ"].astype("int64")
+    return agg.sort_values("chunk_hash").reset_index(drop=True)
+
+
+_CDC_CHUNK_DEDUP_SQL = f"""
+WITH corpus AS ({_EXACT_CORPUS_SQL}),
+b AS (
+  SELECT doc_id, u.i AS e
+  FROM corpus, LATERAL unnest(range(4, strlen(text) + 1)) AS u(i)
+  WHERE (((CAST(ascii(substr(text, CAST(u.i AS INT) - 3, 1)) AS BIGINT) * 1001
+           + ascii(substr(text, CAST(u.i AS INT) - 2, 1))) * 1001
+           + ascii(substr(text, CAST(u.i AS INT) - 1, 1))) * 1001
+           + ascii(substr(text, CAST(u.i AS INT), 1))) % {CDC_MOD} = 0
+),
+spans AS (
+  SELECT doc_id, e, lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY e) AS s
+  FROM b
+),
+chunks AS (
+  SELECT c.doc_id, substr(c.text, CAST(w.s AS INT) + 1, CAST(w.e - w.s AS INT)) AS chunk
+  FROM spans w JOIN corpus c USING (doc_id)
+  UNION ALL
+  SELECT c.doc_id, substr(c.text, CAST(coalesce(m.mx, 0) AS INT) + 1) AS chunk
+  FROM corpus c
+  LEFT JOIN (SELECT doc_id, max(e) AS mx FROM b GROUP BY 1) m USING (doc_id)
+  WHERE coalesce(m.mx, 0) < strlen(c.text)
+),
+per_doc AS (
+  SELECT md5(chunk) AS chunk_hash, doc_id, COUNT(*) AS c
+  FROM chunks GROUP BY 1, 2
+)
+SELECT chunk_hash, COUNT(*) AS n_docs, CAST(SUM(c) AS BIGINT) AS n_occ
+FROM per_doc GROUP BY 1 HAVING SUM(c) >= 2
+ORDER BY chunk_hash
+"""
+
+
+# --------------------------------------------------------------------------
 # Zipf frequency-of-frequencies
 # --------------------------------------------------------------------------
 
@@ -937,6 +1057,7 @@ ORDER BY doc_id
 
 
 QUERIES: dict[str, Callable[[str], object]] = {
+    "cdc_chunk_dedup": cdc_chunk_dedup,
     "line_dedup_clean": line_dedup_clean,
     "bpe_pair_counts": bpe_pair_counts,
     "bpe_merge_rounds": bpe_merge_rounds,
@@ -951,6 +1072,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "cdc_chunk_dedup": _CDC_CHUNK_DEDUP_SQL,
     "line_dedup_clean": _LINE_DEDUP_CLEAN_SQL,
     "bpe_pair_counts": _BPE_PAIR_COUNTS_SQL,
     "repeated_ngrams": _REPEATED_NGRAMS_SQL,

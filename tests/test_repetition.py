@@ -330,3 +330,71 @@ def test_strip_repeated_spans_removes_planted_run(ray_session, tmp_path):
     )["n"].sum()
     for d in (0, 1):
         assert out.loc[d, "n_tokens_removed"] == per_doc[d]
+
+
+def test_cdc_chunks_reassemble_and_average_size():
+    from simple_content_ocr_ray.functions.repetition import CDC_MOD, cdc_chunks
+
+    rng = __import__("random").Random(7)
+    text = " ".join(
+        rng.choice(["alpha", "beta", "gamma", "delta", "epsilon"]) for _ in range(2000)
+    )
+    chunks = cdc_chunks(text)
+    assert "".join(chunks) == text  # lossless split
+    avg = len(text) / len(chunks)
+    assert CDC_MOD / 3 < avg < CDC_MOD * 3  # boundary rate near 1/CDC_MOD
+
+
+def test_cdc_shift_resistance_vs_fixed_chunking():
+    """The CDC property: a single insertion re-chunks one neighborhood;
+    fixed-size chunking shifts every later chunk."""
+    from simple_content_ocr_ray.functions.repetition import cdc_chunks
+
+    rng = __import__("random").Random(11)
+    text = " ".join(
+        rng.choice(["alpha", "beta", "gamma", "delta", "epsilon"]) for _ in range(3000)
+    )
+    edited = text[:50] + "X" + text[50:]  # insert one char near the start
+
+    a, b = set(cdc_chunks(text)), set(cdc_chunks(edited))
+    cdc_preserved = len(a & b) / len(a)
+    assert cdc_preserved > 0.9, cdc_preserved
+
+    fixed = lambda t: {t[i : i + 61] for i in range(0, len(t), 61)}  # noqa: E731
+    fixed_preserved = len(fixed(text) & fixed(edited)) / len(fixed(text))
+    assert fixed_preserved < 0.1, fixed_preserved  # every chunk after pos 50 shifts
+
+
+def test_cdc_chunk_dedup_twins_and_brute_force(sf_dir, documents_table):
+    import hashlib
+    from collections import Counter
+
+    from simple_content_ocr_ray.functions.repetition import (
+        cdc_chunk_dedup,
+        cdc_chunks,
+    )
+    from simple_content_ocr_ray.functions.dedup import EXACT_TWIN_OFFSET
+
+    got = cdc_chunk_dedup(sf_dir).set_index("chunk_hash")
+
+    # brute force over the same twin-augmented corpus
+    per_doc = Counter()
+    docs = Counter()
+    for did, text in zip(
+        documents_table["doc_id"].to_pylist(), documents_table["text"].to_pylist()
+    ):
+        ids = [did] + ([did + EXACT_TWIN_OFFSET] if did % 7 == 0 else [])
+        for d in ids:
+            cc = Counter(
+                hashlib.md5(c.encode()).hexdigest() for c in cdc_chunks(text)
+            )
+            per_doc.update(cc)
+            for h in cc:
+                docs[h] += 1
+    expected = {h: n for h, n in per_doc.items() if n >= 2}
+    assert set(got.index) == set(expected)
+    for h, n in expected.items():
+        assert got.loc[h, "n_occ"] == n
+        assert got.loc[h, "n_docs"] == docs[h]
+    # every twin's chunks are duplicated by construction
+    assert len(got) > 0
