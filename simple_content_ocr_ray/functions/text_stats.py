@@ -778,8 +778,74 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# Soft-404 detection (crawl-ops: error pages served with HTTP 200)
+# --------------------------------------------------------------------------
+
+#: the served body of a soft-404 capture (every doc_id % 11 == 0)
+SOFT404_BODY = (
+    "Error 404. The page you requested was not found on this server. "
+    "It may have been moved or deleted."
+)
+#: appended to doc_id % 11 == 1 docs: a GENUINE article that merely quotes
+#: an error — the length guard must keep the long ones out of the flag set
+SOFT404_QUOTE = " editors note: the archive mirror returned error 404 last week."
+SOFT404_MAX_LEN = 200
+
+
+def soft404_flags(sf_dir: str) -> rd.Dataset:
+    """Soft-404 classifier — the crawl-ops filter for error pages served
+    with HTTP 200 (no status code to trust, so it must be detected from
+    CONTENT): flag = error marker present AND the page is short. The fixture
+    serves three deterministic classes so both classifier signals carry
+    weight: true soft-404 bodies (residue 0 — marker + short → flagged),
+    genuine articles QUOTING an error (residue 1 — marker, flagged only when
+    the doc itself is short, so the length guard decides row by row), and
+    clean docs (never flagged). The oracle reconstructs flag and served
+    length per row from doc_id/n_chars arithmetic — a classifier that drops
+    either signal breaks it exactly. Embarrassingly parallel map_batches,
+    no shuffle; the marker scan is one vectorized pandas str op."""
+    ds = _read_documents(sf_dir, ["doc_id", "text", "n_chars"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        r = ids % 11
+        served = df["text"].copy()
+        served[r == 0] = SOFT404_BODY
+        served[r == 1] = served[r == 1] + SOFT404_QUOTE
+        has_marker = served.str.contains("404", regex=False)
+        length = served.str.len().astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "is_soft404": (has_marker & (length < SOFT404_MAX_LEN)).astype(
+                    "int64"
+                ),
+                "served_len": length,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+_SOFT404_FLAGS_SQL = f"""
+SELECT doc_id,
+       CAST(CASE
+         WHEN doc_id % 11 = 0 THEN 1
+         WHEN doc_id % 11 = 1
+              AND n_chars + {len(SOFT404_QUOTE)} < {SOFT404_MAX_LEN} THEN 1
+         ELSE 0 END AS BIGINT) AS is_soft404,
+       CAST(CASE
+         WHEN doc_id % 11 = 0 THEN {len(SOFT404_BODY)}
+         WHEN doc_id % 11 = 1 THEN n_chars + {len(SOFT404_QUOTE)}
+         ELSE n_chars END AS BIGINT) AS served_len
+FROM documents
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
     "fix_mojibake": fix_mojibake,
+    "soft404_flags": soft404_flags,
     "doc_normalize": doc_normalize,
     "doc_quality_classifier": doc_quality_classifier,
     "lang_score_buckets": lang_score_buckets,
@@ -796,6 +862,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 
 ORACLES: dict[str, str] = {
     "fix_mojibake": _FIX_MOJIBAKE_SQL,
+    "soft404_flags": _SOFT404_FLAGS_SQL,
     "doc_normalize": _DOC_NORMALIZE_SQL,
     "doc_quality_classifier": _DOC_QUALITY_CLASSIFIER_SQL,
     "lang_score_buckets": _LANG_SCORE_BUCKETS_SQL,

@@ -286,3 +286,33 @@ def test_mojibake_fix_roundtrip_and_detection(sf_dir):
     assert df["text"].str.contains("café").all()
     # no mojibake markers survive (the Latin-1 view of UTF-8 always has Â/Ã)
     assert not df["text"].str.contains("Ã").any()
+
+
+def test_soft404_classifier_signals(sf_dir):
+    from simple_content_ocr_ray.functions.text_stats import (
+        SOFT404_BODY,
+        SOFT404_MAX_LEN,
+        SOFT404_QUOTE,
+        soft404_flags,
+    )
+    import pyarrow.parquet as pq
+    import os
+
+    assert len(SOFT404_BODY) < SOFT404_MAX_LEN  # the fixture's residue-0 premise
+
+    df = soft404_flags(sf_dir).to_pandas().set_index("doc_id").sort_index()
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    n_chars = dict(zip(t["doc_id"].to_pylist(), t["n_chars"].to_pylist()))
+
+    r0 = df[df.index % 11 == 0]
+    assert (r0["is_soft404"] == 1).all()  # every true soft-404 caught
+    r1 = df[df.index % 11 == 1]
+    # quoting docs: flagged iff short — the length guard decides row by row
+    exp = {
+        d: int(n_chars[d] + len(SOFT404_QUOTE) < SOFT404_MAX_LEN) for d in r1.index
+    }
+    assert dict(r1["is_soft404"]) == exp
+    assert r1["is_soft404"].sum() > 0  # fixture exercises BOTH branches
+    assert (r1["is_soft404"] == 0).any()
+    rest = df[(df.index % 11 != 0) & (df.index % 11 != 1)]
+    assert (rest["is_soft404"] == 0).all()  # zero false positives on clean docs
