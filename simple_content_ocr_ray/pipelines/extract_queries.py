@@ -1644,6 +1644,91 @@ ORDER BY surt_key, ts, url""",
 
 
 # --------------------------------------------------------------------------
+# Corpus snapshot diff (crawl-ops: added / removed / changed / unchanged)
+# --------------------------------------------------------------------------
+
+DIFF_ADDED_RES = 13  # docs absent from snapshot A → "added" in B
+DIFF_REMOVED_RES = 17  # docs absent from snapshot B → "removed"
+DIFF_CHANGED_RES = 5  # B serves different content for these urls
+
+
+def corpus_diff(sf_dir: str) -> pd.DataFrame:
+    """Snapshot diff between two crawls of the same corpus — the operator an
+    incremental-recrawl pipeline runs to budget work: per url, is it added
+    (B only), removed (A only), changed (both present, content digest
+    differs) or unchanged. The two snapshots are derived deterministically
+    (A drops residue-{13}, B drops residue-{17} and rewrites residue-{5}
+    content), so the oracle reconstructs every class by arithmetic.
+
+    Scale shape: each side reduces to (url, 16-byte digest) AT THE READ —
+    page text never shuffles — then ONE native hash-partitioned
+    ``full_outer`` join on the url key classifies every row vectorized.
+    No driver-side set logic; both snapshot scans and the join stream."""
+    import hashlib as _hashlib
+
+    def digests(t: pa.Table, drop_res: int, change: bool) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % drop_res != 0
+        ids = ids[keep]
+        texts = t["text"].to_pandas()[keep]
+        if change:
+            changed = ids % DIFF_CHANGED_RES == 0
+            texts = texts.where(~changed, texts + " [updated]")
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "digest": pa.array(
+                    [_hashlib.md5(s.encode()).digest() for s in texts], pa.binary()
+                ),
+            }
+        )
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    snap_a = rd.read_parquet(path, columns=["doc_id", "text"]).map_batches(
+        lambda t: digests(t, DIFF_ADDED_RES, change=False), batch_format="pyarrow"
+    )
+    snap_b = rd.read_parquet(path, columns=["doc_id", "text"]).map_batches(
+        lambda t: digests(t, DIFF_REMOVED_RES, change=True), batch_format="pyarrow"
+    )
+    joined = snap_a.join(
+        snap_b,
+        join_type="full_outer",
+        num_partitions=8,
+        on=("doc_id",),
+        left_suffix="_a",
+        right_suffix="_b",
+    )
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        a, b = df["digest_a"], df["digest_b"]
+        status = np.where(
+            a.isna(),
+            "added",
+            np.where(b.isna(), "removed", np.where(a != b, "changed", "unchanged")),
+        )
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"), "status": status}
+        )
+
+    out = joined.map_batches(classify, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_CORPUS_DIFF_SQL = f"""
+SELECT doc_id,
+       CASE
+         WHEN doc_id % {DIFF_ADDED_RES} = 0 THEN 'added'
+         WHEN doc_id % {DIFF_REMOVED_RES} = 0 THEN 'removed'
+         WHEN doc_id % {DIFF_CHANGED_RES} = 0 THEN 'changed'
+         ELSE 'unchanged'
+       END AS status
+FROM documents
+WHERE NOT (doc_id % {DIFF_ADDED_RES} = 0 AND doc_id % {DIFF_REMOVED_RES} = 0)
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # WAT sidecar roundtrip (crawl-ops: metadata artifact)
 # --------------------------------------------------------------------------
 
@@ -1980,6 +2065,7 @@ UNION ALL SELECT doc_id, 1, 0, 3, 'x2' FROM documents
 QUERIES: dict[str, Callable[[str], object]] = {
     "feed_entries": feed_entries,
     "wat_head_index": wat_head_index,
+    "corpus_diff": corpus_diff,
     "html_table_cells": html_table_cells,
     "cdx_index": cdx_index,
     "cdx_prefix_scan": cdx_prefix_scan,
@@ -2012,6 +2098,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 ORACLES: dict[str, str] = {
     "feed_entries": _FEED_ENTRIES_SQL,
     "wat_head_index": _WAT_HEAD_INDEX_SQL,
+    "corpus_diff": _CORPUS_DIFF_SQL,
     "html_table_cells": _HTML_TABLE_CELLS_SQL,
     "cdx_index": _CDX_INDEX_SQL,
     "cdx_prefix_scan": _CDX_PREFIX_SCAN_SQL,

@@ -642,3 +642,29 @@ def test_canonical_url_dedup_rules():
         url = f"https://site{h}.example/doc/{p}{q}"
         n, keeper = got[url]
         assert n == len(members) and keeper == min(members)
+
+
+def test_corpus_diff_all_classes_present(sf_dir):
+    from simple_content_ocr_ray.pipelines.extract_queries import (
+        DIFF_ADDED_RES,
+        DIFF_CHANGED_RES,
+        DIFF_REMOVED_RES,
+        corpus_diff,
+    )
+
+    df = corpus_diff(sf_dir).set_index("doc_id")
+    counts = df["status"].value_counts()
+    assert set(counts.index) == {"added", "removed", "changed", "unchanged"}
+    for did, status in df["status"].items():
+        if did % DIFF_ADDED_RES == 0:
+            assert status == "added"
+        elif did % DIFF_REMOVED_RES == 0:
+            assert status == "removed"
+        elif did % DIFF_CHANGED_RES == 0:
+            assert status == "changed"
+        else:
+            assert status == "unchanged"
+    # urls in neither snapshot never appear
+    assert not any(
+        d % DIFF_ADDED_RES == 0 and d % DIFF_REMOVED_RES == 0 for d in df.index
+    )
