@@ -78,6 +78,13 @@ def main(argv: list[str] | None = None) -> int:
         "— the raw-crawl sink pairing read_pages_from_warc",
     )
     p_ex.add_argument(
+        "--wat-out",
+        default=None,
+        help="also export the INPUT pages' metadata sidecar (JSON envelopes "
+        "with parsed head title/lang/metas and the outlink list) as "
+        ".warc.wat.gz shards to this directory — pairs with read_wat_index",
+    )
+    p_ex.add_argument(
         "--thumbs-out",
         default=None,
         help="also write PNG thumbnails of the input's image payloads "
@@ -228,6 +235,21 @@ def main(argv: list[str] | None = None) -> int:
         summary["warc_shards"] = len(manifest)
         summary["warc_records"] = int(manifest["n_records"].sum())
 
+    def export_wat(summary: dict) -> None:
+        """Input pages → WAT metadata shards (reads the INPUT, works with
+        every run layout)."""
+        if not getattr(args, "wat_out", None):
+            return
+        import ray.data as rd
+
+        from .sources.readers import write_wat
+
+        pages = rd.read_parquet(args.pages_dir)
+        manifest = write_wat(pages, args.wat_out, overwrite_dir=True)
+        summary["wat_out"] = args.wat_out
+        summary["wat_shards"] = len(manifest)
+        summary["wat_records"] = int(manifest["n_records"].sum())
+
     def export_thumbs(summary: dict) -> None:
         """Input image payloads → PNG thumbnail parquet (reads the INPUT,
         works with every run layout)."""
@@ -266,6 +288,7 @@ def main(argv: list[str] | None = None) -> int:
             )
             export_wet(summary)
             export_warc(summary)
+            export_wat(summary)
             export_thumbs(summary)
             print(json.dumps(summary))
         elif args.split_skew:
@@ -274,6 +297,7 @@ def main(argv: list[str] | None = None) -> int:
             run_split_extraction(args.pages_dir, args.out_dir)
             summary = {"out_dir": args.out_dir, "layout": "part=light|pages|heavy"}
             export_warc(summary)
+            export_wat(summary)
             export_thumbs(summary)
             print(json.dumps(summary))
         else:
@@ -288,6 +312,7 @@ def main(argv: list[str] | None = None) -> int:
             summary = {"out_dir": args.out_dir, "preset": args.preset}
             export_wet(summary)
             export_warc(summary)
+            export_wat(summary)
             export_thumbs(summary)
             print(json.dumps(summary))
     finally:

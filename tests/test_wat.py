@@ -138,3 +138,29 @@ def test_wat_rerun_idempotent_shard_names(tmp_path):
     m2 = write_wat(_pages(rows), out, ts_col=None)
     assert sorted(m1["path"]) == sorted(m2["path"])
     assert len(os.listdir(out)) == 1
+
+
+def test_cli_wat_export_end_to_end(ray_session, capsys):
+    """extract --wat-out through the real CLI: every input page gets a WAT
+    record; the index parses HTML heads and carries binary captures too."""
+    import json
+    import shutil
+
+    from simple_content_ocr_ray.__main__ import main
+    from simple_content_ocr_ray.sources.synth_pages import synth_pages_parquet
+
+    pages = synth_pages_parquet("/root/testdata/sf0.001", real_payloads=True)
+    shutil.rmtree("/tmp/cli_wat_e2e", ignore_errors=True)
+    rc = main(
+        [
+            "extract", pages, "/tmp/cli_wat_e2e/out",
+            "--wat-out", "/tmp/cli_wat_e2e/wat",
+        ]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["wat_records"] == 500  # WAT covers EVERY capture
+    idx = read_wat_index("/tmp/cli_wat_e2e/wat").to_pandas()
+    assert len(idx) == 500
+    assert idx["title"].notna().sum() == 400  # html payload class
+    assert (idx.loc[idx["title"].notna(), "n_links"] == 9).all()
