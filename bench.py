@@ -329,6 +329,11 @@ def run_headline() -> dict:
             "xlingual_margin_pairs",
             "html_table_cells",
             "feed_entries",
+            "fix_mojibake",
+            "soft404_flags",
+            "wat_head_index",
+            "cdc_chunk_dedup",
+            "corpus_diff",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)
