@@ -164,3 +164,68 @@ def test_cli_wat_export_end_to_end(ray_session, capsys):
     assert len(idx) == 500
     assert idx["title"].notna().sum() == 400  # html payload class
     assert (idx.loc[idx["title"].notna(), "n_links"] == 9).all()
+
+
+# ---- adversarial / property coverage ----------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=200, derandomize=True, deadline=None)
+@given(st.binary(min_size=0, max_size=512))
+def test_html_metadata_never_raises(payload):
+    m = _html_metadata(payload)
+    if m is not None:
+        assert isinstance(m["Links"], list)
+        assert all(set(l) == {"path", "url"} for l in m["Links"])
+
+
+@settings(max_examples=100, derandomize=True, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+                min_size=1,
+                max_size=40,
+            ),
+            st.text(min_size=0, max_size=80),
+        ),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_wat_title_and_links_roundtrip_through_json(items):
+    """Envelope build + parse is lossless for arbitrary link text (unicode,
+    quotes-free hrefs per the writer's regex contract)."""
+    hrefs = [u.replace('"', "") or "x" for u, _ in items]
+    body = "".join(f'<a href="{u}">t</a>' for u in hrefs)
+    title = items[0][1].replace("<", "").replace("\n", " ")
+    html = f"<!doctype html><title>{title}</title>{body}".encode()
+    m = _html_metadata(html)
+    assert [l["url"] for l in m["Links"]] == hrefs
+    if title:
+        assert m["Head"].get("Title", "") == title
+
+
+def test_wat_adversarial_payloads_roundtrip(tmp_path):
+    """Payloads that look like WARC/HTTP headers or hold CRLF runs must not
+    break record framing (each record is its own gzip member, length-framed)."""
+    nasty = [
+        b"WARC/1.0\r\nWARC-Type: response\r\n\r\nfake",
+        b"\r\n\r\n\r\n\r\n",
+        b"Content-Length: 99999\r\n\r\n" + b"A" * 100,
+        "<!doctype html><title>café 中文</title>".encode(),
+        b"",
+    ]
+    rows = [
+        {"url": f"https://n.example/{i}", "warc_ts": None, "html": p}
+        for i, p in enumerate(nasty)
+    ]
+    out = str(tmp_path / "wat")
+    write_wat(_pages(rows), out, ts_col=None)
+    idx = read_wat_index(out).to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(idx) == len(nasty)
+    assert list(idx["payload_len"]) == [len(p) for p in nasty]
+    assert idx.loc[3, "title"] == "café 中文"
