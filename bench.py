@@ -334,6 +334,7 @@ def run_headline() -> dict:
             "wat_head_index",
             "cdc_chunk_dedup",
             "corpus_diff",
+            "incremental_extract",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)

@@ -1644,6 +1644,186 @@ ORDER BY surt_key, ts, url""",
 
 
 # --------------------------------------------------------------------------
+# Incremental extraction (recrawl refresh: re-extract only changed payloads)
+# --------------------------------------------------------------------------
+
+INCR_VERSION = 1
+
+
+def _incr_prev_dir(sf_dir: str) -> str:
+    """Cache dir of the 'previous run' artifact (url, payload digest,
+    extracted text); keyed by path AND source mtime+size (stale-cache rule,
+    see ``_cdx_layout_dir``)."""
+    import hashlib as _hashlib
+
+    abs_dir = os.path.abspath(os.path.normpath(sf_dir))
+    try:
+        st = os.stat(os.path.join(abs_dir, "documents.parquet"))
+        stamp = f"{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        stamp = "nostat"
+    tag = _hashlib.blake2b(f"{abs_dir}|{stamp}".encode(), digest_size=4).hexdigest()
+    return f"/tmp/scor_incr/{os.path.basename(abs_dir)}_{tag}_v{INCR_VERSION}"
+
+
+def _payload_digests(ds: rd.Dataset) -> rd.Dataset:
+    """(url, digest) per HTML page — the reuse key, computed WITHOUT
+    decoding: md5 over the raw payload bytes."""
+    import hashlib as _hashlib
+
+    def dig(t: pa.Table) -> pa.Table:
+        payloads = t["html"].to_pylist()
+        keep = [
+            i for i, p in enumerate(payloads)
+            if p is not None and p.startswith(b"<!doctype html>")
+        ]
+        return pa.table(
+            {
+                "url": t["url"].take(pa.array(keep, pa.int64())),
+                "digest": pa.array(
+                    [_hashlib.md5(payloads[i]).digest() for i in keep], pa.binary()
+                ),
+            }
+        )
+
+    return ds.map_batches(dig, batch_format="pyarrow")
+
+
+class _IncrementalHtmlStage:
+    """Actor-pool stage of the incremental refresh: rows whose payload
+    digest matches the previous run emit the PREVIOUS text (the engine never
+    runs); changed or new rows run the real html-main-content engine. One
+    pass, no branch re-execution."""
+
+    def __init__(self) -> None:
+        from ..stages.engines import HtmlEngine
+
+        self.engine = HtmlEngine()  # once per actor (T1 pattern)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        urls, texts, reused = [], [], []
+        prev_ok = df["digest"] == df["digest_prev"]  # NaN-safe: != when prev missing
+        for url, payload, text_prev, ok in zip(
+            df["url"], df["html"], df["text_prev"], prev_ok
+        ):
+            urls.append(url)
+            if ok:
+                texts.append(text_prev)
+                reused.append(1)
+            else:
+                texts.append(self.engine.extract(url, bytes(payload), "html").text)
+                reused.append(0)
+        return pd.DataFrame(
+            {
+                "url": pd.Series(urls, dtype="object"),
+                "text": pd.Series(texts, dtype="object"),
+                "reused": pd.Series(reused, dtype="int64"),
+            }
+        )
+
+
+def incremental_extract(sf_dir: str) -> pd.DataFrame:
+    """Recrawl-aware INCREMENTAL main-content refresh — the operator that
+    makes re-processing a 10^12-page crawl affordable: the previous run's
+    output (url, raw-payload digest, extracted text — a cached artifact
+    here, the prior run's parquet in production) is hash-joined against the
+    new crawl's LATEST snapshots, and only urls whose payload digest changed
+    (or that are new) go through the extraction engine; unchanged urls carry
+    the previous text forward untouched. Output (url, text, reused) must be
+    byte-identical to a full re-extraction — the oracle asserts text AND the
+    exact reuse set.
+
+    Scale topology: the previous artifact holds no payloads (url, 16-byte
+    digest, text); the reuse decision is ONE native left_outer hash join on
+    url — current-crawl payloads cross that single shuffle once (zero times
+    if both sides use the url-bucketed layout, ``sources/bucketed.py``) —
+    and the reuse/extract split happens per ROW inside one actor stage, so
+    neither branch re-executes lineage. Engine state loads once per actor."""
+    prev = _incr_prev_dir(sf_dir)
+    if not os.path.isdir(prev):
+        # "previous run": full extraction of the base snapshot
+        base = read_pages(synth_pages_parquet(sf_dir))
+        extracted = extraction_pipeline(base).map_batches(
+            lambda t: t.filter(pa.compute.equal(t["content_type"], "html")).select(
+                ["url", "text"]
+            ),
+            batch_format="pyarrow",
+        )
+        prev_art = _payload_digests(base).join(
+            extracted, join_type="inner", num_partitions=8, on=("url",)
+        )
+        tmp = f"{prev}.tmp.{os.getpid()}"
+        prev_art.write_parquet(tmp)
+        try:
+            os.rename(tmp, prev)
+        except OSError:
+            import shutil as _shutil
+
+            _shutil.rmtree(tmp, ignore_errors=True)
+
+    pages = read_pages(synth_pages_parquet(sf_dir, recrawl_every=RECRAWL_EVERY))
+
+    # latest snapshot per url: slim (url → max_ts) pass, payloads stay put
+    maxts = grouped_aggregate(
+        pages.select_columns(["url", "warc_ts"]),
+        ["url"],
+        {"max_ts": ("warc_ts", "max")},
+    ).to_pandas()
+    ts_ref = ray.put(dict(zip(maxts["url"], maxts["max_ts"])))
+
+    def keep_latest_html(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ts_ref)
+        df = df[df["warc_ts"] == df["url"].map(m)]
+        is_html = df["html"].map(
+            lambda p: p is not None and bytes(p).startswith(b"<!doctype html>")
+        )
+        return df.loc[is_html, ["url", "html"]]
+
+    latest = pages.map_batches(keep_latest_html, batch_format="pandas")
+    def add_digest(t: pa.Table) -> pa.Table:
+        import hashlib as _hashlib
+
+        return t.append_column(
+            "digest",
+            pa.array(
+                [_hashlib.md5(p).digest() for p in t["html"].to_pylist()],
+                pa.binary(),
+            ),
+        )
+
+    def rename_prev(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t["url"],
+                "digest_prev": t["digest"],
+                "text_prev": t["text"],
+            }
+        )
+
+    cur = latest.map_batches(add_digest, batch_format="pyarrow")
+    prev_ds = rd.read_parquet(prev).map_batches(rename_prev, batch_format="pyarrow")
+    joined = cur.join(
+        prev_ds, join_type="left_outer", num_partitions=8, on=("url",)
+    )
+    out = joined.map_batches(
+        _IncrementalHtmlStage, batch_format="pandas", concurrency=(1, 4)
+    ).to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
+
+
+_INCREMENTAL_EXTRACT_SQL = f"""
+SELECT {_URL_SQL} AS url,
+       text || CASE WHEN doc_id % {RECRAWL_EVERY} = {RECRAWL_RESIDUE}
+                     THEN '{RECRAWL_SUFFIX}' ELSE '' END AS text,
+       CAST(CASE WHEN doc_id % {RECRAWL_EVERY} = {RECRAWL_RESIDUE} THEN 0 ELSE 1 END
+            AS BIGINT) AS reused
+FROM documents
+WHERE doc_id % 20 NOT IN (0, 1, 2, 3)
+ORDER BY url
+"""
+
+
+# --------------------------------------------------------------------------
 # Corpus snapshot diff (crawl-ops: added / removed / changed / unchanged)
 # --------------------------------------------------------------------------
 
@@ -2066,6 +2246,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "feed_entries": feed_entries,
     "wat_head_index": wat_head_index,
     "corpus_diff": corpus_diff,
+    "incremental_extract": incremental_extract,
     "html_table_cells": html_table_cells,
     "cdx_index": cdx_index,
     "cdx_prefix_scan": cdx_prefix_scan,
@@ -2099,6 +2280,7 @@ ORACLES: dict[str, str] = {
     "feed_entries": _FEED_ENTRIES_SQL,
     "wat_head_index": _WAT_HEAD_INDEX_SQL,
     "corpus_diff": _CORPUS_DIFF_SQL,
+    "incremental_extract": _INCREMENTAL_EXTRACT_SQL,
     "html_table_cells": _HTML_TABLE_CELLS_SQL,
     "cdx_index": _CDX_INDEX_SQL,
     "cdx_prefix_scan": _CDX_PREFIX_SCAN_SQL,

@@ -311,3 +311,31 @@ def test_killed_force_run_resumed_without_force(tmp_path):
     rows = {r["url"]: r for r in rd.read_parquet(out_dir).take_all()}
     for i, name in enumerate(["p1", "p2"]):
         assert rows[f"https://ex.com/{name}"]["text"] == f"real text {i}"
+
+
+def test_incremental_extract_reuses_unchanged(ray_session, sf_dir):
+    """Incremental refresh: unchanged urls carry the previous run's text
+    (reused=1) and only recrawled-changed urls pass through the engine."""
+    from simple_content_ocr_ray.pipelines.extract_queries import (
+        RECRAWL_EVERY,
+        incremental_extract,
+    )
+    from simple_content_ocr_ray.sources.synth_pages import (
+        RECRAWL_RESIDUE,
+        RECRAWL_SUFFIX,
+        payload_class,
+    )
+
+    out = incremental_extract(sf_dir)
+    assert len(out) > 0
+    did = out["url"].str.extract(r"/(\d{8})$", expand=False).astype(int)
+    changed = did % RECRAWL_EVERY == RECRAWL_RESIDUE
+    assert (out.loc[changed, "reused"] == 0).all()
+    assert (out.loc[~changed, "reused"] == 1).all()
+    assert changed.any() and (~changed).any()
+    assert out.loc[changed, "text"].str.endswith(RECRAWL_SUFFIX).all()
+    assert all(payload_class(d) == "html" for d in did)
+
+    # second run hits the cached previous artifact and is identical
+    again = incremental_extract(sf_dir)
+    assert again.equals(out)
