@@ -1985,8 +1985,10 @@ ORDER BY url
 
 _FEED_EPOCH = "2024-01-01 00:00:00"
 _FEED_STRIDES = (0, 1, 2, 3, 4)
-#: entries pointing at never-crawled docs — must be filtered by the join
-_FEED_PHANTOM_OFFSET = 1_000_000_000
+#: phantom entries point at doc ids the crawl NEVER holds (offset keeps the
+#: 8-digit url shape, so they parse like real entries and reach the
+#: membership join — which is the thing that must drop them)
+_FEED_PHANTOM_OFFSET = 90_000_000
 
 
 def _feed_entry_fields(k: int, j: int) -> tuple[int, str, str, str]:
@@ -2008,13 +2010,12 @@ def make_feed(k: int) -> bytes:
     from email.utils import format_datetime
 
     entries = [_feed_entry_fields(k, j) for j in _FEED_STRIDES]
-    entries += [
-        (did + _FEED_PHANTOM_OFFSET, url + "x", t, iso)
-        for did, url, t, iso in (_feed_entry_fields(k, 9),)
-    ] + [
-        (did + _FEED_PHANTOM_OFFSET, url + "y", t, iso)
-        for did, url, t, iso in (_feed_entry_fields(k, 11),)
-    ]
+    for j in (9, 11):
+        did, _, t, iso = _feed_entry_fields(k, j)
+        did_p = did + _FEED_PHANTOM_OFFSET
+        entries.append(
+            (did_p, f"https://site{k}.example/{did_p:08d}", t, iso)
+        )
     if k % 2 == 0:  # RSS 2.0 with RFC 822 dates
         items = "".join(
             f"<item><title>{t}</title><link>{u}</link>"
@@ -2064,6 +2065,8 @@ def parse_feed(raw: bytes) -> list[dict]:
                 ts = parsedate_to_datetime(pub)
             except (TypeError, ValueError):
                 continue
+            if ts.tzinfo is None:  # RFC 5322 '-0000' → naive: means UTC
+                ts = ts.replace(tzinfo=timezone.utc)
             out.append(
                 {
                     "url": link.strip(),
@@ -2076,7 +2079,13 @@ def parse_feed(raw: bytes) -> list[dict]:
 
         ns = "{http://www.w3.org/2005/Atom}"
         for item in root.iter(f"{ns}entry"):
-            link_el = item.find(f"{ns}link")
+            links = item.findall(f"{ns}link")
+            # the article url is the rel-less/rel=alternate link, NOT a
+            # feed-internal rel=self/edit link that may come first
+            link_el = next(
+                (e for e in links if e.get("rel") in (None, "alternate")),
+                links[0] if links else None,
+            )
             upd = item.findtext(f"{ns}updated")
             if link_el is None or not upd:
                 continue
@@ -2087,6 +2096,8 @@ def parse_feed(raw: bytes) -> list[dict]:
                 ts = datetime.fromisoformat(upd.replace("Z", "+00:00"))
             except ValueError:
                 continue
+            if ts.tzinfo is None:  # tz-less <updated> → treat as UTC
+                ts = ts.replace(tzinfo=timezone.utc)
             out.append(
                 {
                     "url": href.strip(),

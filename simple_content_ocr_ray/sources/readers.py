@@ -948,7 +948,10 @@ def read_wat_index(paths: str | list[str]) -> rd.Dataset:
                 hm = pm.get("HTTP-Response-Metadata", {}).get("HTML-Metadata")
                 urls.append(headers.get("warc-target-uri", ""))
                 tss.append(_warc_ts(headers.get("warc-date", "")))
-                plens.append(int(pm.get("Actual-Content-Length", 0)))
+                try:
+                    plens.append(int(pm.get("Actual-Content-Length", 0)))
+                except (TypeError, ValueError):
+                    plens.append(0)  # damaged length degrades, never kills
                 if hm is None:
                     titles.append(None)
                     langs.append(None)

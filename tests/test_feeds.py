@@ -59,7 +59,49 @@ def test_timezone_normalized_to_utc():
     assert e["published"] == datetime(2024, 6, 1, 10, 0, 0)
 
 
-def test_feed_entries_filters_phantoms(sf_dir):
+def test_naive_dates_mean_utc_not_machine_local():
+    """RFC 5322 '-0000' and tz-less Atom <updated> parse as naive — the
+    contract is UTC, never the worker's local timezone."""
+    rss = (
+        b'<?xml version="1.0"?><rss version="2.0"><channel>'
+        b"<item><title>t</title><link>https://x.example/a</link>"
+        b"<pubDate>Mon, 01 Jan 2024 00:00:00 -0000</pubDate></item>"
+        b"</channel></rss>"
+    )
+    (e,) = parse_feed(rss)
+    assert e["published"] == datetime(2024, 1, 1, 0, 0, 0)
+    atom = (
+        b'<?xml version="1.0"?><feed xmlns="http://www.w3.org/2005/Atom">'
+        b'<entry><title>t</title><link href="https://x.example/b"/>'
+        b"<updated>2024-01-01T00:00:00</updated></entry></feed>"
+    )
+    (e,) = parse_feed(atom)
+    assert e["published"] == datetime(2024, 1, 1, 0, 0, 0)
+
+
+def test_atom_rel_self_first_link_is_skipped():
+    raw = (
+        b'<?xml version="1.0"?><feed xmlns="http://www.w3.org/2005/Atom">'
+        b'<entry><title>t</title>'
+        b'<link rel="self" href="https://x.example/entry.atom"/>'
+        b'<link rel="alternate" href="https://x.example/post"/>'
+        b"<updated>2024-06-01T12:00:00Z</updated></entry></feed>"
+    )
+    (e,) = parse_feed(raw)
+    assert e["url"] == "https://x.example/post"
+
+
+def test_feed_entries_join_actually_filters_phantoms(sf_dir):
+    # phantoms now parse like real entries (clean 8-digit urls) — only the
+    # crawl-membership join can drop them
+    parsed = parse_feed(make_feed(0))
+    phantom_ids = [
+        int(e["url"].rsplit("/", 1)[1])
+        for e in parsed
+        if int(e["url"].rsplit("/", 1)[1]) >= _FEED_PHANTOM_OFFSET
+    ]
+    assert len(phantom_ids) == 2  # they parse; nothing drops them upstream
+
     out = feed_entries(sf_dir)
     assert (out["doc_id"] < _FEED_PHANTOM_OFFSET).all()
     assert set(out["fmt"]) == {"rss", "atom"}

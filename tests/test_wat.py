@@ -229,3 +229,30 @@ def test_wat_adversarial_payloads_roundtrip(tmp_path):
     assert len(idx) == len(nasty)
     assert list(idx["payload_len"]) == [len(p) for p in nasty]
     assert idx.loc[3, "title"] == "café 中文"
+
+
+def test_wat_malformed_length_degrades_not_kills(tmp_path):
+    out = str(tmp_path / "wat")
+    write_wat(
+        _pages([{"url": "https://x.example/1", "warc_ts": None, "html": HTML}]),
+        out,
+        ts_col=None,
+    )
+    shard = os.path.join(out, os.listdir(out)[0])
+    rec = gzip.decompress(open(shard, "rb").read())
+    head, _, tail = rec.partition(b"\r\n\r\n")
+    body = tail.rstrip(b"\r\n")
+    env = json.loads(body)
+    env["Envelope"]["Payload-Metadata"]["Actual-Content-Length"] = "oops"
+    new_body = json.dumps(env, sort_keys=True, separators=(",", ":")).encode()
+    import re
+
+    head = re.sub(
+        rb"Content-Length: \d+", b"Content-Length: %d" % len(new_body), head
+    )
+    with open(shard, "wb") as f:
+        f.write(gzip.compress(head + b"\r\n\r\n" + new_body + b"\r\n\r\n"))
+    idx = read_wat_index(out).to_pandas()
+    assert len(idx) == 1
+    assert idx.loc[0, "payload_len"] == 0  # degraded, row survives
+    assert idx.loc[0, "title"] == "T1"
