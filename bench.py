@@ -335,6 +335,7 @@ def run_headline() -> dict:
             "cdc_chunk_dedup",
             "corpus_diff",
             "incremental_extract",
+            "host_template_lines",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)

@@ -1644,6 +1644,104 @@ ORDER BY surt_key, ts, url""",
 
 
 # --------------------------------------------------------------------------
+# Per-host template detection (boilerplate-line discovery)
+# --------------------------------------------------------------------------
+
+def host_template_lines(sf_dir: str) -> pd.DataFrame:
+    """Per-host TEMPLATE discovery — the site-level analog of CCNet's
+    corpus-wide line dedup (justext/boilerpipe's core signal): a raw-HTML
+    line that appears on more than half of a host's pages is template
+    (nav, footer, styling), not content. Output: (host, n_template_lines).
+    The synthesized boilerplate makes the truth arithmetic: 15 constant
+    non-empty lines are shared by every page of a host, the ``<html lang>``
+    line joins them exactly when one language holds a strict majority of
+    the host's HTML pages, and title/script/body lines are per-doc unique —
+    so a parser that over- or under-merges lines breaks the mirror exactly.
+
+    Scale shape: per-page line sets explode inside map_batches; ONE
+    (host, line-hash) grouped count (pre-shrunk per batch) plus a tiny
+    per-host page count; the >50% gate and final rollup run over the
+    already-aggregated table. Raw pages never shuffle."""
+    pages_dir = synth_pages_parquet(sf_dir)
+    pages = rd.read_parquet(pages_dir, columns=["url", "html"])
+
+    def explode_lines(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _hashlib
+
+        hosts, lines = [], []
+        for url, payload in zip(df["url"], df["html"]):
+            txt = bytes(payload).decode("utf-8", "ignore")
+            if not txt.startswith("<!doctype html>"):
+                continue
+            host = url.split("/")[2]
+            for ln in set(txt.split("\n")):
+                if ln:
+                    hosts.append(host)
+                    # 16-byte digest: the shuffle carries hashes, not HTML
+                    lines.append(_hashlib.md5(ln.encode()).digest())
+        return pd.DataFrame(
+            {
+                "host": pd.Series(hosts, dtype="object"),
+                "line": pd.Series(lines, dtype="object"),
+            }
+        )
+
+    per_line = grouped_aggregate(
+        pages.map_batches(explode_lines, batch_format="pandas"),
+        ["host", "line"],
+        {"k": (None, "count")},
+    )
+
+    def count_pages(df: pd.DataFrame) -> pd.DataFrame:
+        is_html = df["html"].map(
+            lambda p: bytes(p).startswith(b"<!doctype html>")
+        )
+        out = df.loc[is_html, ["url"]]
+        return pd.DataFrame(
+            {"host": out["url"].str.split("/").str[2]}
+        )
+
+    n_pages = (
+        grouped_aggregate(
+            pages.map_batches(count_pages, batch_format="pandas"),
+            ["host"],
+            {"n": (None, "count")},
+        )
+        .to_pandas()
+        .set_index("host")["n"]
+    )
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["host"].map(n_pages).astype("int64")
+        return df.loc[df["k"] * 2 > n, ["host"]]
+
+    agg = grouped_aggregate(
+        per_line, ["host"], {"n_template_lines": (None, "count")}, prepare=gate
+    ).to_pandas()
+    agg["n_template_lines"] = agg["n_template_lines"].astype("int64")
+    return agg.sort_values("host").reset_index(drop=True)
+
+
+_HOST_TEMPLATE_LINES_SQL = """
+WITH html_docs AS (
+  SELECT doc_id, lang, doc_id % 97 AS h FROM documents
+  WHERE doc_id % 20 NOT IN (0, 1, 2, 3)
+),
+per_host AS (SELECT h, COUNT(*) AS n FROM html_docs GROUP BY 1),
+lang_top AS (
+  SELECT h, MAX(c) AS m
+  FROM (SELECT h, lang, COUNT(*) AS c FROM html_docs GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT 'site' || CAST(p.h AS VARCHAR) || '.example' AS host,
+       CAST(15 + CASE WHEN l.m * 2 > p.n THEN 1 ELSE 0 END AS BIGINT)
+         AS n_template_lines
+FROM per_host p JOIN lang_top l USING (h)
+ORDER BY host
+"""
+
+
+# --------------------------------------------------------------------------
 # Incremental extraction (recrawl refresh: re-extract only changed payloads)
 # --------------------------------------------------------------------------
 
@@ -2258,6 +2356,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "wat_head_index": wat_head_index,
     "corpus_diff": corpus_diff,
     "incremental_extract": incremental_extract,
+    "host_template_lines": host_template_lines,
     "html_table_cells": html_table_cells,
     "cdx_index": cdx_index,
     "cdx_prefix_scan": cdx_prefix_scan,
@@ -2292,6 +2391,7 @@ ORACLES: dict[str, str] = {
     "wat_head_index": _WAT_HEAD_INDEX_SQL,
     "corpus_diff": _CORPUS_DIFF_SQL,
     "incremental_extract": _INCREMENTAL_EXTRACT_SQL,
+    "host_template_lines": _HOST_TEMPLATE_LINES_SQL,
     "html_table_cells": _HTML_TABLE_CELLS_SQL,
     "cdx_index": _CDX_INDEX_SQL,
     "cdx_prefix_scan": _CDX_PREFIX_SCAN_SQL,

@@ -89,3 +89,31 @@ def test_unicode_round_trip_through_pipeline():
     for url, body in bodies.items():
         assert got[url]["status"] == "completed"
         assert got[url]["text"] == body  # byte-exact UTF-8 round trip
+
+
+def test_host_template_lines_semantics(sf_dir):
+    """Template lines = raw-HTML lines on >50% of a host's pages: the 15
+    constant boilerplate lines always qualify; the lang line joins exactly
+    when one language holds a strict page majority on that host."""
+    import os
+
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    from simple_content_ocr_ray.pipelines.extract_queries import host_template_lines
+
+    out = host_template_lines(sf_dir).set_index("host")["n_template_lines"]
+    assert set(out.unique()) <= {15, 16}
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    langs = {}
+    for did, lang in zip(docs["doc_id"].to_pylist(), docs["lang"].to_pylist()):
+        if did % 20 in (0, 1, 2, 3):
+            continue
+        langs.setdefault(f"site{did % 97}.example", Counter())[lang] += 1
+    for host, lc in langs.items():
+        expect = 15 + (1 if 2 * max(lc.values()) > sum(lc.values()) else 0)
+        assert out[host] == expect, host
+    assert (out == 16).any() and (out == 15).any()  # both cases live
