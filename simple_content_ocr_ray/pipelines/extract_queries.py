@@ -1193,14 +1193,13 @@ FROM documents
 _SITEMAP_STRIDES = (0, 2, 7, 53, 200)
 
 
-def make_sitemap(k: int) -> bytes:
-    """Deterministic sitemap.xml for domain index ``k`` (the fixture the
-    coverage audit parses): five doc URLs at growing strides — the later
-    ones exist only at larger corpus scales, so matched counts vary by sf
-    — plus two URLs the crawler never fetched."""
-    locs = [
+def _sitemap_locs(k: int) -> list[str]:
+    return [
         f"https://site{k}.example/{k + 97 * j:08d}" for j in _SITEMAP_STRIDES
     ] + [f"https://site{k}.example/extra/{i}" for i in (1, 2)]
+
+
+def _urlset(locs: list[str]) -> bytes:
     body = "".join(
         f"<url><loc>{u}</loc><lastmod>2024-01-15</lastmod></url>" for u in locs
     )
@@ -1209,6 +1208,36 @@ def make_sitemap(k: int) -> bytes:
         '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
         f"{body}</urlset>"
     ).encode()
+
+
+def sitemap_child_url(k: int, part: int) -> str:
+    return f"https://site{k}.example/sitemap-{part}.xml"
+
+
+def make_sitemap(k: int, part: int | None = None) -> bytes:
+    """Deterministic sitemap for domain index ``k``: five doc URLs at
+    growing strides — the later ones exist only at larger corpus scales,
+    so matched counts vary by sf — plus two URLs the crawler never
+    fetched. Every THIRD domain serves a ``<sitemapindex>`` of two child
+    sitemaps splitting the same URL set (the real sitemap-of-sitemaps
+    layout big sites use); ``part`` fetches a child. The flat and nested
+    layouts list identical URLs, so the coverage oracle is layout-blind —
+    exactly the property a correct index expansion must preserve."""
+    locs = _sitemap_locs(k)
+    if k % 3 != 0:
+        return _urlset(locs)
+    if part is None:  # the index document
+        subs = "".join(
+            f"<sitemap><loc>{sitemap_child_url(k, i)}</loc>"
+            "<lastmod>2024-01-15</lastmod></sitemap>"
+            for i in (0, 1)
+        )
+        return (
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            f"{subs}</sitemapindex>"
+        ).encode()
+    return _urlset(locs[part::2])  # child part holds every other URL
 
 
 def parse_sitemap(raw: bytes) -> list[str]:
@@ -1222,11 +1251,40 @@ def parse_sitemap(raw: bytes) -> list[str]:
     except ET.ParseError:
         return []
     ns = "{http://www.sitemaps.org/schemas/sitemap/0.9}"
-    return [
+    urls = [
         el.text.strip()
         for el in root.iter(f"{ns}loc")
         if el.text and el.text.strip()
     ]
+    if root.tag == f"{ns}sitemapindex":
+        return []  # index <loc>s are CHILD SITEMAPS, not page urls
+    return urls
+
+
+def expand_sitemap(raw: bytes, fetch, max_depth: int = 3) -> list[str]:
+    """Page URLs of a sitemap, transparently expanding ``<sitemapindex>``
+    documents by fetching child sitemaps through ``fetch(url) -> bytes |
+    None`` (recursion bounded; a missing/malformed child costs that child
+    only). Flat urlsets pass straight through."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(raw)
+    except ET.ParseError:
+        return []
+    ns = "{http://www.sitemaps.org/schemas/sitemap/0.9}"
+    if root.tag != f"{ns}sitemapindex":
+        return parse_sitemap(raw)
+    if max_depth <= 0:
+        return []
+    out: list[str] = []
+    for el in root.iter(f"{ns}loc"):
+        if not (el.text and el.text.strip()):
+            continue
+        child = fetch(el.text.strip())
+        if child is not None:
+            out.extend(expand_sitemap(child, fetch, max_depth - 1))
+    return out
 
 
 def sitemap_coverage(sf_dir: str) -> pd.DataFrame:
@@ -1242,8 +1300,14 @@ def sitemap_coverage(sf_dir: str) -> pd.DataFrame:
 
     listed: dict[str, str] = {}
     n_listed: dict[str, int] = {}
+    def fetch(url: str) -> bytes | None:
+        import re as _re
+
+        m = _re.match(r"https://site(\d+)\.example/sitemap-(\d)\.xml$", url)
+        return make_sitemap(int(m.group(1)), int(m.group(2))) if m else None
+
     for k in range(97):  # url_for() hashes doc_id % 97 — every index occurs
-        urls = parse_sitemap(make_sitemap(k))
+        urls = expand_sitemap(make_sitemap(k), fetch)
         dom = f"site{k}.example"
         n_listed[dom] = len(urls)
         for u in urls:

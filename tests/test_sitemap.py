@@ -86,3 +86,37 @@ def test_cache_control_defaults_and_garbage():
     assert parse_cache_control("private") == _DEFAULT_TTL_S
     assert parse_cache_control("max-age=banana") == _DEFAULT_TTL_S
     assert parse_cache_control("max-age=-5") == 0  # clamped, not negative
+
+
+def test_sitemapindex_expands_to_same_urls():
+    from simple_content_ocr_ray.pipelines.extract_queries import (
+        expand_sitemap,
+        sitemap_child_url,
+    )
+
+    def fetch(url):
+        import re
+
+        m = re.match(r"https://site(\d+)\.example/sitemap-(\d)\.xml$", url)
+        return make_sitemap(int(m.group(1)), int(m.group(2))) if m else None
+
+    # nested domain (k % 3 == 0): index expands to the flat url set
+    flat = expand_sitemap(make_sitemap(4), fetch)  # k=4 serves flat
+    nested = expand_sitemap(make_sitemap(3), fetch)  # k=3 serves an index
+    assert len(nested) == 7 and len(set(nested)) == 7
+    from simple_content_ocr_ray.pipelines.extract_queries import _SITEMAP_STRIDES
+
+    assert sorted(nested) == sorted(
+        [f"https://site3.example/{3 + 97 * j:08d}" for j in _SITEMAP_STRIDES]
+        + [f"https://site3.example/extra/{i}" for i in (1, 2)]
+    )
+    assert len(flat) == 7
+
+    # index <loc>s are never mistaken for page urls by the flat parser
+    assert parse_sitemap(make_sitemap(3)) == []
+    assert sitemap_child_url(3, 0).endswith("sitemap-0.xml")
+
+    # a missing child costs that child only; depth bound stops cycles
+    assert expand_sitemap(make_sitemap(3), lambda u: None) == []
+    cyclic = make_sitemap(3)
+    assert expand_sitemap(cyclic, lambda u: cyclic) == []
