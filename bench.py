@@ -336,6 +336,7 @@ def run_headline() -> dict:
             "corpus_diff",
             "incremental_extract",
             "host_template_lines",
+            "langid_confusion",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)

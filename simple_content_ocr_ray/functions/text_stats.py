@@ -228,6 +228,41 @@ FROM h
 """
 
 
+def langid_confusion(sf_dir: str) -> pd.DataFrame:
+    """Language-ID EVALUATION — the confusion matrix every classifier stage
+    ships with: (labeled lang, predicted lang, n docs), predictions from the
+    real distributed ``LangIdStage`` actor pool joined back to the corpus
+    labels. Scale shape: prediction is the langid map_batches pass with the
+    label column carried through; the matrix is one grouped count bounded
+    by |langs|² — nothing else shuffles."""
+    ds = _read_documents(sf_dir, ["doc_id", "text", "lang"])
+
+    class Stage(LangIdStage):
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            out = super().__call__(batch)
+            out["lang"] = batch["lang"]
+            return out
+
+    pred = ds.map_batches(
+        Stage, batch_format="pandas", batch_size=4096, concurrency=(1, 4)
+    )
+    agg = grouped_aggregate(
+        pred, ["lang", "predicted_lang"], {"n": (None, "count")}
+    ).to_pandas()
+    agg["n"] = agg["n"].astype("int64")
+    return agg.sort_values(["lang", "predicted_lang"]).reset_index(drop=True)
+
+
+def _langid_confusion_sql() -> str:
+    return f"""
+WITH pred AS ({_langid_sql()})
+SELECT d.lang, pred.predicted_lang, COUNT(*) AS n
+FROM pred JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 _DOC_ROLLING_FINGERPRINT_SQL = """
 SELECT doc_id,
   CASE WHEN length(text) = 0 THEN 0
@@ -857,6 +892,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "doc_fingerprint": doc_fingerprint,
     "doc_rolling_fingerprint": doc_rolling_fingerprint,
     "langid_predict": langid_predict,
+    "langid_confusion": langid_confusion,
     "lang_source_stats": lang_source_stats,
 }
 
@@ -873,5 +909,6 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": _DOC_FINGERPRINT_SQL,
     "doc_rolling_fingerprint": _DOC_ROLLING_FINGERPRINT_SQL,
     "langid_predict": _langid_sql(),
+    "langid_confusion": _langid_confusion_sql(),
     "lang_source_stats": _LANG_SOURCE_STATS_SQL,
 }

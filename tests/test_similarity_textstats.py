@@ -316,3 +316,21 @@ def test_soft404_classifier_signals(sf_dir):
     assert (r1["is_soft404"] == 0).any()
     rest = df[(df.index % 11 != 0) & (df.index % 11 != 1)]
     assert (rest["is_soft404"] == 0).all()  # zero false positives on clean docs
+
+
+def test_langid_confusion_consistent(sf_dir, documents_table):
+    """The corpus texts are ASCII word-soup regardless of label, so the
+    matrix must show exactly the en/und split per label — and conserve the
+    doc count (every doc lands in one cell)."""
+    from simple_content_ocr_ray.functions.text_stats import langid_confusion
+
+    m = langid_confusion(sf_dir)
+    assert m["n"].sum() == documents_table.num_rows
+    assert set(m["predicted_lang"]) <= {"en", "und"}
+    assert set(m["lang"]) == set(documents_table["lang"].to_pylist())
+    # per-label totals match the corpus label distribution
+    import collections
+
+    label_counts = collections.Counter(documents_table["lang"].to_pylist())
+    per_label = m.groupby("lang")["n"].sum()
+    assert dict(per_label) == dict(label_counts)
