@@ -1,0 +1,632 @@
+"""Web-page annotation & link-topology operators — the crawl-metadata layer
+a webtext curation engine reads BESIDE the main content: schema.org JSON-LD
+structured data, hreflang alternate-language clusters, page-level robots
+directives, public-suffix (registered-domain) rollups, UT1-style word
+blocklists, HTTP redirect resolution, and reciprocal-link detection.
+
+Reference grounding: the reference's extraction surface stops at per-document
+markdown (`/root/reference/src/simple_ocr/services/ocr_service.py:50-222`);
+everything here generalizes its metadata-merge step (M19,
+`ocr_service.py:112-124`) to the page-annotation families a Common-Crawl-scale
+corpus needs. Fixtures are synthesized deterministically from ``doc_id`` (like
+every feature fixture in this repo) so each operator's DuckDB oracle can
+reconstruct the expected output arithmetically while the Ray side must parse /
+join for real.
+
+Scale shape notes (100 TB):
+- All page parsing runs inside ``map_batches`` over the payload table —
+  per-page work, embarrassingly parallel, no shuffle.
+- ``hreflang_clusters`` groups slim (fingerprint, doc_id, pos, lang) rows
+  with ONE vectorized call per sorted block (``map_sorted_runs``) — no
+  per-cluster ``map_groups``.
+- ``registered_domain_stats`` compacts to distinct (registered, host) pairs
+  per batch before any shuffle; the final rollup is bounded by the number of
+  distinct HOSTS, never pages.
+- ``redirect_final_targets`` is pointer doubling: ceil(log2(max_hops)) native
+  hash-join rounds instead of max_hops sequential joins — 40 hops = 6 rounds.
+- ``reciprocal_links`` never materializes the edge list on the driver:
+  direction bits are OR-merged per (lo, hi) pair with pre-aggregated
+  partials, so the shuffle carries one row per undirected pair per batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from ..functions.agg import grouped_aggregate, map_sorted_runs
+
+# --------------------------------------------------------------------------
+# Shared annotated-page fixture
+# --------------------------------------------------------------------------
+
+_HRE = ("en", "de", "fr", "ja")
+_SD_TYPES = ("Article", "Product", "Event", "Recipe")
+
+
+def make_annotated_page(d: int) -> bytes:
+    """Deterministic HTML page for doc ``d`` carrying all three head-annotation
+    families at once — hreflang alternates, meta robots, JSON-LD — plus decoys
+    for each parser (stylesheet/feed links, a description meta containing the
+    word 'noindex', a plain script). Attribute order, quoting, and tag case
+    vary with ``d`` so parsers cannot pattern-match one serialization."""
+    c = d // 4
+    parts = [
+        "<!doctype html>",
+        '<html lang="en"><head>',
+        f"<title>Annotated {d}</title>",
+        '<link rel="stylesheet" href="/css/main.css">',
+        '<link rel="alternate" type="application/rss+xml" href="/feed.xml">',
+        '<meta name="description" content="noindex nothing, a decoy">',
+    ]
+    for p in range(4):
+        m = 4 * c + p
+        href = f"https://site{m % 97}.example/{m:08d}"
+        if p % 2 == 0:
+            parts.append(f'<link rel="alternate" hreflang="{_HRE[p]}" href="{href}">')
+        else:  # swapped attribute order, single quotes
+            parts.append(f"<link hreflang='{_HRE[p]}' href='{href}' rel='alternate'>")
+    parts.append(
+        '<link rel="alternate" hreflang="x-default" '
+        f'href="https://site{(4 * c) % 97}.example/{4 * c:08d}">'
+    )
+    r = d % 9
+    if r == 4:
+        parts.append('<meta name="robots" content="noindex">')
+    elif r == 5:
+        parts.append("<meta content='noindex, nofollow' name=ROBOTS>")
+    elif r == 6:
+        parts.append('<META NAME="Robots" CONTENT="nofollow">')
+    trailing = "," if d % 7 == 3 else ""  # trailing comma = malformed JSON
+    parts.append(
+        '<script type="application/ld+json">'
+        '{"@context":"https://schema.org",'
+        f'"@type":"{_SD_TYPES[d % 4]}","name":"Item {d}","position":{d % 13}{trailing}}}'
+        "</script>"
+    )
+    if d % 5 == 0:
+        parts.append(
+            "<script async type='application/ld+json'>"
+            '{"@context":"https://schema.org","@graph":['
+            f'{{"@type":"Person","name":"Author {d}","position":0}},'
+            f'{{"@type":"Organization","name":"site{d % 97}","position":1}}]}}'
+            "</script>"
+        )
+    parts.append(f"<script>var d={d};</script>")
+    parts.append(f"</head><body><p>body {d}</p></body></html>")
+    return "\n".join(parts).encode()
+
+
+def _annotated_pages(sf_dir: str) -> rd.Dataset:
+    """Payload table (doc_id, payload) — synthesized per batch from the
+    documents table so downstream parsing is genuinely distributed."""
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "payload": [make_annotated_page(int(d)) for d in df["doc_id"]],
+            }
+        )
+
+    return docs.map_batches(build, batch_format="pandas")
+
+
+_TAG_ATTR_RE = re.compile(
+    r"""([a-zA-Z-]+)\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))"""
+)
+
+
+def _attrs(tag: str) -> dict[str, str]:
+    """Attribute map of one HTML tag string, names lowercased; handles
+    double-quoted, single-quoted, and bare values."""
+    out: dict[str, str] = {}
+    for m in _TAG_ATTR_RE.finditer(tag):
+        out[m.group(1).lower()] = m.group(3) or m.group(4) or m.group(5) or ""
+    return out
+
+
+# --------------------------------------------------------------------------
+# structured_data — JSON-LD (schema.org) extraction
+# --------------------------------------------------------------------------
+
+_LDJSON_RE = re.compile(
+    r"<script\b[^>]*type\s*=\s*[\"']application/ld\+json[\"'][^>]*>(.*?)</script>",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def parse_jsonld(html: str) -> list[dict]:
+    """All schema.org items of a page: every ``application/ld+json`` script
+    block (attribute order/quoting agnostic), ``@graph`` arrays expanded,
+    malformed JSON skipped (one bad block costs one block, never the page)."""
+    items: list[dict] = []
+    for m in _LDJSON_RE.finditer(html):
+        try:
+            obj = json.loads(m.group(1))
+        except json.JSONDecodeError:
+            continue
+        nodes = obj.get("@graph", [obj]) if isinstance(obj, dict) else []
+        for node in nodes:
+            if isinstance(node, dict) and "@type" in node:
+                items.append(node)
+    return items
+
+
+def structured_data(sf_dir: str) -> pd.DataFrame:
+    """Schema.org JSON-LD inventory of the corpus: (doc_id, sd_type, name,
+    position) per structured-data item. Real JSON parsing per page inside
+    ``map_batches``; malformed blocks (trailing comma, ~1/7 of pages) are
+    dropped by the parser, and @graph multi-item blocks expand to one row per
+    node. Per-page work only — no shuffle at any scale."""
+    pages = _annotated_pages(sf_dir)
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for d, payload in zip(df["doc_id"], df["payload"]):
+            for node in parse_jsonld(bytes(payload).decode()):
+                rows.append(
+                    {
+                        "doc_id": int(d),
+                        "sd_type": str(node["@type"]),
+                        "name": str(node.get("name", "")),
+                        "position": int(node.get("position", 0)),
+                    }
+                )
+        out = pd.DataFrame(rows, columns=["doc_id", "sd_type", "name", "position"])
+        return out.astype({"doc_id": "int64", "position": "int64"})
+
+    out = pages.map_batches(extract, batch_format="pandas").to_pandas()
+    return out.sort_values(["doc_id", "position", "sd_type"]).reset_index(drop=True)
+
+
+_STRUCTURED_DATA_SQL = """
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'Article' WHEN 1 THEN 'Product'
+                       WHEN 2 THEN 'Event' ELSE 'Recipe' END AS sd_type,
+       'Item ' || doc_id AS name,
+       CAST(doc_id % 13 AS BIGINT) AS position
+FROM documents WHERE doc_id % 7 <> 3
+UNION ALL
+SELECT doc_id, 'Person', 'Author ' || doc_id, 0 FROM documents WHERE doc_id % 5 = 0
+UNION ALL
+SELECT doc_id, 'Organization', 'site' || (doc_id % 97), 1
+FROM documents WHERE doc_id % 5 = 0
+ORDER BY doc_id, position, sd_type
+"""
+
+
+# --------------------------------------------------------------------------
+# hreflang_clusters — alternate-language page clusters
+# --------------------------------------------------------------------------
+
+_LINK_RE = re.compile(r"<link\b[^>]*>", re.IGNORECASE)
+
+
+def parse_hreflang(html: str) -> list[tuple[str, str]]:
+    """(hreflang, href) of every ``rel=alternate hreflang=...`` head link,
+    x-default excluded; attribute order and quote style agnostic."""
+    out = []
+    for tag in _LINK_RE.findall(html):
+        a = _attrs(tag)
+        hl = a.get("hreflang")
+        if a.get("rel") == "alternate" and hl and hl != "x-default" and "href" in a:
+            out.append((hl, a["href"]))
+    return out
+
+
+def hreflang_clusters(sf_dir: str) -> pd.DataFrame:
+    """Alternate-language clusters: pages naming the same sorted set of
+    hreflang targets form one translation cluster (the bitext-candidate
+    discovery step upstream of ``xlingual_margin_pairs``). Per page, parse the
+    link tags and fingerprint the target set; then ONE vectorized pandas
+    groupby per sorted block (``map_sorted_runs`` on the fingerprint — no
+    per-cluster ``map_groups``) yields (cluster_id = min member doc_id,
+    n_pages present, langs in hreflang-position order)."""
+    pages = _annotated_pages(sf_dir)
+
+    def page_rows(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for d, payload in zip(df["doc_id"], df["payload"]):
+            d = int(d)
+            alts = parse_hreflang(bytes(payload).decode())
+            if not alts:
+                continue
+            targets = sorted(href for _, href in alts)
+            fp = hashlib.md5("|".join(targets).encode()).hexdigest()
+            # the page's own lang: the alternate whose href trails its own id
+            own = f"/{d:08d}"
+            hl_own = next(
+                (hl for hl, href in alts if href.endswith(own)), None
+            )
+            if hl_own is not None:
+                rows.append({"fp": fp, "doc_id": d, "hlang": hl_own})
+        return pd.DataFrame(rows, columns=["fp", "doc_id", "hlang"]).astype(
+            {"doc_id": "int64"}
+        )
+
+    slim = pages.map_batches(page_rows, batch_format="pandas")
+
+    def reduce_runs(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "cluster_id": pd.Series([], dtype="int64"),
+                    "n_pages": pd.Series([], dtype="int64"),
+                    "langs": pd.Series([], dtype="object"),
+                }
+            )
+        df = df.sort_values(["fp", "doc_id"], kind="mergesort")
+        g = df.groupby("fp", sort=False)
+        out = pd.DataFrame(
+            {
+                "cluster_id": g["doc_id"].min(),
+                "n_pages": g["doc_id"].size(),
+                "langs": g["hlang"].agg(",".join),
+            }
+        ).reset_index(drop=True)
+        return out.astype({"cluster_id": "int64", "n_pages": "int64"})
+
+    out = map_sorted_runs(slim, "fp", reduce_runs).to_pandas()
+    return out.sort_values("cluster_id").reset_index(drop=True)
+
+
+_HREFLANG_CLUSTERS_SQL = """
+SELECT CAST(4 * (doc_id // 4) AS BIGINT) AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       string_agg(CASE doc_id % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                                  WHEN 2 THEN 'fr' ELSE 'ja' END,
+                  ',' ORDER BY doc_id % 4) AS langs
+FROM documents
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# meta_robots_audit — page-level robots directives
+# --------------------------------------------------------------------------
+
+_META_RE = re.compile(r"<meta\b[^>]*>", re.IGNORECASE)
+
+
+def parse_meta_robots(html: str) -> tuple[bool, bool]:
+    """(noindex, nofollow) from ``<meta name=robots>`` tags — tag and
+    attribute case-insensitive, attribute order agnostic, multi-token
+    content split on commas/whitespace. Non-robots metas are ignored."""
+    noindex = nofollow = False
+    for tag in _META_RE.findall(html):
+        a = _attrs(tag)
+        if a.get("name", "").lower() != "robots":
+            continue
+        toks = {t.strip().lower() for t in re.split(r"[\s,]+", a.get("content", ""))}
+        noindex |= "noindex" in toks
+        nofollow |= "nofollow" in toks
+    return noindex, nofollow
+
+
+def meta_robots_audit(sf_dir: str) -> pd.DataFrame:
+    """Index-exclusion audit: pages carrying a ``<meta name=robots>`` with
+    noindex and/or nofollow (the page-level complement of the robots.txt
+    operator ``robots_allowed_links``). Flags as int64 0/1. Pure map — the
+    flagged set is what a curation pipeline joins against before training."""
+    pages = _annotated_pages(sf_dir)
+
+    def audit(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for d, payload in zip(df["doc_id"], df["payload"]):
+            ni, nf = parse_meta_robots(bytes(payload).decode())
+            if ni or nf:
+                rows.append({"doc_id": int(d), "noindex": int(ni), "nofollow": int(nf)})
+        return pd.DataFrame(rows, columns=["doc_id", "noindex", "nofollow"]).astype(
+            "int64"
+        )
+
+    out = pages.map_batches(audit, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_META_ROBOTS_AUDIT_SQL = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 9 IN (4, 5) THEN 1 ELSE 0 END AS BIGINT) AS noindex,
+       CAST(CASE WHEN doc_id % 9 IN (5, 6) THEN 1 ELSE 0 END AS BIGINT) AS nofollow
+FROM documents WHERE doc_id % 9 IN (4, 5, 6)
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# registered_domain_stats — public-suffix (PSL) rollup
+# --------------------------------------------------------------------------
+
+#: Embedded public-suffix subset (the real PSL is ~9k rules; the algorithm —
+#: longest label-suffix match, registered domain = one label left of it — is
+#: identical, and the subset includes multi-label suffixes (co.uk, ac.jp) and
+#: a private-section suffix (github.io) to exercise every branch).
+_PSL = frozenset(
+    {"com", "org", "uk", "co.uk", "io", "github.io", "jp", "ac.jp"}
+)
+
+_SUBS = ("", "www.", "blog.", "api.")
+_SUFFIXES = ("com", "org", "co.uk", "github.io", "ac.jp")
+
+
+def registered_domain(host: str) -> str:
+    """Registered (pay-level) domain of ``host`` via longest public-suffix
+    match: split into labels, find the longest suffix in the PSL, keep one
+    label to its left. Hosts equal to a bare suffix return themselves."""
+    labels = host.lower().split(".")
+    best = 0
+    for i in range(len(labels)):
+        cand = ".".join(labels[i:])
+        if cand in _PSL:
+            best = len(labels) - i
+            break  # labels scanned longest-suffix-first (leftmost start)
+    if best == 0 or best >= len(labels):
+        return host.lower()
+    return ".".join(labels[len(labels) - best - 1 :])
+
+
+def registered_domain_stats(sf_dir: str) -> pd.DataFrame:
+    """Pay-level-domain rollup: page counts and distinct-host counts per
+    REGISTERED domain (PSL longest-suffix-match — 'blog.brand3.co.uk' rolls
+    to 'brand3.co.uk', 'brand3.github.io' stays whole because github.io is
+    itself a public suffix). Scale shape: per-batch compaction to distinct
+    (registered, host) pairs with page partial-counts, then a final rollup
+    bounded by the number of distinct hosts — the page table never shuffles."""
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def hostify(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy()
+        hosts = [
+            f"{_SUBS[int(x) % 4]}brand{int(x) % 41}.{_SUFFIXES[int(x) % 5]}"
+            for x in d
+        ]
+        return pd.DataFrame(
+            {
+                "registered_domain": [registered_domain(h) for h in hosts],
+                "host": hosts,
+            }
+        )
+
+    per_host = grouped_aggregate(
+        docs.map_batches(hostify, batch_format="pandas"),
+        ["registered_domain", "host"],
+        {"n_pages": (None, "count")},
+    ).to_pandas()  # bounded by distinct hosts, never pages
+    out = (
+        per_host.groupby("registered_domain", sort=False)
+        .agg(n_pages=("n_pages", "sum"), n_hosts=("host", "nunique"))
+        .reset_index()
+        .astype({"n_pages": "int64", "n_hosts": "int64"})
+    )
+    return out.sort_values("registered_domain").reset_index(drop=True)
+
+
+_REGISTERED_DOMAIN_STATS_SQL = """
+SELECT 'brand' || (doc_id % 41) || '.' ||
+       CASE doc_id % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'org' WHEN 2 THEN 'co.uk'
+                       WHEN 3 THEN 'github.io' ELSE 'ac.jp' END
+         AS registered_domain,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(COUNT(DISTINCT doc_id % 4) AS BIGINT) AS n_hosts
+FROM documents
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# word_blocklist_scores — UT1-style token blocklist scoring
+# --------------------------------------------------------------------------
+
+_BLOCKLIST = frozenset({"spark", "slow", "crash", "dup"})
+
+
+def word_blocklist_scores(sf_dir: str) -> pd.DataFrame:
+    """Soft blocklist filter (UT1/adult-list style): per document, the count
+    and parts-per-million rate of blocklisted tokens under the corpus's
+    whitespace tokenization. Integer ppm (floor) keeps the distributed result
+    bit-exact against the SQL mirror. Vectorized: one exploded isin per
+    batch, no Python per-row loop; pure map, no shuffle."""
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        toks = df["text"].str.split(" ")
+        n_tokens = toks.str.len().astype("int64")
+        ex = toks.explode()
+        blocked = (
+            ex.isin(_BLOCKLIST).groupby(level=0).sum().astype("int64")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_tokens": n_tokens,
+                "n_blocked": blocked.to_numpy(),
+                "block_ppm": (1_000_000 * blocked.to_numpy()) // n_tokens.to_numpy(),
+            }
+        )
+
+    out = docs.map_batches(score, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_WORD_BLOCKLIST_SCORES_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+                              x -> x IN ('spark', 'slow', 'crash', 'dup')))
+              AS BIGINT) AS n_blocked
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_blocked,
+       CAST((1000000 * n_blocked) // n_tokens AS BIGINT) AS block_ppm
+FROM c ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# redirect_final_targets — pointer-doubling redirect resolution
+# --------------------------------------------------------------------------
+
+REDIRECT_MOD = 5  # chains d -> d-1 -> ... -> multiple-of-5 terminal
+
+
+def redirect_final_targets(sf_dir: str) -> pd.DataFrame:
+    """Redirect-chain resolution by POINTER DOUBLING: each round composes the
+    current mapping with itself via one native hash join, so a chain of H
+    hops resolves in ceil(log2 H) rounds — 2 rounds here (max 4 hops), 6
+    rounds for 40-hop chains at crawl scale, vs H sequential joins for the
+    naive walk. Terminals carry self-loops with hops=0 so composition is
+    idempotent at the fixed points and hop counts add exactly.
+
+    Fixture: page d redirects to d-1 unless d % 5 == 0 (terminal), giving
+    chains of length d % 5 — the oracle closes the chain arithmetically while
+    the Ray path must genuinely join."""
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy()
+        term = d % REDIRECT_MOD == 0
+        return pd.DataFrame(
+            {
+                "src": d,
+                "dst": np.where(term, d, d - 1),
+                "hops": np.where(term, 0, 1).astype("int64"),
+            }
+        )
+
+    mapping = docs.map_batches(edges, batch_format="pandas")
+    rounds = int(np.ceil(np.log2(max(REDIRECT_MOD - 1, 2))))
+    for i in range(rounds):
+        right = mapping.map_batches(
+            lambda df: df.rename(
+                columns={"src": "jsrc", "dst": "jdst", "hops": "jhops"}
+            ),
+            batch_format="pandas",
+        )
+        joined = mapping.join(
+            right,
+            join_type="inner",
+            num_partitions=8,
+            on=("dst",),
+            right_on=("jsrc",),
+        )
+        mapping = joined.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "src": df["src"].astype("int64"),
+                    "dst": df["jdst"].astype("int64"),
+                    "hops": (df["hops"] + df["jhops"]).astype("int64"),
+                }
+            ),
+            batch_format="pandas",
+        )
+    out = mapping.to_pandas().rename(
+        columns={"src": "doc_id", "dst": "final_doc_id"}
+    )
+    out = out.astype({"doc_id": "int64", "final_doc_id": "int64", "hops": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_REDIRECT_FINAL_TARGETS_SQL = f"""
+SELECT doc_id,
+       CAST(doc_id - doc_id % {REDIRECT_MOD} AS BIGINT) AS final_doc_id,
+       CAST(doc_id % {REDIRECT_MOD} AS BIGINT) AS hops
+FROM documents ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# reciprocal_links — both-direction edge detection
+# --------------------------------------------------------------------------
+
+
+def reciprocal_links(sf_dir: str) -> pd.DataFrame:
+    """Reciprocal-link detection over the corpus link graph (the same
+    deterministic graph as ``doc_pagerank``: d links to (17d + 13k) mod N,
+    k = 1..3) — a classic link-spam signal. Each directed edge becomes an
+    undirected (lo, hi) key with a direction bit; max-merged partials act as
+    OR, so no edge-level dedup pass is needed and the shuffle carries one row
+    per undirected pair per batch. Pairs with both bits set are reciprocal."""
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
+    ks = np.arange(1, 4, dtype="int64")
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def pair_bits(df: pd.DataFrame) -> pd.DataFrame:
+        src = np.repeat(df["doc_id"].to_numpy(), 3)
+        dst = ((17 * df["doc_id"].to_numpy()[:, None] + 13 * ks[None, :]) % n).ravel()
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        lo, hi = np.minimum(src, dst), np.maximum(src, dst)
+        fwd = (src < dst).astype("int64")
+        return pd.DataFrame({"u": lo, "v": hi, "fwd": fwd, "rev": 1 - fwd})
+
+    bits = grouped_aggregate(
+        docs.map_batches(pair_bits, batch_format="pandas"),
+        ["u", "v"],
+        {"has_fwd": ("fwd", "max"), "has_rev": ("rev", "max")},
+    ).to_pandas()
+    out = bits[(bits["has_fwd"] == 1) & (bits["has_rev"] == 1)][["u", "v"]]
+    out = out.astype({"u": "int64", "v": "int64"})
+    return out.sort_values(["u", "v"]).reset_index(drop=True)
+
+
+_RECIPROCAL_LINKS_SQL = """
+WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+e AS (
+  SELECT doc_id AS src, (17 * doc_id + 13 * t.k) % (SELECT c FROM nn) AS dst
+  FROM documents, (VALUES (1), (2), (3)) t(k)
+),
+p AS (
+  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v,
+         MAX(CASE WHEN src < dst THEN 1 ELSE 0 END) AS f,
+         MAX(CASE WHEN src > dst THEN 1 ELSE 0 END) AS r
+  FROM e WHERE src <> dst GROUP BY 1, 2
+)
+SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v
+FROM p WHERE f = 1 AND r = 1 ORDER BY u, v
+"""
+
+
+QUERIES: dict[str, Callable[[str], object]] = {
+    "structured_data": structured_data,
+    "hreflang_clusters": hreflang_clusters,
+    "meta_robots_audit": meta_robots_audit,
+    "registered_domain_stats": registered_domain_stats,
+    "word_blocklist_scores": word_blocklist_scores,
+    "redirect_final_targets": redirect_final_targets,
+    "reciprocal_links": reciprocal_links,
+}
+
+ORACLES: dict[str, str] = {
+    "structured_data": _STRUCTURED_DATA_SQL,
+    "hreflang_clusters": _HREFLANG_CLUSTERS_SQL,
+    "meta_robots_audit": _META_ROBOTS_AUDIT_SQL,
+    "registered_domain_stats": _REGISTERED_DOMAIN_STATS_SQL,
+    "word_blocklist_scores": _WORD_BLOCKLIST_SCORES_SQL,
+    "redirect_final_targets": _REDIRECT_FINAL_TARGETS_SQL,
+    "reciprocal_links": _RECIPROCAL_LINKS_SQL,
+}

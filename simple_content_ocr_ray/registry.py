@@ -21,7 +21,15 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         text_stats,
         window,
     )
-    from .pipelines import clean, extract_queries, media, relational, tpch_rest, train_feed
+    from .pipelines import (
+        clean,
+        extract_queries,
+        media,
+        relational,
+        tpch_rest,
+        train_feed,
+        webannot_queries,
+    )
     from .sources import zorder_layout
     from .state import dedup_index
 
@@ -34,6 +42,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         relational,
         tpch_rest,
         train_feed,
+        webannot_queries,
         zorder_layout,
         dedup_index,
         corpus_ops,

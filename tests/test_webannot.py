@@ -1,0 +1,190 @@
+"""Web-annotation operator tests: parsers (hreflang / meta robots / JSON-LD),
+PSL registered-domain logic, pointer-doubling redirect resolution vs a
+brute-force walk, reciprocal links vs brute force, and blocklist scoring."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from simple_content_ocr_ray.pipelines.webannot_queries import (
+    _BLOCKLIST,
+    REDIRECT_MOD,
+    make_annotated_page,
+    meta_robots_audit,
+    parse_hreflang,
+    parse_jsonld,
+    parse_meta_robots,
+    reciprocal_links,
+    redirect_final_targets,
+    registered_domain,
+    structured_data,
+    word_blocklist_scores,
+)
+
+
+# --------------------------------------------------------------------------
+# Parser units
+# --------------------------------------------------------------------------
+
+
+def test_parse_hreflang_attr_orders_and_quotes():
+    html = (
+        '<link rel="alternate" hreflang="en" href="https://a/1">'
+        "<link hreflang='de' href='https://a/2' rel='alternate'>"
+        '<link rel="alternate" hreflang="x-default" href="https://a/1">'
+        '<link rel="stylesheet" href="/css">'
+        '<link rel="alternate" type="application/rss+xml" href="/feed">'
+    )
+    assert parse_hreflang(html) == [("en", "https://a/1"), ("de", "https://a/2")]
+
+
+def test_parse_meta_robots_cases_and_decoys():
+    assert parse_meta_robots('<meta name="robots" content="noindex">') == (
+        True,
+        False,
+    )
+    # attr order swapped, bare value, uppercase name
+    assert parse_meta_robots(
+        "<meta content='noindex, nofollow' name=ROBOTS>"
+    ) == (True, True)
+    assert parse_meta_robots('<META NAME="Robots" CONTENT="nofollow">') == (
+        False,
+        True,
+    )
+    # a description meta containing the words is NOT a directive
+    assert parse_meta_robots(
+        '<meta name="description" content="noindex nofollow">'
+    ) == (False, False)
+
+
+def test_parse_jsonld_graph_and_malformed():
+    html = (
+        '<script type="application/ld+json">'
+        '{"@type":"Article","name":"A","position":1}</script>'
+        "<script async type='application/ld+json'>"
+        '{"@graph":[{"@type":"Person","name":"P"},{"@type":"Org","name":"O"}]}'
+        "</script>"
+        '<script type="application/ld+json">{"@type":"Broken",}</script>'
+        "<script>var x=1;</script>"
+    )
+    got = parse_jsonld(html)
+    assert [n["@type"] for n in got] == ["Article", "Person", "Org"]
+
+
+def test_annotated_page_features_match_residues():
+    # d=5: robots noindex+nofollow (5%9==5), graph block (5%5==0), well-formed
+    html = make_annotated_page(5).decode()
+    assert parse_meta_robots(html) == (True, True)
+    types = sorted(n["@type"] for n in parse_jsonld(html))
+    assert types == ["Organization", "Person", "Product"]  # 5 % 4 == 1
+    # d=3: malformed top block (3%7==3), no robots meta, no graph
+    html3 = make_annotated_page(3).decode()
+    assert parse_jsonld(html3) == []
+    assert parse_meta_robots(html3) == (False, False)
+    # every page exposes exactly 4 hreflang alternates (x-default excluded)
+    assert len(parse_hreflang(html)) == 4
+
+
+# --------------------------------------------------------------------------
+# PSL registered-domain
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "host,expected",
+    [
+        ("www.brand3.co.uk", "brand3.co.uk"),
+        ("blog.brand3.co.uk", "brand3.co.uk"),
+        ("brand3.co.uk", "brand3.co.uk"),
+        ("api.brand7.com", "brand7.com"),
+        ("brand7.com", "brand7.com"),
+        # github.io is itself a public suffix: one label left of it
+        ("www.brand9.github.io", "brand9.github.io"),
+        ("brand9.github.io", "brand9.github.io"),
+        ("x.y.brand1.ac.jp", "brand1.ac.jp"),
+        ("UPPER.Brand2.ORG", "brand2.org"),
+        # bare suffix returns itself
+        ("co.uk", "co.uk"),
+        # unknown TLD: no suffix match, host unchanged
+        ("foo.internal", "foo.internal"),
+    ],
+)
+def test_registered_domain(host, expected):
+    assert registered_domain(host) == expected
+
+
+# --------------------------------------------------------------------------
+# Distributed operators vs brute force
+# --------------------------------------------------------------------------
+
+
+def test_redirect_pointer_doubling_matches_walk(sf_dir):
+    got = redirect_final_targets(sf_dir)
+    n = len(got)
+    # brute-force walk of the fixture chains
+    for d in (0, 1, 4, n - 1, 7, 13):
+        cur, hops = d, 0
+        while cur % REDIRECT_MOD != 0:
+            cur, hops = cur - 1, hops + 1
+        row = got[got["doc_id"] == d].iloc[0]
+        assert (row["final_doc_id"], row["hops"]) == (cur, hops)
+    # every doc resolved exactly once
+    assert got["doc_id"].is_unique and len(got) == n
+
+
+def test_reciprocal_links_matches_brute_force(sf_dir):
+    import pyarrow.parquet as pq
+    import os
+
+    n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    edges = set()
+    for d in range(n):
+        for k in (1, 2, 3):
+            t = (17 * d + 13 * k) % n
+            if t != d:
+                edges.add((d, t))
+    expected = sorted(
+        (u, v) for (u, v) in edges if u < v and (v, u) in edges
+    )
+    got = reciprocal_links(sf_dir)
+    assert list(map(tuple, got[["u", "v"]].to_numpy())) == expected
+
+
+def test_word_blocklist_scores_brute_force(sf_dir):
+    import duckdb
+    import os
+
+    got = word_blocklist_scores(sf_dir)
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{os.path.join(sf_dir, 'documents.parquet')}' "
+        "ORDER BY doc_id"
+    ).df()
+    for _, r in docs.head(20).iterrows():
+        toks = r["text"].split(" ")
+        nb = sum(t in _BLOCKLIST for t in toks)
+        row = got[got["doc_id"] == r["doc_id"]].iloc[0]
+        assert row["n_tokens"] == len(toks)
+        assert row["n_blocked"] == nb
+        assert row["block_ppm"] == (1_000_000 * nb) // len(toks)
+    # the blocklist is drawn from the live vocabulary: scores must not be
+    # vacuously zero corpus-wide
+    assert got["n_blocked"].sum() > 0
+
+
+def test_structured_data_and_robots_e2e_shapes(sf_dir):
+    sd = structured_data(sf_dir)
+    assert set(sd["sd_type"]) <= {
+        "Article",
+        "Product",
+        "Event",
+        "Recipe",
+        "Person",
+        "Organization",
+    }
+    # malformed pages (doc_id % 7 == 3, % 5 != 0) contribute nothing
+    assert not (
+        (sd["doc_id"] % 7 == 3) & (sd["doc_id"] % 5 != 0)
+    ).any()
+    audit = meta_robots_audit(sf_dir)
+    assert ((audit["noindex"] == 1) | (audit["nofollow"] == 1)).all()
+    assert (audit["doc_id"] % 9).isin([4, 5, 6]).all()
