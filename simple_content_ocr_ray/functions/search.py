@@ -471,7 +471,111 @@ GROUP BY tok.source
 """
 
 
+# --------------------------------------------------------------------------
+# Bigram LM fluency (Laplace-smoothed conditional bigram model)
+# --------------------------------------------------------------------------
+
+BIGRAM_ROUND = 6
+
+
+def doc_bigram_logprob(sf_dir: str) -> pd.DataFrame:
+    """Mean BIGRAM log-probability per document under the corpus's own
+    Laplace-smoothed conditional model P(w2 | w1) = (c(w1,w2) + 1) /
+    (c(w1·) + V) — the order-sensitive upgrade of
+    :func:`doc_unigram_logprob`: shuffled or templated word salad scores low
+    even when its unigram profile looks fluent (the KenLM-style filter of
+    CCNet-family pipelines, without the neural LM).
+
+    Topology: one partial+final pass builds the (w1, w2) bigram-count table
+    (bounded by OBSERVED bigrams, not V²); prefix totals c(w1·) derive from
+    it by a driver-side rollup of the already-small table; vocabulary size
+    comes from the same term pass the unigram model uses. Both model maps
+    are broadcast once (``ray.put``) and scoring is a stateless vectorized
+    pass — no shuffle touches the corpus. At open-web scale the bigram
+    table is count-prunable (drop hapax bigrams) before broadcast; kept
+    exact here because the oracle mirrors the unpruned model."""
+    docs = _read_docs(sf_dir)
+
+    def bigram_rows(df: pd.DataFrame) -> pd.DataFrame:
+        rows, flat, _ = _explode(df)
+        if len(flat) < 2:
+            return pd.DataFrame({"w1": [], "w2": []})
+        adj = rows[:-1] == rows[1:]  # consecutive tokens of the SAME doc
+        return pd.DataFrame({"w1": flat[:-1][adj], "w2": flat[1:][adj]})
+
+    bc = grouped_aggregate(
+        docs, ["w1", "w2"], {"c": (None, "count")}, prepare=bigram_rows
+    ).to_pandas()
+    prefix = bc.groupby("w1", sort=False)["c"].sum()
+
+    def term_rows(df: pd.DataFrame) -> pd.DataFrame:
+        _, flat, _ = _explode(df)
+        return pd.DataFrame({"term": flat})
+
+    vocab = len(
+        grouped_aggregate(
+            docs, ["term"], {"n": (None, "count")}, prepare=term_rows
+        ).to_pandas()
+    )
+    bc_ref = ray.put(
+        dict(zip(zip(bc["w1"], bc["w2"]), bc["c"].astype("int64")))
+    )
+    pc_ref = ray.put(prefix.astype("int64").to_dict())
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        bcm, pcm = ray.get(bc_ref), ray.get(pc_ref)
+        rows, flat, _ = _explode(df)
+        adj = rows[:-1] == rows[1:]
+        r = rows[:-1][adj]
+        w1, w2 = flat[:-1][adj], flat[1:][adj]
+        c = np.fromiter(
+            (bcm.get((a, b), 0) for a, b in zip(w1, w2)),
+            dtype="float64",
+            count=len(w1),
+        )
+        p = np.fromiter(
+            (pcm.get(a, 0) for a in w1), dtype="float64", count=len(w1)
+        )
+        logp = np.log((c + 1.0) / (p + float(vocab)))
+        sums = np.bincount(r, weights=logp, minlength=len(df))
+        n_big = np.bincount(r, minlength=len(df))
+        keep = n_big > 0  # single-token docs have no bigram positions
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy()[keep],
+                "mean_logprob": np.round(
+                    sums[keep] / n_big[keep], BIGRAM_ROUND
+                ),
+            }
+        )
+
+    out = docs.map_batches(score, batch_format="pandas").to_pandas()
+    return out.astype({"doc_id": "int64"}).sort_values("doc_id").reset_index(drop=True)
+
+
+_BIGRAM_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+big AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+),
+bc AS (SELECT w1, w2, COUNT(*) AS c FROM big GROUP BY 1, 2),
+pc AS (SELECT w1, SUM(c) AS p FROM bc GROUP BY 1),
+v AS (
+  SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) AS vocab
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+)
+SELECT big.doc_id,
+       ROUND(AVG(ln((bc.c + 1.0) / (pc.p + v.vocab))), {BIGRAM_ROUND})
+         AS mean_logprob
+FROM big JOIN bc USING (w1, w2) JOIN pc USING (w1) CROSS JOIN v
+GROUP BY big.doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
+    "doc_bigram_logprob": doc_bigram_logprob,
     "bm25_topk": bm25_topk,
     "source_lm_quality": source_lm_quality,
     "tfidf_top_terms": tfidf_top_terms,
@@ -479,6 +583,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "top_collocations": top_collocations,
 }
 ORACLES: dict[str, str] = {
+    "doc_bigram_logprob": _BIGRAM_SQL,
     "bm25_topk": _BM25_SQL,
     "source_lm_quality": _SOURCE_LM_QUALITY_SQL,
     "tfidf_top_terms": _TFIDF_SQL,

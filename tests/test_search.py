@@ -175,3 +175,54 @@ def test_mmr_topk_matches_numpy_mirror(ray_session):
         # rank 1 equals the plain top-1
         top1 = plain[plain["query_id"] == qid].iloc[0]["neighbor_id"]
         assert g.iloc[0]["neighbor_id"] == top1
+
+
+def test_doc_bigram_logprob_brute_force(sf_dir):
+    """Exact brute-force mirror of the Laplace bigram model on a handful of
+    docs: counts, prefix totals, and vocabulary computed naively."""
+    import math
+    import os
+
+    import duckdb
+
+    from simple_content_ocr_ray.functions.search import (
+        BIGRAM_ROUND,
+        doc_bigram_logprob,
+    )
+
+    got = doc_bigram_logprob(sf_dir)
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{os.path.join(sf_dir, 'documents.parquet')}' "
+        "ORDER BY doc_id"
+    ).df()
+    bc: dict = {}
+    pc: dict = {}
+    vocab = set()
+    for t in docs["text"]:
+        toks = t.split(" ")
+        vocab.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            bc[(a, b)] = bc.get((a, b), 0) + 1
+            pc[a] = pc.get(a, 0) + 1
+    V = len(vocab)
+    for _, r in docs.head(7).iterrows():
+        toks = r["text"].split(" ")
+        lps = [
+            math.log((bc[(a, b)] + 1.0) / (pc[a] + V))
+            for a, b in zip(toks, toks[1:])
+        ]
+        exp = round(sum(lps) / len(lps), BIGRAM_ROUND)
+        row = got[got["doc_id"] == r["doc_id"]].iloc[0]
+        assert abs(row["mean_logprob"] - exp) < 1e-9
+    # order sensitivity: the bigram model is NOT a bag-of-words score — a
+    # reversed token stream must change some document's score
+    rev_lps = []
+    for _, r in docs.head(7).iterrows():
+        toks = r["text"].split(" ")[::-1]
+        lps = [
+            math.log((bc.get((a, b), 0) + 1.0) / (pc.get(a, 0) + V))
+            for a, b in zip(toks, toks[1:])
+        ]
+        rev_lps.append(round(sum(lps) / len(lps), BIGRAM_ROUND))
+    orig = got.set_index("doc_id").loc[docs.head(7)["doc_id"], "mean_logprob"]
+    assert any(abs(a - b) > 1e-9 for a, b in zip(orig, rev_lps))
