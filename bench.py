@@ -337,6 +337,13 @@ def run_headline() -> dict:
             "incremental_extract",
             "host_template_lines",
             "langid_confusion",
+            "structured_data",
+            "hreflang_clusters",
+            "registered_domain_stats",
+            "word_blocklist_scores",
+            "redirect_final_targets",
+            "reciprocal_links",
+            "doc_bigram_logprob",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)

@@ -1433,7 +1433,67 @@ GROUP BY c.source, s.ns
 """
 
 
+def lang_outlier_docs(sf_dir: str) -> pd.DataFrame:
+    """Label-consistency audit: documents whose ``lang`` differs from their
+    SOURCE's majority language — the cheap mislabel/contamination screen a
+    curation run applies before per-language mixing (a wrong-language page
+    inside a monolingual source is usually boilerplate, spam, or a language-ID
+    error). Majority ties break to the lexicographically smallest lang so the
+    result is deterministic.
+
+    Scale shape: one partial+final aggregate builds the (source, lang, n)
+    table — bounded by |sources| × |langs|, never pages — the majority map is
+    broadcast once, and flagging is a stateless vectorized filter over the
+    streamed corpus. No shuffle touches the documents table."""
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "source"],
+    )
+    counts = grouped_aggregate(
+        docs, ["source", "lang"], {"n": (None, "count")}
+    ).to_pandas()
+    counts = counts.sort_values(
+        ["source", "n", "lang"], ascending=[True, False, True], kind="mergesort"
+    )
+    majority = dict(
+        zip(
+            counts.drop_duplicates("source")["source"],
+            counts.drop_duplicates("source")["lang"],
+        )
+    )
+    maj_ref = ray.put(majority)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(maj_ref)
+        ml = df["source"].map(m)
+        out = df[df["lang"] != ml].copy()
+        out["majority_lang"] = ml[df["lang"] != ml]
+        return out[["doc_id", "source", "lang", "majority_lang"]].astype(
+            {"doc_id": "int64"}
+        )
+
+    out = docs.map_batches(flag, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_LANG_OUTLIER_DOCS_SQL = """
+WITH c AS (SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+m AS (
+  SELECT source, lang AS majority_lang FROM (
+    SELECT source, lang,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, lang) AS rn
+    FROM c
+  ) WHERE rn = 1
+)
+SELECT d.doc_id, d.source, d.lang, m.majority_lang
+FROM documents d JOIN m USING (source)
+WHERE d.lang <> m.majority_lang
+ORDER BY d.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
+    "lang_outlier_docs": lang_outlier_docs,
     "doc_pagerank": doc_pagerank,
     "token_budget_mixture": token_budget_mixture,
     "source_lang_kl": source_lang_kl,
@@ -1458,6 +1518,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "lang_outlier_docs": _LANG_OUTLIER_DOCS_SQL,
     "doc_pagerank": _pagerank_sql(),
     "hits_scores": _HITS_SCORES_SQL,
     "token_budget_mixture": _TOKEN_BUDGET_MIXTURE_SQL,
