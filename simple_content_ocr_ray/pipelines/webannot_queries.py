@@ -611,7 +611,80 @@ FROM p WHERE f = 1 AND r = 1 ORDER BY u, v
 """
 
 
+# --------------------------------------------------------------------------
+# url_path_templates — digit-run path templating
+# --------------------------------------------------------------------------
+
+
+def url_path_templates(sf_dir: str) -> pd.DataFrame:
+    """URL path-template mining: collapse digit runs to ``#`` and count pages
+    per (host, template) — the classic crawl-side structure signal
+    (``/product/#`` with 10M pages is a database-backed catalog; one-off
+    paths are editorial). The Ray side REALLY parses: full URL strings are
+    split with ``urlsplit`` and templated with a vectorized regex replace;
+    the oracle reconstructs the same strings arithmetically. Rollup is a
+    partial+final count bounded by distinct templates, never pages."""
+    from urllib.parse import urlsplit
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def urls(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for x in df["doc_id"]:
+            d = int(x)
+            kind = d % 3
+            if kind == 0:
+                path = f"/product/{d}"
+            elif kind == 1:
+                path = f"/blog/2024/{d % 12 + 1:02d}/post-{d}"
+            else:
+                path = f"/u/{d}/profile"
+            out.append(f"https://site{d % 97}.example{path}")
+        return pd.DataFrame({"url": out})
+
+    def template(df: pd.DataFrame) -> pd.DataFrame:
+        parts = [urlsplit(u) for u in df["url"]]
+        return pd.DataFrame(
+            {
+                "host": [p.hostname for p in parts],
+                "template": pd.Series([p.path for p in parts]).str.replace(
+                    r"[0-9]+", "#", regex=True
+                ),
+            }
+        )
+
+    out = grouped_aggregate(
+        docs.map_batches(urls, batch_format="pandas").map_batches(
+            template, batch_format="pandas"
+        ),
+        ["host", "template"],
+        {"n_pages": (None, "count")},
+    ).to_pandas()
+    out = out.astype({"n_pages": "int64"})
+    return out.sort_values(["host", "template"]).reset_index(drop=True)
+
+
+_URL_PATH_TEMPLATES_SQL = """
+WITH u AS (
+  SELECT 'site' || (doc_id % 97) || '.example' AS host,
+         CASE doc_id % 3
+           WHEN 0 THEN '/product/' || doc_id
+           WHEN 1 THEN '/blog/2024/' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+                       || '/post-' || doc_id
+           ELSE '/u/' || doc_id || '/profile'
+         END AS path
+  FROM documents
+)
+SELECT host, regexp_replace(path, '[0-9]+', '#', 'g') AS template,
+       CAST(COUNT(*) AS BIGINT) AS n_pages
+FROM u GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
+    "url_path_templates": url_path_templates,
     "structured_data": structured_data,
     "hreflang_clusters": hreflang_clusters,
     "meta_robots_audit": meta_robots_audit,
@@ -622,6 +695,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "url_path_templates": _URL_PATH_TEMPLATES_SQL,
     "structured_data": _STRUCTURED_DATA_SQL,
     "hreflang_clusters": _HREFLANG_CLUSTERS_SQL,
     "meta_robots_audit": _META_ROBOTS_AUDIT_SQL,
