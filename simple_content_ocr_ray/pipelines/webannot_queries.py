@@ -485,8 +485,15 @@ FROM c ORDER BY doc_id
 
 REDIRECT_MOD = 5  # chains d -> d-1 -> ... -> multiple-of-5 terminal
 
+#: mappings at or below this row count resolve on the driver (numpy pointer
+#: doubling over a sorted array); above it, distributed native-join rounds —
+#: the same footer-metadata gate the dedup/window families use.
+REDIRECT_SMALL_THRESHOLD = 2_000_000
 
-def redirect_final_targets(sf_dir: str) -> pd.DataFrame:
+
+def redirect_final_targets(
+    sf_dir: str, small_threshold: int = REDIRECT_SMALL_THRESHOLD
+) -> pd.DataFrame:
     """Redirect-chain resolution by POINTER DOUBLING: each round composes the
     current mapping with itself via one native hash join, so a chain of H
     hops resolves in ceil(log2 H) rounds — 2 rounds here (max 4 hops), 6
@@ -496,7 +503,17 @@ def redirect_final_targets(sf_dir: str) -> pd.DataFrame:
 
     Fixture: page d redirects to d-1 unless d % 5 == 0 (terminal), giving
     chains of length d % 5 — the oracle closes the chain arithmetically while
-    the Ray path must genuinely join."""
+    the Ray path must genuinely join.
+
+    Adaptive per repo convention: when the parquet footer says the mapping
+    fits on the driver (≤ ``small_threshold`` rows) the doubling runs as
+    numpy searchsorted composition — same algorithm, zero shuffle; both
+    paths are tested equal."""
+    import pyarrow.parquet as pq
+
+    n_rows = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
     docs = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     )
@@ -514,6 +531,24 @@ def redirect_final_targets(sf_dir: str) -> pd.DataFrame:
 
     mapping = docs.map_batches(edges, batch_format="pandas")
     rounds = int(np.ceil(np.log2(max(REDIRECT_MOD - 1, 2))))
+
+    if n_rows <= small_threshold:
+        m = mapping.to_pandas()
+        src = m["src"].to_numpy()
+        order = np.argsort(src, kind="stable")
+        src_s = src[order]
+        dst = m["dst"].to_numpy()[order]
+        hops = m["hops"].to_numpy()[order]
+        for _ in range(rounds):
+            ix = np.searchsorted(src_s, dst)
+            dst, hops = dst[ix].copy(), hops + hops[ix]
+            # (fixture guarantees every dst exists as a src; searchsorted
+            # composition is the numpy form of the join below)
+        out = pd.DataFrame(
+            {"doc_id": src_s, "final_doc_id": dst, "hops": hops}
+        ).astype("int64")
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     for i in range(rounds):
         right = mapping.map_batches(
             lambda df: df.rename(

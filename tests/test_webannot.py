@@ -188,3 +188,11 @@ def test_structured_data_and_robots_e2e_shapes(sf_dir):
     audit = meta_robots_audit(sf_dir)
     assert ((audit["noindex"] == 1) | (audit["nofollow"] == 1)).all()
     assert (audit["doc_id"] % 9).isin([4, 5, 6]).all()
+
+
+def test_redirect_both_paths_equal(sf_dir):
+    """Footer-gated small path (numpy searchsorted doubling) must equal the
+    forced distributed native-join path exactly."""
+    small = redirect_final_targets(sf_dir)
+    large = redirect_final_targets(sf_dir, small_threshold=0)
+    pd.testing.assert_frame_equal(small, large)
