@@ -1492,7 +1492,111 @@ ORDER BY d.doc_id
 """
 
 
+BFS_SEED_MOD = 101
+
+
+def two_hop_neighbors(sf_dir: str) -> pd.DataFrame:
+    """Breadth-first frontier expansion from a seed set: distinct nodes
+    within ≤2 hops of each seed over the corpus link graph (same
+    deterministic graph as ``doc_pagerank``/``hits_scores``) — the traversal
+    shape behind seed-based crawl scoping and link-spam neighborhood audits.
+
+    Scale shape (broadcast-frontier BFS): the FRONTIER is the small side —
+    seeds × out-degree^hop rows — broadcast once per hop (``ray.put``),
+    while the EDGE table only ever streams through ``map_batches``; each hop
+    is a map-side semi-join emitting (seed, node) pairs, deduped by a
+    partial+final aggregate bounded by the frontier, never the graph. No
+    all-to-all shuffle at any hop; the pattern holds for any hop count whose
+    frontier fits a broadcast (salt/partition the frontier beyond that)."""
+    from .agg import grouped_aggregate
+
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    ks = np.arange(1, 4, dtype="int64")
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    seeds = sorted(
+        int(d)
+        for d in docs.map_batches(
+            lambda df: df[df["doc_id"] % BFS_SEED_MOD == 0],
+            batch_format="pandas",
+        ).to_pandas()["doc_id"]
+    )
+
+    def hop(frontier: dict[int, np.ndarray]) -> pd.DataFrame:
+        """One BFS hop: stream edges, keep those leaving the frontier,
+        emit (seed, dst) for every seed that reached the edge's source."""
+        ref = ray.put(frontier)
+
+        def expand(df: pd.DataFrame) -> pd.DataFrame:
+            fr = ray.get(ref)
+            src = df["doc_id"].to_numpy()
+            hit = np.isin(src, np.fromiter(fr.keys(), dtype="int64"))
+            src = src[hit]
+            if not len(src):
+                return pd.DataFrame(
+                    {"seed": pd.Series([], dtype="int64"),
+                     "node": pd.Series([], dtype="int64")}
+                )
+            dst = (17 * src[:, None] + 13 * ks[None, :]) % n
+            out_seed, out_node = [], []
+            for s_, row in zip(src, dst):
+                for seed in fr[int(s_)]:
+                    keep = row != s_  # drop self-loops
+                    out_seed.append(np.full(keep.sum(), seed, dtype="int64"))
+                    out_node.append(row[keep])
+            return pd.DataFrame(
+                {
+                    "seed": np.concatenate(out_seed),
+                    "node": np.concatenate(out_node),
+                }
+            )
+
+        return grouped_aggregate(
+            docs.map_batches(expand, batch_format="pandas"),
+            ["seed", "node"],
+            {"one": (None, "count")},
+        ).to_pandas()[["seed", "node"]]
+
+    h1 = hop({s: np.array([s], dtype="int64") for s in seeds})
+    # frontier for hop 2: node → seeds that reached it
+    fr2: dict[int, list] = {}
+    for seed, node in zip(h1["seed"], h1["node"]):
+        fr2.setdefault(int(node), []).append(int(seed))
+    h2 = hop({k: np.array(v, dtype="int64") for k, v in fr2.items()})
+
+    both = pd.concat([h1, h2]).drop_duplicates()
+    both = both[both["node"] != both["seed"]]
+    out = (
+        both.groupby("seed", sort=True)
+        .size()
+        .rename("n_within_2")
+        .reset_index()
+        .astype({"seed": "int64", "n_within_2": "int64"})
+    )
+    return out
+
+
+_TWO_HOP_NEIGHBORS_SQL = f"""
+WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+e AS (
+  SELECT doc_id AS src, (17 * doc_id + 13 * t.k) % (SELECT c FROM nn) AS dst
+  FROM documents, (VALUES (1), (2), (3)) t(k)
+  WHERE doc_id <> (17 * doc_id + 13 * t.k) % (SELECT c FROM nn)
+),
+s AS (SELECT doc_id AS seed FROM documents WHERE doc_id % {BFS_SEED_MOD} = 0),
+h1 AS (SELECT DISTINCT s.seed, e.dst AS node FROM s JOIN e ON e.src = s.seed),
+h2 AS (SELECT DISTINCT h1.seed, e.dst AS node FROM h1 JOIN e ON e.src = h1.node),
+allhops AS (SELECT seed, node FROM h1 UNION SELECT seed, node FROM h2)
+SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_within_2
+FROM allhops WHERE node <> seed GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
+    "two_hop_neighbors": two_hop_neighbors,
     "lang_outlier_docs": lang_outlier_docs,
     "doc_pagerank": doc_pagerank,
     "token_budget_mixture": token_budget_mixture,
@@ -1518,6 +1622,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "two_hop_neighbors": _TWO_HOP_NEIGHBORS_SQL,
     "lang_outlier_docs": _LANG_OUTLIER_DOCS_SQL,
     "doc_pagerank": _pagerank_sql(),
     "hits_scores": _HITS_SCORES_SQL,

@@ -393,3 +393,28 @@ def test_event_trigram_counts_paths_and_bruteforce(ray_session):
     got = {(r.t1, r.t2, r.t3): int(r.n) for r in small.itertuples()}
     assert got == dict(c)
     assert sum(got.values()) == sum(len(g) - 2 for _, g in ev.groupby("user_id") if len(g) >= 3)
+
+
+def test_two_hop_neighbors_brute_force(sf_dir):
+    """Broadcast-frontier BFS vs a naive 2-hop set expansion."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from simple_content_ocr_ray.functions.corpus_ops import (
+        BFS_SEED_MOD,
+        two_hop_neighbors,
+    )
+
+    n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+
+    def neigh(d):
+        return {t for t in ((17 * d + 13 * k) % n for k in (1, 2, 3)) if t != d}
+
+    got = two_hop_neighbors(sf_dir)
+    for seed in range(0, n, BFS_SEED_MOD):
+        h1 = neigh(seed)
+        h2 = set().union(*(neigh(x) for x in h1)) if h1 else set()
+        expected = (h1 | h2) - {seed}
+        row = got[got["seed"] == seed]
+        assert len(row) == 1 and row.iloc[0]["n_within_2"] == len(expected)
