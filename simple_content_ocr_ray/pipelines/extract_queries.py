@@ -16,6 +16,7 @@ SQL mirrors of the synthesis rules (see synth_pages.py):
 from __future__ import annotations
 
 import os
+import re
 from typing import Callable
 
 import numpy as np
@@ -919,10 +920,12 @@ def normalize_urls(u: pd.Series) -> pd.Series:
 
 
 def parse_robots(raw: bytes) -> list[tuple[bool, str]]:
-    """``robots.txt`` → ordered (is_allow, path_prefix) rules for the ``*``
+    """``robots.txt`` → ordered (is_allow, path_pattern) rules for the ``*``
     user-agent, per RFC 9309: agent lines open a group, rule lines close
-    it; only groups naming ``*`` apply here. Wildcard path patterns
-    (``*``/``$``, a Google extension) are out of scope and ignored."""
+    it; only groups naming ``*`` apply here. Path patterns may contain the
+    RFC 9309 §2.2.3 special characters ``*`` (any octet sequence) and a
+    trailing ``$`` (end-of-path anchor); plain prefixes are the common
+    special case."""
     rules: list[tuple[bool, str]] = []
     applies = False
     in_agents = False
@@ -946,9 +949,20 @@ def parse_robots(raw: bytes) -> list[tuple[bool, str]]:
             in_agents = False
             # an EMPTY Disallow means "allow all" (RFC 9309) — drop it
             # rather than treating it as a match-everything prefix
-            if applies and field in ("allow", "disallow") and value and "*" not in value:
+            if applies and field in ("allow", "disallow") and value:
                 rules.append((field == "allow", value))
     return rules
+
+
+def _robots_pattern(pattern: str) -> "re.Pattern[str]":
+    """Compiled matcher for one RFC 9309 path pattern: ``*`` spans any
+    octets, a TRAILING ``$`` anchors the end (an interior ``$`` is literal,
+    per the RFC's grammar); everything else matches literally. Anchored at
+    the path start like the plain-prefix rule it generalizes."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = ".*".join(re.escape(p) for p in body.split("*"))
+    return re.compile("^" + rx + ("$" if anchored else ""))
 
 
 def robots_sitemaps(raw: bytes) -> list[str]:
@@ -967,13 +981,18 @@ def robots_sitemaps(raw: bytes) -> list[str]:
 
 
 def robots_allows(rules: list[tuple[bool, str]], path: str) -> bool:
-    """RFC 9309 precedence: the longest matching path prefix wins; on a
-    length tie Allow wins. No matching rule (or an empty-path Disallow
-    beaten by anything longer) means allowed."""
+    """RFC 9309 precedence: the most specific matching rule wins, measured
+    by pattern OCTET COUNT (§2.2.2 — for plain prefixes that is prefix
+    length; wildcard patterns count their raw octets); on a tie Allow wins.
+    No matching rule means allowed."""
     verdict, best_len = True, -1
-    for allow, prefix in rules:
-        if path.startswith(prefix):
-            n = len(prefix)
+    for allow, pattern in rules:
+        if "*" in pattern or pattern.endswith("$"):
+            hit = _robots_pattern(pattern).match(path) is not None
+        else:
+            hit = path.startswith(pattern)
+        if hit:
+            n = len(pattern)
             if n > best_len or (n == best_len and allow):
                 verdict, best_len = allow, n
     return verdict
@@ -1013,6 +1032,123 @@ def robots_allowed_links(sf_dir: str) -> pd.DataFrame:
         robots_allows(rules[d], h) for d, h in zip(edges["domain"], edges["href"])
     ]
     return edges.sort_values(["domain", "href"]).reset_index(drop=True)
+
+
+def robots_wildcard_audit(sf_dir: str) -> pd.DataFrame:
+    """RFC 9309 §2.2.3 wildcard-pattern compliance: judge a deterministic
+    frontier against robots.txt rules that exercise ``*`` spans, trailing
+    ``$`` anchors, and octet-count precedence — the cases real-world
+    robots.txt files use constantly (``Disallow: /*.zip$``) and a
+    prefix-only matcher silently gets wrong.
+
+    Per-domain policy: ``Disallow: /dl/*.zip$`` (anchored — ``.zip.html``
+    stays allowed), ``Disallow: /tmp*`` with ``Allow: /tmp/keep`` (longer
+    octet count wins), and odd domains add ``Disallow: /*?session=``.
+    Robots bytes PARSE distributed (map_batches over the per-domain payload
+    table); the |domains|-bounded rule set broadcasts into the vectorized
+    verdict pass over the frontier. The oracle mirrors each verdict with
+    LIKE arithmetic over the same deterministic paths."""
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    ks = sorted(
+        grouped_aggregate(
+            docs.map_batches(
+                lambda df: pd.DataFrame({"k": df["doc_id"].to_numpy() % 97}),
+                batch_format="pandas",
+            ),
+            ["k"],
+            {"n": (None, "count")},
+        ).to_pandas()["k"].astype(int)
+    )
+
+    def robots_txt(k: int) -> bytes:
+        lines = [
+            "User-agent: *",
+            "Disallow: /dl/*.zip$",
+            "Disallow: /tmp*",
+            "Allow: /tmp/keep",
+        ]
+        if k % 2 == 1:
+            lines.append("Disallow: /*?session=")
+        return "\n".join(lines).encode()
+
+    payloads = rd.from_items(
+        [{"k": int(k), "payload": robots_txt(int(k))} for k in ks]
+    )
+
+    def parse_batch(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": df["k"].astype("int64"),
+                "rules": [parse_robots(bytes(p)) for p in df["payload"]],
+            }
+        )
+
+    rules = {
+        int(r["k"]): r["rules"]
+        for _, r in payloads.map_batches(parse_batch, batch_format="pandas")
+        .to_pandas()
+        .iterrows()
+    }
+    rules_ref = ray.put(rules)
+
+    def paths_for(df: pd.DataFrame) -> pd.DataFrame:
+        rb = ray.get(rules_ref)
+        rows = []
+        for x in df["k"]:
+            k = int(x)
+            for path in (
+                f"/dl/report{k}.zip",
+                f"/dl/report{k}.zip.html",
+                f"/tmp/cache{k}",
+                f"/tmp/keep/{k}",
+                f"/page{k}?session=abc",
+                f"/page{k}",
+            ):
+                rows.append(
+                    {
+                        "domain": f"site{k}.example",
+                        "path": path,
+                        "allowed": int(robots_allows(rb[k], path)),
+                    }
+                )
+        return pd.DataFrame(rows, columns=["domain", "path", "allowed"]).astype(
+            {"allowed": "int64"}
+        )
+
+    out = (
+        rd.from_items([{"k": int(k)} for k in ks])
+        .map_batches(paths_for, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["domain", "path"]).reset_index(drop=True)
+
+
+_ROBOTS_WILDCARD_AUDIT_SQL = """
+WITH k AS (SELECT DISTINCT doc_id % 97 AS k FROM documents),
+p AS (
+  SELECT k, path FROM k, LATERAL (
+    SELECT unnest([
+      '/dl/report' || k || '.zip',
+      '/dl/report' || k || '.zip.html',
+      '/tmp/cache' || k,
+      '/tmp/keep/' || k,
+      '/page' || k || '?session=abc',
+      '/page' || k
+    ]) AS path
+  )
+)
+SELECT 'site' || k || '.example' AS domain, path,
+       CAST(CASE
+         WHEN path LIKE '/dl/%.zip' THEN 0
+         WHEN path LIKE '/tmp/keep%' THEN 1
+         WHEN path LIKE '/tmp%' THEN 0
+         WHEN k % 2 = 1 AND path LIKE '%?session=%' THEN 0
+         ELSE 1
+       END AS BIGINT) AS allowed
+FROM p ORDER BY domain, path
+"""
 
 
 def anchor_pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -2432,6 +2568,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "recrawl_schedule": recrawl_schedule,
     "page_head_meta": page_head_meta,
     "robots_allowed_links": robots_allowed_links,
+    "robots_wildcard_audit": robots_wildcard_audit,
     "url_canonicalize": url_canonicalize,
     "canonical_url_dedup": canonical_url_dedup,
     "exploded_pdf_text": exploded_pdf_text,
@@ -2482,5 +2619,6 @@ ORACLES: dict[str, str] = {
     "recrawl_schedule": _RECRAWL_SCHEDULE_SQL,
     "page_head_meta": _PAGE_HEAD_META_SQL,
     "robots_allowed_links": _ROBOTS_ALLOWED_LINKS_SQL,
+    "robots_wildcard_audit": _ROBOTS_WILDCARD_AUDIT_SQL,
     "url_canonicalize": _URL_CANONICALIZE_SQL,
 }

@@ -80,3 +80,42 @@ def test_robots_sitemaps_extraction():
         "https://a.example/sitemap.xml",
         "https://a.example/news.xml",
     ]
+
+
+def test_robots_wildcard_patterns():
+    """RFC 9309 §2.2.3 special characters: * spans octets, trailing $
+    anchors, interior $ is literal; backtracking finds a valid split."""
+    from simple_content_ocr_ray.pipelines.extract_queries import (
+        parse_robots,
+        robots_allows,
+    )
+
+    rules = parse_robots(
+        b"User-agent: *\n"
+        b"Disallow: /dl/*.zip$\n"
+        b"Disallow: /tmp*\n"
+        b"Allow: /tmp/keep\n"
+    )
+    assert robots_allows(rules, "/dl/a.zip") is False
+    assert robots_allows(rules, "/dl/a.zip.html") is True  # $ anchor
+    # backtracking: the .zip suffix is at the END, an earlier .zip inside
+    # the path must not defeat the match
+    assert robots_allows(rules, "/dl/a.zip/b.zip") is False
+    assert robots_allows(rules, "/tmp/cache") is False
+    # octet-count precedence: Allow /tmp/keep (9) beats Disallow /tmp* (5)
+    assert robots_allows(rules, "/tmp/keep/x") is True
+    assert robots_allows(rules, "/other") is True
+
+
+def test_robots_wildcard_octet_precedence_tie():
+    from simple_content_ocr_ray.pipelines.extract_queries import (
+        robots_allows,
+    )
+
+    # equal octet counts: Allow wins the tie
+    rules = [(False, "/a/*/b"), (True, "/a/x/b")]
+    assert robots_allows(rules, "/a/x/b") is True
+    # interior $ is a literal octet, not an anchor
+    rules = [(False, "/x$y*")]
+    assert robots_allows(rules, "/x$y123") is False
+    assert robots_allows(rules, "/xy123") is True
