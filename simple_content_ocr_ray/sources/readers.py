@@ -288,6 +288,73 @@ def write_jsonl(
     return ds.map_batches(dump, batch_format="pandas").to_pandas()
 
 
+def write_ipc(ds: rd.Dataset, out_dir: str, overwrite_dir: bool = False):
+    """Arrow IPC (Feather V2 / RecordBatchFile) export — the zero-transcode
+    inter-pipeline handoff format: binary payloads stay ``binary`` columns
+    (no base64), timestamps stay µs, and a reader maps shards back into
+    Arrow without parsing. One ``.arrow`` shard per Ray block, per-attempt
+    temp + atomic rename, content-addressed shard names (idempotent re-runs,
+    no cross-block collisions) — the same scale shape as
+    ``write_jsonl``/``write_wet``/``write_warc``. Returns the shard manifest
+    (path, n_records, n_bytes)."""
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+
+    if overwrite_dir:
+        _shutil.rmtree(out_dir, ignore_errors=True)
+    _os.makedirs(out_dir, exist_ok=True)
+
+    def dump(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return pa.table(
+                {
+                    "path": pa.array([], pa.string()),
+                    "n_records": pa.array([], pa.int64()),
+                    "n_bytes": pa.array([], pa.int64()),
+                }
+            )
+        tag = _hashlib.md5(
+            b"\x00".join(str(u).encode() for u in batch["url"].to_pylist())
+        ).hexdigest()[:16]
+        path = _os.path.join(out_dir, f"pages-{tag}-{len(batch)}.arrow")
+        tmp = f"{path}.{_os.getpid()}.tmp"
+        with pa.OSFile(tmp, "wb") as f:
+            with pa.ipc.new_file(f, batch.schema) as w:
+                w.write_table(batch)
+        _os.replace(tmp, path)
+        return pa.table(
+            {
+                "path": pa.array([path], pa.string()),
+                "n_records": pa.array([len(batch)], pa.int64()),
+                "n_bytes": pa.array([_os.path.getsize(path)], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(
+        dump, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+
+
+def read_pages_from_ipc(paths: str | list[str]) -> rd.Dataset:
+    """Arrow IPC shards (``write_ipc`` output) → Dataset, byte-exact:
+    file-granular parallelism (each shard is one self-contained
+    RecordBatchFile), each task opens its shard from the fetched buffer and
+    returns the Arrow table as-is — no row-level parsing, no transcode.
+    Corrupt shards raise (an archive shard is an integrity boundary, unlike
+    the salvage-tolerant WARC text readers)."""
+    ds = rd.read_binary_files(paths, include_paths=True)
+
+    def load(batch: dict) -> pa.Table:
+        tables = [
+            pa.ipc.open_file(pa.BufferReader(bytes(blob))).read_all()
+            for blob in batch["bytes"]
+        ]
+        return pa.concat_tables(tables) if tables else pa.table({})
+
+    return ds.map_batches(load)
+
+
 def read_pages_from_csv(paths: str | list[str]) -> rd.Dataset:
     """CSV corpus (url, warc_ts, html_b64, text, lang — header row) → the
     canonical pages schema. ``read_csv`` splits files into blocks and parses

@@ -120,3 +120,42 @@ def test_jsonl_roundtrip(ray_session, tmp_path, pages_df):
         ts = dict(zip(back["url"], back["warc_ts"]))
         for _, r in pages_df.iterrows():
             assert ts[r["url"]] == r["warc_ts"]
+
+
+def test_ipc_roundtrip_byte_identical(ray_session, tmp_path, pages_df):
+    """write_ipc shards (Arrow RecordBatchFile) round-trip byte- and
+    timestamp-exact through read_pages_from_ipc — no base64, no parsing."""
+    import glob
+
+    from simple_content_ocr_ray.sources.readers import (
+        read_pages_from_ipc,
+        write_ipc,
+    )
+
+    df = pages_df.copy()
+    df["text"] = [f"text {i}" for i in range(len(df))]
+    df["lang"] = ["en", "de", "zh"] * (len(df) // 3) + ["en"] * (len(df) % 3)
+    out = str(tmp_path / "ipc")
+    manifest = write_ipc(rd.from_pandas(df, override_num_blocks=3), out)
+    assert manifest["n_records"].sum() == len(df)
+    shards = sorted(glob.glob(os.path.join(out, "*.arrow")))
+    assert len(manifest) == len(shards)
+
+    back = read_pages_from_ipc(shards).to_pandas()
+    assert len(back) == len(df)
+    got = back.set_index("url")
+    for _, r in df.iterrows():
+        assert bytes(got.loc[r["url"], "html"]) == bytes(r["html"])
+        assert got.loc[r["url"], "warc_ts"] == r["warc_ts"]  # µs fidelity
+        assert got.loc[r["url"], "text"] == r["text"]
+        assert got.loc[r["url"], "lang"] == r["lang"]
+
+
+def test_ipc_rewrite_is_idempotent(ray_session, tmp_path, pages_df):
+    from simple_content_ocr_ray.sources.readers import write_ipc
+
+    out = str(tmp_path / "ipc")
+    write_ipc(rd.from_pandas(pages_df, override_num_blocks=2), out)
+    names1 = sorted(os.listdir(out))
+    write_ipc(rd.from_pandas(pages_df, override_num_blocks=2), out)
+    assert sorted(os.listdir(out)) == names1
