@@ -85,6 +85,12 @@ def main(argv: list[str] | None = None) -> int:
         ".warc.wat.gz shards to this directory — pairs with read_wat_index",
     )
     p_ex.add_argument(
+        "--ipc-out",
+        default=None,
+        help="also archive the INPUT pages as Arrow IPC (.arrow) shards — "
+        "the zero-transcode handoff sink pairing read_pages_from_ipc",
+    )
+    p_ex.add_argument(
         "--thumbs-out",
         default=None,
         help="also write PNG thumbnails of the input's image payloads "
@@ -250,6 +256,21 @@ def main(argv: list[str] | None = None) -> int:
         summary["wat_shards"] = len(manifest)
         summary["wat_records"] = int(manifest["n_records"].sum())
 
+    def export_ipc(summary: dict) -> None:
+        """Input pages → Arrow IPC shards (reads the INPUT, works with
+        every run layout)."""
+        if not getattr(args, "ipc_out", None):
+            return
+        import ray.data as rd
+
+        from .sources.readers import write_ipc
+
+        pages = rd.read_parquet(args.pages_dir)
+        manifest = write_ipc(pages, args.ipc_out, overwrite_dir=True)
+        summary["ipc_out"] = args.ipc_out
+        summary["ipc_shards"] = len(manifest)
+        summary["ipc_records"] = int(manifest["n_records"].sum())
+
     def export_thumbs(summary: dict) -> None:
         """Input image payloads → PNG thumbnail parquet (reads the INPUT,
         works with every run layout)."""
@@ -289,6 +310,7 @@ def main(argv: list[str] | None = None) -> int:
             export_wet(summary)
             export_warc(summary)
             export_wat(summary)
+            export_ipc(summary)
             export_thumbs(summary)
             print(json.dumps(summary))
         elif args.split_skew:
@@ -298,6 +320,7 @@ def main(argv: list[str] | None = None) -> int:
             summary = {"out_dir": args.out_dir, "layout": "part=light|pages|heavy"}
             export_warc(summary)
             export_wat(summary)
+            export_ipc(summary)
             export_thumbs(summary)
             print(json.dumps(summary))
         else:
@@ -313,6 +336,7 @@ def main(argv: list[str] | None = None) -> int:
             export_wet(summary)
             export_warc(summary)
             export_wat(summary)
+            export_ipc(summary)
             export_thumbs(summary)
             print(json.dumps(summary))
     finally:
