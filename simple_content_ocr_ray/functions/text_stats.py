@@ -878,7 +878,120 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# Luhn credit-card PII audit (checksum-validated, not just pattern-matched)
+# --------------------------------------------------------------------------
+
+LUHN_CARD_RES = 13  # docs with doc_id % 13 == 0 carry an injected card
+
+
+def _make_card(d: int) -> str:
+    """Deterministic 16-digit card for doc ``d``: 15-digit body from the id,
+    a CORRECT Luhn check digit appended for even ids and a corrupted one
+    (+1 mod 10) for odd ids — so pattern-matching alone overcounts 2× and
+    only checksum validation gets the answer right."""
+    body = str(d).rjust(15, "4")
+    s = 0
+    for i, ch in enumerate(body, start=1):
+        dg = int(ch)
+        if i % 2 == 1:  # odd left-position = even distance from the right
+            v = 2 * dg
+            s += v - 9 if v > 9 else v
+        else:
+            s += dg
+    check = (10 - s % 10) % 10
+    if d % 2 == 1:
+        check = (check + 1) % 10
+    return body + str(check)
+
+
+def luhn_card_audit(sf_dir: str) -> pd.DataFrame:
+    """Credit-card PII detection done properly: find 16-digit runs, then
+    VALIDATE the Luhn checksum — the step that separates card numbers from
+    order ids and phone digits (real pipelines that skip it redact half
+    their SKUs). Twin-corpus style like ``pii_redaction``: deterministic
+    cards derive from ``doc_id`` (valid for even ids, checksum-broken for
+    odd), the identical construction appears in the SQL oracle, and the
+    oracle RE-VALIDATES the extracted string through its own digit-sum
+    expression — two independent Luhn implementations must agree. Checksum
+    math is one vectorized digit-matrix pass per batch; pure map, no
+    shuffle."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+    card_re = re.compile(r"[0-9]{16}")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        doc_id = df["doc_id"].astype("int64")
+        text = df["text"].copy()
+        hit = doc_id % LUHN_CARD_RES == 0
+        text[hit] = text[hit] + " card " + doc_id[hit].map(_make_card)
+        found = text.str.findall(card_re)
+        n_cards = found.str.len().astype("int64")
+        flat = [c for cards in found for c in cards]
+        if flat:
+            a = (
+                np.frombuffer("".join(flat).encode(), dtype=np.uint8)
+                .reshape(-1, 16)
+                .astype(np.int64)
+                - 48
+            )
+            b = a.copy()
+            b[:, -2::-2] *= 2
+            b[b > 9] -= 9
+            valid = (b.sum(axis=1) % 10) == 0
+        else:
+            valid = np.array([], dtype=bool)
+        n_valid = np.zeros(len(df), dtype="int64")
+        rows = np.repeat(np.arange(len(df)), n_cards.to_numpy())
+        np.add.at(n_valid, rows, valid.astype("int64"))
+        out = pd.DataFrame(
+            {"doc_id": doc_id, "n_cards": n_cards, "n_valid": n_valid}
+        )
+        return out[out["n_cards"] > 0]
+
+    out = ds.map_batches(fn, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _luhn_sql() -> str:
+    def sum_over(expr: str) -> str:
+        terms = []
+        for i in range(1, 16):
+            dig = f"CAST(substring({expr},{i},1) AS INT)"
+            if i % 2 == 1:
+                terms.append(
+                    f"CASE WHEN 2*{dig}>9 THEN 2*{dig}-9 ELSE 2*{dig} END"
+                )
+            else:
+                terms.append(dig)
+        return " + ".join(terms)
+
+    return f"""
+WITH b AS (
+  SELECT doc_id, lpad(CAST(doc_id AS VARCHAR), 15, '4') AS body
+  FROM documents WHERE doc_id % {LUHN_CARD_RES} = 0
+), c AS (
+  SELECT doc_id, body, (10 - (({sum_over('body')}) % 10)) % 10 AS check0
+  FROM b
+), card AS (
+  SELECT doc_id,
+         body || CAST(CASE WHEN doc_id % 2 = 1 THEN (check0 + 1) % 10
+                           ELSE check0 END AS VARCHAR) AS card
+  FROM c
+), extracted AS (
+  -- re-extract from the injected text and RE-VALIDATE independently
+  SELECT doc_id, regexp_extract('pad ' || card || ' pad', '[0-9]{{16}}') AS m
+  FROM card
+)
+SELECT doc_id, CAST(1 AS BIGINT) AS n_cards,
+       CAST(CASE WHEN CAST(substring(m, 16, 1) AS INT)
+                      = (10 - (({sum_over('substring(m, 1, 15)')}) % 10)) % 10
+                 THEN 1 ELSE 0 END AS BIGINT) AS n_valid
+FROM extracted ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
+    "luhn_card_audit": luhn_card_audit,
     "fix_mojibake": fix_mojibake,
     "soft404_flags": soft404_flags,
     "doc_normalize": doc_normalize,
@@ -897,6 +1010,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "luhn_card_audit": _luhn_sql(),
     "fix_mojibake": _FIX_MOJIBAKE_SQL,
     "soft404_flags": _SOFT404_FLAGS_SQL,
     "doc_normalize": _DOC_NORMALIZE_SQL,

@@ -334,3 +334,29 @@ def test_langid_confusion_consistent(sf_dir, documents_table):
     label_counts = collections.Counter(documents_table["lang"].to_pylist())
     per_label = m.groupby("lang")["n"].sum()
     assert dict(per_label) == dict(label_counts)
+
+
+def test_luhn_card_audit_checksum(sf_dir):
+    """Luhn validation: even doc ids carry a valid card, odd a corrupted
+    one; pattern count alone would say all are cards."""
+    from simple_content_ocr_ray.functions.text_stats import (
+        LUHN_CARD_RES,
+        _make_card,
+        luhn_card_audit,
+    )
+
+    got = luhn_card_audit(sf_dir)
+    assert (got["doc_id"] % LUHN_CARD_RES == 0).all()
+    assert (got["n_cards"] == 1).all()
+    assert (got["n_valid"] == (got["doc_id"] % 2 == 0).astype(int)).all()
+    # reference vector: the classic Luhn test number validates
+    import numpy as np
+
+    a = np.array([int(c) for c in "4539578763621486"])
+    b = a.copy(); b[-2::-2] *= 2; b[b > 9] -= 9
+    assert b.sum() % 10 == 0
+    # and our generator agrees with itself end-to-end
+    card = _make_card(26)
+    a = np.array([int(c) for c in card])
+    b = a.copy(); b[-2::-2] *= 2; b[b > 9] -= 9
+    assert b.sum() % 10 == 0
