@@ -99,6 +99,12 @@ def make_annotated_page(d: int) -> bytes:
             f'{{"@type":"Organization","name":"site{d % 97}","position":1}}]}}'
             "</script>"
         )
+    if d % 6 == 0:  # HTML-side redirect channel (meta refresh)
+        t = d + 1
+        parts.append(
+            f'<meta http-equiv="Refresh" content="{d % 30}; '
+            f'url=https://site{t % 97}.example/{t:08d}">'
+        )
     parts.append(f"<script>var d={d};</script>")
     parts.append(f"</head><body><p>body {d}</p></body></html>")
     return "\n".join(parts).encode()
@@ -647,6 +653,65 @@ FROM p WHERE f = 1 AND r = 1 ORDER BY u, v
 
 
 # --------------------------------------------------------------------------
+# meta_refresh_targets — HTML-side redirects
+# --------------------------------------------------------------------------
+
+_META_REFRESH_CONTENT_RE = re.compile(
+    r"^\s*(\d+)\s*;\s*url\s*=\s*(\S+)\s*$", re.IGNORECASE
+)
+
+
+def parse_meta_refresh(html: str) -> tuple[int, str] | None:
+    """(delay_seconds, target_url) of the first ``http-equiv=refresh`` meta,
+    or None — attribute order/case agnostic, tolerant content grammar
+    (``N; url=...``). Robots/description metas are ignored."""
+    for tag in _META_RE.findall(html):
+        a = _attrs(tag)
+        if a.get("http-equiv", "").lower() != "refresh":
+            continue
+        m = _META_REFRESH_CONTENT_RE.match(a.get("content", ""))
+        if m:
+            return int(m.group(1)), m.group(2)
+    return None
+
+
+def meta_refresh_targets(sf_dir: str) -> pd.DataFrame:
+    """HTML-side redirect discovery: pages carrying
+    ``<meta http-equiv=refresh content="N; url=...">`` — the client-side
+    redirect channel HTTP-level resolution (``redirect_final_targets``)
+    never sees; crawlers must parse it out of the payload or follow the
+    wrong 'final' url. Emits (doc_id, delay_s, target_doc_id). Pure map."""
+    pages = _annotated_pages(sf_dir)
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for d, payload in zip(df["doc_id"], df["payload"]):
+            hit = parse_meta_refresh(bytes(payload).decode())
+            if hit is None:
+                continue
+            delay, target = hit
+            tid = int(target.rsplit("/", 1)[-1])
+            rows.append(
+                {"doc_id": int(d), "delay_s": delay, "target_doc_id": tid}
+            )
+        return pd.DataFrame(
+            rows, columns=["doc_id", "delay_s", "target_doc_id"]
+        ).astype("int64")
+
+    out = pages.map_batches(extract, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_META_REFRESH_TARGETS_SQL = """
+SELECT doc_id,
+       CAST(doc_id % 30 AS BIGINT) AS delay_s,
+       CAST(doc_id + 1 AS BIGINT) AS target_doc_id
+FROM documents WHERE doc_id % 6 = 0
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # url_path_templates — digit-run path templating
 # --------------------------------------------------------------------------
 
@@ -720,6 +785,7 @@ FROM u GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES: dict[str, Callable[[str], object]] = {
     "url_path_templates": url_path_templates,
+    "meta_refresh_targets": meta_refresh_targets,
     "structured_data": structured_data,
     "hreflang_clusters": hreflang_clusters,
     "meta_robots_audit": meta_robots_audit,
@@ -731,6 +797,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 
 ORACLES: dict[str, str] = {
     "url_path_templates": _URL_PATH_TEMPLATES_SQL,
+    "meta_refresh_targets": _META_REFRESH_TARGETS_SQL,
     "structured_data": _STRUCTURED_DATA_SQL,
     "hreflang_clusters": _HREFLANG_CLUSTERS_SQL,
     "meta_robots_audit": _META_ROBOTS_AUDIT_SQL,

@@ -196,3 +196,21 @@ def test_redirect_both_paths_equal(sf_dir):
     small = redirect_final_targets(sf_dir)
     large = redirect_final_targets(sf_dir, small_threshold=0)
     pd.testing.assert_frame_equal(small, large)
+
+
+def test_parse_meta_refresh():
+    from simple_content_ocr_ray.pipelines.webannot_queries import (
+        parse_meta_refresh,
+    )
+
+    assert parse_meta_refresh(
+        '<meta http-equiv="Refresh" content="5; url=https://a/x">'
+    ) == (5, "https://a/x")
+    # attr order swapped, case-insensitive equiv, spaced grammar
+    assert parse_meta_refresh(
+        "<meta content=' 0 ;  URL = /rel '  http-equiv=REFRESH>"
+    ) == (0, "/rel")
+    # robots/description metas are not refreshes; bare-delay refresh
+    # (no url=) is ignored by this extractor
+    assert parse_meta_refresh('<meta name="robots" content="noindex">') is None
+    assert parse_meta_refresh('<meta http-equiv="refresh" content="30">') is None
