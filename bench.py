@@ -344,6 +344,12 @@ def run_headline() -> dict:
             "redirect_final_targets",
             "reciprocal_links",
             "doc_bigram_logprob",
+            "lang_outlier_docs",
+            "two_hop_neighbors",
+            "url_path_templates",
+            "robots_wildcard_audit",
+            "luhn_card_audit",
+            "meta_refresh_targets",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)
