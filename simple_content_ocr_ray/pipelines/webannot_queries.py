@@ -99,6 +99,14 @@ def make_annotated_page(d: int) -> bytes:
             f'{{"@type":"Organization","name":"site{d % 97}","position":1}}]}}'
             "</script>"
         )
+    if d % 4 != 3:  # Open Graph card (property= metas, not name= metas)
+        og_type = ("article", "product", "video.other")[d % 3]
+        parts.append(f'<meta property="og:title" content="OG {d}">')
+        parts.append(f"<meta content='{og_type}' property='og:type'>")
+        if d % 10 < 5:
+            parts.append(
+                f'<meta property="og:image" content="https://cdn{d % 7}.example/i/{d}.jpg">'
+            )
     if d % 6 == 0:  # HTML-side redirect channel (meta refresh)
         t = d + 1
         parts.append(
@@ -653,6 +661,65 @@ FROM p WHERE f = 1 AND r = 1 ORDER BY u, v
 
 
 # --------------------------------------------------------------------------
+# opengraph_meta — Open Graph social-card extraction
+# --------------------------------------------------------------------------
+
+
+def parse_opengraph(html: str) -> dict[str, str]:
+    """``og:*`` properties of a page's ``<meta property=...>`` tags (first
+    occurrence wins, per the OG crawler convention); ``name=`` metas —
+    robots, description — are a different channel and are ignored."""
+    out: dict[str, str] = {}
+    for tag in _META_RE.findall(html):
+        a = _attrs(tag)
+        prop = a.get("property", "").lower()
+        if prop.startswith("og:") and prop not in out:
+            out[prop] = a.get("content", "")
+    return out
+
+
+def opengraph_meta(sf_dir: str) -> pd.DataFrame:
+    """Open Graph social-card inventory: (doc_id, og_title, og_type,
+    has_image) for pages that declare a card — the metadata layer
+    dedup/quality pipelines mine for canonical titles and thumbnail URLs
+    when the visible DOM is templated. Attribute order/quoting agnostic;
+    pages without og tags (1 in 4 here) emit nothing. Pure map."""
+    pages = _annotated_pages(sf_dir)
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for d, payload in zip(df["doc_id"], df["payload"]):
+            og = parse_opengraph(bytes(payload).decode())
+            if "og:title" not in og:
+                continue
+            rows.append(
+                {
+                    "doc_id": int(d),
+                    "og_title": og["og:title"],
+                    "og_type": og.get("og:type", ""),
+                    "has_image": int("og:image" in og),
+                }
+            )
+        return pd.DataFrame(
+            rows, columns=["doc_id", "og_title", "og_type", "has_image"]
+        ).astype({"doc_id": "int64", "has_image": "int64"})
+
+    out = pages.map_batches(extract, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_OPENGRAPH_META_SQL = """
+SELECT doc_id,
+       'OG ' || doc_id AS og_title,
+       CASE doc_id % 3 WHEN 0 THEN 'article' WHEN 1 THEN 'product'
+                       ELSE 'video.other' END AS og_type,
+       CAST(CASE WHEN doc_id % 10 < 5 THEN 1 ELSE 0 END AS BIGINT) AS has_image
+FROM documents WHERE doc_id % 4 <> 3
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # meta_refresh_targets — HTML-side redirects
 # --------------------------------------------------------------------------
 
@@ -786,6 +853,7 @@ FROM u GROUP BY 1, 2 ORDER BY 1, 2
 QUERIES: dict[str, Callable[[str], object]] = {
     "url_path_templates": url_path_templates,
     "meta_refresh_targets": meta_refresh_targets,
+    "opengraph_meta": opengraph_meta,
     "structured_data": structured_data,
     "hreflang_clusters": hreflang_clusters,
     "meta_robots_audit": meta_robots_audit,
@@ -798,6 +866,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 ORACLES: dict[str, str] = {
     "url_path_templates": _URL_PATH_TEMPLATES_SQL,
     "meta_refresh_targets": _META_REFRESH_TARGETS_SQL,
+    "opengraph_meta": _OPENGRAPH_META_SQL,
     "structured_data": _STRUCTURED_DATA_SQL,
     "hreflang_clusters": _HREFLANG_CLUSTERS_SQL,
     "meta_robots_audit": _META_ROBOTS_AUDIT_SQL,

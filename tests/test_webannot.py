@@ -214,3 +214,19 @@ def test_parse_meta_refresh():
     # (no url=) is ignored by this extractor
     assert parse_meta_refresh('<meta name="robots" content="noindex">') is None
     assert parse_meta_refresh('<meta http-equiv="refresh" content="30">') is None
+
+
+def test_parse_opengraph_channel_separation():
+    from simple_content_ocr_ray.pipelines.webannot_queries import (
+        parse_opengraph,
+    )
+
+    html = (
+        '<meta property="og:title" content="T">'
+        "<meta content='article' property='og:type'>"
+        '<meta property="og:title" content="SECOND">'  # first wins
+        '<meta name="robots" content="noindex">'  # name= channel ignored
+        '<meta name="og:title" content="decoy">'  # name=, not property=
+    )
+    og = parse_opengraph(html)
+    assert og == {"og:title": "T", "og:type": "article"}
