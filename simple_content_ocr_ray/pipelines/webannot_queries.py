@@ -39,6 +39,7 @@ from typing import Callable
 
 import numpy as np
 import pandas as pd
+import ray
 import ray.data as rd
 
 from ..functions.agg import grouped_aggregate, map_sorted_runs
@@ -98,6 +99,16 @@ def make_annotated_page(d: int) -> bytes:
             f'{{"@type":"Person","name":"Author {d}","position":0}},'
             f'{{"@type":"Organization","name":"site{d % 97}","position":1}}]}}'
             "</script>"
+        )
+    if d % 3 < 2:  # pagination: triples (3c, 3c+1, 3c+2) chained by rel=next
+        nxt = d + 1
+        parts.append(
+            f'<link rel="next" href="https://site{nxt % 97}.example/{nxt:08d}">'
+        )
+    if d % 3 > 0:
+        prv = d - 1
+        parts.append(
+            f"<link href='https://site{prv % 97}.example/{prv:08d}' rel='prev'>"
         )
     if d % 4 != 3:  # Open Graph card (property= metas, not name= metas)
         og_type = ("article", "product", "video.other")[d % 3]
@@ -545,8 +556,29 @@ def redirect_final_targets(
 
     mapping = docs.map_batches(edges, batch_format="pandas")
     rounds = int(np.ceil(np.log2(max(REDIRECT_MOD - 1, 2))))
+    resolved = pointer_double(
+        mapping, rounds, small=(n_rows <= small_threshold)
+    )
+    out = resolved.rename(columns={"src": "doc_id", "dst": "final_doc_id"})
+    out = out.astype({"doc_id": "int64", "final_doc_id": "int64", "hops": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
 
-    if n_rows <= small_threshold:
+
+def pointer_double(
+    mapping: rd.Dataset, rounds: int, small: bool
+) -> pd.DataFrame:
+    """Resolve a (src, dst, hops) pointer table to its fixed points by
+    POINTER DOUBLING: each round composes the mapping with itself, so
+    chains of length H resolve in ceil(log2 H) rounds. Terminals must carry
+    self-loops with hops=0 (composition is then idempotent at fixed points
+    and hop counts add exactly), and every dst must exist as a src.
+
+    ``small=True`` runs the doubling on the driver over sorted numpy arrays
+    (searchsorted composition — zero shuffle); ``small=False`` runs each
+    round as one native hash join — the caller picks via the same parquet-
+    footer row-count gate the dedup/window families use. Both paths are
+    asserted equal in tests."""
+    if small:
         m = mapping.to_pandas()
         src = m["src"].to_numpy()
         order = np.argsort(src, kind="stable")
@@ -556,14 +588,9 @@ def redirect_final_targets(
         for _ in range(rounds):
             ix = np.searchsorted(src_s, dst)
             dst, hops = dst[ix].copy(), hops + hops[ix]
-            # (fixture guarantees every dst exists as a src; searchsorted
-            # composition is the numpy form of the join below)
-        out = pd.DataFrame(
-            {"doc_id": src_s, "final_doc_id": dst, "hops": hops}
-        ).astype("int64")
-        return out.sort_values("doc_id").reset_index(drop=True)
+        return pd.DataFrame({"src": src_s, "dst": dst, "hops": hops})
 
-    for i in range(rounds):
+    for _ in range(rounds):
         right = mapping.map_batches(
             lambda df: df.rename(
                 columns={"src": "jsrc", "dst": "jdst", "hops": "jhops"}
@@ -587,11 +614,7 @@ def redirect_final_targets(
             ),
             batch_format="pandas",
         )
-    out = mapping.to_pandas().rename(
-        columns={"src": "doc_id", "dst": "final_doc_id"}
-    )
-    out = out.astype({"doc_id": "int64", "final_doc_id": "int64", "hops": "int64"})
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return mapping.to_pandas()
 
 
 _REDIRECT_FINAL_TARGETS_SQL = f"""
@@ -657,6 +680,146 @@ p AS (
 )
 SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v
 FROM p WHERE f = 1 AND r = 1 ORDER BY u, v
+"""
+
+
+# --------------------------------------------------------------------------
+# pagination_chains — multi-page article reassembly from rel=next links
+# --------------------------------------------------------------------------
+
+PAGINATION_SMALL_THRESHOLD = 2_000_000
+
+
+def parse_rel_links(html: str) -> dict[str, str]:
+    """``rel=next`` / ``rel=prev`` hrefs of a page's link tags (first of
+    each wins) — the pagination channel; alternate/stylesheet links are a
+    different rel and are ignored."""
+    out: dict[str, str] = {}
+    for tag in _LINK_RE.findall(html):
+        a = _attrs(tag)
+        rel = a.get("rel", "").lower()
+        if rel in ("next", "prev") and rel not in out and "href" in a:
+            out[rel] = a["href"]
+    return out
+
+
+def pagination_chains(
+    sf_dir: str, small_threshold: int = PAGINATION_SMALL_THRESHOLD
+) -> pd.DataFrame:
+    """Multi-page article REASSEMBLY — the training-data operation behind
+    'page 1 of 3' articles: discover chain structure from parsed
+    ``rel=next`` links, resolve every page to its chain head by pointer
+    doubling over the REVERSED (prev) pointers, then concatenate the
+    chain's document texts in page order. A curation pipeline that skips
+    this trains on article fragments.
+
+    Stages, each with its at-scale shape: (1) link parse — pure map;
+    (2) prev-pointer table — each next-link emits (target, source, 1),
+    every page emits its own (d, d, 0) self-loop, one slim keyed
+    ``map_sorted_runs`` keeps the real pointer per page; (3)
+    ``pointer_double`` (footer-gated driver/distributed paths);
+    (4) text attach — broadcast mapping below the gate, native hash join
+    above; (5) ordered concat per chain — one vectorized call per sorted
+    block. Chain ids must come out of the LINK structure, not arithmetic:
+    the oracle rebuilds them arithmetically precisely to catch a parser
+    or resolution slip."""
+    import pyarrow.parquet as pq
+
+    n_rows = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
+    small = n_rows <= small_threshold
+    pages = _annotated_pages(sf_dir)
+
+    def prev_rows(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for d, payload in zip(df["doc_id"], df["payload"]):
+            d = int(d)
+            rows.append({"src": d, "dst": d, "hops": 0})  # self-loop
+            nxt = parse_rel_links(bytes(payload).decode()).get("next")
+            if nxt is not None:
+                rows.append(
+                    {"src": int(nxt.rsplit("/", 1)[-1]), "dst": d, "hops": 1}
+                )
+        return pd.DataFrame(rows, columns=["src", "dst", "hops"]).astype("int64")
+
+    def keep_pointer(df: pd.DataFrame) -> pd.DataFrame:
+        # per src: the prev edge (hops=1) if one exists, else the self-loop;
+        # dangling next-links (target beyond the corpus) resolve against the
+        # page set by construction: only rows whose src is a page matter,
+        # and a src with no self-loop is not a page — drop it.
+        df = df.sort_values(["src", "hops"], kind="mergesort")
+        has_self = df[df["hops"] == 0]["src"].unique()
+        df = df[np.isin(df["src"].to_numpy(), has_self)]
+        return df.groupby("src", sort=False).tail(1)
+
+    mapping = map_sorted_runs(
+        pages.map_batches(prev_rows, batch_format="pandas"), "src", keep_pointer
+    )
+    # chains here are length ≤ 3 → 2 hops → 1 doubling round; real-world
+    # pagination runs to dozens of pages: rounds = ceil(log2(max_hops)).
+    resolved = pointer_double(mapping, rounds=1, small=small)
+    resolved = resolved.rename(columns={"src": "doc_id", "dst": "chain_id", "hops": "pos"})
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    if small:
+        m_ref = ray.put(
+            resolved.set_index("doc_id")[["chain_id", "pos"]].to_dict("index")
+        )
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(m_ref)
+            recs = [m[int(d)] for d in df["doc_id"]]
+            return pd.DataFrame(
+                {
+                    "chain_id": [r["chain_id"] for r in recs],
+                    "pos": [r["pos"] for r in recs],
+                    "text": df["text"].to_numpy(),
+                }
+            )
+
+        attached = docs.map_batches(attach, batch_format="pandas")
+    else:
+        attached = docs.join(
+            rd.from_pandas(resolved),
+            join_type="inner",
+            num_partitions=8,
+            on=("doc_id",),
+        ).map_batches(
+            lambda df: df[["chain_id", "pos", "text"]], batch_format="pandas"
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "chain_id": pd.Series([], dtype="int64"),
+                    "n_parts": pd.Series([], dtype="int64"),
+                    "combined_text": pd.Series([], dtype="object"),
+                }
+            )
+        df = df.sort_values(["chain_id", "pos"], kind="mergesort")
+        g = df.groupby("chain_id", sort=False)
+        sizes = g.size()
+        return pd.DataFrame(
+            {
+                "chain_id": sizes.index.to_numpy(),
+                "n_parts": sizes.to_numpy(),
+                "combined_text": g["text"].agg("\n".join).to_numpy(),
+            }
+        ).astype({"chain_id": "int64", "n_parts": "int64"})
+
+    out = map_sorted_runs(attached, "chain_id", combine).to_pandas()
+    return out.sort_values("chain_id").reset_index(drop=True)
+
+
+_PAGINATION_CHAINS_SQL = """
+SELECT CAST(3 * (doc_id // 3) AS BIGINT) AS chain_id,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       string_agg(text, chr(10) ORDER BY doc_id) AS combined_text
+FROM documents GROUP BY 1 ORDER BY 1
 """
 
 
@@ -853,6 +1016,7 @@ FROM u GROUP BY 1, 2 ORDER BY 1, 2
 QUERIES: dict[str, Callable[[str], object]] = {
     "url_path_templates": url_path_templates,
     "meta_refresh_targets": meta_refresh_targets,
+    "pagination_chains": pagination_chains,
     "opengraph_meta": opengraph_meta,
     "structured_data": structured_data,
     "hreflang_clusters": hreflang_clusters,
@@ -866,6 +1030,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 ORACLES: dict[str, str] = {
     "url_path_templates": _URL_PATH_TEMPLATES_SQL,
     "meta_refresh_targets": _META_REFRESH_TARGETS_SQL,
+    "pagination_chains": _PAGINATION_CHAINS_SQL,
     "opengraph_meta": _OPENGRAPH_META_SQL,
     "structured_data": _STRUCTURED_DATA_SQL,
     "hreflang_clusters": _HREFLANG_CLUSTERS_SQL,

@@ -230,3 +230,42 @@ def test_parse_opengraph_channel_separation():
     )
     og = parse_opengraph(html)
     assert og == {"og:title": "T", "og:type": "article"}
+
+
+def test_pagination_chains_both_paths_equal(sf_dir):
+    """Footer-gated broadcast/driver path vs forced distributed-join path."""
+    from simple_content_ocr_ray.pipelines.webannot_queries import (
+        pagination_chains,
+    )
+
+    small = pagination_chains(sf_dir)
+    large = pagination_chains(sf_dir, small_threshold=0)
+    pd.testing.assert_frame_equal(small, large)
+    # reassembly is ORDERED: part texts appear in page order
+    import duckdb
+    import os
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{os.path.join(sf_dir, 'documents.parquet')}' "
+        "ORDER BY doc_id"
+    ).df()
+    row = small[small["chain_id"] == 0].iloc[0]
+    expect = "\n".join(docs[docs["doc_id"].isin([0, 1, 2])]["text"])
+    assert row["combined_text"] == expect and row["n_parts"] == 3
+
+
+def test_parse_rel_links():
+    from simple_content_ocr_ray.pipelines.webannot_queries import (
+        parse_rel_links,
+    )
+
+    html = (
+        '<link rel="next" href="https://a/2">'
+        "<link href='https://a/0' rel='prev'>"
+        '<link rel="alternate" hreflang="en" href="https://a/x">'
+        '<link rel="next" href="https://a/IGNORED">'  # first wins
+    )
+    assert parse_rel_links(html) == {
+        "next": "https://a/2",
+        "prev": "https://a/0",
+    }
