@@ -511,9 +511,12 @@ def read_pages_from_warc(paths: str | list[str]) -> rd.Dataset:
 
     * ``.warc.gz`` — each record its own gzip member, concatenated;
       plain ``.warc`` detected by magic;
-    * ``WARC-Type`` routing: only ``response`` (HTTP envelope) and
-      ``resource`` (raw payload) records become pages; request/metadata/
-      warcinfo/revisit records are skipped;
+    * ``WARC-Type`` routing: ``response`` (HTTP envelope) and ``resource``
+      (raw payload) records become pages; ``revisit`` records (the CC
+      identical-payload-digest dedup) resolve to the payload of the
+      same-file record sharing their ``WARC-Payload-Digest`` — in either
+      order — and unresolvable revisits (referent in another segment, or
+      no digest header) are skipped; request/metadata/warcinfo skipped;
     * HTTP response envelopes: status line + headers stripped, non-2xx
       dropped, ``Transfer-Encoding: chunked`` de-chunked,
       ``Content-Encoding: gzip/deflate`` decompressed — the payload
@@ -537,6 +540,12 @@ def read_pages_from_warc(paths: str | list[str]) -> rd.Dataset:
         urls, tss, payloads = [], [], []
 
         def records(recs) -> None:
+            # digest -> payload map of THIS file, fed lazily from records
+            # carrying a digest header (ours always do); pins each distinct
+            # payload once — bounded by the file's distinct payload bytes,
+            # which the row lists below hold anyway.
+            by_digest: dict[str, bytes] = {}
+            pending: list[tuple[str, object, str]] = []
             for headers, block in recs:
                 rec_type = headers.get("warc-type", "").lower()
                 payload: bytes | None = None
@@ -547,11 +556,32 @@ def read_pages_from_warc(paths: str | list[str]) -> rd.Dataset:
                 elif rec_type in ("resource", "conversion"):
                     # conversion = WET extracted-text records (write_wet)
                     payload = block
+                elif rec_type == "revisit":
+                    dg = headers.get("warc-payload-digest", "")
+                    if dg:
+                        pending.append(
+                            (
+                                headers.get("warc-target-uri", ""),
+                                _warc_ts(headers.get("warc-date", "")),
+                                dg,
+                            )
+                        )
+                    continue
                 if payload is None:
                     continue
+                dg = headers.get("warc-payload-digest", "")
+                if dg and dg not in by_digest:
+                    by_digest[dg] = payload
                 payloads.append(payload)
                 urls.append(headers.get("warc-target-uri", ""))
                 tss.append(_warc_ts(headers.get("warc-date", "")))
+            for url, ts, dg in pending:  # referent may follow the revisit
+                payload = by_digest.get(dg)
+                if payload is None:
+                    continue  # referent lives in another segment: skip
+                payloads.append(payload)
+                urls.append(url)
+                tss.append(ts)
 
         for blob in batch["bytes"]:
             buf = bytes(blob)
@@ -676,6 +706,7 @@ def write_warc(
     ts_col: str | None = "warc_ts",
     content_type: str = "text/html",
     overwrite_dir: bool = False,
+    revisit_dupes: bool = False,
 ):
     """Distributed WARC export — the raw-crawl sink that pairs with
     ``read_pages_from_warc``: every Ray block becomes one ``.warc.gz``
@@ -691,7 +722,17 @@ def write_warc(
     Rows whose payload is missing are dropped. Returns the shard manifest
     (path, n_records, n_bytes). A corpus exported here round-trips
     through ``read_pages_from_warc`` byte-identically per url
-    (tests/test_warc_writer.py)."""
+    (tests/test_warc_writer.py).
+
+    ``revisit_dupes=True`` writes the Common Crawl archive-dedup semantic:
+    a payload whose sha1 digest already appeared EARLIER IN THE SHARD is
+    stored as a body-less ``WARC-Type: revisit`` record
+    (identical-payload-digest profile, ``WARC-Refers-To-Target-URI``
+    naming the first capture) instead of repeating the bytes; the reader
+    resolves revisits back to full pages, so the roundtrip stays
+    byte-identical while duplicate-heavy shards shrink. Dedup scope is the
+    shard (= the Ray block) — cross-shard dedup belongs to the streaming
+    dedup index upstream, not the sink."""
     import base64
     import gzip as _gzip
     import hashlib
@@ -728,9 +769,30 @@ def write_warc(
                 }
             )
         out = bytearray()
+        seen: dict[str, str] = {}  # digest -> first capture url
         for _, row in df.iterrows():
             payload = bytes(row[payload_col])
             digest = base64.b32encode(hashlib.sha1(payload).digest()).decode()
+            if revisit_dupes and digest in seen:
+                date = (
+                    _date(row[ts_col]) if ts_col is not None
+                    else "1970-01-01T00:00:00Z"
+                )
+                rec = (
+                    b"WARC/1.0\r\n"
+                    b"WARC-Type: revisit\r\n"
+                    + f"WARC-Target-URI: {row[url_col]}\r\n".encode()
+                    + f"WARC-Date: {date}\r\n".encode()
+                    + f"WARC-Payload-Digest: sha1:{digest}\r\n".encode()
+                    + f"WARC-Refers-To-Target-URI: {seen[digest]}\r\n".encode()
+                    + b"WARC-Profile: http://netpreserve.org/warc/1.1/"
+                    b"revisit/identical-payload-digest\r\n"
+                    b"Content-Length: 0\r\n\r\n"
+                    b"\r\n\r\n"
+                )
+                out += _gzip.compress(rec)
+                continue
+            seen[digest] = str(row[url_col])
             http = (
                 b"HTTP/1.1 200 OK\r\n"
                 + f"Content-Type: {content_type}\r\n".encode()

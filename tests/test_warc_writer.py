@@ -159,3 +159,59 @@ def test_ipc_rewrite_is_idempotent(ray_session, tmp_path, pages_df):
     names1 = sorted(os.listdir(out))
     write_ipc(rd.from_pandas(pages_df, override_num_blocks=2), out)
     assert sorted(os.listdir(out)) == names1
+
+
+def test_warc_revisit_roundtrip(ray_session, tmp_path):
+    """revisit_dupes=True: duplicate payloads in a shard become body-less
+    revisit records; the reader resolves them back byte-identically and
+    the deduped shard is smaller than the plain one."""
+    from simple_content_ocr_ray.sources.readers import (
+        read_pages_from_warc,
+        write_warc,
+    )
+
+    big = b"<html>" + b"x" * 5000 + b"</html>"
+    df = pd.DataFrame(
+        {
+            "url": [f"https://a.example/{i}" for i in range(6)],
+            "warc_ts": [pd.Timestamp("2026-03-01 12:00:00")] * 6,
+            # rows 0/2/4 share one payload, 1/5 another, 3 unique
+            "html": [big, b"two", big, b"three", big, b"two"],
+        }
+    )
+    plain_dir, dedup_dir = str(tmp_path / "plain"), str(tmp_path / "dedup")
+    write_warc(rd.from_pandas(df, override_num_blocks=1), plain_dir)
+    write_warc(
+        rd.from_pandas(df, override_num_blocks=1), dedup_dir, revisit_dupes=True
+    )
+    p_sz = sum(os.path.getsize(os.path.join(plain_dir, f)) for f in os.listdir(plain_dir))
+    d_sz = sum(os.path.getsize(os.path.join(dedup_dir, f)) for f in os.listdir(dedup_dir))
+    assert d_sz < p_sz  # two big payload repeats elided
+
+    back = read_pages_from_warc(
+        sorted(glob.glob(os.path.join(dedup_dir, "*.warc.gz")))
+    ).to_pandas()
+    assert len(back) == 6
+    got = dict(zip(back["url"], back["html"]))
+    for _, r in df.iterrows():
+        assert bytes(got[r["url"]]) == bytes(r["html"]), r["url"]
+
+
+def test_warc_revisit_unresolvable_is_skipped(ray_session, tmp_path):
+    """A revisit whose referent is in ANOTHER shard cannot resolve from
+    this file alone and is skipped, not emitted as an empty page."""
+    from simple_content_ocr_ray.sources.readers import (
+        make_warc_gz,
+        read_pages_from_warc,
+    )
+
+    raw = make_warc_gz(
+        [
+            {"type": "response", "url": "https://a/1", "date": "2026-01-01T00:00:00Z", "body": b"hello"},
+            {"type": "revisit", "url": "https://a/2", "date": "2026-01-01T00:00:00Z", "body": b""},
+        ]
+    )
+    p = tmp_path / "x.warc.gz"
+    p.write_bytes(raw)
+    back = read_pages_from_warc(str(p)).to_pandas()
+    assert list(back["url"]) == ["https://a/1"]
