@@ -1013,7 +1013,86 @@ FROM u GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# annotated_corpus_report — the annotation layer composed into curation
+# --------------------------------------------------------------------------
+
+ANNOT_BLOCK_PPM_MAX = 100_000
+
+
+def annotated_corpus_report(sf_dir: str) -> pd.DataFrame:
+    """The annotation layer composed into a curation verdict — the
+    flagship-style use of this module: each page is judged by the FIRST
+    failing filter (attribution semantics, like ``clean_filter_attribution``)
+    in a fixed order: (1) robots ``noindex`` pages are unpublishable,
+    (2) blocklist token rate above {ppm} ppm is unsafe, (3) pages without an
+    ``og:title`` lack a canonical title for dedup keying; survivors are
+    'kept'. Every signal is computed from a REAL parse/tokenization in ONE
+    ``map_batches`` pass over (payload, text) — page bytes never shuffle;
+    the verdict rollup is a 4-row grouped count."""
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def verdicts(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        toks = df["text"].str.split(" ")
+        n_tokens = toks.str.len().astype("int64").to_numpy()
+        ex = toks.explode()
+        blocked = (
+            ex.isin(_BLOCKLIST).groupby(level=0).sum().astype("int64").to_numpy()
+        )
+        ppm = (1_000_000 * blocked) // n_tokens
+        out = []
+        for d, p in zip(df["doc_id"], ppm):
+            html = make_annotated_page(int(d)).decode()
+            noindex, _ = parse_meta_robots(html)
+            if noindex:
+                out.append("noindex")
+            elif p > ANNOT_BLOCK_PPM_MAX:
+                out.append("blocklist")
+            elif "og:title" not in parse_opengraph(html):
+                out.append("no_og_title")
+            else:
+                out.append("kept")
+        return pd.DataFrame({"verdict": out})
+
+    out = grouped_aggregate(
+        docs.map_batches(verdicts, batch_format="pandas"),
+        ["verdict"],
+        {"n_docs": (None, "count")},
+    ).to_pandas()
+    out = out.astype({"n_docs": "int64"})
+    return out.sort_values("verdict").reset_index(drop=True)
+
+
+annotated_corpus_report.__doc__ = annotated_corpus_report.__doc__.format(
+    ppm=ANNOT_BLOCK_PPM_MAX
+)
+
+_ANNOTATED_CORPUS_REPORT_SQL = f"""
+WITH c AS (
+  SELECT doc_id,
+         (1000000 * len(list_filter(string_split(text, ' '),
+                                    x -> x IN ('spark', 'slow', 'crash', 'dup'))))
+           // len(string_split(text, ' ')) AS ppm
+  FROM documents
+), cls AS (
+  SELECT CASE
+           WHEN doc_id % 9 IN (4, 5) THEN 'noindex'
+           WHEN ppm > {ANNOT_BLOCK_PPM_MAX} THEN 'blocklist'
+           WHEN doc_id % 4 = 3 THEN 'no_og_title'
+           ELSE 'kept'
+         END AS verdict
+  FROM c
+)
+SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM cls GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
+    "annotated_corpus_report": annotated_corpus_report,
     "url_path_templates": url_path_templates,
     "meta_refresh_targets": meta_refresh_targets,
     "pagination_chains": pagination_chains,
@@ -1028,6 +1107,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "annotated_corpus_report": _ANNOTATED_CORPUS_REPORT_SQL,
     "url_path_templates": _URL_PATH_TEMPLATES_SQL,
     "meta_refresh_targets": _META_REFRESH_TARGETS_SQL,
     "pagination_chains": _PAGINATION_CHAINS_SQL,
