@@ -350,6 +350,9 @@ def run_headline() -> dict:
             "robots_wildcard_audit",
             "luhn_card_audit",
             "meta_refresh_targets",
+            "opengraph_meta",
+            "pagination_chains",
+            "annotated_corpus_report",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)
