@@ -398,12 +398,148 @@ FROM documents
 """
 
 
+NTILE_BUCKETS = 4
+BATCH_ROWS = 64
+_LEN_BUCKET_W = 16  # value-range width of the distributed rank buckets
+
+
+def length_bucketed_batches(
+    sf_dir: str, small_threshold: int = 2_000_000
+) -> pd.DataFrame:
+    """Length-bucketed batching — the data-loader trick that minimizes
+    padding waste: rank every document by (token length, doc_id), cut the
+    ranking into NTILE_BUCKETS equal-size buckets (exact SQL ``ntile``
+    semantics: earlier buckets absorb the remainder), and report each
+    bucket's doc count, length range, and batch count at BATCH_ROWS rows
+    per batch. min≈max within a bucket means near-zero padding.
+
+    Scale shape: the global rank is a distributed prefix scan over VALUE-
+    RANGE buckets (``n_tok // {w}`` — bucket order + in-bucket sort =
+    total order): bounded per-bucket counts → driver cumsum → broadcast →
+    one keyed shuffle where each run ranks locally (``map_sorted_runs``).
+    Only the slim (doc_id, n_tok) projection moves. Small corpora take one
+    driver sort through the same ntile rule — both paths tested equal."""
+    import ray
+
+    from ..functions.agg import grouped_aggregate, map_sorted_runs
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    n_total = _docs_row_count(sf_dir)
+
+    def ntile_of_rank(r: np.ndarray) -> np.ndarray:
+        size_small, n_big = divmod(n_total, NTILE_BUCKETS)
+        size_big = size_small + 1
+        cut = n_big * size_big
+        if size_small == 0:  # fewer docs than buckets
+            return r + 1
+        return (
+            np.where(r < cut, r // size_big, n_big + (r - cut) // size_small)
+            + 1
+        )
+
+    def slim_batch(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_tok": (df["text"].str.count(" ") + 1).to_numpy("int64"),
+            }
+        )
+
+    def summarize(per_doc: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            per_doc.groupby("bucket", as_index=False)
+            .agg(
+                n_docs=("n_tok", "size"),
+                min_tokens=("n_tok", "min"),
+                max_tokens=("n_tok", "max"),
+            )
+            .astype("int64")
+        )
+        out["n_batches"] = -(-out["n_docs"] // BATCH_ROWS)
+        return out.sort_values("bucket").reset_index(drop=True)
+
+    if n_total <= small_threshold:
+        slim = slim_batch(
+            rd.read_parquet(path, columns=["doc_id", "text"]).to_pandas()
+        )
+        slim = slim.sort_values(["n_tok", "doc_id"], kind="mergesort")
+        slim["bucket"] = ntile_of_rank(np.arange(len(slim)))
+        return summarize(slim)
+
+    slim = rd.read_parquet(path, columns=["doc_id", "text"]).map_batches(
+        slim_batch, batch_format="pandas"
+    ).map_batches(
+        lambda df: df.assign(vb=df["n_tok"].to_numpy() // _LEN_BUCKET_W),
+        batch_format="pandas",
+    ).materialize()
+    counts = (
+        grouped_aggregate(slim, ["vb"], {"n": (None, "count")})
+        .to_pandas()
+        .sort_values("vb")
+    )
+    cum = np.cumsum(counts["n"].to_numpy("int64"))
+    offsets = dict(
+        zip(
+            counts["vb"].to_numpy().tolist(),
+            np.concatenate([[0], cum[:-1]]).tolist(),
+        )
+    )
+    off_ref = ray.put(offsets)
+
+    def rank_runs(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        df = df.sort_values(["vb", "n_tok", "doc_id"], kind="mergesort")
+        vb = df["vb"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, vb[1:] != vb[:-1]])
+        lens = np.diff(np.r_[starts, len(vb)])
+        base = np.repeat(
+            np.array([off[int(v)] for v in vb[starts]], dtype="int64"), lens
+        )
+        within = np.arange(len(vb)) - np.repeat(starts, lens)
+        df = df.assign(bucket=ntile_of_rank(base + within))
+        return df[["n_tok", "bucket"]]
+
+    ranked = map_sorted_runs(slim, "vb", rank_runs)
+    agg = grouped_aggregate(
+        ranked,
+        ["bucket"],
+        {
+            "n_docs": (None, "count"),
+            "min_tokens": ("n_tok", "min"),
+            "max_tokens": ("n_tok", "max"),
+        },
+    ).to_pandas().astype("int64")
+    agg["n_batches"] = -(-agg["n_docs"] // BATCH_ROWS)
+    return agg.sort_values("bucket").reset_index(drop=True)
+
+
+length_bucketed_batches.__doc__ = length_bucketed_batches.__doc__.format(
+    w=_LEN_BUCKET_W
+)
+
+_LENGTH_BUCKETED_BATCHES_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+), b AS (
+  SELECT n_tok, ntile({NTILE_BUCKETS}) OVER (ORDER BY n_tok, doc_id) AS bucket
+  FROM t
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(n_tok) AS min_tokens, MAX(n_tok) AS max_tokens,
+       CAST(CEIL(COUNT(*) / {BATCH_ROWS}.0) AS BIGINT) AS n_batches
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
+    "length_bucketed_batches": length_bucketed_batches,
     "packed_sequences": packed_sequences,
     "doc_chunks": doc_chunks,
     "split_feed_coverage": split_feed_coverage,
 }
 ORACLES = {
+    "length_bucketed_batches": _LENGTH_BUCKETED_BATCHES_SQL,
     "packed_sequences": _PACKED_SEQUENCES_SQL,
     "doc_chunks": _DOC_CHUNKS_SQL,
     "split_feed_coverage": _SPLIT_FEED_COVERAGE_SQL,

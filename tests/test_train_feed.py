@@ -130,3 +130,27 @@ def test_split_feed_partitions_the_corpus(ray_session):
     assert len(np.unique(allids)) == len(allids)  # disjoint
     # the stream actually fans out: more than one consumer got data
     assert sum(1 for x in ids if len(x)) > 1
+
+
+def test_length_bucketed_batches_both_paths(sf_dir):
+    """Driver ntile path vs forced distributed prefix-scan path; buckets
+    partition the corpus in rank order (no length overlap across buckets
+    except at exact-tie boundaries broken by doc_id)."""
+    import pandas as pd
+
+    from simple_content_ocr_ray.pipelines.train_feed import (
+        NTILE_BUCKETS,
+        length_bucketed_batches,
+    )
+
+    small = length_bucketed_batches(sf_dir)
+    large = length_bucketed_batches(sf_dir, small_threshold=0)
+    pd.testing.assert_frame_equal(small, large)
+    assert list(small["bucket"]) == list(range(1, NTILE_BUCKETS + 1))
+    # equal-size cut: bucket sizes differ by at most 1, earlier absorb extra
+    sizes = small["n_docs"].to_numpy()
+    assert sizes.max() - sizes.min() <= 1 and (np.diff(sizes) <= 0).all()
+    # rank order: a bucket's max length never exceeds the next one's min
+    assert (
+        small["max_tokens"].to_numpy()[:-1] <= small["min_tokens"].to_numpy()[1:]
+    ).all()
