@@ -990,7 +990,77 @@ FROM extracted ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Snapshot token drift (distribution-shift monitoring between recrawls)
+# --------------------------------------------------------------------------
+
+
+def snapshot_token_drift(sf_dir: str) -> pd.DataFrame:
+    """Distribution-shift monitor between two crawl snapshots: per-token
+    Jensen-Shannon divergence contributions (in ppm, natural log) between
+    the token distributions of the OLD (even doc ids) and NEW (odd) halves
+    — the drift dashboard a data-ops team watches so a recrawl that
+    changed the corpus's language mix or boilerplate profile is caught
+    before training. One partial+final aggregate keyed (side, token) —
+    bounded by 2×vocabulary, never pages — then a driver-side divergence
+    over the compact table; emitting every token (not a top-k) keeps the
+    result float-tie-proof and lets the reader slice any way."""
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def side_tokens(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        lens = toks.str.len().to_numpy()
+        flat = (
+            np.concatenate(toks.to_numpy())
+            if len(df)
+            else np.array([], dtype=object)
+        )
+        side = np.repeat((df["doc_id"].to_numpy() % 2), lens)
+        return pd.DataFrame({"side": side, "token": flat})
+
+    counts = grouped_aggregate(
+        docs, ["side", "token"], {"n": (None, "count")}, prepare=side_tokens
+    ).to_pandas()
+    piv = counts.pivot_table(
+        index="token", columns="side", values="n", aggfunc="sum", fill_value=0
+    )
+    c0 = piv[0].to_numpy("int64") if 0 in piv.columns else np.zeros(len(piv), "int64")
+    c1 = piv[1].to_numpy("int64") if 1 in piv.columns else np.zeros(len(piv), "int64")
+    p0, p1 = c0 / c0.sum(), c1 / c1.sum()
+    m = (p0 + p1) / 2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t0 = np.where(p0 > 0, p0 * np.log(np.where(p0 > 0, p0 / m, 1.0)), 0.0)
+        t1 = np.where(p1 > 0, p1 * np.log(np.where(p1 > 0, p1 / m, 1.0)), 0.0)
+    js_ppm = np.round(1_000_000 * (0.5 * t0 + 0.5 * t1), 4)
+    out = pd.DataFrame({"token": piv.index.to_numpy(), "js_ppm": js_ppm})
+    return out.sort_values("token").reset_index(drop=True)
+
+
+_SNAPSHOT_TOKEN_DRIFT_SQL = """
+WITH tok AS (
+  SELECT doc_id % 2 AS side, unnest(string_split(text, ' ')) AS token
+  FROM documents
+), c AS (SELECT side, token, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+tot AS (SELECT side, SUM(n) AS t FROM c GROUP BY 1),
+p AS (
+  SELECT token,
+         COALESCE(MAX(CASE WHEN side = 0 THEN n END), 0) * 1.0
+           / (SELECT t FROM tot WHERE side = 0) AS p0,
+         COALESCE(MAX(CASE WHEN side = 1 THEN n END), 0) * 1.0
+           / (SELECT t FROM tot WHERE side = 1) AS p1
+  FROM c GROUP BY token
+)
+SELECT token,
+       ROUND(1000000 * (
+         0.5 * CASE WHEN p0 > 0 THEN p0 * ln(p0 / ((p0 + p1) / 2)) ELSE 0 END
+       + 0.5 * CASE WHEN p1 > 0 THEN p1 * ln(p1 / ((p0 + p1) / 2)) ELSE 0 END
+       ), 4) AS js_ppm
+FROM p ORDER BY token
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
+    "snapshot_token_drift": snapshot_token_drift,
     "luhn_card_audit": luhn_card_audit,
     "fix_mojibake": fix_mojibake,
     "soft404_flags": soft404_flags,
@@ -1010,6 +1080,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "snapshot_token_drift": _SNAPSHOT_TOKEN_DRIFT_SQL,
     "luhn_card_audit": _luhn_sql(),
     "fix_mojibake": _FIX_MOJIBAKE_SQL,
     "soft404_flags": _SOFT404_FLAGS_SQL,

@@ -360,3 +360,19 @@ def test_luhn_card_audit_checksum(sf_dir):
     a = np.array([int(c) for c in card])
     b = a.copy(); b[-2::-2] *= 2; b[b > 9] -= 9
     assert b.sum() % 10 == 0
+
+
+def test_snapshot_token_drift_properties(sf_dir):
+    """JS contributions are non-negative, zero only for identically
+    distributed tokens, and sum to the corpus JS divergence (≤ ln 2)."""
+    import numpy as np
+
+    from simple_content_ocr_ray.functions.text_stats import (
+        snapshot_token_drift,
+    )
+
+    got = snapshot_token_drift(sf_dir)
+    js = got["js_ppm"].to_numpy()
+    assert (js >= 0).all()
+    assert js.sum() > 0  # the two halves genuinely differ
+    assert js.sum() / 1e6 <= np.log(2) + 1e-9  # JS divergence upper bound
