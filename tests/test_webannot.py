@@ -269,3 +269,57 @@ def test_parse_rel_links():
         "next": "https://a/2",
         "prev": "https://a/0",
     }
+
+
+# --------------------------------------------------------------------------
+# Property fuzzing: annotation parsers must never raise on arbitrary text
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=400))
+def test_annotation_parsers_never_raise(s):
+    from simple_content_ocr_ray.pipelines.webannot_queries import (
+        parse_hreflang,
+        parse_jsonld,
+        parse_meta_refresh,
+        parse_meta_robots,
+        parse_opengraph,
+        parse_rel_links,
+    )
+
+    parse_hreflang(s)
+    parse_jsonld(s)
+    ni, nf = parse_meta_robots(s)
+    assert isinstance(ni, bool) and isinstance(nf, bool)
+    parse_meta_refresh(s)
+    assert isinstance(parse_opengraph(s), dict)
+    assert isinstance(parse_rel_links(s), dict)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="abc*$/.", max_size=40), st.text(alphabet="abc/.", max_size=60))
+def test_robots_pattern_total(pattern, path):
+    """Wildcard matcher is total: any pattern/path pair yields a bool and
+    prefix patterns degrade to startswith exactly."""
+    from simple_content_ocr_ray.pipelines.extract_queries import (
+        robots_allows,
+    )
+
+    verdict = robots_allows([(False, pattern)], path) if pattern else True
+    assert isinstance(verdict, bool)
+    if pattern and "*" not in pattern and not pattern.endswith("$"):
+        assert verdict == (not path.startswith(pattern))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=200))
+def test_registered_domain_total(host):
+    from simple_content_ocr_ray.pipelines.webannot_queries import (
+        registered_domain,
+    )
+
+    assert isinstance(registered_domain(host), str)
