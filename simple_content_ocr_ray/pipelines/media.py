@@ -941,7 +941,75 @@ FROM dims
 """
 
 
+def exif_gps_scrub(sf_dir: str) -> rd.Dataset:
+    """Image privacy scrub — the GPS-stripping pass a training-data
+    pipeline runs over user-uploaded photos before anything else touches
+    them: JPEGs with EXIF GPS coordinates (every third doc here, lat/lon
+    derived from doc_id, byte order alternating II/MM) get their APP1
+    rebuilt without the GPS IFD (`stages/exif.py:scrub_exif_gps`); camera
+    tags survive, coordinates do not. The output re-PARSES the scrubbed
+    payload, so the oracle checks the scrub through the parser, not
+    through bookkeeping. Per-row transform in an actor-style batch map —
+    payloads never shuffle."""
+    from ..stages.exif import insert_exif, make_exif_app1, parse_exif, scrub_exif_gps
+    from ..stages.jpeg_decode import make_jpeg
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        rows = []
+        for x in df["doc_id"]:
+            d = int(x)
+            gps = (
+                (round(-60 + (d % 120) + 0.25, 6), round(-150 + (d % 300) + 0.5, 6))
+                if d % 3 == 0
+                else None
+            )
+            app1 = make_exif_app1(
+                orientation=1 + d % 8,
+                make=f"cam{d % 5}",
+                big_endian=bool(d % 2),
+                gps=gps,
+            )
+            jpg = insert_exif(
+                make_jpeg(np.full((4 + d % 5, 8 + d % 7), 64, dtype=np.uint8)),
+                app1,
+            )
+            clean, had = scrub_exif_gps(jpg)
+            meta = parse_exif(clean)
+            rows.append(
+                {
+                    "doc_id": d,
+                    "had_gps": int(had),
+                    "gps_after": int(
+                        meta["gps_lat"] is not None or meta["gps_lon"] is not None
+                    ),
+                    "make": meta["make"],
+                    "orientation": int(meta["orientation"]),
+                }
+            )
+        return pd.DataFrame(
+            rows, columns=["doc_id", "had_gps", "gps_after", "make", "orientation"]
+        ).astype({"doc_id": "int64", "had_gps": "int64", "gps_after": "int64",
+                  "orientation": "int64"})
+
+    return _docs(sf_dir).map_batches(
+        run, batch_format="pandas", batch_size=MEDIA_BATCH_SIZE
+    )
+
+
+_EXIF_GPS_SCRUB_SQL = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS had_gps,
+       CAST(0 AS BIGINT) AS gps_after,
+       'cam' || CAST(doc_id % 5 AS VARCHAR) AS make,
+       CAST(1 + doc_id % 8 AS BIGINT) AS orientation
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
+    "exif_gps_scrub": exif_gps_scrub,
     "image_thumbnails": image_thumbnails,
     "audio_meta": audio_meta,
     "video_meta": video_meta,
@@ -960,6 +1028,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "image_ahash_dupes": image_ahash_dupes,
 }
 ORACLES: dict[str, str] = {
+    "exif_gps_scrub": _EXIF_GPS_SCRUB_SQL,
     "image_thumbnails": _IMAGE_THUMBNAILS_SQL,
     "audio_meta": _AUDIO_META_SQL,
     "video_meta": _VIDEO_META_SQL,

@@ -27,8 +27,15 @@ TAG_MODEL = 0x0110
 TAG_ORIENTATION = 0x0112
 TAG_DATETIME = 0x0132
 TAG_EXIF_IFD = 0x8769
+TAG_GPS_IFD = 0x8825
 TAG_PIXEL_X = 0xA002
 TAG_PIXEL_Y = 0xA003
+
+#: GPS-IFD tag assignments (EXIF 2.3 §4.6.6)
+GPS_LAT_REF = 0x0001
+GPS_LAT = 0x0002
+GPS_LON_REF = 0x0003
+GPS_LON = 0x0004
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
 
@@ -125,6 +132,23 @@ def parse_exif(jpeg: bytes) -> dict[str, object] | None:
     ptr = ifd0.get(TAG_EXIF_IFD)
     if isinstance(ptr, int):
         sub = _parse_ifd(tiff, ptr, e)
+    gps_lat = gps_lon = None
+    gptr = ifd0.get(TAG_GPS_IFD)
+    if isinstance(gptr, int):
+        g = _parse_ifd(tiff, gptr, e)
+
+        def dec(rats, ref, neg) -> float | None:
+            if not isinstance(rats, list) or len(rats) != 3:
+                return None
+            try:
+                d, m, s = (num / den for num, den in rats)
+            except ZeroDivisionError:
+                return None
+            v = round(d + m / 60 + s / 3600, 6)
+            return -v if ref == neg else v
+
+        gps_lat = dec(g.get(GPS_LAT), g.get(GPS_LAT_REF), "S")
+        gps_lon = dec(g.get(GPS_LON), g.get(GPS_LON_REF), "W")
     return {
         "byte_order": tiff[:2].decode("ascii"),
         "orientation": ifd0.get(TAG_ORIENTATION),
@@ -133,22 +157,27 @@ def parse_exif(jpeg: bytes) -> dict[str, object] | None:
         "datetime": ifd0.get(TAG_DATETIME),
         "pixel_x": sub.get(TAG_PIXEL_X),
         "pixel_y": sub.get(TAG_PIXEL_Y),
+        "gps_lat": gps_lat,
+        "gps_lon": gps_lon,
     }
 
 
 def _build_ifd(
-    entries: list[tuple[int, int, int, bytes]], base: int, e: str, ptr_val: int | None
+    entries: list[tuple[int, int, int, bytes]],
+    base: int,
+    e: str,
+    ptrs: dict[int, int] | None,
 ) -> bytes:
     """One IFD at absolute TIFF offset ``base``: entry table + next-IFD=0 +
-    out-of-line values. ``ptr_val`` substitutes the ExifIFD pointer value
-    (two-pass linking)."""
+    out-of-line values. ``ptrs`` substitutes sub-IFD pointer values by tag
+    (two-pass linking — pointer size never changes IFD length)."""
     n = len(entries)
     ifd_len = 2 + 12 * n + 4
     table = struct.pack(e + "H", n)
     data = bytearray()
     for tag, typ, cnt, raw in sorted(entries):
-        if tag == TAG_EXIF_IFD and ptr_val is not None:
-            raw = struct.pack(e + "I", ptr_val)
+        if ptrs is not None and tag in ptrs:
+            raw = struct.pack(e + "I", ptrs[tag])
         if len(raw) <= 4:
             val = raw + b"\x00" * (4 - len(raw))
         else:
@@ -168,9 +197,12 @@ def make_exif_app1(
     pixel_x: int | None = None,
     pixel_y: int | None = None,
     big_endian: bool = False,
+    gps: tuple[float, float] | None = None,
 ) -> bytes:
     """A complete APP1 EXIF segment (marker + length + Exif header + TIFF)
-    carrying the given tags; ``big_endian`` selects the MM byte order."""
+    carrying the given tags; ``big_endian`` selects the MM byte order.
+    ``gps`` is (lat, lon) in signed decimal degrees, written as the
+    standard GPS IFD (ref letters + degree/minute/centisecond rationals)."""
     e = ">" if big_endian else "<"
 
     def ascii_entry(tag: int, s: str) -> tuple[int, int, int, bytes]:
@@ -194,17 +226,88 @@ def make_exif_app1(
     if sub:
         ifd0.append((TAG_EXIF_IFD, 4, 1, struct.pack(e + "I", 0)))
 
+    gps_ifd: list[tuple[int, int, int, bytes]] = []
+    if gps is not None:
+        lat, lon = gps
+
+        def dms(v: float) -> bytes:
+            v = abs(v)
+            d = int(v)
+            m = int((v - d) * 60)
+            cs = round(((v - d) * 60 - m) * 60 * 100)
+            return struct.pack(e + "6I", d, 1, m, 1, cs, 100)
+
+        gps_ifd = [
+            (GPS_LAT_REF, 2, 2, (b"N" if lat >= 0 else b"S") + b"\x00"),
+            (GPS_LAT, 5, 3, dms(lat)),
+            (GPS_LON_REF, 2, 2, (b"E" if lon >= 0 else b"W") + b"\x00"),
+            (GPS_LON, 5, 3, dms(lon)),
+        ]
+        ifd0.append((TAG_GPS_IFD, 4, 1, struct.pack(e + "I", 0)))
+
     header = (b"MM" if big_endian else b"II") + struct.pack(e + "HI", 42, 8)
-    # pass 1 sizes IFD0 (pointer value does not change its length)
-    ifd0_bytes = _build_ifd(ifd0, 8, e, ptr_val=0)
-    tiff = header + (
-        _build_ifd(ifd0, 8, e, ptr_val=8 + len(ifd0_bytes))
-        + _build_ifd(sub, 8 + len(ifd0_bytes), e, ptr_val=None)
-        if sub
-        else ifd0_bytes
+    # pass 1 sizes each IFD (pointer values do not change lengths)
+    ifd0_bytes = _build_ifd(ifd0, 8, e, ptrs={TAG_EXIF_IFD: 0, TAG_GPS_IFD: 0})
+    sub_off = 8 + len(ifd0_bytes)
+    sub_bytes = _build_ifd(sub, sub_off, e, ptrs=None) if sub else b""
+    gps_off = sub_off + len(sub_bytes)
+    gps_bytes = _build_ifd(gps_ifd, gps_off, e, ptrs=None) if gps_ifd else b""
+    tiff = (
+        header
+        + _build_ifd(
+            ifd0, 8, e, ptrs={TAG_EXIF_IFD: sub_off, TAG_GPS_IFD: gps_off}
+        )
+        + sub_bytes
+        + gps_bytes
     )
     body = b"Exif\x00\x00" + tiff
     return b"\xff\xe1" + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def strip_exif(jpeg: bytes) -> bytes:
+    """JPEG with its first ``Exif\\x00\\x00`` APP1 segment removed (the
+    payload is otherwise untouched); no-EXIF payloads return unchanged."""
+    if jpeg[:2] != b"\xff\xd8":
+        return jpeg
+    pos = 2
+    while pos + 4 <= len(jpeg):
+        if jpeg[pos] != 0xFF:
+            return jpeg
+        marker = jpeg[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in (0xDA, 0xD9):
+            return jpeg
+        seglen = int.from_bytes(jpeg[pos + 2 : pos + 4], "big")
+        if seglen < 2:
+            return jpeg
+        if marker == 0xE1 and jpeg[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            return jpeg[:pos] + jpeg[pos + 2 + seglen :]
+        pos += 2 + seglen
+    return jpeg
+
+
+def scrub_exif_gps(jpeg: bytes) -> tuple[bytes, bool]:
+    """Privacy scrub: (payload, had_gps). A payload whose EXIF carries GPS
+    coordinates gets its APP1 REBUILT from the modeled tags (orientation /
+    camera / datetime / pixel dims) without the GPS IFD — the conservative
+    choice: unmodeled exotic tags are dropped rather than risk leaking
+    location through a tag this module does not understand. GPS-free
+    payloads return byte-identical."""
+    meta = parse_exif(jpeg)
+    if meta is None or (meta["gps_lat"] is None and meta["gps_lon"] is None):
+        return jpeg, False
+    app1 = make_exif_app1(
+        orientation=meta["orientation"] or 1,
+        make=meta["make"],
+        model=meta["model"],
+        datetime=meta["datetime"],
+        pixel_x=meta["pixel_x"],
+        pixel_y=meta["pixel_y"],
+        big_endian=meta["byte_order"] == "MM",
+    )
+    return insert_exif(strip_exif(jpeg), app1), True
 
 
 def insert_exif(jpeg: bytes, app1: bytes) -> bytes:

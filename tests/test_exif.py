@@ -42,6 +42,8 @@ def test_full_roundtrip_both_byte_orders(big_endian):
         "datetime": "2024:01:02 03:04:05",
         "pixel_x": 10,
         "pixel_y": 6,
+        "gps_lat": None,
+        "gps_lon": None,
     }
 
 
@@ -116,3 +118,36 @@ def test_query_and_oracle_columns_match(ray_session):
     exp = exp.sort_values("doc_id").reset_index(drop=True)
     for c in exp.columns:
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_gps_roundtrip_and_scrub():
+    """GPS IFD writes/parses as signed decimal degrees; scrub removes the
+    coordinates, keeps the camera tags, and is idempotent + byte-stable on
+    GPS-free payloads."""
+    import numpy as np
+
+    from simple_content_ocr_ray.stages.exif import scrub_exif_gps
+    from simple_content_ocr_ray.stages.jpeg_decode import make_jpeg
+
+    base = make_jpeg(np.full((6, 10), 80, dtype=np.uint8))
+    for be in (False, True):
+        app1 = make_exif_app1(
+            orientation=2, make="camG", pixel_x=10, pixel_y=6,
+            gps=(37.7749, -122.4194), big_endian=be,
+        )
+        jpg = insert_exif(base, app1)
+        got = parse_exif(jpg)
+        assert abs(got["gps_lat"] - 37.7749) < 2e-6
+        assert abs(got["gps_lon"] - -122.4194) < 2e-6
+        clean, had = scrub_exif_gps(jpg)
+        assert had is True
+        after = parse_exif(clean)
+        assert after["gps_lat"] is None and after["gps_lon"] is None
+        assert after["make"] == "camG" and after["orientation"] == 2
+        assert after["pixel_x"] == 10 and after["byte_order"] == ("MM" if be else "II")
+        # idempotent: a scrubbed payload passes through byte-identical
+        again, had2 = scrub_exif_gps(clean)
+        assert had2 is False and again == clean
+    # no-EXIF payload: untouched
+    same, had = scrub_exif_gps(base)
+    assert had is False and same == base
