@@ -730,6 +730,77 @@ FROM per
 """
 
 
+def label_centroid_drift(sf_dir: str) -> pd.DataFrame:
+    """Embedding drift monitor — the vector-space companion of
+    ``snapshot_token_drift``: per label, the cosine between the centroid of
+    the OLD half (even vec_ids) and the NEW half (odd) of the corpus. A
+    label whose centroid rotated between snapshots signals upstream
+    distribution shift (new scraper, new boilerplate, encoder change)
+    before any training run finds out the hard way.
+
+    Same decomposed-sum topology as ``label_centroid_norms``: per-dimension
+    scalar partial sums keyed (label, side) through one
+    ``grouped_aggregate`` — the driver sees 2 rows per label, never
+    vectors. Sums run in float64 so the SQL mirror matches at 6 decimals."""
+    dim = _embedding_dim(sf_dir)
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "label", "embedding"],
+    )
+
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        M = _emb_matrix(df).astype(np.float64)
+        out = pd.DataFrame({f"s{i}": M[:, i] for i in range(dim)})
+        out["label"] = df["label"].to_numpy()
+        out["side"] = df["vec_id"].to_numpy() % 2
+        return out
+
+    aggs: dict = {f"s{i}": (f"s{i}", "sum") for i in range(dim)}
+    aggs["n_vecs"] = (None, "count")
+    agg = grouped_aggregate(
+        emb, ["label", "side"], aggs, prepare=prepare
+    ).to_pandas()
+    S = agg[[f"s{i}" for i in range(dim)]].to_numpy(dtype=np.float64)
+    cent = S / agg["n_vecs"].to_numpy(dtype=np.float64)[:, None]
+    agg = agg.assign(_row=np.arange(len(agg)))
+    piv = agg.pivot(index="label", columns="side", values="_row")
+    rows = []
+    for label, r in piv.iterrows():
+        if pd.isna(r.get(0)) or pd.isna(r.get(1)):
+            continue  # a label present in only one half has no drift angle
+        a, b = cent[int(r[0])], cent[int(r[1])]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        rows.append({"label": int(label), "centroid_cos": round(cos, 6)})
+    return (
+        pd.DataFrame(rows, columns=["label", "centroid_cos"])
+        .astype({"label": "int64"})
+        .sort_values("label")
+        .reset_index(drop=True)
+    )
+
+
+_LABEL_CENTROID_DRIFT_SQL = """
+WITH ex AS (
+  SELECT label, vec_id % 2 AS side,
+         generate_subscripts(embedding, 1) AS i,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings
+), c AS (
+  SELECT label, side, i, SUM(v) AS s, COUNT(*) AS n FROM ex GROUP BY 1, 2, 3
+), m AS (
+  SELECT label, i,
+         MAX(CASE WHEN side = 0 THEN s / n END) AS a,
+         MAX(CASE WHEN side = 1 THEN s / n END) AS b
+  FROM c GROUP BY 1, 2
+)
+SELECT CAST(label AS BIGINT) AS label,
+       ROUND(SUM(a * b) / (sqrt(SUM(a * a)) * sqrt(SUM(b * b))), 6)
+         AS centroid_cos
+FROM m WHERE a IS NOT NULL AND b IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Distributed spherical k-means (full-corpus Lloyd iterations)
 # --------------------------------------------------------------------------
@@ -1170,6 +1241,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "semdedup_keepers": semdedup_keepers,
     "embedding_pca_project": embedding_pca_project,
     "label_centroid_norms": label_centroid_norms,
+    "label_centroid_drift": label_centroid_drift,
     "ann_topk": ann_topk,
     "mmr_topk": mmr_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -1182,6 +1254,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 
 ORACLES: dict[str, str] = {
     "label_centroid_norms": _LABEL_CENTROID_SQL,
+    "label_centroid_drift": _LABEL_CENTROID_DRIFT_SQL,
     "ann_topk": _ANN_TOPK_SQL,
     "xlingual_margin_pairs": _XLINGUAL_MARGIN_SQL,
     "embedding_dup_pairs": _EMBEDDING_DUP_PAIRS_SQL,

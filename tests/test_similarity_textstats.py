@@ -376,3 +376,30 @@ def test_snapshot_token_drift_properties(sf_dir):
     assert (js >= 0).all()
     assert js.sum() > 0  # the two halves genuinely differ
     assert js.sum() / 1e6 <= np.log(2) + 1e-9  # JS divergence upper bound
+
+
+def test_label_centroid_drift_brute_force(sf_dir):
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from simple_content_ocr_ray.functions.similarity import (
+        label_centroid_drift,
+    )
+
+    got = label_centroid_drift(sf_dir)
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    M = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    lab = t["label"].to_numpy()
+    side = t["vec_id"].to_numpy() % 2
+    for L in sorted(set(lab.tolist())):
+        a = M[(lab == L) & (side == 0)]
+        b = M[(lab == L) & (side == 1)]
+        row = got[got["label"] == L]
+        if not len(a) or not len(b):
+            assert len(row) == 0
+            continue
+        ca, cb = a.mean(axis=0), b.mean(axis=0)
+        exp = round(float(ca @ cb / (np.linalg.norm(ca) * np.linalg.norm(cb))), 6)
+        assert abs(row.iloc[0]["centroid_cos"] - exp) < 1e-9
