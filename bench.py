@@ -353,6 +353,10 @@ def run_headline() -> dict:
             "opengraph_meta",
             "pagination_chains",
             "annotated_corpus_report",
+            "snapshot_token_drift",
+            "label_centroid_drift",
+            "length_bucketed_batches",
+            "exif_gps_scrub",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)
