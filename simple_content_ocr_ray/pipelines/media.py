@@ -698,6 +698,146 @@ FROM documents
 """
 
 
+class _SvgMetaStage:
+    """Actor-pool stage: synthesize a deterministic SVG per document
+    (sized root, rotating shape count, 1 + doc_id%4 text runs with the
+    tspan-split form on odd ids, defs/comment decoys), extract text +
+    geometry back with the real SVG engine (r4, stages/svg_text.py)."""
+
+    def __init__(self) -> None:
+        from ..stages.svg_text import SvgTextEngine, make_svg
+
+        self.engine = SvgTextEngine()
+        self.make = make_svg
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        widths, heights, shapes, runs, texts = [], [], [], [], []
+        for d in df["doc_id"]:
+            d = int(d)
+            payload = self.make(
+                width=100 + d % 37,
+                height=50 + d % 23,
+                text_runs=[f"run {d} {i}" for i in range(1 + d % 4)],
+                n_rects=d % 5,
+                title=f"Logo {d}",
+                messy=bool(d % 2),
+            )
+            res = self.engine.extract("", payload, "svg")
+            widths.append(int(res.metadata["width"]))
+            heights.append(int(res.metadata["height"]))
+            shapes.append(int(res.metadata["n_shapes"]))
+            runs.append(int(res.metadata["n_text_runs"]))
+            texts.append(res.text)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "width": pd.Series(widths, dtype="int64"),
+                "height": pd.Series(heights, dtype="int64"),
+                "n_shapes": pd.Series(shapes, dtype="int64"),
+                "n_text_runs": pd.Series(runs, dtype="int64"),
+                "text": texts,
+            }
+        )
+
+
+def svg_real_meta(sf_dir: str) -> rd.Dataset:
+    """Real end-to-end SVG extraction: vector image → visible text runs
+    (defs text excluded, tspans collapsed) + intrinsic geometry. The
+    reference's image list stops at raster formats (config.py:113-120);
+    SVG is the vector half of the web image family."""
+    return _docs(sf_dir).map_batches(
+        _SvgMetaStage,
+        batch_format="pandas",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=_media_concurrency(),
+    )
+
+
+_SVG_REAL_META_SQL = """
+SELECT doc_id,
+       100 + doc_id % 37 AS width,
+       50 + doc_id % 23 AS height,
+       doc_id % 5 AS n_shapes,
+       1 + doc_id % 4 AS n_text_runs,
+       'run ' || doc_id || ' 0'
+         || CASE WHEN doc_id % 4 >= 1
+                 THEN chr(10) || 'run ' || doc_id || ' 1' ELSE '' END
+         || CASE WHEN doc_id % 4 >= 2
+                 THEN chr(10) || 'run ' || doc_id || ' 2' ELSE '' END
+         || CASE WHEN doc_id % 4 >= 3
+                 THEN chr(10) || 'run ' || doc_id || ' 3' ELSE '' END
+         AS text
+FROM documents
+"""
+
+
+class _IcoMetaStage:
+    """Actor-pool stage: build a multi-entry ICO per document (entry sizes
+    strictly increasing so the largest is deterministic; the DIB/PNG
+    storage mix rotates via png_mask = doc_id%8), decode the largest entry
+    with the real ICO decoder."""
+
+    def __init__(self) -> None:
+        import numpy as np
+
+        from ..stages.image_formats import IcoImageEngine, make_ico
+
+        self.np = np
+        self.engine = IcoImageEngine()
+        self.make = make_ico
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        np = self.np
+        widths, heights, n_images, bright = [], [], [], []
+        for d in df["doc_id"]:
+            d = int(d)
+            n = 1 + d % 3
+            imgs = [
+                np.full(
+                    (3 + j * 8 + d % 3, 4 + j * 8 + d % 4, 3),
+                    d % 256,
+                    dtype=np.uint8,
+                )
+                for j in range(n)
+            ]
+            res = self.engine.extract("", self.make(imgs, png_mask=d % 8), "ico")
+            widths.append(int(res.metadata["width"]))
+            heights.append(int(res.metadata["height"]))
+            n_images.append(int(res.metadata["n_images"]))
+            bright.append(int(float(res.metadata["brightness"])))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "width": pd.Series(widths, dtype="int64"),
+                "height": pd.Series(heights, dtype="int64"),
+                "n_images": pd.Series(n_images, dtype="int64"),
+                "brightness": pd.Series(bright, dtype="int64"),
+            }
+        )
+
+
+def ico_real_meta(sf_dir: str) -> rd.Dataset:
+    """Real end-to-end ICO (favicon) decode: multi-image container with
+    mixed DIB/embedded-PNG entries, largest-entry selection, constant
+    color so brightness is exactly doc_id % 256."""
+    return _docs(sf_dir).map_batches(
+        _IcoMetaStage,
+        batch_format="pandas",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=_media_concurrency(),
+    )
+
+
+_ICO_REAL_META_SQL = """
+SELECT doc_id,
+       4 + (doc_id % 3) * 8 + doc_id % 4 AS width,
+       3 + (doc_id % 3) * 8 + doc_id % 3 AS height,
+       1 + doc_id % 3 AS n_images,
+       doc_id % 256 AS brightness
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # REAL PDF text extraction (stages/pdf_text.py — full encode→parse loop)
 # --------------------------------------------------------------------------
@@ -1024,6 +1164,8 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "webp_lossy_meta": webp_lossy_meta,
     "docx_real_text": docx_real_text,
     "ooxml_real_meta": ooxml_real_meta,
+    "svg_real_meta": svg_real_meta,
+    "ico_real_meta": ico_real_meta,
     "pdf_real_text": pdf_real_text,
     "image_ahash_dupes": image_ahash_dupes,
 }
@@ -1043,6 +1185,8 @@ ORACLES: dict[str, str] = {
     "webp_lossy_meta": _WEBP_LOSSY_META_SQL,
     "docx_real_text": _DOCX_REAL_TEXT_SQL,
     "ooxml_real_meta": _OOXML_REAL_META_SQL,
+    "svg_real_meta": _SVG_REAL_META_SQL,
+    "ico_real_meta": _ICO_REAL_META_SQL,
     "pdf_real_text": _PDF_REAL_TEXT_SQL,
     "image_ahash_dupes": _IMAGE_AHASH_DUPES_SQL,
 }

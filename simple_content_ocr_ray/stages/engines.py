@@ -273,6 +273,18 @@ def _ooxml_text_factory(**kwargs: Any) -> Any:
     return OoxmlTextEngine(**kwargs)
 
 
+def _svg_text_factory(**kwargs: Any) -> Any:
+    from .svg_text import SvgTextEngine
+
+    return SvgTextEngine(**kwargs)
+
+
+def _ico_decode_factory(**kwargs: Any) -> Any:
+    from .image_formats import IcoImageEngine
+
+    return IcoImageEngine(**kwargs)
+
+
 register_engine("mock", MockEngine)
 register_engine("remote-http", RemoteHttpEngine)
 register_engine("html-main-content", HtmlEngine)
@@ -285,3 +297,5 @@ register_engine("gif-decode", _gif_decode_factory)
 register_engine("tiff-decode", _tiff_decode_factory)
 register_engine("webp-decode", _webp_decode_factory)
 register_engine("ooxml-text", _ooxml_text_factory)
+register_engine("svg-text", _svg_text_factory)
+register_engine("ico-decode", _ico_decode_factory)

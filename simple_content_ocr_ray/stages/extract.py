@@ -77,6 +77,11 @@ REAL_ROUTE: dict[str, str] = {
     # extracting the runs exceeds that honestly. Non-OOXML zips fail as
     # rows at the engine's documented seam.
     "zip": "ooxml-text",
+    # vector + icon formats the reference does not list (config.py:113-120
+    # stops at raster images) — real engines here, failed rows on the
+    # mock-parity DEFAULT_ROUTE, same exceed-honestly policy as OOXML.
+    "svg": "svg-text",
+    "ico": "ico-decode",
 }
 REAL_ROUTE.update(
     {t: "image-decode-stub" for t in IMAGE_TYPES if t not in REAL_ROUTE}

@@ -455,6 +455,202 @@ TiffImageEngine = _meta_engine("tiff-decode", decode_tiff)
 # registered in stages/engines.py (lazy factories)
 
 
+# --------------------------------------------------------------------------
+# ICO (Windows icon container: DIB or embedded-PNG entries)
+# --------------------------------------------------------------------------
+#
+# Favicons are the highest-frequency icon payloads in a web crawl — every
+# host serves one, and crawlers store them beside the pages. The container
+# is an ICONDIR (reserved=0, type=1, count) followed by 16-byte directory
+# entries; each image is either a PNG file verbatim (Vista+) or a DIB: a
+# BITMAPINFOHEADER whose biHeight covers BOTH the XOR (color) bitmap and
+# the 1-bpp AND (transparency) mask stacked bottom-up.
+
+_ICO_ENTRY = struct.Struct("<BBBBHHII")
+
+
+def ico_entries(payload: bytes) -> list[dict]:
+    """Parse the ICONDIR → one dict per entry: width/height (256 decoded
+    from the 0 byte), bpp, size, offset, and whether the image data is an
+    embedded PNG."""
+    if len(payload) < 6 or payload[:4] != b"\x00\x00\x01\x00":
+        raise UnsupportedImageError("not an ICO payload")
+    (count,) = struct.unpack_from("<H", payload, 4)
+    if not 1 <= count <= 256:
+        raise UnsupportedImageError(f"implausible ICO image count {count}")
+    if len(payload) < 6 + 16 * count:
+        raise UnsupportedImageError("truncated ICO directory")
+    entries = []
+    for i in range(count):
+        w8, h8, _colors, _rsv, _planes, bpp, size, off = _ICO_ENTRY.unpack_from(
+            payload, 6 + 16 * i
+        )
+        if off + size > len(payload) or size < 8:
+            raise UnsupportedImageError("ICO entry out of bounds")
+        entries.append(
+            {
+                "width": w8 or 256,
+                "height": h8 or 256,
+                "bpp": bpp,
+                "size": size,
+                "offset": off,
+                "is_png": payload[off : off + 8] == b"\x89PNG\r\n\x1a\n",
+            }
+        )
+    return entries
+
+
+def _decode_ico_dib(data: bytes) -> np.ndarray:
+    """ICO DIB entry (BITMAPINFOHEADER, biHeight = 2×true height) → RGBA.
+    8-bit palette / 24 / 32-bit XOR data; the AND mask drives alpha for
+    non-32-bit entries (32-bit carries its own alpha channel)."""
+    if len(data) < 40:
+        raise UnsupportedImageError("truncated ICO DIB header")
+    (hdr_size,) = struct.unpack_from("<I", data, 0)
+    if hdr_size != 40:
+        raise UnsupportedImageError(f"ICO DIB header size {hdr_size} unsupported")
+    w = struct.unpack_from("<i", data, 4)[0]
+    h2 = struct.unpack_from("<i", data, 8)[0]
+    _planes, bpp = struct.unpack_from("<HH", data, 12)
+    (compression,) = struct.unpack_from("<I", data, 16)
+    if compression != 0:
+        raise UnsupportedImageError(f"ICO DIB compression {compression} unsupported")
+    if bpp not in (8, 24, 32):
+        raise UnsupportedImageError(f"ICO DIB bpp {bpp} unsupported")
+    if w <= 0 or h2 <= 0 or h2 % 2:
+        raise UnsupportedImageError("degenerate ICO DIB dimensions")
+    h = h2 // 2
+    off = 40
+    palette = None
+    if bpp == 8:
+        (colors,) = struct.unpack_from("<I", data, 32)
+        colors = colors or 256
+        raw = np.frombuffer(data, np.uint8, colors * 4, off)
+        palette = raw.reshape(colors, 4)[:, :3][:, ::-1].copy()  # BGRX → RGB
+        off += colors * 4
+    xor_row = (w * bpp // 8 + 3) // 4 * 4
+    and_row = ((w + 31) // 32) * 4
+    if len(data) < off + xor_row * h + and_row * h:
+        raise UnsupportedImageError("truncated ICO DIB pixel data")
+    rows = np.frombuffer(data, np.uint8, xor_row * h, off).reshape(h, xor_row)
+    rows = rows[::-1]  # bottom-up
+    rgba = np.empty((h, w, 4), np.uint8)
+    if bpp == 8:
+        rgba[:, :, :3] = palette[rows[:, :w]]
+        rgba[:, :, 3] = 255
+    else:
+        ch = bpp // 8
+        px = rows[:, : w * ch].reshape(h, w, ch)
+        rgba[:, :, :3] = px[:, :, 2::-1]  # BGR(A) → RGB
+        rgba[:, :, 3] = px[:, :, 3] if ch == 4 else 255
+    if bpp != 32:  # AND mask: bit set = transparent
+        mrows = np.frombuffer(
+            data, np.uint8, and_row * h, off + xor_row * h
+        ).reshape(h, and_row)[::-1]
+        bits = np.unpackbits(mrows, axis=1)[:, :w]
+        rgba[:, :, 3] = np.where(bits == 1, 0, rgba[:, :, 3])
+    return rgba
+
+
+def decode_ico(payload: bytes) -> np.ndarray:
+    """ICO bytes → (h, w, 4) RGBA of the LARGEST entry (ties: highest bpp,
+    then first), matching what a favicon consumer renders. Entries may be
+    DIBs or embedded PNGs."""
+    entries = ico_entries(payload)
+    best = max(
+        range(len(entries)),
+        key=lambda i: (
+            entries[i]["width"] * entries[i]["height"],
+            entries[i]["bpp"],
+            -i,
+        ),
+    )
+    e = entries[best]
+    data = payload[e["offset"] : e["offset"] + e["size"]]
+    if e["is_png"]:
+        from .png_decode import decode_png
+
+        img = decode_png(data)
+        if img.ndim == 2:
+            img = np.repeat(img[:, :, None], 3, axis=2)
+        if img.shape[2] == 3:
+            img = np.concatenate(
+                [img, np.full((*img.shape[:2], 1), 255, np.uint8)], axis=2
+            )
+        return img
+    return _decode_ico_dib(data)
+
+
+def make_ico(images: list[np.ndarray], png_mask: int = 0) -> bytes:
+    """Encode RGB (h, w, 3) / RGBA (h, w, 4) uint8 arrays as a multi-image
+    ICO. Entry ``i`` is stored as an embedded PNG when bit ``i`` of
+    ``png_mask`` is set, else as a 32-bit DIB with an all-opaque AND mask
+    (alpha rides the 32-bit channel)."""
+    if not 1 <= len(images) <= 256:
+        raise ValueError("ICO holds 1..256 images")
+    blobs = []
+    for i, img in enumerate(images):
+        h, w = img.shape[:2]
+        if not (1 <= w <= 256 and 1 <= h <= 256):
+            raise ValueError("ICO entries are 1..256 px")
+        if img.ndim == 2:
+            img = np.repeat(img[:, :, None], 3, axis=2)
+        if img.shape[2] == 3:
+            img = np.concatenate(
+                [img, np.full((h, w, 1), 255, np.uint8)], axis=2
+            )
+        if (png_mask >> i) & 1:
+            from .png_decode import make_png
+
+            blobs.append(make_png(img))
+            continue
+        and_row = ((w + 31) // 32) * 4
+        dib = bytearray()
+        dib += struct.pack(
+            "<IiiHHIIiiII", 40, w, 2 * h, 1, 32, 0, 4 * w * h, 0, 0, 0, 0
+        )
+        for y in range(h - 1, -1, -1):  # XOR bottom-up, BGRA
+            dib += img[y, :, [2, 1, 0, 3]].T.tobytes()
+        dib += b"\x00" * (and_row * h)  # AND mask: all opaque
+        blobs.append(bytes(dib))
+    out = bytearray(b"\x00\x00\x01\x00" + struct.pack("<H", len(images)))
+    off = 6 + 16 * len(images)
+    for img, blob in zip(images, blobs):
+        h, w = img.shape[:2]
+        out += _ICO_ENTRY.pack(w % 256, h % 256, 0, 0, 1, 32, len(blob), off)
+        off += len(blob)
+    for blob in blobs:
+        out += blob
+    return bytes(out)
+
+
+class IcoImageEngine:
+    """Engine-seam wrapper: real ICO decode (largest entry) → typed metadata
+    with the container-level image count beside the raster geometry."""
+
+    name = "ico-decode"
+
+    def extract(self, url: str, payload: bytes, content_type: str):
+        from .engines import EngineResult
+
+        entries = ico_entries(payload)
+        img = decode_ico(payload)
+        h, w, _ = img.shape
+        brightness = float(np.round(img[:, :, :3].mean(), 4))
+        return EngineResult(
+            text=f"[icon {w}x{h} images={len(entries)} brightness={brightness}]",
+            page_count=1,
+            metadata={
+                "engine": self.name,
+                "width": str(w),
+                "height": str(h),
+                "channels": "4",
+                "n_images": str(len(entries)),
+                "brightness": str(brightness),
+            },
+        )
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Magic-byte router over the whole real-decoder family: any image
     format the reference accepts (config.py:113-120) → uint8 pixel array,
@@ -478,4 +674,6 @@ def decode_image(payload: bytes) -> np.ndarray:
         from .webp_decode import decode_webp
 
         return decode_webp(payload)
+    if payload[:4] == b"\x00\x00\x01\x00":
+        return decode_ico(payload)
     raise UnsupportedImageError("unknown image magic")
