@@ -838,6 +838,68 @@ FROM documents
 """
 
 
+class _FlacMetaStage:
+    """Actor-pool stage: per document, encode the SAME deterministic PCM
+    the plain audio fixture uses as a real FLAC stream (subframe type
+    rotating by doc_id — constant / verbatim / fixed1 / fixed2 / LPC — so
+    every decode path rides the oracled query), then run the standard
+    audio feature extraction over the COMPRESSED payload."""
+
+    _MODES = ("constant", "verbatim", "fixed1", "fixed2", "lpc2")
+
+    def __init__(self) -> None:
+        from ..stages.flac_codec import make_flac
+        from ..stages.media import AudioFeatureStage, _prng_i16
+
+        self.make = make_flac
+        self.prng = _prng_i16
+        self.features = AudioFeatureStage(payload_col="audio")
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        payloads, modes = [], []
+        for d, c in zip(df["doc_id"], df["n_chars"]):
+            d, n = int(d), int(c) * 4
+            mode = self._MODES[d % 5]
+            if mode == "constant":
+                pcm = np.full(n, d % 100 - 50, np.int32)
+            else:
+                pcm = self.prng(d, n).astype(np.int32)
+            payloads.append(self.make(pcm, mode=mode, block_size=4096))
+            modes.append(mode)
+        sub = pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"), "audio": payloads}
+        )
+        out = self.features(sub)
+        out["mode"] = modes
+        return out[["doc_id", "mode", "n_samples", "duration_ms"]]
+
+
+def flac_real_meta(sf_dir: str) -> rd.Dataset:
+    """Real end-to-end COMPRESSED audio: FLAC encode (rotating subframe
+    types) → from-scratch FLAC decode inside the standard audio feature
+    stage → typed metadata. Closes the compressed-audio seam the plain
+    PCM fixture left open (stages/media.py docstring)."""
+    return _docs(sf_dir).map_batches(
+        _FlacMetaStage,
+        batch_format="pandas",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=_media_concurrency(),
+    )
+
+
+_FLAC_REAL_META_SQL = f"""
+SELECT doc_id,
+       CASE doc_id % 5 WHEN 0 THEN 'constant' WHEN 1 THEN 'verbatim'
+            WHEN 2 THEN 'fixed1' WHEN 3 THEN 'fixed2' ELSE 'lpc2' END
+         AS mode,
+       n_chars * 4 AS n_samples,
+       (n_chars * 4) * 1000 // {AUDIO_RATE} AS duration_ms
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # REAL PDF text extraction (stages/pdf_text.py — full encode→parse loop)
 # --------------------------------------------------------------------------
@@ -1166,6 +1228,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "ooxml_real_meta": ooxml_real_meta,
     "svg_real_meta": svg_real_meta,
     "ico_real_meta": ico_real_meta,
+    "flac_real_meta": flac_real_meta,
     "pdf_real_text": pdf_real_text,
     "image_ahash_dupes": image_ahash_dupes,
 }
@@ -1187,6 +1250,7 @@ ORACLES: dict[str, str] = {
     "ooxml_real_meta": _OOXML_REAL_META_SQL,
     "svg_real_meta": _SVG_REAL_META_SQL,
     "ico_real_meta": _ICO_REAL_META_SQL,
+    "flac_real_meta": _FLAC_REAL_META_SQL,
     "pdf_real_text": _PDF_REAL_TEXT_SQL,
     "image_ahash_dupes": _IMAGE_AHASH_DUPES_SQL,
 }

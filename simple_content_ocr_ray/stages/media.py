@@ -1,13 +1,14 @@
 """Multimodal (audio / video) column plumbing: opaque binary payloads in,
 typed features out, through actor-pool ``map_batches`` stages.
 
-The container ships no audio/video codecs, so payloads are deterministic
-synthetic containers (16-bit PCM audio; raw grayscale frame stacks) whose
-DECODE is real byte math (``np.frombuffer`` / reshape) — the Ray-side
-plumbing (binary column → actor pool → typed feature columns, small batches
-for multi-MB rows) is the part that matters at 100 TB and is fully real.
-Compressed formats (MP3/H.264/...) would plug into the same seam via an
-external decoder; those branches raise NotImplementedError explicitly.
+The container ships no audio/video codec libraries, so payloads are either
+deterministic synthetic containers (16-bit PCM audio; raw grayscale frame
+stacks) whose DECODE is real byte math (``np.frombuffer`` / reshape), or —
+since r4 — REAL FLAC streams decoded by the from-scratch codec in
+``stages/flac_codec.py`` (Rice-coded LPC/fixed-predictor residuals, CRC
+verified). Lossy formats (MP3/AAC/H.264/...) would plug into the same seam
+via an external decoder; those branches raise NotImplementedError
+explicitly.
 
 Payload layouts (synthesized by ``synth_audio_payload`` /
 ``synth_video_payload``, sized from the documents table so SQL oracles can
@@ -81,13 +82,27 @@ class AudioFeatureStage:
         ns, dur, rms, zc = [], [], [], []
         for payload in df[self.payload_col]:
             b = bytes(payload)
-            if b[:4] != AUDIO_MAGIC:
-                raise NotImplementedError(
-                    "compressed audio requires an external decoder behind "
-                    "this seam (no codec libs in this environment)"
+            if b[:4] == b"fLaC":
+                # real compressed audio: from-scratch FLAC decode (r4,
+                # stages/flac_codec.py) — multichannel streams are
+                # averaged to mono for the feature math
+                from .flac_codec import decode_flac
+
+                decoded, rate = decode_flac(b)
+                n = decoded.shape[0]
+                samples = (
+                    decoded[:, 0]
+                    if decoded.shape[1] == 1
+                    else decoded.mean(axis=1)
                 )
-            rate, n = struct.unpack_from("<II", b, 4)
-            samples = np.frombuffer(b, dtype=np.int16, count=n, offset=12)
+            elif b[:4] == AUDIO_MAGIC:
+                rate, n = struct.unpack_from("<II", b, 4)
+                samples = np.frombuffer(b, dtype=np.int16, count=n, offset=12)
+            else:
+                raise NotImplementedError(
+                    "lossy audio (MP3/AAC/...) requires an external decoder "
+                    "behind this seam (no codec libs in this environment)"
+                )
             f = samples.astype(np.float64)
             ns.append(n)
             dur.append(n * 1000 // rate)
