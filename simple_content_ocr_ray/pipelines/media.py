@@ -900,6 +900,71 @@ FROM documents
 """
 
 
+class _Mp4MetaStage:
+    """Actor-pool stage: build a valid ISO-BMFF file per document (geometry
+    / duration / sample count derived from doc_id; a second audio track and
+    the 64-bit v1 header layout toggle by parity so both parser paths ride
+    the oracled query), parse it back with the real box-tree parser."""
+
+    def __init__(self) -> None:
+        from ..stages.mp4_boxes import Mp4VideoEngine, make_mp4
+
+        self.engine = Mp4VideoEngine()
+        self.make = make_mp4
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        dur, w, h, tracks, samples = [], [], [], [], []
+        for d in df["doc_id"]:
+            d = int(d)
+            payload = self.make(
+                duration_ms=1000 + d % 9000,
+                width=160 + d % 320,
+                height=90 + d % 180,
+                n_samples=1 + d % 50,
+                with_audio=bool(d % 2),
+                version1=bool(d % 3 == 0),
+            )
+            res = self.engine.extract("", payload, "mp4")
+            dur.append(int(res.metadata["duration_ms"]))
+            w.append(int(res.metadata["width"]))
+            h.append(int(res.metadata["height"]))
+            tracks.append(int(res.metadata["n_tracks"]))
+            samples.append(int(res.metadata["n_samples"]))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "duration_ms": pd.Series(dur, dtype="int64"),
+                "width": pd.Series(w, dtype="int64"),
+                "height": pd.Series(h, dtype="int64"),
+                "n_tracks": pd.Series(tracks, dtype="int64"),
+                "n_samples": pd.Series(samples, dtype="int64"),
+            }
+        )
+
+
+def mp4_real_meta(sf_dir: str) -> rd.Dataset:
+    """Real end-to-end MP4 container metadata: ISO-BMFF box-tree walk
+    (mvhd/tkhd/mdhd/hdlr/stsz, v0+v1 layouts, multi-track) in an actor
+    pool. Frame decode stays the documented external-codec seam."""
+    return _docs(sf_dir).map_batches(
+        _Mp4MetaStage,
+        batch_format="pandas",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=_media_concurrency(),
+    )
+
+
+_MP4_REAL_META_SQL = """
+SELECT doc_id,
+       1000 + doc_id % 9000 AS duration_ms,
+       160 + doc_id % 320 AS width,
+       90 + doc_id % 180 AS height,
+       1 + doc_id % 2 AS n_tracks,
+       1 + doc_id % 50 AS n_samples
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # REAL PDF text extraction (stages/pdf_text.py — full encode→parse loop)
 # --------------------------------------------------------------------------
@@ -1229,6 +1294,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "svg_real_meta": svg_real_meta,
     "ico_real_meta": ico_real_meta,
     "flac_real_meta": flac_real_meta,
+    "mp4_real_meta": mp4_real_meta,
     "pdf_real_text": pdf_real_text,
     "image_ahash_dupes": image_ahash_dupes,
 }
@@ -1251,6 +1317,7 @@ ORACLES: dict[str, str] = {
     "svg_real_meta": _SVG_REAL_META_SQL,
     "ico_real_meta": _ICO_REAL_META_SQL,
     "flac_real_meta": _FLAC_REAL_META_SQL,
+    "mp4_real_meta": _MP4_REAL_META_SQL,
     "pdf_real_text": _PDF_REAL_TEXT_SQL,
     "image_ahash_dupes": _IMAGE_AHASH_DUPES_SQL,
 }

@@ -285,6 +285,12 @@ def _ico_decode_factory(**kwargs: Any) -> Any:
     return IcoImageEngine(**kwargs)
 
 
+def _mp4_meta_factory(**kwargs: Any) -> Any:
+    from .mp4_boxes import Mp4VideoEngine
+
+    return Mp4VideoEngine(**kwargs)
+
+
 register_engine("mock", MockEngine)
 register_engine("remote-http", RemoteHttpEngine)
 register_engine("html-main-content", HtmlEngine)
@@ -299,3 +305,4 @@ register_engine("webp-decode", _webp_decode_factory)
 register_engine("ooxml-text", _ooxml_text_factory)
 register_engine("svg-text", _svg_text_factory)
 register_engine("ico-decode", _ico_decode_factory)
+register_engine("mp4-meta", _mp4_meta_factory)

@@ -82,6 +82,7 @@ REAL_ROUTE: dict[str, str] = {
     # mock-parity DEFAULT_ROUTE, same exceed-honestly policy as OOXML.
     "svg": "svg-text",
     "ico": "ico-decode",
+    "mp4": "mp4-meta",
 }
 REAL_ROUTE.update(
     {t: "image-decode-stub" for t in IMAGE_TYPES if t not in REAL_ROUTE}
