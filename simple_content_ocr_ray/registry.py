@@ -23,6 +23,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
     )
     from .pipelines import (
         clean,
+        dom_templates,
         extract_queries,
         media,
         relational,
@@ -37,6 +38,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
     oracles: dict[str, str] = {}
     for mod in (
         clean,
+        dom_templates,
         extract_queries,
         media,
         relational,
