@@ -357,6 +357,12 @@ def run_headline() -> dict:
             "label_centroid_drift",
             "length_bucketed_batches",
             "exif_gps_scrub",
+            "svg_real_meta",
+            "ico_real_meta",
+            "flac_real_meta",
+            "mp4_real_meta",
+            "dom_template_stats",
+            "template_outlier_pages",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)
