@@ -363,6 +363,7 @@ def run_headline() -> dict:
             "mp4_real_meta",
             "dom_template_stats",
             "template_outlier_pages",
+            "link_triangle_counts",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)

@@ -1091,7 +1091,150 @@ FROM cls GROUP BY 1 ORDER BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# link_triangle_counts — triangle counting over the corpus link graph
+# --------------------------------------------------------------------------
+
+def link_triangle_counts(sf_dir: str) -> pd.DataFrame:
+    """Per-node triangle participation counts over the undirected corpus
+    link graph (same deterministic graph as ``doc_pagerank`` /
+    ``reciprocal_links``: d → (17d + 13k) mod N, k = 1..3). Triangle density
+    separates organic neighborhoods from link farms — farms are bipartite-ish
+    (many links, few closed triangles) — and is the classic clustering-
+    coefficient numerator.
+
+    Scale topology (the standard distributed node-iterator shape, all
+    map_batches / sorted-run / slim-aggregate — no map_groups, no driver
+    materialization of edges):
+      1. DISTINCT undirected edges (u < v): one slim grouped aggregate.
+      2. Wedge generation: edges sorted by u; each sorted BLOCK is processed
+         in one vectorized call (repeat/cumsum index arithmetic — no
+         per-node python). A triangle x<y<z is generated exactly once as
+         the wedge (y, z) at its minimum node x.
+      3. Wedge↔edge matching: wedges and edges share the pair key
+         y·N + z; one sorted-run pass keeps wedge rows whose key-run also
+         contains an edge row (vectorized per block via reduceat-style run
+         maxima) — a sort-merge join with no hash table.
+      4. Per-node counts: each triangle credits x, y and z; one final slim
+         grouped count.
+    Orientation by node id (u < v) is the degree-free variant; at true
+    100 TB scale step 2's worst case is the max out-adjacency C(d,2) of a
+    hub node, and the standard refinement — orient by (degree, id) using a
+    broadcast degree sketch — drops into the same pipeline at step 1. The
+    scalar pair key y·N + z fits int64 up to ~3·10⁹ nodes; beyond that the
+    same sorted-run pass runs on the two-column sort key (y, z)."""
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    ks = np.arange(1, 4, dtype="int64")
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def und_edges(df: pd.DataFrame) -> pd.DataFrame:
+        src = np.repeat(df["doc_id"].to_numpy(), 3)
+        dst = ((17 * df["doc_id"].to_numpy()[:, None] + 13 * ks[None, :]) % n).ravel()
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        return pd.DataFrame(
+            {"u": np.minimum(src, dst), "v": np.maximum(src, dst)}
+        )
+
+    edges = grouped_aggregate(
+        docs.map_batches(und_edges, batch_format="pandas"),
+        ["u", "v"],
+        {"m": (None, "count")},
+    ).drop_columns(["m"])
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["u", "v"])
+        u = d["u"].to_numpy()
+        v = d["v"].to_numpy()
+        new_run = np.empty(len(u), bool)
+        if len(u):
+            new_run[0] = True
+            new_run[1:] = u[1:] != u[:-1]
+        run_start = np.maximum.accumulate(
+            np.where(new_run, np.arange(len(u)), 0)
+        )
+        local_pos = np.arange(len(u)) - run_start
+        # each row pairs (as z) with every EARLIER same-run row (as y)
+        second = np.repeat(np.arange(len(u)), local_pos)
+        offs = np.cumsum(local_pos) - local_pos
+        within = np.arange(int(local_pos.sum())) - np.repeat(offs, local_pos)
+        first = np.repeat(run_start, local_pos) + within
+        return pd.DataFrame(
+            {
+                "pk": v[first] * n + v[second],
+                "x": u[first],
+                "is_edge": np.zeros(len(first), "int64"),
+            }
+        )
+
+    wedge_ds = map_sorted_runs(edges, "u", wedges)
+
+    def edge_keys(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "pk": df["u"].to_numpy() * n + df["v"].to_numpy(),
+                "x": np.full(len(df), -1, "int64"),
+                "is_edge": np.ones(len(df), "int64"),
+            }
+        )
+
+    tagged = wedge_ds.union(edges.map_batches(edge_keys, batch_format="pandas"))
+
+    def close_wedges(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values("pk")
+        pk = d["pk"].to_numpy()
+        is_edge = d["is_edge"].to_numpy()
+        if not len(pk):
+            return pd.DataFrame({"node": np.empty(0, "int64")})
+        run_id = np.concatenate([[0], np.cumsum(pk[1:] != pk[:-1])])
+        run_has_edge = np.zeros(run_id[-1] + 1, "int64")
+        np.maximum.at(run_has_edge, run_id, is_edge)
+        keep = (is_edge == 0) & (run_has_edge[run_id] == 1)
+        x = d["x"].to_numpy()[keep]
+        y = (pk[keep] // n).astype("int64")
+        z = (pk[keep] % n).astype("int64")
+        return pd.DataFrame({"node": np.concatenate([x, y, z])})
+
+    tri_nodes = map_sorted_runs(tagged, "pk", close_wedges)
+    out = grouped_aggregate(
+        tri_nodes, ["node"], {"n_triangles": (None, "count")}
+    ).to_pandas()
+    out = out.astype({"node": "int64", "n_triangles": "int64"})
+    return out.sort_values("node").reset_index(drop=True)
+
+
+_LINK_TRIANGLE_COUNTS_SQL = """
+WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (17 * doc_id + 13 * t.k) % (SELECT c FROM nn) AS dst
+  FROM documents, (VALUES (1), (2), (3)) t(k)
+),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM e0 WHERE src <> dst
+),
+tri AS (
+  SELECT a.u AS x, a.v AS y, b.v AS z
+  FROM und a
+  JOIN und b ON b.u = a.v
+  JOIN und c ON c.u = a.u AND c.v = b.v
+)
+SELECT CAST(node AS BIGINT) AS node, COUNT(*) AS n_triangles
+FROM (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+GROUP BY node
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
+    "link_triangle_counts": link_triangle_counts,
     "annotated_corpus_report": annotated_corpus_report,
     "url_path_templates": url_path_templates,
     "meta_refresh_targets": meta_refresh_targets,
@@ -1107,6 +1250,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "link_triangle_counts": _LINK_TRIANGLE_COUNTS_SQL,
     "annotated_corpus_report": _ANNOTATED_CORPUS_REPORT_SQL,
     "url_path_templates": _URL_PATH_TEMPLATES_SQL,
     "meta_refresh_targets": _META_REFRESH_TARGETS_SQL,

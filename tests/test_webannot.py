@@ -323,3 +323,27 @@ def test_registered_domain_total(host):
     )
 
     assert isinstance(registered_domain(host), str)
+
+
+def test_link_triangle_counts_matches_adjacency_matmul(sf_dir):
+    """Per-node triangle counts vs the dense A³ diagonal (each node's
+    triangle participation = diag(A³)/2 for an undirected simple graph)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from simple_content_ocr_ray.pipelines.webannot_queries import (
+        link_triangle_counts,
+    )
+
+    n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    a = np.zeros((n, n), dtype=np.int64)
+    for d in range(n):
+        for k in (1, 2, 3):
+            t = (17 * d + 13 * k) % n
+            if t != d:
+                a[d, t] = a[t, d] = 1
+    per_node = np.einsum("ij,jk,ki->i", a, a, a) // 2
+    got = link_triangle_counts(sf_dir)
+    expected = {i: int(c) for i, c in enumerate(per_node) if c}
+    assert dict(zip(got["node"], got["n_triangles"])) == expected
