@@ -364,6 +364,7 @@ def run_headline() -> dict:
             "dom_template_stats",
             "template_outlier_pages",
             "link_triangle_counts",
+            "inverted_index_lookup",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)

@@ -31,7 +31,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         train_feed,
         webannot_queries,
     )
-    from .sources import zorder_layout
+    from .sources import inverted_index, zorder_layout
     from .state import dedup_index
 
     queries: dict[str, Callable[[str], Any]] = {}
@@ -46,6 +46,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         train_feed,
         webannot_queries,
         zorder_layout,
+        inverted_index,
         dedup_index,
         corpus_ops,
         decontam,
