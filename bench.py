@@ -365,6 +365,7 @@ def run_headline() -> dict:
             "template_outlier_pages",
             "link_triangle_counts",
             "inverted_index_lookup",
+            "phrase_doc_matches",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)

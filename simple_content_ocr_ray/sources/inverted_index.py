@@ -162,10 +162,136 @@ GROUP BY term
 """
 
 
+# --------------------------------------------------------------------------
+# Positional postings + phrase lookup
+# --------------------------------------------------------------------------
+
+PHRASE = ("key", "order")  # a two-word phrase that occurs in the synth corpus
+
+
+def build_positional_index(
+    docs: rd.Dataset, out_dir: str, n_shards: int = N_SHARDS
+) -> None:
+    """Positional variant: rows (token, doc_id, pos) — one row per
+    OCCURRENCE with its 0-based token position. Same shard routing and
+    hive write as the frequency index; ~tf× larger, which is the classic
+    positional-index trade."""
+
+    def postings(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        lens = toks.str.len().to_numpy()
+        total = int(lens.sum())
+        flat = pd.DataFrame(
+            {
+                "doc_id": np.repeat(df["doc_id"].to_numpy(), lens),
+                "token": np.concatenate(toks.to_numpy()) if total else [],
+                "pos": (
+                    np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+                ).astype("int64"),
+            }
+        )
+        vocab = {t: token_shard(t, n_shards) for t in flat["token"].unique()}
+        flat["shard"] = flat["token"].map(vocab).astype("int64")
+        return flat.sort_values(["shard", "token"]).reset_index(drop=True)
+
+    docs.map_batches(postings, batch_format="pandas").write_parquet(
+        out_dir, partition_cols=["shard"]
+    )
+
+
+def phrase_lookup(
+    index_dir: str, phrase: tuple[str, ...], n_shards: int = N_SHARDS
+) -> pd.DataFrame:
+    """Exact phrase matching via positional-posting intersection: term i's
+    postings shifted by -i must coincide. Reads only the phrase terms'
+    shards; the merge is one vectorized pandas inner-join chain over slim
+    (doc_id, pos) frames — per-term postings, never the corpus. Returns
+    (doc_id, n_matches ≥ 1)."""
+    import pyarrow.dataset as pads
+
+    frames = []
+    for i, term in enumerate(phrase):
+        path = os.path.join(index_dir, f"shard={token_shard(term, n_shards)}")
+        if not os.path.exists(path):
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "n_matches": pd.Series(dtype="int64")}
+            )
+        p = rd.read_parquet(
+            path,
+            columns=["token", "doc_id", "pos"],
+            filter=pads.field("token") == term,
+        ).to_pandas()
+        p = pd.DataFrame(
+            {"doc_id": p["doc_id"], "pos": p["pos"].to_numpy() - i}
+        )
+        frames.append(p)
+    cur = frames[0]
+    for nxt in frames[1:]:
+        cur = cur.merge(nxt, on=["doc_id", "pos"], how="inner")
+    out = (
+        cur.groupby("doc_id", sort=True).size().reset_index(name="n_matches")
+    )
+    return out.astype({"doc_id": "int64", "n_matches": "int64"})
+
+
+def _pos_index_cache_dir(sf_dir: str) -> str:
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(docs_path)
+    key = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{st.st_mtime_ns}_{st.st_size}_pos_s{N_SHARDS}"
+    )
+    return os.path.join("/tmp/scor_inverted_index", key)
+
+
+def phrase_doc_matches(sf_dir: str) -> pd.DataFrame:
+    """Docs containing the exact phrase ``"key order"`` with occurrence
+    counts, answered from the positional index (build cached per corpus
+    fingerprint, lookup reads 2 shards)."""
+    out_dir = _pos_index_cache_dir(sf_dir)
+    if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        docs = rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        tmp = out_dir + f".tmp{os.getpid()}"
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        build_positional_index(docs, tmp)
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+            fh.write("ok")
+        os.makedirs(os.path.dirname(out_dir), exist_ok=True)
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return phrase_lookup(out_dir, PHRASE)
+
+
+#: occurrences of "key order" = positions where token i = 'key' and token
+#: i+1 = 'order'; mirrored by counting the aligned unnests
+_PHRASE_DOC_MATCHES_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS p
+  FROM documents
+)
+SELECT a.doc_id, COUNT(*) AS n_matches
+FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+WHERE a.tok = 'key' AND b.tok = 'order'
+GROUP BY a.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
     "inverted_index_lookup": inverted_index_lookup,
+    "phrase_doc_matches": phrase_doc_matches,
 }
 
 ORACLES: dict[str, str] = {
     "inverted_index_lookup": _INVERTED_INDEX_LOOKUP_SQL,
+    "phrase_doc_matches": _PHRASE_DOC_MATCHES_SQL,
 }

@@ -63,3 +63,53 @@ def test_query_misses_are_absent_not_zero(ray_session):
     got = inverted_index_lookup(SF)
     assert "xyzzy-missing" not in set(got["token"])
     assert set(got["token"]) == {"scan", "window", "merge"}
+
+
+def test_phrase_lookup_matches_string_scan(ray_session, tmp_path):
+    """Positional intersection equals a direct regex scan of the text."""
+    import re
+
+    import duckdb
+    import ray.data as rd
+
+    from simple_content_ocr_ray.sources.inverted_index import (
+        build_positional_index,
+        phrase_lookup,
+    )
+
+    docs_path = os.path.join(SF, "documents.parquet")
+    docs = rd.read_parquet(docs_path, columns=["doc_id", "text"])
+    out = str(tmp_path / "pidx")
+    build_positional_index(docs, out)
+    got = phrase_lookup(out, ("key", "order"))
+    texts = duckdb.sql(
+        f"SELECT doc_id, text FROM '{docs_path}' ORDER BY doc_id"
+    ).df()
+    expected = {}
+    for d, t in zip(texts["doc_id"], texts["text"]):
+        toks = t.split(" ")
+        n = sum(
+            1
+            for i in range(len(toks) - 1)
+            if toks[i] == "key" and toks[i + 1] == "order"
+        )
+        if n:
+            expected[int(d)] = n
+    assert dict(zip(got["doc_id"], got["n_matches"])) == expected
+    assert re.search(r"\bkey order\b", " ".join(texts["text"])) is not None
+
+
+def test_phrase_lookup_missing_term_empty(ray_session, tmp_path):
+    import ray.data as rd
+
+    from simple_content_ocr_ray.sources.inverted_index import (
+        build_positional_index,
+        phrase_lookup,
+    )
+
+    docs = rd.read_parquet(
+        os.path.join(SF, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = str(tmp_path / "pidx2")
+    build_positional_index(docs, out)
+    assert len(phrase_lookup(out, ("key", "qzx-none"))) == 0
