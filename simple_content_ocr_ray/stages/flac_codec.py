@@ -282,9 +282,8 @@ def _decode_residual(br: _BitReader, block_size: int, order: int) -> np.ndarray:
     escape = (1 << plen) - 1
     part_order = br.read(4)
     n_parts = 1 << part_order
-    if block_size % n_parts or (block_size >> part_order) <= order and n_parts > 1:
-        if block_size % n_parts:
-            raise UnsupportedFlacError("block size not partition-divisible")
+    if block_size % n_parts:
+        raise UnsupportedFlacError("block size not partition-divisible")
     out = np.empty(block_size - order, np.int64)
     idx = 0
     for p in range(n_parts):
@@ -485,6 +484,12 @@ def _write_rice(bw: _BitWriter, resid: np.ndarray, plen: int) -> None:
 def _encode_subframe(
     bw: _BitWriter, samples: np.ndarray, bps: int, mode: str
 ) -> None:
+    # a predictor needs more samples than its order (spec: warm-up samples
+    # are order-many, residual length block_size - order ≥ 1): short tail
+    # blocks degrade to the widest legal mode
+    min_len = {"fixed1": 2, "fixed2": 3, "lpc2": 3}.get(mode)
+    if min_len is not None and len(samples) < min_len:
+        mode = "verbatim"
     bw.write(0, 1)
     if mode == "constant":
         bw.write(0, 6)
