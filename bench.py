@@ -366,6 +366,8 @@ def run_headline() -> dict:
             "link_triangle_counts",
             "inverted_index_lookup",
             "phrase_doc_matches",
+            "rtf_real_text",
+            "vtt_real_meta",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)

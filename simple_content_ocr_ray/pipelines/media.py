@@ -965,6 +965,114 @@ FROM documents
 """
 
 
+class _RtfTextStage:
+    """Actor-pool stage: wrap each document's text in a real RTF file
+    (font/color tables, info destination, styled runs, \\uN escapes for
+    non-ASCII) and extract it back with the from-scratch RTF engine —
+    lossless text roundtrip → SQL identity oracle."""
+
+    def __init__(self) -> None:
+        from ..stages.rtf_text import RtfTextEngine, make_rtf
+
+        self.engine = RtfTextEngine()
+        self.make = make_rtf
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        texts = [
+            self.engine.extract("", self.make(str(t)), "rtf").text
+            for t in df["text"]
+        ]
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"), "text": texts}
+        )
+
+
+def rtf_real_text(sf_dir: str) -> rd.Dataset:
+    """Real end-to-end RTF text extraction: the one mainstream legacy
+    document format past the reference's pdf/docx list (config.py:118),
+    parsed from the public RTF spec — groups, destinations, control
+    words, cp1252/unicode escapes."""
+    return (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        .map_batches(
+            _RtfTextStage,
+            batch_format="pandas",
+            batch_size=MEDIA_BATCH_SIZE,
+            concurrency=_media_concurrency(),
+        )
+    )
+
+
+_RTF_REAL_TEXT_SQL = """
+SELECT doc_id, text FROM documents
+"""
+
+
+class _VttMetaStage:
+    """Actor-pool stage: build a WebVTT track per document (1 + doc_id%4
+    cues; odd docs carry <v>/<i> cue markup the parser must strip; a NOTE
+    block decoy), extract cue text + duration with the subtitle engine."""
+
+    def __init__(self) -> None:
+        from ..stages.vtt_text import SubtitleTextEngine, make_vtt
+
+        self.engine = SubtitleTextEngine()
+        self.make = make_vtt
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        n_cues, dur, texts = [], [], []
+        for d in df["doc_id"]:
+            d = int(d)
+            n = 1 + d % 4
+            cues = [
+                (i * 2000, i * 2000 + 1500 + d % 500, f"cue {d} {i}")
+                for i in range(n)
+            ]
+            res = self.engine.extract("", self.make(cues, styled=bool(d % 2)), "vtt")
+            n_cues.append(int(res.metadata["n_cues"]))
+            dur.append(int(res.metadata["duration_ms"]))
+            texts.append(res.text)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_cues": pd.Series(n_cues, dtype="int64"),
+                "duration_ms": pd.Series(dur, dtype="int64"),
+                "text": texts,
+            }
+        )
+
+
+def vtt_real_meta(sf_dir: str) -> rd.Dataset:
+    """Real end-to-end WebVTT extraction: cue timing parse, markup strip,
+    NOTE-block skip — the text side of web video beside mp4_real_meta's
+    container side."""
+    return _docs(sf_dir).map_batches(
+        _VttMetaStage,
+        batch_format="pandas",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=_media_concurrency(),
+    )
+
+
+_VTT_REAL_META_SQL = """
+SELECT doc_id,
+       1 + doc_id % 4 AS n_cues,
+       (doc_id % 4) * 2000 + 1500 + doc_id % 500 AS duration_ms,
+       'cue ' || doc_id || ' 0'
+         || CASE WHEN doc_id % 4 >= 1
+                 THEN chr(10) || 'cue ' || doc_id || ' 1' ELSE '' END
+         || CASE WHEN doc_id % 4 >= 2
+                 THEN chr(10) || 'cue ' || doc_id || ' 2' ELSE '' END
+         || CASE WHEN doc_id % 4 >= 3
+                 THEN chr(10) || 'cue ' || doc_id || ' 3' ELSE '' END
+         AS text
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # REAL PDF text extraction (stages/pdf_text.py — full encode→parse loop)
 # --------------------------------------------------------------------------
@@ -1295,6 +1403,8 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "ico_real_meta": ico_real_meta,
     "flac_real_meta": flac_real_meta,
     "mp4_real_meta": mp4_real_meta,
+    "rtf_real_text": rtf_real_text,
+    "vtt_real_meta": vtt_real_meta,
     "pdf_real_text": pdf_real_text,
     "image_ahash_dupes": image_ahash_dupes,
 }
@@ -1318,6 +1428,8 @@ ORACLES: dict[str, str] = {
     "ico_real_meta": _ICO_REAL_META_SQL,
     "flac_real_meta": _FLAC_REAL_META_SQL,
     "mp4_real_meta": _MP4_REAL_META_SQL,
+    "rtf_real_text": _RTF_REAL_TEXT_SQL,
+    "vtt_real_meta": _VTT_REAL_META_SQL,
     "pdf_real_text": _PDF_REAL_TEXT_SQL,
     "image_ahash_dupes": _IMAGE_AHASH_DUPES_SQL,
 }

@@ -43,6 +43,9 @@ _MAGIC = [
     # zip container: OOXML (docx/pptx/xlsx) and generic archives — the
     # ooxml-text engine resolves the package kind from the archive layout
     (b"PK\x03\x04", "zip"),
+    (b"{\\rtf", "rtf"),
+    (b"WEBVTT", "vtt"),
+    (b"\xef\xbb\xbfWEBVTT", "vtt"),
 ]
 
 CONTENT_TYPE_TO_MIME = {
@@ -58,6 +61,8 @@ CONTENT_TYPE_TO_MIME = {
     "svg": "image/svg+xml",
     "ico": "image/x-icon",
     "mp4": "video/mp4",
+    "rtf": "application/rtf",
+    "vtt": "text/vtt",
     "unknown": "application/octet-stream",
 }
 

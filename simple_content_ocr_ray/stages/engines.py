@@ -291,6 +291,18 @@ def _mp4_meta_factory(**kwargs: Any) -> Any:
     return Mp4VideoEngine(**kwargs)
 
 
+def _rtf_text_factory(**kwargs: Any) -> Any:
+    from .rtf_text import RtfTextEngine
+
+    return RtfTextEngine(**kwargs)
+
+
+def _subtitle_text_factory(**kwargs: Any) -> Any:
+    from .vtt_text import SubtitleTextEngine
+
+    return SubtitleTextEngine(**kwargs)
+
+
 register_engine("mock", MockEngine)
 register_engine("remote-http", RemoteHttpEngine)
 register_engine("html-main-content", HtmlEngine)
@@ -306,3 +318,5 @@ register_engine("ooxml-text", _ooxml_text_factory)
 register_engine("svg-text", _svg_text_factory)
 register_engine("ico-decode", _ico_decode_factory)
 register_engine("mp4-meta", _mp4_meta_factory)
+register_engine("rtf-text", _rtf_text_factory)
+register_engine("subtitle-text", _subtitle_text_factory)

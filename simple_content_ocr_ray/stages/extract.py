@@ -83,6 +83,8 @@ REAL_ROUTE: dict[str, str] = {
     "svg": "svg-text",
     "ico": "ico-decode",
     "mp4": "mp4-meta",
+    "rtf": "rtf-text",
+    "vtt": "subtitle-text",
 }
 REAL_ROUTE.update(
     {t: "image-decode-stub" for t in IMAGE_TYPES if t not in REAL_ROUTE}
