@@ -368,6 +368,7 @@ def run_headline() -> dict:
             "phrase_doc_matches",
             "rtf_real_text",
             "vtt_real_meta",
+            "epub_real_text",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)

@@ -1073,6 +1073,69 @@ FROM documents
 """
 
 
+class _EpubTextStage:
+    """Actor-pool stage: wrap each document in a valid two-chapter EPUB
+    (chapter 1 = the document text, chapter 2 derived from doc_id; nav
+    decoy excluded by linear="no") and extract it back through the zip
+    route's OOXML engine — the chapters come back as pages joined with
+    the byte-exact separator."""
+
+    def __init__(self) -> None:
+        from ..stages.epub_text import make_epub
+        from ..stages.ooxml_text import OoxmlTextEngine
+
+        self.engine = OoxmlTextEngine()
+        self.make = make_epub
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        titles, pages, texts = [], [], []
+        for d, t in zip(df["doc_id"], df["text"]):
+            d = int(d)
+            payload = self.make(
+                f"Doc {d}", [[str(t)], [f"chapter two of {d}"]]
+            )
+            res = self.engine.extract("", payload, "zip")
+            titles.append(res.metadata["title"])
+            pages.append(res.page_count)
+            texts.append(res.text)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "title": titles,
+                "page_count": pd.Series(pages, dtype="int64"),
+                "text": texts,
+            }
+        )
+
+
+def epub_real_text(sf_dir: str) -> rd.Dataset:
+    """Real end-to-end EPUB extraction: OCF container walk → OPF spine →
+    XHTML chapter text, through the same zip route as OOXML. Completes
+    the document family (pdf / docx / pptx / xlsx / rtf / epub)."""
+    return (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        .map_batches(
+            _EpubTextStage,
+            batch_format="pandas",
+            batch_size=MEDIA_BATCH_SIZE,
+            concurrency=_media_concurrency(),
+        )
+    )
+
+
+_EPUB_REAL_TEXT_SQL = """
+SELECT doc_id,
+       'Doc ' || doc_id AS title,
+       2 AS page_count,
+       text || chr(10) || chr(10) || '---' || chr(10) || chr(10)
+            || 'chapter two of ' || doc_id AS text
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # REAL PDF text extraction (stages/pdf_text.py — full encode→parse loop)
 # --------------------------------------------------------------------------
@@ -1405,6 +1468,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "mp4_real_meta": mp4_real_meta,
     "rtf_real_text": rtf_real_text,
     "vtt_real_meta": vtt_real_meta,
+    "epub_real_text": epub_real_text,
     "pdf_real_text": pdf_real_text,
     "image_ahash_dupes": image_ahash_dupes,
 }
@@ -1430,6 +1494,7 @@ ORACLES: dict[str, str] = {
     "mp4_real_meta": _MP4_REAL_META_SQL,
     "rtf_real_text": _RTF_REAL_TEXT_SQL,
     "vtt_real_meta": _VTT_REAL_META_SQL,
+    "epub_real_text": _EPUB_REAL_TEXT_SQL,
     "pdf_real_text": _PDF_REAL_TEXT_SQL,
     "image_ahash_dupes": _IMAGE_AHASH_DUPES_SQL,
 }

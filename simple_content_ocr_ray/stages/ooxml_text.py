@@ -69,6 +69,8 @@ def _kind_from_names(names: set[str]) -> str:
         return "pptx"
     if any(n.startswith("xl/worksheets/sheet") for n in names):
         return "xlsx"
+    if "META-INF/container.xml" in names:  # EPUB (OCF container)
+        return "epub"
     raise UnsupportedOoxmlError("zip archive is not a known OOXML package")
 
 
@@ -201,6 +203,24 @@ class OoxmlTextEngine:
 
         with _open_zip(payload) as zf:  # ONE central-directory parse
             kind = _kind_from_names(set(zf.namelist()))
+            if kind == "epub":
+                # EPUB rides the same zip route (r4, stages/epub_text.py):
+                # chapters are pages, spine order is page order
+                from .epub_text import UnsupportedEpubError, extract_epub
+
+                try:
+                    title, pages = extract_epub(payload)
+                except UnsupportedEpubError as exc:
+                    raise UnsupportedOoxmlError(str(exc)) from exc
+                return EngineResult(
+                    text=PAGE_SEP.join(pages),
+                    page_count=len(pages),
+                    metadata={
+                        "engine": self.name,
+                        "ooxml_kind": "epub",
+                        "title": title,
+                    },
+                )
             pages = {
                 "docx": _docx_pages,
                 "pptx": _pptx_pages,
