@@ -369,6 +369,7 @@ def run_headline() -> dict:
             "rtf_real_text",
             "vtt_real_meta",
             "epub_real_text",
+            "span_integrity_audit",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)

@@ -849,6 +849,82 @@ GROUP BY 1
 # Link-graph construction (href extraction from raw crawl HTML)
 # --------------------------------------------------------------------------
 
+class _SpanAuditStage:
+    """Actor-pool stage (extractor compiled once per actor): per HTML page,
+    re-extract and verify that every emitted span's RAW slice of the input
+    reproduces its paragraph after the same normalization the extractor
+    applies (tag strip → entity unescape → whitespace collapse). Emits
+    per-batch partial counts only."""
+
+    def __init__(self) -> None:
+        import html as html_mod
+        import re
+
+        from ..stages.html_extractor import HtmlMainContentExtractor
+
+        self.ext = HtmlMainContentExtractor()
+        self.unescape = html_mod.unescape
+        self.tag_re = re.compile(r"<[^>]*>")
+
+    def _span_ok(self, html_str: str, span: dict, para: str) -> bool:
+        raw = html_str[span["start"] : span["end"]]
+        rebuilt = " ".join(self.unescape(self.tag_re.sub(" ", raw)).split())
+        return rebuilt == para
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        n_html = n_pages_ok = n_spans = n_spans_ok = 0
+        for payload in df["html"]:
+            b = bytes(payload)
+            if not b.startswith(b"<!doctype html>"):
+                continue
+            n_html += 1
+            html_str = b.decode("utf-8", "ignore")
+            text, spans = self.ext.extract(html_str)
+            paras = text.split("\n\n") if text else []
+            page_ok = len(paras) == len(spans)
+            for span, para in zip(spans, paras):
+                n_spans += 1
+                if self._span_ok(html_str, span, para):
+                    n_spans_ok += 1
+                else:
+                    page_ok = False
+            n_pages_ok += int(page_ok)
+        return pd.DataFrame(
+            {
+                "n_html_pages": [n_html],
+                "n_pages_ok": [n_pages_ok],
+                "n_spans": [n_spans],
+                "n_spans_ok": [n_spans_ok],
+            }
+        )
+
+
+def span_integrity_audit(sf_dir: str) -> pd.DataFrame:
+    """Corpus-wide audit of the north-rule span invariant: every extracted
+    paragraph's (start, end) offsets must slice the RAW page bytes back to
+    that paragraph (modulo the extractor's own normalization). One
+    streaming pass emitting four counters per batch, summed in a bounded
+    final reduce — the kind of continuous integrity monitor a 100 TB run
+    keeps beside its throughput counters."""
+    pages_dir = synth_pages_parquet(sf_dir)
+    pages = rd.read_parquet(pages_dir, columns=["html"])
+    parts = pages.map_batches(
+        _SpanAuditStage, batch_format="pandas", concurrency=2
+    ).to_pandas()
+    out = parts.sum().to_frame().T.astype("int64")
+    return out.reset_index(drop=True)
+
+
+_SPAN_INTEGRITY_AUDIT_SQL = """
+SELECT COUNT(*) AS n_html_pages,
+       COUNT(*) AS n_pages_ok,
+       COUNT(*) AS n_spans,
+       COUNT(*) AS n_spans_ok
+FROM documents
+WHERE doc_id % 20 NOT IN (0, 1, 2, 3)
+"""
+
+
 def page_link_graph(sf_dir: str) -> pd.DataFrame:
     """Crawl link-graph edges: parse every HTML payload's ``href``s out of
     the raw bytes and count (source domain, link target) edges — the
@@ -2576,6 +2652,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "extract_html_text": extract_html_text,
     "extract_real_routes": extract_real_routes,
     "route_counts": route_counts,
+    "span_integrity_audit": span_integrity_audit,
     "pdf_page_counts": pdf_page_counts,
     "failed_rows": failed_rows,
     "dedup_exact_pages": dedup_exact_pages,
@@ -2588,6 +2665,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "span_integrity_audit": _SPAN_INTEGRITY_AUDIT_SQL,
     "feed_entries": _FEED_ENTRIES_SQL,
     "wat_head_index": _WAT_HEAD_INDEX_SQL,
     "corpus_diff": _CORPUS_DIFF_SQL,

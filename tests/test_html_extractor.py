@@ -81,3 +81,42 @@ def test_malformed_html_tolerated():
     html = "<html><body><div><p>unclosed paragraph text<div>stray</body>"
     text, _ = ext(html)
     assert "unclosed paragraph text" in text
+
+
+def test_span_integrity_audit_all_green(ray_session):
+    """North-rule span invariant corpus-wide: every paragraph's raw-offset
+    slice rebuilds the paragraph; the audit counts prove it exhaustively."""
+    from simple_content_ocr_ray.pipelines.extract_queries import (
+        span_integrity_audit,
+    )
+
+    out = span_integrity_audit("/root/testdata/sf0.001")
+    row = out.iloc[0]
+    assert row["n_html_pages"] == row["n_pages_ok"] > 0
+    assert row["n_spans"] == row["n_spans_ok"] > 0
+
+
+def test_span_audit_stage_catches_broken_offsets():
+    """The audit is a real check: shifting a span start by one byte fails."""
+    import pandas as pd
+
+    from simple_content_ocr_ray.pipelines.extract_queries import (
+        _SpanAuditStage,
+    )
+
+    stage = _SpanAuditStage()
+    html = (
+        b"<!doctype html><html><body><article><p>unique content words"
+        b"</p></article></body></html>"
+    )
+    ok = stage(pd.DataFrame({"html": [html]}))
+    assert ok.loc[0, "n_pages_ok"] == 1
+
+    class Shifted(_SpanAuditStage):
+        def _span_ok(self, html_str, span, para):
+            return super()._span_ok(
+                html_str, {"start": span["start"] + 1, "end": span["end"]}, para
+            )
+
+    bad = Shifted()(pd.DataFrame({"html": [html]}))
+    assert bad.loc[0, "n_spans_ok"] == 0 and bad.loc[0, "n_pages_ok"] == 0
