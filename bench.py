@@ -370,6 +370,7 @@ def run_headline() -> dict:
             "vtt_real_meta",
             "epub_real_text",
             "span_integrity_audit",
+            "avif_real_meta",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)

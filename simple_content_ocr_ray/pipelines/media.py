@@ -1073,6 +1073,58 @@ FROM documents
 """
 
 
+class _AvifMetaStage:
+    """Actor-pool stage: build a valid AVIF/HEIF shell per document (brand
+    alternates avif/heic; ispe geometry from doc_id) and parse the meta
+    item tree back with the real box-walk engine."""
+
+    def __init__(self) -> None:
+        from ..stages.mp4_boxes import AvifImageEngine, make_avif
+
+        self.engine = AvifImageEngine()
+        self.make = make_avif
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        brands, w, h = [], [], []
+        for d in df["doc_id"]:
+            d = int(d)
+            brand = b"avif" if d % 2 == 0 else b"heic"
+            payload = self.make(64 + d % 512, 48 + d % 256, brand)
+            res = self.engine.extract("", payload, "avif")
+            brands.append(res.metadata["major_brand"])
+            w.append(int(res.metadata["width"]))
+            h.append(int(res.metadata["height"]))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "major_brand": brands,
+                "width": pd.Series(w, dtype="int64"),
+                "height": pd.Series(h, dtype="int64"),
+            }
+        )
+
+
+def avif_real_meta(sf_dir: str) -> rd.Dataset:
+    """Real end-to-end AVIF/HEIF geometry: meta/iprp/ipco/ispe item-tree
+    walk — the modern still-image container beside the raster decoders;
+    AV1/HEVC pixels = the documented external-codec seam."""
+    return _docs(sf_dir).map_batches(
+        _AvifMetaStage,
+        batch_format="pandas",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=_media_concurrency(),
+    )
+
+
+_AVIF_REAL_META_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'avif' ELSE 'heic' END AS major_brand,
+       64 + doc_id % 512 AS width,
+       48 + doc_id % 256 AS height
+FROM documents
+"""
+
+
 class _EpubTextStage:
     """Actor-pool stage: wrap each document in a valid two-chapter EPUB
     (chapter 1 = the document text, chapter 2 derived from doc_id; nav
@@ -1469,6 +1521,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "rtf_real_text": rtf_real_text,
     "vtt_real_meta": vtt_real_meta,
     "epub_real_text": epub_real_text,
+    "avif_real_meta": avif_real_meta,
     "pdf_real_text": pdf_real_text,
     "image_ahash_dupes": image_ahash_dupes,
 }
@@ -1495,6 +1548,7 @@ ORACLES: dict[str, str] = {
     "rtf_real_text": _RTF_REAL_TEXT_SQL,
     "vtt_real_meta": _VTT_REAL_META_SQL,
     "epub_real_text": _EPUB_REAL_TEXT_SQL,
+    "avif_real_meta": _AVIF_REAL_META_SQL,
     "pdf_real_text": _PDF_REAL_TEXT_SQL,
     "image_ahash_dupes": _IMAGE_AHASH_DUPES_SQL,
 }

@@ -63,6 +63,7 @@ CONTENT_TYPE_TO_MIME = {
     "mp4": "video/mp4",
     "rtf": "application/rtf",
     "vtt": "text/vtt",
+    "avif": "image/avif",
     "unknown": "application/octet-stream",
 }
 
@@ -84,6 +85,9 @@ def sniff_bytes(payload: bytes) -> str:
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return "webp"
     if payload[4:8] == b"ftyp" and len(payload) >= 12:
+        # ISO-BMFF: still-image brands (AVIF/HEIF) vs movie brands
+        if payload[8:12] in (b"avif", b"avis", b"heic", b"heix", b"mif1", b"msf1"):
+            return "avif"
         return "mp4"
     if payload[:4] == b"\x00\x00\x01\x00" and len(payload) >= 6:
         # ICO has no real magic; require a plausible directory count

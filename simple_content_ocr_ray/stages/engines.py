@@ -320,3 +320,12 @@ register_engine("ico-decode", _ico_decode_factory)
 register_engine("mp4-meta", _mp4_meta_factory)
 register_engine("rtf-text", _rtf_text_factory)
 register_engine("subtitle-text", _subtitle_text_factory)
+
+
+def _avif_meta_factory(**kwargs: Any) -> Any:
+    from .mp4_boxes import AvifImageEngine
+
+    return AvifImageEngine(**kwargs)
+
+
+register_engine("avif-meta", _avif_meta_factory)

@@ -85,6 +85,7 @@ REAL_ROUTE: dict[str, str] = {
     "mp4": "mp4-meta",
     "rtf": "rtf-text",
     "vtt": "subtitle-text",
+    "avif": "avif-meta",
 }
 REAL_ROUTE.update(
     {t: "image-decode-stub" for t in IMAGE_TYPES if t not in REAL_ROUTE}

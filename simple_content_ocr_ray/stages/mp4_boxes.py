@@ -236,6 +236,99 @@ def make_mp4(
     return ftyp + moov + mdat
 
 
+# --------------------------------------------------------------------------
+# AVIF / HEIF still images (same container, meta-box item tree)
+# --------------------------------------------------------------------------
+
+_IMAGE_BRANDS = {b"avif", b"avis", b"heic", b"heix", b"mif1", b"msf1"}
+
+
+def parse_avif(payload: bytes) -> dict:
+    """AVIF/HEIF geometry from the ``meta`` item tree: ``iprp/ipco/ispe``
+    (ImageSpatialExtents — the normative size property every coded image
+    item must carry), plus ``pitm`` presence and the ipco property count.
+    The AV1/HEVC payload itself stays the external-codec seam."""
+    if len(payload) < 16 or payload[4:8] != b"ftyp":
+        raise UnsupportedMp4Error("missing ftyp")
+    brand = payload[8:12]
+    if brand not in _IMAGE_BRANDS:
+        raise UnsupportedMp4Error(f"not an image brand: {brand!r}")
+    meta = None
+    for btype, body, bend in _iter_boxes(payload, 0, len(payload)):
+        if btype == b"meta":
+            meta = (body + 4, bend)  # meta is a FullBox
+            break
+    if meta is None:
+        raise UnsupportedMp4Error("missing meta box")
+    iprp = _find(payload, *meta, b"iprp")
+    if iprp is None:
+        raise UnsupportedMp4Error("missing iprp")
+    ipco = _find(payload, *iprp, b"ipco")
+    if ipco is None:
+        raise UnsupportedMp4Error("missing ipco")
+    width = height = 0
+    n_props = 0
+    for btype, body, bend in _iter_boxes(payload, *ipco):
+        n_props += 1
+        if btype == b"ispe" and width == 0:
+            _, p = _fullbox(payload, body)
+            width, height = struct.unpack_from(">II", payload, p)
+    if not width or not height:
+        raise UnsupportedMp4Error("no ispe property")
+    has_pitm = _find(payload, *meta, b"pitm") is not None
+    return {
+        "major_brand": brand.decode("ascii", "replace"),
+        "width": width,
+        "height": height,
+        "n_props": n_props,
+        "has_pitm": has_pitm,
+    }
+
+
+def make_avif(width: int, height: int, brand: bytes = b"avif") -> bytes:
+    """Minimal valid AVIF/HEIF shell: ftyp + meta(hdlr/pitm/iprp/ipco with
+    ispe + a decoy property) + an empty mdat. Carries no coded image data —
+    geometry-only, like real thumbnail probes."""
+    ispe = _fullbox_bytes(b"ispe", 0, struct.pack(">II", width, height))
+    decoy = _box(b"av1C", b"\x81\x04\x0c\x00")
+    ipco = _box(b"ipco", ispe + decoy)
+    ipma = _fullbox_bytes(
+        b"ipma", 0, struct.pack(">I", 1) + struct.pack(">HBB", 1, 1, 0x81)
+    )
+    iprp = _box(b"iprp", ipco + ipma)
+    hdlr = _fullbox_bytes(b"hdlr", 0, struct.pack(">I", 0) + b"pict" + b"\x00" * 13)
+    pitm = _fullbox_bytes(b"pitm", 0, struct.pack(">H", 1))
+    meta = _box(b"meta", bytes(4) + hdlr + pitm + iprp)
+    ftyp = _box(b"ftyp", brand + struct.pack(">I", 0) + brand + b"mif1")
+    return ftyp + meta + _box(b"mdat", b"")
+
+
+class AvifImageEngine:
+    """Engine-seam wrapper: AVIF/HEIF container geometry → typed metadata;
+    AV1/HEVC pixel decode = the documented external-codec seam."""
+
+    name = "avif-meta"
+
+    def extract(self, url: str, payload: bytes, content_type: str):
+        from .engines import EngineResult
+
+        meta = parse_avif(payload)
+        return EngineResult(
+            text=(
+                f"[image {meta['width']}x{meta['height']} "
+                f"brand={meta['major_brand']}]"
+            ),
+            page_count=1,
+            metadata={
+                "engine": self.name,
+                "major_brand": meta["major_brand"],
+                "width": str(meta["width"]),
+                "height": str(meta["height"]),
+                "n_props": str(meta["n_props"]),
+            },
+        )
+
+
 class Mp4VideoEngine:
     """Engine-seam wrapper: MP4 container → typed metadata (duration,
     geometry, tracks, sample count). Frame decode = external-codec seam."""

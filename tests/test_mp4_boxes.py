@@ -87,3 +87,47 @@ def test_mp4_in_real_route(ray_session):
     assert real.loc[0, "text"] == "[video 1280x720 9000ms tracks=1 samples=30]"
     mock = extraction_pipeline(rd.from_arrow(pages), preset="mock").to_pandas()
     assert mock.loc[0, "status"] == "failed"
+
+
+def test_avif_geometry_both_brands():
+    from simple_content_ocr_ray.stages.mp4_boxes import make_avif, parse_avif
+
+    for brand in (b"avif", b"heic", b"mif1"):
+        m = parse_avif(make_avif(512, 384, brand))
+        assert (m["width"], m["height"]) == (512, 384)
+        assert m["has_pitm"] and m["n_props"] == 2
+        assert m["major_brand"] == brand.decode()
+
+
+def test_avif_seams():
+    from simple_content_ocr_ray.stages.mp4_boxes import make_avif, parse_avif
+
+    with pytest.raises(UnsupportedMp4Error, match="image brand"):
+        parse_avif(make_mp4(1000, 2, 2, 1))
+    with pytest.raises(UnsupportedMp4Error):
+        parse_avif(make_avif(1, 1)[:30])
+
+
+def test_avif_sniff_and_real_route(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from simple_content_ocr_ray.pipelines.extract import extraction_pipeline
+    from simple_content_ocr_ray.stages.mp4_boxes import make_avif
+
+    payload = make_avif(800, 600)
+    assert sniff_bytes(payload) == "avif"
+    assert sniff_bytes(make_mp4(1000, 2, 2, 1)) == "mp4"
+    pages = pa.table(
+        {
+            "url": ["https://x.example/i.avif"],
+            "warc_ts": pa.array([0], pa.timestamp("us")),
+            "html": pa.array([payload], pa.binary()),
+            "text": [""],
+            "lang": ["en"],
+        }
+    )
+    real = extraction_pipeline(rd.from_arrow(pages), preset="real").to_pandas()
+    assert real.loc[0, "content_type"] == "avif"
+    assert real.loc[0, "text"] == "[image 800x600 brand=avif]"
+    assert real.loc[0, "status"] == "completed"
