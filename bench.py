@@ -371,6 +371,7 @@ def run_headline() -> dict:
             "epub_real_text",
             "span_integrity_audit",
             "avif_real_meta",
+            "gzip_real_routes",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)

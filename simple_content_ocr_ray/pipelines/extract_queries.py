@@ -127,6 +127,70 @@ FROM documents
 """
 
 
+def gzip_real_routes(sf_dir: str) -> rd.Dataset:
+    """The flagship corpus with EVERY payload stored gzip (the as-fetched
+    Content-Encoding case): the gzip-transparent engine must gunzip
+    (bomb-guarded), re-sniff, and dispatch each inner type to its real
+    decoder — text byte-identical to the uncompressed run on every route,
+    inner garbage still failing as rows."""
+    import gzip
+
+    pages_dir = synth_pages_parquet(sf_dir, real_payloads=True)
+
+    def wrap(t: pa.Table) -> pa.Table:
+        wrapped = [
+            gzip.compress(bytes(p), compresslevel=1)
+            for p in t["html"].to_pylist()
+        ]
+        return t.set_column(
+            t.schema.get_field_index("html"), "html",
+            pa.array(wrapped, pa.binary()),
+        )
+
+    ds = extraction_pipeline(
+        read_pages(pages_dir).map_batches(wrap, batch_format="pyarrow"),
+        preset="real",
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t["url"],
+                "status": t["status"],
+                "text": t["text"],
+                "content_type": t["content_type"],
+                "error": t["error"],
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_GZIP_REAL_ROUTES_SQL = f"""
+SELECT {_URL_SQL} AS url,
+       CASE WHEN doc_id % 20 = 3 THEN 'failed' ELSE 'completed' END AS status,
+       CASE
+         WHEN doc_id % 20 IN (0, 1) THEN
+           CASE doc_id % 3
+             WHEN 0 THEN text
+             WHEN 1 THEN text || '\n\n---\n\npage 2'
+             ELSE text || '\n\n---\n\npage 2\n\n---\n\npage 3'
+           END
+         WHEN doc_id % 20 = 2 THEN
+           '[image ' || CAST(16 + doc_id % 9 AS VARCHAR) || 'x'
+           || CAST(4 + doc_id % 7 AS VARCHAR)
+           || ' ch=1 brightness=' || CAST(doc_id % 256 AS VARCHAR) || '.0]'
+         WHEN doc_id % 20 = 3 THEN ''
+         ELSE text
+       END AS text,
+       'gzip' AS content_type,
+       CASE WHEN doc_id % 20 = 3
+            THEN 'Unsupported file type: unknown (inside gzip)'
+            ELSE '' END AS error
+FROM documents
+"""
+
+
 def route_counts(sf_dir: str) -> pd.DataFrame:
     """Content-sniff router distribution (M1/M2 analog)."""
     ds = _extracted(sf_dir)
@@ -2653,6 +2717,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "extract_real_routes": extract_real_routes,
     "route_counts": route_counts,
     "span_integrity_audit": span_integrity_audit,
+    "gzip_real_routes": gzip_real_routes,
     "pdf_page_counts": pdf_page_counts,
     "failed_rows": failed_rows,
     "dedup_exact_pages": dedup_exact_pages,
@@ -2666,6 +2731,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 
 ORACLES: dict[str, str] = {
     "span_integrity_audit": _SPAN_INTEGRITY_AUDIT_SQL,
+    "gzip_real_routes": _GZIP_REAL_ROUTES_SQL,
     "feed_entries": _FEED_ENTRIES_SQL,
     "wat_head_index": _WAT_HEAD_INDEX_SQL,
     "corpus_diff": _CORPUS_DIFF_SQL,

@@ -46,6 +46,7 @@ _MAGIC = [
     (b"{\\rtf", "rtf"),
     (b"WEBVTT", "vtt"),
     (b"\xef\xbb\xbfWEBVTT", "vtt"),
+    (b"\x1f\x8b", "gzip"),
 ]
 
 CONTENT_TYPE_TO_MIME = {
@@ -64,6 +65,7 @@ CONTENT_TYPE_TO_MIME = {
     "rtf": "application/rtf",
     "vtt": "text/vtt",
     "avif": "image/avif",
+    "gzip": "application/gzip",
     "unknown": "application/octet-stream",
 }
 

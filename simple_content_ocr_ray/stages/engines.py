@@ -329,3 +329,12 @@ def _avif_meta_factory(**kwargs: Any) -> Any:
 
 
 register_engine("avif-meta", _avif_meta_factory)
+
+
+def _gzip_transparent_factory(**kwargs: Any) -> Any:
+    from .gzip_transparent import GzipTransparentEngine
+
+    return GzipTransparentEngine(**kwargs)
+
+
+register_engine("gzip-transparent", _gzip_transparent_factory)

@@ -86,6 +86,9 @@ REAL_ROUTE: dict[str, str] = {
     "rtf": "rtf-text",
     "vtt": "subtitle-text",
     "avif": "avif-meta",
+    # transparent decompression: gunzip (bomb-guarded) → re-sniff →
+    # dispatch to the inner type's engine from this same table
+    "gzip": "gzip-transparent",
 }
 REAL_ROUTE.update(
     {t: "image-decode-stub" for t in IMAGE_TYPES if t not in REAL_ROUTE}
