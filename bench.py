@@ -372,6 +372,7 @@ def run_headline() -> dict:
             "span_integrity_audit",
             "avif_real_meta",
             "gzip_real_routes",
+            "invisible_char_audit",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)

@@ -1059,7 +1059,75 @@ FROM p ORDER BY token
 """
 
 
+# --------------------------------------------------------------------------
+# Invisible-character audit (zero-width + bidi controls)
+# --------------------------------------------------------------------------
+
+#: zero-width characters: ZWSP/ZWNJ/ZWJ/WJ + BOM-as-ZWNBSP
+_ZERO_WIDTH = "\u200b\u200c\u200d\u2060\ufeff"
+#: bidi override/embedding/isolate controls (Trojan-Source vector)
+_BIDI = "\u202a\u202b\u202c\u202d\u202e\u2066\u2067\u2068\u2069"
+_INVIS_RE = re.compile(f"[{_ZERO_WIDTH}{_BIDI}]")
+_BIDI_RE = re.compile(f"[{_BIDI}]")
+
+
+def scrub_invisible(s: str) -> str:
+    """Remove zero-width and bidi-control characters — the curation scrub
+    for invisible-text injection (hidden tokens, Trojan-Source reordering,
+    SEO keyword hiding)."""
+    return _INVIS_RE.sub("", s)
+
+
+def invisible_char_audit(sf_dir: str) -> pd.DataFrame:
+    """Audit + scrub of invisible characters over a deterministically
+    poisoned corpus (every 7th doc gets a ZWSP inside its first word;
+    every 13th a bidi override pair; the rest are clean): per doc the
+    zero-width and bidi counts and the scrubbed length, which must equal
+    the clean text's length — proving the scrub removes exactly the
+    injection and nothing else. Pure per-batch map, no shuffle."""
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def audit(df: pd.DataFrame) -> pd.DataFrame:
+        poisoned = []
+        for d, t in zip(df["doc_id"], df["text"]):
+            d, t = int(d), str(t)
+            if d % 7 == 0 and len(t) >= 2:
+                t = t[:1] + "\u200b" + t[1:]
+            if d % 13 == 0 and t:
+                t = "\u202e" + t + "\u202c"
+            poisoned.append(t)
+        ser = pd.Series(poisoned)
+        n_zw = ser.str.count(f"[{_ZERO_WIDTH}]").astype("int64")
+        n_bidi = ser.str.count(f"[{_BIDI}]").astype("int64")
+        scrubbed = ser.map(scrub_invisible)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_zero_width": n_zw,
+                "n_bidi": n_bidi,
+                "scrubbed_len": scrubbed.str.len().astype("int64"),
+            }
+        )
+
+    out = docs.map_batches(audit, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_INVISIBLE_CHAR_AUDIT_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0 AND length(text) >= 2 THEN 1 ELSE 0 END
+         AS n_zero_width,
+       CASE WHEN doc_id % 13 = 0 AND length(text) > 0 THEN 2 ELSE 0 END
+         AS n_bidi,
+       length(text) AS scrubbed_len
+FROM documents
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
+    "invisible_char_audit": invisible_char_audit,
     "snapshot_token_drift": snapshot_token_drift,
     "luhn_card_audit": luhn_card_audit,
     "fix_mojibake": fix_mojibake,
@@ -1080,6 +1148,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "invisible_char_audit": _INVISIBLE_CHAR_AUDIT_SQL,
     "snapshot_token_drift": _SNAPSHOT_TOKEN_DRIFT_SQL,
     "luhn_card_audit": _luhn_sql(),
     "fix_mojibake": _FIX_MOJIBAKE_SQL,

@@ -403,3 +403,18 @@ def test_label_centroid_drift_brute_force(sf_dir):
         ca, cb = a.mean(axis=0), b.mean(axis=0)
         exp = round(float(ca @ cb / (np.linalg.norm(ca) * np.linalg.norm(cb))), 6)
         assert abs(row.iloc[0]["centroid_cos"] - exp) < 1e-9
+
+
+def test_scrub_invisible_removes_exactly_the_injection():
+    from simple_content_ocr_ray.functions.text_stats import (
+        _BIDI,
+        _ZERO_WIDTH,
+        scrub_invisible,
+    )
+
+    clean = "normal text stays"
+    assert scrub_invisible(clean) == clean
+    poisoned = "a​b‮ evil ‬c⁠d"
+    assert scrub_invisible(poisoned) == "ab evil cd"
+    # every listed control char is scrubbed
+    assert scrub_invisible(_ZERO_WIDTH + "x" + _BIDI) == "x"
