@@ -373,6 +373,7 @@ def run_headline() -> dict:
             "avif_real_meta",
             "gzip_real_routes",
             "invisible_char_audit",
+            "crawl_delay_schedule",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)

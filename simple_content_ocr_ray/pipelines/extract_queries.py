@@ -1120,6 +1120,97 @@ def robots_sitemaps(raw: bytes) -> list[str]:
     return out
 
 
+def parse_crawl_delay(raw: bytes) -> int | None:
+    """``Crawl-delay`` (seconds) for the ``*`` user-agent — the de-facto
+    politeness directive (not in RFC 9309 but honored by most crawlers).
+    Same group semantics as ``parse_robots``; non-numeric values ignored."""
+    delay: int | None = None
+    applies = False
+    in_agents = False
+    for line in raw.decode("utf-8", "replace").splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field, value = field.strip().lower(), value.strip()
+        if field == "user-agent":
+            if not in_agents:
+                applies = value == "*"
+            elif value == "*":
+                applies = True
+            in_agents = True
+            continue
+        in_agents = False
+        if field == "crawl-delay" and applies and delay is None:
+            try:
+                delay = int(float(value))
+            except ValueError:
+                pass
+    return delay
+
+
+def crawl_delay_schedule(sf_dir: str) -> pd.DataFrame:
+    """Politeness budget per host: parse each domain's Crawl-delay with the
+    real robots parser (even-K domains declare ``1 + K%9`` seconds; odd-K
+    domains none → the crawler default of 1 s), derive the hourly fetch
+    budget and the hours to drain that host's page backlog. The rules
+    table is |domains|-bounded; page counts come from one slim grouped
+    count — the frontier itself never moves."""
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    counts = grouped_aggregate(
+        docs.map_batches(
+            lambda df: pd.DataFrame(
+                {"k": (df["doc_id"].to_numpy() % 97).astype("int64")}
+            ),
+            batch_format="pandas",
+        ),
+        ["k"],
+        {"n_pages": (None, "count")},
+    ).to_pandas()
+
+    def robots_txt(k: int) -> bytes:
+        lines = ["User-agent: googlebot", "Crawl-delay: 30",
+                 "", "User-agent: *", "Disallow: /login"]
+        if k % 2 == 0:
+            lines.append(f"Crawl-delay: {1 + k % 9}")
+        return "\n".join(lines).encode()
+
+    out = counts.copy()
+    delays = [
+        parse_crawl_delay(robots_txt(int(k))) or 1 for k in out["k"]
+    ]
+    out["domain"] = [f"site{int(k)}.example" for k in out["k"]]
+    out["crawl_delay_s"] = pd.Series(delays, dtype="int64")
+    out["fetches_per_hour"] = (3600 // out["crawl_delay_s"]).astype("int64")
+    out["n_pages"] = out["n_pages"].astype("int64")
+    out["drain_minutes"] = (
+        (out["n_pages"] * out["crawl_delay_s"] + 59) // 60
+    ).astype("int64")
+    return (
+        out[["domain", "crawl_delay_s", "fetches_per_hour", "n_pages",
+             "drain_minutes"]]
+        .sort_values("domain")
+        .reset_index(drop=True)
+    )
+
+
+_CRAWL_DELAY_SCHEDULE_SQL = """
+WITH per AS (
+  SELECT doc_id % 97 AS k, COUNT(*) AS n_pages FROM documents GROUP BY 1
+)
+SELECT 'site' || CAST(k AS VARCHAR) || '.example' AS domain,
+       CASE WHEN k % 2 = 0 THEN 1 + k % 9 ELSE 1 END AS crawl_delay_s,
+       3600 // (CASE WHEN k % 2 = 0 THEN 1 + k % 9 ELSE 1 END)
+         AS fetches_per_hour,
+       n_pages,
+       (n_pages * (CASE WHEN k % 2 = 0 THEN 1 + k % 9 ELSE 1 END) + 59) // 60
+         AS drain_minutes
+FROM per
+"""
+
+
 def robots_allows(rules: list[tuple[bool, str]], path: str) -> bool:
     """RFC 9309 precedence: the most specific matching rule wins, measured
     by pattern OCTET COUNT (§2.2.2 — for plain prefixes that is prefix
@@ -2718,6 +2809,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "route_counts": route_counts,
     "span_integrity_audit": span_integrity_audit,
     "gzip_real_routes": gzip_real_routes,
+    "crawl_delay_schedule": crawl_delay_schedule,
     "pdf_page_counts": pdf_page_counts,
     "failed_rows": failed_rows,
     "dedup_exact_pages": dedup_exact_pages,
@@ -2732,6 +2824,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 ORACLES: dict[str, str] = {
     "span_integrity_audit": _SPAN_INTEGRITY_AUDIT_SQL,
     "gzip_real_routes": _GZIP_REAL_ROUTES_SQL,
+    "crawl_delay_schedule": _CRAWL_DELAY_SCHEDULE_SQL,
     "feed_entries": _FEED_ENTRIES_SQL,
     "wat_head_index": _WAT_HEAD_INDEX_SQL,
     "corpus_diff": _CORPUS_DIFF_SQL,

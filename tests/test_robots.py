@@ -119,3 +119,22 @@ def test_robots_wildcard_octet_precedence_tie():
     rules = [(False, "/x$y*")]
     assert robots_allows(rules, "/x$y123") is False
     assert robots_allows(rules, "/xy123") is True
+
+
+def test_parse_crawl_delay_group_semantics():
+    from simple_content_ocr_ray.pipelines.extract_queries import (
+        parse_crawl_delay,
+    )
+
+    # star group carries the delay; the googlebot group's value is ignored
+    raw = (b"User-agent: googlebot\nCrawl-delay: 30\n\n"
+           b"User-agent: *\nCrawl-delay: 7\nDisallow: /x\n")
+    assert parse_crawl_delay(raw) == 7
+    # no star group → None
+    assert parse_crawl_delay(b"User-agent: googlebot\nCrawl-delay: 5\n") is None
+    # fractional values floor; junk ignored
+    assert parse_crawl_delay(b"User-agent: *\nCrawl-delay: 2.5\n") == 2
+    assert parse_crawl_delay(b"User-agent: *\nCrawl-delay: soon\n") is None
+    # shared group line: either agent opens the group
+    raw2 = b"User-agent: a\nUser-agent: *\nCrawl-delay: 3\n"
+    assert parse_crawl_delay(raw2) == 3
