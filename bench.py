@@ -374,6 +374,7 @@ def run_headline() -> dict:
             "gzip_real_routes",
             "invisible_char_audit",
             "crawl_delay_schedule",
+            "clustering_coefficients",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)

@@ -1233,7 +1233,101 @@ GROUP BY node
 """
 
 
+def clustering_coefficients(sf_dir: str) -> pd.DataFrame:
+    """Per-node local clustering coefficient over the corpus link graph:
+    cc = 2T / (d(d-1)) as integer ppm — the triangle family's standard
+    normalization (link farms: high degree, near-zero cc). Reuses the
+    distributed triangle pass; degrees come from one slim grouped count
+    over the same distinct-edge table; both per-node tables are
+    node-bounded, joined vectorized at the end."""
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    ks = np.arange(1, 4, dtype="int64")
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def und_ends(df: pd.DataFrame) -> pd.DataFrame:
+        src = np.repeat(df["doc_id"].to_numpy(), 3)
+        dst = ((17 * df["doc_id"].to_numpy()[:, None] + 13 * ks[None, :]) % n).ravel()
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        return pd.DataFrame(
+            {"u": np.minimum(src, dst), "v": np.maximum(src, dst)}
+        )
+
+    # distinct undirected edges, then each end contributes one degree unit
+    edges = grouped_aggregate(
+        docs.map_batches(und_ends, batch_format="pandas"),
+        ["u", "v"],
+        {"m": (None, "count")},
+    )
+
+    def explode_ends(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": np.concatenate([df["u"].to_numpy(), df["v"].to_numpy()])}
+        )
+
+    deg = grouped_aggregate(
+        edges.map_batches(explode_ends, batch_format="pandas"),
+        ["node"],
+        {"degree": (None, "count")},
+    ).to_pandas()
+    tri = link_triangle_counts(sf_dir)
+    out = deg.merge(tri, on="node", how="left").fillna({"n_triangles": 0})
+    out = out.astype({"node": "int64", "degree": "int64", "n_triangles": "int64"})
+    d = out["degree"].to_numpy()
+    t = out["n_triangles"].to_numpy()
+    cc = np.zeros(len(out), "int64")
+    mask = d >= 2
+    cc[mask] = (2 * t[mask] * 1_000_000) // (d[mask] * (d[mask] - 1))
+    out["cc_ppm"] = cc
+    return (
+        out[["node", "degree", "n_triangles", "cc_ppm"]]
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+
+_CLUSTERING_COEFFICIENTS_SQL = """
+WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (17 * doc_id + 13 * t.k) % (SELECT c FROM nn) AS dst
+  FROM documents, (VALUES (1), (2), (3)) t(k)
+),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM e0 WHERE src <> dst
+),
+deg AS (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v FROM und
+  ) GROUP BY node
+),
+tri AS (
+  SELECT a.u AS x, a.v AS y, b.v AS z
+  FROM und a JOIN und b ON b.u = a.v JOIN und c ON c.u = a.u AND c.v = b.v
+),
+tcount AS (
+  SELECT node, COUNT(*) AS n_triangles FROM (
+    SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY node
+)
+SELECT CAST(deg.node AS BIGINT) AS node,
+       CAST(degree AS BIGINT) AS degree,
+       CAST(COALESCE(n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN degree >= 2
+            THEN 2 * COALESCE(n_triangles, 0) * 1000000
+                 // (degree * (degree - 1))
+            ELSE 0 END AS cc_ppm
+FROM deg LEFT JOIN tcount ON tcount.node = deg.node
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
+    "clustering_coefficients": clustering_coefficients,
     "link_triangle_counts": link_triangle_counts,
     "annotated_corpus_report": annotated_corpus_report,
     "url_path_templates": url_path_templates,
@@ -1250,6 +1344,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "clustering_coefficients": _CLUSTERING_COEFFICIENTS_SQL,
     "link_triangle_counts": _LINK_TRIANGLE_COUNTS_SQL,
     "annotated_corpus_report": _ANNOTATED_CORPUS_REPORT_SQL,
     "url_path_templates": _URL_PATH_TEMPLATES_SQL,
