@@ -19,6 +19,7 @@ timestamp in mock output (mock_engine.py:173); we pin it to
 
 from __future__ import annotations
 
+import re
 from typing import Any, Optional
 
 from . import PIN_PROCESSED_AT
@@ -30,6 +31,9 @@ from .stages.html_extractor import HtmlMainContentExtractor
 # in the columnar world the payload is inline, so the router key is sniffed
 # from the first bytes of the `html` binary column.
 # --------------------------------------------------------------------------
+
+#: SRT structural signature: numeric index line, then "HH:MM:SS,mmm -->"
+_SRT_HEAD_RE = re.compile(rb"^\d{1,6}\r?\n\d{2}:\d{2}:\d{2},\d{3}\s*-->")
 
 _MAGIC = [
     (b"%PDF", "pdf"),
@@ -66,6 +70,7 @@ CONTENT_TYPE_TO_MIME = {
     "vtt": "text/vtt",
     "avif": "image/avif",
     "gzip": "application/gzip",
+    "srt": "application/x-subrip",
     "unknown": "application/octet-stream",
 }
 
@@ -102,6 +107,9 @@ def sniff_bytes(payload: bytes) -> str:
         return "html"
     if low.startswith(b"<svg") or (low.startswith(b"<?xml") and b"<svg" in head):
         return "svg"
+    # SRT has no magic: structural sniff — index line then a timing line
+    if _SRT_HEAD_RE.match(head):
+        return "srt"
     return "unknown"
 
 

@@ -85,6 +85,7 @@ REAL_ROUTE: dict[str, str] = {
     "mp4": "mp4-meta",
     "rtf": "rtf-text",
     "vtt": "subtitle-text",
+    "srt": "subtitle-text",
     "avif": "avif-meta",
     # transparent decompression: gunzip (bomb-guarded) → re-sniff →
     # dispatch to the inner type's engine from this same table

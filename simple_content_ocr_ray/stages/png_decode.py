@@ -53,6 +53,10 @@ def decode_png(payload: bytes) -> np.ndarray:
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
+        if pos + 12 + length > len(payload):  # corrupt length field
+            raise UnsupportedImageError(
+                f"truncated {ctype!r} chunk (length {length})"
+            )
         data = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:

@@ -147,3 +147,27 @@ def test_rtf_vtt_in_real_route(ray_session):
     assert (real["status"] == "completed").all()
     mock = extraction_pipeline(rd.from_arrow(pages), preset="mock").to_pandas()
     assert (mock["status"] == "failed").all()
+
+
+def test_srt_sniff_and_route(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from simple_content_ocr_ray.pipelines.extract import extraction_pipeline
+
+    payload = make_srt([(0, 1000, "srt words")])
+    assert sniff_bytes(payload) == "srt"
+    assert sniff_bytes(b"42 is the answer") == "unknown"
+    pages = pa.table(
+        {
+            "url": ["https://x.example/subs.srt"],
+            "warc_ts": pa.array([0], pa.timestamp("us")),
+            "html": pa.array([payload], pa.binary()),
+            "text": [""],
+            "lang": ["en"],
+        }
+    )
+    real = extraction_pipeline(rd.from_arrow(pages), preset="real").to_pandas()
+    assert real.loc[0, "content_type"] == "srt"
+    assert real.loc[0, "text"] == "srt words"
+    assert real.loc[0, "status"] == "completed"
