@@ -375,6 +375,7 @@ def run_headline() -> dict:
             "invisible_char_audit",
             "crawl_delay_schedule",
             "clustering_coefficients",
+            "benford_first_digit",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)

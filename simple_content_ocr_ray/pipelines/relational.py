@@ -1659,6 +1659,59 @@ SELECT user_id FROM events WHERE event_type = 'purchase'
 HIST_BINS = 10
 
 
+#: Benford expected first-digit frequencies, ppm (log10(1 + 1/d) rounded) —
+#: literal constants on BOTH sides so no float log rides the oracle compare
+_BENFORD_PPM = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+                6: 66947, 7: 57992, 8: 51153, 9: 45757}
+
+
+def benford_first_digit(sf_dir: str) -> pd.DataFrame:
+    """Benford's-law audit of the event value column — the standard
+    anomaly screen for fabricated numeric data (organic amounts follow
+    log10(1+1/d); synthetic/rounded data does not, and THIS corpus's
+    uniform synth values won't either — the deviation column is the
+    signal). One pass of per-batch digit partials (cents-scaled integer
+    math, string first digit — no float log), 9-row final rollup with
+    observed vs expected ppm and the absolute deviation."""
+    events = _read(sf_dir, "events", columns=["value"])
+
+    def digits(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["value"].to_numpy() * 100).astype("int64")
+        cents = cents[cents > 0]
+        first = pd.Series(cents.astype(str)).str[0].astype("int64")
+        return pd.DataFrame({"digit": first})
+
+    out = grouped_aggregate(
+        events, ["digit"], {"n": (None, "count")}, prepare=digits
+    ).to_pandas()
+    out = out.astype({"digit": "int64", "n": "int64"})
+    total = int(out["n"].sum())
+    out["observed_ppm"] = (out["n"] * 1_000_000 // total).astype("int64")
+    out["benford_ppm"] = out["digit"].map(_BENFORD_PPM).astype("int64")
+    out["abs_dev_ppm"] = (out["observed_ppm"] - out["benford_ppm"]).abs()
+    return out.sort_values("digit").reset_index(drop=True)
+
+
+_BENFORD_FIRST_DIGIT_SQL = f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(value * 100, 0) AS BIGINT) AS VARCHAR),
+              1, 1) AS BIGINT) AS digit
+  FROM events
+  WHERE CAST(ROUND(value * 100, 0) AS BIGINT) > 0
+), c AS (
+  SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+), t AS (SELECT SUM(n) AS total FROM c)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       CAST(n * 1000000 // t.total AS BIGINT) AS observed_ppm,
+       CASE digit {' '.join(f"WHEN {k} THEN {v}" for k, v in _BENFORD_PPM.items())}
+       END AS benford_ppm,
+       CAST(ABS(n * 1000000 // t.total -
+           CASE digit {' '.join(f"WHEN {k} THEN {v}" for k, v in _BENFORD_PPM.items())}
+           END) AS BIGINT) AS abs_dev_ppm
+FROM c, t
+"""
+
+
 def event_value_histogram(sf_dir: str, bins: int = HIST_BINS) -> pd.DataFrame:
     """Equal-width value histogram per event type — the dashboard
     distribution panel. Two bounded passes: a constant-size min/max
@@ -2567,6 +2620,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "q18_large_orders": q18_large_orders,
     "part_pair_counts": part_pair_counts,
     "event_value_histogram": event_value_histogram,
+    "benford_first_digit": benford_first_digit,
     "dom_activity_full_outer": dom_activity_full_outer,
     "view_purchase_users": view_purchase_users,
     "orders_above_cust_avg": orders_above_cust_avg,
@@ -2609,6 +2663,7 @@ ORACLES: dict[str, str] = {
     "q18_large_orders": _Q18_LARGE_ORDERS_SQL,
     "part_pair_counts": _PART_PAIR_COUNTS_SQL,
     "event_value_histogram": _EVENT_VALUE_HISTOGRAM_SQL,
+    "benford_first_digit": _BENFORD_FIRST_DIGIT_SQL,
     "dom_activity_full_outer": _DOM_ACTIVITY_FULL_OUTER_SQL,
     "view_purchase_users": _VIEW_PURCHASE_USERS_SQL,
     "orders_above_cust_avg": _ORDERS_ABOVE_CUST_AVG_SQL,
