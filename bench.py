@@ -376,6 +376,7 @@ def run_headline() -> dict:
             "crawl_delay_schedule",
             "clustering_coefficients",
             "benford_first_digit",
+            "source_quality_wilson",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)

@@ -1712,6 +1712,75 @@ FROM c, t
 """
 
 
+#: Wilson z for a 95% lower confidence bound
+_WILSON_Z = 1.96
+#: quality pass threshold (chars) for the source-confidence table
+_QUALITY_MIN_CHARS = 300
+
+
+def source_quality_wilson(sf_dir: str) -> pd.DataFrame:
+    """Per-source quality pass rate with its Wilson 95% LOWER bound — the
+    statistically honest way to rank sources when their document counts
+    differ by orders of magnitude (a 3/3 source must NOT outrank a
+    4700/5000 one; the raw rate says it does, the Wilson bound says it
+    does not). One slim (source → passes, total) aggregate; the bound is
+    driver-side float math over the |sources|-bounded table, rounded to
+    4 dp on both sides."""
+    docs = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": df["source"],
+                "passed": (
+                    df["n_chars"].to_numpy() >= _QUALITY_MIN_CHARS
+                ).astype("int64"),
+            }
+        )
+
+    agg = grouped_aggregate(
+        docs, ["source"], {"n_pass": ("passed", "sum"), "n_docs": (None, "count")},
+        prepare=prepare,
+    ).to_pandas()
+    n = agg["n_docs"].to_numpy().astype("float64")
+    p = agg["n_pass"].to_numpy().astype("float64") / n
+    z2 = _WILSON_Z * _WILSON_Z
+    lower = (
+        p + z2 / (2 * n)
+        - _WILSON_Z * np.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+    ) / (1 + z2 / n)
+    out = pd.DataFrame(
+        {
+            "source": agg["source"],
+            "n_docs": agg["n_docs"].astype("int64"),
+            "n_pass": agg["n_pass"].astype("int64"),
+            "pass_rate": np.round(p, 4),
+            "wilson_lower": np.round(lower, 4),
+        }
+    )
+    return out.sort_values("source").reset_index(drop=True)
+
+
+_SOURCE_QUALITY_WILSON_SQL = f"""
+WITH s AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         COUNT(*) FILTER (WHERE n_chars >= {_QUALITY_MIN_CHARS}) AS n_pass
+  FROM documents GROUP BY source
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_pass AS BIGINT) AS n_pass,
+       ROUND(n_pass * 1.0 / n_docs, 4) AS pass_rate,
+       ROUND((n_pass * 1.0 / n_docs + {_WILSON_Z}*{_WILSON_Z} / (2 * n_docs)
+              - {_WILSON_Z} * sqrt((n_pass * 1.0 / n_docs)
+                    * (1 - n_pass * 1.0 / n_docs) / n_docs
+                    + {_WILSON_Z}*{_WILSON_Z} / (4 * n_docs * n_docs)))
+             / (1 + {_WILSON_Z}*{_WILSON_Z} / n_docs), 4) AS wilson_lower
+FROM s
+"""
+
+
 def event_value_histogram(sf_dir: str, bins: int = HIST_BINS) -> pd.DataFrame:
     """Equal-width value histogram per event type — the dashboard
     distribution panel. Two bounded passes: a constant-size min/max
@@ -2621,6 +2690,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "part_pair_counts": part_pair_counts,
     "event_value_histogram": event_value_histogram,
     "benford_first_digit": benford_first_digit,
+    "source_quality_wilson": source_quality_wilson,
     "dom_activity_full_outer": dom_activity_full_outer,
     "view_purchase_users": view_purchase_users,
     "orders_above_cust_avg": orders_above_cust_avg,
@@ -2664,6 +2734,7 @@ ORACLES: dict[str, str] = {
     "part_pair_counts": _PART_PAIR_COUNTS_SQL,
     "event_value_histogram": _EVENT_VALUE_HISTOGRAM_SQL,
     "benford_first_digit": _BENFORD_FIRST_DIGIT_SQL,
+    "source_quality_wilson": _SOURCE_QUALITY_WILSON_SQL,
     "dom_activity_full_outer": _DOM_ACTIVITY_FULL_OUTER_SQL,
     "view_purchase_users": _VIEW_PURCHASE_USERS_SQL,
     "orders_above_cust_avg": _ORDERS_ABOVE_CUST_AVG_SQL,

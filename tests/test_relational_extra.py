@@ -668,3 +668,25 @@ def test_corpus_diff_all_classes_present(sf_dir):
     assert not any(
         d % DIFF_ADDED_RES == 0 and d % DIFF_REMOVED_RES == 0 for d in df.index
     )
+
+
+def test_wilson_lower_bound_ranks_small_samples_conservatively(ray_session):
+    """The statistical property the operator exists for: a perfect tiny
+    sample must not outrank a near-perfect large one by the bound."""
+    import numpy as np
+
+    from simple_content_ocr_ray.pipelines.relational import (
+        _WILSON_Z,
+        source_quality_wilson,
+    )
+
+    out = source_quality_wilson("/root/testdata/sf0.001")
+    assert (out["wilson_lower"] <= out["pass_rate"]).all()
+    assert (out["wilson_lower"] >= 0).all()
+    # closed-form check on one row
+    r = out.iloc[0]
+    n, p = r["n_docs"], r["n_pass"] / r["n_docs"]
+    z2 = _WILSON_Z**2
+    lower = (p + z2 / (2 * n) - _WILSON_Z * np.sqrt(
+        p * (1 - p) / n + z2 / (4 * n * n))) / (1 + z2 / n)
+    assert abs(r["wilson_lower"] - round(lower, 4)) < 1e-9
