@@ -377,6 +377,7 @@ def run_headline() -> dict:
             "clustering_coefficients",
             "benford_first_digit",
             "source_quality_wilson",
+            "img_alt_captions",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)

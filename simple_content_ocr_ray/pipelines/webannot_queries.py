@@ -1233,6 +1233,93 @@ GROUP BY node
 """
 
 
+_IMG_RE = re.compile(r"<img\b[^>]*>", re.I)
+
+
+def parse_img_alts(html: str) -> list[tuple[str, str]]:
+    """(src, alt) pairs of a page's <img> tags, in document order — the
+    image–caption mining step behind CLIP/LAION-style multimodal corpora.
+    Tags without BOTH a src and a non-empty alt are skipped (a caption
+    pair needs both halves); attribute order/quoting handled by the shared
+    attribute parser."""
+    out = []
+    for tag in _IMG_RE.findall(html):
+        a = _attrs(tag)
+        src = a.get("src", "").strip()
+        alt = _WSX_RE.sub(" ", a.get("alt", "")).strip()
+        if src and alt:
+            out.append((src, alt))
+    return out
+
+
+_WSX_RE = re.compile(r"\s+")
+
+
+def make_captioned_page(d: int) -> bytes:
+    """Deterministic page with 1 + d%3 <img> tags (src/alt from doc id;
+    every (d+i)%5==0 image has NO alt — excluded by the miner), a srcless
+    decoy, and a stylesheet link decoy."""
+    parts = [
+        "<!doctype html>",
+        f"<html><head><title>Cap {d}</title>",
+        '<link rel="stylesheet" href="/css/x.css"></head><body>',
+        '<img class="spacer">',  # srcless decoy
+    ]
+    for i in range(1 + d % 3):
+        src = f"https://cdn{d % 7}.example/img/{d}_{i}.jpg"
+        if (d + i) % 5 == 0:
+            parts.append(f'<img src="{src}">')  # no alt → not a pair
+        elif i % 2:
+            parts.append(f"<img alt='caption {d} {i}' src='{src}'>")
+        else:
+            parts.append(f'<img src="{src}" alt="caption {d} {i}">')
+    parts.append(f"<p>body {d}</p></body></html>")
+    return "".join(parts).encode()
+
+
+def img_alt_captions(sf_dir: str) -> pd.DataFrame:
+    """Image–caption pair mining over the crawl: parse every page's <img>
+    tags, keep (src, alt) pairs with both halves — the first step of a
+    multimodal (image, text) training corpus. Pure per-page map_batches
+    parse; output is one row per pair, no shuffle."""
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def mine(df: pd.DataFrame) -> pd.DataFrame:
+        ids, srcs, alts = [], [], []
+        for d in df["doc_id"]:
+            d = int(d)
+            for src, alt in parse_img_alts(
+                make_captioned_page(d).decode()
+            ):
+                ids.append(d)
+                srcs.append(src)
+                alts.append(alt)
+        return pd.DataFrame(
+            {"doc_id": pd.Series(ids, dtype="int64"), "src": srcs,
+             "alt": alts}
+        )
+
+    out = docs.map_batches(mine, batch_format="pandas").to_pandas()
+    return out.sort_values(["doc_id", "src"]).reset_index(drop=True)
+
+
+_IMG_ALT_CAPTIONS_SQL = """
+WITH pairs AS (
+  SELECT doc_id, i
+  FROM documents, (VALUES (0), (1), (2)) t(i)
+  WHERE i < 1 + doc_id % 3 AND (doc_id + i) % 5 <> 0
+)
+SELECT doc_id,
+       'https://cdn' || CAST(doc_id % 7 AS VARCHAR) || '.example/img/'
+         || CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR) || '.jpg'
+         AS src,
+       'caption ' || doc_id || ' ' || i AS alt
+FROM pairs
+"""
+
+
 def clustering_coefficients(sf_dir: str) -> pd.DataFrame:
     """Per-node local clustering coefficient over the corpus link graph:
     cc = 2T / (d(d-1)) as integer ppm — the triangle family's standard
@@ -1328,6 +1415,7 @@ FROM deg LEFT JOIN tcount ON tcount.node = deg.node
 
 QUERIES: dict[str, Callable[[str], object]] = {
     "clustering_coefficients": clustering_coefficients,
+    "img_alt_captions": img_alt_captions,
     "link_triangle_counts": link_triangle_counts,
     "annotated_corpus_report": annotated_corpus_report,
     "url_path_templates": url_path_templates,
@@ -1345,6 +1433,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 
 ORACLES: dict[str, str] = {
     "clustering_coefficients": _CLUSTERING_COEFFICIENTS_SQL,
+    "img_alt_captions": _IMG_ALT_CAPTIONS_SQL,
     "link_triangle_counts": _LINK_TRIANGLE_COUNTS_SQL,
     "annotated_corpus_report": _ANNOTATED_CORPUS_REPORT_SQL,
     "url_path_templates": _URL_PATH_TEMPLATES_SQL,

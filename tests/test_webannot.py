@@ -347,3 +347,19 @@ def test_link_triangle_counts_matches_adjacency_matmul(sf_dir):
     got = link_triangle_counts(sf_dir)
     expected = {i: int(c) for i, c in enumerate(per_node) if c}
     assert dict(zip(got["node"], got["n_triangles"])) == expected
+
+
+def test_parse_img_alts_attribute_forms_and_decoys():
+    from simple_content_ocr_ray.pipelines.webannot_queries import (
+        parse_img_alts,
+    )
+
+    html = (
+        '<img class="spacer">'              # no src
+        '<img src="/a.jpg">'                 # no alt
+        '<img src="/b.jpg" alt="">'          # empty alt
+        "<img alt='two  words' src='/c.jpg'>"  # swapped order, ws collapse
+        '<img src="/d.jpg" alt="plain" loading="lazy">'
+    )
+    assert parse_img_alts(html) == [
+        ("/c.jpg", "two words"), ("/d.jpg", "plain")]
