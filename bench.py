@@ -378,6 +378,8 @@ def run_headline() -> dict:
             "benford_first_digit",
             "source_quality_wilson",
             "img_alt_captions",
+            "data_uri_images",
+            "host_script_audit",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)

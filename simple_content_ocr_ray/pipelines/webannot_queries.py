@@ -1320,6 +1320,136 @@ FROM pairs
 """
 
 
+_DATA_URI_RE = re.compile(
+    r"""src\s*=\s*["']data:([a-z/+.-]+);base64,([A-Za-z0-9+/=]+)["']""",
+    re.I,
+)
+
+
+def parse_data_uris(html: str) -> list[tuple[str, bytes]]:
+    """(mime, decoded bytes) for every base64 ``data:`` URI in src
+    attributes — inline images never hit the fetcher, so a multimodal
+    miner must pull them out of the page bytes themselves. Un-decodable
+    base64 is skipped (one bad URI costs one URI)."""
+    import base64
+
+    out = []
+    for m in _DATA_URI_RE.finditer(html):
+        try:
+            out.append((m.group(1).lower(), base64.b64decode(m.group(2))))
+        except Exception:  # noqa: BLE001 — malformed b64 skips the URI
+            continue
+    return out
+
+
+def data_uri_images(sf_dir: str) -> pd.DataFrame:
+    """Inline-image extraction end-to-end: mine base64 ``data:`` URIs out
+    of synthesized pages (one valid constant-pixel PNG per doc + a
+    corrupt-base64 decoy every 9th doc), run the REAL PNG decoder on the
+    decoded bytes, emit typed geometry — HTML parsing composed with the
+    codec family in one per-page pass."""
+    from ..stages.png_decode import decode_png, make_png
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def build_and_decode(df: pd.DataFrame) -> pd.DataFrame:
+        import base64
+
+        ids, widths, heights, bright = [], [], [], []
+        for d in df["doc_id"]:
+            d = int(d)
+            png = make_png(
+                np.full((2 + d % 5, 3 + d % 6), d % 256, dtype=np.uint8)
+            )
+            b64 = base64.b64encode(png).decode()
+            page = (
+                "<!doctype html><html><body>"
+                f'<img src="data:image/png;base64,{b64}" alt="inline">'
+                + ('<img src="data:image/png;base64,!!corrupt!!">'
+                   if d % 9 == 0 else "")
+                + "</body></html>"
+            )
+            for mime, blob in parse_data_uris(page):
+                if mime != "image/png":
+                    continue
+                img = decode_png(blob)
+                ids.append(d)
+                heights.append(img.shape[0])
+                widths.append(img.shape[1])
+                bright.append(int(img.mean()))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series(widths, dtype="int64"),
+                "height": pd.Series(heights, dtype="int64"),
+                "brightness": pd.Series(bright, dtype="int64"),
+            }
+        )
+
+    out = docs.map_batches(build_and_decode, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_DATA_URI_IMAGES_SQL = """
+SELECT doc_id,
+       3 + doc_id % 6 AS width,
+       2 + doc_id % 5 AS height,
+       doc_id % 256 AS brightness
+FROM documents
+"""
+
+
+#: Cyrillic homoglyphs that render like Latin a/e/o/p/c
+_HOMOGLYPHS = "аеорс"
+
+
+def host_script_audit(sf_dir: str) -> pd.DataFrame:
+    """IDN-homograph detection over the crawl frontier: hosts whose LETTERS
+    mix Unicode scripts (Latin + Cyrillic look-alikes) are the classic
+    phishing/spoof vector and most registries forbid them — flag them
+    before they enter a training corpus as 'distinct' domains. Fixture:
+    every 31st doc's host carries one Cyrillic look-alike; the audit must
+    flag exactly those. Vectorized per batch, no shuffle."""
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def audit(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for d in df["doc_id"]:
+            d = int(d)
+            host = f"site{d % 97}.example"
+            if d % 31 == 0:  # inject one homoglyph (deterministic position)
+                g = _HOMOGLYPHS[d % len(_HOMOGLYPHS)]
+                host = host.replace("site", f"s{g}te", 1)
+            letters = [c for c in host if c.isalpha()]
+            has_latin = any("a" <= c.lower() <= "z" for c in letters)
+            has_cyrillic = any("Ѐ" <= c <= "ӿ" for c in letters)
+            rows.append((d, host, int(has_latin and has_cyrillic)))
+        out = pd.DataFrame(rows, columns=["doc_id", "host", "mixed_script"])
+        return out.astype({"doc_id": "int64", "mixed_script": "int64"})
+
+    out = docs.map_batches(audit, batch_format="pandas").to_pandas()
+    out = out[out["mixed_script"] == 1][["doc_id", "host"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _host_script_audit_sql() -> str:
+    # the injected glyph is _HOMOGLYPHS[doc_id % 5] — mirror with CASE
+    cases = " ".join(
+        f"WHEN {i} THEN 's{g}te'" for i, g in enumerate(_HOMOGLYPHS)
+    )
+    return f"""
+SELECT doc_id,
+       (CASE doc_id % {len(_HOMOGLYPHS)} {cases} END)
+         || CAST(doc_id % 97 AS VARCHAR) || '.example' AS host
+FROM documents
+WHERE doc_id % 31 = 0
+"""
+
+
 def clustering_coefficients(sf_dir: str) -> pd.DataFrame:
     """Per-node local clustering coefficient over the corpus link graph:
     cc = 2T / (d(d-1)) as integer ppm — the triangle family's standard
@@ -1416,6 +1546,8 @@ FROM deg LEFT JOIN tcount ON tcount.node = deg.node
 QUERIES: dict[str, Callable[[str], object]] = {
     "clustering_coefficients": clustering_coefficients,
     "img_alt_captions": img_alt_captions,
+    "data_uri_images": data_uri_images,
+    "host_script_audit": host_script_audit,
     "link_triangle_counts": link_triangle_counts,
     "annotated_corpus_report": annotated_corpus_report,
     "url_path_templates": url_path_templates,
@@ -1434,6 +1566,8 @@ QUERIES: dict[str, Callable[[str], object]] = {
 ORACLES: dict[str, str] = {
     "clustering_coefficients": _CLUSTERING_COEFFICIENTS_SQL,
     "img_alt_captions": _IMG_ALT_CAPTIONS_SQL,
+    "data_uri_images": _DATA_URI_IMAGES_SQL,
+    "host_script_audit": _host_script_audit_sql(),
     "link_triangle_counts": _LINK_TRIANGLE_COUNTS_SQL,
     "annotated_corpus_report": _ANNOTATED_CORPUS_REPORT_SQL,
     "url_path_templates": _URL_PATH_TEMPLATES_SQL,

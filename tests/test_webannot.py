@@ -363,3 +363,21 @@ def test_parse_img_alts_attribute_forms_and_decoys():
     )
     assert parse_img_alts(html) == [
         ("/c.jpg", "two words"), ("/d.jpg", "plain")]
+
+
+def test_parse_data_uris_decodes_and_skips_corrupt():
+    import base64
+
+    from simple_content_ocr_ray.pipelines.webannot_queries import (
+        parse_data_uris,
+    )
+
+    good = base64.b64encode(b"BYTES").decode()
+    html = (
+        f'<img src="data:image/png;base64,{good}">'
+        '<img src="data:image/gif;base64,!!!corrupt">'
+        '<img src="/normal.jpg">'
+        f"<img src='data:IMAGE/JPEG;base64,{good}'>"
+    )
+    got = parse_data_uris(html)
+    assert got == [("image/png", b"BYTES"), ("image/jpeg", b"BYTES")]
