@@ -380,6 +380,7 @@ def run_headline() -> dict:
             "img_alt_captions",
             "data_uri_images",
             "host_script_audit",
+            "phrase_blocklist_hits",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)

@@ -1126,7 +1126,117 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# Multi-phrase blocklist scan (Aho–Corasick)
+# --------------------------------------------------------------------------
+
+#: multi-WORD phrases (the single-token case is word_blocklist_scores);
+#: chosen from the synth vocabulary so hits actually occur
+_PHRASE_BLOCKLIST = (
+    "key order",
+    "table scan",
+    "group by",
+    "slow query plan",
+)
+
+
+class AhoCorasick:
+    """Classic Aho–Corasick automaton: one pass over the text finds every
+    occurrence of every pattern simultaneously — the right shape for large
+    blocklists where per-pattern scans would be O(patterns × text). Built
+    once (per actor), goto/fail/output tables as plain dicts/lists."""
+
+    def __init__(self, patterns: list[str]) -> None:
+        self.patterns = list(patterns)
+        goto: list[dict[str, int]] = [{}]
+        out: list[list[int]] = [[]]
+        for pid, pat in enumerate(self.patterns):
+            s = 0
+            for ch in pat:
+                nxt = goto[s].get(ch)
+                if nxt is None:
+                    goto.append({})
+                    out.append([])
+                    nxt = len(goto) - 1
+                    goto[s][ch] = nxt
+                s = nxt
+            out[s].append(pid)
+        fail = [0] * len(goto)
+        from collections import deque
+
+        q = deque()
+        for s in goto[0].values():
+            q.append(s)
+        while q:
+            r = q.popleft()
+            for ch, s in goto[r].items():
+                q.append(s)
+                f = fail[r]
+                while f and ch not in goto[f]:
+                    f = fail[f]
+                fail[s] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != s else 0
+                out[s].extend(out[fail[s]])
+        self._goto, self._fail, self._out = goto, fail, out
+
+    def count_hits(self, text: str) -> list[int]:
+        """Occurrence count per pattern (overlaps counted, like LIKE scans
+        at every offset)."""
+        counts = [0] * len(self.patterns)
+        s = 0
+        goto, fail, out = self._goto, self._fail, self._out
+        for ch in text:
+            while s and ch not in goto[s]:
+                s = fail[s]
+            s = goto[s].get(ch, 0)
+            for pid in out[s]:
+                counts[pid] += 1
+        return counts
+
+
+class PhraseBlocklistStage:
+    """Actor-pool stage: automaton built ONCE per actor (the stateful-
+    setup pattern — for real blocklists this is thousands of phrases),
+    one linear scan per document."""
+
+    def __init__(self, patterns: tuple[str, ...] = _PHRASE_BLOCKLIST) -> None:
+        self.ac = AhoCorasick(list(patterns))
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for d, t in zip(df["doc_id"], df["text"]):
+            for pid, n in enumerate(self.ac.count_hits(str(t))):
+                if n:
+                    rows.append((int(d), self.ac.patterns[pid], n))
+        out = pd.DataFrame(rows, columns=["doc_id", "phrase", "n_hits"])
+        return out.astype({"doc_id": "int64", "n_hits": "int64"})
+
+
+def phrase_blocklist_hits(sf_dir: str) -> pd.DataFrame:
+    """Multi-word blocklist scan over the corpus: every phrase found in one
+    Aho–Corasick pass per document (vs O(patterns) LIKE scans), one row
+    per (doc, phrase) with the occurrence count."""
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+    out = docs.map_batches(
+        PhraseBlocklistStage,
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 4),
+    ).to_pandas()
+    return out.sort_values(["doc_id", "phrase"]).reset_index(drop=True)
+
+
+def _phrase_blocklist_sql() -> str:
+    selects = " UNION ALL ".join(
+        f"SELECT doc_id, '{p}' AS phrase, "
+        f"(length(text) - length(replace(text, '{p}', '')))"
+        f" // length('{p}') AS n_hits FROM documents"
+        for p in _PHRASE_BLOCKLIST
+    )
+    return f"SELECT doc_id, phrase, CAST(n_hits AS BIGINT) AS n_hits FROM ({selects}) WHERE n_hits > 0"
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
+    "phrase_blocklist_hits": phrase_blocklist_hits,
     "invisible_char_audit": invisible_char_audit,
     "snapshot_token_drift": snapshot_token_drift,
     "luhn_card_audit": luhn_card_audit,
@@ -1148,6 +1258,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "phrase_blocklist_hits": _phrase_blocklist_sql(),
     "invisible_char_audit": _INVISIBLE_CHAR_AUDIT_SQL,
     "snapshot_token_drift": _SNAPSHOT_TOKEN_DRIFT_SQL,
     "luhn_card_audit": _luhn_sql(),

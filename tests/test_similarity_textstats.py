@@ -418,3 +418,38 @@ def test_scrub_invisible_removes_exactly_the_injection():
     assert scrub_invisible(poisoned) == "ab evil cd"
     # every listed control char is scrubbed
     assert scrub_invisible(_ZERO_WIDTH + "x" + _BIDI) == "x"
+
+
+def test_aho_corasick_matches_naive_scan():
+    import random
+
+    from simple_content_ocr_ray.functions.text_stats import AhoCorasick
+
+    rng = random.Random(5)
+    pats = ["ab", "aba", "bab", "aa", "abcab"]
+    ac = AhoCorasick(pats)
+    for _ in range(50):
+        text = "".join(rng.choice("ab c") for _ in range(200))
+        got = ac.count_hits(text)
+        naive = [
+            sum(1 for i in range(len(text)) if text.startswith(p, i))
+            for p in pats
+        ]
+        assert got == naive, (text, got, naive)
+
+
+def test_phrase_blocklist_stage_counts(ray_session):
+    import pandas as pd
+
+    from simple_content_ocr_ray.functions.text_stats import (
+        PhraseBlocklistStage,
+    )
+
+    stage = PhraseBlocklistStage(("key order", "group by"))
+    out = stage(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["key order twice key order here", "nothing to see"],
+    }))
+    assert out.to_dict("records") == [
+        {"doc_id": 1, "phrase": "key order", "n_hits": 2}
+    ]
