@@ -381,6 +381,7 @@ def run_headline() -> dict:
             "data_uri_images",
             "host_script_audit",
             "phrase_blocklist_hits",
+            "heading_outline",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)

@@ -1320,6 +1320,102 @@ FROM pairs
 """
 
 
+_HEADING_RE = re.compile(
+    r"<h([1-6])\b[^>]*>(.*?)</h\1>", re.I | re.DOTALL
+)
+
+
+def parse_headings(html: str) -> list[tuple[int, str]]:
+    """(level, text) of every h1–h6 in document order, inner tags stripped
+    and whitespace collapsed — the document outline heading-aware chunkers
+    and TOC builders read."""
+    out = []
+    for m in _HEADING_RE.finditer(html):
+        text = _WSX_RE.sub(" ", re.sub(r"<[^>]*>", " ", m.group(2))).strip()
+        if text:
+            out.append((int(m.group(1)), text))
+    return out
+
+
+def make_outlined_page(d: int) -> bytes:
+    """Deterministic page with a real outline: one h1, 1 + d%3 h2 sections
+    each holding an h3 on odd ids; one heading carries an inline <em>
+    (strip path) and one empty h4 decoy must be skipped."""
+    parts = [
+        "<!doctype html><html><body>",
+        f"<h1>Title {d}</h1><h4>   </h4>",
+    ]
+    for i in range(1 + d % 3):
+        if i % 2:
+            parts.append(f"<h2>Section <em>{d}</em> {i}</h2>")
+        else:
+            parts.append(f"<h2>Section {d} {i}</h2>")
+        parts.append(f"<p>text {d} {i}</p>")
+        if d % 2:
+            parts.append(f"<h3>Sub {d} {i}</h3><p>more</p>")
+    parts.append("</body></html>")
+    return "".join(parts).encode()
+
+
+def heading_outline(sf_dir: str) -> pd.DataFrame:
+    """Document outlines corpus-wide: ordered (doc_id, pos, level, heading)
+    rows — the structure table heading-aware chunking, TOC extraction and
+    section-level dedup read. Per-page parse, no shuffle."""
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def outline(df: pd.DataFrame) -> pd.DataFrame:
+        ids, poss, levels, heads = [], [], [], []
+        for d in df["doc_id"]:
+            d = int(d)
+            for p, (lvl, text) in enumerate(
+                parse_headings(make_outlined_page(d).decode())
+            ):
+                ids.append(d)
+                poss.append(p)
+                levels.append(lvl)
+                heads.append(text)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "pos": pd.Series(poss, dtype="int64"),
+                "level": pd.Series(levels, dtype="int64"),
+                "heading": heads,
+            }
+        )
+
+    out = docs.map_batches(outline, batch_format="pandas").to_pandas()
+    return out.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+
+
+_HEADING_OUTLINE_SQL = """
+WITH secs AS (
+  SELECT doc_id, i
+  FROM documents, (VALUES (0), (1), (2)) t(i)
+  WHERE i < 1 + doc_id % 3
+), rows_ AS (
+  SELECT doc_id, -1 AS i, 0 AS sub, 1 AS level,
+         'Title ' || doc_id AS heading
+  FROM documents
+  UNION ALL
+  SELECT doc_id, i, 0 AS sub, 2 AS level,
+         'Section ' || doc_id || ' ' || i AS heading
+  FROM secs
+  UNION ALL
+  SELECT doc_id, i, 1 AS sub, 3 AS level,
+         'Sub ' || doc_id || ' ' || i AS heading
+  FROM secs WHERE doc_id % 2 = 1
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i, sub) - 1
+            AS BIGINT) AS pos,
+       CAST(level AS BIGINT) AS level,
+       heading
+FROM rows_
+"""
+
+
 _DATA_URI_RE = re.compile(
     r"""src\s*=\s*["']data:([a-z/+.-]+);base64,([A-Za-z0-9+/=]+)["']""",
     re.I,
@@ -1547,6 +1643,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "clustering_coefficients": clustering_coefficients,
     "img_alt_captions": img_alt_captions,
     "data_uri_images": data_uri_images,
+    "heading_outline": heading_outline,
     "host_script_audit": host_script_audit,
     "link_triangle_counts": link_triangle_counts,
     "annotated_corpus_report": annotated_corpus_report,
@@ -1567,6 +1664,7 @@ ORACLES: dict[str, str] = {
     "clustering_coefficients": _CLUSTERING_COEFFICIENTS_SQL,
     "img_alt_captions": _IMG_ALT_CAPTIONS_SQL,
     "data_uri_images": _DATA_URI_IMAGES_SQL,
+    "heading_outline": _HEADING_OUTLINE_SQL,
     "host_script_audit": _host_script_audit_sql(),
     "link_triangle_counts": _LINK_TRIANGLE_COUNTS_SQL,
     "annotated_corpus_report": _ANNOTATED_CORPUS_REPORT_SQL,

@@ -381,3 +381,16 @@ def test_parse_data_uris_decodes_and_skips_corrupt():
     )
     got = parse_data_uris(html)
     assert got == [("image/png", b"BYTES"), ("image/jpeg", b"BYTES")]
+
+
+def test_parse_headings_strip_and_skip():
+    from simple_content_ocr_ray.pipelines.webannot_queries import (
+        parse_headings,
+    )
+
+    html = (
+        "<h1>Top</h1><h4>   </h4><h2>Mid <em>em</em> tail</h2>"
+        "<H3 class='x'>cased</H3><h7>not a heading</h7>"
+    )
+    assert parse_headings(html) == [
+        (1, "Top"), (2, "Mid em tail"), (3, "cased")]
