@@ -164,7 +164,10 @@ def rtf_to_text(payload: bytes) -> str:
             i += 1
             continue
         if not skipping:
-            out.append(chr(c) if c < 0x80 else bytes([c]).decode("cp1252"))
+            out.append(
+                chr(c) if c < 0x80
+                else bytes([c]).decode("cp1252", "replace")
+            )
         i += 1
     if depth != 0:
         raise UnsupportedRtfError("unbalanced groups at EOF")

@@ -131,7 +131,9 @@ def test_flac_roundtrip_fuzz(data):
     elif kind == "quiet":
         pcm = rng.integers(-4, 4, n, dtype=np.int32)
     else:
-        pcm = rng.integers(-32768, 32767, n, dtype=np.int32)
+        # the stereo variant negates the signal, so stay within the range
+        # whose negation still fits 16 bits
+        pcm = rng.integers(-32767, 32768, n, dtype=np.int32)
     mode = data.draw(
         st.sampled_from(["verbatim", "fixed0", "fixed1", "fixed2", "lpc2"])
     )
@@ -161,3 +163,53 @@ def test_ico_roundtrip_fuzz(data):
         else np.concatenate([img, np.full((h, w, 1), 255, np.uint8)], axis=2)
     )
     assert (out == expect).all()
+
+
+@settings(max_examples=80, deadline=None)
+@given(_raw)
+def test_rtf_totality_on_garbage(blob):
+    from simple_content_ocr_ray.stages.rtf_text import (
+        UnsupportedRtfError,
+        rtf_to_text,
+    )
+
+    try:
+        rtf_to_text(b"{\\rtf1" + blob + b"}")
+    except UnsupportedRtfError:
+        pass
+
+
+@settings(max_examples=80, deadline=None)
+@given(_raw)
+def test_vtt_totality_on_garbage(blob):
+    from simple_content_ocr_ray.stages.vtt_text import (
+        UnsupportedVttError,
+        parse_srt,
+        parse_vtt,
+    )
+
+    try:
+        parse_vtt(b"WEBVTT\n" + blob)
+    except UnsupportedVttError:
+        pass
+    try:
+        parse_srt(blob)
+    except UnsupportedVttError:
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_rtf_roundtrip_fuzz(data):
+    from simple_content_ocr_ray.stages.rtf_text import make_rtf, rtf_to_text
+
+    n = data.draw(st.integers(0, 40))
+    text = "".join(
+        data.draw(
+            st.sampled_from(
+                ["a", "Z", "9", " ", "\n", "{", "}", "\\", "é", "—", "日"]
+            )
+        )
+        for _ in range(n)
+    )
+    assert rtf_to_text(make_rtf(text)) == text
