@@ -382,6 +382,7 @@ def run_headline() -> dict:
             "host_script_audit",
             "phrase_blocklist_hits",
             "heading_outline",
+            "media_corpus_report",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)

@@ -1497,6 +1497,94 @@ FROM documents
 """
 
 
+def media_corpus_report(sf_dir: str) -> pd.DataFrame:
+    """The multimodal-curation flagship for the session-7 channels: one
+    per-CDN-host report joining BOTH image sources a crawl carries —
+    fetched images referenced by <img src> (with their alt captions) and
+    inline ``data:`` URIs decoded through the real PNG decoder. Per cdn
+    host: caption-pair count, docs-with-inline count, and the mean inline
+    brightness (integer, floor). Both channels are parsed per page in one
+    map each; the rollup is |cdn-hosts|-bounded."""
+    from ..stages.png_decode import decode_png, make_png
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def channels(df: pd.DataFrame) -> pd.DataFrame:
+        import base64
+
+        rows = []
+        for d in df["doc_id"]:
+            d = int(d)
+            # channel 1: <img src>/alt caption pairs (cdn from the src URL)
+            for src, _alt in parse_img_alts(make_captioned_page(d).decode()):
+                host = src.split("/")[2]
+                rows.append((host, 1, 0, 0))
+            # channel 2: inline data: URI, decoded for real
+            png = make_png(
+                np.full((2 + d % 5, 3 + d % 6), d % 256, dtype=np.uint8)
+            )
+            page = (
+                "<!doctype html><body><img src=\"data:image/png;base64,"
+                + base64.b64encode(png).decode()
+                + '" alt="inline"></body>'
+            )
+            for mime, blob in parse_data_uris(page):
+                if mime == "image/png":
+                    img = decode_png(blob)
+                    rows.append(
+                        (f"cdn{d % 7}.example", 0, 1, int(img.mean()))
+                    )
+        return pd.DataFrame(
+            rows, columns=["cdn_host", "n_pairs", "n_inline", "bright_sum"]
+        )
+
+    agg = grouped_aggregate(
+        docs.map_batches(channels, batch_format="pandas"),
+        ["cdn_host"],
+        {
+            "n_caption_pairs": ("n_pairs", "sum"),
+            "n_inline_docs": ("n_inline", "sum"),
+            "bright_total": ("bright_sum", "sum"),
+        },
+    ).to_pandas()
+    agg = agg.astype(
+        {"n_caption_pairs": "int64", "n_inline_docs": "int64",
+         "bright_total": "int64"}
+    )
+    agg["mean_inline_brightness"] = (
+        agg["bright_total"] // agg["n_inline_docs"].clip(lower=1)
+    ).astype("int64")
+    out = agg[
+        ["cdn_host", "n_caption_pairs", "n_inline_docs",
+         "mean_inline_brightness"]
+    ]
+    return out.sort_values("cdn_host").reset_index(drop=True)
+
+
+_MEDIA_CORPUS_REPORT_SQL = """
+WITH pairs AS (
+  SELECT 'cdn' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS cdn_host
+  FROM documents, (VALUES (0), (1), (2)) t(i)
+  WHERE i < 1 + doc_id % 3 AND (doc_id + i) % 5 <> 0
+), p AS (
+  SELECT cdn_host, COUNT(*) AS n_caption_pairs FROM pairs GROUP BY cdn_host
+), inline AS (
+  SELECT 'cdn' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS cdn_host,
+         COUNT(*) AS n_inline_docs,
+         SUM(doc_id % 256) AS bright_total
+  FROM documents GROUP BY 1
+)
+SELECT inline.cdn_host,
+       CAST(COALESCE(p.n_caption_pairs, 0) AS BIGINT) AS n_caption_pairs,
+       CAST(n_inline_docs AS BIGINT) AS n_inline_docs,
+       CAST(bright_total // n_inline_docs AS BIGINT)
+         AS mean_inline_brightness
+FROM inline LEFT JOIN p ON p.cdn_host = inline.cdn_host
+"""
+
+
 #: Cyrillic homoglyphs that render like Latin a/e/o/p/c
 _HOMOGLYPHS = "аеорс"
 
@@ -1644,6 +1732,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "img_alt_captions": img_alt_captions,
     "data_uri_images": data_uri_images,
     "heading_outline": heading_outline,
+    "media_corpus_report": media_corpus_report,
     "host_script_audit": host_script_audit,
     "link_triangle_counts": link_triangle_counts,
     "annotated_corpus_report": annotated_corpus_report,
@@ -1665,6 +1754,7 @@ ORACLES: dict[str, str] = {
     "img_alt_captions": _IMG_ALT_CAPTIONS_SQL,
     "data_uri_images": _DATA_URI_IMAGES_SQL,
     "heading_outline": _HEADING_OUTLINE_SQL,
+    "media_corpus_report": _MEDIA_CORPUS_REPORT_SQL,
     "host_script_audit": _host_script_audit_sql(),
     "link_triangle_counts": _LINK_TRIANGLE_COUNTS_SQL,
     "annotated_corpus_report": _ANNOTATED_CORPUS_REPORT_SQL,
