@@ -383,6 +383,7 @@ def run_headline() -> dict:
             "phrase_blocklist_hits",
             "heading_outline",
             "media_corpus_report",
+            "heading_chunks",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)

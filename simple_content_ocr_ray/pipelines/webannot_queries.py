@@ -1416,6 +1416,86 @@ FROM rows_
 """
 
 
+def split_by_headings(html: str, level: int = 2) -> list[tuple[str, str]]:
+    """(heading, section text) chunks: the page split at every heading of
+    ``level`` or shallower, section text = the whitespace-collapsed text
+    content (all markup stripped, deeper headings folded in) between one
+    split heading and the next — heading-aware chunking for RAG/training
+    windows that must not straddle section boundaries."""
+    marks = [
+        (m.start(), m.end(), int(m.group(1)),
+         _WSX_RE.sub(" ", re.sub(r"<[^>]*>", " ", m.group(2))).strip())
+        for m in _HEADING_RE.finditer(html)
+    ]
+    splits = [m for m in marks if m[2] <= level and m[3]]
+    out = []
+    for idx, (_s, e, _lvl, head) in enumerate(splits):
+        end = splits[idx + 1][0] if idx + 1 < len(splits) else len(html)
+        body = re.sub(r"<[^>]*>", " ", html[e:end])
+        out.append((head, _WSX_RE.sub(" ", body).strip()))
+    return out
+
+
+def heading_chunks(sf_dir: str) -> pd.DataFrame:
+    """Section-level chunks corpus-wide over the outlined fixture: one row
+    per h≤2 section with its heading and the full text under it (deeper
+    headings fold into the section). Per-page segmentation, no shuffle."""
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def chunks(df: pd.DataFrame) -> pd.DataFrame:
+        ids, idxs, heads, texts = [], [], [], []
+        for d in df["doc_id"]:
+            d = int(d)
+            for i, (head, text) in enumerate(
+                split_by_headings(make_outlined_page(d).decode())
+            ):
+                ids.append(d)
+                idxs.append(i)
+                heads.append(head)
+                texts.append(text)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "section_idx": pd.Series(idxs, dtype="int64"),
+                "heading": heads,
+                "text": texts,
+            }
+        )
+
+    out = docs.map_batches(chunks, batch_format="pandas").to_pandas()
+    return out.sort_values(["doc_id", "section_idx"]).reset_index(drop=True)
+
+
+#: fixture sections: the h1 chunk holds no body text (the empty h4 decoy
+#: only); each h2 section holds 'text d i' plus, on odd docs, the folded
+#: h3 'Sub d i' and its 'more' paragraph
+_HEADING_CHUNKS_SQL = """
+WITH secs AS (
+  SELECT doc_id, i
+  FROM documents, (VALUES (0), (1), (2)) t(i)
+  WHERE i < 1 + doc_id % 3
+), rows_ AS (
+  SELECT doc_id, -1 AS i, 'Title ' || doc_id AS heading, '' AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id, i,
+         'Section ' || doc_id || ' ' || i AS heading,
+         'text ' || doc_id || ' ' || i
+           || CASE WHEN doc_id % 2 = 1
+                   THEN ' Sub ' || doc_id || ' ' || i || ' more'
+                   ELSE '' END AS text
+  FROM secs
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1
+            AS BIGINT) AS section_idx,
+       heading, text
+FROM rows_
+"""
+
+
 _DATA_URI_RE = re.compile(
     r"""src\s*=\s*["']data:([a-z/+.-]+);base64,([A-Za-z0-9+/=]+)["']""",
     re.I,
@@ -1733,6 +1813,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "data_uri_images": data_uri_images,
     "heading_outline": heading_outline,
     "media_corpus_report": media_corpus_report,
+    "heading_chunks": heading_chunks,
     "host_script_audit": host_script_audit,
     "link_triangle_counts": link_triangle_counts,
     "annotated_corpus_report": annotated_corpus_report,
@@ -1755,6 +1836,7 @@ ORACLES: dict[str, str] = {
     "data_uri_images": _DATA_URI_IMAGES_SQL,
     "heading_outline": _HEADING_OUTLINE_SQL,
     "media_corpus_report": _MEDIA_CORPUS_REPORT_SQL,
+    "heading_chunks": _HEADING_CHUNKS_SQL,
     "host_script_audit": _host_script_audit_sql(),
     "link_triangle_counts": _LINK_TRIANGLE_COUNTS_SQL,
     "annotated_corpus_report": _ANNOTATED_CORPUS_REPORT_SQL,

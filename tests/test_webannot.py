@@ -394,3 +394,20 @@ def test_parse_headings_strip_and_skip():
     )
     assert parse_headings(html) == [
         (1, "Top"), (2, "Mid em tail"), (3, "cased")]
+
+
+def test_split_by_headings_folds_deeper_levels():
+    from simple_content_ocr_ray.pipelines.webannot_queries import (
+        split_by_headings,
+    )
+
+    html = (
+        "<h1>Doc</h1><p>intro</p>"
+        "<h2>A</h2><p>a1</p><h3>A.1</h3><p>a2</p>"
+        "<h2>B</h2><p>b1</p>"
+    )
+    assert split_by_headings(html) == [
+        ("Doc", "intro"), ("A", "a1 A.1 a2"), ("B", "b1")]
+    # level=1 keeps everything in the h1 chunk
+    assert split_by_headings(html, level=1) == [
+        ("Doc", "intro A a1 A.1 a2 B b1")]
