@@ -61,8 +61,11 @@ DEFAULT_ROUTE.update({t: "mock" for t in IMAGE_TYPES})
 #: real-decoder routing (the reference always runs a real engine per route —
 #: ocr_service.py:83-108): from-scratch PDF text extraction plus real
 #: PNG / JPEG (baseline + progressive) / BMP / GIF(LZW) / uncompressed-TIFF /
-#: WebP-lossless(VP8L) decoders. Lossy VP8 (boolean-coder codec) is the one
-#: remaining documented decode seam — such payloads become failed rows.
+#: WebP (lossless VP8L + lossy VP8 key frames) / SVG / ICO / AVIF-geometry
+#: decoders, OOXML+EPUB text via the zip route, RTF, WebVTT/SRT subtitles,
+#: MP4 container metadata, and transparent bomb-guarded gzip. Remaining
+#: documented seams: VP8 normative default probability tables, AV1/HEVC
+#: pixel decode, lossy audio — such payloads become failed rows.
 REAL_ROUTE: dict[str, str] = {
     "html": "html-main-content",
     "pdf": "pdf-text",
