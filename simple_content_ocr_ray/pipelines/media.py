@@ -419,7 +419,14 @@ FROM documents
 class _FormatMetaStage:
     """Generic actor-pool stage for the lossless image codecs: synthesize a
     valid payload per doc (constant pixels, dims pure functions of doc_id),
-    decode with the REAL from-scratch decoder, emit typed metadata."""
+    decode with the REAL from-scratch decoder, emit typed metadata.
+
+    The encoding VARIANT also cycles with doc_id — TIFF rotates through all
+    four compressions (none / LZW / Deflate / PackBits, odd docs adding
+    Predictor 2), BMP alternates BI_RGB and BI_RLE8 — so the compressed
+    decode paths are exercised and hash-checked end-to-end, not just in
+    unit tests. The SQL mirror is unchanged: dims/brightness don't depend
+    on the wire encoding (that invariance IS the check)."""
 
     def __init__(self, fmt: str) -> None:
         import numpy as np
@@ -433,6 +440,16 @@ class _FormatMetaStage:
             "tiff": (imf.make_tiff, imf.decode_tiff, (9, 8), (6, 3)),
         }[fmt]
         self.enc, self.dec = enc, dec
+        if fmt == "tiff":
+            self.enc = lambda px, d: enc(
+                px,
+                compression=(1, 5, 8, 32773)[d % 4],
+                predictor=2 if d % 2 else 1,
+            )
+        elif fmt == "bmp":
+            self.enc = lambda px, d: enc(px, rle=bool(d % 2))
+        else:
+            self.enc = lambda px, d: enc(px)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         np = self.np
@@ -441,7 +458,7 @@ class _FormatMetaStage:
         for d in df["doc_id"]:
             d = int(d)
             px = np.full((hb + d % hm, wb + d % wm), d % 256, dtype=np.uint8)
-            img = self.dec(self.enc(px))
+            img = self.dec(self.enc(px, d))
             h, w = img.shape[:2]
             widths.append(w)
             heights.append(h)

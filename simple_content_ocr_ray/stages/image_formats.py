@@ -2,11 +2,16 @@
 
 Completes the real-decoder image family (PNG: stages/png_decode.py, JPEG:
 stages/jpeg_decode.py) for the remaining formats the reference accepts via
-PIL (/root/reference/src/simple_ocr/config.py:113-120): uncompressed
-BI_RGB BMP (8-bit palette / 24 / 32-bit), GIF87a/89a with a REAL LZW
-decoder (variable-width codes, clear/EOI, interlace), and uncompressed
-baseline TIFF (grayscale / RGB, strips, both endiannesses). WebP (VP8
-entropy coding) remains the one documented stub.
+PIL (/root/reference/src/simple_ocr/config.py:113-120): BI_RGB BMP
+(8-bit palette / 24 / 32-bit) plus RLE8-compressed BMP (all escape codes:
+EOL/EOB/delta/literal-with-pad), GIF87a/89a with a REAL LZW decoder
+(variable-width codes, clear/EOI, interlace), and baseline TIFF
+(grayscale / RGB, strips, both endiannesses) with the four common
+compressions: none (1), LZW (5 — MSB-first codes with the TIFF 6.0
+"EarlyChange" width rule, where the decoder widens one code EARLIER than
+GIF because its table lags the encoder's by one entry), PackBits (32773),
+and Deflate (8 / legacy 32946), each optionally under horizontal-
+differencing Predictor 2 (tag 317).
 
 Each format gets a matching minimal ENCODER used by tests and fixture
 synthesis — the GIF encoder emits genuine LZW (dictionary build + variable
@@ -46,11 +51,13 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     )[0]
     planes, bpp = struct.unpack_from("<HH", payload, 26)
     (compression,) = struct.unpack_from("<I", payload, 30)
-    if compression != 0:
+    if compression not in (0, 1):
         raise UnsupportedImageError(f"BMP compression {compression} unsupported")
+    if compression == 1 and bpp != 8:
+        raise UnsupportedImageError("BI_RLE8 requires 8-bit pixels")
     if bpp not in (8, 24, 32):
         raise UnsupportedImageError(f"BMP bpp {bpp} unsupported")
-    if w <= 0 or h_signed == 0:
+    if w <= 0 or h_signed == 0 or (compression == 1 and h_signed < 0):
         raise UnsupportedImageError("degenerate BMP dimensions")
     top_down = h_signed < 0
     h = abs(h_signed)
@@ -61,15 +68,18 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         pal_off = 14 + hdr_size
         raw = np.frombuffer(payload, np.uint8, colors * 4, pal_off)
         palette = raw.reshape(colors, 4)[:, :3][:, ::-1]  # BGRX → RGB
-    row_bytes = (w * bpp // 8 + 3) // 4 * 4
-    need = data_off + row_bytes * h
-    if len(payload) < need:
-        raise UnsupportedImageError("truncated BMP pixel data")
-    rows = np.frombuffer(payload, np.uint8, row_bytes * h, data_off).reshape(
-        h, row_bytes
-    )
-    if not top_down:
-        rows = rows[::-1]
+    if compression == 1:
+        rows = _bmp_rle8_decode(payload[data_off:], w, h)[::-1]  # bottom-up
+    else:
+        row_bytes = (w * bpp // 8 + 3) // 4 * 4
+        need = data_off + row_bytes * h
+        if len(payload) < need:
+            raise UnsupportedImageError("truncated BMP pixel data")
+        rows = np.frombuffer(payload, np.uint8, row_bytes * h, data_off).reshape(
+            h, row_bytes
+        )
+        if not top_down:
+            rows = rows[::-1]
     if bpp == 8:
         idx = rows[:, :w]
         rgb = palette[idx]
@@ -84,29 +94,95 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return px[:, :, 2::-1].copy()  # BGR(A) → RGB
 
 
-def make_bmp(pixels: np.ndarray) -> bytes:
+def _bmp_rle8_decode(data: bytes, w: int, h: int) -> np.ndarray:
+    """BI_RLE8 stream → (h, w) palette indices in BOTTOM-UP row order
+    (row 0 of the result is the bottom scanline, as stored). Handles all
+    four escapes: 00 00 end-of-line, 00 01 end-of-bitmap, 00 02 dx dy
+    delta (skipped cells stay 0 per the de-facto convention), and
+    00 n≥3 absolute runs padded to a 16-bit boundary."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = pos = 0
+    while pos + 1 < len(data) + 1:
+        if pos + 2 > len(data):
+            raise UnsupportedImageError("truncated BMP RLE8 stream")
+        n, v = data[pos], data[pos + 1]
+        pos += 2
+        if n > 0:  # encoded run: v repeated n times
+            if y >= h or x + n > w:
+                raise UnsupportedImageError("BMP RLE8 run overflows row")
+            out[y, x : x + n] = v
+            x += n
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            return out
+        elif v == 2:  # delta
+            if pos + 2 > len(data):
+                raise UnsupportedImageError("truncated BMP RLE8 delta")
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+            if x > w or y > h:
+                raise UnsupportedImageError("BMP RLE8 delta out of range")
+        else:  # absolute mode: v literal bytes, word-aligned
+            end = pos + v
+            if end > len(data) or y >= h or x + v > w:
+                raise UnsupportedImageError("BMP RLE8 literal overflows")
+            out[y, x : x + v] = np.frombuffer(data, np.uint8, v, pos)
+            x += v
+            pos = end + (v & 1)  # pad to 16-bit boundary
+    raise UnsupportedImageError("BMP RLE8 stream missing end-of-bitmap")
+
+
+def _bmp_rle8_encode(pixels: np.ndarray) -> bytes:
+    """(h, w) indices → BI_RLE8 stream (bottom-up): maximal runs ≤255 per
+    row, end-of-line after each row, end-of-bitmap terminator."""
+    out = bytearray()
+    for y in range(pixels.shape[0] - 1, -1, -1):
+        row = pixels[y]
+        i = 0
+        while i < len(row):
+            v = row[i]
+            n = 1
+            while i + n < len(row) and n < 255 and row[i + n] == v:
+                n += 1
+            out += bytes([n, int(v)])
+            i += n
+        out += b"\x00\x00"  # EOL
+    out += b"\x00\x01"  # EOB
+    return bytes(out)
+
+
+def make_bmp(pixels: np.ndarray, rle: bool = False) -> bytes:
     """Encode (h, w) grayscale (8-bit gray palette) or (h, w, 3) RGB
-    (24-bit) as an uncompressed bottom-up BMP."""
+    (24-bit) as a bottom-up BMP — uncompressed BI_RGB, or BI_RLE8 when
+    ``rle=True`` (grayscale only, per the format)."""
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
+    if rle and not gray:
+        raise ValueError("BI_RLE8 encodes 8-bit (grayscale-palette) only")
     bpp = 8 if gray else 24
     row_bytes = (w * bpp // 8 + 3) // 4 * 4
     pal = b""
     if gray:
         pal = b"".join(bytes([v, v, v, 0]) for v in range(256))
     data_off = 14 + 40 + len(pal)
-    size = data_off + row_bytes * h
+    if rle:
+        body = _bmp_rle8_encode(pixels)
+    else:
+        parts = []
+        for y in range(h - 1, -1, -1):  # bottom-up
+            if gray:
+                row = pixels[y].tobytes()
+            else:
+                row = pixels[y, :, ::-1].tobytes()  # RGB → BGR
+            parts.append(row + b"\x00" * (row_bytes - len(row)))
+        body = b"".join(parts)
     out = bytearray()
-    out += b"BM" + struct.pack("<IHHI", size, 0, 0, data_off)
-    out += struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0, row_bytes * h,
-                       2835, 2835, 256 if gray else 0, 0)
-    out += pal
-    for y in range(h - 1, -1, -1):  # bottom-up
-        if gray:
-            row = pixels[y].tobytes()
-        else:
-            row = pixels[y, :, ::-1].tobytes()  # RGB → BGR
-        out += row + b"\x00" * (row_bytes - len(row))
+    out += b"BM" + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+    out += struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 1 if rle else 0,
+                       len(body), 2835, 2835, 256 if gray else 0, 0)
+    out += pal + body
     return bytes(out)
 
 
@@ -307,16 +383,182 @@ def make_gif(pixels: np.ndarray) -> bytes:
 
 
 # --------------------------------------------------------------------------
-# TIFF (baseline, uncompressed, strips)
+# TIFF (baseline, strips; compressions 1/5/32773/8 + Predictor 2)
 # --------------------------------------------------------------------------
 
 _TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}
 
+_LZW_CLEAR, _LZW_EOI, _LZW_FIRST = 256, 257, 258
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF 6.0 §13 LZW: MSB-first variable-width codes (9→12 bits),
+    Clear=256, EOI=257. EarlyChange width rule: the DECODER widens when
+    its next free code reaches ``(1<<width)-1`` — one code earlier than
+    the encoder, because the decoder's string table lags the encoder's by
+    exactly one entry at the moment each code is read (libtiff's
+    ``maxcode = MAXCODE(nbits)-1``)."""
+    out = bytearray()
+    acc = nbits = pos = 0
+
+    def read_code(width: int) -> int:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                raise UnsupportedImageError("truncated TIFF LZW stream")
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        nbits -= width
+        code = acc >> nbits
+        acc &= (1 << nbits) - 1
+        return code
+
+    table: list[bytes] = []
+    free = _LZW_FIRST
+    width = 9
+    prev: bytes | None = None
+    while len(out) < expected:
+        code = read_code(width)
+        if code == _LZW_CLEAR:
+            table, free, width, prev = [], _LZW_FIRST, 9, None
+            continue
+        if code == _LZW_EOI:
+            break
+        if code < 256:
+            entry = bytes([code])
+        elif code - _LZW_FIRST < len(table):
+            entry = table[code - _LZW_FIRST]
+        elif code == free and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise UnsupportedImageError("invalid TIFF LZW code")
+        out += entry
+        if prev is not None and free < 4094:
+            table.append(prev + entry[:1])
+            free += 1
+            if free == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < expected:
+        raise UnsupportedImageError("TIFF LZW stream ended early")
+    return bytes(out[:expected])
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-flavor LZW encoder, exactly mirroring the decoder's width
+    schedule (encoder widens at ``free == 1<<width`` — one later than the
+    decoder; see _tiff_lzw_decode) and resetting at table code 4094."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+        acc &= (1 << nbits) - 1
+
+    table: dict[bytes, int] = {}
+    free = _LZW_FIRST
+    width = 9
+    put(_LZW_CLEAR, width)
+    prefix = b""
+    for b in data:
+        cand = prefix + bytes([b])
+        if len(cand) == 1 or cand in table:
+            prefix = cand
+            continue
+        put(prefix[0] if len(prefix) == 1 else table[prefix], width)
+        if free == 4094:
+            put(_LZW_CLEAR, width)
+            table, free, width = {}, _LZW_FIRST, 9
+        else:
+            table[cand] = free
+            free += 1
+            if free == (1 << width) and width < 12:
+                width += 1
+        prefix = bytes([b])
+    if prefix:
+        put(prefix[0] if len(prefix) == 1 else table[prefix], width)
+        free += 1
+        if free == (1 << width) and width < 12:
+            width += 1
+    put(_LZW_EOI, width)
+    if nbits:
+        put(0, 8 - nbits)  # flush: pad final byte with zero bits
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """Apple PackBits (TIFF compression 32773): n in 0..127 → copy n+1
+    literal bytes; n in -127..-1 → repeat next byte 1-n times; -128 noop."""
+    out = bytearray()
+    pos = 0
+    while len(out) < expected and pos < len(data):
+        n = data[pos] - 256 if data[pos] > 127 else data[pos]
+        pos += 1
+        if n >= 0:
+            if pos + n + 1 > len(data):
+                raise UnsupportedImageError("truncated PackBits literal")
+            out += data[pos : pos + n + 1]
+            pos += n + 1
+        elif n != -128:
+            if pos >= len(data):
+                raise UnsupportedImageError("truncated PackBits run")
+            out += bytes([data[pos]]) * (1 - n)
+            pos += 1
+    if len(out) < expected:
+        raise UnsupportedImageError("PackBits stream ended early")
+    return bytes(out[:expected])
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits encoder: maximal runs ≥2 as replicate packets, the rest as
+    literal packets, both capped at 128 bytes."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        # literal: scan forward until a run of ≥3 starts (2-byte runs are
+        # cheaper folded into the literal) or the 128 cap
+        j = i + 1
+        while j < n and j - i < 128:
+            if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
+
+
+def _unpredict2(arr: np.ndarray) -> np.ndarray:
+    """Reverse TIFF Predictor 2 (horizontal differencing): cumulative sum
+    mod 256 along each row, per sample channel."""
+    return np.cumsum(arr, axis=1, dtype=np.uint8)
+
+
+def _predict2(arr: np.ndarray) -> np.ndarray:
+    d = arr.astype(np.int16)
+    d[:, 1:] -= arr[:, :-1].astype(np.int16)
+    return (d % 256).astype(np.uint8)
+
 
 def decode_tiff(payload: bytes) -> np.ndarray:
-    """Baseline uncompressed TIFF (first IFD) → uint8 (h, w) or (h, w, ch).
+    """Baseline TIFF (first IFD) → uint8 (h, w) or (h, w, ch).
     Both byte orders; BitsPerSample 8; PhotometricInterpretation 0/1/2;
-    strip layout. Compression other than 1 (none) hits the seam."""
+    strip layout; compressions none (1), LZW (5), PackBits (32773) and
+    Deflate (8 / legacy 32946), decompressed PER STRIP, plus horizontal
+    Predictor 2 (tag 317). Anything else hits the seam."""
     if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
         raise UnsupportedImageError("not a TIFF payload")
     bo = "<" if payload[:2] == b"II" else ">"
@@ -354,32 +596,82 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     spp = tags.get(277, [1])[0]
     rows_per_strip = tags.get(278, [h])[0] or h
     strip_counts = tags.get(279)
-    if compression != 1:
+    predictor = tags.get(317, [1])[0]
+    if compression not in (1, 5, 8, 32773, 32946):
         raise UnsupportedImageError(f"TIFF compression {compression} unsupported")
+    if predictor not in (1, 2):
+        raise UnsupportedImageError(f"TIFF predictor {predictor} unsupported")
     if any(b != 8 for b in bits):
         raise UnsupportedImageError("only 8-bit TIFF supported")
     if photo not in (0, 1, 2) or not w or not h or strip_offs is None:
         raise UnsupportedImageError("unsupported/degenerate TIFF layout")
     if strip_counts is None:
+        if compression != 1:
+            raise UnsupportedImageError("compressed TIFF missing StripByteCounts")
         strip_counts = [w * spp * min(rows_per_strip, h)] * len(strip_offs)
-    data = b"".join(
-        payload[o : o + c] for o, c in zip(strip_offs, strip_counts)
+    chunks = []
+    for i, (o, c) in enumerate(zip(strip_offs, strip_counts)):
+        raw = payload[o : o + c]
+        if len(raw) < c:
+            raise UnsupportedImageError("truncated TIFF strips")
+        rows_here = min(rows_per_strip, h - i * rows_per_strip)
+        expected = rows_here * w * spp
+        if compression == 1:
+            if len(raw) < expected:
+                raise UnsupportedImageError("truncated TIFF strips")
+            plain = raw[:expected]
+        elif compression == 5:
+            plain = _tiff_lzw_decode(raw, expected)
+        elif compression == 32773:
+            plain = _packbits_decode(raw, expected)
+        else:  # 8 / 32946: Deflate
+            import zlib
+
+            try:
+                plain = zlib.decompress(raw)
+            except zlib.error as exc:
+                raise UnsupportedImageError(f"bad TIFF deflate strip: {exc}")
+            if len(plain) < expected:
+                raise UnsupportedImageError("short TIFF deflate strip")
+            plain = plain[:expected]
+        chunks.append(plain)
+    arr = np.frombuffer(b"".join(chunks), np.uint8, w * h * spp).reshape(
+        h, w, spp
     )
-    if len(data) < w * h * spp:
-        raise UnsupportedImageError("truncated TIFF strips")
-    arr = np.frombuffer(data, np.uint8, w * h * spp).reshape(h, w, spp)
+    if predictor == 2:
+        arr = _unpredict2(arr)
     if photo == 0:  # WhiteIsZero
         arr = 255 - arr
     return arr[:, :, 0].copy() if spp == 1 else arr.copy()
 
 
-def make_tiff(pixels: np.ndarray) -> bytes:
+def make_tiff(
+    pixels: np.ndarray, compression: int = 1, predictor: int = 1
+) -> bytes:
     """Encode (h, w) grayscale or (h, w, 3) RGB as a little-endian
-    uncompressed single-strip TIFF."""
+    single-strip TIFF — uncompressed (1), LZW (5), Deflate (8) or
+    PackBits (32773), optionally under horizontal Predictor 2."""
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
     spp = 1 if gray else 3
-    data = pixels.tobytes()
+    raw = pixels.reshape(h, w, spp)
+    if predictor == 2:
+        raw = _predict2(raw)
+    elif predictor != 1:
+        raise ValueError(f"predictor {predictor} unsupported")
+    plain = raw.tobytes()
+    if compression == 1:
+        data = plain
+    elif compression == 5:
+        data = _tiff_lzw_encode(plain)
+    elif compression == 8:
+        import zlib
+
+        data = zlib.compress(plain)
+    elif compression == 32773:
+        data = _packbits_encode(plain)
+    else:
+        raise ValueError(f"compression {compression} unsupported")
     # layout: header(8) + data + IFD
     data_off = 8
     ifd_off = data_off + len(data)
@@ -387,13 +679,15 @@ def make_tiff(pixels: np.ndarray) -> bytes:
         (256, 4, 1, w),            # ImageWidth
         (257, 4, 1, h),            # ImageLength
         (258, 3, spp, None),       # BitsPerSample (inline if spp<=2)
-        (259, 3, 1, 1),            # Compression: none
+        (259, 3, 1, compression),  # Compression
         (262, 3, 1, 1 if gray else 2),  # Photometric: BlackIsZero / RGB
         (273, 4, 1, data_off),     # StripOffsets
         (277, 3, 1, spp),          # SamplesPerPixel
         (278, 4, 1, h),            # RowsPerStrip
         (279, 4, 1, len(data)),    # StripByteCounts
     ]
+    if predictor == 2:
+        entries.append((317, 3, 1, 2))  # Predictor: horizontal differencing
     extra = b""
     extra_off = ifd_off + 2 + 12 * len(entries) + 4
     out_entries = b""

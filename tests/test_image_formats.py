@@ -74,12 +74,12 @@ def test_unsupported_seams():
     ):
         with pytest.raises((UnsupportedImageError, Exception)):
             fn(bad)
-    # compressed TIFF hits the documented seam by name
+    # TIFF compression outside {none, LZW, Deflate, PackBits} hits the
+    # documented seam by name (7 = JPEG-in-TIFF)
     t = bytearray(make_tiff(np.zeros((2, 2), np.uint8)))
-    # flip the Compression tag value (tag 259) from 1 to 5 (LZW)
     idx = t.find(b"\x03\x01\x03\x00\x01\x00\x00\x00\x01\x00")
     assert idx > 0
-    t[idx + 8] = 5
+    t[idx + 8] = 7
     with pytest.raises(UnsupportedImageError, match="compression"):
         decode_tiff(bytes(t))
 
@@ -155,3 +155,213 @@ def test_decode_image_routes_every_format():
         assert (flat == grey).all()
     with pytest.raises(UnsupportedImageError):
         decode_image(b"\x00\x01\x02 not an image")
+
+
+# --------------------------------------------------------------------------
+# Compressed TIFF (LZW / Deflate / PackBits, Predictor 2) and BMP RLE8
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("comp", [5, 8, 32773])
+@pytest.mark.parametrize("pred", [1, 2])
+def test_tiff_compressed_roundtrips_exact(comp, pred):
+    rng = np.random.RandomState(comp + pred)
+    for shape in [(6, 9), (6, 9, 3), (1, 1), (23, 57)]:
+        px = rng.randint(0, 256, shape).astype(np.uint8)
+        assert np.array_equal(decode_tiff(make_tiff(px, comp, pred)), px)
+        flat = np.full(shape, 200, np.uint8)
+        assert np.array_equal(decode_tiff(make_tiff(flat, comp, pred)), flat)
+
+
+def test_tiff_compression_actually_shrinks_flat_images():
+    flat = np.full((64, 100), 7, np.uint8)
+    plain = len(make_tiff(flat))
+    for comp in (5, 8, 32773):
+        assert len(make_tiff(flat, comp)) < plain / 4
+
+
+def test_tiff_lzw_width_growth_and_table_reset():
+    """A stream long enough to cross every code-width boundary (9→12) and
+    force the 4094 table reset must roundtrip byte-exact — this is where
+    the EarlyChange encoder/decoder width schedules would desynchronize."""
+    from simple_content_ocr_ray.stages.image_formats import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    rng = np.random.RandomState(0)
+    data = rng.randint(0, 256, 300_000).astype(np.uint8).tobytes()
+    assert _tiff_lzw_decode(_tiff_lzw_encode(data), len(data)) == data
+    rep = bytes(range(256)) * 800  # dictionary-heavy, hits the reset
+    assert _tiff_lzw_decode(_tiff_lzw_encode(rep), len(rep)) == rep
+
+
+def test_tiff_lzw_early_change_is_one_before_gif():
+    """The 255th code after CLEAR must be written at 10 bits (encoder
+    bumps after table entry 511) while the decoder bumps one entry
+    earlier — a GIF-style decoder (bump at 1<<width) applied to this
+    stream would misparse. Verified structurally: decoding with the
+    decoder's threshold shifted by one corrupts the roundtrip."""
+    from simple_content_ocr_ray.stages import image_formats as imf
+
+    data = bytes(range(256)) * 4  # 254+ fresh table entries, no repeats early
+    enc = imf._tiff_lzw_encode(data)
+    assert imf._tiff_lzw_decode(enc, len(data)) == data
+    # sanity: the stream is NOT a valid GIF-threshold stream — flipping the
+    # decoder's width rule to GIF's (1 << width) must break decode
+    orig = imf._tiff_lzw_decode.__code__
+    src_ok = True
+    try:
+        out = _gif_threshold_lzw_decode(enc, len(data))
+        src_ok = out == data
+    except UnsupportedImageError:
+        src_ok = False
+    assert not src_ok
+    assert orig is imf._tiff_lzw_decode.__code__
+
+
+def _gif_threshold_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF LZW decoder with GIF's LATE width change — used only to prove
+    the EarlyChange schedule is load-bearing."""
+    out = bytearray()
+    acc = nbits = pos = 0
+
+    def read_code(width):
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                raise UnsupportedImageError("truncated")
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        nbits -= width
+        code = acc >> nbits
+        acc &= (1 << nbits) - 1
+        return code
+
+    table, free, width, prev = [], 258, 9, None
+    while len(out) < expected:
+        code = read_code(width)
+        if code == 256:
+            table, free, width, prev = [], 258, 9, None
+            continue
+        if code == 257:
+            break
+        if code < 256:
+            entry = bytes([code])
+        elif code - 258 < len(table):
+            entry = table[code - 258]
+        elif code == free and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise UnsupportedImageError("invalid code")
+        out += entry
+        if prev is not None and free < 4094:
+            table.append(prev + entry[:1])
+            free += 1
+            if free == (1 << width) and width < 12:  # GIF: one LATER
+                width += 1
+        prev = entry
+    if len(out) < expected:
+        raise UnsupportedImageError("ended early")
+    return bytes(out[:expected])
+
+
+def test_tiff_multi_strip_compressed_decode():
+    """Hand-built two-strip LZW TIFF with Predictor 2: each strip is an
+    independent LZW stream; the predictor is per-row so strip boundaries
+    don't leak. Exercises the per-strip expected-length accounting."""
+    import struct
+
+    from simple_content_ocr_ray.stages.image_formats import (
+        _predict2,
+        _tiff_lzw_encode,
+    )
+
+    px = np.arange(5 * 7, dtype=np.uint8).reshape(5, 7) * 3
+    pred = _predict2(px.reshape(5, 7, 1)).reshape(5, 7)
+    s1 = _tiff_lzw_encode(pred[:3].tobytes())
+    s2 = _tiff_lzw_encode(pred[3:].tobytes())
+    off1 = 8
+    off2 = off1 + len(s1)
+    ifd_off = off2 + len(s2)
+    entries = [
+        (256, 4, 1, 7), (257, 4, 1, 5), (258, 3, 1, 8), (259, 3, 1, 5),
+        (262, 3, 1, 1), (277, 3, 1, 1), (278, 4, 1, 3), (317, 3, 1, 2),
+    ]
+    # strip arrays (2 values each) live past the IFD
+    extra_off = ifd_off + 2 + 12 * (len(entries) + 2) + 4
+    entries.insert(5, (273, 4, 2, extra_off))
+    entries.insert(7, (279, 4, 2, extra_off + 8))
+    body = b"".join(struct.pack("<HHII", *e) for e in sorted(entries))
+    extra = struct.pack("<II", off1, off2) + struct.pack("<II", len(s1), len(s2))
+    blob = (
+        b"II*\x00" + struct.pack("<I", ifd_off) + s1 + s2
+        + struct.pack("<H", len(entries)) + body + struct.pack("<I", 0) + extra
+    )
+    assert np.array_equal(decode_tiff(blob), px)
+
+
+def test_tiff_unsupported_compression_and_predictor_hit_seam():
+    px = np.zeros((2, 2), np.uint8)
+    blob = bytearray(make_tiff(px))
+    # Compression tag value lives in the IFD; corrupt it to JPEG-in-TIFF (7)
+    i = blob.find(b"\x03\x01")  # tag 259 little-endian
+    blob[i + 8] = 7
+    with pytest.raises(UnsupportedImageError, match="compression 7"):
+        decode_tiff(bytes(blob))
+    blob2 = bytearray(make_tiff(px, predictor=2))
+    j = blob2.find(b"\x3d\x01")  # tag 317
+    blob2[j + 8] = 3  # floating-point predictor: unsupported
+    with pytest.raises(UnsupportedImageError, match="predictor 3"):
+        decode_tiff(bytes(blob2))
+
+
+def test_tiff_truncated_compressed_strip_raises():
+    px = np.random.RandomState(3).randint(0, 256, (9, 13)).astype(np.uint8)
+    for comp in (5, 8, 32773):
+        blob = make_tiff(px, comp)
+        # chop bytes out of the strip body (strip starts at offset 8)
+        cut = blob[:30] + blob[60:]
+        with pytest.raises(UnsupportedImageError):
+            decode_tiff(cut)
+
+
+@pytest.mark.parametrize("shape", [(5, 8), (17, 31), (1, 1), (3, 256)])
+def test_bmp_rle8_roundtrip_exact(shape):
+    rng = np.random.RandomState(shape[1])
+    px = (rng.randint(0, 5, shape) * 51).astype(np.uint8)
+    assert np.array_equal(decode_bmp(make_bmp(px, rle=True)), px)
+
+
+def test_bmp_rle8_escape_codes_decoded():
+    """Hand-built stream using delta + absolute-literal escapes (which the
+    encoder never emits) — skipped cells default to palette index 0."""
+    import struct
+
+    from simple_content_ocr_ray.stages.image_formats import _bmp_rle8_decode
+
+    # 4x3 image: run 1x9; delta (0,+1); literal [1,2,3] (+pad byte);
+    # EOL; run 4x5; EOB
+    stream = bytes(
+        [1, 9, 0, 2, 0, 1, 0, 3, 1, 2, 3, 0, 0, 0, 4, 5, 0, 1]
+    )
+    out = _bmp_rle8_decode(stream, 4, 3)
+    assert out[0].tolist() == [9, 0, 0, 0]  # bottom row stored first
+    assert out[1].tolist() == [0, 1, 2, 3]  # delta kept x=1, literal filled
+    assert out[2].tolist() == [5, 5, 5, 5]
+
+
+def test_bmp_rle8_rejects_overflow_and_missing_eob():
+    from simple_content_ocr_ray.stages.image_formats import _bmp_rle8_decode
+
+    with pytest.raises(UnsupportedImageError, match="overflows"):
+        _bmp_rle8_decode(bytes([9, 1, 0, 1]), 4, 2)
+    with pytest.raises(UnsupportedImageError, match="end-of-bitmap"):
+        _bmp_rle8_decode(bytes([2, 1]), 4, 2)
+
+
+def test_bmp_rle_requires_8bit_and_bottom_up():
+    rgb = np.zeros((2, 2, 3), np.uint8)
+    with pytest.raises(ValueError):
+        make_bmp(rgb, rle=True)
