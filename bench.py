@@ -323,6 +323,7 @@ def run_headline() -> dict:
             "cdx_index",
             "line_dedup_clean",
             "hits_scores",
+            "kcore_nodes",
             "image_thumbnails",
             "dsir_doc_weights",
             "dsir_resample",

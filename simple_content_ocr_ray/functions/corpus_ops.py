@@ -1595,7 +1595,153 @@ FROM allhops WHERE node <> seed GROUP BY 1 ORDER BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# k-core decomposition (iterative peeling) over the link graph
+# --------------------------------------------------------------------------
+
+#: k-core parameters: the core order and the peel-round cap shared by the
+#: Ray side and the unrolled SQL mirror. The varying-out-degree HITS graph
+#: (d → (23d+7k) mod N, k = 1..1+d%3) converges in 5/8/10 rounds at
+#: N = 500 / 5k / 50k — the cap is slack above every test scale, and the
+#: Ray side additionally STOPS at the fixpoint, so results are identical
+#: whenever convergence happens within the cap (asserted in tests).
+KCORE_K = 3
+KCORE_ROUNDS = 16
+
+
+def kcore_nodes(sf_dir: str, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> pd.DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly delete nodes
+    of undirected degree < k until none remain; output the surviving
+    nodes with their degree INSIDE the core subgraph. The k-core is the
+    classic link-farm / spam-cluster separator next to PageRank/HITS —
+    dense cores survive, tendrils and sparse boilerplate link rings peel
+    away (Seidman 1983; web-graph usage per Kumar et al., "Trawling the
+    Web for emerging cyber-communities").
+
+    Graph: the deterministic varying-out-degree modular graph shared with
+    ``hits_scores`` (node d → (23d + 7k) mod N for k = 1..1+d%3), made
+    undirected and deduplicated.
+
+    Topology per peel round (all slim int64 pair/node tables — payloads
+    never enter):
+      1. degree: one partial+final grouped count over both edge endpoints;
+      2. the round's REMOVED set (deg < k) comes back to the driver — it
+         is the per-round peel DELTA, so across the whole run the driver
+         sees each node at most once; at 10^12-node scale the same filter
+         runs as a Bloom-prefiltered distributed anti-join instead
+         (``bloom_semi_prefilter``), with identical semantics;
+      3. edges drop rows touching removed nodes via one broadcast
+         anti-filter per endpoint, then MATERIALIZE — the standard
+         iterative-graph tradeoff (per-round materialization of the edge
+         table, as in GraphX/Pregel), which keeps round r+1 from
+         re-executing round r's lineage.
+    Terminates at the fixpoint (no removals) or after ``rounds`` peels,
+    whichever is first — mirroring the unrolled SQL exactly whenever the
+    fixpoint lands inside the cap."""
+    import pyarrow.parquet as pq
+
+    from .agg import broadcast_semi_filter
+
+    n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def und_edges(df: pd.DataFrame) -> pd.DataFrame:
+        src = df["doc_id"].to_numpy()
+        deg = 1 + (src % 3)
+        src_rep = np.repeat(src, deg)
+        starts = np.repeat(np.cumsum(deg) - deg, deg)
+        kk = np.arange(len(src_rep), dtype="int64") - starts + 1
+        dst = (23 * src_rep + 7 * kk) % n
+        keep = src_rep != dst
+        return pd.DataFrame(
+            {
+                "u": np.minimum(src_rep[keep], dst[keep]),
+                "v": np.maximum(src_rep[keep], dst[keep]),
+            }
+        )
+
+    edges = (
+        grouped_aggregate(
+            docs.map_batches(und_edges, batch_format="pandas"),
+            ["u", "v"],
+            {"m": (None, "count")},
+        )
+        .drop_columns(["m"])
+        .materialize()
+    )
+
+    def both_ends(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": np.concatenate([df["u"].to_numpy(), df["v"].to_numpy()])}
+        )
+
+    deg = None
+    for _ in range(rounds):
+        deg = grouped_aggregate(
+            edges, ["node"], {"deg": (None, "count")}, prepare=both_ends
+        ).materialize()
+        removed = deg.filter(expr=f"deg < {k}").to_pandas()
+        if removed.empty:
+            break
+        dead = frozenset(int(x) for x in removed["node"])
+        edges = broadcast_semi_filter(
+            broadcast_semi_filter(edges, dead, "u", anti=True),
+            dead,
+            "v",
+            anti=True,
+        ).materialize()
+    else:
+        # cap reached: recount so the reported degrees match the final
+        # edge set (mirrors the SQL's last unrolled degree pass)
+        deg = grouped_aggregate(
+            edges, ["node"], {"deg": (None, "count")}, prepare=both_ends
+        )
+
+    out = deg.to_pandas()
+    out = out[out["deg"] >= k].astype({"node": "int64", "deg": "int64"})
+    out = out.rename(columns={"node": "doc_id", "deg": "core_deg"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _kcore_sql(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    """Unrolled peeling mirror: each round re-derives degrees and drops
+    nodes below k; ``rounds`` rounds exactly (the Ray side's fixpoint
+    early-exit is equivalent once converged — extra rounds are no-ops)."""
+    parts = [
+        """WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT
+         LEAST(d.doc_id, (23 * d.doc_id + 7 * t.k) % (SELECT c FROM nn)) AS u,
+         GREATEST(d.doc_id, (23 * d.doc_id + 7 * t.k) % (SELECT c FROM nn)) AS v
+  FROM documents d, (VALUES (1), (2), (3)) t(k)
+  WHERE t.k <= 1 + d.doc_id % 3
+    AND d.doc_id <> (23 * d.doc_id + 7 * t.k) % (SELECT c FROM nn)
+)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+d{r} AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM (SELECT u AS node FROM e{r} UNION ALL SELECT v FROM e{r})
+        GROUP BY 1),
+e{r + 1} AS MATERIALIZED (SELECT u, v FROM e{r}
+        WHERE u NOT IN (SELECT node FROM d{r} WHERE deg < {k})
+          AND v NOT IN (SELECT node FROM d{r} WHERE deg < {k}))"""
+        )
+    parts.append(
+        f""",
+dfin AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM (SELECT u AS node FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+        GROUP BY 1)
+SELECT node AS doc_id, deg AS core_deg FROM dfin WHERE deg >= {k} ORDER BY 1"""
+    )
+    return "".join(parts)
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
+    "kcore_nodes": kcore_nodes,
     "two_hop_neighbors": two_hop_neighbors,
     "lang_outlier_docs": lang_outlier_docs,
     "doc_pagerank": doc_pagerank,
@@ -1622,6 +1768,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "kcore_nodes": _kcore_sql(),
     "two_hop_neighbors": _TWO_HOP_NEIGHBORS_SQL,
     "lang_outlier_docs": _LANG_OUTLIER_DOCS_SQL,
     "doc_pagerank": _pagerank_sql(),

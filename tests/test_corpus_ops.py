@@ -483,3 +483,63 @@ def test_near_dup_pairs_shared_mining(sf_dir, monkeypatch):
     corpus_ops.near_dup_components(sf_dir).count()
     corpus_ops.near_dup_keepers(sf_dir)
     assert len(calls) == 1
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition (iterative peeling)
+# --------------------------------------------------------------------------
+
+
+def _brute_kcore(n: int, k: int):
+    """Reference peeling in plain pandas over the HITS modular graph."""
+    import numpy as np
+
+    d = np.arange(n)
+    deg_out = 1 + d % 3
+    src = np.repeat(d, deg_out)
+    starts = np.repeat(np.cumsum(deg_out) - deg_out, deg_out)
+    kk = np.arange(len(src)) - starts + 1
+    dst = (23 * src + 7 * kk) % n
+    m = src != dst
+    e = pd.DataFrame(
+        {"u": np.minimum(src[m], dst[m]), "v": np.maximum(src[m], dst[m])}
+    ).drop_duplicates()
+    while True:
+        deg = pd.concat([e["u"], e["v"]]).value_counts()
+        dead = set(deg[deg < k].index)
+        if not dead:
+            break
+        e = e[~e["u"].isin(dead) & ~e["v"].isin(dead)]
+    deg = pd.concat([e["u"], e["v"]]).value_counts().sort_index()
+    return pd.DataFrame(
+        {"doc_id": deg.index.astype("int64"), "core_deg": deg.values.astype("int64")}
+    ).reset_index(drop=True)
+
+
+def test_kcore_matches_brute_force_peeling(sf_dir, ray_session):
+    import pyarrow.parquet as pq
+    import os
+
+    from simple_content_ocr_ray.functions.corpus_ops import KCORE_K, kcore_nodes
+
+    n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    got = kcore_nodes(sf_dir)
+    exp = _brute_kcore(n, KCORE_K)
+    pd.testing.assert_frame_equal(got, exp)
+    assert (got["core_deg"] >= KCORE_K).all()
+    # the peel is non-vacuous: some nodes were actually removed
+    assert len(got) < n
+
+
+def test_kcore_fixpoint_within_round_cap(sf_dir, ray_session):
+    """The unrolled SQL runs exactly KCORE_ROUNDS rounds; the Ray side
+    early-exits at the fixpoint. Equal results require convergence within
+    the cap — assert one round fewer already yields the same output."""
+    from simple_content_ocr_ray.functions.corpus_ops import (
+        KCORE_ROUNDS,
+        kcore_nodes,
+    )
+
+    a = kcore_nodes(sf_dir, rounds=KCORE_ROUNDS)
+    b = kcore_nodes(sf_dir, rounds=KCORE_ROUNDS - 1)
+    pd.testing.assert_frame_equal(a, b)
