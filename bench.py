@@ -339,6 +339,7 @@ def run_headline() -> dict:
             "host_template_lines",
             "langid_confusion",
             "structured_data",
+            "microdata_items",
             "hreflang_clusters",
             "registered_domain_stats",
             "word_blocklist_scores",

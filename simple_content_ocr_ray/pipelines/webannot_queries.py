@@ -125,7 +125,23 @@ def make_annotated_page(d: int) -> bytes:
             f'url=https://site{t % 97}.example/{t:08d}">'
         )
     parts.append(f"<script>var d={d};</script>")
-    parts.append(f"</head><body><p>body {d}</p></body></html>")
+    parts.append(f"</head><body><p>body {d}</p>")
+    if d % 4 != 1:  # HTML Microdata card (third structured-data channel)
+        q = '"' if d % 2 == 0 else "'"
+        parts.append(f"<div itemscope itemtype={q}https://schema.org/Product{q}>")
+        parts.append(f"<span itemprop={q}name{q}>Widget {d}</span>")
+        parts.append(f"<meta itemprop={q}sku{q} content={q}SKU-{d % 1000}{q}>")
+        parts.append(
+            f"<div itemprop={q}offers{q} itemscope "
+            f"itemtype={q}https://schema.org/Offer{q}>"
+        )
+        # nesting trap: price belongs to the nested Offer, NOT the Product
+        parts.append(f"<span itemprop={q}price{q}>{d % 500}.00</span>")
+        parts.append("</div></div>")
+    # orphan decoy: itemprop with no ancestor itemscope is invalid per the
+    # WHATWG microdata spec and must be ignored
+    parts.append('<span itemprop="orphan">decoy outside any itemscope</span>')
+    parts.append("</body></html>")
     return "\n".join(parts).encode()
 
 
@@ -228,6 +244,137 @@ UNION ALL
 SELECT doc_id, 'Organization', 'site' || (doc_id % 97), 1
 FROM documents WHERE doc_id % 5 = 0
 ORDER BY doc_id, position, sd_type
+"""
+
+
+# --------------------------------------------------------------------------
+# microdata_items — HTML Microdata (itemscope/itemtype/itemprop) extraction
+# --------------------------------------------------------------------------
+
+
+def parse_microdata(html: str) -> list[dict]:
+    """WHATWG HTML Microdata extraction — the third structured-data channel
+    next to JSON-LD (``structured_data``) and Open Graph. Stack-based over
+    stdlib ``html.parser`` so nesting is honored: a property belongs to its
+    NEAREST ancestor itemscope (the nested-item trap a flat regex fails), a
+    nested itemscope with an itemprop becomes a property of its parent item
+    (value = the child's itemtype), ``<meta itemprop content=…>`` yields the
+    content attribute, other property elements yield their collapsed inner
+    text, and an itemprop with NO ancestor itemscope is invalid per spec
+    and ignored. Returns one dict per property:
+    ``{"item_type", "prop", "value"}`` in document order."""
+    from html.parser import HTMLParser
+
+    _VOID = {"meta", "link", "img", "br", "hr", "input", "source"}
+
+    class P(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.rows: list[dict] = []
+            # each stack frame: [tag, item_type_or_None, prop_or_None, buf]
+            self.stack: list[list] = []
+
+        def _cur_item(self) -> str | None:
+            for fr in reversed(self.stack):
+                if fr[1] is not None:
+                    return fr[1]
+            return None
+
+        def handle_starttag(self, tag, attrs):
+            a = dict(attrs)
+            scope = "itemscope" in a
+            prop = a.get("itemprop")
+            owner = self._cur_item()
+            if scope:
+                itype = a.get("itemtype") or ""
+                if prop and owner is not None:
+                    self.rows.append(
+                        {"item_type": owner, "prop": prop, "value": itype}
+                    )
+                if tag not in _VOID:
+                    self.stack.append([tag, itype, None, None])
+                return
+            if prop and owner is not None:
+                if tag == "meta":
+                    self.rows.append(
+                        {
+                            "item_type": owner,
+                            "prop": prop,
+                            "value": a.get("content", ""),
+                        }
+                    )
+                    return
+                if tag not in _VOID:
+                    self.stack.append([tag, None, prop, []])
+                    return
+            if tag not in _VOID:
+                self.stack.append([tag, None, None, None])
+
+        def handle_data(self, data):
+            if self.stack and self.stack[-1][3] is not None:
+                self.stack[-1][3].append(data)
+
+        def handle_endtag(self, tag):
+            while self.stack:
+                fr = self.stack.pop()
+                if fr[2] is not None:  # text-valued property closes
+                    owner = self._cur_item()
+                    if owner is not None:
+                        self.rows.append(
+                            {
+                                "item_type": owner,
+                                "prop": fr[2],
+                                "value": " ".join("".join(fr[3]).split()),
+                            }
+                        )
+                if fr[0] == tag:
+                    break
+
+    p = P()
+    p.feed(html)
+    return p.rows
+
+
+def microdata_items(sf_dir: str) -> pd.DataFrame:
+    """Microdata inventory of the corpus: (doc_id, item_type, prop, value)
+    per extracted property — Product cards with a nested Offer here, so a
+    parser that flattens nesting mis-attributes the price and breaks the
+    hash. Pure per-page map, no shuffle at any scale."""
+    pages = _annotated_pages(sf_dir)
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for d, payload in zip(df["doc_id"], df["payload"]):
+            for r in parse_microdata(bytes(payload).decode()):
+                rows.append(
+                    {
+                        "doc_id": int(d),
+                        "item_type": r["item_type"].rsplit("/", 1)[-1],
+                        "prop": r["prop"],
+                        "value": r["value"],
+                    }
+                )
+        return pd.DataFrame(
+            rows, columns=["doc_id", "item_type", "prop", "value"]
+        ).astype({"doc_id": "int64"})
+
+    out = pages.map_batches(extract, batch_format="pandas").to_pandas()
+    return out.sort_values(["doc_id", "item_type", "prop"]).reset_index(
+        drop=True
+    )
+
+
+_MICRODATA_ITEMS_SQL = """
+WITH md AS (SELECT doc_id FROM documents WHERE doc_id % 4 <> 1)
+SELECT doc_id, 'Product' AS item_type, 'name' AS prop,
+       'Widget ' || doc_id AS value FROM md
+UNION ALL
+SELECT doc_id, 'Product', 'sku', 'SKU-' || (doc_id % 1000) FROM md
+UNION ALL
+SELECT doc_id, 'Product', 'offers', 'https://schema.org/Offer' FROM md
+UNION ALL
+SELECT doc_id, 'Offer', 'price', CAST(doc_id % 500 AS VARCHAR) || '.00' FROM md
+ORDER BY doc_id, item_type, prop
 """
 
 
@@ -1822,6 +1969,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "pagination_chains": pagination_chains,
     "opengraph_meta": opengraph_meta,
     "structured_data": structured_data,
+    "microdata_items": microdata_items,
     "hreflang_clusters": hreflang_clusters,
     "meta_robots_audit": meta_robots_audit,
     "registered_domain_stats": registered_domain_stats,
@@ -1845,6 +1993,7 @@ ORACLES: dict[str, str] = {
     "pagination_chains": _PAGINATION_CHAINS_SQL,
     "opengraph_meta": _OPENGRAPH_META_SQL,
     "structured_data": _STRUCTURED_DATA_SQL,
+    "microdata_items": _MICRODATA_ITEMS_SQL,
     "hreflang_clusters": _HREFLANG_CLUSTERS_SQL,
     "meta_robots_audit": _META_ROBOTS_AUDIT_SQL,
     "registered_domain_stats": _REGISTERED_DOMAIN_STATS_SQL,

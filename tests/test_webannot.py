@@ -411,3 +411,44 @@ def test_split_by_headings_folds_deeper_levels():
     # level=1 keeps everything in the h1 chunk
     assert split_by_headings(html, level=1) == [
         ("Doc", "intro A a1 A.1 a2 B b1")]
+
+
+def test_parse_microdata_nesting_and_decoys():
+    from simple_content_ocr_ray.pipelines.webannot_queries import parse_microdata
+
+    html = """
+    <body>
+    <span itemprop="orphan">ignored: no ancestor itemscope</span>
+    <div itemscope itemtype='https://schema.org/Product'>
+      <span itemprop=name>Widget  7</span>
+      <meta content="SKU-7" itemprop='sku'>
+      <div itemprop="offers" itemscope itemtype="https://schema.org/Offer">
+        <span itemprop="price">7.00</span>
+      </div>
+      <span itemprop="color">blue</span>
+    </div>
+    """
+    rows = parse_microdata(html)
+    assert {"item_type": "https://schema.org/Product", "prop": "name",
+            "value": "Widget 7"} in rows  # whitespace collapsed
+    assert {"item_type": "https://schema.org/Product", "prop": "sku",
+            "value": "SKU-7"} in rows  # meta content, attr order swapped
+    # nested item becomes a property whose value is the child type
+    assert {"item_type": "https://schema.org/Product", "prop": "offers",
+            "value": "https://schema.org/Offer"} in rows
+    # the nesting trap: price belongs to Offer, never Product
+    assert {"item_type": "https://schema.org/Offer", "prop": "price",
+            "value": "7.00"} in rows
+    assert not any(r["prop"] == "price" and "Product" in r["item_type"]
+                   for r in rows)
+    # property AFTER the nested item closes re-attaches to the outer item
+    assert {"item_type": "https://schema.org/Product", "prop": "color",
+            "value": "blue"} in rows
+    assert not any(r["prop"] == "orphan" for r in rows)
+
+
+def test_parse_microdata_empty_and_plain_pages():
+    from simple_content_ocr_ray.pipelines.webannot_queries import parse_microdata
+
+    assert parse_microdata("") == []
+    assert parse_microdata("<html><body><p>no items</p></body></html>") == []
