@@ -61,15 +61,37 @@ def _union_find_labels(pairs: pd.DataFrame) -> dict[int, int]:
     return {n: find(n) for n in parent}
 
 
-def _components_label_propagation(
-    nodes: rd.Dataset, pairs: rd.Dataset | pd.DataFrame, num_partitions: int = 8
-) -> rd.Dataset:
-    """Distributed min-label propagation: each round joins directed edges to
-    current labels and takes the per-node minimum; labels only decrease, so
-    the sum of labels is a convergence witness. Rounds = graph diameter."""
+def _label_prop_round(
+    edges: rd.Dataset, labels: rd.Dataset, num_partitions: int
+) -> tuple[rd.Dataset, int]:
+    """One min-label propagation round: join directed edges to current
+    labels, take the per-node minimum, materialize. Returns the new labels
+    and their sum (the monotone convergence witness — labels only ever
+    decrease, so an unchanged sum means a fixpoint). Shared by the plain
+    loop and the round-checkpointed variant (state/iter_checkpoint.py) so
+    the two cannot drift."""
+    msgs = edges.join(
+        labels,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("src",),
+        right_on=("node",),
+    ).map_batches(
+        lambda d: d.rename(columns={"dst": "node"})[["node", "label"]],
+        batch_format="pandas",
+    )
+    labels = grouped_aggregate(
+        labels.union(msgs), ["node"], {"label": ("label", "min")}
+    ).materialize()
+    return labels, labels.sum("label")
+
+
+def directed_edges(pairs: rd.Dataset | pd.DataFrame) -> rd.Dataset:
+    """(doc_a, doc_b) pair table → materialized directed edge table (both
+    directions), the propagation input."""
     if isinstance(pairs, pd.DataFrame):
         pairs = rd.from_pandas(pairs)
-    edges = pairs.map_batches(
+    return pairs.map_batches(
         lambda d: pd.concat(
             [
                 d.rename(columns={"doc_a": "src", "doc_b": "dst"}),
@@ -78,6 +100,15 @@ def _components_label_propagation(
         )[["src", "dst"]],
         batch_format="pandas",
     ).materialize()
+
+
+def _components_label_propagation(
+    nodes: rd.Dataset, pairs: rd.Dataset | pd.DataFrame, num_partitions: int = 8
+) -> rd.Dataset:
+    """Distributed min-label propagation: each round joins directed edges to
+    current labels and takes the per-node minimum; labels only decrease, so
+    the sum of labels is a convergence witness. Rounds = graph diameter."""
+    edges = directed_edges(pairs)
     num_partitions = max(
         2, min(num_partitions, int(ray.cluster_resources().get("CPU", num_partitions)))
     )
@@ -90,20 +121,7 @@ def _components_label_propagation(
     ).materialize()
     prev_sum = None
     for _ in range(LABEL_PROP_MAX_ITERS):
-        msgs = edges.join(
-            labels,
-            join_type="inner",
-            num_partitions=num_partitions,
-            on=("src",),
-            right_on=("node",),
-        ).map_batches(
-            lambda d: d.rename(columns={"dst": "node"})[["node", "label"]],
-            batch_format="pandas",
-        )
-        labels = grouped_aggregate(
-            labels.union(msgs), ["node"], {"label": ("label", "min")}
-        ).materialize()
-        s = labels.sum("label")
+        labels, s = _label_prop_round(edges, labels, num_partitions)
         if s == prev_sum:
             break
         prev_sum = s
