@@ -543,3 +543,11 @@ def test_kcore_fixpoint_within_round_cap(sf_dir, ray_session):
     a = kcore_nodes(sf_dir, rounds=KCORE_ROUNDS)
     b = kcore_nodes(sf_dir, rounds=KCORE_ROUNDS - 1)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_kcore_forced_large_path_matches_small(sf_dir, ray_session):
+    from simple_content_ocr_ray.functions.corpus_ops import kcore_nodes
+
+    small = kcore_nodes(sf_dir)
+    large = kcore_nodes(sf_dir, small_max_edges=0)
+    pd.testing.assert_frame_equal(small, large)
