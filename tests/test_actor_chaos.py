@@ -26,13 +26,17 @@ def _run(pages, **kw):
 
 
 def _extract_worker_pids() -> list[int]:
-    from ray.util.state import list_actors
+    import ray
 
+    # GCS-backed actor table (the dashboard state API is disabled here)
     pids = []
-    for a in list_actors(detail=True, limit=1000):
-        if a.state == "ALIVE" and "ExtractStage" in (a.class_name or ""):
-            if a.pid:
-                pids.append(int(a.pid))
+    for info in ray._private.state.actors().values():
+        if (
+            info.get("State") == "ALIVE"
+            and "ExtractStage" in info.get("ActorClassName", "")
+            and info.get("Pid")
+        ):
+            pids.append(int(info["Pid"]))
     return pids
 
 
