@@ -331,6 +331,7 @@ def run_headline() -> dict:
             "html_table_cells",
             "feed_entries",
             "fix_mojibake",
+            "nfc_normalize_audit",
             "soft404_flags",
             "wat_head_index",
             "cdc_chunk_dedup",

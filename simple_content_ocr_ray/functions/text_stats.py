@@ -814,6 +814,73 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# Unicode NFC normalization audit
+# --------------------------------------------------------------------------
+
+
+def nfc_normalize_audit(sf_dir: str) -> rd.Dataset:
+    """Unicode canonical-normalization pass — the corpus-hygiene step that
+    makes visually-identical strings byte-identical BEFORE any hash-based
+    dedup/decontam sees them (an NFD 'café' and an NFC 'café' are different
+    md5s and different shingles; web text mixes both, e.g. macOS filenames
+    and some CMS exports serve NFD). Deterministic fixture: a third of docs
+    get a DECOMPOSED suffix (combining acute + the U+212B angstrom sign,
+    which NFC maps to U+00C5 — a singleton composition a combining-only
+    normalizer misses), a third get the precomposed equivalent (already
+    NFC — must NOT be flagged), a third are untouched ASCII. Emits
+    (doc_id, was_normalized, text_nfc); the oracle recomputes both with
+    DuckDB's ``nfc_normalize``, which is codepoint-exact against Python's
+    ``unicodedata`` (verified over composition, singleton, and
+    canonical-reordering cases in tests). Embarrassingly parallel
+    map_batches, no shuffle."""
+    import unicodedata
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        # the two suffix literals RENDER identically but differ in bytes:
+        # residue 0 is decomposed (e + U+0301, U+212B), residue 1 is the
+        # precomposed NFC form (U+00E9, U+00C5)
+        served = [
+            t + " café Å" if int(i) % 3 == 0
+            else t + " café Å" if int(i) % 3 == 1
+            else t
+            for i, t in zip(ids, df["text"])
+        ]
+        out = [unicodedata.normalize("NFC", s) for s in served]
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "was_normalized": np.asarray(
+                    [1 if o != s else 0 for o, s in zip(out, served)],
+                    dtype="int64",
+                ),
+                "text_nfc": out,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+_NFC_NORMALIZE_AUDIT_SQL = """
+WITH served AS (
+  SELECT doc_id,
+         text || CASE doc_id % 3
+           WHEN 0 THEN ' cafe' || chr(769) || ' ' || chr(8491)
+           WHEN 1 THEN ' caf' || chr(233) || ' ' || chr(197)
+           ELSE '' END AS s
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN nfc_normalize(s) <> s THEN 1 ELSE 0 END AS BIGINT)
+         AS was_normalized,
+       nfc_normalize(s) AS text_nfc
+FROM served
+"""
+
+
+# --------------------------------------------------------------------------
 # Soft-404 detection (crawl-ops: error pages served with HTTP 200)
 # --------------------------------------------------------------------------
 
@@ -1241,6 +1308,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "snapshot_token_drift": snapshot_token_drift,
     "luhn_card_audit": luhn_card_audit,
     "fix_mojibake": fix_mojibake,
+    "nfc_normalize_audit": nfc_normalize_audit,
     "soft404_flags": soft404_flags,
     "doc_normalize": doc_normalize,
     "doc_quality_classifier": doc_quality_classifier,
@@ -1263,6 +1331,7 @@ ORACLES: dict[str, str] = {
     "snapshot_token_drift": _SNAPSHOT_TOKEN_DRIFT_SQL,
     "luhn_card_audit": _luhn_sql(),
     "fix_mojibake": _FIX_MOJIBAKE_SQL,
+    "nfc_normalize_audit": _NFC_NORMALIZE_AUDIT_SQL,
     "soft404_flags": _SOFT404_FLAGS_SQL,
     "doc_normalize": _DOC_NORMALIZE_SQL,
     "doc_quality_classifier": _DOC_QUALITY_CLASSIFIER_SQL,

@@ -453,3 +453,45 @@ def test_phrase_blocklist_stage_counts(ray_session):
     assert out.to_dict("records") == [
         {"doc_id": 1, "phrase": "key order", "n_hits": 2}
     ]
+
+
+def test_nfc_parity_with_duckdb_on_hard_cases():
+    """The oracle's validity rests on DuckDB nfc_normalize == Python
+    unicodedata NFC codepoint-for-codepoint: composition, the U+212B
+    singleton, canonical reordering of stacked combining marks, Hangul
+    jamo composition, and compatibility forms that NFC must NOT touch."""
+    import unicodedata
+
+    import duckdb
+
+    cases = [
+        "café",          # e + combining acute -> U+00E9
+        "Å",              # angstrom sign -> U+00C5 (singleton)
+        "x̣̂",       # circumflex+dot-below -> canonical reorder
+        "각",  # Hangul jamo -> precomposed syllable
+        "ﬁ ①",       # fi-ligature, circled 1: NFC keeps both
+        "already plain ascii",
+        "",
+    ]
+    for s in cases:
+        py = unicodedata.normalize("NFC", s)
+        db = duckdb.sql("select nfc_normalize(?)", params=[s]).fetchone()[0]
+        assert py == db, (s.encode("unicode_escape"), py, db)
+
+
+def test_nfc_normalize_audit_flags_and_output(sf_dir):
+    import unicodedata
+
+    from simple_content_ocr_ray.functions.text_stats import nfc_normalize_audit
+
+    df = nfc_normalize_audit(sf_dir).to_pandas().sort_values("doc_id")
+    assert (df["was_normalized"] == (df["doc_id"] % 3 == 0).astype(int)).all()
+    # every output is an NFC fixpoint
+    sample = df.head(200)
+    assert all(
+        unicodedata.normalize("NFC", t) == t for t in sample["text_nfc"]
+    )
+    # residues 0 and 1 converge to the SAME bytes after normalization
+    a = df[df["doc_id"] % 3 == 0]["text_nfc"].str[-7:].unique()
+    b = df[df["doc_id"] % 3 == 1]["text_nfc"].str[-7:].unique()
+    assert set(a) == set(b) == {" café Å"}

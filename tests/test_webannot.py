@@ -452,3 +452,17 @@ def test_parse_microdata_empty_and_plain_pages():
 
     assert parse_microdata("") == []
     assert parse_microdata("<html><body><p>no items</p></body></html>") == []
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="<>/= \"'abcdiv itemscopeproptyn0", max_size=400))
+def test_parse_microdata_total(s):
+    """Totality over adversarial tag soup (unbalanced tags, half-written
+    attributes, itemprop/itemscope fragments): never raises, always returns
+    a list of complete rows."""
+    from simple_content_ocr_ray.pipelines.webannot_queries import parse_microdata
+
+    rows = parse_microdata(s)
+    assert isinstance(rows, list)
+    for r in rows:
+        assert set(r) == {"item_type", "prop", "value"}
