@@ -341,6 +341,8 @@ def run_headline() -> dict:
             "langid_confusion",
             "structured_data",
             "microdata_items",
+            "img_srcset_candidates",
+            "canonical_clusters",
             "hreflang_clusters",
             "registered_domain_stats",
             "word_blocklist_scores",

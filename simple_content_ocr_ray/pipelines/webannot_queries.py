@@ -124,8 +124,28 @@ def make_annotated_page(d: int) -> bytes:
             f'<meta http-equiv="Refresh" content="{d % 30}; '
             f'url=https://site{t % 97}.example/{t:08d}">'
         )
+    # rel=canonical: triples (3c, 3c+1, 3c+2) all point at the triple head
+    # (3c is self-canonical); varied attribute order like the other links
+    canon = d - d % 3
+    if d % 3 == 0:
+        parts.append(
+            f'<link rel="canonical" href="https://site{canon % 97}.example/'
+            f'{canon:08d}">'
+        )
+    else:
+        parts.append(
+            f"<link href='https://site{canon % 97}.example/{canon:08d}' "
+            f"rel='canonical'>"
+        )
     parts.append(f"<script>var d={d};</script>")
     parts.append(f"</head><body><p>body {d}</p>")
+    if d % 5 != 2:  # responsive image: srcset candidates (NO alt, so the
+        # caption miner — which requires both halves — never sees it)
+        cdn = f"https://cdn{d % 7}.example/i"
+        parts.append(
+            f'<img srcset="{cdn}/{d}-480.jpg 480w, {cdn}/{d}-960.jpg 960w,'
+            f'  {cdn}/{d}@2x.jpg 2x" src="{cdn}/{d}.jpg">'
+        )
     if d % 4 != 1:  # HTML Microdata card (third structured-data channel)
         q = '"' if d % 2 == 0 else "'"
         parts.append(f"<div itemscope itemtype={q}https://schema.org/Product{q}>")
@@ -375,6 +395,149 @@ SELECT doc_id, 'Product', 'offers', 'https://schema.org/Offer' FROM md
 UNION ALL
 SELECT doc_id, 'Offer', 'price', CAST(doc_id % 500 AS VARCHAR) || '.00' FROM md
 ORDER BY doc_id, item_type, prop
+"""
+
+
+# --------------------------------------------------------------------------
+# img srcset candidates — responsive-image mining
+# --------------------------------------------------------------------------
+
+_IMG_TAG_RE = re.compile(r"<img\b[^>]*>", re.IGNORECASE)
+_W_DESC_RE = re.compile(r"^(\d+)w$")
+_X_DESC_RE = re.compile(r"^(\d+(?:\.\d+)?)x$")
+
+
+def parse_srcset(html: str) -> list[tuple[str, str, int]]:
+    """Image candidates from every ``<img srcset=…>``: (url, kind, qty)
+    per candidate in document order, where kind is 'w' (width descriptor,
+    qty = CSS px) or 'x' (density, qty = integer part). Candidate strings
+    are comma-separated URL + optional descriptor pairs per the HTML spec's
+    grammar (whitespace-tolerant; descriptor-less candidates default to
+    1x); malformed candidates are skipped, not fatal."""
+    out = []
+    for tag in _IMG_TAG_RE.findall(html):
+        a = _attrs(tag)
+        srcset = a.get("srcset")
+        if not srcset:
+            continue
+        for cand in srcset.split(","):
+            bits = cand.split()
+            if not bits:
+                continue
+            url = bits[0]
+            if len(bits) == 1:
+                out.append((url, "x", 1))
+                continue
+            m = _W_DESC_RE.match(bits[1])
+            if m:
+                out.append((url, "w", int(m.group(1))))
+                continue
+            m = _X_DESC_RE.match(bits[1])
+            if m:
+                out.append((url, "x", int(float(m.group(1)))))
+    return out
+
+
+def img_srcset_candidates(sf_dir: str) -> pd.DataFrame:
+    """Responsive-image candidate inventory: (doc_id, url, kind, qty) per
+    srcset candidate — the fetch list a multimodal crawler builds when one
+    <img> offers several resolutions (the plain ``src`` fallback is the
+    caption channel's job; srcset is where the high-res variants live).
+    Pure per-page map, no shuffle."""
+    pages = _annotated_pages(sf_dir)
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for d, payload in zip(df["doc_id"], df["payload"]):
+            for url, kind, qty in parse_srcset(bytes(payload).decode()):
+                rows.append(
+                    {"doc_id": int(d), "url": url, "kind": kind, "qty": qty}
+                )
+        return pd.DataFrame(
+            rows, columns=["doc_id", "url", "kind", "qty"]
+        ).astype({"doc_id": "int64", "qty": "int64"})
+
+    out = pages.map_batches(extract, batch_format="pandas").to_pandas()
+    return out.sort_values(["doc_id", "kind", "qty"]).reset_index(drop=True)
+
+
+_IMG_SRCSET_SQL = """
+WITH pages AS (SELECT doc_id, 'https://cdn' || (doc_id % 7) || '.example/i' AS cdn
+               FROM documents WHERE doc_id % 5 <> 2)
+SELECT doc_id, cdn || '/' || doc_id || '-480.jpg' AS url, 'w' AS kind,
+       CAST(480 AS BIGINT) AS qty FROM pages
+UNION ALL
+SELECT doc_id, cdn || '/' || doc_id || '-960.jpg', 'w', 960 FROM pages
+UNION ALL
+SELECT doc_id, cdn || '/' || doc_id || '@2x.jpg', 'x', 2 FROM pages
+ORDER BY doc_id, kind, qty
+"""
+
+
+# --------------------------------------------------------------------------
+# canonical_clusters — rel=canonical duplicate-cluster extraction
+# --------------------------------------------------------------------------
+
+
+def parse_canonical(html: str) -> str | None:
+    """href of the page's ``<link rel=canonical>`` (first wins), or None."""
+    for tag in _LINK_RE.findall(html):
+        a = _attrs(tag)
+        if a.get("rel", "").lower() == "canonical" and "href" in a:
+            return a["href"]
+    return None
+
+
+def canonical_clusters(sf_dir: str) -> pd.DataFrame:
+    """rel=canonical duplicate clusters — the publisher-declared dedup
+    channel (print views, tracking-parameter variants, AMP pages all point
+    at one canonical URL): per page, the parsed canonical target, a
+    self-canonical flag, and the CLUSTER SIZE (pages sharing the target).
+    Topology: per-page parse emits slim (doc_id, canonical_doc_id) pairs;
+    one bounded grouped count (≤ one row per cluster) broadcasts back over
+    the pair stream — pages never shuffle."""
+    pages = _annotated_pages(sf_dir)
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for d, payload in zip(df["doc_id"], df["payload"]):
+            href = parse_canonical(bytes(payload).decode())
+            if href is None:
+                continue
+            target = int(href.rsplit("/", 1)[-1])
+            rows.append(
+                {
+                    "doc_id": int(d),
+                    "canonical_doc_id": target,
+                    "is_self": 1 if target == int(d) else 0,
+                }
+            )
+        return pd.DataFrame(
+            rows, columns=["doc_id", "canonical_doc_id", "is_self"]
+        ).astype("int64")
+
+    ds = pages.map_batches(extract, batch_format="pandas")
+    sizes = grouped_aggregate(
+        ds.map_batches(
+            lambda d: d[["canonical_doc_id"]], batch_format="pandas"
+        ),
+        ["canonical_doc_id"],
+        {"cluster_size": (None, "count")},
+    ).to_pandas()
+    out = ds.to_pandas().merge(sizes, on="canonical_doc_id")
+    out["cluster_size"] = out["cluster_size"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_CANONICAL_CLUSTERS_SQL = """
+WITH c AS (
+  SELECT doc_id, doc_id - doc_id % 3 AS canonical_doc_id,
+         CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_self
+  FROM documents
+)
+SELECT doc_id, canonical_doc_id, is_self,
+       COUNT(*) OVER (PARTITION BY canonical_doc_id) AS cluster_size
+FROM c ORDER BY doc_id
 """
 
 
@@ -1970,6 +2133,8 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "opengraph_meta": opengraph_meta,
     "structured_data": structured_data,
     "microdata_items": microdata_items,
+    "img_srcset_candidates": img_srcset_candidates,
+    "canonical_clusters": canonical_clusters,
     "hreflang_clusters": hreflang_clusters,
     "meta_robots_audit": meta_robots_audit,
     "registered_domain_stats": registered_domain_stats,
@@ -1994,6 +2159,8 @@ ORACLES: dict[str, str] = {
     "opengraph_meta": _OPENGRAPH_META_SQL,
     "structured_data": _STRUCTURED_DATA_SQL,
     "microdata_items": _MICRODATA_ITEMS_SQL,
+    "img_srcset_candidates": _IMG_SRCSET_SQL,
+    "canonical_clusters": _CANONICAL_CLUSTERS_SQL,
     "hreflang_clusters": _HREFLANG_CLUSTERS_SQL,
     "meta_robots_audit": _META_ROBOTS_AUDIT_SQL,
     "registered_domain_stats": _REGISTERED_DOMAIN_STATS_SQL,

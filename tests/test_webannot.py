@@ -466,3 +466,51 @@ def test_parse_microdata_total(s):
     assert isinstance(rows, list)
     for r in rows:
         assert set(r) == {"item_type", "prop", "value"}
+
+
+def test_parse_srcset_grammar():
+    from simple_content_ocr_ray.pipelines.webannot_queries import parse_srcset
+
+    html = (
+        '<img srcset="a.jpg 480w,  b.jpg 2x ,c.jpg 1.5x, d.jpg,, bogus 7q" '
+        'src="f.jpg"><img src="no-srcset.jpg">'
+    )
+    got = parse_srcset(html)
+    assert got == [
+        ("a.jpg", "w", 480),
+        ("b.jpg", "x", 2),
+        ("c.jpg", "x", 1),     # integer part of density
+        ("d.jpg", "x", 1),     # descriptor-less candidate defaults to 1x
+    ]                           # 'bogus 7q' malformed -> skipped
+
+
+def test_parse_canonical_first_wins_and_none():
+    from simple_content_ocr_ray.pipelines.webannot_queries import parse_canonical
+
+    html = (
+        "<link rel='canonical' href='https://a/1'>"
+        '<link rel="canonical" href="https://a/2">'
+        '<link rel="stylesheet" href="/x.css">'
+    )
+    assert parse_canonical(html) == "https://a/1"
+    assert parse_canonical("<link rel='stylesheet' href='/x.css'>") is None
+
+
+def test_canonical_cluster_sizes(sf_dir, ray_session):
+    from simple_content_ocr_ray.pipelines.webannot_queries import canonical_clusters
+
+    df = canonical_clusters(sf_dir)
+    # full triples have size 3; a cut tail triple is smaller
+    assert set(df[df["doc_id"] % 3 == 1]["cluster_size"]) <= {2, 3}
+    full = df[df["canonical_doc_id"] < df["doc_id"].max() - 3]
+    assert (full["cluster_size"] == 3).all()
+    assert (df["is_self"] == (df["doc_id"] % 3 == 0).astype(int)).all()
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet='<>img sret=",wx0123. abc', max_size=300))
+def test_parse_srcset_total(s):
+    from simple_content_ocr_ray.pipelines.webannot_queries import parse_srcset
+
+    for url, kind, qty in parse_srcset(s):
+        assert kind in ("w", "x") and isinstance(qty, int)
