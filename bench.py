@@ -343,6 +343,7 @@ def run_headline() -> dict:
             "microdata_items",
             "img_srcset_candidates",
             "canonical_clusters",
+            "extract_html_text_density",
             "hreflang_clusters",
             "registered_domain_stats",
             "word_blocklist_scores",

@@ -64,6 +64,40 @@ WHERE doc_id % 20 NOT IN (0, 1, 2, 3)
 """
 
 
+def extract_html_text_density(sf_dir: str) -> rd.Dataset:
+    """The SECOND main-content strategy end-to-end: jusText-style
+    context-free per-paragraph density classification
+    (``stages/html_extractor.py:DensityExtractor``) over the same page
+    corpus — byte-identical main text per url, hash-checked against the
+    SAME ground truth as the Readability-style flagship
+    (``extract_html_text``). Two published extraction techniques, two
+    independent oracled channels; where their rules genuinely diverge is
+    pinned by unit tests instead. Actor pool; extractor built once per
+    actor."""
+    pages_dir = synth_pages_parquet(sf_dir)
+    pages = rd.read_parquet(pages_dir, columns=["url", "html"])
+
+    class DensityStage:
+        def __init__(self) -> None:
+            from ..stages.html_extractor import DensityExtractor
+
+            self.ex = DensityExtractor()
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            urls, texts = [], []
+            for u, payload in zip(df["url"], df["html"]):
+                raw = bytes(payload)
+                if not raw.startswith(b"<!doctype html>"):
+                    continue
+                urls.append(u)
+                texts.append(self.ex.extract(raw.decode("utf-8"))[0])
+            return pd.DataFrame({"url": urls, "text": texts})
+
+    return pages.map_batches(
+        DensityStage, batch_format="pandas", concurrency=(1, 4)
+    )
+
+
 def extract_real_routes(sf_dir: str) -> rd.Dataset:
     """The FLAGSHIP configuration end-to-end: real-payload corpus (valid
     minimal PDFs and PNGs — synth_pages.py real_payloads) through the
@@ -2805,6 +2839,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "exploded_pdf_text": exploded_pdf_text,
     "split_pdf_text": split_pdf_text,
     "extract_html_text": extract_html_text,
+    "extract_html_text_density": extract_html_text_density,
     "extract_real_routes": extract_real_routes,
     "route_counts": route_counts,
     "span_integrity_audit": span_integrity_audit,
@@ -2837,6 +2872,7 @@ ORACLES: dict[str, str] = {
     "exploded_pdf_text": _EXPLODED_PDF_TEXT_SQL,
     "split_pdf_text": _EXPLODED_PDF_TEXT_SQL,  # both paths, one truth
     "extract_html_text": _EXTRACT_HTML_TEXT_SQL,
+    "extract_html_text_density": _EXTRACT_HTML_TEXT_SQL,
     "extract_real_routes": _EXTRACT_REAL_ROUTES_SQL,
     "route_counts": _ROUTE_COUNTS_SQL,
     "pdf_page_counts": _PDF_PAGE_COUNTS_SQL,

@@ -450,3 +450,101 @@ class HtmlMainContentExtractor:
             {"start": p[1], "end": p[2], "kind": p[3]} for p in paragraphs
         ]
         return text, spans
+
+
+class DensityExtractor:
+    """SECOND main-content strategy: jusText/CETD-style context-free
+    per-paragraph classification (Pomikálek 2011, "Removing boilerplate and
+    duplicate content from web corpora"), vs HtmlMainContentExtractor's
+    best-single-container selection (Readability family). Two published
+    techniques, one parse: this class reuses the same block tree + segment
+    stream, so page parsing costs once per engine either way.
+
+    Each block's OWN text (subtree totals minus child-block totals — the
+    paragraph granularity jusText scores) is classified independently:
+
+      * link density = own_link / (own_text + own_link) > max_link_density
+        → boilerplate (nav lists, related-article rails);
+      * own non-ws text < length_low → boilerplate ("short" class; the
+        context-sensitive good-neighbor promotion of full jusText is
+        deliberately omitted — classification here is context-FREE, which
+        is what makes it embarrassingly parallel per page);
+      * else content.
+
+    Output: content paragraphs in document order joined by "\n\n" + raw
+    spans, same contract as HtmlMainContentExtractor.extract. The two
+    strategies agree byte-for-byte on well-formed article pages (both are
+    hash-oracled against ground truth on the synthetic corpus) and diverge
+    exactly where their published rules diverge: a medium-link-density
+    paragraph (0.33 < d < 0.5) INSIDE the main container is kept by
+    container selection but dropped by density classification, and a short
+    trailing paragraph likewise (asserted in tests)."""
+
+    def __init__(
+        self,
+        length_low: int = 25,
+        max_link_density: float = 1 / 3,
+        engine: str = "fast",
+    ) -> None:
+        self.length_low = length_low
+        self.max_link_density = max_link_density
+        self._base = HtmlMainContentExtractor(engine=engine)
+
+    def extract(self, html: str) -> tuple[str, list[dict]]:
+        if self._base.engine == "fast":
+            try:
+                parser = _FastScan(html)
+            except Exception:
+                parser = HtmlMainContentExtractor._stdlib_parse(html)
+        else:
+            parser = HtmlMainContentExtractor._stdlib_parse(html)
+
+        # own (paragraph-granular) text/link mass: subtree minus children
+        own_text = {id(b): b.text_len for b in parser.blocks}
+        own_link = {id(b): b.link_len for b in parser.blocks}
+        for b in parser.blocks:
+            if b.parent is not None:
+                own_text[id(b.parent)] -= b.text_len
+                own_link[id(b.parent)] -= b.link_len
+
+        good: set[int] = set()
+        for b in parser.blocks:
+            t, l = own_text[id(b)], own_link[id(b)]
+            total = t + l
+            if total <= 0:
+                continue
+            if l / total > self.max_link_density:
+                continue
+            if t + l < self.length_low:
+                continue
+            good.add(id(b))
+
+        paragraphs: list[tuple[str, int, int, str]] = []
+        cur: Optional[_Block] = None
+        parts: list[str] = []
+        cur_start = cur_end = 0
+
+        def flush() -> None:
+            nonlocal parts, cur
+            if cur is not None and parts:
+                text = " ".join("".join(parts).split())
+                if text:
+                    paragraphs.append((text, cur_start, cur_end, cur.tag))
+            parts = []
+
+        for seg in parser.segments:
+            if id(seg.block) not in good:
+                continue
+            if seg.block is not cur:
+                flush()
+                cur = seg.block
+                cur_start = seg.start
+            parts.append(seg.text)
+            cur_end = seg.end
+        flush()
+
+        text = "\n\n".join(p[0] for p in paragraphs)
+        spans = [
+            {"start": p[1], "end": p[2], "kind": p[3]} for p in paragraphs
+        ]
+        return text, spans

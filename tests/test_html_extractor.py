@@ -120,3 +120,79 @@ def test_span_audit_stage_catches_broken_offsets():
 
     bad = Shifted()(pd.DataFrame({"html": [html]}))
     assert bad.loc[0, "n_spans_ok"] == 0 and bad.loc[0, "n_pages_ok"] == 0
+
+
+# --------------------------------------------------------------------------
+# DensityExtractor (jusText-style) — second strategy
+# --------------------------------------------------------------------------
+
+
+def _article_page(body: str) -> str:
+    from simple_content_ocr_ray.sources.synth_pages import _HTML_TEMPLATE
+
+    return _HTML_TEMPLATE.format(doc_id=7, host=7, lang="en", body=body)
+
+
+def test_density_agrees_with_readability_on_article_pages():
+    from simple_content_ocr_ray.stages.html_extractor import (
+        DensityExtractor,
+        HtmlMainContentExtractor,
+    )
+
+    body = "<p>the quick brown fox jumps over the lazy dog again and again</p>"
+    page = _article_page(body)
+    for engine in ("fast", "stdlib"):
+        td, _ = DensityExtractor(engine=engine).extract(page)
+        tr, _ = HtmlMainContentExtractor(engine=engine).extract(page)
+        assert td == tr == (
+            "the quick brown fox jumps over the lazy dog again and again"
+        )
+
+
+def test_density_and_readability_diverge_where_their_rules_do():
+    """A medium-link-density paragraph and a short tail INSIDE the winning
+    container: container selection keeps them, per-paragraph density
+    classification drops them — the two published rules genuinely differ."""
+    from simple_content_ocr_ray.stages.html_extractor import (
+        DensityExtractor,
+        HtmlMainContentExtractor,
+    )
+
+    p1 = "this is the long main article paragraph with plenty of words in it"
+    p2 = "and a second equally long clean paragraph keeps the container first"
+    link = "read this <a href='/x'>sponsored partner content network promo</a> ok"
+    page = (
+        f"<html><body><div><p>{p1}</p><p>{p2}</p><p>{link}</p>"
+        f"<p>tiny tail note</p></div></body></html>"
+    )
+    td, _ = DensityExtractor().extract(page)
+    tr, _ = HtmlMainContentExtractor().extract(page)
+    assert td == f"{p1}\n\n{p2}"
+    assert "sponsored" in tr and "tiny tail note" in tr  # container keeps them
+    assert "sponsored" not in td and "tiny tail note" not in td
+
+
+def test_density_fast_and_stdlib_engines_identical():
+    from simple_content_ocr_ray.stages.html_extractor import DensityExtractor
+
+    pages = [
+        _article_page("<p>alpha beta gamma delta epsilon zeta eta theta iota</p>"),
+        "<div><ul><li><a href='/'>home</a></li></ul>"
+        "<p>actual content paragraph with enough words to pass the bar</p></div>",
+        "<p>short</p>",
+        "",
+    ]
+    for page in pages:
+        f = DensityExtractor(engine="fast").extract(page)
+        s = DensityExtractor(engine="stdlib").extract(page)
+        assert f == s, page[:60]
+
+
+def test_density_spans_point_at_source():
+    from simple_content_ocr_ray.stages.html_extractor import DensityExtractor
+
+    page = "<body><p>one good paragraph with sufficient length right here</p></body>"
+    text, spans = DensityExtractor().extract(page)
+    assert len(spans) == 1
+    s = spans[0]
+    assert page[s["start"]:s["end"]].strip() == text

@@ -75,3 +75,24 @@ def test_no_crash_on_garbage_markup(s):
     # unparseable fragments), but neither may crash
     FAST.extract(s)
     STD.extract(s)
+
+
+DFAST = __import__(
+    "simple_content_ocr_ray.stages.html_extractor", fromlist=["DensityExtractor"]
+).DensityExtractor(engine="fast")
+DSTD = __import__(
+    "simple_content_ocr_ray.stages.html_extractor", fromlist=["DensityExtractor"]
+).DensityExtractor(engine="stdlib")
+
+
+@settings(max_examples=150, deadline=None, derandomize=True)
+@given(doc)
+def test_density_fast_equals_stdlib_on_generated_docs(html):
+    assert DFAST.extract(html) == DSTD.extract(html)
+
+
+@settings(max_examples=80, deadline=None, derandomize=True)
+@given(st.text(alphabet="<>/ab &#;pdiv'\"=!-", max_size=120))
+def test_density_no_crash_on_garbage_markup(s):
+    DFAST.extract(s)
+    DSTD.extract(s)
