@@ -332,6 +332,7 @@ def run_headline() -> dict:
             "feed_entries",
             "fix_mojibake",
             "nfc_normalize_audit",
+            "c4_line_filters",
             "soft404_flags",
             "wat_head_index",
             "cdc_chunk_dedup",

@@ -1302,7 +1302,134 @@ def _phrase_blocklist_sql() -> str:
     return f"SELECT doc_id, phrase, CAST(n_hits AS BIGINT) AS n_hits FROM ({selects}) WHERE n_hits > 0"
 
 
+# --------------------------------------------------------------------------
+# C4 cleaning rules (Raffel et al. 2020, §2.2) with per-rule attribution
+# --------------------------------------------------------------------------
+
+#: served page = the doc text as one good line plus planted violations, all
+#: deterministic residues so the SQL mirror reconstructs every line:
+#:   d%3==0  → a line WITHOUT terminal punctuation        (line dropped)
+#:   d%4==1  → a line with fewer than 5 words             (line dropped)
+#:   d%5==2  → a line containing "javascript"             (line dropped)
+#:   d%7==3  → a "{" line                                 (whole DOC dropped)
+#:   d%11==4 → a "lorem ipsum" line                       (whole DOC dropped)
+_C4_NO_PUNCT = "breaking update posted by the editorial desk this morning"
+_C4_SHORT = "Read more here."
+_C4_JS = "Please enable javascript to view the comments powered by our partner."
+_C4_BRACE = "function(){ window.dataLayer.push(arguments); }"
+_C4_LOREM = "Lorem ipsum dolor sit amet, consectetur adipiscing elit."
+
+
+def _c4_served_lines(d: int, text: str) -> list[str]:
+    lines = [text + "."]
+    if d % 3 == 0:
+        lines.append(_C4_NO_PUNCT)
+    if d % 4 == 1:
+        lines.append(_C4_SHORT)
+    if d % 5 == 2:
+        lines.append(_C4_JS)
+    if d % 7 == 3:
+        lines.append(_C4_BRACE)
+    if d % 11 == 4:
+        lines.append(_C4_LOREM)
+    return lines
+
+
+def c4_line_filters(sf_dir: str) -> rd.Dataset:
+    """The C4 cleaning rule set (Raffel et al. 2020 §2.2 — the T5 corpus),
+    applied line-by-line with per-rule attribution over a served page
+    synthesized from each doc with planted violations:
+
+      LINE rules — keep only lines that (a) end in terminal punctuation
+      [.!?"], (b) have ≥ 5 words, (c) do not contain "javascript";
+      DOCUMENT rules — drop any page containing "{" or the phrase
+      "lorem ipsum" (case-insensitive) entirely.
+
+    Emits (doc_id, doc_kept, n_kept, n_dropped, first_rule, clean_text):
+    ``first_rule`` is the FIRST rule that fired anywhere on the page
+    (doc-level rules win, then line rules in a/b/c order; 'none' for clean
+    pages) — the attribution a corpus-curation report needs to say WHY
+    yield dropped. Pure map over the corpus; no shuffle at any scale."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for d, text in zip(df["doc_id"], df["text"]):
+            d = int(d)
+            lines = _c4_served_lines(d, text)
+            low = [ln.lower() for ln in lines]
+            if any("{" in ln for ln in lines):
+                rows.append((d, 0, 0, len(lines), "brace", ""))
+                continue
+            if any("lorem ipsum" in ln for ln in low):
+                rows.append((d, 0, 0, len(lines), "lorem", ""))
+                continue
+            kept, first = [], "none"
+            for ln, lo in zip(lines, low):
+                if not ln.rstrip().endswith((".", "!", "?", '"')):
+                    first = "punct" if first == "none" else first
+                elif len(ln.split()) < 5:
+                    first = "short" if first == "none" else first
+                elif "javascript" in lo:
+                    first = "javascript" if first == "none" else first
+                else:
+                    kept.append(ln)
+            rows.append(
+                (d, 1, len(kept), len(lines) - len(kept), first,
+                 "\n".join(kept))
+            )
+        out = pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "doc_kept", "n_kept", "n_dropped", "first_rule",
+                "clean_text",
+            ],
+        )
+        return out.astype(
+            {"doc_id": "int64", "doc_kept": "int64", "n_kept": "int64",
+             "n_dropped": "int64"}
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def _c4_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(doc_id % 7 = 3 AS INT) AS has_brace,
+         CAST(doc_id % 11 = 4 AS INT) AS has_lorem,
+         CAST(doc_id % 3 = 0 AS INT) AS has_punct,
+         CAST(doc_id % 4 = 1 AS INT) AS has_short,
+         CAST(doc_id % 5 = 2 AS INT) AS has_js,
+         text
+  FROM documents
+), n AS (
+  SELECT *, 1 + has_punct + has_short + has_js + has_brace + has_lorem
+           AS n_lines
+  FROM base
+)
+SELECT doc_id,
+       CAST(CASE WHEN has_brace + has_lorem > 0 THEN 0 ELSE 1 END AS BIGINT)
+         AS doc_kept,
+       CAST(CASE WHEN has_brace + has_lorem > 0 THEN 0
+            ELSE 1 END AS BIGINT) AS n_kept,
+       CAST(CASE WHEN has_brace + has_lorem > 0 THEN n_lines
+            ELSE n_lines - 1 END AS BIGINT) AS n_dropped,
+       CASE WHEN has_brace = 1 THEN 'brace'
+            WHEN has_lorem = 1 THEN 'lorem'
+            WHEN has_punct = 1 THEN 'punct'
+            WHEN has_short = 1 THEN 'short'
+            WHEN has_js = 1 THEN 'javascript'
+            ELSE 'none' END AS first_rule,
+       CASE WHEN has_brace + has_lorem > 0 THEN ''
+            ELSE text || '.' END AS clean_text
+FROM n ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
+    "c4_line_filters": c4_line_filters,
     "phrase_blocklist_hits": phrase_blocklist_hits,
     "invisible_char_audit": invisible_char_audit,
     "snapshot_token_drift": snapshot_token_drift,
@@ -1332,6 +1459,7 @@ ORACLES: dict[str, str] = {
     "luhn_card_audit": _luhn_sql(),
     "fix_mojibake": _FIX_MOJIBAKE_SQL,
     "nfc_normalize_audit": _NFC_NORMALIZE_AUDIT_SQL,
+    "c4_line_filters": _c4_sql(),
     "soft404_flags": _SOFT404_FLAGS_SQL,
     "doc_normalize": _DOC_NORMALIZE_SQL,
     "doc_quality_classifier": _DOC_QUALITY_CLASSIFIER_SQL,

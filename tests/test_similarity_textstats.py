@@ -495,3 +495,32 @@ def test_nfc_normalize_audit_flags_and_output(sf_dir):
     a = df[df["doc_id"] % 3 == 0]["text_nfc"].str[-7:].unique()
     b = df[df["doc_id"] % 3 == 1]["text_nfc"].str[-7:].unique()
     assert set(a) == set(b) == {" café Å"}
+
+
+def test_c4_rules_fire_exactly_per_residue(sf_dir):
+    from simple_content_ocr_ray.functions.text_stats import c4_line_filters
+
+    df = c4_line_filters(sf_dir).to_pandas().sort_values("doc_id")
+    d = df["doc_id"]
+    # document rules: brace (d%7==3) beats lorem (d%11==4); both drop the doc
+    assert (df["doc_kept"] == 0).equals((d % 7 == 3) | (d % 11 == 4))
+    assert (df.loc[d % 7 == 3, "first_rule"] == "brace").all()
+    only_lorem = (d % 11 == 4) & (d % 7 != 3)
+    assert (df.loc[only_lorem, "first_rule"] == "lorem").all()
+    # line-rule attribution order: punct > short > javascript
+    kept = df[df["doc_kept"] == 1]
+    k = kept["doc_id"]
+    assert (kept.loc[k % 3 == 0, "first_rule"] == "punct").all()
+    assert (
+        kept.loc[(k % 3 != 0) & (k % 4 == 1), "first_rule"] == "short"
+    ).all()
+    assert (
+        kept.loc[(k % 3 != 0) & (k % 4 != 1) & (k % 5 == 2), "first_rule"]
+        == "javascript"
+    ).all()
+    clean = kept[(k % 3 != 0) & (k % 4 != 1) & (k % 5 != 2)]
+    assert (clean["first_rule"] == "none").all()
+    assert (clean["n_dropped"] == 0).all()
+    # survivors keep exactly the article line, terminal punctuation intact
+    assert kept["clean_text"].str.endswith(".").all()
+    assert (kept["n_kept"] == 1).all()
