@@ -324,6 +324,7 @@ def run_headline() -> dict:
             "line_dedup_clean",
             "hits_scores",
             "kcore_nodes",
+            "domain_cap_sample",
             "image_thumbnails",
             "dsir_doc_weights",
             "dsir_resample",

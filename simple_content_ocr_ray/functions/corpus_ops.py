@@ -1794,8 +1794,77 @@ SELECT node AS doc_id, deg AS core_deg FROM dfin WHERE deg >= {k} ORDER BY 1"""
     return "".join(parts)
 
 
+# --------------------------------------------------------------------------
+# Per-domain page cap (FineWeb-style domain balancing)
+# --------------------------------------------------------------------------
+
+DOMAIN_CAP = 5
+_DOMAIN_MOD = 97  # the corpus' site<doc_id % 97>.example host mapping
+
+
+def domain_cap_sample(sf_dir: str, cap: int = DOMAIN_CAP) -> pd.DataFrame:
+    """Domain balancing: keep at most ``cap`` pages per registered domain,
+    selected DETERMINISTICALLY by md5 rank (the FineWeb/RefinedWeb move
+    against SEO farms and mirror forests dominating the token budget — a
+    handful of hosts can contribute millions of near-identical pages).
+
+    Topology: per-batch LOCAL pre-cap (each batch keeps its own ``cap``
+    smallest md5 ranks per domain — min-k of min-ks is associative, so
+    this loses nothing) shrinks the shuffle to ≤ cap rows per (domain,
+    batch); one range shuffle by domain then ranks each domain-run inside
+    whole sorted blocks (``map_sorted_runs`` — no per-domain python). The
+    pre-cap also bounds any hot domain's sorted run by cap × #batches
+    regardless of how many pages the domain has. Payload text never moves;
+    the shuffle carries (doc_id, domain, rank-key) only."""
+    from .agg import map_sorted_runs
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def local_cap(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].astype("int64")
+        out = pd.DataFrame(
+            {
+                "doc_id": d,
+                "domain": "site" + (d % _DOMAIN_MOD).astype(str) + ".example",
+                "rk": [
+                    hashlib.md5(str(x).encode()).hexdigest() for x in d
+                ],
+            }
+        )
+        out = out.sort_values(["rk", "doc_id"], kind="mergesort")
+        return out.groupby("domain", sort=False).head(cap)
+
+    def rank_runs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["domain", "rk", "doc_id"], kind="mergesort")
+        df = df.copy()
+        df["rank"] = df.groupby("domain", sort=False).cumcount() + 1
+        return df[df["rank"] <= cap][["doc_id", "domain", "rank"]]
+
+    shrunk = docs.map_batches(local_cap, batch_format="pandas")
+    kept = map_sorted_runs(shrunk, "domain", rank_runs).to_pandas()
+    kept = kept.astype({"doc_id": "int64", "rank": "int64"})
+    return kept.sort_values(["domain", "rank"]).reset_index(drop=True)
+
+
+_DOMAIN_CAP_SQL = f"""
+SELECT doc_id, domain, rank FROM (
+  SELECT doc_id,
+         'site' || CAST(doc_id % {_DOMAIN_MOD} AS VARCHAR) || '.example'
+           AS domain,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id % {_DOMAIN_MOD}
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+  FROM documents
+) WHERE rank <= {DOMAIN_CAP}
+ORDER BY domain, rank
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
     "kcore_nodes": kcore_nodes,
+    "domain_cap_sample": domain_cap_sample,
     "two_hop_neighbors": two_hop_neighbors,
     "lang_outlier_docs": lang_outlier_docs,
     "doc_pagerank": doc_pagerank,
@@ -1823,6 +1892,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 
 ORACLES: dict[str, str] = {
     "kcore_nodes": _kcore_sql(),
+    "domain_cap_sample": _DOMAIN_CAP_SQL,
     "two_hop_neighbors": _TWO_HOP_NEIGHBORS_SQL,
     "lang_outlier_docs": _LANG_OUTLIER_DOCS_SQL,
     "doc_pagerank": _pagerank_sql(),

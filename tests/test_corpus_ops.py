@@ -551,3 +551,37 @@ def test_kcore_forced_large_path_matches_small(sf_dir, ray_session):
     small = kcore_nodes(sf_dir)
     large = kcore_nodes(sf_dir, small_max_edges=0)
     pd.testing.assert_frame_equal(small, large)
+
+
+def test_domain_cap_sample_matches_brute_force(sf_dir, ray_session):
+    import hashlib
+
+    from simple_content_ocr_ray.functions.corpus_ops import (
+        DOMAIN_CAP,
+        _DOMAIN_MOD,
+        domain_cap_sample,
+    )
+
+    got = domain_cap_sample(sf_dir)
+    # brute force: global md5 rank per domain
+    import pyarrow.parquet as pq
+    import os
+
+    ids = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    df = pd.DataFrame({"doc_id": ids})
+    df["domain"] = "site" + (df["doc_id"] % _DOMAIN_MOD).astype(str) + ".example"
+    df["rk"] = [hashlib.md5(str(x).encode()).hexdigest() for x in df["doc_id"]]
+    df = df.sort_values(["domain", "rk", "doc_id"]).reset_index(drop=True)
+    df["rank"] = df.groupby("domain", sort=False).cumcount() + 1
+    exp = (
+        df[df["rank"] <= DOMAIN_CAP][["doc_id", "domain", "rank"]]
+        .sort_values(["domain", "rank"])
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "rank": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    # the cap actually bites: at least one domain lost a page
+    assert len(got) < len(df)
+    assert got.groupby("domain").size().max() <= DOMAIN_CAP
