@@ -244,6 +244,7 @@ def run_headline() -> dict:
             "user_sessions",
             "dedup_exact_docs",
             "minhash_lsh_pairs",
+            "incremental_near_dup_pairs",
             "ngram_jaccard_pairs",
             "simhash_pairs",
             "near_dup_components",

@@ -943,37 +943,42 @@ GROUP BY doc_id ORDER BY doc_id
 # MinHash + LSH banding
 # --------------------------------------------------------------------------
 
+def _band_rows(df: pd.DataFrame, a: np.ndarray, b: np.ndarray) -> pd.DataFrame:
+    """(doc_id, text) batch → LSH band-bucket rows (doc_id, bucket), one per
+    band. Bucket key = mix(band, band's signature rows) — vectorized over
+    the whole batch (the per-doc per-band blake2b loop was the r1 cost
+    center); collisions only add candidates, removed by exact verify."""
+    rows_per_band = NUM_PERMS // NUM_BANDS
+    n = len(df)
+    if n == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "bucket": pd.Series([], dtype="int64")})
+    sigs = np.stack(
+        [minhash_signature(shingle_hashes(t), a, b) for t in df["text"]]
+    )  # (n, NUM_PERMS)
+    chunks = sigs.reshape(n, NUM_BANDS, rows_per_band)
+    band_ids = np.broadcast_to(
+        np.arange(NUM_BANDS, dtype=np.int64), (n, NUM_BANDS)
+    )
+    bucket = mix64(
+        band_ids.ravel(),
+        *[chunks[:, :, r].ravel() for r in range(rows_per_band)],
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), NUM_BANDS),
+            "bucket": bucket,
+        }
+    )
+
+
 def minhash_lsh_pairs(sf_dir: str) -> pd.DataFrame:
     # consumed three times (band explode + both verify joins) — pin if small
     corpus = _pin_if_small(near_dup_corpus(sf_dir), sf_dir)
     a, b = _minhash_params()
-    rows_per_band = NUM_PERMS // NUM_BANDS
 
     def band_rows(df: pd.DataFrame) -> pd.DataFrame:
-        n = len(df)
-        if n == 0:
-            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                                 "bucket": pd.Series([], dtype="int64")})
-        sigs = np.stack(
-            [minhash_signature(shingle_hashes(t), a, b) for t in df["text"]]
-        )  # (n, NUM_PERMS)
-        chunks = sigs.reshape(n, NUM_BANDS, rows_per_band)
-        band_ids = np.broadcast_to(
-            np.arange(NUM_BANDS, dtype=np.int64), (n, NUM_BANDS)
-        )
-        # bucket key = mix(band, band's signature rows) — vectorized over the
-        # whole batch (the per-doc per-band blake2b loop was the r1 cost
-        # center); collisions only add candidates, removed by exact verify
-        bucket = mix64(
-            band_ids.ravel(),
-            *[chunks[:, :, r].ravel() for r in range(rows_per_band)],
-        )
-        return pd.DataFrame(
-            {
-                "doc_id": np.repeat(df["doc_id"].to_numpy(), NUM_BANDS),
-                "bucket": bucket,
-            }
-        )
+        return _band_rows(df, a, b)
 
     exploded = corpus.map_batches(band_rows, batch_format="pandas")
     cand = _pairs_from_groups(
@@ -1000,6 +1005,101 @@ def _near_pairs_cache_key(sf_dir: str) -> tuple:
         return (base, st.st_mtime_ns, st.st_size)
     except OSError:
         return (base, None, None)
+
+
+# --------------------------------------------------------------------------
+# Incremental near-dup: new docs vs a PERSISTED band index
+# --------------------------------------------------------------------------
+
+_BAND_INDEX_VERSION = 1
+
+
+def _old_band_index_dir(sf_dir: str) -> str:
+    """Cache dir for the OLD half's persisted LSH band index — keyed by
+    path AND documents.parquet mtime+size (derived-cache staleness rule)."""
+    import hashlib as _hashlib
+
+    abs_dir = os.path.abspath(os.path.normpath(sf_dir))
+    try:
+        st = os.stat(os.path.join(abs_dir, "documents.parquet"))
+        stamp = f"{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        stamp = "nostat"
+    tag = _hashlib.blake2b(
+        f"{abs_dir}|{stamp}".encode(), digest_size=4
+    ).hexdigest()
+    return (
+        f"/tmp/scor_band_index/{os.path.basename(abs_dir)}_{tag}"
+        f"_v{_BAND_INDEX_VERSION}"
+    )
+
+
+def incremental_near_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    """Near-dup mining for a crawl INCREMENT: verified Jaccard-≥τ pairs
+    that TOUCH a new document (new×new and new×old), without ever paying
+    old×old again — the daily-increment pattern a 100 TB pipeline lives
+    by (re-mining the whole corpus per increment is quadratic in crawl
+    age). OLD = even doc_ids of the twin-augmented corpus, NEW = odd.
+
+    Mechanics:
+      1. the OLD half's LSH band rows (doc_id, bucket) are a PERSISTED
+         parquet artifact — written once per corpus (distributed write,
+         atomic rename, staleness-keyed like every derived layout here)
+         and only READ on later increments; at scale this is the
+         signature index a dedup service keeps between crawls.
+      2. NEW docs explode to band rows in-flight and union with the
+         index read.
+      3. pair generation runs the standard bucket topology
+         (``_pairs_from_groups`` — pre-shrink, metadata-gated, sorted-run
+         blocks) with a pair FILTER that drops old×old pairs inside the
+         grouped generation, so they never reach dedup or verify.
+      4. exact-Jaccard verify of the surviving candidates only.
+    The oracle is the full exact-Jaccard pair set restricted to pairs
+    touching a new doc — so a stale or incomplete index breaks the hash."""
+    corpus = _pin_if_small(near_dup_corpus(sf_dir), sf_dir)
+    a, b = _minhash_params()
+
+    idx_dir = _old_band_index_dir(sf_dir)
+    if not os.path.isdir(idx_dir):
+        old_rows = corpus.map_batches(
+            lambda d: _band_rows(d[d["doc_id"] % 2 == 0], a, b),
+            batch_format="pandas",
+        )
+        tmp = f"{idx_dir}.tmp.{os.getpid()}"
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(os.path.dirname(idx_dir), exist_ok=True)
+        old_rows.write_parquet(tmp)
+        try:
+            os.rename(tmp, idx_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    new_rows = corpus.map_batches(
+        lambda d: _band_rows(d[d["doc_id"] % 2 == 1], a, b),
+        batch_format="pandas",
+    )
+    exploded = rd.read_parquet(idx_dir).union(new_rows)
+
+    def touch_new(df: pd.DataFrame, ia: np.ndarray, ib: np.ndarray) -> np.ndarray:
+        d = df["doc_id"].to_numpy()
+        return (d[ia] % 2 == 1) | (d[ib] % 2 == 1)
+
+    cand = _pairs_from_groups(
+        exploded,
+        "bucket",
+        pair_filter=touch_new,
+        est_rows=_near_corpus_bound(sf_dir) * NUM_BANDS,
+    )
+    return _verify_pairs(corpus, cand, JACCARD_TAU)
+
+
+def _incremental_near_dup_sql() -> str:
+    return (
+        f"SELECT doc_a, doc_b FROM ({_NEAR_PAIRS_SQL})\n"
+        "WHERE doc_a % 2 = 1 OR doc_b % 2 = 1 ORDER BY doc_a, doc_b"
+    )
 
 
 def near_dup_pairs(sf_dir: str) -> pd.DataFrame:
@@ -1461,6 +1561,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "ngram_containment_pairs": ngram_containment_pairs,
     "doc_dup_fraction": doc_dup_fraction,
     "minhash_lsh_pairs": minhash_lsh_pairs,
+    "incremental_near_dup_pairs": incremental_near_dup_pairs,
     "simhash_pairs": simhash_pairs,
 }
 
@@ -1473,5 +1574,6 @@ ORACLES: dict[str, str] = {
     "ngram_containment_pairs": _CONTAINMENT_PAIRS_SQL,
     "doc_dup_fraction": _DOC_DUP_FRACTION_SQL,
     "minhash_lsh_pairs": _NEAR_PAIRS_SQL,
+    "incremental_near_dup_pairs": _incremental_near_dup_sql(),
     "simhash_pairs": _SIMHASH_PAIRS_SQL,
 }

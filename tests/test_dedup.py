@@ -556,3 +556,36 @@ def test_metadata_gate_small_path_skips_count_pass(sf_dir, neardup_truth):
     a = simhash_pairs(sf_dir)
     b = simhash_pairs(sf_dir)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_incremental_near_dup_is_full_mining_restricted_to_new(sf_dir):
+    import os
+
+    from simple_content_ocr_ray.functions.dedup import (
+        _old_band_index_dir,
+        incremental_near_dup_pairs,
+        minhash_lsh_pairs,
+    )
+
+    inc = incremental_near_dup_pairs(sf_dir)
+    full = minhash_lsh_pairs(sf_dir)
+    exp = (
+        full[(full["doc_a"] % 2 == 1) | (full["doc_b"] % 2 == 1)]
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        inc.sort_values(["doc_a", "doc_b"]).reset_index(drop=True), exp
+    )
+    # no old×old pair leaks through, and the restriction is non-vacuous
+    assert ((inc["doc_a"] % 2 == 1) | (inc["doc_b"] % 2 == 1)).all()
+    assert len(inc) < len(full)
+    # the old-half index is a persisted artifact, reused on the next call
+    idx = _old_band_index_dir(sf_dir)
+    assert os.path.isdir(idx)
+    before = sorted(os.listdir(idx))
+    again = incremental_near_dup_pairs(sf_dir)
+    assert sorted(os.listdir(idx)) == before  # read, not rebuilt
+    pd.testing.assert_frame_equal(
+        again.sort_values(["doc_a", "doc_b"]).reset_index(drop=True), exp
+    )
