@@ -356,6 +356,7 @@ def run_headline() -> dict:
             "lang_outlier_docs",
             "two_hop_neighbors",
             "url_path_templates",
+            "spider_trap_urls",
             "robots_wildcard_audit",
             "luhn_card_audit",
             "meta_refresh_targets",

@@ -1256,6 +1256,60 @@ ORDER BY doc_id
 # --------------------------------------------------------------------------
 
 
+def spider_trap_urls(sf_dir: str) -> pd.DataFrame:
+    """Crawler-trap detection over the frontier: flag URLs whose path
+    repeats a segment run ≥3 times consecutively (calendar/session-id
+    loops — the classic infinite-URL-space trap) or nests deeper than 8
+    segments (path explosions). A frontier that doesn't gate these spends
+    its politeness budget crawling one site's infinite calendar. Both
+    rules are one vectorized regex / count over the path — no shuffle;
+    loop beats depth when both fire (a loop IS the depth explanation).
+    Emits (doc_id, url, trap_kind) for trapped URLs only."""
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for x in df["doc_id"]:
+            d = int(x)
+            k = d % 7
+            if k == 0:
+                path = "/cal" + "/2024/01" * (3 + d % 3)
+            elif k == 1:
+                path = "/" + "/".join(f"s{i}" for i in range(10))
+            elif k == 2:
+                path = f"/blog/2024/05/x{d}"
+            else:
+                path = f"/page/{d}"
+            rows.append((d, f"https://site{d % 97}.example{path}", path))
+        out = pd.DataFrame(rows, columns=["doc_id", "url", "path"])
+        loop = out["path"].str.contains(_TRAP_LOOP_RE, regex=True)
+        depth = out["path"].str.count("/") > 8
+        out["trap_kind"] = np.where(loop, "loop", np.where(depth, "depth", ""))
+        out = out[out["trap_kind"] != ""]
+        return out[["doc_id", "url", "trap_kind"]].astype({"doc_id": "int64"})
+
+    out = docs.map_batches(flags, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+#: a path segment run repeated ≥3 times back-to-back ("/2024/01/2024/01/…"
+#: counts: the repeating UNIT may be multi-segment, caught by backreference)
+_TRAP_LOOP_RE = r"(/[^/]+(?:/[^/]+)?)\1{2,}"
+
+_SPIDER_TRAP_SQL = """
+SELECT doc_id,
+       'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example' ||
+       CASE WHEN doc_id % 7 = 0
+            THEN '/cal' || repeat('/2024/01', 3 + doc_id % 3)
+            ELSE '/s0/s1/s2/s3/s4/s5/s6/s7/s8/s9' END AS url,
+       CASE WHEN doc_id % 7 = 0 THEN 'loop' ELSE 'depth' END AS trap_kind
+FROM documents WHERE doc_id % 7 IN (0, 1)
+ORDER BY doc_id
+"""
+
+
 def url_path_templates(sf_dir: str) -> pd.DataFrame:
     """URL path-template mining: collapse digit runs to ``#`` and count pages
     per (host, template) — the classic crawl-side structure signal
@@ -2134,6 +2188,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "structured_data": structured_data,
     "microdata_items": microdata_items,
     "img_srcset_candidates": img_srcset_candidates,
+    "spider_trap_urls": spider_trap_urls,
     "canonical_clusters": canonical_clusters,
     "hreflang_clusters": hreflang_clusters,
     "meta_robots_audit": meta_robots_audit,
@@ -2160,6 +2215,7 @@ ORACLES: dict[str, str] = {
     "structured_data": _STRUCTURED_DATA_SQL,
     "microdata_items": _MICRODATA_ITEMS_SQL,
     "img_srcset_candidates": _IMG_SRCSET_SQL,
+    "spider_trap_urls": _SPIDER_TRAP_SQL,
     "canonical_clusters": _CANONICAL_CLUSTERS_SQL,
     "hreflang_clusters": _HREFLANG_CLUSTERS_SQL,
     "meta_robots_audit": _META_ROBOTS_AUDIT_SQL,

@@ -514,3 +514,29 @@ def test_parse_srcset_total(s):
 
     for url, kind, qty in parse_srcset(s):
         assert kind in ("w", "x") and isinstance(qty, int)
+
+
+def test_spider_trap_regex_semantics():
+    import re
+
+    from simple_content_ocr_ray.pipelines.webannot_queries import _TRAP_LOOP_RE
+
+    rx = re.compile(_TRAP_LOOP_RE)
+    # multi-segment repeating unit, 3 reps
+    assert rx.search("/cal/2024/01/2024/01/2024/01")
+    # single-segment unit
+    assert rx.search("/a/x/x/x")
+    # two reps only: not a trap
+    assert not rx.search("/cal/2024/01/2024/01")
+    # distinct segments never match
+    assert not rx.search("/blog/2024/05/x123")
+    assert not rx.search("/product/1/2/3/4")
+
+
+def test_spider_trap_loop_beats_depth(sf_dir, ray_session):
+    from simple_content_ocr_ray.pipelines.webannot_queries import spider_trap_urls
+
+    df = spider_trap_urls(sf_dir)
+    # d%7==0, d%3==2 paths have 11 segments (deep) AND loop: loop wins
+    both = df[(df["doc_id"] % 7 == 0) & (df["doc_id"] % 3 == 2)]
+    assert len(both) > 0 and (both["trap_kind"] == "loop").all()
