@@ -256,6 +256,7 @@ def run_headline() -> dict:
             "bm25_topk",
             "tfidf_top_terms",
             "hll_distinct_users",
+            "analyze_documents",
             "kmeans_clusters",
             "q3_shipping_priority",
             "clean_corpus",

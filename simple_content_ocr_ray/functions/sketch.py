@@ -118,6 +118,146 @@ def hll_distinct_users(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"approx_distinct": pd.Series([_hll_estimate(merged)], dtype="int64")})
 
 
+# --------------------------------------------------------------------------
+# ANALYZE: one-pass per-column statistics (planner food)
+# --------------------------------------------------------------------------
+
+_ANALYZE_COLS = [  # (name, is_int)
+    ("doc_id", True),
+    ("text", False),
+    ("lang", False),
+    ("source", False),
+    ("n_chars", True),
+]
+
+
+def _hll_regs_any(values, is_int: bool) -> np.ndarray:
+    """HLL registers over arbitrary distinct values, md5-keyed exactly like
+    the DuckDB mirror: ints hash their decimal string (= CAST AS VARCHAR),
+    strings hash themselves."""
+    import hashlib
+
+    regs = np.zeros(HLL_M, dtype=np.uint8)
+    seen = set(values)
+    h = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.md5(
+                    (str(int(v)) if is_int else v).encode()
+                ).digest()[:8],
+                "big",
+            )
+            for v in seen
+        ),
+        dtype=np.uint64,
+        count=len(seen),
+    )
+    if not len(h):
+        return regs
+    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    low = h & np.uint64((1 << (64 - HLL_P)) - 1)
+    bitlen = np.frexp(low.astype(np.float64))[1]
+    rank = ((64 - HLL_P + 1) - bitlen).astype(np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def analyze_documents(sf_dir: str) -> pd.DataFrame:
+    """ANALYZE over the documents table: ONE streaming pass emits per-column
+    (n_nulls, min, max, approx_ndv) — the statistics a planner's
+    footer-gated path choices feed on (this repo gates small-vs-distributed
+    paths on exactly such bounds). Per batch each column contributes a
+    constant-size partial (null count, min/max, one 4 KiB HLL register
+    row); the driver merge is elementwise max + min/max + sum — state is
+    O(columns), never O(rows). approx_ndv uses the md5-keyed HLL whose
+    every register the DuckDB oracle recomputes bit-for-bit, so even the
+    approximation is hash-checked, not tolerance-checked."""
+    cols = [c for c, _ in _ANALYZE_COLS]
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=cols
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for col, is_int in _ANALYZE_COLS:
+            s = df[col]
+            nn = int(s.isna().sum())
+            sv = s.dropna()
+            regs = _hll_regs_any(sv.tolist(), is_int)
+            rows.append(
+                {
+                    "column": col,
+                    "n_nulls": nn,
+                    "min_s": "" if sv.empty else str(sv.min()),
+                    "max_s": "" if sv.empty else str(sv.max()),
+                    "regs": regs.tobytes(),
+                    "empty": sv.empty,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = []
+    for col, is_int in _ANALYZE_COLS:
+        p = parts[(parts["column"] == col) & ~parts["empty"]]
+        merged = np.zeros(HLL_M, dtype=np.uint8)
+        for blob in p["regs"]:
+            np.maximum(merged, np.frombuffer(blob, dtype=np.uint8), out=merged)
+        if is_int:
+            mn = str(min(int(x) for x in p["min_s"]))
+            mx = str(max(int(x) for x in p["max_s"]))
+        else:
+            mn = min(p["min_s"])
+            mx = max(p["max_s"])
+        out.append(
+            {
+                "column": col,
+                "n_nulls": int(parts.loc[parts["column"] == col, "n_nulls"].sum()),
+                "min_s": mn,
+                "max_s": mx,
+                "approx_ndv": _hll_estimate(merged),
+            }
+        )
+    res = pd.DataFrame(out).rename(columns={"column": "col_name"})
+    res = res.astype({"n_nulls": "int64", "approx_ndv": "int64"})
+    return res.sort_values("col_name").reset_index(drop=True)
+
+
+def _analyze_sql() -> str:
+    def one(col: str, is_int: bool) -> str:
+        key = f"CAST({col} AS VARCHAR)" if is_int else col
+        return f"""
+SELECT '{col}' AS col_name,
+       (SELECT CAST(COUNT(*) - COUNT({col}) AS BIGINT) FROM documents) AS n_nulls,
+       (SELECT CAST(MIN({col}) AS VARCHAR) FROM documents) AS min_s,
+       (SELECT CAST(MAX({col}) AS VARCHAR) FROM documents) AS max_s,
+       (WITH rr AS (
+          SELECT CAST(hv >> 52 AS BIGINT) AS idx,
+                 CAST(CASE WHEN hv % 4503599627370496::UBIGINT = 0::UBIGINT
+                      THEN 53
+                      ELSE 53 - length(bin(hv % 4503599627370496::UBIGINT))
+                      END AS BIGINT) AS rank
+          FROM (SELECT CAST(('0x' || substring(md5({key}), 1, 16)) AS UBIGINT)
+                  AS hv
+                FROM (SELECT DISTINCT {col} FROM documents
+                      WHERE {col} IS NOT NULL))
+        )
+        SELECT CAST(ROUND(
+            CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+                 THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END, 0) AS BIGINT)
+        FROM (
+          SELECT (0.7213 / (1 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+                   / (s + (4096 - nreg)) AS raw,
+                 4096 - nreg AS zeros
+          FROM (SELECT SUM(POWER(2.0, -r)) AS s, COUNT(*) AS nreg
+                FROM (SELECT idx, MAX(rank) AS r FROM rr GROUP BY idx))
+        )) AS approx_ndv"""
+
+    return "\nUNION ALL\n".join(one(c, i) for c, i in _ANALYZE_COLS) + (
+        "\nORDER BY col_name"
+    )
+
+
 def _mg_merge(counts: pd.Series, capacity: int) -> pd.Series:
     """Misra-Gries truncation: keep ≤ capacity counters by subtracting the
     (capacity+1)-th largest count from all and dropping ≤ 0."""
@@ -544,6 +684,7 @@ FROM est
 
 QUERIES: dict[str, Callable[[str], object]] = {
     "hll_distinct_users": hll_distinct_users,
+    "analyze_documents": analyze_documents,
     "type_value_quantiles_sketch": type_value_quantiles_sketch,
     "approx_top_tokens": approx_top_tokens,
     "event_value_quantiles_sketch": event_value_quantiles_sketch,
@@ -559,6 +700,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 ORACLES: dict[str, str] = {
     "approx_top_tokens": _APPROX_TOP_TOKENS_SQL,
     "hll_distinct_users": _HLL_DISTINCT_USERS_SQL,
+    "analyze_documents": _analyze_sql(),
     "type_distinct_users_hll": _TYPE_DISTINCT_USERS_HLL_SQL,
     "view_purchase_overlap_hll": _VIEW_PURCHASE_OVERLAP_HLL_SQL,
     "token_counts_cms": _TOKEN_COUNTS_CMS_SQL,

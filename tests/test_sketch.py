@@ -201,3 +201,26 @@ def test_grouped_quantile_sketch_rank_error_per_key(ray_session):
             hi = np.searchsorted(exact, got_u, side="right")
             rank_err = min(abs(lo - q * n), abs(hi - q * n))
             assert rank_err <= 0.02 * n + 1, (et, q, got, rank_err)
+
+
+def test_analyze_documents_exactness_and_bounds(sf_dir, ray_session):
+    import duckdb
+    import os
+
+    from simple_content_ocr_ray.functions.sketch import analyze_documents
+
+    df = analyze_documents(sf_dir).set_index("col_name")
+    con = duckdb.connect()
+    doc = os.path.join(sf_dir, "documents.parquet")
+    exact = con.sql(
+        f"select count(distinct doc_id), count(distinct lang),"
+        f" min(doc_id), max(doc_id), count(*) - count(text)"
+        f" from '{doc}'"
+    ).fetchone()
+    # HLL ndv within 5% of exact at this cardinality; tiny cardinalities
+    # (lang) are exact via linear counting
+    assert abs(df.loc["doc_id", "approx_ndv"] - exact[0]) <= 0.05 * exact[0]
+    assert df.loc["lang", "approx_ndv"] == exact[1]
+    assert df.loc["doc_id", "min_s"] == str(exact[2])
+    assert df.loc["doc_id", "max_s"] == str(exact[3])
+    assert (df["n_nulls"] == 0).all() and exact[4] == 0
