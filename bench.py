@@ -242,6 +242,7 @@ def run_headline() -> dict:
             "customer_order_totals",
             "events_hourly",
             "user_sessions",
+            "user_decay_scores",
             "dedup_exact_docs",
             "minhash_lsh_pairs",
             "incremental_near_dup_pairs",

@@ -969,7 +969,95 @@ GROUP BY prev_type
 """
 
 
+# --------------------------------------------------------------------------
+# Exponential-decay (half-life) engagement scoring — exact scaled integers
+# --------------------------------------------------------------------------
+
+DECAY_MAX_AGE_DAYS = 14  # ages clamp here; weight = 2^(14 - age) fits int64
+
+
+def user_decay_scores(sf_dir: str) -> pd.DataFrame:
+    """Per-user recency-weighted engagement: each event contributes
+    ``value`` halved per day of age relative to the corpus' newest event
+    (one-day half-life), ages clamped at {max_age} days — the freshness
+    score a recrawl/recommendation scheduler ranks by.
+
+    Float Σ value·2^(-age) is NOT distribution-safe (float sums are
+    order-dependent, and a shuffle reorders them — a hash oracle would be
+    flaky at the rounding boundary), so the score is computed in EXACT
+    scaled integers: cents(value) · 2^({max_age} - clamped_age) summed as
+    int64 — associative, order-independent, bit-stable under any
+    partitioning. The newest-ts scalar is one tiny aggregate broadcast
+    into the per-batch weighting; the per-user rollup is a standard
+    partial+final grouped sum of slim int64 rows."""
+    import pyarrow.compute as pc
+
+    from .agg import grouped_aggregate, round_half_away
+
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value"],
+    )
+    max_ts = events.max("ts")
+
+    def weighted(df: pd.DataFrame) -> pd.DataFrame:
+        age_days = (
+            (max_ts - df["ts"]).dt.total_seconds() // 86400
+        ).astype("int64").clip(upper=DECAY_MAX_AGE_DAYS)
+        cents = (
+            np.sign(df["value"].to_numpy())
+            * np.floor(np.abs(df["value"].to_numpy()) * 100 + 0.5)
+        ).astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "scaled": cents
+                * np.left_shift(
+                    np.int64(1),
+                    DECAY_MAX_AGE_DAYS - age_days.to_numpy(),
+                ),
+            }
+        )
+
+    out = grouped_aggregate(
+        events, ["user_id"], {"scaled": ("scaled", "sum")}, prepare=weighted
+    ).to_pandas()
+    # surface as a 4dp decimal score (scaled / 2^max_age / 100) — derived
+    # from the EXACT integer, so rounding happens once, identically in SQL
+    out["decay_score"] = round_half_away(
+        out["scaled"] / (1 << DECAY_MAX_AGE_DAYS) / 100.0
+    )
+    out = out.astype({"user_id": "int64", "scaled": "int64"})
+    return (
+        out[["user_id", "scaled", "decay_score"]]
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+user_decay_scores.__doc__ = user_decay_scores.__doc__.format(
+    max_age=DECAY_MAX_AGE_DAYS
+)
+
+_USER_DECAY_SCORES_SQL = f"""
+WITH m AS (SELECT MAX(ts) AS mx FROM events),
+w AS (
+  SELECT user_id,
+         CAST(ROUND(value * 100, 0) AS BIGINT)
+           * CAST(POWER(2, {DECAY_MAX_AGE_DAYS} - LEAST(
+               CAST(date_diff('second', ts, (SELECT mx FROM m)) // 86400
+                    AS BIGINT), {DECAY_MAX_AGE_DAYS})) AS BIGINT) AS scaled
+  FROM events
+)
+SELECT user_id, CAST(SUM(scaled) AS BIGINT) AS scaled,
+       ROUND(SUM(scaled) / {1 << DECAY_MAX_AGE_DAYS} / 100.0, 4)
+         AS decay_score
+FROM w GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
+    "user_decay_scores": user_decay_scores,
     "purchase_attribution": purchase_attribution,
     "events_dual_distinct": events_dual_distinct,
     "user_active_time": user_active_time,
@@ -987,6 +1075,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "user_running_totals": user_running_totals,
 }
 ORACLES: dict[str, str] = {
+    "user_decay_scores": _USER_DECAY_SCORES_SQL,
     "purchase_attribution": _PURCHASE_ATTRIBUTION_SQL,
     "events_dual_distinct": _EVENTS_DUAL_DISTINCT_SQL,
     "user_active_time": _USER_ACTIVE_TIME_SQL,
