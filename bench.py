@@ -359,6 +359,7 @@ def run_headline() -> dict:
             "two_hop_neighbors",
             "url_path_templates",
             "spider_trap_urls",
+            "idn_host_decode",
             "robots_wildcard_audit",
             "luhn_card_audit",
             "meta_refresh_targets",

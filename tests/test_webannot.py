@@ -540,3 +540,20 @@ def test_spider_trap_loop_beats_depth(sf_dir, ray_session):
     # d%7==0, d%3==2 paths have 11 segments (deep) AND loop: loop wins
     both = df[(df["doc_id"] % 7 == 0) & (df["doc_id"] % 3 == 2)]
     assert len(both) > 0 and (both["trap_kind"] == "loop").all()
+
+
+def test_idn_decode_roundtrip_and_bad_label():
+    from simple_content_ocr_ray.pipelines.webannot_queries import _HOMOGLYPHS
+
+    for g in _HOMOGLYPHS:
+        label = f"s{g}te"
+        ascii_form = label.encode("idna").decode("ascii")
+        assert ascii_form.startswith("xn--")
+        assert ascii_form.encode("ascii").decode("idna") == label
+    # an invalid punycode label must not raise in the op's per-label loop
+    try:
+        b"xn--zzzzzz\xff".decode("idna")
+        raised = False
+    except UnicodeError:
+        raised = True
+    assert raised  # the op catches exactly this and keeps the ascii form
