@@ -249,6 +249,7 @@ def run_headline() -> dict:
             "ngram_jaccard_pairs",
             "simhash_pairs",
             "near_dup_components",
+            "checkpointed_components",
             "embedding_dup_pairs",
             "ann_topk",
             "doc_token_stats",

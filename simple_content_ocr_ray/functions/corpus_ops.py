@@ -193,6 +193,38 @@ SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node
 """
 
 
+def checkpointed_components(sf_dir: str) -> pd.DataFrame:
+    """``near_dup_components`` semantics through the ROUND-CHECKPOINTED
+    label-propagation engine (``state/iter_checkpoint.py``): every round's
+    label table commits atomically under a staleness-keyed /tmp directory,
+    so a run killed in round r resumes at round r+1 with byte-identical
+    final output (kill/resume pinned in tests/test_iter_checkpoint.py).
+    Same oracle as the plain operator — the checkpointing must be
+    semantically invisible. A completed checkpoint short-circuits to a
+    plain read of the converged labels."""
+    import hashlib as _hashlib
+
+    from ..state.iter_checkpoint import checkpointed_min_label_components
+
+    base = os.path.abspath(os.path.normpath(sf_dir))
+    try:
+        st = os.stat(os.path.join(base, "documents.parquet"))
+        stamp = f"{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        stamp = "nostat"
+    tag = _hashlib.blake2b(f"{base}|{stamp}".encode(), digest_size=4).hexdigest()
+    ckpt = f"/tmp/scor_iter_ckpt/{os.path.basename(base)}_{tag}_v1"
+
+    pairs = near_dup_pairs(sf_dir)
+    nodes = near_dup_corpus(sf_dir).select_columns(["doc_id"])
+    labels, _ = checkpointed_min_label_components(nodes, pairs, ckpt)
+    out = labels.to_pandas().rename(
+        columns={"node": "doc_id", "label": "component"}
+    )
+    out = out.astype({"doc_id": "int64", "component": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # --------------------------------------------------------------------------
 # Per-language heavy hitters (vocabulary head)
 # --------------------------------------------------------------------------
@@ -1879,6 +1911,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "near_dup_degree": near_dup_degree,
     "lang_source_pivot": lang_source_pivot,
     "near_dup_components": near_dup_components,
+    "checkpointed_components": checkpointed_components,
     "lang_distinct_tokens": lang_distinct_tokens,
     "lang_token_logodds": lang_token_logodds,
     "type_distinct_users_salted": type_distinct_users_salted,
@@ -1908,6 +1941,7 @@ ORACLES: dict[str, str] = {
     "near_dup_degree": _NEAR_DUP_DEGREE_SQL,
     "lang_source_pivot": _LANG_SOURCE_PIVOT_SQL,
     "near_dup_components": _NEAR_DUP_COMPONENTS_SQL,
+    "checkpointed_components": _NEAR_DUP_COMPONENTS_SQL,
     "lang_distinct_tokens": _LANG_DISTINCT_TOKENS_SQL,
     "lang_token_logodds": _LANG_TOKEN_LOGODDS_SQL,
     "type_distinct_users_salted": _TYPE_DISTINCT_USERS_SALTED_SQL,
