@@ -334,6 +334,7 @@ def run_headline() -> dict:
             "dsir_resample",
             "xlingual_margin_pairs",
             "html_table_cells",
+            "table_column_types",
             "feed_entries",
             "fix_mojibake",
             "nfc_normalize_audit",

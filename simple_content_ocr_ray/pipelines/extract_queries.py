@@ -2758,11 +2758,16 @@ def table_html_payload(lang: str, source: str, n_chars: int) -> bytes:
         "<p>Prose outside any table; the extractor must ignore it.</p>"
         '<script>var decoy = "<table><tr><td>never</td></tr></table>";</script>'
         '<table class="data" summary="a>b">'
-        "<tr><th>lang</th><th>source</th><th>n_chars</th><th>title</th></tr>"
+        "<tr><th>lang</th><th>source</th><th>n_chars</th><th>title</th>"
+        "<th>price</th><th>day</th></tr>"
         f"<tr><td> {lang} </td><td><b>{source}</b></td><td>{n_chars}</td>"
-        f"<td>A &amp; B {lang}</td></tr>"
+        f"<td>A &amp; B {lang}</td>"
+        f"<td>{n_chars // 100}.{n_chars % 100:02d}</td>"
+        f"<td>2024-01-{1 + n_chars % 28:02d}</td></tr>"
         f"<tr><td>{lang.upper()}<td>{source}!<td>{n_chars * 2}"
-        f"<td>C &lt;D&gt; {source}</table>"
+        f"<td>C &lt;D&gt; {source}"
+        f"<td>{n_chars * 2 // 100}.{n_chars * 2 % 100:02d}"
+        f"<td>2024-02-{1 + n_chars % 28:02d}</table>"
         '<table><tr><td>x1</td><td colspan="2">wide</td><td>x2</td></tr></table>'
         "</body></html>"
     ).encode()
@@ -2810,9 +2815,104 @@ UNION ALL SELECT doc_id, 0, 2, 0, upper(lang) FROM documents
 UNION ALL SELECT doc_id, 0, 2, 1, source || '!' FROM documents
 UNION ALL SELECT doc_id, 0, 2, 2, CAST(n_chars * 2 AS VARCHAR) FROM documents
 UNION ALL SELECT doc_id, 0, 2, 3, 'C <D> ' || source FROM documents
+UNION ALL SELECT doc_id, 0, 0, 4, 'price' FROM documents
+UNION ALL SELECT doc_id, 0, 0, 5, 'day' FROM documents
+UNION ALL SELECT doc_id, 0, 1, 4,
+  CAST(n_chars // 100 AS VARCHAR) || '.'
+    || lpad(CAST(n_chars % 100 AS VARCHAR), 2, '0') FROM documents
+UNION ALL SELECT doc_id, 0, 1, 5,
+  '2024-01-' || lpad(CAST(1 + n_chars % 28 AS VARCHAR), 2, '0') FROM documents
+UNION ALL SELECT doc_id, 0, 2, 4,
+  CAST(n_chars * 2 // 100 AS VARCHAR) || '.'
+    || lpad(CAST(n_chars * 2 % 100 AS VARCHAR), 2, '0') FROM documents
+UNION ALL SELECT doc_id, 0, 2, 5,
+  '2024-02-' || lpad(CAST(1 + n_chars % 28 AS VARCHAR), 2, '0') FROM documents
 UNION ALL SELECT doc_id, 1, 0, 0, 'x1' FROM documents
 UNION ALL SELECT doc_id, 1, 0, 1, 'wide' FROM documents
 UNION ALL SELECT doc_id, 1, 0, 3, 'x2' FROM documents
+"""
+
+
+def table_column_types(sf_dir: str) -> pd.DataFrame:
+    """WebTables-style SCHEMA INFERENCE over the extracted tables: classify
+    every data cell of the first table (int / float / date / str by exact
+    pattern) and promote each column through the standard lattice — all
+    int → bigint, numeric mix → double, all date → date, anything else →
+    varchar. Headers come from row 0. This is the step that turns crawled
+    HTML tables into typed ingestable columns; a parser slip (grid
+    misalignment, entity residue, implicit-close loss) changes a column's
+    cell set and flips its inferred type. Topology: cells stream from the
+    extraction actor pool into a bounded (col, kind) grouped count — the
+    rollup is |cols|×4 rows regardless of corpus size."""
+    import re as _re
+
+    from ..functions.agg import grouped_aggregate
+
+    cells = html_table_cells(sf_dir)
+
+    _INT = _re.compile(r"^-?\d+$")
+    _FLT = _re.compile(r"^-?\d+\.\d+$")
+    _DT = _re.compile(r"^\d{4}-\d{2}-\d{2}$")
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[(df["table_idx"] == 0) & (df["row_idx"] > 0)]
+        kind = np.where(
+            d["cell"].str.match(_INT), "int",
+            np.where(
+                d["cell"].str.match(_FLT), "float",
+                np.where(d["cell"].str.match(_DT), "date", "str"),
+            ),
+        )
+        return pd.DataFrame({"col_idx": d["col_idx"].astype("int64"),
+                             "kind": kind})
+
+    counts = grouped_aggregate(
+        cells, ["col_idx", "kind"], {"n": (None, "count")}, prepare=classify
+    ).to_pandas()
+
+    headers = (
+        cells.map_batches(
+            lambda d: d[(d["table_idx"] == 0) & (d["row_idx"] == 0)][
+                ["col_idx", "cell"]
+            ].drop_duplicates(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .drop_duplicates()
+        .set_index("col_idx")["cell"]
+    )
+
+    rows = []
+    for col, grp in counts.groupby("col_idx"):
+        kinds = set(grp["kind"])
+        if kinds == {"int"}:
+            t = "bigint"
+        elif kinds <= {"int", "float"}:
+            t = "double"
+        elif kinds == {"date"}:
+            t = "date"
+        else:
+            t = "varchar"
+        rows.append(
+            {
+                "col_idx": int(col),
+                "header": headers.loc[col],
+                "inferred_type": t,
+                "n_cells": int(grp["n"].sum()),
+            }
+        )
+    out = pd.DataFrame(rows).astype({"col_idx": "int64", "n_cells": "int64"})
+    return out.sort_values("col_idx").reset_index(drop=True)
+
+
+_TABLE_COLUMN_TYPES_SQL = """
+WITH n AS (SELECT COUNT(*) * 2 AS c FROM documents)
+SELECT * FROM (VALUES
+  (0, 'lang', 'varchar'), (1, 'source', 'varchar'), (2, 'n_chars', 'bigint'),
+  (3, 'title', 'varchar'), (4, 'price', 'double'), (5, 'day', 'date')
+) t(col_idx, header, inferred_type)
+CROSS JOIN (SELECT CAST(c AS BIGINT) AS n_cells FROM n)
+ORDER BY col_idx
 """
 
 
@@ -2823,6 +2923,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "incremental_extract": incremental_extract,
     "host_template_lines": host_template_lines,
     "html_table_cells": html_table_cells,
+    "table_column_types": table_column_types,
     "cdx_index": cdx_index,
     "cdx_prefix_scan": cdx_prefix_scan,
     "image_meta": image_meta,
@@ -2866,6 +2967,7 @@ ORACLES: dict[str, str] = {
     "incremental_extract": _INCREMENTAL_EXTRACT_SQL,
     "host_template_lines": _HOST_TEMPLATE_LINES_SQL,
     "html_table_cells": _HTML_TABLE_CELLS_SQL,
+    "table_column_types": _TABLE_COLUMN_TYPES_SQL,
     "cdx_index": _CDX_INDEX_SQL,
     "cdx_prefix_scan": _CDX_PREFIX_SCAN_SQL,
     "image_meta": _IMAGE_META_SQL,
