@@ -302,6 +302,7 @@ def run_headline() -> dict:
             "events_dual_distinct",
             "user_active_time",
             "near_dup_keepers",
+            "near_dup_pair_diffs",
             "event_trigram_counts",
             "corpus_report",
             "source_lm_quality",

@@ -664,6 +664,78 @@ ORDER BY skey DESC, doc_id LIMIT {WEIGHTED_SAMPLE_K}
 """
 
 
+def near_dup_pair_diffs(sf_dir: str) -> pd.DataFrame:
+    """Dedup FORENSICS: for every verified near-dup pair, the token-set
+    overlap breakdown (n_common / n_only_a / n_only_b / integer Jaccard
+    ppm) — what a curation review reads to decide whether a family is
+    true mirrors (diff ≈ 0), templated boilerplate (large shared head,
+    distinct tails), or a threshold artifact. Consumes the SHARED
+    memoized pair table; texts attach via the same broadcast topology as
+    pair verification (pair list is the dedup output itself —
+    driver-bounded); per-pair set math is python over that bounded list.
+    All outputs integer, so distribution order cannot move a bit."""
+    from .dedup import near_dup_pairs
+
+    pairs = near_dup_pairs(sf_dir)
+    cols = ["doc_a", "doc_b", "n_common", "n_only_a", "n_only_b",
+            "token_jaccard_ppm"]
+    if pairs.empty:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    corpus = near_dup_corpus(sf_dir)
+    need = set(pairs["doc_a"]) | set(pairs["doc_b"])
+    need_ref = ray.put(need)
+
+    def grab(df: pd.DataFrame) -> pd.DataFrame:
+        want = ray.get(need_ref)
+        d = df[df["doc_id"].isin(want)]
+        return d[["doc_id", "text"]]
+
+    texts = corpus.map_batches(grab, batch_format="pandas").to_pandas()
+    toks = {
+        int(i): frozenset(t.split(" "))
+        for i, t in zip(texts["doc_id"], texts["text"])
+    }
+    rows = []
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        wa, wb = toks[int(a)], toks[int(b)]
+        c = len(wa & wb)
+        u = len(wa) + len(wb) - c
+        rows.append(
+            (int(a), int(b), c, len(wa) - c, len(wb) - c,
+             (1_000_000 * c) // u if u else 0)
+        )
+    out = pd.DataFrame(rows, columns=cols).astype("int64")
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _near_dup_pair_diffs_sql() -> str:
+    from .dedup import _NEAR_PAIRS_SQL
+
+    return f"""
+WITH pairs AS ({_NEAR_PAIRS_SQL}),
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(string_split(text,' ')[1:len(string_split(text,' '))-2], ' ')
+  FROM documents
+  WHERE doc_id % 5 = 0 AND len(string_split(text,' ')) >= 12
+),
+t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM corpus)
+SELECT p.doc_a, p.doc_b,
+       CAST(len(list_intersect(a.w, b.w)) AS BIGINT) AS n_common,
+       CAST(len(a.w) - len(list_intersect(a.w, b.w)) AS BIGINT) AS n_only_a,
+       CAST(len(b.w) - len(list_intersect(a.w, b.w)) AS BIGINT) AS n_only_b,
+       CAST(1000000 * len(list_intersect(a.w, b.w))
+            // (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)))
+            AS BIGINT) AS token_jaccard_ppm
+FROM pairs p
+JOIN t a ON a.doc_id = p.doc_a
+JOIN t b ON b.doc_id = p.doc_b
+ORDER BY p.doc_a, p.doc_b
+"""
+
+
 def near_dup_degree(sf_dir: str) -> pd.DataFrame:
     """Near-dup graph degree per document (number of exact-Jaccard ≥ τ
     partners) — the skew diagnostic run before clustering: a heavy-degree
@@ -1909,6 +1981,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "source_mixture_sample": source_mixture_sample,
     "longest_doc_per_group": longest_doc_per_group,
     "near_dup_degree": near_dup_degree,
+    "near_dup_pair_diffs": near_dup_pair_diffs,
     "lang_source_pivot": lang_source_pivot,
     "near_dup_components": near_dup_components,
     "checkpointed_components": checkpointed_components,
@@ -1939,6 +2012,7 @@ ORACLES: dict[str, str] = {
     "source_mixture_sample": _SOURCE_MIXTURE_SAMPLE_SQL,
     "longest_doc_per_group": _LONGEST_DOC_PER_GROUP_SQL,
     "near_dup_degree": _NEAR_DUP_DEGREE_SQL,
+    "near_dup_pair_diffs": _near_dup_pair_diffs_sql(),
     "lang_source_pivot": _LANG_SOURCE_PIVOT_SQL,
     "near_dup_components": _NEAR_DUP_COMPONENTS_SQL,
     "checkpointed_components": _NEAR_DUP_COMPONENTS_SQL,
