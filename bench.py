@@ -272,6 +272,7 @@ def run_headline() -> dict:
             "hamming_typo_pairs",
             "doc_quality_classifier",
             "packed_sequences",
+            "packing_efficiency_report",
             "semdedup_keepers",
             "event_transitions",
             "doc_pagerank",

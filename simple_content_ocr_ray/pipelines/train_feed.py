@@ -532,14 +532,95 @@ FROM b GROUP BY 1 ORDER BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Padding-efficiency report: naive vs length-sorted batching
+# --------------------------------------------------------------------------
+
+PACK_REPORT_BATCH = 32
+
+
+def packing_efficiency_report(sf_dir: str, b: int = PACK_REPORT_BATCH) -> pd.DataFrame:
+    """The WHY behind length bucketing, quantified: batch documents two
+    ways — NAIVE arrival order (doc_id) vs LENGTH-SORTED (n_tok, doc_id) —
+    pad every batch to its max, and report per strategy the real tokens,
+    padded slots, and waste ppm. Token counts derive from n_chars exactly
+    (whitespace corpus: tokens = spaces + 1 is already oracled elsewhere;
+    here length = n_chars as the proxy), all integer math. Topology: only
+    the slim (doc_id, n_chars) column leaves the read; batch assignment is
+    a rank prefix over a bounded histogram at scale — at fixture scale the
+    report reduces driver-side over the slim table, like every report
+    bounded by its own output."""
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    ).to_pandas()
+
+    def waste(order: pd.DataFrame) -> tuple[int, int]:
+        ln = order["n_chars"].to_numpy(dtype="int64")
+        pad = 0
+        for i in range(0, len(ln), b):
+            chunk = ln[i : i + b]
+            pad += int(chunk.max()) * len(chunk) - int(chunk.sum())
+        return int(ln.sum()), pad
+
+    naive = docs.sort_values("doc_id")
+    sorted_ = docs.sort_values(["n_chars", "doc_id"])
+    rows = []
+    for name, order in (("naive", naive), ("length_sorted", sorted_)):
+        real, pad = waste(order.reset_index(drop=True))
+        rows.append(
+            {
+                "strategy": name,
+                "real_tokens": real,
+                "padded_tokens": pad,
+                "waste_ppm": (1_000_000 * pad) // (real + pad),
+            }
+        )
+    return pd.DataFrame(rows).astype(
+        {"real_tokens": "int64", "padded_tokens": "int64", "waste_ppm": "int64"}
+    ).sort_values("strategy").reset_index(drop=True)
+
+
+_PACKING_EFFICIENCY_SQL = f"""
+WITH naive AS (
+  SELECT n_chars,
+         (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // {PACK_REPORT_BATCH}
+           AS grp
+  FROM documents
+), srt AS (
+  SELECT n_chars,
+         (ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1)
+           // {PACK_REPORT_BATCH} AS grp
+  FROM documents
+), w AS (
+  SELECT 'naive' AS strategy,
+         CAST(SUM(s) AS BIGINT) AS real_tokens,
+         CAST(SUM(mx * n - s) AS BIGINT) AS padded_tokens
+  FROM (SELECT grp, MAX(n_chars) AS mx, COUNT(*) AS n, SUM(n_chars) AS s
+        FROM naive GROUP BY grp)
+  UNION ALL
+  SELECT 'length_sorted',
+         CAST(SUM(s) AS BIGINT),
+         CAST(SUM(mx * n - s) AS BIGINT)
+  FROM (SELECT grp, MAX(n_chars) AS mx, COUNT(*) AS n, SUM(n_chars) AS s
+        FROM srt GROUP BY grp)
+)
+SELECT strategy, real_tokens, padded_tokens,
+       CAST(1000000 * padded_tokens // (real_tokens + padded_tokens)
+            AS BIGINT) AS waste_ppm
+FROM w ORDER BY strategy
+"""
+
+
 QUERIES = {
     "length_bucketed_batches": length_bucketed_batches,
+    "packing_efficiency_report": packing_efficiency_report,
     "packed_sequences": packed_sequences,
     "doc_chunks": doc_chunks,
     "split_feed_coverage": split_feed_coverage,
 }
 ORACLES = {
     "length_bucketed_batches": _LENGTH_BUCKETED_BATCHES_SQL,
+    "packing_efficiency_report": _PACKING_EFFICIENCY_SQL,
     "packed_sequences": _PACKED_SEQUENCES_SQL,
     "doc_chunks": _DOC_CHUNKS_SQL,
     "split_feed_coverage": _SPLIT_FEED_COVERAGE_SQL,
