@@ -283,6 +283,7 @@ def run_headline() -> dict:
             "event_value_winsorized",
             "doc_compress_ratio",
             "image_ahash_dupes",
+            "image_phash_dupes",
             "refreshed_corpus",
             "rolling_dau_7d",
             "doc_dup_fraction",

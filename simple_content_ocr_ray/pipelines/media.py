@@ -1294,6 +1294,52 @@ def ahash64(px: "np.ndarray") -> int:
     return int.from_bytes(np.packbits(bits).tobytes(), "big")
 
 
+PHASH_CLASSES = 8
+
+
+def phash64(px: "np.ndarray") -> int:
+    """DCT perceptual hash (the standard pHash): grey, block-mean resize to
+    32×32 (same every-pixel pooling as ahash64), 2-D DCT-II, keep the
+    top-left 8×8 low-frequency block, bit = coefficient strictly above the
+    median of the 63 AC values (DC excluded — it only encodes global
+    brightness). Robust to rescaling and mild blur where aHash is not;
+    the two hashes together are the classic near-dup key pair."""
+    import numpy as np
+
+    if px.ndim == 3:
+        px = px.mean(axis=2)
+    h, w = px.shape
+    # every-pixel pooling resize to exactly 32×32 (pad small images by
+    # pooling maps — same construction as ahash64, fixed target size)
+    n = 32
+    ri = (np.arange(h) * min(n, h)) // h
+    ci = (np.arange(w) * min(n, w)) // w
+    R = np.zeros((min(n, h), h))
+    R[ri, np.arange(h)] = 1.0
+    R /= R.sum(axis=1, keepdims=True)
+    C = np.zeros((w, min(n, w)))
+    C[np.arange(w), ci] = 1.0
+    C /= C.sum(axis=0, keepdims=True)
+    small = R @ px.astype("float64") @ C
+    if small.shape != (n, n):  # small inputs: tile up to 32 (deterministic)
+        small = np.pad(
+            small,
+            ((0, n - small.shape[0]), (0, n - small.shape[1])),
+            mode="edge",
+        )
+    # orthonormal DCT-II matrix
+    k = np.arange(n)[:, None]
+    D = np.cos(np.pi * (2 * np.arange(n)[None, :] + 1) * k / (2 * n))
+    D[0] *= 1 / np.sqrt(2)
+    D *= np.sqrt(2 / n)
+    F = D @ small @ D.T
+    block = F[:8, :8].flatten()
+    med = np.median(block[1:])
+    bits = (block > med).astype(np.uint8)
+    bits[0] = 0  # DC excluded
+    return int.from_bytes(np.packbits(bits).tobytes(), "big")
+
+
 class _PngAHashStage:
     """Actor-pool stage: real PNG decode → perceptual hash, one engine per
     actor. Emits only the slim (doc_id, ahash) rows — pixels never leave
@@ -1377,6 +1423,88 @@ def image_ahash_dupes(sf_dir: str) -> rd.Dataset:
 # doc_ids are contiguous from 0, so the min doc_id of class c is c itself
 _IMAGE_AHASH_DUPES_SQL = f"""
 SELECT doc_id, CAST(doc_id % {AHASH_CLASSES} AS BIGINT) AS keeper
+FROM documents ORDER BY doc_id
+"""
+
+
+class _PngPHashStage:
+    """Actor-pool stage: real PNG decode → DCT perceptual hash; slim
+    (doc_id, phash) rows out, pixels never leave the worker."""
+
+    def __init__(self) -> None:
+        from ..stages.png_decode import decode_png
+
+        self.decode = decode_png
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        hashes = [phash64(self.decode(bytes(p))) for p in df["png"]]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "phash": np.array(hashes, dtype=np.uint64).view(np.int64),
+            }
+        )
+
+
+def image_phash_dupes(sf_dir: str) -> rd.Dataset:
+    """DCT-perceptual-hash image dedup — the frequency-domain companion to
+    ``image_ahash_dupes`` (pHash survives rescaling/mild blur where the
+    spatial average hash flips bits). Same topology: per-doc 32×32 PNG
+    whose pattern class is doc_id % {n} (left bar width per class —
+    pairwise-distinct pHashes, asserted in tests), REAL PNG decode + hash
+    in the actor pool, bounded keeper table broadcast back over the slim
+    hash stream."""
+    import numpy as np
+    import ray
+
+    from ..functions.agg import grouped_aggregate
+    from ..stages.png_decode import make_png
+
+    def with_png(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        pngs = []
+        for d in df["doc_id"]:
+            c = int(d) % PHASH_CLASSES
+            px = np.zeros((32, 32), dtype=np.uint8)
+            px[:, : 4 * (c + 1)] = 255
+            pngs.append(make_png(px))
+        df["png"] = pngs
+        return df
+
+    slim = (
+        _docs(sf_dir)
+        .map_batches(with_png, batch_format="pandas", batch_size=MEDIA_BATCH_SIZE)
+        .map_batches(
+            _PngPHashStage,
+            batch_format="pandas",
+            batch_size=MEDIA_BATCH_SIZE,
+            concurrency=_media_concurrency(),
+        )
+        .materialize()
+    )
+    keepers = grouped_aggregate(
+        slim, ["phash"], {"keeper": ("doc_id", "min")}
+    ).to_pandas()
+    ref = ray.put(dict(zip(keepers["phash"], keepers["keeper"])))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "keeper": df["phash"].map(m).astype("int64"),
+            }
+        )
+
+    return slim.map_batches(assign, batch_format="pandas")
+
+
+image_phash_dupes.__doc__ = image_phash_dupes.__doc__.format(n=PHASH_CLASSES)
+
+_IMAGE_PHASH_DUPES_SQL = f"""
+SELECT doc_id, CAST(doc_id % {PHASH_CLASSES} AS BIGINT) AS keeper
 FROM documents ORDER BY doc_id
 """
 
@@ -1541,6 +1669,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "avif_real_meta": avif_real_meta,
     "pdf_real_text": pdf_real_text,
     "image_ahash_dupes": image_ahash_dupes,
+    "image_phash_dupes": image_phash_dupes,
 }
 ORACLES: dict[str, str] = {
     "exif_gps_scrub": _EXIF_GPS_SCRUB_SQL,
@@ -1568,4 +1697,5 @@ ORACLES: dict[str, str] = {
     "avif_real_meta": _AVIF_REAL_META_SQL,
     "pdf_real_text": _PDF_REAL_TEXT_SQL,
     "image_ahash_dupes": _IMAGE_AHASH_DUPES_SQL,
+    "image_phash_dupes": _IMAGE_PHASH_DUPES_SQL,
 }

@@ -156,3 +156,25 @@ def test_thumbnail_stage_roundtrips_png(ray_session):
     back = decode_png(bytes(out.thumb_png.iloc[0]))
     back = back[:, :, 0] if back.ndim == 3 else back
     assert (back == area_mean_resize(img, th, tw)).all()
+
+
+def test_phash_classes_distinct_and_rescale_invariant():
+    import numpy as np
+
+    from simple_content_ocr_ray.pipelines.media import PHASH_CLASSES, phash64
+
+    hs = []
+    for c in range(PHASH_CLASSES):
+        px = np.zeros((32, 32), np.uint8)
+        px[:, : 4 * (c + 1)] = 255
+        hs.append(phash64(px))
+    assert len(set(hs)) == PHASH_CLASSES
+    # frequency-domain hash survives exact rescaling (pHash's selling point)
+    px = np.zeros((32, 32), np.uint8)
+    px[:, :12] = 255
+    up2 = np.kron(px, np.ones((2, 2), np.uint8))
+    assert phash64(px) == phash64(up2)
+    # DC bit is excluded: global brightness shifts don't flip every bit
+    brighter = np.clip(px.astype(np.int32) + 40, 0, 255).astype(np.uint8)
+    a, b = phash64(px), phash64(brighter)
+    assert bin(a ^ b).count("1") <= 8
