@@ -539,42 +539,133 @@ FROM b GROUP BY 1 ORDER BY 1
 PACK_REPORT_BATCH = 32
 
 
-def packing_efficiency_report(sf_dir: str, b: int = PACK_REPORT_BATCH) -> pd.DataFrame:
+def packing_efficiency_report(
+    sf_dir: str,
+    b: int = PACK_REPORT_BATCH,
+    small_threshold: int = 2_000_000,
+) -> pd.DataFrame:
     """The WHY behind length bucketing, quantified: batch documents two
-    ways — NAIVE arrival order (doc_id) vs LENGTH-SORTED (n_tok, doc_id) —
-    pad every batch to its max, and report per strategy the real tokens,
-    padded slots, and waste ppm. Token counts derive from n_chars exactly
-    (whitespace corpus: tokens = spaces + 1 is already oracled elsewhere;
-    here length = n_chars as the proxy), all integer math. Topology: only
-    the slim (doc_id, n_chars) column leaves the read; batch assignment is
-    a rank prefix over a bounded histogram at scale — at fixture scale the
-    report reduces driver-side over the slim table, like every report
-    bounded by its own output."""
-    docs = rd.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
-    ).to_pandas()
+    ways — NAIVE arrival order (doc_id) vs LENGTH-SORTED (n_chars,
+    doc_id) — pad every batch to its max, and report per strategy the
+    real tokens, padded slots, and integer waste ppm.
 
-    def waste(order: pd.DataFrame) -> tuple[int, int]:
-        ln = order["n_chars"].to_numpy(dtype="int64")
-        pad = 0
-        for i in range(0, len(ln), b):
-            chunk = ln[i : i + b]
-            pad += int(chunk.max()) * len(chunk) - int(chunk.sum())
-        return int(ln.sum()), pad
+    Scale shape (footer-gated, both paths tested equal): the naive
+    strategy's batch id is ``doc_id // b`` directly (ids are contiguous —
+    no rank needed); the sorted strategy gets its global rank from the
+    SAME value-bucket distributed prefix scan as
+    ``length_bucketed_batches`` (bounded per-value-bucket counts → driver
+    cumsum → broadcast → in-run local ranks). Each strategy then reduces
+    through one grouped (batch → max, n, sum) aggregate and a per-batch
+    partial sum of (pad, real) — only the slim length column ever moves,
+    and driver state is the bounded value-bucket histogram."""
+    import ray
 
-    naive = docs.sort_values("doc_id")
-    sorted_ = docs.sort_values(["n_chars", "doc_id"])
-    rows = []
-    for name, order in (("naive", naive), ("length_sorted", sorted_)):
-        real, pad = waste(order.reset_index(drop=True))
-        rows.append(
-            {
-                "strategy": name,
-                "real_tokens": real,
-                "padded_tokens": pad,
-                "waste_ppm": (1_000_000 * pad) // (real + pad),
-            }
+    from ..functions.agg import grouped_aggregate, map_sorted_runs
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    n_total = _docs_row_count(sf_dir)
+
+    def finish(real: int, pad: int, name: str) -> dict:
+        return {
+            "strategy": name,
+            "real_tokens": int(real),
+            "padded_tokens": int(pad),
+            "waste_ppm": (1_000_000 * int(pad)) // (int(real) + int(pad)),
+        }
+
+    if n_total <= small_threshold:
+        docs = rd.read_parquet(
+            path, columns=["doc_id", "n_chars"]
+        ).to_pandas()
+
+        def waste(order: pd.DataFrame) -> tuple[int, int]:
+            ln = order["n_chars"].to_numpy(dtype="int64")
+            pad = 0
+            for i in range(0, len(ln), b):
+                chunk = ln[i : i + b]
+                pad += int(chunk.max()) * len(chunk) - int(chunk.sum())
+            return int(ln.sum()), pad
+
+        rows = []
+        for name, order in (
+            ("naive", docs.sort_values("doc_id")),
+            ("length_sorted", docs.sort_values(["n_chars", "doc_id"])),
+        ):
+            real, pad = waste(order.reset_index(drop=True))
+            rows.append(finish(real, pad, name))
+    else:
+        slim = rd.read_parquet(path, columns=["doc_id", "n_chars"]).map_batches(
+            lambda df: df.assign(
+                vb=df["n_chars"].to_numpy(dtype="int64") // _LEN_BUCKET_W
+            ),
+            batch_format="pandas",
+        ).materialize()
+
+        def reduce_groups(grouped: rd.Dataset) -> tuple[int, int]:
+            parts = grouped.map_batches(
+                lambda d: pd.DataFrame(
+                    {
+                        "real": [int(d["s"].sum())],
+                        "pad": [int((d["mx"] * d["n"] - d["s"]).sum())],
+                    }
+                ),
+                batch_format="pandas",
+            )
+            return parts.sum("real"), parts.sum("pad")
+
+        # naive: contiguous ids → batch id is pure arithmetic
+        naive_groups = grouped_aggregate(
+            slim,
+            ["grp"],
+            {"mx": ("n_chars", "max"), "n": (None, "count"),
+             "s": ("n_chars", "sum")},
+            prepare=lambda d: pd.DataFrame(
+                {"grp": d["doc_id"].to_numpy(dtype="int64") // b,
+                 "n_chars": d["n_chars"].to_numpy(dtype="int64")}
+            ),
         )
+        real_n, pad_n = reduce_groups(naive_groups)
+
+        # sorted: distributed rank prefix scan (shared recipe)
+        counts = (
+            grouped_aggregate(slim, ["vb"], {"n": (None, "count")})
+            .to_pandas()
+            .sort_values("vb")
+        )
+        cum = np.cumsum(counts["n"].to_numpy("int64"))
+        offsets = dict(
+            zip(counts["vb"].to_numpy().tolist(),
+                np.concatenate([[0], cum[:-1]]).tolist())
+        )
+        off_ref = ray.put(offsets)
+
+        def rank_runs(df: pd.DataFrame) -> pd.DataFrame:
+            off = ray.get(off_ref)
+            df = df.sort_values(["vb", "n_chars", "doc_id"], kind="mergesort")
+            vb = df["vb"].to_numpy()
+            starts = np.flatnonzero(np.r_[True, vb[1:] != vb[:-1]])
+            lens = np.diff(np.r_[starts, len(vb)])
+            base = np.repeat(
+                np.array([off[int(v)] for v in vb[starts]], dtype="int64"),
+                lens,
+            )
+            within = np.arange(len(vb)) - np.repeat(starts, lens)
+            return pd.DataFrame(
+                {"grp": (base + within) // b,
+                 "n_chars": df["n_chars"].to_numpy(dtype="int64")}
+            )
+
+        ranked = map_sorted_runs(slim, "vb", rank_runs)
+        sorted_groups = grouped_aggregate(
+            ranked,
+            ["grp"],
+            {"mx": ("n_chars", "max"), "n": (None, "count"),
+             "s": ("n_chars", "sum")},
+        )
+        real_s, pad_s = reduce_groups(sorted_groups)
+        rows = [finish(real_n, pad_n, "naive"),
+                finish(real_s, pad_s, "length_sorted")]
+
     return pd.DataFrame(rows).astype(
         {"real_tokens": "int64", "padded_tokens": "int64", "waste_ppm": "int64"}
     ).sort_values("strategy").reset_index(drop=True)

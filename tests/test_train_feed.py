@@ -154,3 +154,19 @@ def test_length_bucketed_batches_both_paths(sf_dir):
     assert (
         small["max_tokens"].to_numpy()[:-1] <= small["min_tokens"].to_numpy()[1:]
     ).all()
+
+
+def test_packing_efficiency_both_paths_and_ordering(sf_dir):
+    import pandas as pd
+
+    from simple_content_ocr_ray.pipelines.train_feed import (
+        packing_efficiency_report,
+    )
+
+    small = packing_efficiency_report(sf_dir)
+    large = packing_efficiency_report(sf_dir, small_threshold=0)
+    pd.testing.assert_frame_equal(small, large)
+    r = small.set_index("strategy")
+    # same real tokens either way; sorting must strictly reduce padding
+    assert r.loc["naive", "real_tokens"] == r.loc["length_sorted", "real_tokens"]
+    assert r.loc["length_sorted", "padded_tokens"] < r.loc["naive", "padded_tokens"]
