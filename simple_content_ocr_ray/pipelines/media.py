@@ -1427,6 +1427,77 @@ FROM documents ORDER BY doc_id
 """
 
 
+class _GifAnimStage:
+    """Actor-pool stage: synthesize an animated GIF per doc (frame count /
+    delays / size / per-frame values all pure residue functions), decode
+    ALL frames with the real multi-frame walk (GCE parse, LZW per frame,
+    compositing), emit typed animation metadata."""
+
+    def __init__(self) -> None:
+        import numpy as np
+
+        from ..stages.image_formats import decode_gif_frames, make_gif_anim
+
+        self.np = np
+        self.dec = decode_gif_frames
+        self.enc = make_gif_anim
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        np = self.np
+        rows = []
+        for x in df["doc_id"]:
+            d = int(x)
+            n = 2 + d % 4
+            cs = 3 + d % 7
+            h, w = 6 + d % 3, 8 + d % 5
+            frames = [
+                np.full((h, w), (d + 17 * i) % 256, dtype=np.uint8)
+                for i in range(n)
+            ]
+            blob = self.enc(frames, [cs] * n)
+            decoded, delays = self.dec(blob)
+            rows.append(
+                (
+                    d,
+                    len(decoded),
+                    int(sum(delays)),
+                    decoded[0].shape[1],
+                    decoded[0].shape[0],
+                    int(decoded[-1].mean()),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_frames", "total_cs", "width", "height",
+                     "last_mean"],
+        ).astype("int64")
+
+
+def gif_anim_meta(sf_dir: str) -> rd.Dataset:
+    """Real end-to-end ANIMATED GIF decode: frame count, total duration,
+    screen dims and the final composited frame's brightness — the metadata
+    a video-ish sampler needs before frame extraction. Every field is a
+    pure residue function, so the oracle is plain SQL while the pixels
+    travel through genuine multi-frame LZW streams."""
+    return _docs(sf_dir).map_batches(
+        _GifAnimStage,
+        batch_format="pandas",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=_media_concurrency(),
+    )
+
+
+_GIF_ANIM_META_SQL = """
+SELECT doc_id,
+       CAST(2 + doc_id % 4 AS BIGINT) AS n_frames,
+       CAST((2 + doc_id % 4) * (3 + doc_id % 7) AS BIGINT) AS total_cs,
+       CAST(8 + doc_id % 5 AS BIGINT) AS width,
+       CAST(6 + doc_id % 3 AS BIGINT) AS height,
+       CAST((doc_id + 17 * (1 + doc_id % 4)) % 256 AS BIGINT) AS last_mean
+FROM documents
+"""
+
+
 class _PngPHashStage:
     """Actor-pool stage: real PNG decode → DCT perceptual hash; slim
     (doc_id, phash) rows out, pixels never leave the worker."""
@@ -1670,6 +1741,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "pdf_real_text": pdf_real_text,
     "image_ahash_dupes": image_ahash_dupes,
     "image_phash_dupes": image_phash_dupes,
+    "gif_anim_meta": gif_anim_meta,
 }
 ORACLES: dict[str, str] = {
     "exif_gps_scrub": _EXIF_GPS_SCRUB_SQL,
@@ -1698,4 +1770,5 @@ ORACLES: dict[str, str] = {
     "pdf_real_text": _PDF_REAL_TEXT_SQL,
     "image_ahash_dupes": _IMAGE_AHASH_DUPES_SQL,
     "image_phash_dupes": _IMAGE_PHASH_DUPES_SQL,
+    "gif_anim_meta": _GIF_ANIM_META_SQL,
 }

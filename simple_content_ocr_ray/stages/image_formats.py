@@ -971,3 +971,131 @@ def decode_image(payload: bytes) -> np.ndarray:
     if payload[:4] == b"\x00\x00\x01\x00":
         return decode_ico(payload)
     raise UnsupportedImageError("unknown image magic")
+
+
+def decode_gif_frames(payload: bytes) -> tuple[list[np.ndarray], list[int]]:
+    """ALL frames of an animated GIF89a: (frames, per-frame delays in
+    centiseconds). Frames composite onto the logical screen per the
+    Graphic Control Extension disposal semantics supported here —
+    disposal 1 (leave in place: later frames paint over the composite at
+    their own (left, top) offset) and 2 (restore to background); each
+    frame's emitted array is the full composited screen, which is what a
+    sampler feeds a vision model. Transparency index honored (transparent
+    pixels keep the underlying composite). Frame pixel data is the same
+    real LZW decode as ``decode_gif``."""
+    if not (payload.startswith(b"GIF87a") or payload.startswith(b"GIF89a")):
+        raise UnsupportedImageError("not a GIF payload")
+    sw, sh, flags, bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    global_pal = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        global_pal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    screen = np.zeros((sh, sw, 3), dtype=np.uint8)
+    if global_pal is not None:
+        screen[:] = global_pal[bg % len(global_pal)]
+    background = screen.copy()
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    delay = 0
+    transparent = -1
+    disposal = 0
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9 and payload[pos] >= 4:  # Graphic Control Ext
+                gflags = payload[pos + 1]
+                delay = struct.unpack_from("<H", payload, pos + 2)[0]
+                transparent = payload[pos + 4] if gflags & 0x01 else -1
+                disposal = (gflags >> 2) & 0x07
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            lx, ty, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            pal = global_pal
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                pal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if pal is None:
+                raise UnsupportedImageError("GIF image without a color table")
+            min_code = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos] != 0:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(min_code, b"".join(chunks), w * h)
+            if iflags & 0x40:
+                rows = idx.reshape(h, w)
+                out_rows = np.empty_like(rows)
+                y = 0
+                for start, step in _GIF_INTERLACE_PASSES:
+                    for dst in range(start, h, step):
+                        out_rows[dst] = rows[y]
+                        y += 1
+                idx = out_rows.ravel()
+            idx = idx.reshape(h, w)
+            region = screen[ty : ty + h, lx : lx + w]
+            rgb = pal[idx]
+            if transparent >= 0:
+                mask = idx != transparent
+                region[mask] = rgb[mask]
+            else:
+                region[:] = rgb
+            frames.append(screen.copy())
+            delays.append(delay)
+            if disposal == 2:  # restore background in the frame's rect
+                screen[ty : ty + h, lx : lx + w] = background[
+                    ty : ty + h, lx : lx + w
+                ]
+            delay, transparent, disposal = 0, -1, 0
+        elif b == 0x3B:
+            break
+        else:
+            raise UnsupportedImageError(f"unknown GIF block 0x{b:02x}")
+    if not frames:
+        raise UnsupportedImageError("no image data in GIF")
+    return frames, delays
+
+
+def make_gif_anim(
+    frames: list[np.ndarray],
+    delays_cs: list[int],
+    offsets: list[tuple[int, int]] | None = None,
+    screen: tuple[int, int] | None = None,
+    disposal: int = 1,
+) -> bytes:
+    """Animated GIF89a encoder: one global grayscale palette, a NETSCAPE
+    loop block, and per-frame Graphic Control Extensions (delay +
+    disposal). Frames are (h, w) grayscale index arrays painted at their
+    ``offsets`` (default (0, 0)) onto a ``screen`` (default first frame's
+    size). Real LZW per frame — the decoder's multi-frame walk, GCE parse
+    and compositing are exercised by genuine streams."""
+    offsets = offsets or [(0, 0)] * len(frames)
+    sh, sw = screen or frames[0].shape
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HHBBB", sw, sh, 0x80 | 7, 0, 0)
+    out += bytes(v for v in range(256) for _ in range(3))  # gray palette
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
+    for px, cs, (lx, ty) in zip(frames, delays_cs, offsets):
+        h, w = px.shape
+        out += b"\x21\xf9\x04" + bytes([disposal << 2]) + struct.pack(
+            "<H", cs
+        ) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", lx, ty, w, h, 0)
+        out += bytes([8])
+        lzw = _lzw_encode(8, px.ravel())
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)

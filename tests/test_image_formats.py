@@ -365,3 +365,65 @@ def test_bmp_rle_requires_8bit_and_bottom_up():
     rgb = np.zeros((2, 2, 3), np.uint8)
     with pytest.raises(ValueError):
         make_bmp(rgb, rle=True)
+
+
+# --------------------------------------------------------------------------
+# Animated GIF (multi-frame decode, GCE, compositing)
+# --------------------------------------------------------------------------
+
+
+def test_gif_anim_roundtrip_offsets_and_delays():
+    from simple_content_ocr_ray.stages.image_formats import (
+        decode_gif_frames,
+        make_gif_anim,
+    )
+
+    f1 = np.full((4, 6), 10, np.uint8)
+    f2 = np.full((2, 3), 200, np.uint8)
+    frames, delays = decode_gif_frames(
+        make_gif_anim([f1, f2], [5, 12], offsets=[(0, 0), (2, 1)])
+    )
+    assert delays == [5, 12] and len(frames) == 2
+    assert (frames[0][:, :, 0] == 10).all()
+    exp = frames[0].copy()
+    exp[1:3, 2:5] = 200  # second frame painted at (left=2, top=1)
+    assert np.array_equal(frames[1], exp)
+
+
+def test_gif_anim_disposal_restore_background():
+    from simple_content_ocr_ray.stages.image_formats import (
+        decode_gif_frames,
+        make_gif_anim,
+    )
+
+    base = np.full((4, 4), 10, np.uint8)
+    patch = np.full((2, 2), 99, np.uint8)
+    blob = make_gif_anim(
+        [base, patch, patch],
+        [1, 1, 1],
+        offsets=[(0, 0), (1, 1), (0, 0)],
+        screen=(4, 4),
+        disposal=2,  # restore to background after each frame
+    )
+    frames, _ = decode_gif_frames(blob)
+    # frame 2's patch area was restored to background (palette bg = 0)
+    # before frame 3 painted at (0,0): the (1,1) patch must NOT persist
+    assert (frames[2][2:4, 2:4, 0] == 0).all()
+    assert (frames[2][0:2, 0:2, 0] == 99).all()
+
+
+def test_gif_anim_rejects_truncated_and_empty():
+    from simple_content_ocr_ray.stages.image_formats import (
+        decode_gif_frames,
+        make_gif_anim,
+    )
+
+    import struct
+
+    blob = make_gif_anim([np.zeros((3, 3), np.uint8)], [0])
+    with pytest.raises((UnsupportedImageError, IndexError, ValueError)):
+        decode_gif_frames(blob[:30])
+    # structurally valid GIF with no image data at all
+    empty = b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0, 0, 0) + b"\x3b"
+    with pytest.raises(UnsupportedImageError, match="no image data"):
+        decode_gif_frames(empty)
