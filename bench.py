@@ -235,6 +235,7 @@ def run_headline() -> dict:
         for name in (
             "extract_real_routes",
             "jpeg_real_meta",
+            "gif_anim_meta",
             "dedup_exact_pages",
             "ann_ivf_topk",
             "q1_pricing",
