@@ -322,6 +322,7 @@ def run_headline() -> dict:
             "frontier_shards",
             "sitemap_coverage",
             "recrawl_schedule",
+            "etag_revalidation_plan",
             "q7_volume_shipping",
             "q16_parts_supplier_counts",
             "q4_order_priority",

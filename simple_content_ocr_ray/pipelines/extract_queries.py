@@ -1591,6 +1591,87 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# Conditional-revalidation planning (ETag / Last-Modified)
+# --------------------------------------------------------------------------
+
+#: synthesized validator headers per residue — a real recrawl spends most
+#: of its bandwidth on unchanged pages, so validators decide METHOD:
+#: If-None-Match when an ETag exists (strongest), If-Modified-Since when
+#: only Last-Modified does, unconditional refetch otherwise. Weak ETags
+#: (W/"…") still allow conditional GET per RFC 9110 §13.1.2.
+_VALIDATOR_HEADERS = (
+    'etag: "v{d}-abc"',
+    "last-modified: Mon, 01 Jan 2024 00:00:00 GMT",
+    'etag: W/"weak-{d}"',
+    "",
+)
+
+
+def parse_validators(raw: str) -> tuple[str | None, str | None]:
+    """(etag, last_modified) from a response-header blob — header names
+    case-insensitive, values trimmed, first occurrence wins."""
+    etag = lastmod = None
+    for line in raw.splitlines():
+        name, _, value = line.partition(":")
+        n = name.strip().lower()
+        if n == "etag" and etag is None:
+            etag = value.strip()
+        elif n == "last-modified" and lastmod is None:
+            lastmod = value.strip()
+    return etag, lastmod
+
+
+def etag_revalidation_plan(sf_dir: str) -> rd.Dataset:
+    """Conditional-fetch planner: parse each capture's (synthesized,
+    deterministic) validator headers and emit the cheapest correct
+    recrawl method — ``if-none-match`` when an ETag exists (strong or
+    weak; RFC 9110 allows weak validators for GET revalidation),
+    ``if-modified-since`` when only Last-Modified does, ``refetch``
+    otherwise. A planner that sends unconditional GETs for validated
+    pages re-downloads the unchanged web every cycle. Vectorized-per-
+    batch header parse over (url) only; no shuffle."""
+    pages_dir = synth_pages_parquet(sf_dir)
+    pages = rd.read_parquet(pages_dir, columns=["url"])
+
+    def plan(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["url"].str[-8:].astype("int64")
+        methods, validators = [], []
+        for dd in d:
+            raw = _VALIDATOR_HEADERS[int(dd) % 4].format(d=int(dd))
+            etag, lastmod = parse_validators(raw)
+            if etag is not None:
+                methods.append("if-none-match")
+                validators.append(etag)
+            elif lastmod is not None:
+                methods.append("if-modified-since")
+                validators.append(lastmod)
+            else:
+                methods.append("refetch")
+                validators.append("")
+        return pd.DataFrame(
+            {"url": df["url"], "method": methods, "validator": validators}
+        )
+
+    return pages.map_batches(plan, batch_format="pandas")
+
+
+_ETAG_REVALIDATION_SQL = f"""
+SELECT {_URL_SQL} AS url,
+       CASE doc_id % 4
+         WHEN 0 THEN 'if-none-match'
+         WHEN 1 THEN 'if-modified-since'
+         WHEN 2 THEN 'if-none-match'
+         ELSE 'refetch' END AS method,
+       CASE doc_id % 4
+         WHEN 0 THEN '"v' || doc_id || '-abc"'
+         WHEN 1 THEN 'Mon, 01 Jan 2024 00:00:00 GMT'
+         WHEN 2 THEN 'W/"weak-' || doc_id || '"'
+         ELSE '' END AS validator
+FROM documents
+"""
+
+
 _SITEMAP_STRIDES = (0, 2, 7, 53, 200)
 
 
@@ -2932,6 +3013,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "frontier_shards": frontier_shards,
     "sitemap_coverage": sitemap_coverage,
     "recrawl_schedule": recrawl_schedule,
+    "etag_revalidation_plan": etag_revalidation_plan,
     "page_head_meta": page_head_meta,
     "robots_allowed_links": robots_allowed_links,
     "robots_wildcard_audit": robots_wildcard_audit,
@@ -2992,6 +3074,7 @@ ORACLES: dict[str, str] = {
     "frontier_shards": _FRONTIER_SHARDS_SQL,
     "sitemap_coverage": _SITEMAP_COVERAGE_SQL,
     "recrawl_schedule": _RECRAWL_SCHEDULE_SQL,
+    "etag_revalidation_plan": _ETAG_REVALIDATION_SQL,
     "page_head_meta": _PAGE_HEAD_META_SQL,
     "robots_allowed_links": _ROBOTS_ALLOWED_LINKS_SQL,
     "robots_wildcard_audit": _ROBOTS_WILDCARD_AUDIT_SQL,

@@ -557,3 +557,15 @@ def test_idn_decode_roundtrip_and_bad_label():
     except UnicodeError:
         raised = True
     assert raised  # the op catches exactly this and keeps the ascii form
+
+
+def test_parse_validators_cases():
+    from simple_content_ocr_ray.pipelines.extract_queries import parse_validators
+
+    etag, lm = parse_validators(
+        'Content-Type: text/html\nETag: "x1"\nLast-Modified:  Tue GMT \netag: "x2"'
+    )
+    assert etag == '"x1"'  # first wins, case-insensitive name
+    assert lm == "Tue GMT"  # value trimmed
+    assert parse_validators("") == (None, None)
+    assert parse_validators("ETag: W/\"w\"")[0] == 'W/"w"'
