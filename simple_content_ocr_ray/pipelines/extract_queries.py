@@ -2929,7 +2929,9 @@ def table_column_types(sf_dir: str) -> pd.DataFrame:
 
     from ..functions.agg import grouped_aggregate
 
-    cells = html_table_cells(sf_dir)
+    # materialize ONCE: the classify pass and the header pass both consume
+    # this, and the table is slim (≈21 grid cells per doc, payloads gone)
+    cells = html_table_cells(sf_dir).materialize()
 
     _INT = _re.compile(r"^-?\d+$")
     _FLT = _re.compile(r"^-?\d+\.\d+$")
