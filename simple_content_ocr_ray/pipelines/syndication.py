@@ -1,0 +1,424 @@
+"""Secondary-channel payload operators: MP3 (MPEG-1 Layer III + ID3v2)
+audio metadata, RDFa Lite triples, and HTML form audits.
+
+A web crawl is not only HTML article pages: audio files carry tag
+metadata, RDFa is the third in-markup structured-data syntax next to
+JSON-LD and Microdata (`webannot_queries.py`), and form structure
+(password fields, file uploads) is a page-type signal every corpus filter
+wants (login walls and upload portals are not training text). (RSS/Atom
+feed discovery already lives in `extract_queries.feed_entries`.)
+
+Reference grounding: the reference routes every payload by content type and
+stops at markdown per document (`/root/reference/src/simple_ocr/services/
+ocr_service.py:222-242`); these operators extend that router's reach to the
+sidecar content types a Common-Crawl-scale corpus actually contains.
+
+House fixture rule (see `webannot_queries.py` module docstring): payloads
+are synthesized deterministically from ``doc_id`` per batch — the Ray side
+must genuinely parse XML / MPEG bitstreams / HTML, while the DuckDB oracle
+reconstructs the expected output arithmetically.
+
+Scale shape (100 TB): every operator here is a pure per-page ``map_batches``
+parse — embarrassingly parallel, no shuffle at any scale; output rows are
+slim (metadata only, payloads never leave the parsing task).
+"""
+
+from __future__ import annotations
+
+import os
+from html.parser import HTMLParser
+from typing import Callable
+
+import pandas as pd
+import ray.data as rd
+
+from ..stages.mp3_frames import parse_mp3, synth_mp3
+
+# --------------------------------------------------------------------------
+# Shared doc source
+# --------------------------------------------------------------------------
+
+
+def _doc_ids(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+
+# --------------------------------------------------------------------------
+# mp3_meta — MPEG-1 Layer III frame walk + ID3v2 tags
+# --------------------------------------------------------------------------
+
+
+def mp3_meta(sf_dir: str) -> pd.DataFrame:
+    """Audio metadata via the real frame-header walk
+    (`stages/mp3_frames.py`): (doc_id, title, artist, frame_count,
+    sample_rate, duration_ms, avg_bitrate_kbps, truncated). The streams are
+    VBR — a parser that trusts frame 0's bitrate gets the duration wrong —
+    and one doc in ten ends mid-frame (connection-reset capture)."""
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for d in df["doc_id"]:
+            rows.append({"doc_id": int(d), **parse_mp3(synth_mp3(int(d)))})
+        out = pd.DataFrame(rows)
+        for c in ("frame_count", "sample_rate", "duration_ms", "avg_bitrate_kbps"):
+            out[c] = out[c].astype("int64")
+        return out.astype({"doc_id": "int64", "truncated": "bool"})
+
+    out = (
+        _doc_ids(sf_dir)
+        .map_batches(extract, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_MP3_META_SQL = """
+WITH f AS (
+  SELECT doc_id, unnest(generate_series(0, 7 + doc_id % 9)) AS i
+  FROM documents
+), br AS (
+  SELECT doc_id, i,
+         ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+           [1 + (doc_id + i) % 14] AS kbps
+  FROM f
+), agg AS (
+  SELECT doc_id, COUNT(*) AS frame_count, SUM(kbps) AS kbps_sum
+  FROM br GROUP BY doc_id
+)
+SELECT a.doc_id,
+       'Track ' || a.doc_id AS title,
+       'Artist ' || (a.doc_id % 23) AS artist,
+       a.frame_count,
+       CASE a.doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+            ELSE 32000 END AS sample_rate,
+       a.frame_count * 1152 * 1000
+         // CASE a.doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                 ELSE 32000 END AS duration_ms,
+       CAST(a.kbps_sum // a.frame_count AS BIGINT) AS avg_bitrate_kbps,
+       a.doc_id % 10 = 7 AS truncated
+FROM agg a
+ORDER BY a.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# rdfa_triples — RDFa Lite extraction (third in-markup structured-data
+# syntax next to JSON-LD and Microdata)
+# --------------------------------------------------------------------------
+
+
+def make_rdfa_page(d: int) -> bytes:
+    """Deterministic RDFa Lite page for doc ``d``: an Article subject with a
+    nested Person (the nesting trap — ``name`` belongs to the Person, and
+    the ``author`` property's value is the nested subject's type), a
+    ``<meta property content>`` literal, an ``<a property href>`` whose
+    value is the href (not the anchor text), and an orphan ``property``
+    with no subject ancestor that must be ignored. Quote style and
+    attribute order vary with ``d``."""
+    q = '"' if d % 2 == 0 else "'"
+    parts = [
+        "<!doctype html>",
+        f"<html><head><title>R {d}</title></head><body>",
+        f"<div vocab={q}https://schema.org/{q} typeof={q}Article{q}>",
+        f"<h1 property={q}headline{q}>Headline {d}</h1>",
+        f"<span typeof={q}Person{q} property={q}author{q}>",
+        f"<span property={q}name{q}>Author {d % 23}</span>",
+        "</span>",
+    ]
+    if d % 4 != 1:
+        parts.append(f"<meta property={q}wordCount{q} content={q}{d % 1000}{q}>")
+    parts.append(
+        f"<a property={q}url{q} href={q}https://site{d % 97}.example/"
+        f"{d:08d}{q}>permalink text (not the value)</a>"
+    )
+    parts.append("</div>")
+    parts.append(f"<span property={q}orphan{q}>no subject ancestor</span>")
+    parts.append("</body></html>")
+    return "\n".join(parts).encode()
+
+
+_RDFA_VOID = {"meta", "link", "img", "br", "hr", "input", "source"}
+
+
+def parse_rdfa(html: str) -> list[dict]:
+    """RDFa Lite subset: ``typeof`` opens a subject; ``property`` attaches a
+    literal to the NEAREST ancestor subject — ``<meta>`` contributes its
+    ``content``, ``<a>``/``<link>`` contribute ``href``, an element carrying
+    both ``property`` and ``typeof`` contributes the nested subject's type
+    and opens that subject, and any other element contributes its collapsed
+    inner text. A ``property`` with no subject ancestor is skipped (this
+    implementation does not model the document-node subject)."""
+
+    class P(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.rows: list[dict] = []
+            # frame: [tag, subject_type_or_None, prop_or_None, text_buf]
+            self.stack: list[list] = []
+
+        def _subject(self) -> str | None:
+            for fr in reversed(self.stack):
+                if fr[1] is not None:
+                    return fr[1]
+            return None
+
+        def handle_starttag(self, tag, attrs):
+            a = dict(attrs)
+            typeof = a.get("typeof")
+            prop = a.get("property")
+            owner = self._subject()
+            if typeof is not None:
+                if prop and owner is not None:
+                    self.rows.append(
+                        {"subj_type": owner, "prop": prop, "value": typeof}
+                    )
+                if tag not in _RDFA_VOID:
+                    self.stack.append([tag, typeof, None, None])
+                return
+            if prop and owner is not None:
+                if tag == "meta":
+                    self.rows.append(
+                        {
+                            "subj_type": owner,
+                            "prop": prop,
+                            "value": a.get("content", ""),
+                        }
+                    )
+                    return
+                if tag in ("a", "link") and "href" in a:
+                    self.rows.append(
+                        {"subj_type": owner, "prop": prop, "value": a["href"]}
+                    )
+                    if tag not in _RDFA_VOID:
+                        self.stack.append([tag, None, None, None])
+                    return
+                if tag not in _RDFA_VOID:
+                    self.stack.append([tag, None, prop, []])
+                    return
+            if tag not in _RDFA_VOID:
+                self.stack.append([tag, None, None, None])
+
+        def handle_data(self, data):
+            if self.stack and self.stack[-1][3] is not None:
+                self.stack[-1][3].append(data)
+
+        def handle_endtag(self, tag):
+            while self.stack:
+                fr = self.stack.pop()
+                if fr[2] is not None:
+                    owner = self._subject()
+                    if owner is not None:
+                        self.rows.append(
+                            {
+                                "subj_type": owner,
+                                "prop": fr[2],
+                                "value": " ".join("".join(fr[3]).split()),
+                            }
+                        )
+                if fr[0] == tag:
+                    break
+
+    p = P()
+    p.feed(html)
+    return p.rows
+
+
+def rdfa_triples(sf_dir: str) -> pd.DataFrame:
+    """RDFa Lite inventory: (doc_id, subj_type, prop, value) per extracted
+    triple. Completes the structured-data trio (JSON-LD `structured_data`,
+    Microdata `microdata_items`)."""
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for d in df["doc_id"]:
+            for r in parse_rdfa(make_rdfa_page(int(d)).decode()):
+                rows.append({"doc_id": int(d), **r})
+        return pd.DataFrame(
+            rows, columns=["doc_id", "subj_type", "prop", "value"]
+        ).astype({"doc_id": "int64"})
+
+    out = (
+        _doc_ids(sf_dir)
+        .map_batches(extract, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["doc_id", "subj_type", "prop"]).reset_index(
+        drop=True
+    )
+
+
+_RDFA_TRIPLES_SQL = """
+SELECT doc_id, 'Article' AS subj_type, 'headline' AS prop,
+       'Headline ' || doc_id AS value FROM documents
+UNION ALL
+SELECT doc_id, 'Article', 'author', 'Person' FROM documents
+UNION ALL
+SELECT doc_id, 'Person', 'name', 'Author ' || (doc_id % 23) FROM documents
+UNION ALL
+SELECT doc_id, 'Article', 'wordCount', CAST(doc_id % 1000 AS VARCHAR)
+FROM documents WHERE doc_id % 4 <> 1
+UNION ALL
+SELECT doc_id, 'Article', 'url',
+       'https://site' || (doc_id % 97) || '.example/'
+         || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+FROM documents
+ORDER BY doc_id, subj_type, prop
+"""
+
+
+# --------------------------------------------------------------------------
+# html_forms — form structure audit (login walls / upload portals)
+# --------------------------------------------------------------------------
+
+
+def make_form_page(d: int) -> bytes:
+    """Deterministic form page for doc ``d``: ``1 + d % 3`` forms; form ``f``
+    has key ``m = 3d + f``. Method attribute rotates case and is absent one
+    time in five (spec default = GET); field mix includes hidden CSRF
+    inputs, a password field when ``m % 5 == 0``, a file upload when
+    ``m % 7 == 3``, textarea/select variants, plus decoys: an ``<input>``
+    OUTSIDE any form and a ``<button>`` (not an input)."""
+    parts = ["<!doctype html>", f"<html><body><h1>Page {d}</h1>"]
+    parts.append('<input type="text" name="orphan-outside-any-form">')
+    for f in range(1 + d % 3):
+        m = 3 * d + f
+        method = ("post", "POST", "get", "Get", None)[m % 5]
+        mattr = f' method="{method}"' if method is not None else ""
+        parts.append(f'<form action="/submit/{m}"{mattr}>')
+        for j in range(2 + m % 3):
+            parts.append(f'<input type="text" name="q{j}">')
+        parts.append(f'<input type="hidden" name="csrf" value="t{m}">')
+        if m % 5 == 0:
+            parts.append('<input type="PASSWORD" name="pw">')
+        if m % 7 == 3:
+            parts.append('<input name="up" type="file">')
+        if m % 4 == 0:
+            parts.append('<textarea name="msg"></textarea>')
+        if m % 4 == 2:
+            parts.append(
+                '<select name="opt"><option>a</option><option>b</option></select>'
+            )
+        parts.append("<button>not an input</button>")
+        parts.append("</form>")
+    parts.append("</body></html>")
+    return "\n".join(parts).encode()
+
+
+def parse_forms(html: str) -> list[dict]:
+    """Form inventory of one page: method (uppercased; GET when absent, per
+    the HTML spec default), action, input/textarea/select counts, and the
+    password / file-upload signals. Fields belong to the nearest open form
+    (HTML forbids nested forms); fields outside any form are ignored."""
+
+    class P(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.rows: list[dict] = []
+            self.cur: dict | None = None
+
+        def handle_starttag(self, tag, attrs):
+            a = dict(attrs)
+            if tag == "form":
+                self.cur = {
+                    "form_idx": len(self.rows),
+                    "method": (a.get("method") or "get").upper(),
+                    "action": a.get("action") or "",
+                    "n_inputs": 0,
+                    "n_fields": 0,
+                    "has_password": False,
+                    "has_file": False,
+                }
+                return
+            if self.cur is None:
+                return
+            if tag == "input":
+                t = (a.get("type") or "text").lower()
+                self.cur["n_inputs"] += 1
+                self.cur["n_fields"] += 1
+                if t == "password":
+                    self.cur["has_password"] = True
+                if t == "file":
+                    self.cur["has_file"] = True
+            elif tag in ("textarea", "select"):
+                self.cur["n_fields"] += 1
+
+        def handle_endtag(self, tag):
+            if tag == "form" and self.cur is not None:
+                self.rows.append(self.cur)
+                self.cur = None
+
+    p = P()
+    p.feed(html)
+    return p.rows
+
+
+def html_forms(sf_dir: str) -> pd.DataFrame:
+    """Form audit: (doc_id, form_idx, method, action, n_inputs, n_fields,
+    has_password, has_file) per form — the login-wall / upload-portal
+    page-type signal a corpus filter reads before keeping a page's text."""
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for d in df["doc_id"]:
+            for r in parse_forms(make_form_page(int(d)).decode()):
+                rows.append({"doc_id": int(d), **r})
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "form_idx", "method", "action", "n_inputs",
+                "n_fields", "has_password", "has_file",
+            ],
+        ).astype(
+            {
+                "doc_id": "int64", "form_idx": "int64",
+                "n_inputs": "int64", "n_fields": "int64",
+                "has_password": "bool", "has_file": "bool",
+            }
+        )
+
+    out = (
+        _doc_ids(sf_dir)
+        .map_batches(extract, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["doc_id", "form_idx"]).reset_index(drop=True)
+
+
+_HTML_FORMS_SQL = """
+WITH f AS (
+  SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS fi
+  FROM documents
+), k AS (
+  SELECT doc_id, fi, 3 * doc_id + fi AS m FROM f
+)
+SELECT doc_id,
+       fi AS form_idx,
+       CASE WHEN m % 5 IN (0, 1) THEN 'POST' ELSE 'GET' END AS method,
+       '/submit/' || m AS action,
+       (2 + m % 3) + 1
+         + CASE WHEN m % 5 = 0 THEN 1 ELSE 0 END
+         + CASE WHEN m % 7 = 3 THEN 1 ELSE 0 END AS n_inputs,
+       (2 + m % 3) + 1
+         + CASE WHEN m % 5 = 0 THEN 1 ELSE 0 END
+         + CASE WHEN m % 7 = 3 THEN 1 ELSE 0 END
+         + CASE WHEN m % 4 IN (0, 2) THEN 1 ELSE 0 END AS n_fields,
+       m % 5 = 0 AS has_password,
+       m % 7 = 3 AS has_file
+FROM k
+ORDER BY doc_id, form_idx
+"""
+
+
+QUERIES: dict[str, Callable] = {
+    "mp3_meta": mp3_meta,
+    "rdfa_triples": rdfa_triples,
+    "html_forms": html_forms,
+}
+
+ORACLES: dict[str, str] = {
+    "mp3_meta": _MP3_META_SQL,
+    "rdfa_triples": _RDFA_TRIPLES_SQL,
+    "html_forms": _HTML_FORMS_SQL,
+}

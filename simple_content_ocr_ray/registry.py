@@ -27,6 +27,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         extract_queries,
         media,
         relational,
+        syndication,
         tpch_rest,
         train_feed,
         webannot_queries,
@@ -42,6 +43,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         extract_queries,
         media,
         relational,
+        syndication,
         tpch_rest,
         train_feed,
         webannot_queries,

@@ -1,0 +1,163 @@
+"""Secondary-channel operators: MP3 frame walk / ID3v2, RDFa Lite, forms."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from simple_content_ocr_ray.stages.mp3_frames import (
+    BITRATE_KBPS,
+    SAMPLE_RATES,
+    SAMPLES_PER_FRAME,
+    Mp3Error,
+    parse_mp3,
+    synth_mp3,
+)
+from simple_content_ocr_ray.pipelines.syndication import (
+    html_forms,
+    make_form_page,
+    make_rdfa_page,
+    mp3_meta,
+    parse_forms,
+    parse_rdfa,
+    rdfa_triples,
+)
+
+
+# ----------------------------------------------------------------- MP3 ----
+
+
+def test_mp3_roundtrip_vbr():
+    for d in (0, 1, 7, 17, 42):
+        m = parse_mp3(synth_mp3(d))
+        n = 8 + d % 9
+        sr = SAMPLE_RATES[d % 3]
+        assert m["frame_count"] == n
+        assert m["sample_rate"] == sr
+        assert m["title"] == f"Track {d}"
+        assert m["artist"] == f"Artist {d % 23}"
+        assert m["duration_ms"] == n * SAMPLES_PER_FRAME * 1000 // sr
+        # VBR: the walk must sum per-frame bitrates, not trust frame 0
+        ks = sum(BITRATE_KBPS[1 + (d + i) % 14] for i in range(n))
+        assert m["avg_bitrate_kbps"] == ks // n
+        assert m["truncated"] == (d % 10 == 7)
+
+
+def test_mp3_truncated_capture_flagged_not_fatal():
+    m = parse_mp3(synth_mp3(7))  # d % 10 == 7 → half a final frame
+    assert m["truncated"] is True
+    assert m["frame_count"] == 8 + 7 % 9  # partial frame excluded
+
+
+def test_mp3_rejects_garbage_and_sync_loss():
+    with pytest.raises(Mp3Error):
+        parse_mp3(b"")
+    with pytest.raises(Mp3Error):
+        parse_mp3(b"not an mpeg stream at all")
+    # valid tag, then junk where a frame header must be
+    good = synth_mp3(0)
+    with pytest.raises(Mp3Error):
+        parse_mp3(good[:10] + b"\x00\x00\x00\x00junk")
+
+
+def test_mp3_id3_only_has_no_frames():
+    tag_end = parse_mp3(synth_mp3(3))  # sanity: full stream parses
+    assert tag_end["frame_count"] > 0
+    # strip everything after the ID3 tag: no complete frame → error
+    data = synth_mp3(3)
+    from simple_content_ocr_ray.stages.mp3_frames import parse_id3v2
+
+    _, end = parse_id3v2(data)
+    with pytest.raises(Mp3Error):
+        parse_mp3(data[:end])
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=300))
+def test_mp3_parser_total_on_garbage(data):
+    """Totality: arbitrary bytes either parse or raise Mp3Error — never an
+    IndexError/struct.error/UnicodeDecodeError (the failed-row contract)."""
+    try:
+        parse_mp3(data)
+    except Mp3Error:
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000), st.integers(0, 299))
+def test_mp3_parser_total_on_corrupted_synth(d, cut):
+    data = synth_mp3(d)
+    cut = min(cut, len(data) - 1)
+    corrupted = data[:cut] + bytes([data[cut] ^ 0xFF]) + data[cut + 1 :]
+    try:
+        parse_mp3(corrupted)
+    except Mp3Error:
+        pass
+
+
+# ---------------------------------------------------------------- RDFa ----
+
+
+def test_rdfa_nesting_and_value_rules():
+    rows = parse_rdfa(make_rdfa_page(2).decode())
+    by = {(r["subj_type"], r["prop"]): r["value"] for r in rows}
+    assert by[("Article", "headline")] == "Headline 2"
+    # nested subject: author's value is the NESTED type, name belongs to it
+    assert by[("Article", "author")] == "Person"
+    assert by[("Person", "name")] == "Author 2"
+    # meta → content attribute; a → href, not anchor text
+    assert by[("Article", "wordCount")] == "2"
+    assert by[("Article", "url")] == "https://site2.example/00000002"
+    # orphan property (no subject ancestor) must be ignored
+    assert not any(r["prop"] == "orphan" for r in rows)
+
+
+def test_rdfa_missing_meta_variant():
+    rows = parse_rdfa(make_rdfa_page(5).decode())  # d % 4 == 1 → no meta
+    assert not any(r["prop"] == "wordCount" for r in rows)
+
+
+# --------------------------------------------------------------- forms ----
+
+
+def test_forms_method_default_and_counts():
+    rows = parse_forms(make_form_page(4).decode())  # forms m = 12, 13
+    assert [r["method"] for r in rows] == ["get", "Get"] or all(
+        r["method"] in ("GET", "POST") for r in rows
+    )
+    m0 = rows[0]  # m = 12: 2 + 12%3 = 2 text + 1 csrf, textarea (12%4==0)
+    assert m0["method"] == "GET"
+    assert m0["action"] == "/submit/12"
+    assert m0["n_inputs"] == 3
+    assert m0["n_fields"] == 4
+    assert not m0["has_password"] and not m0["has_file"]
+
+
+def test_forms_password_file_and_orphan_input():
+    rows = parse_forms(make_form_page(0).decode())  # single form m = 0
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["has_password"] is True  # type="PASSWORD" (case-insensitive)
+    assert r["method"] == "POST"
+    # orphan input outside any form is not counted anywhere
+    assert r["n_inputs"] == 2 + 1 + 1  # q0,q1 + csrf + password
+    m3 = parse_forms(make_form_page(1).decode())  # m = 3 → file upload
+    assert any(x["has_file"] for x in m3)
+
+
+def test_forms_missing_method_defaults_get():
+    # m % 5 == 4 → no method attribute → GET per the HTML spec
+    rows14 = parse_forms(make_form_page(14).decode())  # m = 42,43,44; 44%5=4
+    assert rows14[2]["action"] == "/submit/44"
+    assert rows14[2]["method"] == "GET"
+
+
+# ----------------------------------------------------------------- e2e ----
+
+
+def test_syndication_queries_e2e(sf_dir):
+    mp3 = mp3_meta(sf_dir)
+    assert len(mp3) > 0 and mp3["truncated"].any()
+    rd_ = rdfa_triples(sf_dir)
+    assert set(rd_["subj_type"]) == {"Article", "Person"}
+    forms = html_forms(sf_dir)
+    assert forms["has_password"].any() and (forms["method"] == "GET").any()
