@@ -317,6 +317,10 @@ def run_headline() -> dict:
             "webp_lossy_meta",
             "jpeg_progressive_real_meta",
             "docx_real_text",
+            "doc_legacy_real_text",
+            "mp3_meta",
+            "rdfa_triples",
+            "html_forms",
             "streaming_dedup_stats",
             "anchor_text_index",
             "frontier_shards",

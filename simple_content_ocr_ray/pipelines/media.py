@@ -715,6 +715,65 @@ FROM documents
 """
 
 
+class _DocLegacyStage:
+    """Actor-pool stage: wrap each document's text (plus a forced
+    non-cp1252 suffix so every file carries at least one UTF-16 piece) in
+    a spec-valid Word 97 ``.doc`` — real CFB container, ministream 1Table,
+    FIB + piece table — and extract it back with the from-scratch
+    [MS-DOC] parser (`stages/doc_legacy.py`). Lossless roundtrip → SQL
+    identity oracle."""
+
+    def __init__(self) -> None:
+        from ..stages.doc_legacy import make_doc, parse_doc
+
+        self.make = make_doc
+        self.parse = parse_doc
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        texts, pieces = [], []
+        for d, t in zip(df["doc_id"], df["text"]):
+            wrapped = f"{t}\n→{int(d)}"  # U+2192 is not cp1252-encodable
+            res = self.parse(self.make(wrapped))
+            texts.append(res["text"])
+            pieces.append(res["n_pieces"])
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "text": texts,
+                "n_pieces": pd.Series(pieces, dtype="int64"),
+            }
+        )
+
+
+def doc_legacy_real_text(sf_dir: str) -> rd.Dataset:
+    """Real end-to-end legacy ``.doc`` text: build → CFB/piece-table parse
+    per document. The reference stubs pre-2007 office types to failed rows
+    (ocr_service.py:234-242); this extracts them from scratch. Pure
+    per-document map, no shuffle at any scale."""
+    return (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        .map_batches(
+            _DocLegacyStage,
+            batch_format="pandas",
+            batch_size=MEDIA_BATCH_SIZE,
+            concurrency=_media_concurrency(),
+        )
+    )
+
+
+_DOC_LEGACY_REAL_TEXT_SQL = """
+SELECT doc_id,
+       text || chr(10) || '→' || doc_id AS text,
+       CAST(ceil((length(text) + 2
+                  + length(CAST(doc_id AS VARCHAR))) / 120.0) AS BIGINT)
+         AS n_pieces
+FROM documents
+"""
+
+
 class _SvgMetaStage:
     """Actor-pool stage: synthesize a deterministic SVG per document
     (sized root, rotating shape count, 1 + doc_id%4 text runs with the
@@ -1730,6 +1789,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "webp_lossy_meta": webp_lossy_meta,
     "docx_real_text": docx_real_text,
     "ooxml_real_meta": ooxml_real_meta,
+    "doc_legacy_real_text": doc_legacy_real_text,
     "svg_real_meta": svg_real_meta,
     "ico_real_meta": ico_real_meta,
     "flac_real_meta": flac_real_meta,
@@ -1759,6 +1819,7 @@ ORACLES: dict[str, str] = {
     "webp_lossy_meta": _WEBP_LOSSY_META_SQL,
     "docx_real_text": _DOCX_REAL_TEXT_SQL,
     "ooxml_real_meta": _OOXML_REAL_META_SQL,
+    "doc_legacy_real_text": _DOC_LEGACY_REAL_TEXT_SQL,
     "svg_real_meta": _SVG_REAL_META_SQL,
     "ico_real_meta": _ICO_REAL_META_SQL,
     "flac_real_meta": _FLAC_REAL_META_SQL,

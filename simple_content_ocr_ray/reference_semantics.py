@@ -47,6 +47,9 @@ _MAGIC = [
     # zip container: OOXML (docx/pptx/xlsx) and generic archives — the
     # ooxml-text engine resolves the package kind from the archive layout
     (b"PK\x03\x04", "zip"),
+    # OLE2 compound file: legacy Word 97 .doc (doc-text engine resolves;
+    # non-Word compound files fail as rows at the engine seam)
+    (b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1", "cfb"),
     (b"{\\rtf", "rtf"),
     (b"WEBVTT", "vtt"),
     (b"\xef\xbb\xbfWEBVTT", "vtt"),
@@ -55,6 +58,7 @@ _MAGIC = [
 
 CONTENT_TYPE_TO_MIME = {
     "html": "text/html",
+    "cfb": "application/msword",
     "pdf": "application/pdf",
     "png": "image/png",
     "jpeg": "image/jpeg",

@@ -273,6 +273,12 @@ def _ooxml_text_factory(**kwargs: Any) -> Any:
     return OoxmlTextEngine(**kwargs)
 
 
+def _doc_legacy_factory(**kwargs: Any) -> Any:
+    from .doc_legacy import DocLegacyTextEngine
+
+    return DocLegacyTextEngine(**kwargs)
+
+
 def _svg_text_factory(**kwargs: Any) -> Any:
     from .svg_text import SvgTextEngine
 
@@ -315,6 +321,7 @@ register_engine("gif-decode", _gif_decode_factory)
 register_engine("tiff-decode", _tiff_decode_factory)
 register_engine("webp-decode", _webp_decode_factory)
 register_engine("ooxml-text", _ooxml_text_factory)
+register_engine("doc-text", _doc_legacy_factory)
 register_engine("svg-text", _svg_text_factory)
 register_engine("ico-decode", _ico_decode_factory)
 register_engine("mp4-meta", _mp4_meta_factory)

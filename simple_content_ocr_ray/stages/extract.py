@@ -80,6 +80,9 @@ REAL_ROUTE: dict[str, str] = {
     # extracting the runs exceeds that honestly. Non-OOXML zips fail as
     # rows at the engine's documented seam.
     "zip": "ooxml-text",
+    # legacy Word 97 .doc via the OLE2/CFB route (r4s9, stages/doc_legacy.py);
+    # non-Word compound files fail as rows at the engine's documented seam
+    "cfb": "doc-text",
     # vector + icon formats the reference does not list (config.py:113-120
     # stops at raster images) — real engines here, failed rows on the
     # mock-parity DEFAULT_ROUTE, same exceed-honestly policy as OOXML.
