@@ -54,11 +54,15 @@ _MAGIC = [
     (b"WEBVTT", "vtt"),
     (b"\xef\xbb\xbfWEBVTT", "vtt"),
     (b"\x1f\x8b", "gzip"),
+    # MP3: only the unambiguous ID3v2 magic sniffs (a bare 0xFFEx sync word
+    # is too weak a prefix — raw CBR streams without tags stay "unknown")
+    (b"ID3", "mp3"),
 ]
 
 CONTENT_TYPE_TO_MIME = {
     "html": "text/html",
     "cfb": "application/msword",
+    "mp3": "audio/mpeg",
     "pdf": "application/pdf",
     "png": "image/png",
     "jpeg": "image/jpeg",

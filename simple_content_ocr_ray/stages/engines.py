@@ -297,6 +297,12 @@ def _mp4_meta_factory(**kwargs: Any) -> Any:
     return Mp4VideoEngine(**kwargs)
 
 
+def _mp3_meta_factory(**kwargs: Any) -> Any:
+    from .mp3_frames import Mp3AudioEngine
+
+    return Mp3AudioEngine(**kwargs)
+
+
 def _rtf_text_factory(**kwargs: Any) -> Any:
     from .rtf_text import RtfTextEngine
 
@@ -325,6 +331,7 @@ register_engine("doc-text", _doc_legacy_factory)
 register_engine("svg-text", _svg_text_factory)
 register_engine("ico-decode", _ico_decode_factory)
 register_engine("mp4-meta", _mp4_meta_factory)
+register_engine("mp3-meta", _mp3_meta_factory)
 register_engine("rtf-text", _rtf_text_factory)
 register_engine("subtitle-text", _subtitle_text_factory)
 

@@ -89,6 +89,7 @@ REAL_ROUTE: dict[str, str] = {
     "svg": "svg-text",
     "ico": "ico-decode",
     "mp4": "mp4-meta",
+    "mp3": "mp3-meta",
     "rtf": "rtf-text",
     "vtt": "subtitle-text",
     "srt": "subtitle-text",

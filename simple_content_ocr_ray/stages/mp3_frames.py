@@ -217,3 +217,34 @@ def synth_mp3(d: int) -> bytes:
         hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2) | (pad << 1), 0x40])
         out += hdr + bytes(flen // 2)
     return bytes(out)
+
+
+class Mp3AudioEngine:
+    """Engine-seam wrapper for the flagship route: ``mp3`` payloads (sniffed
+    by the ID3v2 magic) → tag + frame-walk metadata. Like `Mp4VideoEngine`
+    and the FLAC engine, the audio SAMPLES stay at the documented codec
+    seam — metadata extraction is the route's contract."""
+
+    name = "mp3-meta"
+
+    def extract(self, url: str, payload: bytes, content_type: str):
+        from .engines import EngineResult
+
+        m = parse_mp3(payload)
+        return EngineResult(
+            text=(
+                f"[audio {m['sample_rate']}Hz {m['duration_ms']}ms "
+                f"{m['avg_bitrate_kbps']}kbps frames={m['frame_count']}]"
+            ),
+            page_count=1,
+            metadata={
+                "engine": self.name,
+                "title": m["title"],
+                "artist": m["artist"],
+                "sample_rate": str(m["sample_rate"]),
+                "duration_ms": str(m["duration_ms"]),
+                "avg_bitrate_kbps": str(m["avg_bitrate_kbps"]),
+                "frame_count": str(m["frame_count"]),
+                "truncated": str(m["truncated"]).lower(),
+            },
+        )

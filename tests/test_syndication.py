@@ -161,3 +161,30 @@ def test_syndication_queries_e2e(sf_dir):
     assert set(rd_["subj_type"]) == {"Article", "Person"}
     forms = html_forms(sf_dir)
     assert forms["has_password"].any() and (forms["method"] == "GET").any()
+
+
+def test_mp3_real_route(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from simple_content_ocr_ray.pipelines.extract import extraction_pipeline
+    from simple_content_ocr_ray.reference_semantics import sniff_bytes
+
+    payload = synth_mp3(11)
+    assert sniff_bytes(payload) == "mp3"
+    pages = pa.table(
+        {
+            "url": ["https://x.example/song.mp3"],
+            "warc_ts": pa.array([0], pa.timestamp("us")),
+            "html": pa.array([payload], pa.binary()),
+            "text": [""],
+            "lang": ["en"],
+        }
+    )
+    real = extraction_pipeline(rd.from_arrow(pages), preset="real").to_pandas()
+    assert real.loc[0, "content_type"] == "mp3"
+    assert real.loc[0, "status"] == "completed"
+    assert real.loc[0, "text"].startswith("[audio ")
+    # mock-parity route: audio is not in the reference's supported list
+    mock = extraction_pipeline(rd.from_arrow(pages), preset="mock").to_pandas()
+    assert mock.loc[0, "status"] == "failed"
