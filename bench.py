@@ -321,6 +321,7 @@ def run_headline() -> dict:
             "mp3_meta",
             "rdfa_triples",
             "html_forms",
+            "article_publish_dates",
             "streaming_dedup_stats",
             "anchor_text_index",
             "frontier_shards",

@@ -411,14 +411,206 @@ ORDER BY doc_id, form_idx
 """
 
 
+
+
+
+# --------------------------------------------------------------------------
+# article_publish_dates — multi-channel publish-date extraction
+# --------------------------------------------------------------------------
+
+_DATE_BASE = 1_577_836_800  # 2020-01-01T00:00:00Z
+
+
+def _iso(epoch_s: int, zulu: bool) -> str:
+    from datetime import datetime, timezone
+
+    s = datetime.fromtimestamp(epoch_s, tz=timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%S"
+    )
+    return s + ("Z" if zulu else "+00:00")
+
+
+def make_dated_page(d: int) -> bytes:
+    """Deterministic page for doc ``d`` carrying up to four publish-date
+    channels, each with a DIFFERENT timestamp so precedence is observable:
+    JSON-LD ``datePublished`` (+3 h; MALFORMED when ``d % 9 == 0`` — the
+    parser must fall through), ``article:published_time`` meta (+2 h),
+    ``<time datetime>`` (+1 h), and a date-pathed canonical URL (+0).
+    Channel presence varies per doc; ISO suffix rotates Z / +00:00; decoys:
+    a ``<time>`` with no datetime attribute and a plain script."""
+    base = _DATE_BASE + (d % 1000) * 86400
+    zulu = d % 2 == 0
+    parts = ["<!doctype html>", "<html><head>", f"<title>Dated {d}</title>"]
+    if d % 7 != 4:
+        from datetime import datetime, timezone
+
+        dt = datetime.fromtimestamp(base, tz=timezone.utc)
+        parts.append(
+            f'<link rel="canonical" href="https://site{d % 97}.example/'
+            f'{dt:%Y/%m/%d}/post-{d}">'
+        )
+    else:
+        parts.append(
+            f'<link rel="canonical" href="https://site{d % 97}.example/p/{d}">'
+        )
+    if d % 4 != 2:
+        parts.append(
+            '<meta property="article:published_time" '
+            f'content="{_iso(base + 7200, zulu)}">'
+        )
+    if d % 3 != 1:
+        bad = "," if d % 9 == 0 else ""
+        parts.append(
+            '<script type="application/ld+json">'
+            '{"@context":"https://schema.org","@type":"Article",'
+            f'"datePublished":"{_iso(base + 10800, zulu)}"{bad}}}'
+            "</script>"
+        )
+    parts.append("<script>var decoy=1;</script>")
+    parts.append("</head><body>")
+    if d % 5 != 3:
+        parts.append(
+            f'<time datetime="{_iso(base + 3600, zulu)}">posted</time>'
+        )
+    parts.append("<time>yesterday</time>")  # decoy: no datetime attribute
+    parts.append(f"<p>body {d}</p></body></html>")
+    return "\n".join(parts).encode()
+
+
+_URL_DATE_RE = None  # compiled lazily so the module imports without re
+
+
+def parse_publish_date(html: str) -> tuple[str, int]:
+    """(channel, epoch_s) for one page under the published precedence used
+    by crawl-recency pipelines: valid JSON-LD ``datePublished`` →
+    ``article:published_time`` meta → first ``<time datetime>`` → a
+    ``/YYYY/MM/DD/`` canonical-URL path → ('none', -1). A malformed
+    JSON-LD block is SKIPPED, not fatal (one bad annotation costs one
+    channel, never the row)."""
+    import json as _json
+    import re as _re
+    from datetime import datetime, timezone
+
+    global _URL_DATE_RE
+    if _URL_DATE_RE is None:
+        _URL_DATE_RE = _re.compile(r"/(\d{4})/(\d{2})/(\d{2})/")
+
+    class P(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.in_ldjson = False
+            self.ld_blocks: list[str] = []
+            self.og: str | None = None
+            self.time_dt: str | None = None
+            self.canonical: str | None = None
+
+        def handle_starttag(self, tag, attrs):
+            a = dict(attrs)
+            if tag == "script" and a.get("type") == "application/ld+json":
+                self.in_ldjson = True
+                self.ld_blocks.append("")
+            elif tag == "meta" and a.get("property") == "article:published_time":
+                if self.og is None:
+                    self.og = a.get("content")
+            elif tag == "time" and "datetime" in a and self.time_dt is None:
+                self.time_dt = a["datetime"]
+            elif tag == "link" and a.get("rel") == "canonical":
+                self.canonical = a.get("href")
+
+        def handle_data(self, data):
+            if self.in_ldjson:
+                self.ld_blocks[-1] += data
+
+        def handle_endtag(self, tag):
+            if tag == "script":
+                self.in_ldjson = False
+
+    def iso_epoch(s: str) -> int:
+        return int(
+            datetime.fromisoformat(s.replace("Z", "+00:00")).timestamp()
+        )
+
+    p = P()
+    p.feed(html)
+    for block in p.ld_blocks:
+        try:
+            obj = _json.loads(block)
+        except ValueError:
+            continue  # malformed annotation: skip this channel
+        if isinstance(obj, dict) and "datePublished" in obj:
+            return "jsonld", iso_epoch(obj["datePublished"])
+    if p.og:
+        return "og", iso_epoch(p.og)
+    if p.time_dt:
+        return "time", iso_epoch(p.time_dt)
+    if p.canonical:
+        m = _URL_DATE_RE.search(p.canonical)
+        if m:
+            y, mo, dy = map(int, m.groups())
+            return "url", int(
+                datetime(y, mo, dy, tzinfo=timezone.utc).timestamp()
+            )
+    return "none", -1
+
+
+def article_publish_dates(sf_dir: str) -> pd.DataFrame:
+    """Publish-date inventory: (doc_id, channel, pub_epoch_s) per page —
+    the recency signal corpus-refresh weighting reads. Pure per-page map;
+    the fixture's channels disagree by construction, so a parser with the
+    wrong precedence (or one that trusts a malformed JSON-LD block)
+    hash-mismatches."""
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for d in df["doc_id"]:
+            ch, ep = parse_publish_date(make_dated_page(int(d)).decode())
+            rows.append(
+                {"doc_id": int(d), "channel": ch, "pub_epoch_s": ep}
+            )
+        return pd.DataFrame(
+            rows, columns=["doc_id", "channel", "pub_epoch_s"]
+        ).astype({"doc_id": "int64", "pub_epoch_s": "int64"})
+
+    out = (
+        _doc_ids(sf_dir)
+        .map_batches(extract, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_ARTICLE_PUBLISH_DATES_SQL = f"""
+WITH b AS (
+  SELECT doc_id,
+         {_DATE_BASE} + (doc_id % 1000) * 86400 AS base
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 3 <> 1 AND doc_id % 9 <> 0 THEN 'jsonld'
+            WHEN doc_id % 4 <> 2 THEN 'og'
+            WHEN doc_id % 5 <> 3 THEN 'time'
+            WHEN doc_id % 7 <> 4 THEN 'url'
+            ELSE 'none' END AS channel,
+       CASE WHEN doc_id % 3 <> 1 AND doc_id % 9 <> 0 THEN base + 10800
+            WHEN doc_id % 4 <> 2 THEN base + 7200
+            WHEN doc_id % 5 <> 3 THEN base + 3600
+            WHEN doc_id % 7 <> 4 THEN base
+            ELSE -1 END AS pub_epoch_s
+FROM b
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable] = {
     "mp3_meta": mp3_meta,
     "rdfa_triples": rdfa_triples,
     "html_forms": html_forms,
+    "article_publish_dates": article_publish_dates,
 }
 
 ORACLES: dict[str, str] = {
     "mp3_meta": _MP3_META_SQL,
     "rdfa_triples": _RDFA_TRIPLES_SQL,
     "html_forms": _HTML_FORMS_SQL,
+    "article_publish_dates": _ARTICLE_PUBLISH_DATES_SQL,
 }

@@ -188,3 +188,44 @@ def test_mp3_real_route(ray_session):
     # mock-parity route: audio is not in the reference's supported list
     mock = extraction_pipeline(rd.from_arrow(pages), preset="mock").to_pandas()
     assert mock.loc[0, "status"] == "failed"
+
+
+# ------------------------------------------------------------ pub dates ----
+
+
+def test_publish_date_precedence_and_fallthrough():
+    from simple_content_ocr_ray.pipelines.syndication import (
+        make_dated_page,
+        parse_publish_date,
+    )
+
+    # d=6: all channels present AND d%9!=0 → jsonld wins (+3h)
+    ch, ep = parse_publish_date(make_dated_page(6).decode())
+    assert ch == "jsonld" and ep % 86400 == 10800
+    # d=9: jsonld present but MALFORMED (9%9==0) → og (+2h)
+    ch, ep = parse_publish_date(make_dated_page(9).decode())
+    assert ch == "og" and ep % 86400 == 7200
+    # d=13: jsonld absent (13%3==1), og present (13%4!=2) → og
+    ch, _ = parse_publish_date(make_dated_page(13).decode())
+    assert ch == "og"
+    # d=22: jsonld absent (22%3==1), og absent (22%4==2), time present
+    ch, ep = parse_publish_date(make_dated_page(22).decode())
+    assert ch == "time" and ep % 86400 == 3600
+    # url-only and none rows exist in the domain
+    from simple_content_ocr_ray.pipelines.syndication import (
+        _ARTICLE_PUBLISH_DATES_SQL,  # noqa: F401 (mirrors same CASE)
+    )
+    found = {parse_publish_date(make_dated_page(d).decode())[0] for d in range(500)}
+    assert found == {"jsonld", "og", "time", "url", "none"}
+
+
+def test_publish_date_iso_suffix_variants():
+    from simple_content_ocr_ray.pipelines.syndication import (
+        make_dated_page,
+        parse_publish_date,
+    )
+
+    # even d → trailing Z, odd d → +00:00: both must parse to the same grid
+    for d in (6, 7):
+        ch, ep = parse_publish_date(make_dated_page(d).decode())
+        assert ep > 0 and (ep - (d % 1000) * 86400) % 3600 == 0
