@@ -238,6 +238,7 @@ def run_headline() -> dict:
             "gif_anim_meta",
             "dedup_exact_pages",
             "ann_ivf_topk",
+            "ann_hnsw_topk",
             "q1_pricing",
             "top_orders",
             "customer_order_totals",

@@ -1237,6 +1237,194 @@ ORDER BY query_id
 """
 
 
+# --------------------------------------------------------------------------
+# HNSW (Malkov & Yashunin 2016) — completes the ANN family next to
+# brute-force / IVF / LSH / PQ+ADC
+# --------------------------------------------------------------------------
+
+HNSW_M = 8  # max links per node per layer (2M at layer 0)
+HNSW_EF_C = 64  # construction beam width
+HNSW_EF_S = 48  # search beam width
+#: one graph per map_batches shard: at 100 TB this is the sharded-HNSW
+#: architecture (each worker owns a bounded in-memory graph over its shard;
+#: queries broadcast, per-shard top-k partials merge globally) — memory per
+#: actor is O(shard × M), never the corpus.
+HNSW_SHARD = 4096
+
+
+class _HnswGraph:
+    """Deterministic in-memory HNSW over unit vectors (cosine via dot).
+
+    Level assignment uses a Knuth-hash of ``vec_id`` instead of RNG, so the
+    graph — and therefore the query output — is reproducible run to run.
+    Construction is the paper's algorithm 1 (greedy descent to the node's
+    level, beam search per layer, keep-closest neighbor selection with
+    degree pruning); search is algorithm 2/5 (greedy upper layers, ef-beam
+    at layer 0). Per-node loops are inherent to HNSW; they run inside the
+    shard's actor and the candidate scoring is numpy dot products."""
+
+    def __init__(self, m: int = HNSW_M, ef_c: int = HNSW_EF_C) -> None:
+        self.m = m
+        self.ef_c = ef_c
+        self.vecs: np.ndarray | None = None
+        self.levels: list[int] = []
+        self.links: list[list[list[int]]] = []  # node → layer → neighbors
+        self.entry = -1
+        self.max_level = -1
+
+    @staticmethod
+    def _level_of(vec_id: int, m: int) -> int:
+        u = (((int(vec_id) * 2654435761) & 0xFFFFFFFF) + 1) / 4294967297.0
+        return int(-np.log(u) / np.log(m))
+
+    def _search_layer(self, q: np.ndarray, entry: int, ef: int, layer: int):
+        """Beam search on one layer: returns [(sim, node)] best-first."""
+        import heapq
+
+        sims = {entry: float(self.vecs[entry] @ q)}
+        visited = {entry}
+        cand = [(-sims[entry], entry)]  # max-heap by sim
+        best = [(sims[entry], entry)]  # min-heap of the ef best
+        while cand:
+            negs, c = heapq.heappop(cand)
+            if -negs < best[0][0] and len(best) >= ef:
+                break
+            for nb in self.links[c][layer]:
+                if nb in visited:
+                    continue
+                visited.add(nb)
+                s = float(self.vecs[nb] @ q)
+                sims[nb] = s
+                if len(best) < ef or s > best[0][0]:
+                    heapq.heappush(cand, (-s, nb))
+                    heapq.heappush(best, (s, nb))
+                    if len(best) > ef:
+                        heapq.heappop(best)
+        return sorted(best, reverse=True)
+
+    def build(self, Mn: np.ndarray) -> "_HnswGraph":
+        self.vecs = Mn
+        n = len(Mn)
+        self.levels = [self._level_of(i, self.m) for i in range(n)]
+        self.links = [
+            [[] for _ in range(lv + 1)] for lv in self.levels
+        ]
+        for i in range(n):
+            if self.entry < 0:
+                self.entry, self.max_level = i, self.levels[i]
+                continue
+            q = Mn[i]
+            ep = self.entry
+            # greedy descent through layers above the node's level
+            for layer in range(self.max_level, self.levels[i], -1):
+                improved = True
+                while improved:
+                    improved = False
+                    s_ep = float(Mn[ep] @ q)
+                    for nb in self.links[ep][layer] if layer < len(self.links[ep]) else []:
+                        if float(Mn[nb] @ q) > s_ep:
+                            ep, improved = nb, True
+                            break
+            # beam-insert at each layer ≤ node level
+            for layer in range(min(self.levels[i], self.max_level), -1, -1):
+                found = self._search_layer(q, ep, self.ef_c, layer)
+                ep = found[0][1]
+                cap = self.m * 2 if layer == 0 else self.m
+                chosen = [nid for _, nid in found[: self.m]]
+                self.links[i][layer] = list(chosen)
+                for nb in chosen:
+                    lst = self.links[nb][layer]
+                    lst.append(i)
+                    if len(lst) > cap:  # prune to the closest cap links
+                        vs = self.vecs[lst] @ self.vecs[nb]
+                        keep = np.argsort(-vs, kind="stable")[:cap]
+                        self.links[nb][layer] = [lst[j] for j in keep]
+            if self.levels[i] > self.max_level:
+                self.entry, self.max_level = i, self.levels[i]
+        return self
+
+    def search(self, q: np.ndarray, k: int, ef: int = HNSW_EF_S):
+        if self.entry < 0:
+            return []
+        ep = self.entry
+        for layer in range(self.max_level, 0, -1):
+            improved = True
+            while improved:
+                improved = False
+                s_ep = float(self.vecs[ep] @ q)
+                for nb in self.links[ep][layer] if layer < len(self.links[ep]) else []:
+                    if float(self.vecs[nb] @ q) > s_ep:
+                        ep, improved = nb, True
+                        break
+        return self._search_layer(q, ep, max(ef, k), 0)[:k]
+
+
+def ann_hnsw_topk(sf_dir: str) -> pd.DataFrame:
+    """Approximate cosine top-k via SHARDED HNSW: each map_batches shard
+    builds one deterministic graph over its vectors (actor-local, bounded
+    memory), searches the broadcast query matrix, and emits per-shard
+    top-k partials; a slim per-query merge picks the global top-k —
+    identical merge topology to ``ann_topk``/``ann_ivf_topk``, so the
+    shuffle carries ≤ shards × queries × k rows at any corpus size.
+    Rows-only by declared design (approximate); recall vs the brute-force
+    oracle is asserted in tests."""
+    qids, Q = _query_matrix(sf_dir)
+    qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    ref = ray.put((qids, qn))
+
+    class ShardSearcher:
+        def __init__(self) -> None:
+            self.qids, self.qn = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            M = _emb_matrix(df)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            g = _HnswGraph().build(Mn)
+            vec_ids = df["vec_id"].to_numpy()
+            out = []
+            for j, qid in enumerate(self.qids):
+                # +1 candidate so dropping a self-hit still leaves TOP_K
+                hits = g.search(self.qn[j], TOP_K + 1)
+                rows = [
+                    (int(vec_ids[nid]), s)
+                    for s, nid in hits
+                    if int(vec_ids[nid]) != int(qid)
+                ][:TOP_K]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(rows), qid, dtype=np.int64),
+                            "neighbor_id": np.array(
+                                [r[0] for r in rows], dtype=np.int64
+                            ),
+                            "cosine_sim": np.array([r[1] for r in rows]),
+                        }
+                    )
+                )
+            return pd.concat(out, ignore_index=True)
+
+    partial = _read_emb(sf_dir).map_batches(
+        ShardSearcher,
+        batch_format="pandas",
+        batch_size=HNSW_SHARD,
+        concurrency=(1, 4),
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["cosine_sim", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(TOP_K)
+
+    out = partial.groupby("query_id").map_groups(final, batch_format="pandas")
+    df = out.to_pandas()
+    df["cosine_sim"] = round_half_away(df["cosine_sim"])
+    return df.sort_values(
+        ["query_id", "cosine_sim", "neighbor_id"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    ).reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
     "semdedup_keepers": semdedup_keepers,
     "embedding_pca_project": embedding_pca_project,
@@ -1247,6 +1435,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_pq_topk": ann_pq_topk,
+    "ann_hnsw_topk": ann_hnsw_topk,
     "embedding_dup_pairs": embedding_dup_pairs,
     "kmeans_clusters": kmeans_clusters,
     "xlingual_margin_pairs": xlingual_margin_pairs,
@@ -1258,7 +1447,8 @@ ORACLES: dict[str, str] = {
     "ann_topk": _ANN_TOPK_SQL,
     "xlingual_margin_pairs": _XLINGUAL_MARGIN_SQL,
     "embedding_dup_pairs": _EMBEDDING_DUP_PAIRS_SQL,
-    # ann_ivf_topk: rows-only (approximate; recall asserted in tests)
+    # ann_ivf_topk / ann_hnsw_topk: rows-only (approximate; recall
+    # asserted in tests)
     # kmeans_clusters: rows-only (iterative, not SQL-expressible; invariants
     # asserted in tests/test_similarity_textstats.py)
     # semdedup_keepers: rows-only (k-means assignment not SQL-expressible;

@@ -524,3 +524,60 @@ def test_c4_rules_fire_exactly_per_residue(sf_dir):
     # survivors keep exactly the article line, terminal punctuation intact
     assert kept["clean_text"].str.endswith(".").all()
     assert (kept["n_kept"] == 1).all()
+
+
+def test_ann_hnsw_recall_and_shape(sf_dir):
+    from simple_content_ocr_ray.functions.similarity import TOP_K, ann_hnsw_topk
+
+    exact = ann_topk(sf_dir)
+    approx = ann_hnsw_topk(sf_dir)
+    total = hits = 0
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        assert len(a) == TOP_K
+        assert qid not in a  # self excluded
+        total += len(e)
+        hits += len(e & a)
+    recall = hits / total
+    assert recall >= 0.8, f"HNSW recall too low: {recall}"
+
+
+def test_hnsw_graph_invariants():
+    import numpy as np
+
+    from simple_content_ocr_ray.functions.similarity import (
+        HNSW_M,
+        _HnswGraph,
+    )
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(300, 16)).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    g = _HnswGraph().build(Xn)
+    # degree caps hold on every layer
+    for nid, layers in enumerate(g.links):
+        for layer, nbrs in enumerate(layers):
+            cap = HNSW_M * 2 if layer == 0 else HNSW_M
+            assert len(nbrs) <= cap, (nid, layer)
+            assert nid not in nbrs  # no self links
+    # level assignment is deterministic (hash of id, no RNG)
+    g2 = _HnswGraph().build(Xn)
+    assert g.levels == g2.levels and g.entry == g2.entry
+    # exhaustive-vs-graph search on a small set: exact top-1 is found
+    for qi in (0, 17, 123):
+        res = g.search(Xn[qi], 2)
+        assert res[0][1] == qi  # nearest neighbor of a member is itself
+
+
+def test_hnsw_single_and_tiny_shards():
+    import numpy as np
+
+    from simple_content_ocr_ray.functions.similarity import _HnswGraph
+
+    one = np.array([[1.0, 0.0]])
+    g = _HnswGraph().build(one)
+    assert [nid for _, nid in g.search(np.array([1.0, 0.0]), 3)] == [0]
+    two = np.array([[1.0, 0.0], [0.0, 1.0]])
+    g2 = _HnswGraph().build(two)
+    assert {nid for _, nid in g2.search(np.array([0.9, 0.1]), 2)} == {0, 1}
