@@ -323,6 +323,9 @@ def run_headline() -> dict:
             "rdfa_triples",
             "html_forms",
             "article_publish_dates",
+            "content_type_mismatch",
+            "mixed_content_audit",
+            "flesch_reading_ease",
             "streaming_dedup_stats",
             "anchor_text_index",
             "frontier_shards",

@@ -1428,7 +1428,74 @@ FROM n ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Flesch reading ease — the classic readability score as a corpus filter
+# signal (very low scores flag machine-generated / keyword-stuffed pages)
+# --------------------------------------------------------------------------
+
+
+def flesch_reading_ease(sf_dir: str) -> pd.DataFrame:
+    """Per-document Flesch reading ease:
+    ``206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)``, with
+    syllables estimated as vowel-group runs (min 1 per token — the standard
+    heuristic) and sentences as ``[.!?]+`` runs (min 1). All three counts
+    use the same token/regex definitions as the SQL mirror, and the final
+    float expression is evaluated in the same operation order, so the
+    score is bit-identical to DuckDB's DOUBLE arithmetic. Pure per-doc
+    map, no shuffle."""
+    import re as _re
+
+    vowel_re = _re.compile(r"[aeiouy]+")
+    sent_re = _re.compile(r"[.!?]+")
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for d, t in zip(df["doc_id"], df["text"]):
+            low = str(t).lower()
+            toks = low.split()
+            w = max(1, len(toks))
+            s = max(1, len(sent_re.findall(low)))
+            syl = sum(max(1, len(vowel_re.findall(tok))) for tok in toks)
+            fre = 206.835 - 1.015 * (w / s) - 84.6 * (syl / w)
+            rows.append((int(d), w, s, syl, fre))
+        return pd.DataFrame(
+            rows, columns=["doc_id", "n_words", "n_sentences", "n_syllables", "fre"]
+        ).astype(
+            {"doc_id": "int64", "n_words": "int64", "n_sentences": "int64",
+             "n_syllables": "int64"}
+        )
+
+    out = (
+        _read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(score, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_FLESCH_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         GREATEST(1, len(regexp_extract_all(lower(text), '[^\\s]+')))
+           AS n_words,
+         GREATEST(1, len(regexp_extract_all(lower(text), '[.!?]+')))
+           AS n_sentences,
+         COALESCE(list_sum(list_transform(
+           regexp_extract_all(lower(text), '[^\\s]+'),
+           w -> GREATEST(1, len(regexp_extract_all(w, '[aeiouy]+')))
+         )), 0) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       206.835 - 1.015 * (n_words / n_sentences)
+               - 84.6 * (n_syllables / n_words) AS fre
+FROM c ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[str], object]] = {
+    "flesch_reading_ease": flesch_reading_ease,
     "c4_line_filters": c4_line_filters,
     "phrase_blocklist_hits": phrase_blocklist_hits,
     "invisible_char_audit": invisible_char_audit,
@@ -1453,6 +1520,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "flesch_reading_ease": _FLESCH_SQL,
     "phrase_blocklist_hits": _phrase_blocklist_sql(),
     "invisible_char_audit": _INVISIBLE_CHAR_AUDIT_SQL,
     "snapshot_token_drift": _SNAPSHOT_TOKEN_DRIFT_SQL,

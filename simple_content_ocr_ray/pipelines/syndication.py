@@ -601,11 +601,208 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# content_type_mismatch — server-declared MIME vs magic-byte sniff
+# --------------------------------------------------------------------------
+
+_CTM_KINDS = ("html", "png", "pdf", "gif")
+_CTM_MIME = {
+    "html": "text/html",
+    "png": "image/png",
+    "pdf": "application/pdf",
+    "gif": "image/gif",
+}
+
+
+def make_typed_payload(d: int) -> tuple[str, bytes]:
+    """(declared_mime, payload) for doc ``d``: the payload's REAL kind is
+    ``d % 4``; one doc in five declares the WRONG Content-Type (the next
+    kind over) — exactly the lying-server shape a crawl-quality audit
+    exists to catch."""
+    kind = _CTM_KINDS[d % 4]
+    if kind == "html":
+        body = f"<!doctype html><html><body><p>doc {d}</p></body></html>"
+        payload = body.encode()
+    elif kind == "png":
+        payload = b"\x89PNG\r\n\x1a\n" + bytes((d + i) % 256 for i in range(16))
+    elif kind == "pdf":
+        payload = f"%PDF-1.4\n% doc {d}\n".encode()
+    else:
+        payload = b"GIF89a" + bytes((d + i) % 256 for i in range(8))
+    declared_kind = _CTM_KINDS[(d + 1) % 4] if d % 5 == 3 else kind
+    return _CTM_MIME[declared_kind], payload
+
+
+def content_type_mismatch(sf_dir: str) -> pd.DataFrame:
+    """Declared-vs-sniffed Content-Type audit: (doc_id, declared_mime,
+    sniffed_type, mismatch). The sniff is the REAL router sniff
+    (`reference_semantics.sniff_bytes` — the same function the flagship
+    routes on), so this audit is exactly what the pipeline would do with
+    each payload regardless of what the server claimed."""
+    from ..reference_semantics import CONTENT_TYPE_TO_MIME, sniff_bytes
+
+    def audit(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for d in df["doc_id"]:
+            declared, payload = make_typed_payload(int(d))
+            sniffed = sniff_bytes(payload)
+            rows.append(
+                {
+                    "doc_id": int(d),
+                    "declared_mime": declared,
+                    "sniffed_type": sniffed,
+                    "mismatch": CONTENT_TYPE_TO_MIME.get(sniffed) != declared,
+                }
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["doc_id", "declared_mime", "sniffed_type", "mismatch"],
+        ).astype({"doc_id": "int64", "mismatch": "bool"})
+
+    out = (
+        _doc_ids(sf_dir)
+        .map_batches(audit, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_CONTENT_TYPE_MISMATCH_SQL = """
+WITH k AS (
+  SELECT doc_id,
+         (['html','png','pdf','gif'])[1 + doc_id % 4] AS real_kind,
+         (['html','png','pdf','gif'])
+           [1 + (doc_id + CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END) % 4]
+           AS declared_kind
+  FROM documents
+), m AS (
+  SELECT doc_id, real_kind, declared_kind,
+         CASE declared_kind WHEN 'html' THEN 'text/html'
+              WHEN 'png' THEN 'image/png' WHEN 'pdf' THEN 'application/pdf'
+              ELSE 'image/gif' END AS declared_mime
+  FROM k
+)
+SELECT doc_id, declared_mime, real_kind AS sniffed_type,
+       real_kind <> declared_kind AS mismatch
+FROM m ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# mixed_content_audit — https pages loading http subresources
+# --------------------------------------------------------------------------
+
+
+def make_https_page(d: int) -> bytes:
+    """https-served page for doc ``d``: two https images and one https
+    script always; an http image (``d % 4 == 0``), http script
+    (``d % 6 == 2``), http stylesheet (``d % 8 == 5``), and a
+    protocol-relative image (``d % 3 == 1`` — NOT mixed content, it
+    inherits the page scheme). Decoys: an ``<a href=http://…>`` (links
+    are navigations, not subresources) and a non-stylesheet ``<link>``."""
+    parts = [
+        "<!doctype html>",
+        f"<html><head><title>S {d}</title>",
+        f'<script src="https://cdn{d % 7}.example/app.js"></script>',
+        '<link rel="preconnect" href="http://ignored.example">',
+    ]
+    if d % 8 == 5:
+        parts.append(
+            f'<link rel="stylesheet" href="http://cdn{d % 7}.example/s.css">'
+        )
+    parts.append("</head><body>")
+    parts.append(f'<img src="https://img{d % 11}.example/a/{d}.jpg">')
+    parts.append(f'<img src="https://img{d % 11}.example/b/{d}.jpg">')
+    if d % 4 == 0:
+        parts.append(f'<img src="http://legacy{d % 5}.example/old/{d}.gif">')
+    if d % 6 == 2:
+        parts.append(f'<script src="http://ads{d % 3}.example/t.js"></script>')
+    if d % 3 == 1:
+        parts.append(f'<img src="//cdn{d % 7}.example/rel/{d}.png">')
+    parts.append(f'<a href="http://other{d % 9}.example/next">link decoy</a>')
+    parts.append("</body></html>")
+    return "\n".join(parts).encode()
+
+
+_SUBRESOURCE_TAGS = {"img", "script", "iframe", "source", "audio", "video"}
+
+
+def parse_mixed_content(html: str) -> dict:
+    """Subresource scheme census for one https page: src of
+    img/script/iframe/source/audio/video plus stylesheet links; anchors
+    are navigations and never counted. Returns http / https /
+    protocol-relative counts and the mixed-content flag."""
+
+    class P(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.urls: list[str] = []
+
+        def handle_starttag(self, tag, attrs):
+            a = dict(attrs)
+            if tag in _SUBRESOURCE_TAGS and a.get("src"):
+                self.urls.append(a["src"])
+            elif tag == "link" and a.get("rel") == "stylesheet" and a.get("href"):
+                self.urls.append(a["href"])
+
+    p = P()
+    p.feed(html)
+    n_http = sum(1 for u in p.urls if u.startswith("http://"))
+    n_https = sum(1 for u in p.urls if u.startswith("https://"))
+    n_protorel = sum(1 for u in p.urls if u.startswith("//"))
+    return {
+        "n_http": n_http,
+        "n_https": n_https,
+        "n_protorel": n_protorel,
+        "has_mixed": n_http > 0,
+    }
+
+
+def mixed_content_audit(sf_dir: str) -> pd.DataFrame:
+    """Mixed-content audit over https pages: (doc_id, n_http, n_https,
+    n_protorel, has_mixed) — the page-integrity signal browsers block on
+    and corpus curation downweights. Pure per-page map."""
+
+    def audit(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for d in df["doc_id"]:
+            r = parse_mixed_content(make_https_page(int(d)).decode())
+            rows.append({"doc_id": int(d), **r})
+        return pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_http", "n_https", "n_protorel", "has_mixed"],
+        ).astype(
+            {"doc_id": "int64", "n_http": "int64", "n_https": "int64",
+             "n_protorel": "int64", "has_mixed": "bool"}
+        )
+
+    out = (
+        _doc_ids(sf_dir)
+        .map_batches(audit, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_MIXED_CONTENT_AUDIT_SQL = """
+SELECT doc_id,
+       (CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
+        + CASE WHEN doc_id % 6 = 2 THEN 1 ELSE 0 END
+        + CASE WHEN doc_id % 8 = 5 THEN 1 ELSE 0 END) AS n_http,
+       3 AS n_https,
+       CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS n_protorel,
+       (doc_id % 4 = 0 OR doc_id % 6 = 2 OR doc_id % 8 = 5) AS has_mixed
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable] = {
     "mp3_meta": mp3_meta,
     "rdfa_triples": rdfa_triples,
     "html_forms": html_forms,
     "article_publish_dates": article_publish_dates,
+    "content_type_mismatch": content_type_mismatch,
+    "mixed_content_audit": mixed_content_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -613,4 +810,6 @@ ORACLES: dict[str, str] = {
     "rdfa_triples": _RDFA_TRIPLES_SQL,
     "html_forms": _HTML_FORMS_SQL,
     "article_publish_dates": _ARTICLE_PUBLISH_DATES_SQL,
+    "content_type_mismatch": _CONTENT_TYPE_MISMATCH_SQL,
+    "mixed_content_audit": _MIXED_CONTENT_AUDIT_SQL,
 }
