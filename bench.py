@@ -326,6 +326,7 @@ def run_headline() -> dict:
             "content_type_mismatch",
             "mixed_content_audit",
             "flesch_reading_ease",
+            "ai_optout_audit",
             "streaming_dedup_stats",
             "anchor_text_index",
             "frontier_shards",

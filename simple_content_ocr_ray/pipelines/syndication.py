@@ -796,6 +796,130 @@ FROM documents ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# ai_optout_audit — machine-readable training opt-outs (noai / TDMRep)
+# --------------------------------------------------------------------------
+
+
+def make_optout_page(d: int) -> tuple[bytes, str]:
+    """(html, raw response headers) for doc ``d`` carrying the three
+    machine-readable AI-training opt-out channels a compliant corpus
+    pipeline must honor: ``<meta name=robots>`` tokens ``noai`` /
+    ``noimageai`` (mixed into normal directive lists, case varied), the
+    W3C TDM Reservation Protocol meta pair (``tdm-reservation`` 1/0 +
+    optional ``tdm-policy``), and an ``X-Robots-Tag: noai`` response
+    header. Decoys: a description meta containing the word 'noai' and an
+    unrelated header."""
+    parts = ["<!doctype html>", f"<html><head><title>O {d}</title>"]
+    parts.append('<meta name="description" content="noai is just a word here">')
+    robots_tokens = []
+    if d % 9 == 6:
+        robots_tokens.append("noindex")
+    if d % 5 == 0:
+        robots_tokens.append("NoAI" if d % 2 == 0 else "noai")
+    if d % 7 == 2:
+        robots_tokens.append("noimageai")
+    if robots_tokens:
+        parts.append(f'<meta name="robots" content="{", ".join(robots_tokens)}">')
+    if d % 4 == 1:
+        parts.append('<meta name="tdm-reservation" content="1">')
+        if d % 8 == 1:
+            parts.append(
+                f'<meta name="tdm-policy" content="https://site{d % 97}.example/policy.json">'
+            )
+    elif d % 4 == 3:
+        parts.append('<meta name="tdm-reservation" content="0">')
+    parts.append(f"</head><body><p>body {d}</p></body></html>")
+    headers = "Content-Type: text/html\r\nServer: synth\r\n"
+    if d % 6 == 4:
+        headers += "X-Robots-Tag: noai\r\n"
+    return "\n".join(parts).encode(), headers
+
+
+def parse_optout(html: str, headers: str) -> dict:
+    """Merged opt-out flags for one response: meta-robots tokens and the
+    X-Robots-Tag header are BOTH consulted (a page is opted out if either
+    channel says so — the conservative reading a compliant trainer takes);
+    TDM reservation is the explicit ``tdm-reservation == "1"`` only."""
+
+    class P(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.robots: list[str] = []
+            self.tdm: str | None = None
+            self.policy: str | None = None
+
+        def handle_starttag(self, tag, attrs):
+            if tag != "meta":
+                return
+            a = dict(attrs)
+            name = (a.get("name") or "").lower()
+            if name == "robots":
+                self.robots += [
+                    t.strip().lower()
+                    for t in (a.get("content") or "").split(",")
+                ]
+            elif name == "tdm-reservation":
+                self.tdm = (a.get("content") or "").strip()
+            elif name == "tdm-policy":
+                self.policy = a.get("content")
+
+    p = P()
+    p.feed(html)
+    header_tokens: list[str] = []
+    for line in headers.split("\r\n"):
+        k, _, v = line.partition(":")
+        if k.strip().lower() == "x-robots-tag":
+            header_tokens += [t.strip().lower() for t in v.split(",")]
+    tokens = set(p.robots) | set(header_tokens)
+    noai = "noai" in tokens
+    noimageai = "noimageai" in tokens
+    tdm_reserved = p.tdm == "1"
+    return {
+        "noai": noai,
+        "noimageai": noimageai,
+        "tdm_reserved": tdm_reserved,
+        "has_policy": tdm_reserved and p.policy is not None,
+        "optout_any": noai or noimageai or tdm_reserved,
+    }
+
+
+def ai_optout_audit(sf_dir: str) -> pd.DataFrame:
+    """Training-opt-out census: (doc_id, noai, noimageai, tdm_reserved,
+    has_policy, optout_any) per page — the governance filter a compliant
+    training-data pipeline applies BEFORE any quality filter. Pure
+    per-page map, no shuffle."""
+
+    def audit(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for d in df["doc_id"]:
+            html, headers = make_optout_page(int(d))
+            rows.append({"doc_id": int(d), **parse_optout(html.decode(), headers)})
+        cols = ["doc_id", "noai", "noimageai", "tdm_reserved", "has_policy",
+                "optout_any"]
+        out = pd.DataFrame(rows, columns=cols)
+        return out.astype({c: "bool" for c in cols[1:]}).astype({"doc_id": "int64"})
+
+    out = (
+        _doc_ids(sf_dir)
+        .map_batches(audit, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_AI_OPTOUT_AUDIT_SQL = """
+SELECT doc_id,
+       (doc_id % 5 = 0 OR doc_id % 6 = 4) AS noai,
+       doc_id % 7 = 2 AS noimageai,
+       doc_id % 4 = 1 AS tdm_reserved,
+       (doc_id % 4 = 1 AND doc_id % 8 = 1) AS has_policy,
+       (doc_id % 5 = 0 OR doc_id % 6 = 4 OR doc_id % 7 = 2
+        OR doc_id % 4 = 1) AS optout_any
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable] = {
     "mp3_meta": mp3_meta,
     "rdfa_triples": rdfa_triples,
@@ -803,6 +927,7 @@ QUERIES: dict[str, Callable] = {
     "article_publish_dates": article_publish_dates,
     "content_type_mismatch": content_type_mismatch,
     "mixed_content_audit": mixed_content_audit,
+    "ai_optout_audit": ai_optout_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -812,4 +937,5 @@ ORACLES: dict[str, str] = {
     "article_publish_dates": _ARTICLE_PUBLISH_DATES_SQL,
     "content_type_mismatch": _CONTENT_TYPE_MISMATCH_SQL,
     "mixed_content_audit": _MIXED_CONTENT_AUDIT_SQL,
+    "ai_optout_audit": _AI_OPTOUT_AUDIT_SQL,
 }

@@ -285,3 +285,33 @@ def test_flesch_formula_hand_check():
     got = out.loc[row["doc_id"]]
     assert got["n_words"] == w and got["n_syllables"] == syl
     assert abs(got["fre"] - expect) < 1e-12
+
+
+def test_ai_optout_channels_merge():
+    from simple_content_ocr_ray.pipelines.syndication import (
+        make_optout_page,
+        parse_optout,
+    )
+
+    # d=0: robots meta NoAI (5|0) → noai, no tdm
+    h, hd = make_optout_page(0)
+    r = parse_optout(h.decode(), hd)
+    assert r["noai"] and not r["tdm_reserved"] and r["optout_any"]
+    # d=4: header-only channel (4%6==4): X-Robots-Tag noai, meta clean
+    h, hd = make_optout_page(4)
+    assert b"noai" not in h.lower().replace(b"noai is just a word here", b"")
+    r = parse_optout(h.decode(), hd)
+    assert r["noai"] and r["optout_any"]
+    # d=9: tdm-reservation=1 + policy (9%4==1, 9%8==1)
+    r = parse_optout(*(lambda t: (t[0].decode(), t[1]))(make_optout_page(9)))
+    assert r["tdm_reserved"] and r["has_policy"]
+    # d=3: explicit tdm-reservation=0 is NOT an opt-out
+    r = parse_optout(*(lambda t: (t[0].decode(), t[1]))(make_optout_page(3)))
+    assert not r["tdm_reserved"]
+    # d=2: noimageai only (2%7==2)
+    r = parse_optout(*(lambda t: (t[0].decode(), t[1]))(make_optout_page(2)))
+    assert r["noimageai"] and not r["noai"]
+    # decoy description meta never triggers
+    h, hd = make_optout_page(6)  # 6: no channels (6%5,6%6,6%7,6%4 all miss)
+    r = parse_optout(h.decode(), hd)
+    assert not r["optout_any"]
