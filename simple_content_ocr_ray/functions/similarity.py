@@ -1281,10 +1281,10 @@ class _HnswGraph:
         """Beam search on one layer: returns [(sim, node)] best-first."""
         import heapq
 
-        sims = {entry: float(self.vecs[entry] @ q)}
+        s_entry = float(self.vecs[entry] @ q)
         visited = {entry}
-        cand = [(-sims[entry], entry)]  # max-heap by sim
-        best = [(sims[entry], entry)]  # min-heap of the ef best
+        cand = [(-s_entry, entry)]  # max-heap by sim
+        best = [(s_entry, entry)]  # min-heap of the ef best
         while cand:
             negs, c = heapq.heappop(cand)
             if -negs < best[0][0] and len(best) >= ef:
@@ -1294,7 +1294,6 @@ class _HnswGraph:
                     continue
                 visited.add(nb)
                 s = float(self.vecs[nb] @ q)
-                sims[nb] = s
                 if len(best) < ef or s > best[0][0]:
                     heapq.heappush(cand, (-s, nb))
                     heapq.heappush(best, (s, nb))

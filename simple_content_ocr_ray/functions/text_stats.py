@@ -1445,6 +1445,10 @@ def flesch_reading_ease(sf_dir: str) -> pd.DataFrame:
     map, no shuffle."""
     import re as _re
 
+    # re.ASCII pins \s to RE2's default ASCII class so the token boundary
+    # is IDENTICAL to the SQL mirror's '[^\s]+' even on NBSP/ideographic-
+    # space text (Python's unicode \s would split where DuckDB would not)
+    tok_re = _re.compile(r"[^\s]+", _re.ASCII)
     vowel_re = _re.compile(r"[aeiouy]+")
     sent_re = _re.compile(r"[.!?]+")
 
@@ -1452,7 +1456,7 @@ def flesch_reading_ease(sf_dir: str) -> pd.DataFrame:
         rows = []
         for d, t in zip(df["doc_id"], df["text"]):
             low = str(t).lower()
-            toks = low.split()
+            toks = tok_re.findall(low)
             w = max(1, len(toks))
             s = max(1, len(sent_re.findall(low)))
             syl = sum(max(1, len(vowel_re.findall(tok))) for tok in toks)

@@ -201,10 +201,17 @@ def parse_rdfa(html: str) -> list[dict]:
                 self.stack.append([tag, None, None, None])
 
         def handle_data(self, data):
-            if self.stack and self.stack[-1][3] is not None:
-                self.stack[-1][3].append(data)
+            # text belongs to EVERY open property element (a property's
+            # value includes its descendants' text, e.g. "Jane <b>Doe</b>")
+            for fr in self.stack:
+                if fr[3] is not None:
+                    fr[3].append(data)
 
         def handle_endtag(self, tag):
+            # stray close tags (real-web HTML) are ignored rather than
+            # popping — and losing — every open subject frame
+            if not any(fr[0] == tag for fr in self.stack):
+                return
             while self.stack:
                 fr = self.stack.pop()
                 if fr[2] is not None:
@@ -525,10 +532,15 @@ def parse_publish_date(html: str) -> tuple[str, int]:
             if tag == "script":
                 self.in_ldjson = False
 
-    def iso_epoch(s: str) -> int:
-        return int(
-            datetime.fromisoformat(s.replace("Z", "+00:00")).timestamp()
-        )
+    def iso_epoch(s) -> int | None:
+        """None on any malformed value — one bad annotation costs one
+        CHANNEL (falls through to the next), never the row."""
+        try:
+            return int(
+                datetime.fromisoformat(str(s).replace("Z", "+00:00")).timestamp()
+            )
+        except (ValueError, TypeError):
+            return None
 
     p = P()
     p.feed(html)
@@ -538,18 +550,24 @@ def parse_publish_date(html: str) -> tuple[str, int]:
         except ValueError:
             continue  # malformed annotation: skip this channel
         if isinstance(obj, dict) and "datePublished" in obj:
-            return "jsonld", iso_epoch(obj["datePublished"])
-    if p.og:
-        return "og", iso_epoch(p.og)
-    if p.time_dt:
-        return "time", iso_epoch(p.time_dt)
+            ep = iso_epoch(obj["datePublished"])
+            if ep is not None:
+                return "jsonld", ep
+    for channel, raw in (("og", p.og), ("time", p.time_dt)):
+        if raw:
+            ep = iso_epoch(raw)
+            if ep is not None:
+                return channel, ep
     if p.canonical:
         m = _URL_DATE_RE.search(p.canonical)
         if m:
             y, mo, dy = map(int, m.groups())
-            return "url", int(
-                datetime(y, mo, dy, tzinfo=timezone.utc).timestamp()
-            )
+            try:
+                return "url", int(
+                    datetime(y, mo, dy, tzinfo=timezone.utc).timestamp()
+                )
+            except ValueError:
+                pass  # /2024/13/99/-style non-dates: not a date channel
     return "none", -1
 
 

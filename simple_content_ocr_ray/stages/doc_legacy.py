@@ -260,7 +260,8 @@ def build_cfb(streams: dict[str, bytes]) -> bytes:
         raise DocError("fixture too large for header DIFAT")
 
     def dir_entry(name: str, etype: int, start: int, size: int,
-                  child: int = _FREE) -> bytes:
+                  left: int = _FREE, right: int = _FREE,
+                  child: int = _FREE, red: bool = False) -> bytes:
         nm = name.encode("utf-16-le")
         if len(nm) > 62:
             raise DocError("stream name too long")
@@ -268,22 +269,53 @@ def build_cfb(streams: dict[str, bytes]) -> bytes:
         e[: len(nm)] = nm
         struct.pack_into("<H", e, 64, len(nm) + 2)
         e[66] = etype
-        e[67] = 1  # black
-        struct.pack_into("<III", e, 68, _FREE, _FREE, child)  # left/right/child
+        e[67] = 0 if red else 1
+        struct.pack_into("<III", e, 68, left, right, child)
         struct.pack_into("<I", e, 116, start)
         struct.pack_into("<Q", e, 120, size)
         return bytes(e)
 
+    # Directory sibling tree ([MS-CFB] 2.6.4): a red-black BST ordered by
+    # (name length, uppercased name). A median-split balanced BST colored
+    # black except for its deepest level is a valid red-black tree (every
+    # root→NIL path crosses the same number of black nodes), so external
+    # readers that traverse the tree — not just this module's linear walk —
+    # discover every stream.
+    order = sorted(
+        range(len(names)),
+        key=lambda i: (len(names[i].encode("utf-16-le")), names[i].upper()),
+    )
+    left_of = {i: _FREE for i in range(len(names))}
+    right_of = {i: _FREE for i in range(len(names))}
+    depth_of = {i: 0 for i in range(len(names))}
+
+    def bst(lo: int, hi: int, depth: int) -> int:
+        if lo > hi:
+            return _FREE
+        mid = (lo + hi) // 2
+        i = order[mid]
+        depth_of[i] = depth
+        left_of[i] = bst(lo, mid - 1, depth + 1)
+        right_of[i] = bst(mid + 1, hi, depth + 1)
+        return i
+
+    tree_root = bst(0, len(names) - 1, 0)
+    max_depth = max(depth_of.values()) if names else 0
+
     dirs = bytearray()
     dirs += dir_entry(
         "Root Entry", 5, start_of.get("__ministream__", _ENDCHAIN),
-        len(mini_data), child=1 if names else _FREE,
+        len(mini_data),
+        child=(1 + tree_root) if names else _FREE,
     )
-    for n in names:
-        if n in mini_start:
-            dirs += dir_entry(n, 2, mini_start[n], len(streams[n]))
-        else:
-            dirs += dir_entry(n, 2, start_of[n], len(streams[n]))
+    for idx, n in enumerate(names):
+        start = mini_start[n] if n in mini_start else start_of[n]
+        dirs += dir_entry(
+            n, 2, start, len(streams[n]),
+            left=_FREE if left_of[idx] == _FREE else 1 + left_of[idx],
+            right=_FREE if right_of[idx] == _FREE else 1 + right_of[idx],
+            red=depth_of[idx] == max_depth and max_depth > 0,
+        )
     dirs += b"\x00" * (dir_sects * _SECT - len(dirs))
 
     header = bytearray(512)
@@ -332,6 +364,11 @@ def make_doc(text: str) -> bytes:
     FIB in WordDocument, Clx (with a leading Prc decoy) in 1Table — which
     is small, so it lands in the MINISTREAM; plus a SummaryInformation
     decoy stream. ``\\n`` is stored as Word's ``\\r`` paragraph mark."""
+    if "\r" in text:
+        # Word's paragraph mark IS \r: a literal input \r would be
+        # indistinguishable from \n after the storage mapping, so the
+        # lossless-roundtrip contract requires \n-normalized input.
+        raise DocError("text must be \\n-normalized (no literal \\r)")
     stored = text.replace("\n", "\r")
     pieces = [
         stored[i : i + _PIECE_CHARS] for i in range(0, len(stored), _PIECE_CHARS)
@@ -441,7 +478,13 @@ def parse_doc(data: bytes) -> dict:
             raw = word[off : off + ccp]
             if len(raw) < ccp:
                 raise DocError("compressed piece out of range")
-            out.append(raw.decode("cp1252"))
+            try:
+                out.append(raw.decode("cp1252"))
+            except UnicodeDecodeError as exc:
+                # cp1252 leaves 0x81/0x8D/0x8F/0x90/0x9D undefined — a real
+                # legacy CJK .doc (ANSI text in a DBCS codepage) or corrupt
+                # bytes land here; the failed-row contract is DocError
+                raise DocError("undecodable compressed piece") from exc
         else:
             n_unicode += 1
             raw = word[fc : fc + 2 * ccp]

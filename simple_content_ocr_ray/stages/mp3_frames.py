@@ -75,35 +75,53 @@ def _id3_text(payload: bytes) -> str:
 
 
 def parse_id3v2(data: bytes) -> tuple[dict[str, str], int]:
-    """Parse a leading ID3v2.3 tag. Returns (text frames by id, total tag
-    bytes consumed); ({}, 0) when no tag is present."""
+    """Parse a leading ID3v2.3/2.4 tag, honoring the header FLAGS byte:
+    unsynchronisation (0x80 — ``FF 00`` → ``FF`` over the tag body),
+    extended header (0x40 — skipped; v2.3 size excludes itself, v2.4
+    syncsafe size includes itself), and the v2.4 footer (0x10 — 10 extra
+    trailer bytes consumed so the frame walk resumes at the first MPEG
+    frame, not at the ``3DI`` footer). Returns (text frames by id, total
+    tag bytes consumed); ({}, 0) when no tag is present."""
     if len(data) < 10 or data[:3] != b"ID3":
         return {}, 0
     major = data[3]
     if major not in (3, 4):
         raise Mp3Error(f"unsupported ID3v2.{major}")
+    flags = data[5]
     size = _syncsafe(data[6:10])
-    end = 10 + size
-    if end > len(data):
+    consumed = 10 + size + (10 if (major == 4 and flags & 0x10) else 0)
+    if consumed > len(data):
         raise Mp3Error("ID3 tag extends past payload")
+    body = data[10 : 10 + size]
+    if flags & 0x80:  # tag-level unsynchronisation
+        body = body.replace(b"\xff\x00", b"\xff")
+    pos = 0
+    if flags & 0x40:  # extended header
+        if len(body) < 4:
+            raise Mp3Error("truncated ID3 extended header")
+        if major == 4:
+            pos = _syncsafe(body[0:4])  # size INCLUDES itself
+        else:
+            pos = 4 + struct.unpack(">I", body[0:4])[0]  # size EXCLUDES itself
+        if pos > len(body):
+            raise Mp3Error("ID3 extended header out of range")
     frames: dict[str, str] = {}
-    pos = 10
-    while pos + 10 <= end:
-        fid = data[pos : pos + 4]
+    while pos + 10 <= len(body):
+        fid = body[pos : pos + 4]
         if fid == b"\x00\x00\x00\x00":
             break  # padding
         fsize = (
-            _syncsafe(data[pos + 4 : pos + 8])
+            _syncsafe(body[pos + 4 : pos + 8])
             if major == 4
-            else struct.unpack(">I", data[pos + 4 : pos + 8])[0]
+            else struct.unpack(">I", body[pos + 4 : pos + 8])[0]
         )
-        body = data[pos + 10 : pos + 10 + fsize]
-        if len(body) < fsize:
+        fbody = body[pos + 10 : pos + 10 + fsize]
+        if len(fbody) < fsize:
             raise Mp3Error("ID3 frame truncated")
         if fid.startswith(b"T"):
-            frames[fid.decode("latin-1")] = _id3_text(body)
+            frames[fid.decode("latin-1")] = _id3_text(fbody)
         pos += 10 + fsize
-    return frames, end
+    return frames, consumed
 
 
 def parse_mp3(data: bytes) -> dict:

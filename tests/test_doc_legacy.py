@@ -137,3 +137,76 @@ def test_real_route_extracts_doc(ray_session):
     # failed row, matching ocr_service.py:234-242
     mock = extraction_pipeline(rd.from_arrow(pages), preset="mock").to_pandas()
     assert mock.loc[0, "status"] == "failed"
+
+
+def test_undecodable_compressed_piece_raises_docerror():
+    # cp1252 leaves 0x81 undefined: patch one text byte in-place
+    doc = bytearray(make_doc("abcdef"))
+    at = doc.find(b"abcdef")
+    assert at > 0
+    doc[at] = 0x81
+    with pytest.raises(DocError, match="undecodable compressed piece"):
+        parse_doc(bytes(doc))
+
+
+def test_literal_cr_input_rejected():
+    with pytest.raises(DocError, match="normalized"):
+        make_doc("line one\r\nline two")
+
+
+def test_directory_tree_traversable_by_external_reader():
+    """A conforming [MS-CFB] reader walks the red-black sibling tree from
+    the root's child — not linearly. Walk it that way and require every
+    stream to be reachable, with the spec's (length, uppercased-name)
+    ordering holding at every node."""
+    import struct as _struct
+
+    data = make_doc("tree check " * 30)
+    # collect raw directory entries (same sector walk as read_cfb)
+    from simple_content_ocr_ray.stages.doc_legacy import _SECT
+
+    (dir_start,) = _struct.unpack_from("<I", data, 48)
+    (n_fat,) = _struct.unpack_from("<I", data, 44)
+    fat_sids = [
+        _struct.unpack_from("<I", data, 76 + 4 * i)[0] for i in range(n_fat)
+    ]
+    fat = []
+    for s in fat_sids:
+        off = 512 + s * _SECT
+        fat += list(_struct.unpack_from(f"<{_SECT // 4}I", data, off))
+    dirs = b""
+    sid = dir_start
+    while sid != 0xFFFFFFFE:
+        dirs += data[512 + sid * _SECT : 512 + (sid + 1) * _SECT]
+        sid = fat[sid]
+
+    def entry(i):
+        e = dirs[i * 128 : (i + 1) * 128]
+        (nlen,) = _struct.unpack_from("<H", e, 64)
+        name = e[: nlen - 2].decode("utf-16-le")
+        left, right, child = _struct.unpack_from("<III", e, 68)
+        return name, e[66], left, right, child
+
+    root = entry(0)
+    assert root[1] == 5
+    found = []
+
+    def walk(i):
+        if i == 0xFFFFFFFF:
+            return
+        name, etype, left, right, _ = entry(i)
+        key = (len(name.encode("utf-16-le")), name.upper())
+        if left != 0xFFFFFFFF:
+            lname = entry(left)[0]
+            assert (len(lname.encode("utf-16-le")), lname.upper()) < key
+        if right != 0xFFFFFFFF:
+            rname = entry(right)[0]
+            assert (len(rname.encode("utf-16-le")), rname.upper()) > key
+        walk(left)
+        found.append(name)
+        walk(right)
+
+    walk(root[4])
+    assert sorted(found) == sorted(
+        ["WordDocument", "1Table", "\x05SummaryInformation"]
+    )

@@ -315,3 +315,82 @@ def test_ai_optout_channels_merge():
     h, hd = make_optout_page(6)  # 6: no channels (6%5,6%6,6%7,6%4 all miss)
     r = parse_optout(h.decode(), hd)
     assert not r["optout_any"]
+
+
+# ----------------------------------------------- review-fix regressions ----
+
+
+def test_id3_flags_extended_header_footer_unsync():
+    import struct as _struct
+
+    from simple_content_ocr_ray.stages.mp3_frames import parse_id3v2
+
+    def tag(major, flags, frames_body, ext=b""):
+        body = ext + frames_body
+        size = len(body)
+        return (
+            b"ID3"
+            + bytes([major, 0, flags])
+            + bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                     (size >> 7) & 0x7F, size & 0x7F])
+            + body
+        )
+
+    tit = b"TIT2" + _struct.pack(">I", 3) + b"\x00\x00" + b"\x00hi"
+    # v2.3 extended header (size field EXCLUDES itself)
+    t = tag(3, 0x40, tit, ext=_struct.pack(">I", 6) + b"\x00" * 6)
+    frames, consumed = parse_id3v2(t)
+    assert frames["TIT2"] == "hi" and consumed == len(t)
+    # v2.4 footer: 10 extra bytes consumed after the tag body
+    t4 = tag(4, 0x10, b"TIT2" + b"\x00\x00\x00\x03" + b"\x00\x00" + b"\x00hi")
+    t4 += b"3DI" + bytes(7)
+    frames, consumed = parse_id3v2(t4)
+    assert frames["TIT2"] == "hi" and consumed == len(t4)
+    # unsynchronised tag: FF 00 in the stored body decodes back to FF
+    raw_text = b"\x00a\xffb"  # latin-1 text frame containing 0xFF
+    stored = (b"TIT2" + _struct.pack(">I", len(raw_text)) + b"\x00\x00"
+              + raw_text).replace(b"\xff", b"\xff\x00")
+    tu = tag(3, 0x80, stored)
+    frames, _ = parse_id3v2(tu)
+    assert frames["TIT2"] == "a\xffb"
+
+
+def test_publish_date_malformed_channels_fall_through():
+    from simple_content_ocr_ray.pipelines.syndication import parse_publish_date
+
+    html = (
+        "<html><head>"
+        '<meta property="article:published_time" content="yesterday">'
+        '<time datetime="2023-04-05T06:07:08Z">ok</time>'
+        "</head></html>"
+    )
+    ch, ep = parse_publish_date(html)
+    assert ch == "time" and ep > 0
+    # out-of-range URL date is not a date channel
+    html2 = (
+        '<link rel="canonical" href="https://x.example/2024/13/99/post-1">'
+    )
+    assert parse_publish_date(html2) == ("none", -1)
+    # malformed jsonld value (valid JSON, bad date) falls to og
+    html3 = (
+        '<script type="application/ld+json">'
+        '{"datePublished":"not a date"}</script>'
+        '<meta property="article:published_time" content="2023-04-05T06:07:08Z">'
+    )
+    ch3, _ = parse_publish_date(html3)
+    assert ch3 == "og"
+
+
+def test_rdfa_stray_close_and_nested_text():
+    from simple_content_ocr_ray.pipelines.syndication import parse_rdfa
+
+    html = (
+        '<div typeof="Article">'
+        "</span>"  # stray close: must not pop the Article subject
+        '<span property="name">Jane <b>Doe</b></span>'
+        "</div>"
+    )
+    rows = parse_rdfa(html)
+    assert rows == [
+        {"subj_type": "Article", "prop": "name", "value": "Jane Doe"}
+    ]
