@@ -589,5 +589,12 @@ def _emit(result: dict) -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         _emit(run_scaling())
+    elif "--endurance" in sys.argv:
+        # 10× headline corpus, no per-query pass: the sustained-throughput /
+        # backpressure check (equivalent to BENCH_N_PAGES=8000000
+        # BENCH_SKIP_QUERIES=1). Corpus is cached after the first run.
+        N_PAGES = 10 * N_PAGES
+        SKIP_QUERIES = True
+        _emit(run_headline())
     else:
         _emit(run_headline())
