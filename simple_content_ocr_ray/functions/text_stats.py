@@ -1445,10 +1445,11 @@ def flesch_reading_ease(sf_dir: str) -> pd.DataFrame:
     map, no shuffle."""
     import re as _re
 
-    # re.ASCII pins \s to RE2's default ASCII class so the token boundary
-    # is IDENTICAL to the SQL mirror's '[^\s]+' even on NBSP/ideographic-
-    # space text (Python's unicode \s would split where DuckDB would not)
-    tok_re = _re.compile(r"[^\s]+", _re.ASCII)
+    # Explicit whitespace class shared verbatim with the SQL mirror: Python's
+    # ASCII \s includes \x0b (vertical tab) but RE2/DuckDB's does not, so
+    # relying on the engines' \s definitions coinciding would split tokens
+    # differently on \v-bearing text. [ \t\n\f\r] is the exact intersection.
+    tok_re = _re.compile(r"[^ \t\n\f\r]+")
     vowel_re = _re.compile(r"[aeiouy]+")
     sent_re = _re.compile(r"[.!?]+")
 
@@ -1480,12 +1481,12 @@ def flesch_reading_ease(sf_dir: str) -> pd.DataFrame:
 _FLESCH_SQL = """
 WITH c AS (
   SELECT doc_id,
-         GREATEST(1, len(regexp_extract_all(lower(text), '[^\\s]+')))
+         GREATEST(1, len(regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r]+')))
            AS n_words,
          GREATEST(1, len(regexp_extract_all(lower(text), '[.!?]+')))
            AS n_sentences,
          COALESCE(list_sum(list_transform(
-           regexp_extract_all(lower(text), '[^\\s]+'),
+           regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r]+'),
            w -> GREATEST(1, len(regexp_extract_all(w, '[aeiouy]+')))
          )), 0) AS n_syllables
   FROM documents

@@ -251,9 +251,13 @@ def rdfa_triples(sf_dir: str) -> pd.DataFrame:
         .map_batches(extract, batch_format="pandas")
         .to_pandas()
     )
-    return out.sort_values(["doc_id", "subj_type", "prop"]).reset_index(
-        drop=True
-    )
+    # value participates in the sort keys: a subject may legitimately repeat
+    # a property (two rows with identical (doc_id, subj_type, prop)), and
+    # pandas' default quicksort is unstable — without the tiebreaker the row
+    # order (and any hash compare) would be nondeterministic on both sides
+    return out.sort_values(
+        ["doc_id", "subj_type", "prop", "value"]
+    ).reset_index(drop=True)
 
 
 _RDFA_TRIPLES_SQL = """
@@ -271,7 +275,7 @@ SELECT doc_id, 'Article', 'url',
        'https://site' || (doc_id % 97) || '.example/'
          || lpad(CAST(doc_id AS VARCHAR), 8, '0')
 FROM documents
-ORDER BY doc_id, subj_type, prop
+ORDER BY doc_id, subj_type, prop, value
 """
 
 
@@ -328,6 +332,11 @@ def parse_forms(html: str) -> list[dict]:
         def handle_starttag(self, tag, attrs):
             a = dict(attrs)
             if tag == "form":
+                # nested <form> start while one is open: browsers ignore the
+                # nested open tag's nesting and effectively close the outer
+                # form — flush the open form instead of silently dropping it
+                if self.cur is not None:
+                    self.rows.append(self.cur)
                 self.cur = {
                     "form_idx": len(self.rows),
                     "method": (a.get("method") or "get").upper(),
@@ -356,8 +365,17 @@ def parse_forms(html: str) -> list[dict]:
                 self.rows.append(self.cur)
                 self.cur = None
 
+        def close(self) -> None:
+            super().close()
+            # a form never closed by </form> still exists in the browser's
+            # DOM — flush it rather than dropping it at feed end
+            if self.cur is not None:
+                self.rows.append(self.cur)
+                self.cur = None
+
     p = P()
     p.feed(html)
+    p.close()
     return p.rows
 
 

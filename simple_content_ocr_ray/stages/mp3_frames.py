@@ -93,8 +93,14 @@ def parse_id3v2(data: bytes) -> tuple[dict[str, str], int]:
     if consumed > len(data):
         raise Mp3Error("ID3 tag extends past payload")
     body = data[10 : 10 + size]
-    if flags & 0x80:  # tag-level unsynchronisation
+    # v2.3: unsynchronisation is tag-wide — sizes are plain u32 counts of the
+    # DE-unsynced data, so a global FF 00 -> FF replace keeps the walk aligned.
+    # v2.4: frame size fields are syncsafe counts of the STORED (still-unsynced)
+    # frame data, so the replace must happen PER FRAME after reading each size;
+    # a tag-wide replace would shift every subsequent frame boundary.
+    if major == 3 and flags & 0x80:
         body = body.replace(b"\xff\x00", b"\xff")
+    tag_unsync_v4 = major == 4 and bool(flags & 0x80)
     pos = 0
     if flags & 0x40:  # extended header
         if len(body) < 4:
@@ -115,10 +121,20 @@ def parse_id3v2(data: bytes) -> tuple[dict[str, str], int]:
             if major == 4
             else struct.unpack(">I", body[pos + 4 : pos + 8])[0]
         )
+        fmt = body[pos + 9]  # second flags byte (format flags)
         fbody = body[pos + 10 : pos + 10 + fsize]
         if len(fbody) < fsize:
             raise Mp3Error("ID3 frame truncated")
-        if fid.startswith(b"T"):
+        # compression/encryption: v2.3 format byte %(i)compress(j)encrypt...,
+        # v2.4 %0h00kmnp with k=compress(0x08) m=encrypt(0x04). Such frames
+        # are NOT raw text — skip them rather than decode garbage.
+        compressed = (fmt & 0xC0) if major == 3 else (fmt & 0x0C)
+        if fid.startswith(b"T") and not compressed:
+            if major == 4:
+                if tag_unsync_v4 or fmt & 0x02:  # per-frame de-unsync
+                    fbody = fbody.replace(b"\xff\x00", b"\xff")
+                if fmt & 0x01:  # data length indicator prefix (4 syncsafe)
+                    fbody = fbody[4:]
             frames[fid.decode("latin-1")] = _id3_text(fbody)
         pos += 10 + fsize
     return frames, consumed

@@ -394,3 +394,103 @@ def test_rdfa_stray_close_and_nested_text():
     assert rows == [
         {"subj_type": "Article", "prop": "name", "value": "Jane Doe"}
     ]
+
+
+def test_id3_v24_per_frame_unsync_and_format_flags():
+    """ADVICE r4: v2.4 frame sizes are syncsafe counts of the STORED
+    (still-unsynced) frame data — de-unsync must happen per frame, after
+    reading each size, or FF 00 sequences shift every later boundary."""
+    import struct as _struct
+
+    from simple_content_ocr_ray.stages.mp3_frames import parse_id3v2
+
+    def ss(n):
+        return bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                      (n >> 7) & 0x7F, n & 0x7F])
+
+    # frame 1: text containing FF, stored unsynced (FF -> FF 00)
+    raw1 = b"\x00a\xffb"
+    stored1 = raw1.replace(b"\xff", b"\xff\x00")
+    f1 = b"TIT2" + ss(len(stored1)) + b"\x00\x00" + stored1
+    # frame 2 FOLLOWS it — misaligned if the walk used de-unsynced sizes
+    raw2 = b"\x00artist"
+    f2 = b"TPE1" + ss(len(raw2)) + b"\x00\x00" + raw2
+    body = f1 + f2
+    t = (b"ID3" + bytes([4, 0, 0x80]) + ss(len(body)) + body)
+    frames, consumed = parse_id3v2(t)
+    assert frames["TIT2"] == "a\xffb"
+    assert frames["TPE1"] == "artist"  # alignment survived the unsync
+    assert consumed == len(t)
+
+    # per-frame unsync flag (0x02) without the tag-level flag
+    f1b = b"TIT2" + ss(len(stored1)) + b"\x00\x02" + stored1
+    t2 = b"ID3" + bytes([4, 0, 0]) + ss(len(f1b + f2)) + f1b + f2
+    frames2, _ = parse_id3v2(t2)
+    assert frames2["TIT2"] == "a\xffb" and frames2["TPE1"] == "artist"
+
+    # data-length-indicator flag (0x01): 4 syncsafe prefix bytes skipped
+    raw3 = b"\x00hi"
+    f3 = b"TIT2" + ss(4 + len(raw3)) + b"\x00\x01" + ss(len(raw3)) + raw3
+    t3 = b"ID3" + bytes([4, 0, 0]) + ss(len(f3)) + f3
+    assert parse_id3v2(t3)[0]["TIT2"] == "hi"
+
+    # compressed / encrypted frames are skipped, not decoded as garbage
+    comp = b"TIT2" + ss(5) + b"\x00\x08" + b"\x78\x9c\x03\x00\x00"
+    t4 = b"ID3" + bytes([4, 0, 0]) + ss(len(comp + f2)) + comp + f2
+    frames4, _ = parse_id3v2(t4)
+    assert "TIT2" not in frames4 and frames4["TPE1"] == "artist"
+    # v2.3 compression bit (0x80 in format byte) likewise skipped
+    comp3 = (b"TIT2" + _struct.pack(">I", 5) + b"\x00\x80"
+             + b"\x78\x9c\x03\x00\x00")
+    f2_v3 = b"TPE1" + _struct.pack(">I", len(raw2)) + b"\x00\x00" + raw2
+    t5 = b"ID3" + bytes([3, 0, 0]) + ss(len(comp3 + f2_v3)) + comp3 + f2_v3
+    frames5, _ = parse_id3v2(t5)
+    assert "TIT2" not in frames5 and frames5["TPE1"] == "artist"
+
+
+def test_forms_nested_and_unclosed_flush():
+    """ADVICE r4: a nested <form> start flushes the open form (browser
+    behavior), and a form never closed by </form> is flushed at feed end."""
+    from simple_content_ocr_ray.pipelines.syndication import parse_forms
+
+    html = (
+        '<form action="/a"><input name="x">'
+        '<form action="/b" method="post"><input name="y"><input name="z">'
+        "</form>"
+        '<form action="/c"><input name="w">'  # never closed
+        "</body></html>"
+    )
+    rows = parse_forms(html)
+    assert [r["action"] for r in rows] == ["/a", "/b", "/c"]
+    assert [r["n_inputs"] for r in rows] == [1, 2, 1]
+    assert rows[1]["method"] == "POST"
+    assert [r["form_idx"] for r in rows] == [0, 1, 2]
+
+
+def test_flesch_vertical_tab_token_boundary():
+    """ADVICE r4: \\v must NOT split tokens (RE2/DuckDB \\s excludes it);
+    the shared explicit class [ \\t\\n\\f\\r] keeps both sides identical."""
+    import re as _re
+
+    tok_re = _re.compile(r"[^ \t\n\f\r]+")
+    toks = tok_re.findall("alpha\x0bbeta gamma")
+    assert toks == ["alpha\x0bbeta", "gamma"]  # \v stays inside the token
+
+
+def test_rdfa_duplicate_property_order_deterministic():
+    """ADVICE r4: duplicate (subj_type, prop) rows order by value."""
+    from simple_content_ocr_ray.pipelines.syndication import parse_rdfa
+
+    html = (
+        '<div typeof="Article">'
+        '<span property="tag">zulu</span>'
+        '<span property="tag">alpha</span>'
+        "</div>"
+    )
+    rows = parse_rdfa(html)
+    assert {r["value"] for r in rows} == {"zulu", "alpha"}
+    import pandas as pd
+
+    df = pd.DataFrame([{"doc_id": 1, **r} for r in rows])
+    out = df.sort_values(["doc_id", "subj_type", "prop", "value"])
+    assert list(out["value"]) == ["alpha", "zulu"]
