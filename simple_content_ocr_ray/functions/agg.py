@@ -31,6 +31,18 @@ from ray.data.aggregate import Max, Min, Sum
 _PARTIAL_KIND = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
 
+#: Repair-path ceiling: rows of block-spanning keys are reassembled on the
+#: driver; above this many rows we refuse (typed error) rather than OOM.
+_SPAN_REPAIR_MAX_ROWS = 20_000_000
+
+
+class SortedRunsInvariantError(RuntimeError):
+    """A key run spanned sorted blocks AND the automatic repair could not be
+    applied (spanning-key row volume above ``_SPAN_REPAIR_MAX_ROWS``). Seen
+    only if a Ray upgrade breaks the range-partitioning run-completeness
+    property — never under the vendored Ray 2.49."""
+
+
 def map_sorted_runs(
     ds: rd.Dataset,
     key: str,
@@ -48,20 +60,120 @@ def map_sorted_runs(
     a forced-tiny ``target_max_block_size`` in tests/test_sorted_runs.py) —
     but hands each WHOLE sorted block to ``fn`` in one call. ``fn`` must
     therefore handle any number of complete key runs per batch, vectorized
-    (rows of one key value are contiguous; runs arrive in key order). Python
-    dispatch cost becomes one call per block, independent of group count.
+    (rows of one key value are contiguous; runs arrive in key order), and
+    must treat each run independently (output = concat of per-run outputs).
+    Python dispatch cost becomes one call per block, independent of group
+    count.
 
-    INVARIANT NOTE: key-run completeness per block is the same property
-    ``GroupedData.map_groups`` builds on but is not a documented Ray API
-    contract — it follows from range partitioning assigning partitions by
-    key VALUE. It is pinned for the vendored Ray (2.49) by
-    tests/test_sorted_runs.py (forced-tiny ``target_max_block_size``, hot
-    key ≫ block size); a Ray upgrade must keep that test green before any
-    of the ~14 operators built on this helper can be trusted.
+    SELF-DEFENDING (r5): key-run completeness per block is not a documented
+    Ray API contract, so this helper no longer trusts it blindly. The sorted
+    output is materialized once (the sort is already an all-to-all barrier,
+    so its blocks are already resident in the object store), a cheap
+    zero-copy summary pass collects each block's (first_key, last_key), and
+    the driver verifies the per-block key ranges are pairwise disjoint —
+    i.e. no key value has rows in two blocks:
+
+    * ranges disjoint (always true under the vendored Ray 2.49, pinned by
+      tests/test_sorted_runs.py): the exact historical fast path runs —
+      one ``map_batches`` over whole sorted blocks.
+    * overlap detected (a hypothetical Ray upgrade breaking the property):
+      rows of the spanning keys are filtered out of the per-block pass,
+      reassembled, sorted, and handed to ``fn`` as complete runs; the two
+      outputs are unioned. Output row ORDER differs from the fast path in
+      that case — every caller is order-insensitive downstream (they sort
+      or aggregate). If the spanning-key rows exceed
+      ``_SPAN_REPAIR_MAX_ROWS`` (a hot key spanning many blocks), a typed
+      ``SortedRunsInvariantError`` is raised instead: loud, never silent.
     """
-    return ds.sort(key).map_batches(
-        fn, batch_size=None, batch_format=batch_format
+    return _map_runs_guarded(ds.sort(key), key, fn, batch_format)
+
+
+def _map_runs_guarded(
+    sorted_ds: rd.Dataset,
+    key: str,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    batch_format: str = "pandas",
+) -> rd.Dataset:
+    """Post-sort half of ``map_sorted_runs`` (split out so the adversarial
+    test can inject a block layout with deliberately split key runs)."""
+    import pyarrow as pa
+
+    sorted_ds = sorted_ds.materialize()
+
+    def edge_keys(tbl: pa.Table) -> pa.Table:
+        # zero-copy: touches only the key column's first/last elements
+        if tbl.num_rows == 0:
+            return pa.table({"first": tbl[key][:0], "last": tbl[key][:0]})
+        col = tbl[key]
+        return pa.table({"first": col[:1], "last": col[-1:]})
+
+    summary = sorted_ds.map_batches(
+        edge_keys, batch_size=None, batch_format="pyarrow"
+    ).to_pandas()
+
+    spanning = _spanning_keys(summary)
+    if not spanning:
+        # historical fast path — whole sorted blocks, one UDF call per block
+        return sorted_ds.map_batches(
+            fn, batch_size=None, batch_format=batch_format
+        )
+
+    span_set = set(spanning)
+    if batch_format == "pyarrow":
+        # repair machinery filters in pandas; hand fn its expected format
+        user_fn = fn
+        fn = lambda pdf: user_fn(pa.Table.from_pandas(pdf, preserve_index=False))  # noqa: E731
+
+    def non_spanning(batch: pd.DataFrame) -> pd.DataFrame:
+        return fn(batch[~batch[key].isin(span_set)])
+
+    def only_spanning(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch[key].isin(span_set)]
+
+    safe_out = sorted_ds.map_batches(
+        non_spanning, batch_size=None, batch_format="pandas"
     )
+    bad = sorted_ds.map_batches(
+        only_spanning, batch_size=None, batch_format="pandas"
+    ).materialize()
+    if bad.count() > _SPAN_REPAIR_MAX_ROWS:
+        raise SortedRunsInvariantError(
+            f"{len(span_set)} key(s) span sorted blocks with "
+            f"{bad.count()} rows — above the driver-side repair ceiling "
+            f"({_SPAN_REPAIR_MAX_ROWS}); Ray's sort no longer keeps key "
+            "runs block-complete"
+        )
+    bad_df = bad.to_pandas().sort_values(key, kind="mergesort").reset_index(
+        drop=True
+    )
+    repaired = fn(bad_df)
+    if not isinstance(repaired, pd.DataFrame):  # pyarrow-format caller
+        return safe_out.union(rd.from_arrow(repaired))
+    return safe_out.union(rd.from_pandas(repaired))
+
+
+def _spanning_keys(summary: pd.DataFrame) -> list:
+    """Keys whose rows provably (or possibly) live in more than one sorted
+    block, from per-block (first_key, last_key) edge summaries. Disjoint
+    ranges ⇒ []. A key counts as spanning when ≥2 block ranges contain it —
+    a safe overapproximation (a range may cover a key it has no rows for;
+    re-routing such keys through the repair path is merely redundant)."""
+    if len(summary) <= 1:
+        return []
+    s = summary.dropna().reset_index(drop=True)
+    firsts = s["first"].to_numpy()
+    lasts = s["last"].to_numpy()
+    order = np.argsort(firsts, kind="mergesort")
+    f_sorted, l_sorted = firsts[order], lasts[order]
+    # disjoint iff every block ends strictly before the next begins
+    if len(f_sorted) < 2 or bool((l_sorted[:-1] < f_sorted[1:]).all()):
+        return []
+    candidates = np.unique(np.concatenate([firsts, lasts]))
+    out = []
+    for k in candidates:
+        if int(((firsts <= k) & (k <= lasts)).sum()) >= 2:
+            out.append(k.item() if hasattr(k, "item") else k)
+    return out
 
 
 def _partial_agg_fn(

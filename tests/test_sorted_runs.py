@@ -14,6 +14,7 @@ Two things are pinned here:
 from __future__ import annotations
 
 import numpy as np
+import pytest
 import pandas as pd
 import ray.data as rd
 
@@ -108,3 +109,94 @@ def test_daily_bounce_rate_matches_sessions():
     assert len(merged) == len(exp) == len(got)
     assert (merged["n_sessions"] == merged["n_sessions_exp"]).all()
     assert (merged["n_bounce"] == merged["n_bounce_exp"]).all()
+
+
+# --------------------------------------------------------------------------
+# r5: self-defending guard — correctness no longer rests on the invariant
+# --------------------------------------------------------------------------
+
+
+def _make_sum_runs():
+    """Per-run aggregate that is WRONG if a key's rows are split across
+    blocks (each fragment would emit its own partial row). Returned as a
+    closure so Ray workers pickle it by value (the test module is not
+    importable inside workers)."""
+
+    def _sum_runs(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                                 "v": pd.Series([], dtype="int64")})
+        return b.groupby("k", as_index=False)["v"].sum()
+
+    return _sum_runs
+
+
+def _split_run_dataset():
+    """Hand-built 'sorted' layout violating the invariant: key 5's run is
+    split across two blocks (and key 9 across blocks 2/3)."""
+    b1 = pd.DataFrame({"k": [1, 2, 5, 5], "v": [10, 20, 1, 2]})
+    b2 = pd.DataFrame({"k": [5, 5, 7, 9], "v": [4, 8, 70, 16]})
+    b3 = pd.DataFrame({"k": [9, 11], "v": [32, 110]})
+    return rd.from_pandas([b1, b2, b3])
+
+
+def test_guard_repairs_split_key_runs():
+    from simple_content_ocr_ray.functions.agg import _map_runs_guarded
+
+    out = (
+        _map_runs_guarded(_split_run_dataset(), "k", _make_sum_runs())
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    expected = pd.DataFrame(
+        {"k": [1, 2, 5, 7, 9, 11], "v": [10, 20, 15, 70, 48, 110]}
+    )
+    pd.testing.assert_frame_equal(
+        out.astype({"k": "int64", "v": "int64"}), expected
+    )
+    # each key appears exactly once — no partial fragments leaked through
+    assert out["k"].is_unique
+
+
+def test_guard_fast_path_when_ranges_disjoint():
+    """Disjoint block ranges (the real Ray 2.49 shape) take the historical
+    one-pass fast path and produce identical results."""
+    from simple_content_ocr_ray.functions.agg import _map_runs_guarded
+
+    b1 = pd.DataFrame({"k": [1, 1, 2], "v": [1, 2, 3]})
+    b2 = pd.DataFrame({"k": [3, 4, 4], "v": [4, 5, 6]})
+    out = (
+        _map_runs_guarded(rd.from_pandas([b1, b2]), "k", _make_sum_runs())
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    expected = pd.DataFrame({"k": [1, 2, 3, 4], "v": [3, 3, 4, 11]})
+    pd.testing.assert_frame_equal(
+        out.astype({"k": "int64", "v": "int64"}), expected
+    )
+
+
+def test_guard_typed_error_above_repair_ceiling(monkeypatch):
+    from simple_content_ocr_ray.functions import agg as agg_mod
+
+    monkeypatch.setattr(agg_mod, "_SPAN_REPAIR_MAX_ROWS", 2)
+    with pytest.raises(agg_mod.SortedRunsInvariantError):
+        agg_mod._map_runs_guarded(_split_run_dataset(), "k", _make_sum_runs())
+
+
+def test_guard_string_keys_spanning():
+    """String-typed keys exercise the object-dtype overlap check."""
+    from simple_content_ocr_ray.functions.agg import _map_runs_guarded
+
+    b1 = pd.DataFrame({"k": ["a", "b", "b"], "v": [1, 2, 3]})
+    b2 = pd.DataFrame({"k": ["b", "c"], "v": [5, 7]})
+    out = (
+        _map_runs_guarded(rd.from_pandas([b1, b2]), "k", _make_sum_runs())
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(out["k"]) == ["a", "b", "c"]
+    assert list(out["v"]) == [1, 10, 7]
