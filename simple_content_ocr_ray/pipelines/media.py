@@ -1041,6 +1041,83 @@ FROM documents
 """
 
 
+class _Mp3AudioStage:
+    """Actor-pool stage: synthesize a subset-conformant mono MPEG-1
+    Layer III stream per document and decode its SAMPLES with the
+    from-scratch Layer-III chain (stages/mp3_layer3.py — Huffman →
+    requantize → alias reduction → IMDCT-36 → subband samples). The
+    decoded integer spectrum is compared line-exactly by the SQL oracle;
+    the float IMDCT path is parity-tested in tests/test_mp3_layer3.py."""
+
+    def __init__(self) -> None:
+        from ..stages.mp3_layer3 import decode_mp3_audio, synth_mp3_audio
+
+        self.decode = decode_mp3_audio
+        self.synth = synth_mp3_audio
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        fc, sr, dur, nl, nnz = [], [], [], [], []
+        for d in df["doc_id"]:
+            m = self.decode(self.synth(int(d)))
+            fc.append(m["frame_count"])
+            sr.append(m["sample_rate"])
+            dur.append(m["frame_count"] * 1152 * 1000 // m["sample_rate"])
+            nl.append(m["n_lines"])
+            nnz.append(m["n_nonzero_lines"])
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "frame_count": pd.Series(fc, dtype="int64"),
+                "sample_rate": pd.Series(sr, dtype="int64"),
+                "duration_ms": pd.Series(dur, dtype="int64"),
+                "n_lines": pd.Series(nl, dtype="int64"),
+                "n_nonzero_lines": pd.Series(nnz, dtype="int64"),
+            }
+        )
+
+
+def mp3_real_audio(sf_dir: str) -> rd.Dataset:
+    """Real lossy-audio SAMPLE decode (r5): closes the MP3 half of the
+    lossy-audio seam down to the ISO annex-table boundary documented in
+    stages/mp3_layer3.py. Completes the audio family next to WAV PCM and
+    FLAC (flac_real_meta)."""
+    return _docs(sf_dir).map_batches(
+        _Mp3AudioStage,
+        batch_format="pandas",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=_media_concurrency(),
+    )
+
+
+# the oracle reconstructs the synthesized spectrum arithmetically: per
+# (frame i, granule g) there are 2·(12 + (doc+i+g) % 8) coded lines and
+# line k is zero iff (doc + k + g) % 3 == 1  (see granule_values)
+_MP3_REAL_AUDIO_SQL = """
+WITH fg AS (
+  SELECT d.doc_id, i.i, gg.g, 12 + (d.doc_id + i.i + gg.g) % 8 AS bv
+  FROM documents d
+  JOIN range(0, 9) AS i(i) ON i.i < 4 + d.doc_id % 5
+  CROSS JOIN (SELECT unnest([0, 1]) AS g) gg
+), agg AS (
+  SELECT fg.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN (fg.doc_id + k.k + fg.g) % 3 <> 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_nonzero_lines
+  FROM fg JOIN range(0, 40) AS k(k) ON k.k < 2 * fg.bv
+  GROUP BY fg.doc_id
+)
+SELECT d.doc_id,
+       4 + d.doc_id % 5 AS frame_count,
+       CASE d.doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+            ELSE 32000 END AS sample_rate,
+       (4 + d.doc_id % 5) * 1152 * 1000
+         // (CASE d.doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+             ELSE 32000 END) AS duration_ms,
+       agg.n_lines, agg.n_nonzero_lines
+FROM documents d JOIN agg ON agg.doc_id = d.doc_id
+"""
+
+
 class _RtfTextStage:
     """Actor-pool stage: wrap each document's text in a real RTF file
     (font/color tables, info destination, styled runs, \\uN escapes for
@@ -1794,6 +1871,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "ico_real_meta": ico_real_meta,
     "flac_real_meta": flac_real_meta,
     "mp4_real_meta": mp4_real_meta,
+    "mp3_real_audio": mp3_real_audio,
     "rtf_real_text": rtf_real_text,
     "vtt_real_meta": vtt_real_meta,
     "epub_real_text": epub_real_text,
@@ -1824,6 +1902,7 @@ ORACLES: dict[str, str] = {
     "ico_real_meta": _ICO_REAL_META_SQL,
     "flac_real_meta": _FLAC_REAL_META_SQL,
     "mp4_real_meta": _MP4_REAL_META_SQL,
+    "mp3_real_audio": _MP3_REAL_AUDIO_SQL,
     "rtf_real_text": _RTF_REAL_TEXT_SQL,
     "vtt_real_meta": _VTT_REAL_META_SQL,
     "epub_real_text": _EPUB_REAL_TEXT_SQL,

@@ -98,9 +98,24 @@ class AudioFeatureStage:
             elif b[:4] == AUDIO_MAGIC:
                 rate, n = struct.unpack_from("<II", b, 4)
                 samples = np.frombuffer(b, dtype=np.int16, count=n, offset=12)
+            elif b[:3] == b"ID3" or (
+                len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
+            ):
+                # lossy audio, MP3 half (r5): subset Layer-III decode
+                # (stages/mp3_layer3.py). Features are computed on the
+                # SUBBAND-domain samples (time-major flatten) — the final
+                # 32-band synthesis filterbank needs the ISO Table B.3
+                # D window and stays at the documented seam, as does any
+                # stream outside the subset (Mp3SeamError → failed row).
+                from .mp3_layer3 import decode_mp3_audio
+
+                m = decode_mp3_audio(b)
+                rate = m["sample_rate"]
+                n = m["n_granules"] * 576
+                samples = m["subband"].reshape(-1)
             else:
                 raise NotImplementedError(
-                    "lossy audio (MP3/AAC/...) requires an external decoder "
+                    "AAC/other lossy audio requires an external decoder "
                     "behind this seam (no codec libs in this environment)"
                 )
             f = samples.astype(np.float64)

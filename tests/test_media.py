@@ -60,8 +60,12 @@ def test_video_stage_brightness_matches_numpy():
 
 
 def test_compressed_formats_raise_not_implemented():
+    # r5: MP3 now routes to the Layer-III decoder — a corrupt ID3 stream is
+    # a typed Mp3Error (failed row), no longer the NotImplementedError seam
+    from simple_content_ocr_ray.stages.mp3_frames import Mp3Error
+
     df = pd.DataFrame({"doc_id": [0], "audio": [b"ID3\x04 not pcm"]})
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(Mp3Error):
         media.AudioFeatureStage()(df)
     dfv = pd.DataFrame({"doc_id": [0], "video": [b"\x00\x00\x01\xba mpeg"]})
     with pytest.raises(NotImplementedError):
@@ -178,3 +182,30 @@ def test_phash_classes_distinct_and_rescale_invariant():
     brighter = np.clip(px.astype(np.int32) + 40, 0, 255).astype(np.uint8)
     a, b = phash64(px), phash64(brighter)
     assert bin(a ^ b).count("1") <= 8
+
+
+def test_audio_feature_stage_decodes_mp3_subset():
+    """r5: the lossy-audio seam narrows to AAC — MP3 subset streams decode
+    through AudioFeatureStage via the Layer-III chain."""
+    import pandas as pd
+
+    from simple_content_ocr_ray.stages.media import AudioFeatureStage
+    from simple_content_ocr_ray.stages.mp3_layer3 import synth_mp3_audio
+
+    df = pd.DataFrame({"doc_id": [3], "audio": [synth_mp3_audio(3)]})
+    out = AudioFeatureStage()(df)
+    n_frames = 4 + 3 % 5
+    assert int(out["n_samples"][0]) == n_frames * 2 * 576
+    assert float(out["rms"][0]) > 0
+    assert int(out["duration_ms"][0]) == n_frames * 1152 * 1000 // 44100
+
+
+def test_audio_feature_stage_aac_still_seamed():
+    import pandas as pd
+    import pytest as _pytest
+
+    from simple_content_ocr_ray.stages.media import AudioFeatureStage
+
+    df = pd.DataFrame({"doc_id": [0], "audio": [b"\x00\x00\x00 ftypM4A "]})
+    with _pytest.raises(NotImplementedError):
+        AudioFeatureStage()(df)
