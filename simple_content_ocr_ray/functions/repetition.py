@@ -570,8 +570,8 @@ def bpe_merge_rounds(sf_dir: str, rounds: int = BPE_ROUNDS) -> pd.DataFrame:
     symbol pairs weighted by word frequency (partial+final), and the driver
     picks the argmax pair (ties lexicographic). This is the production BPE
     scale shape: train on the vocabulary, never on raw text. Deterministic;
-    rows-only (SQL cannot iterate merges) with a pure-python reference
-    parity test."""
+    hash-checked (r5) against an UNROLLED DuckDB mirror of every round
+    (see _bpe_chain_sql) plus a pure-python reference parity test."""
     import ray
 
     docs = rd.read_parquet(
@@ -632,6 +632,98 @@ def bpe_merge_rounds(sf_dir: str, rounds: int = BPE_ROUNDS) -> pd.DataFrame:
     ).astype({"round": "int64", "pair_count": "int64"})
 
 
+def _bpe_chain_sql(rounds: int = BPE_ROUNDS) -> str:
+    """Unrolled SQL mirror of the BPE trainer (r5 — moves both BPE queries
+    from rows-only to hash-checked). Symbol sequences are encoded as
+    SELF-DELIMITED strings — every symbol carries a trailing ``chr(1)``
+    separator — so DuckDB's plain ``replace`` (leftmost, non-overlapping,
+    resuming AFTER each replacement) applies a merge with exactly the
+    semantics of ``_apply_merges``'s left-to-right scan, including the
+    [a,a,a] + (a,a) → [aa,a] case. Each round is one MATERIALIZED CTE
+    trio (pair explode → argmax with the trainer's (n DESC, left, right)
+    tie-break → replace); MATERIALIZED stops DuckDB inlining the chain
+    (each round references its predecessor twice — inlined it would blow
+    up 2^rounds)."""
+    sep = "chr(1)"
+    parts = [
+        """wc AS MATERIALIZED (
+  SELECT w, COUNT(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+),
+s0 AS MATERIALIZED (
+  SELECT w,
+         list_aggregate(string_split(w, ''), 'string_agg', chr(1))
+           || chr(1) AS s,
+         cnt
+  FROM wc
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT t.l[ii.i] AS lft, t.l[ii.i + 1] AS rgt, SUM(t.cnt) AS n
+  FROM (SELECT string_split(rtrim(s, {sep}), {sep}) AS l, cnt
+        FROM s{r - 1}) t
+  JOIN range(1, 600) AS ii(i) ON ii.i < len(t.l)
+  GROUP BY 1, 2
+),
+m{r} AS MATERIALIZED (
+  SELECT lft, rgt, n FROM p{r} ORDER BY n DESC, lft, rgt LIMIT 1
+),
+s{r} AS MATERIALIZED (
+  SELECT w,
+         replace(s,
+                 (SELECT lft FROM m{r}) || {sep}
+                   || (SELECT rgt FROM m{r}) || {sep},
+                 (SELECT lft FROM m{r})
+                   || (SELECT rgt FROM m{r}) || {sep}) AS s,
+         cnt
+  FROM s{r - 1}
+)"""
+        )
+    return ",".join(parts)
+
+
+def _bpe_merge_rounds_sql(rounds: int = BPE_ROUNDS) -> str:
+    body = "\nUNION ALL ".join(
+        f'SELECT {r} AS round, lft AS "left", rgt AS "right", '
+        f"CAST(n AS BIGINT) AS pair_count FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + _bpe_chain_sql(rounds) + "\n" + body + "\nORDER BY round"
+
+
+def _bpe_encode_stats_sql(rounds: int = BPE_ROUNDS) -> str:
+    return (
+        "WITH "
+        + _bpe_chain_sql(rounds)
+        + f""",
+enc AS MATERIALIZED (
+  SELECT w, len(string_split(rtrim(s, chr(1)), chr(1))) AS n_toks
+  FROM s{rounds}
+),
+agg AS (
+  SELECT dw.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(length(dw.w)) AS BIGINT) AS n_symbols,
+         CAST(SUM(enc.n_toks) AS BIGINT) AS n_bpe_tokens
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents) dw
+  JOIN enc ON enc.w = dw.w
+  WHERE dw.w <> ''
+  GROUP BY dw.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(agg.n_words, 0) AS n_words,
+       COALESCE(agg.n_symbols, 0) AS n_symbols,
+       COALESCE(agg.n_bpe_tokens, 0) AS n_bpe_tokens,
+       COALESCE(agg.n_symbols - agg.n_bpe_tokens, 0) AS n_merges_applied
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+    )
+
+
 _BPE_PAIR_COUNTS_SQL = f"""
 WITH toks AS (
   SELECT unnest(string_split(text, ' ')) AS w FROM documents
@@ -659,8 +751,8 @@ def bpe_encode_stats(sf_dir: str, rounds: int = BPE_ROUNDS) -> pd.DataFrame:
     merge list (``rounds`` entries) is broadcast via ``ray.put``; encoding
     is an embarrassingly parallel actor-pool pass with a PER-ACTOR
     word→token-count memo (Zipf's law makes the hit rate ~99%, so encoding
-    costs ~O(distinct words) per actor, not O(corpus words)). Rows-only
-    (SQL cannot iterate merge applications) with a pure-python parity test.
+    costs ~O(distinct words) per actor, not O(corpus words)). Hash-checked
+    (r5) against the unrolled-merge DuckDB mirror; pure-python parity test.
     """
     import ray
 
@@ -1075,6 +1167,8 @@ ORACLES: dict[str, str] = {
     "cdc_chunk_dedup": _CDC_CHUNK_DEDUP_SQL,
     "line_dedup_clean": _LINE_DEDUP_CLEAN_SQL,
     "bpe_pair_counts": _BPE_PAIR_COUNTS_SQL,
+    "bpe_merge_rounds": _bpe_merge_rounds_sql(),
+    "bpe_encode_stats": _bpe_encode_stats_sql(),
     "repeated_ngrams": _REPEATED_NGRAMS_SQL,
     "repeated_ngram_spans": _REPEATED_SPANS_SQL,
     "strip_repeated_spans": _STRIP_SPANS_SQL,

@@ -504,99 +504,181 @@ ORDER BY p.token
 # Mergeable quantile sketch (weighted order-statistic summary)
 # --------------------------------------------------------------------------
 
-QS_M = 256  # order statistics kept per partial
+QS_BINS = 4096  # histogram resolution (value-space error = range / bins)
 QS_QUANTILES = (0.01, 0.05, 0.25, 0.5, 0.75, 0.9, 0.99)
 
 
 def event_value_quantiles_sketch(
-    sf_dir: str, m: int = QS_M, quantiles: tuple = QS_QUANTILES
+    sf_dir: str, bins: int = QS_BINS, quantiles: tuple = QS_QUANTILES
 ) -> pd.DataFrame:
-    """Approximate quantiles of ``events.value`` from a mergeable summary:
-    each batch contributes its ``m`` evenly-spaced order statistics, each
-    weighted ``n_batch / m`` — a GK/KLL-style bounded sketch. The exact
-    ``event_value_percentiles`` sorts per-key value multisets; this replaces
-    that with O(m) rows per batch no matter the batch size, and the merged
-    summary answers any quantile with rank error ≤ Σ n_b/(m-1) ≈ N/(m-1)
-    (< 0.4% at the default m) — the bound the tests assert against exact
-    numpy quantiles. The summary is associative, so per-node tree pre-merge
-    works unchanged on a cluster; the driver holds O(batches × m) rows,
-    never the value stream."""
+    """Approximate quantiles of ``events.value`` from a DETERMINISTIC
+    mergeable histogram sketch (r5 — replaced the per-batch order-statistic
+    summary, whose output depended on physical batch boundaries and was
+    therefore only rows-only checkable): pass 1 finds the global
+    [lo, hi] integer range of the 1e-6-quantized values (distributed
+    min/max), pass 2 bins every value into ``bins`` equi-width cells and
+    keeps per-cell (count, min) — both partial-aggregated inside
+    ``map_batches``, merged by sum/min, so any tree of merges is exact and
+    the result is independent of partitioning. Each quantile answers with
+    the MINIMUM value of the first cell whose cumulative count reaches
+    ``q·N`` — guaranteed within one cell width of the exact quantile
+    (asserted vs numpy in tests) and exactly reproducible by the DuckDB
+    mirror. The driver holds ≤ ``bins`` summary rows, never the stream."""
+    from .agg import grouped_aggregate, round_half_away
+
     events = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["value"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(np.rint(df["value"].to_numpy() * 1_000_000).astype("int64"))
-        n = len(v)
-        if n == 0:
-            return pd.DataFrame(
-                {"v": pd.Series([], dtype="int64"),
-                 "w": pd.Series([], dtype="float64")}
-            )
-        take = min(n, m)
-        idx = np.linspace(0, n - 1, take).round().astype(np.int64)
-        return pd.DataFrame({"v": v[idx], "w": np.full(take, n / take)})
+    def quantize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "one": np.ones(len(df), dtype="int64"),
+                "v6": np.rint(df["value"].to_numpy() * 1_000_000).astype("int64"),
+            }
+        )
 
-    parts = events.map_batches(partial, batch_format="pandas").to_pandas()
-    parts = parts.sort_values("v", kind="mergesort")
-    cumw = parts["w"].to_numpy().cumsum()
-    total = cumw[-1]
-    vals = parts["v"].to_numpy()
+    rng = grouped_aggregate(
+        events, ["one"], {"lo": ("v6", "min"), "hi": ("v6", "max")},
+        prepare=quantize,
+    ).to_pandas()
+    lo, hi = int(rng["lo"].iloc[0]), int(rng["hi"].iloc[0])
+    width = hi - lo + 1
+
+    def binned(df: pd.DataFrame) -> pd.DataFrame:
+        v6 = np.rint(df["value"].to_numpy() * 1_000_000).astype("int64")
+        b = (v6 - lo) * bins // width
+        return pd.DataFrame({"bin": b, "v6": v6})
+
+    cells = grouped_aggregate(
+        events,
+        ["bin"],
+        {"n": (None, "count"), "vmin": ("v6", "min")},
+        prepare=binned,
+    ).to_pandas().sort_values("bin")
+    cum = cells["n"].to_numpy().cumsum()
+    total = int(cum[-1])
+    vmins = cells["vmin"].to_numpy()
     qs = np.asarray(quantiles, dtype="float64")
-    pos = np.searchsorted(cumw, qs * total, side="left").clip(0, len(vals) - 1)
+    pos = np.searchsorted(cum, qs * total, side="left").clip(0, len(vmins) - 1)
     return pd.DataFrame(
-        {"q": qs, "approx_value": np.round(vals[pos] / 1_000_000.0, 4)}
+        {"q": qs, "approx_value": round_half_away(vmins[pos] / 1_000_000.0)}
     )
 
 
 def type_value_quantiles_sketch(
-    sf_dir: str, m: int = QS_M, quantiles: tuple = QS_QUANTILES
+    sf_dir: str, bins: int = QS_BINS, quantiles: tuple = QS_QUANTILES
 ) -> pd.DataFrame:
-    """GROUPED mergeable quantile sketch: the per-event-type variant of
-    :func:`event_value_quantiles_sketch` — each batch contributes ``m``
-    weighted order statistics PER KEY it touches, and the per-key merge is
-    the same associative weighted union, so the rank-error bound
-    (≈ N_key/(m-1)) holds per key. The driver holds |keys|×|batches|×m
-    summary rows (at scale the weighted merge becomes a key-grouped
-    reduction — identical math, same shape as the grouped-HLL merge path);
-    the value stream itself never leaves the workers."""
+    """GROUPED deterministic histogram quantile sketch: the per-event-type
+    variant of :func:`event_value_quantiles_sketch` — per-key [lo, hi]
+    ranges (one grouped min/max pass), then per-(key, cell) (count, min)
+    partials; both merge by sum/min so the result is independent of
+    partitioning and exactly mirrored by the DuckDB oracle. Driver holds
+    ≤ |keys|·bins summary rows; the value stream never leaves workers."""
+    from .agg import grouped_aggregate, round_half_away
+
     events = rd.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
     )
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        for et, g in df.groupby("event_type", sort=False):
-            v = np.sort(np.rint(g["value"].to_numpy() * 1_000_000).astype("int64"))
-            n = len(v)
-            take = min(n, m)
-            idx = np.linspace(0, n - 1, take).round().astype(np.int64)
-            frames.append(
-                pd.DataFrame(
-                    {"event_type": et, "v": v[idx], "w": np.full(take, n / take)}
-                )
-            )
-        if not frames:
-            return pd.DataFrame(
-                {
-                    "event_type": pd.Series([], dtype="object"),
-                    "v": pd.Series([], dtype="int64"),
-                    "w": pd.Series([], dtype="float64"),
-                }
-            )
-        return pd.concat(frames, ignore_index=True)
+    def quantized(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "v6": np.rint(df["value"].to_numpy() * 1_000_000).astype("int64"),
+            }
+        )
 
-    parts = events.map_batches(partial, batch_format="pandas").to_pandas()
+    rng = (
+        grouped_aggregate(
+            events,
+            ["event_type"],
+            {"lo": ("v6", "min"), "hi": ("v6", "max")},
+            prepare=quantized,
+        )
+        .to_pandas()
+        .set_index("event_type")
+    )
+    lo_map = rng["lo"].to_dict()
+    w_map = {k: int(rng["hi"][k]) - int(v) + 1 for k, v in lo_map.items()}
+
+    def binned(df: pd.DataFrame) -> pd.DataFrame:
+        d = quantized(df)
+        lo = d["event_type"].map(lo_map).to_numpy(dtype="int64")
+        w = d["event_type"].map(w_map).to_numpy(dtype="int64")
+        v6 = d["v6"].to_numpy()
+        return pd.DataFrame(
+            {
+                "event_type": d["event_type"],
+                "bin": (v6 - lo) * bins // w,
+                "v6": v6,
+            }
+        )
+
+    cells = grouped_aggregate(
+        events,
+        ["event_type", "bin"],
+        {"n": (None, "count"), "vmin": ("v6", "min")},
+        prepare=binned,
+    ).to_pandas()
     rows = []
     qs = np.asarray(quantiles, dtype="float64")
-    for et, g in parts.groupby("event_type", sort=True):
-        g = g.sort_values("v", kind="mergesort")
-        cumw = g["w"].to_numpy().cumsum()
-        vals = g["v"].to_numpy()
-        pos = np.searchsorted(cumw, qs * cumw[-1], side="left").clip(
-            0, len(vals) - 1
+    for et, g in cells.groupby("event_type", sort=True):
+        g = g.sort_values("bin")
+        cum = g["n"].to_numpy().cumsum()
+        vmins = g["vmin"].to_numpy()
+        pos = np.searchsorted(cum, qs * int(cum[-1]), side="left").clip(
+            0, len(vmins) - 1
         )
-        for q, v in zip(qs, vals[pos]):
-            rows.append((et, float(q), np.round(v / 1_000_000.0, 4)))
+        for q, v in zip(qs, vmins[pos]):
+            rows.append(
+                (et, float(q), float(round_half_away(v / 1_000_000.0)))
+            )
     return pd.DataFrame(rows, columns=["event_type", "q", "approx_value"])
+
+
+_EVENT_VALUE_QUANTILES_SKETCH_SQL = f"""
+WITH v AS (
+  SELECT CAST(ROUND(value * 1000000, 0) AS BIGINT) AS v6 FROM events
+), r AS (
+  SELECT MIN(v6) AS lo, MAX(v6) - MIN(v6) + 1 AS w FROM v
+), cells AS (
+  SELECT (v.v6 - r.lo) * {QS_BINS} // r.w AS bin,
+         COUNT(*) AS n, MIN(v.v6) AS vmin
+  FROM v, r GROUP BY 1
+), cum AS (
+  SELECT bin, vmin,
+         SUM(n) OVER (ORDER BY bin) AS cum,
+         SUM(n) OVER () AS total
+  FROM cells
+), qs AS (SELECT unnest([0.01, 0.05, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q)
+SELECT qs.q,
+       ROUND(MIN(cum.vmin) FILTER (WHERE cum.cum >= qs.q * cum.total)
+             / 1000000.0, 4) AS approx_value
+FROM qs CROSS JOIN cum
+GROUP BY qs.q ORDER BY qs.q
+"""
+
+_TYPE_VALUE_QUANTILES_SKETCH_SQL = f"""
+WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 1000000, 0) AS BIGINT) AS v6 FROM events
+), r AS (
+  SELECT event_type, MIN(v6) AS lo, MAX(v6) - MIN(v6) + 1 AS w
+  FROM v GROUP BY 1
+), cells AS (
+  SELECT v.event_type, (v.v6 - r.lo) * {QS_BINS} // r.w AS bin,
+         COUNT(*) AS n, MIN(v.v6) AS vmin
+  FROM v JOIN r USING (event_type) GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, bin, vmin,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS total
+  FROM cells
+), qs AS (SELECT unnest([0.01, 0.05, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q)
+SELECT cum.event_type, qs.q,
+       ROUND(MIN(cum.vmin) FILTER (WHERE cum.cum >= qs.q * cum.total)
+             / 1000000.0, 4) AS approx_value
+FROM qs CROSS JOIN cum
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
 
 
 # --------------------------------------------------------------------------
@@ -692,12 +774,14 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "token_counts_cms": token_counts_cms,
     "view_purchase_overlap_hll": view_purchase_overlap_hll,
 }
-#: token_counts_cms and the quantile sketches are approximate with hashes
-#: SQL cannot reproduce (blake2b/splitmix64) — rows-only checks by design;
-#: their accuracy bounds are asserted in tests/test_sketch.py. The HLL
-#: family is EXACTLY mirrored (r4): md5 key hash → DuckDB recomputes the
-#: registers and the estimate bit-for-bit.
+#: Every sketch here is now exactly mirrored: the HLL family via md5 keys
+#: (r4), the quantile sketches via the deterministic histogram rewrite (r5)
+#: whose per-cell (count, min) partials DuckDB rebuilds bit-for-bit, and
+#: token_counts_cms via md5 row hashes. Accuracy-vs-exact bounds remain
+#: asserted in tests/test_sketch.py.
 ORACLES: dict[str, str] = {
+    "event_value_quantiles_sketch": _EVENT_VALUE_QUANTILES_SKETCH_SQL,
+    "type_value_quantiles_sketch": _TYPE_VALUE_QUANTILES_SKETCH_SQL,
     "approx_top_tokens": _APPROX_TOP_TOKENS_SQL,
     "hll_distinct_users": _HLL_DISTINCT_USERS_SQL,
     "analyze_documents": _analyze_sql(),

@@ -224,3 +224,28 @@ def test_analyze_documents_exactness_and_bounds(sf_dir, ray_session):
     assert df.loc["doc_id", "min_s"] == str(exact[2])
     assert df.loc["doc_id", "max_s"] == str(exact[3])
     assert (df["n_nulls"] == 0).all() and exact[4] == 0
+
+
+def test_histogram_quantile_sketch_value_bound_and_determinism(ray_session):
+    """r5 histogram sketch: approx within one cell width of the exact
+    quantile, and identical across repeated runs (partition-independent —
+    the property that made the SQL oracle possible)."""
+    from simple_content_ocr_ray.functions.sketch import (
+        QS_BINS,
+        event_value_quantiles_sketch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = event_value_quantiles_sketch(sf)
+    b = event_value_quantiles_sketch(sf)
+    pd.testing.assert_frame_equal(a, b)
+
+    v = pd.read_parquet(f"{sf}/events.parquet", columns=["value"])["value"]
+    v6 = np.rint(v.to_numpy() * 1_000_000).astype("int64")
+    width = (int(v6.max()) - int(v6.min()) + 1) / QS_BINS
+    exact = np.sort(v6)
+    n = len(exact)
+    for q, got in zip(a["q"], a["approx_value"]):
+        got_u = got * 1_000_000
+        target = exact[min(n - 1, int(np.ceil(q * n)) - 1) if q * n >= 1 else 0]
+        assert abs(got_u - target) <= width + 1, (q, got_u, target, width)
