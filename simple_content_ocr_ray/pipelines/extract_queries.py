@@ -161,6 +161,155 @@ FROM documents
 """
 
 
+#: hostile-input corpus classes, keyed by doc_id % 8 — each exercises a
+#: DISTINCT real-decoder failure mode so the failed-row taxonomy is itself
+#: oracled per error class (r5, VERDICT r4 task 8)
+_HOSTILE_CLASSES = (
+    "trunc_gzip",      # 0 valid gzip of the HTML page, cut at half
+    "trunc_jpeg",      # 1 progressive JPEG cut mid-stream
+    "damaged_pdf",     # 2 CRLF-damaged + tail-truncated PDF
+    "mojibake",        # 3 invalid UTF-8 bytes inside a utf-8 HTML page
+    "trunc_png",       # 4 PNG with the IDAT stream cut
+    "garbage",         # 5 unknown magic (the classic unsupported row)
+    "ok",              # 6 control: valid HTML, must complete clean
+    "gzip_garbage",    # 7 valid gzip wrapping unknown magic
+)
+
+
+def _hostile_payload(d: int, text: str, lang: str) -> bytes:
+    """Deterministic hostile payload for doc ``d`` (class = d % 8)."""
+    import gzip as _gzip
+
+    from ..sources.synth_pages import _HTML_TEMPLATE
+
+    html = _HTML_TEMPLATE.format(
+        doc_id=d, host=d % 97, lang=lang, body=f"<p>{text}</p>"
+    ).encode("utf-8")
+    cls = d % 8
+    if cls == 0:
+        g = _gzip.compress(html, compresslevel=1)
+        return g[: len(g) // 2]
+    if cls == 1:
+        import numpy as np
+
+        from ..stages.jpeg_decode import make_progressive_jpeg
+
+        px = np.full((8 + d % 5, 12 + d % 7), d % 256, dtype=np.uint8)
+        j = make_progressive_jpeg(px)
+        return j[: int(len(j) * 0.85)]
+    if cls == 2:
+        from ..stages.pdf_text import make_minimal_pdf
+
+        p = make_minimal_pdf([[text]])
+        return p.replace(b"stream\n", b"stream\r\n", 1)[: len(p) - 20]
+    if cls == 3:
+        return html.replace(b"<p>", b"<p>\xe9\xa0 \xff ", 1)
+    if cls == 4:
+        import numpy as np
+
+        from ..stages.png_decode import make_png
+
+        png = make_png(np.full((8, 8), d % 256, dtype=np.uint8))
+        return png[: len(png) // 2]
+    if cls == 5:
+        return b"GARBAGE\x00payload " + text.encode("utf-8")[:32]
+    if cls == 6:
+        return html
+    return _gzip.compress(b"GARBAGE\x00inner " + str(d).encode(), compresslevel=1)
+
+
+def _classify_hostile_row(status: str, ctype: str, error: str, text: str) -> str:
+    """Map an OBSERVED pipeline row to its error class — total function;
+    anything unexpected lands in 'other' and breaks the oracle's counts."""
+    if status == "completed":
+        if "�" in text:
+            return "mojibake"
+        return "ok" if ctype == "html" else "other"
+    if "truncated gzip" in error:
+        return "trunc_gzip"
+    if "(inside gzip)" in error:
+        return "gzip_garbage"
+    if ctype == "jpeg":
+        return "trunc_jpeg"
+    if "content stream" in error or "/Type /Page" in error:
+        return "damaged_pdf"
+    if "IDAT" in error:
+        return "trunc_png"
+    if error.startswith("Unsupported document type"):
+        return "garbage"
+    return "other"
+
+
+def error_class_counts(sf_dir: str) -> pd.DataFrame:
+    """Failed-row TAXONOMY oracle (r5): a hostile-input corpus — truncated
+    gzip, mid-stream-truncated progressive JPEG, CRLF-damaged PDF, mojibake
+    charsets, cut IDAT PNGs, garbage inside and outside gzip, plus a clean
+    control — through the FULL ``preset="real"`` pipeline. Every row is
+    classified from its OBSERVED (status, content_type, error, text) alone
+    and the per-class counts must equal the fixture arithmetic — so each
+    hostile class provably fails in its OWN typed error class (stable
+    across partitionings), not just 'failed'."""
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+
+    def build(t: pa.Table) -> pa.Table:
+        from ..sources.synth_pages import url_for
+
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        langs = t["lang"].to_pylist()
+        return pa.table(
+            {
+                "url": pa.array([url_for(d) for d in ids], pa.string()),
+                "warc_ts": pa.array([0] * len(ids), pa.timestamp("us")),
+                "html": pa.array(
+                    [_hostile_payload(d, tx, lg)
+                     for d, tx, lg in zip(ids, texts, langs)],
+                    pa.binary(),
+                ),
+                "text": pa.array([""] * len(ids), pa.string()),
+                "lang": pa.array(langs, pa.string()),
+            }
+        )
+
+    pages = docs.map_batches(build, batch_format="pyarrow")
+    ds = extraction_pipeline(pages, preset="real")
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        cls = [
+            _classify_hostile_row(s, c, e, tx)
+            for s, c, e, tx in zip(
+                df["status"], df["content_type"], df["error"], df["text"]
+            )
+        ]
+        return pd.DataFrame({"error_class": pd.Series(cls, dtype="object")})
+
+    out = grouped_aggregate(
+        ds.map_batches(classify, batch_format="pandas"),
+        ["error_class"],
+        {"n": (None, "count")},
+    ).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("error_class").reset_index(drop=True)
+
+
+_ERROR_CLASS_COUNTS_SQL = """
+SELECT CASE doc_id % 8
+         WHEN 0 THEN 'trunc_gzip'
+         WHEN 1 THEN 'trunc_jpeg'
+         WHEN 2 THEN 'damaged_pdf'
+         WHEN 3 THEN 'mojibake'
+         WHEN 4 THEN 'trunc_png'
+         WHEN 5 THEN 'garbage'
+         WHEN 6 THEN 'ok'
+         ELSE 'gzip_garbage' END AS error_class,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
 def gzip_real_routes(sf_dir: str) -> rd.Dataset:
     """The flagship corpus with EVERY payload stored gzip (the as-fetched
     Content-Encoding case): the gzip-transparent engine must gunzip
@@ -3026,6 +3175,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "extract_html_text": extract_html_text,
     "extract_html_text_density": extract_html_text_density,
     "extract_real_routes": extract_real_routes,
+    "error_class_counts": error_class_counts,
     "route_counts": route_counts,
     "span_integrity_audit": span_integrity_audit,
     "gzip_real_routes": gzip_real_routes,
@@ -3060,6 +3210,7 @@ ORACLES: dict[str, str] = {
     "extract_html_text": _EXTRACT_HTML_TEXT_SQL,
     "extract_html_text_density": _EXTRACT_HTML_TEXT_SQL,
     "extract_real_routes": _EXTRACT_REAL_ROUTES_SQL,
+    "error_class_counts": _ERROR_CLASS_COUNTS_SQL,
     "route_counts": _ROUTE_COUNTS_SQL,
     "pdf_page_counts": _PDF_PAGE_COUNTS_SQL,
     "failed_rows": _FAILED_ROWS_SQL,

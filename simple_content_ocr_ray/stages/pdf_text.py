@@ -799,6 +799,14 @@ def extract_pdf_text(payload: bytes) -> list[str]:
             for cnum in refs
             if (data := _decoded_stream(objs.get(cnum, b""), objs)) is not None
         ]
+        # a page whose /Contents refs resolve to NOTHING is a truncated /
+        # damaged file (the stream object's endobj was cut away), not an
+        # intentionally blank page — silent empty text here would let a
+        # connection-reset capture masquerade as a completed row (r5)
+        if refs and not chunks:
+            raise UnsupportedPdfError(
+                "missing or truncated page content stream"
+            )
         fontmaps = _page_fontmaps(objs[num], objs)
         pages.append(
             _stream_text(b"\n".join(chunks), fontmaps) if chunks else ""

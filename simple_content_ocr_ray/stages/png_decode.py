@@ -77,7 +77,10 @@ def decode_png(payload: bytes) -> np.ndarray:
             f"interlace={interlace}) — 8-bit grey/RGB/RGBA non-interlaced only"
         )
     ch = _CHANNELS[ctype_id]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # truncated capture: typed, not a raw zlib leak
+        raise UnsupportedImageError(f"truncated or corrupt IDAT stream: {e}") from e
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise UnsupportedImageError("IDAT size does not match dimensions")

@@ -156,3 +156,46 @@ def test_real_route_deterministic_across_parallelism(
         pd.testing.assert_frame_equal(
             out[["url", "status", "text", "page_count"]], _REAL_DET_BASELINE
         )
+
+
+def test_hostile_corpus_per_doc_error_classes(ray_session):
+    """r5: every hostile doc individually lands in ITS class (stronger than
+    the oracled per-class counts), stable across partitionings."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from simple_content_ocr_ray.pipelines.extract import extraction_pipeline
+    from simple_content_ocr_ray.pipelines.extract_queries import (
+        _HOSTILE_CLASSES,
+        _classify_hostile_row,
+        _hostile_payload,
+    )
+    from simple_content_ocr_ray.sources.synth_pages import PAGES_SCHEMA
+
+    ids = list(range(32))
+    t = pa.Table.from_arrays(
+        [
+            pa.array([f"https://h.example/{d:08d}" for d in ids]),
+            pa.array([0] * len(ids), pa.timestamp("us")),
+            pa.array(
+                [_hostile_payload(d, f"text {d}", "en") for d in ids],
+                pa.binary(),
+            ),
+            pa.array([""] * len(ids)),
+            pa.array(["en"] * len(ids)),
+        ],
+        schema=PAGES_SCHEMA,
+    )
+    for nparts in (1, 5):
+        ds = extraction_pipeline(
+            rd.from_arrow(t).repartition(nparts), preset="real"
+        )
+        rows = {r["url"]: r for r in ds.take_all()}
+        assert len(rows) == len(ids)
+        for d in ids:
+            r = rows[f"https://h.example/{d:08d}"]
+            got = _classify_hostile_row(
+                r["status"], r["content_type"], r["error"], r["text"]
+            )
+            assert got == _HOSTILE_CLASSES[d % 8], (d, got, dict(r))
