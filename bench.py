@@ -579,6 +579,69 @@ def run_scaling() -> dict:
     }
 
 
+def run_curate() -> dict:
+    """Composed curation flagship over the replicated bench corpus: the
+    reconciliation manifest is the correctness check (counts must reconcile
+    input → kept → packed; replicas must collapse to the base corpus)."""
+    import shutil
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NCPU,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.target_max_block_size = 32 * 1024 * 1024
+
+    from simple_content_ocr_ray.pipelines.curate import curate_at_scale
+
+    pages_dir = ensure_bench_pages(SF_DIR, N_PAGES)
+    out_base = os.environ.get("BENCH_OUT_BASE") or "/tmp/scor_bench_out"
+    out_dir = f"{out_base}/curated_cpu{NCPU}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    frac = float(os.environ.get("BENCH_POOL_FRACTION") or 0.75)
+    pool = max(2, min(NCPU - 2, round(NCPU * frac) - 1))
+    t0 = time.time()
+    # the bench corpus's articles are the base paragraph replicated RICHNESS
+    # times (real Common-Crawl article sizes) — the distinct-ratio quality
+    # threshold scales down accordingly or the whole corpus reads as
+    # "repetitive" and the later stages see zero rows
+    res = curate_at_scale(
+        pages_dir,
+        out_dir,
+        concurrency=(pool, pool),
+        batch_size=2048,
+        min_distinct_ratio=0.3 / max(1, RICHNESS),
+    )
+    elapsed = time.time() - t0
+    rep = dict(
+        zip(res["report"]["stage"], (int(x) for x in res["report"]["n"]))
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ray.shutdown()
+    return {
+        "metric": "curate_e2e_sec",
+        "value": round(elapsed, 3),
+        "unit": "sec",
+        "sf": SF_DIR,
+        "num_cpus": NCPU,
+        "n_pages": rep["pages_in"],
+        "docs_per_s": round(rep["pages_in"] / elapsed, 1),
+        "cal_1core_sec": _calibrate(),
+        "width_eff": _width_probe(),
+        "stages": rep,
+        "wet_shards": int(len(res["wet_manifest"])),
+        "queries": {},
+    }
+
+
 def _emit(result: dict) -> None:
     """Full line first; short headline-only line LAST (tail-capture-safe)."""
     print(json.dumps(result))
@@ -596,5 +659,13 @@ if __name__ == "__main__":
         N_PAGES = 10 * N_PAGES
         SKIP_QUERIES = True
         _emit(run_headline())
+    elif "--curate" in sys.argv:
+        # composed curate-at-scale flagship (r5): extract → quality →
+        # exact dedup → near-dup → pack → WET, ONE job over the 10×
+        # corpus — the cross-stage backpressure check the per-query bench
+        # cannot see. BENCH_N_PAGES overrides the corpus size.
+        if not os.environ.get("BENCH_N_PAGES"):
+            N_PAGES = 10 * N_PAGES
+        _emit(run_curate())
     else:
         _emit(run_headline())

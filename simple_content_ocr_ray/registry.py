@@ -23,6 +23,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
     )
     from .pipelines import (
         clean,
+        curate,
         dom_templates,
         extract_queries,
         media,
@@ -39,6 +40,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
     oracles: dict[str, str] = {}
     for mod in (
         clean,
+        curate,
         dom_templates,
         extract_queries,
         media,
