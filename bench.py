@@ -225,6 +225,9 @@ def run_headline() -> dict:
         "docs_per_s": round(n_in / headline, 1),
         "cal_1core_sec": _calibrate(),
         "width_eff": _width_probe(),
+        "cal_mixed_sec": (_cm := _calibrate_mixed()),
+        "width_mixed": (_wm := _width_probe_mixed3()),
+        "pred_docs_per_s": _predicted_docs_per_s(NCPU, _cm, _wm),
         "queries": {},
     }
 
@@ -467,6 +470,79 @@ def _calibrate() -> float:
     return round(time.time() - t0, 3)
 
 
+def _mixed_unit() -> None:
+    """One unit of the MIXED capacity workload (r5, VERDICT r4 task 4):
+    python bytecode + numpy memory bandwidth + zlib C loops in roughly the
+    extraction pipeline's observed cost mix — the pure-python probe
+    under-read capacity 2x during the best windows (BASELINE.md r4: probe
+    0.56 while throughput doubled) because the hypervisor's caps throttle
+    python-heavy loops harder than the C/bandwidth work the pipeline
+    actually spends most cycles in."""
+    import zlib
+
+    import numpy as np
+
+    x = 0
+    for i in range(5 * 10**6):  # python interpreter component
+        x += i
+    a = np.arange(4_000_000, dtype=np.int64)  # 32 MB bandwidth component
+    for _ in range(14):
+        a += 1
+        x += int(a[::1024].sum())
+    blob = b"scor mixed probe " * 65536  # ~1 MB; C-speed deflate component
+    for _ in range(7):
+        zlib.compress(blob, 1)
+
+
+def _calibrate_mixed() -> float:
+    """Single-process mixed-unit time (seconds) — best of 3 (the min is the
+    machine's uncontended speed; single samples jitter ±20%)."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        _mixed_unit()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+def _width_probe_mixed(n: int = 32) -> float:
+    """Aggregate-parallelism efficiency of the MIXED workload: n processes
+    each run one mixed unit; sum(per-proc time) / (n × wall) ∈ (0, 1]."""
+    import multiprocessing as mp
+
+    def work(q):
+        t0 = time.time()
+        _mixed_unit()
+        q.put(time.time() - t0)
+
+    q = mp.Queue()
+    ps = [mp.Process(target=work, args=(q,)) for _ in range(n)]
+    t0 = time.time()
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join()
+    wall = time.time() - t0
+    times = [q.get() for _ in range(n)]
+    return round(sum(times) / (n * wall), 3)
+
+
+def _width_probe_mixed3(n: int = 32) -> float:
+    """Median of 5 mixed width probes — single probes jitter ±15%."""
+    vals = sorted(_width_probe_mixed(n) for _ in range(5))
+    return vals[2]
+
+
+#: fitted constant: predicted headline docs/s = PRED_K × NCPU ×
+#: width_mixed / cal_mixed_sec. Fitted from (probe, headline) pairs in one
+#: session (BASELINE.md r5); `--probe-validate` re-measures the pairing.
+PRED_K = float(os.environ.get("BENCH_PRED_K") or 635.0)
+
+
+def _predicted_docs_per_s(ncpu: int, cal_mixed: float, width_mixed: float) -> float:
+    return round(PRED_K * ncpu * width_mixed / max(cal_mixed, 1e-6), 1)
+
+
 def _cache_base() -> str:
     """Bench-corpus cache directory. Prefers tmpfs (/dev/shm) when it has
     room: the timed read then exercises memory-backed storage, matching the
@@ -571,6 +647,16 @@ def run_scaling() -> dict:
         "width_lo": out[lo].get("width_eff"),
         "width_hi": out[hi].get("width_eff"),
         "width_eff": _width_probe(),
+        "width_mixed_lo": out[lo].get("width_mixed"),
+        "width_mixed_hi": out[hi].get("width_mixed"),
+        "cal_mixed_lo": out[lo].get("cal_mixed_sec"),
+        "cal_mixed_hi": out[hi].get("cal_mixed_sec"),
+        "window_class": (
+            "compliant"
+            if min(out[lo].get("width_mixed") or 0, out[hi].get("width_mixed") or 0)
+            >= 0.8
+            else "capped"
+        ),
         "cal_drift_ok": _drift() <= SCALE_CAL_DRIFT_MAX,
         "cal_retries": retries,
         "sf": SF_DIR,
@@ -636,6 +722,9 @@ def run_curate() -> dict:
         "docs_per_s": round(rep["pages_in"] / elapsed, 1),
         "cal_1core_sec": _calibrate(),
         "width_eff": _width_probe(),
+        "cal_mixed_sec": (_cm := _calibrate_mixed()),
+        "width_mixed": (_wm := _width_probe_mixed3()),
+        "pred_docs_per_s": _predicted_docs_per_s(NCPU, _cm, _wm),
         "stages": rep,
         "wet_shards": int(len(res["wet_manifest"])),
         "queries": {},
@@ -659,6 +748,56 @@ if __name__ == "__main__":
         N_PAGES = 10 * N_PAGES
         SKIP_QUERIES = True
         _emit(run_headline())
+    elif "--probe-validate" in sys.argv:
+        # r5 task 4 validation harness: N headline runs, each annotated with
+        # the mixed probe taken immediately before; reports per-run
+        # (capacity, docs_per_s), the per-run implied K, and the max
+        # relative error of PRED_K's prediction. Run across different host
+        # windows to check the ~15% bar.
+        reps = int(os.environ.get("PROBE_REPS") or 3)
+        runs = []
+        for _ in range(reps):
+            # fresh process per rep: an in-process rerun reuses the Ray
+            # cluster (ignore_reinit_error) and accumulated state skews
+            # later reps ~10% slower at stable probe readings
+            env = dict(
+                os.environ,
+                RAY_GRAFT_CPUS=str(NCPU),
+                BENCH_SKIP_QUERIES="1",
+                BENCH_N_PAGES=str(N_PAGES),
+                PYTHONPATH=os.environ["PYTHONPATH"],
+            )
+            proc = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py")],
+                env=env, capture_output=True, text=True, check=True,
+            )
+            r = json.loads(proc.stdout.strip().splitlines()[-1])
+            cap = NCPU * r["width_mixed"] / max(r["cal_mixed_sec"], 1e-6)
+            runs.append(
+                {
+                    "docs_per_s": r["docs_per_s"],
+                    "cal_mixed_sec": r["cal_mixed_sec"],
+                    "width_mixed": r["width_mixed"],
+                    "capacity": round(cap, 1),
+                    "implied_k": round(r["docs_per_s"] / cap, 1),
+                    "pred_docs_per_s": r["pred_docs_per_s"],
+                    "pred_err": round(
+                        abs(r["pred_docs_per_s"] - r["docs_per_s"])
+                        / r["docs_per_s"],
+                        3,
+                    ),
+                }
+            )
+        print(json.dumps({
+            "metric": "probe_validation",
+            "pred_k": PRED_K,
+            "runs": runs,
+            "max_pred_err": max(x["pred_err"] for x in runs),
+            "value": max(x["pred_err"] for x in runs),
+            "unit": "rel_err",
+            "sf": SF_DIR,
+            "num_cpus": NCPU,
+        }))
     elif "--curate" in sys.argv:
         # composed curate-at-scale flagship (r5): extract → quality →
         # exact dedup → near-dup → pack → WET, ONE job over the 10×
