@@ -87,6 +87,12 @@ def test_audio_feature_stage_decodes_flac_same_as_pcm():
 
 
 def test_audio_feature_stage_lossy_seam_still_raises():
+    # r5: MP3 decodes through the Layer-III subset now — the remaining
+    # lossy seam is AAC/other (non-MP3-magic) payloads
     stage = AudioFeatureStage()
     with pytest.raises(NotImplementedError, match="lossy"):
-        stage(pd.DataFrame({"doc_id": [1], "audio": [b"ID3\x04 not-implemented"]}))
+        stage(
+            pd.DataFrame(
+                {"doc_id": [1], "audio": [b"\x00\x00\x00 ftypM4A  aac"]}
+            )
+        )
