@@ -417,6 +417,12 @@ def run_headline() -> dict:
             "heading_outline",
             "media_corpus_report",
             "heading_chunks",
+            "mp3_real_audio",
+            "error_class_counts",
+            "event_value_quantiles_sketch",
+            "type_value_quantiles_sketch",
+            "bpe_merge_rounds",
+            "curate_at_scale_report",
         ):
             t0 = time.time()
             res = qs[name](SF_DIR)
