@@ -162,13 +162,45 @@ def curate_at_scale(
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
     annotated_dir = os.path.join(out_dir, "annotated")
+    import json
     import shutil
 
-    shutil.rmtree(annotated_dir, ignore_errors=True)
-    annotate = _make_annotate(min_tokens, min_distinct_ratio, max_mean_token_len)
-    extraction_pipeline(read_pages(pages_dir), preset="real", **kwargs).map_batches(
-        annotate, batch_format="pyarrow"
-    ).write_parquet(annotated_dir)
+    # resumability: stage A (the expensive extraction pass) is skipped when
+    # a COMPLETE annotated table for the same input + quality params already
+    # sits in out_dir — a rerun after a later-stage failure re-derives
+    # everything downstream from the on-disk table without re-extracting.
+    # A partial write never carries the marker (written only after success).
+    fprint = json.dumps(
+        {
+            "pages": sorted(
+                (f, os.path.getsize(os.path.join(pages_dir, f)))
+                for f in os.listdir(pages_dir)
+                if f.endswith(".parquet")
+            ),
+            "params": [min_tokens, min_distinct_ratio, max_mean_token_len],
+            "v": 1,
+        },
+        sort_keys=True,
+    )
+    marker = os.path.join(annotated_dir, "_CURATE_DONE")
+    done = False
+    try:
+        with open(marker) as fh:
+            done = fh.read() == fprint
+    except OSError:
+        pass
+    if not done:
+        shutil.rmtree(annotated_dir, ignore_errors=True)
+        annotate = _make_annotate(
+            min_tokens, min_distinct_ratio, max_mean_token_len
+        )
+        extraction_pipeline(
+            read_pages(pages_dir), preset="real", **kwargs
+        ).map_batches(annotate, batch_format="pyarrow").write_parquet(
+            annotated_dir
+        )
+        with open(marker, "w") as fh:
+            fh.write(fprint)
 
     ann = rd.read_parquet(
         annotated_dir, columns=["completed", "is_html", "quality"]

@@ -97,3 +97,30 @@ def test_curate_report_deterministic_across_partitionings(
     a = curate_at_scale(pages, str(tmp_path / "o1"))["report"]
     b = curate_at_scale(pages, str(tmp_path / "o2"), batch_size=2)["report"]
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_curate_stage_a_resumes_without_reextraction(tmp_path, ray_session, monkeypatch):
+    """r5: a rerun over the same input + params skips the extraction pass
+    (stage A) and re-derives downstream stages from the on-disk annotated
+    table — byte-identical report."""
+    from simple_content_ocr_ray.pipelines import curate as curate_mod
+
+    pages = _pages_dir(tmp_path)
+    out = str(tmp_path / "out")
+    first = curate_mod.curate_at_scale(pages, out)["report"]
+
+    calls = {"n": 0}
+    orig = curate_mod._make_annotate
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(curate_mod, "_make_annotate", spy)
+    second = curate_mod.curate_at_scale(pages, out)["report"]
+    assert calls["n"] == 0  # stage A skipped entirely
+    pd.testing.assert_frame_equal(first, second)
+
+    # changed quality params invalidate the marker → stage A reruns
+    curate_mod.curate_at_scale(pages, out, min_tokens=1)
+    assert calls["n"] == 1
