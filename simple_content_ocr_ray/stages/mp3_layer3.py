@@ -234,15 +234,21 @@ def _requantize(vals: np.ndarray, global_gain: int) -> np.ndarray:
     return np.sign(vals) * (np.abs(vals).astype(np.float64) ** (4.0 / 3.0)) * gain
 
 
+_ALIAS_BOUNDARIES = np.arange(1, _SB) * _LINES_PER_SB
+
+
 def _alias_reduce(xr: np.ndarray) -> np.ndarray:
+    # vectorized across the 31 subband boundaries per butterfly index —
+    # identical IEEE operations to the scalar spec loop (parity-pinned
+    # against the scalar mirror in tests), 8 numpy ops instead of 496
+    # python iterations (was 56% of decode time)
     out = xr.copy()
-    for sb in range(1, _SB):
-        base = _LINES_PER_SB * sb
-        for i in range(8):
-            a = out[base - 1 - i]
-            b = out[base + i]
-            out[base - 1 - i] = a * _ALIAS_CS[i] - b * _ALIAS_CA[i]
-            out[base + i] = b * _ALIAS_CS[i] + a * _ALIAS_CA[i]
+    b_idx = _ALIAS_BOUNDARIES
+    for i in range(8):
+        a = out[b_idx - 1 - i].copy()
+        b = out[b_idx + i]
+        out[b_idx - 1 - i] = a * _ALIAS_CS[i] - b * _ALIAS_CA[i]
+        out[b_idx + i] = b * _ALIAS_CS[i] + a * _ALIAS_CA[i]
     return out
 
 
