@@ -99,14 +99,25 @@ def _final_keepers(partial, hash_col: str, small_threshold: int):
     python calls)."""
     if partial.count() <= small_threshold:
         return _local_keepers(partial.to_pandas(), hash_col)
-    mins = partial.groupby(hash_col).min("doc_id")
-    joined = partial.join(
-        mins.map_batches(
+    mins = (
+        partial.groupby(hash_col)
+        .min("doc_id")
+        .map_batches(
             lambda df: df.rename(columns={"min(doc_id)": "keep_doc_id"}),
             batch_format="pandas",
-        ),
+        )
+        .materialize()
+    )
+    # join partitions bounded WELL below the distinct-key count: Ray 2.49's
+    # hash join builds schema-less empty partitions when a partition gets no
+    # rows of the small side (ArrowInvalid "no match or multiple matches"),
+    # which a heavy-duplication corpus (2M partials over few distinct
+    # hashes) can hit even at the default 16 (r5, pinned in test_curate.py)
+    nparts = min(16, max(1, mins.count() // 50 + 1))
+    joined = partial.join(
+        mins,
         join_type="inner",
-        num_partitions=16,
+        num_partitions=nparts,
         on=(hash_col,),
     )
     return joined.filter(expr="doc_id == keep_doc_id")

@@ -233,37 +233,61 @@ def curate_at_scale(
         df = df[df["quality"]][["doc_key", "n_tok", "text_hash"]].rename(
             columns={"doc_key": "doc_id"}
         )
-        return _local_keepers(df, "text_hash")
+        # empty blocks must keep Arrow-stable dtypes (an empty object
+        # column becomes Arrow null and poisons downstream join schemas)
+        return _local_keepers(df, "text_hash").astype(
+            {"doc_id": "int64", "n_tok": "int64", "text_hash": "string"}
+        )
 
     partial = rd.read_parquet(
         annotated_dir, columns=["doc_key", "quality", "n_tok", "text_hash"]
     ).map_batches(_slim_local, batch_format="pandas").materialize()
     keep = _final_keepers(partial, "text_hash", small_threshold)
-    if not isinstance(keep, pd.DataFrame):
-        keep = keep.to_pandas()[["doc_id", "n_tok", "text_hash"]]
-    if "doc_id" not in keep.columns:  # zero survivors: schema-less empty
-        keep = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                             "n_tok": pd.Series(dtype="int64"),
-                             "text_hash": pd.Series(dtype="object")})
-    exact_keepers = len(keep)
+    large_path = not isinstance(keep, pd.DataFrame)
+    if large_path:
+        # keepers stay DISTRIBUTED: at 100 TB the exact-keeper table is
+        # corpus-sized when duplication is low — it must never visit the
+        # driver (the r5 small path below does, bounded by the threshold)
+        keep_ds = keep.map_batches(
+            lambda df: df[["doc_id", "n_tok"]], batch_format="pandas"
+        ).materialize()
+        exact_keepers = keep_ds.count()
+    else:
+        if "doc_id" not in keep.columns:  # zero survivors: schema-less empty
+            keep = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "n_tok": pd.Series(dtype="int64"),
+                                 "text_hash": pd.Series(dtype="object")})
+        exact_keepers = len(keep)
 
     # ---- stage C: near-dup (LSH bands → sorted-run pairs → exact verify
     # → components → min-keeper) over the EXACT KEEPERS only ----
-    keeper_keys = set(keep["doc_id"].tolist())
-
     def _qual_rows(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["quality"]][["doc_key", "text"]].rename(
             columns={"doc_key": "doc_id"}
         )
-        return df.drop_duplicates("doc_id")
+        return df.drop_duplicates("doc_id").astype(
+            {"doc_id": "int64", "text": "string"}
+        )
 
-    corpus_kept = broadcast_semi_filter(
-        rd.read_parquet(
-            annotated_dir, columns=["doc_key", "quality", "text"]
-        ).map_batches(_qual_rows, batch_format="pandas"),
-        keeper_keys,
-        "doc_id",
-    ).materialize()  # consumed by band explode + both verify joins
+    qual_text = rd.read_parquet(
+        annotated_dir, columns=["doc_key", "quality", "text"]
+    ).map_batches(_qual_rows, batch_format="pandas")
+    if large_path:
+        # hash join instead of a driver-held key-set broadcast; partitions
+        # bounded well below the keeper count (Ray 2.49 hash join breaks on
+        # partitions with no small-side rows — see clean._final_keepers)
+        corpus_kept = qual_text.join(
+            keep_ds.map_batches(
+                lambda df: df[["doc_id"]], batch_format="pandas"
+            ),
+            join_type="inner",
+            num_partitions=min(16, max(1, exact_keepers // 50 + 1)),
+            on=("doc_id",),
+        ).materialize()
+    else:
+        corpus_kept = broadcast_semi_filter(
+            qual_text, set(keep["doc_id"].tolist()), "doc_id"
+        ).materialize()  # consumed by band explode + both verify joins
     a, b = _minhash_params()
     exploded = corpus_kept.map_batches(
         lambda df: _band_rows(df, a, b), batch_format="pandas"
@@ -272,41 +296,70 @@ def curate_at_scale(
         exploded, "bucket", est_rows=exact_keepers * NUM_BANDS
     )
     pairs = _verify_pairs(corpus_kept, cand, tau)
-    if len(pairs) <= 2_000_000:
-        labels = _union_find_labels(pairs)
-        keep = keep.assign(
-            component=[labels.get(int(k), int(k)) for k in keep["doc_id"]]
+    # verified pair table = the dedup output itself, bounded by the
+    # DUPLICATION volume; union-find labels are bounded the same way
+    labels = (
+        _union_find_labels(pairs)
+        if len(pairs) <= 2_000_000
+        else None
+    )
+    if labels is not None:
+        # drop the non-minimum members of every component
+        drop_keys = {k for k, lbl in labels.items() if lbl != k}
+    else:
+        # nodes restricted to docs appearing in a pair — the propagation
+        # output is then bounded by the duplication volume, not the corpus
+        pair_nodes = pd.DataFrame(
+            {"doc_id": pd.unique(pd.concat([pairs["doc_a"], pairs["doc_b"]]))}
         )
-        final = (
-            keep.sort_values("doc_id", kind="mergesort")
-            .drop_duplicates("component", keep="first")
-            .drop(columns=["component"])
-        )
-    else:  # huge dup graph: distributed min-label propagation
         lab = _components_label_propagation(
-            rd.from_pandas(keep[["doc_id"]]), pairs
+            rd.from_pandas(pair_nodes), pairs
         ).to_pandas()
-        keep = keep.merge(
-            lab.rename(columns={"label": "component", "node": "doc_id"}),
-            on="doc_id",
+        drop_keys = set(
+            lab.loc[lab["doc_id"] != lab["component"], "doc_id"].tolist()
         )
+
+    if large_path:
+        final_ds = broadcast_semi_filter(
+            keep_ds, drop_keys, "doc_id", anti=True
+        ).materialize()
+        near_keepers = final_ds.count()
+    else:
         final = (
-            keep.sort_values("doc_id", kind="mergesort")
-            .drop_duplicates("component", keep="first")
-            .drop(columns=["component"])
+            keep[~keep["doc_id"].isin(drop_keys)]
+            .sort_values("doc_id", kind="mergesort")
+            .reset_index(drop=True)
         )
-    near_keepers = len(final)
+        near_keepers = len(final)
 
     # ---- stage D: sequence packing over final keepers ----
-    final = final.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
-    if len(final) <= small_threshold:
-        packed = pack_sorted_df(final[["doc_id", "n_tok"]])
-    else:
-        packed = pack_assign(
-            rd.from_pandas(final[["doc_id", "n_tok"]])
+    if large_path:
+        packed_ds = pack_assign(
+            final_ds.map_batches(
+                lambda df: df[["doc_id", "n_tok"]], batch_format="pandas"
+            )
+        ).materialize()
+        agg = grouped_aggregate(
+            packed_ds,
+            ["one"],
+            {"max_seq": ("seq_id", "max"), "tok": ("n_tok", "sum")},
+            prepare=lambda df: pd.DataFrame(
+                {
+                    "one": np.ones(len(df), dtype="int64"),
+                    "seq_id": df["seq_id"].astype("int64"),
+                    "n_tok": df["n_tok"].astype("int64"),
+                }
+            ),
         ).to_pandas()
-    n_seqs = int(packed["seq_id"].max()) + 1 if len(packed) else 0
-    packed_tokens = int(packed["n_tok"].sum())
+        n_seqs = int(agg["max_seq"].iloc[0]) + 1 if len(agg) else 0
+        packed_tokens = int(agg["tok"].iloc[0]) if len(agg) else 0
+    else:
+        if len(final):
+            packed = pack_sorted_df(final[["doc_id", "n_tok"]])
+            n_seqs = int(packed["seq_id"].max()) + 1
+            packed_tokens = int(packed["n_tok"].sum())
+        else:
+            n_seqs = packed_tokens = 0
 
     # ---- stage E: WET export of kept texts ----
     # global dedup by doc_id (replicated crawls carry a keeper's text in
@@ -314,10 +367,11 @@ def curate_at_scale(
     # keeper texts — the same volume the WET write itself must move
     from ..functions.agg import map_sorted_runs
 
+    kept_corpus = broadcast_semi_filter(
+        corpus_kept, drop_keys, "doc_id", anti=True
+    )
     kept_text = map_sorted_runs(
-        broadcast_semi_filter(
-            corpus_kept, set(final["doc_id"].tolist()), "doc_id"
-        ),
+        kept_corpus,
         "doc_id",
         lambda df: df.drop_duplicates("doc_id"),
     ).map_batches(

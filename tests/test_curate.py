@@ -124,3 +124,17 @@ def test_curate_stage_a_resumes_without_reextraction(tmp_path, ray_session, monk
     # changed quality params invalidate the marker → stage A reruns
     curate_mod.curate_at_scale(pages, out, min_tokens=1)
     assert calls["n"] == 1
+
+
+def test_curate_forced_large_path_equals_small(tmp_path, ray_session):
+    """r5: small_threshold=0 forces the distributed keeper path (Dataset
+    join semi-filter, distributed pack prefix-scan, anti-filter WET) —
+    report must equal the driver-bounded small path exactly."""
+    from simple_content_ocr_ray.pipelines.curate import curate_at_scale
+
+    pages = _pages_dir(tmp_path)
+    small = curate_at_scale(pages, str(tmp_path / "s"))["report"]
+    large = curate_at_scale(
+        pages, str(tmp_path / "l"), small_threshold=0
+    )["report"]
+    pd.testing.assert_frame_equal(small, large)
