@@ -662,10 +662,10 @@ s0 AS MATERIALIZED (
     for r in range(1, rounds + 1):
         parts.append(
             f"""p{r} AS MATERIALIZED (
-  SELECT t.l[ii.i] AS lft, t.l[ii.i + 1] AS rgt, SUM(t.cnt) AS n
+  SELECT t.l[u.i] AS lft, t.l[u.i + 1] AS rgt, SUM(t.cnt) AS n
   FROM (SELECT string_split(rtrim(s, {sep}), {sep}) AS l, cnt
-        FROM s{r - 1}) t
-  JOIN range(1, 600) AS ii(i) ON ii.i < len(t.l)
+        FROM s{r - 1}) t,
+       unnest(range(1, len(t.l))) AS u(i)
   GROUP BY 1, 2
 ),
 m{r} AS MATERIALIZED (
