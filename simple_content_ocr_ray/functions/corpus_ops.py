@@ -1195,6 +1195,130 @@ WHERE md5_number_lower(CAST(doc_id AS VARCHAR) || ':' || source)
 
 
 # --------------------------------------------------------------------------
+# Temperature mixture sampling (α = 1/2): target share ∝ sqrt(source size)
+# --------------------------------------------------------------------------
+
+TEMP_DENOM = 1_000_000  # coin resolution (ppm)
+TEMP_BUDGET_DIV = 2  # doc budget = total docs // 2
+
+
+def temperature_mixture_sample(sf_dir: str) -> pd.DataFrame:
+    """Temperature-flattened source mixture (the LLaMA/PaLM data-mixing
+    rule at α = 1/2): each source's TARGET share of the kept corpus is
+    proportional to ``sqrt(n_source)`` — large sources down-weighted,
+    small sources up-weighted relative to natural proportions — realized
+    by a deterministic per-row md5 coin so the sample is reproducible and
+    resumable. α = 1/2 specifically because IEEE ``sqrt`` is correctly
+    rounded (bit-identical in numpy and DuckDB), and the weights are then
+    QUANTIZED to integers (``round(sqrt(n)·1e6)``) so every downstream
+    quantity — targets, thresholds, kept counts — is exact integer
+    arithmetic with no float-summation order hazard.
+
+    Scale shape: one slim grouped count (partial+final), driver holds one
+    row per SOURCE (broadcast thresholds via closure), one coin-filter
+    pass with per-batch partial counts. Returns the per-source
+    reconciliation (source, n_docs, sqrt_weight_micro, n_target, n_kept).
+    """
+    import math
+
+    from .agg import grouped_aggregate
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    counts = grouped_aggregate(
+        docs, ["source"], {"n": (None, "count")}
+    ).to_pandas()
+    counts["n"] = counts["n"].astype("int64")
+    total_n = int(counts["n"].sum())
+    counts["w"] = [
+        int(round(math.sqrt(int(n)) * 1_000_000)) for n in counts["n"]
+    ]
+    total_w = int(counts["w"].sum())
+    budget = total_n // TEMP_BUDGET_DIV
+    counts["n_target"] = [
+        budget * int(w) // total_w for w in counts["w"]
+    ]
+    thresh = {
+        s: min(TEMP_DENOM, int(t) * TEMP_DENOM // int(n))
+        for s, n, t in zip(counts["source"], counts["n"], counts["n_target"])
+    }
+
+    def partial_kept(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy()
+        src = df["source"].to_numpy()
+        coin = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(f"{int(a)}:{s}".encode()).digest()[8:16],
+                    "little",
+                )
+                % TEMP_DENOM
+                for a, s in zip(d, src)
+            ),
+            dtype=np.int64,
+            count=len(d),
+        )
+        th = np.fromiter(
+            (thresh[s] for s in src), dtype=np.int64, count=len(src)
+        )
+        return pd.DataFrame({"source": src[coin < th]})
+
+    kept = grouped_aggregate(
+        docs, ["source"], {"n_kept": (None, "count")}, prepare=partial_kept
+    ).to_pandas()
+    out = counts.merge(kept, on="source", how="left")
+    out["n_kept"] = out["n_kept"].fillna(0).astype("int64")
+    out = out.rename(columns={"n": "n_docs", "w": "sqrt_weight_micro"})
+    return (
+        out[["source", "n_docs", "sqrt_weight_micro", "n_target", "n_kept"]]
+        .sort_values("source")
+        .reset_index(drop=True)
+        .astype(
+            {
+                "n_docs": "int64",
+                "sqrt_weight_micro": "int64",
+                "n_target": "int64",
+                "n_kept": "int64",
+            }
+        )
+    )
+
+
+_TEMPERATURE_MIXTURE_SQL = f"""
+WITH c AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1
+), w AS (
+  SELECT source, n,
+         CAST(ROUND(sqrt(n) * 1000000, 0) AS BIGINT) AS w
+  FROM c
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total_n,
+         CAST(SUM(w) AS BIGINT) AS total_w
+  FROM w
+), t AS (
+  SELECT w.source, w.n, w.w,
+         (tot.total_n // {TEMP_BUDGET_DIV}) * w.w // tot.total_w AS n_target,
+         LEAST({TEMP_DENOM},
+               ((tot.total_n // {TEMP_BUDGET_DIV}) * w.w // tot.total_w)
+                 * {TEMP_DENOM} // w.n) AS thresh
+  FROM w, tot
+), k AS (
+  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM documents d JOIN t USING (source)
+  WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR) || ':' || d.source)
+          % {TEMP_DENOM} < t.thresh
+  GROUP BY 1
+)
+SELECT t.source, t.n AS n_docs, t.w AS sqrt_weight_micro,
+       CAST(t.n_target AS BIGINT) AS n_target,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM t LEFT JOIN k USING (source)
+ORDER BY t.source
+"""
+
+
+# --------------------------------------------------------------------------
 # Token-budgeted mixture planner
 # --------------------------------------------------------------------------
 
@@ -1979,6 +2103,7 @@ QUERIES: dict[str, Callable[[str], object]] = {
     "lang_top_docs": lang_top_docs,
     "lang_sample_exact_k": lang_sample_exact_k,
     "source_mixture_sample": source_mixture_sample,
+    "temperature_mixture_sample": temperature_mixture_sample,
     "longest_doc_per_group": longest_doc_per_group,
     "near_dup_degree": near_dup_degree,
     "near_dup_pair_diffs": near_dup_pair_diffs,
@@ -2010,6 +2135,7 @@ ORACLES: dict[str, str] = {
     "lang_top_docs": _LANG_TOP_DOCS_SQL,
     "lang_sample_exact_k": _LANG_SAMPLE_EXACT_K_SQL,
     "source_mixture_sample": _SOURCE_MIXTURE_SAMPLE_SQL,
+    "temperature_mixture_sample": _TEMPERATURE_MIXTURE_SQL,
     "longest_doc_per_group": _LONGEST_DOC_PER_GROUP_SQL,
     "near_dup_degree": _NEAR_DUP_DEGREE_SQL,
     "near_dup_pair_diffs": _near_dup_pair_diffs_sql(),

@@ -585,3 +585,30 @@ def test_domain_cap_sample_matches_brute_force(sf_dir, ray_session):
     # the cap actually bites: at least one domain lost a page
     assert len(got) < len(df)
     assert got.groupby("domain").size().max() <= DOMAIN_CAP
+
+
+def test_temperature_mixture_flattens_shares(sf_dir, ray_session):
+    """α=1/2 temperature sampling: target shares ∝ sqrt(n) — the largest
+    source's target share is BELOW its natural share, the smallest's above
+    (the data-mixing flattening property) — and the coin realizes each
+    target within binomial noise."""
+    import numpy as np
+
+    from simple_content_ocr_ray.functions.corpus_ops import (
+        temperature_mixture_sample,
+    )
+
+    out = temperature_mixture_sample(sf_dir)
+    assert (out["n_kept"] <= out["n_docs"]).all()
+    tot_n = out["n_docs"].sum()
+    tot_t = out["n_target"].sum()
+    big = out.loc[out["n_docs"].idxmax()]
+    small = out.loc[out["n_docs"].idxmin()]
+    if big["n_docs"] > small["n_docs"]:  # degenerate equal-size guard
+        assert big["n_target"] / tot_t < big["n_docs"] / tot_n
+        assert small["n_target"] / tot_t > small["n_docs"] / tot_n
+    # realized kept counts track targets within 5 sigma of binomial noise
+    for _, r in out.iterrows():
+        p = min(1.0, r["n_target"] / max(1, r["n_docs"]))
+        sigma = np.sqrt(max(1.0, r["n_docs"] * p * (1 - p)))
+        assert abs(r["n_kept"] - r["n_target"]) <= 5 * sigma + 2, dict(r)
