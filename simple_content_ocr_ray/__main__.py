@@ -120,7 +120,66 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("queries", help="list registered query names")
 
+    p_cu = sub.add_parser(
+        "curate",
+        help="run the composed curation flagship (extract → quality → "
+        "exact dedup → near-dup → pack → WET + manifest)",
+    )
+    p_cu.add_argument("pages_dir")
+    p_cu.add_argument("out_dir")
+    p_cu.add_argument("--num-cpus", type=int, default=None)
+    p_cu.add_argument("--batch-size", type=int, default=2048)
+    p_cu.add_argument(
+        "--min-distinct-ratio",
+        type=float,
+        default=None,
+        help="override the quality distinct-token-ratio floor (default "
+        "0.3; scale it down for paragraph-replicated corpora)",
+    )
+
     args = parser.parse_args(argv)
+
+    if args.cmd == "curate":
+        import ray
+
+        owns_session = not ray.is_initialized()
+        if owns_session:
+            ray.init(
+                address="local",
+                num_cpus=args.num_cpus
+                or int(os.environ.get("RAY_GRAFT_CPUS") or 0)
+                or None,
+                include_dashboard=False,
+                logging_level="ERROR",
+            )
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        try:
+            from .pipelines.curate import curate_at_scale
+
+            kw = {"batch_size": args.batch_size}
+            if args.min_distinct_ratio is not None:
+                kw["min_distinct_ratio"] = args.min_distinct_ratio
+            res = curate_at_scale(args.pages_dir, args.out_dir, **kw)
+            print(
+                json.dumps(
+                    {
+                        "stages": dict(
+                            zip(
+                                res["report"]["stage"],
+                                (int(x) for x in res["report"]["n"]),
+                            )
+                        ),
+                        "wet_shards": int(len(res["wet_manifest"])),
+                        "out_dir": args.out_dir,
+                    }
+                )
+            )
+        finally:
+            if owns_session:
+                ray.shutdown()
+        return 0
 
     if args.cmd == "queries":
         from .registry import all_queries
