@@ -542,7 +542,7 @@ def _width_probe_mixed3(n: int = 32) -> float:
 #: fitted constant: predicted headline docs/s = PRED_K × NCPU ×
 #: width_mixed / cal_mixed_sec. Fitted from (probe, headline) pairs in one
 #: session (BASELINE.md r5); `--probe-validate` re-measures the pairing.
-PRED_K = float(os.environ.get("BENCH_PRED_K") or 635.0)
+PRED_K = float(os.environ.get("BENCH_PRED_K") or 690.0)
 
 
 def _predicted_docs_per_s(ncpu: int, cal_mixed: float, width_mixed: float) -> float:
