@@ -158,3 +158,42 @@ def test_subband_energy_scales_with_global_gain():
     m = decode_mp3_audio(synth_mp3_audio(0))
     e = float((m["subband"] ** 2).sum())
     assert e > 0
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=120, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(st.binary(min_size=0, max_size=400))
+def test_decode_total_on_garbage(data):
+    """Totality: arbitrary bytes either decode or raise Mp3Error (incl.
+    the Mp3SeamError subtype) — never an uncaught exception."""
+    try:
+        decode_mp3_audio(data)
+    except Mp3Error:
+        pass
+
+
+@settings(
+    max_examples=60, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(st.integers(0, 30), st.data())
+def test_decode_total_on_corrupted_synth(d, data):
+    """Totality under realistic damage: a valid subset stream with one
+    byte flipped or a truncation either still decodes or raises typed."""
+    payload = bytearray(synth_mp3_audio(d))
+    mode = data.draw(st.sampled_from(["flip", "cut"]))
+    if mode == "flip":
+        i = data.draw(st.integers(0, len(payload) - 1))
+        payload[i] ^= data.draw(st.integers(1, 255))
+    else:
+        payload = payload[: data.draw(st.integers(0, len(payload)))]
+    try:
+        decode_mp3_audio(bytes(payload))
+    except Mp3Error:
+        pass
